@@ -1,0 +1,578 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Macros
+import graft.operators.Recursive
+import graft.sources.Catalog
+
+/** A named query with an optional DuckDB oracle (ANSI SQL over the
+  * same parquet tables). Oracle-less entries get a rows-only check.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** SURVEY.md §2.A — the relational/analytic operator surface of the
+  * reference's 43 dbt models, re-expressed as Catalyst-friendly
+  * DataFrame transforms over the TPC-H-ish test tables.
+  *
+  * Determinism rules (so the driver's DuckDB hash compare is stable):
+  *  - money sums go through exact DECIMAL casts, cast to DOUBLE last;
+  *  - derived floats are computed from exact sums with one double op,
+  *    or rounded coarsely (stats);
+  *  - every output has a total ORDER BY on a unique key;
+  *  - aggregate output types are pinned (BIGINT counts, INT ranks).
+  */
+object Relational {
+
+  private def q(name: String, oracle: String)(f: Catalog => DataFrame): Q =
+    Q(name, (s, dir) => f(Catalog(s, dir)), Some(oracle.stripMargin.trim))
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+  private def i32(c: Column): Column = c.cast(IntegerType)
+  /** exact decimal casts — source doubles carry ≤2 decimal digits */
+  private def decQty(c: Column): Column = c.cast(DecimalType(8, 2))
+  private def decDisc(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def decPrice(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def decTotal(c: Column): Column = c.cast(DecimalType(14, 2))
+
+  // ---------------------------------------------------------------
+  // q01 — projection, filter, CASE bucketing
+  // (reference: models/staging/stg_enrollments.sql:24-41)
+  val q01: Q = q("q01_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CASE WHEN l_quantity >= 40 THEN 'Large' WHEN l_quantity >= 20 THEN 'Medium'
+      |       WHEN l_quantity >= 10 THEN 'Small' ELSE 'Tiny' END AS qty_bucket,
+      |  CASE WHEN l_returnflag = 'R' THEN 'Returned'
+      |       WHEN l_linestatus = 'O' THEN 'Open' ELSE 'Fulfilled' END AS line_status
+      |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      |ORDER BY l_orderkey, l_linenumber""") { c =>
+    c.lineitem
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast(TimestampType))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        Macros.bucket(col("l_quantity"),
+          Seq(40.0 -> "Large", 20.0 -> "Medium", 10.0 -> "Small"), "Tiny")
+          .as("qty_bucket"),
+        when(col("l_returnflag") === "R", "Returned")
+          .when(col("l_linestatus") === "O", "Open")
+          .otherwise("Fulfilled").as("line_status"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // q02 — groupBy aggregate battery (TPC-H Q1 shape; every int_* model)
+  val q02: Q = q("q02_agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""") { c =>
+    c.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dbl(sum(decQty(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(decPrice(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(decPrice(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(3, 2)) - decDisc(col("l_discount")))))
+          .as("sum_disc_price"),
+        dbl(min(col("l_quantity"))).as("min_qty"),
+        dbl(max(col("l_quantity"))).as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // q03 — HAVING post-aggregate filter (4 uses in reference)
+  val q03: Q = q("q03_agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey
+      |HAVING COUNT(*) >= 12 ORDER BY o_custkey""") { c =>
+    c.orders
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("spend"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+  }
+
+  // q04 — COUNT(DISTINCT) (47 uses in reference)
+  val q04: Q = q("q04_count_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+    c.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+  }
+
+  // q05 — inner equi-join, fact⋈dim (29 uses in reference)
+  val q05: Q = q("q05_join_inner",
+    """SELECT c_mktsegment, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, order_year ORDER BY c_mktsegment, order_year""") { c =>
+    c.orders
+      .join(c.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      .orderBy("c_mktsegment", "order_year")
+  }
+
+  // q06 — left join + COALESCE null handling (55 uses in reference)
+  val q06: Q = q("q06_join_left",
+    """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+      |             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT c_nationkey, COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN o.n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_idle_customers,
+      |  COALESCE(CAST(SUM(o.rev) AS DOUBLE), 0.0) AS revenue
+      |FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""") { c =>
+    val perCust = c.orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(decTotal(col("o_totalprice"))).as("rev"))
+    c.customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders").isNull, 1).otherwise(0)).cast(LongType)
+          .as("n_idle_customers"),
+        coalesce(dbl(sum(col("rev"))), lit(0.0)).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  // q07 — full outer join (3 uses: institutional dashboards)
+  val q07: Q = q("q07_join_full",
+    """WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers,
+      |             CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supplier_bal
+      |           FROM supplier GROUP BY s_nationkey),
+      |     c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers,
+      |             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS customer_bal
+      |           FROM customer GROUP BY c_nationkey)
+      |SELECT COALESCE(s.nk, c.nk) AS nationkey, n_suppliers, supplier_bal, n_customers, customer_bal
+      |FROM s FULL OUTER JOIN c ON s.nk = c.nk ORDER BY nationkey""") { c =>
+    val s = c.supplier.groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dbl(sum(decPrice(col("s_acctbal")))).as("supplier_bal"))
+    val cu = c.customer.groupBy(col("c_nationkey").as("cnk"))
+      .agg(count(lit(1)).as("n_customers"),
+        dbl(sum(decPrice(col("c_acctbal")))).as("customer_bal"))
+    s.join(cu, col("snk") === col("cnk"), "full_outer")
+      .select(
+        coalesce(col("snk"), col("cnk")).as("nationkey"),
+        col("n_suppliers"), col("supplier_bal"),
+        col("n_customers"), col("customer_bal"))
+      .orderBy("nationkey")
+  }
+
+  // q08 — cross join of small dims → broadcast NL join (1 use)
+  val q08: Q = q("q08_join_cross",
+    """SELECT r_name, pr AS priority FROM region
+      |CROSS JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders)
+      |ORDER BY r_name, priority""") { c =>
+    val prio = c.orders.select(col("o_orderpriority").as("priority")).distinct()
+    c.region.select("r_name")
+      .crossJoin(broadcast(prio))
+      .orderBy("r_name", "priority")
+  }
+
+  // q09 — semi/anti join (NOT EXISTS / EXISTS;
+  // reference: macros/test_referential_integrity.sql:1-9)
+  val q09: Q = q("q09_join_anti_semi",
+    """SELECT 'has_orders' AS tag, c_nationkey, COUNT(*) AS n FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_nationkey
+      |UNION ALL
+      |SELECT 'no_orders' AS tag, c_nationkey, COUNT(*) AS n FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_nationkey
+      |ORDER BY tag, c_nationkey""") { c =>
+    val cond = col("c_custkey") === col("o_custkey")
+    val semi = c.customer.join(c.orders, cond, "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .select(lit("has_orders").as("tag"), col("c_nationkey"), col("n"))
+    val anti = c.customer.join(c.orders, cond, "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .select(lit("no_orders").as("tag"), col("c_nationkey"), col("n"))
+    semi.unionAll(anti).orderBy("tag", "c_nationkey")
+  }
+
+  // q10 — row_number / rank / dense_rank (ranking marts)
+  val q10: Q = q("q10_window_rank",
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_custkey, c_nationkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey) AS INT) AS rn,
+      |    CAST(RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS INT) AS rnk,
+      |    CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS INT) AS drnk
+      |  FROM customer) t
+      |WHERE rn <= 100 ORDER BY c_mktsegment, rn""") { c =>
+    val wTie = Window.partitionBy("c_mktsegment").orderBy("c_nationkey", "c_custkey")
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
+    c.customer
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_nationkey"),
+        row_number().over(wTie).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 100)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  // q11 — lag/lead trend offsets (62 lag uses in reference)
+  val q11: Q = q("q11_window_lag",
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+      |  CAST(LAG(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+      |  CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+      |  CAST(DATE_DIFF('day', LAG(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""") { c =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    c.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dbl(col("o_totalprice")).as("price"),
+        dbl(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+        dbl(lead(col("o_totalprice"), 1).over(w)).as("next_price"),
+        i32(datediff(col("o_orderdate").cast(DateType),
+          lag(col("o_orderdate").cast(DateType), 1).over(w))).as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // q12 — first_value/last_value (7 uses: success predictors)
+  val q12: Q = q("q12_window_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+      |  CAST(LAST_VALUE(o_totalprice)  OVER w AS DOUBLE) AS last_price,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""") { c =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dbl(first(col("o_totalprice")).over(w)).as("first_price"),
+        dbl(last(col("o_totalprice")).over(w)).as("last_price"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // q13 — running sum/avg, rows frame (enrollment trend models)
+  val q13: Q = q("q13_window_running",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS running_spend,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE)
+      |    / CAST(ROW_NUMBER() OVER w AS DOUBLE) AS running_avg
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""") { c =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runSpend = dbl(sum(decTotal(col("o_totalprice"))).over(w))
+    val seq = row_number().over(w)
+    c.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        runSpend.as("running_spend"),
+        seq.as("order_seq"),
+        (runSpend / dbl(seq)).as("running_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // q14 — percent_rank benchmarking (8 uses in reference marts)
+  val q14: Q = q("q14_percent_rank",
+    """WITH nr AS (
+      |  SELECT c_nationkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey)
+      |SELECT c_nationkey, revenue,
+      |  PERCENT_RANK() OVER (ORDER BY revenue) AS revenue_pctl
+      |FROM nr ORDER BY c_nationkey""") { c =>
+    val nr = c.orders
+      .join(c.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+    nr.select(
+        col("c_nationkey"), col("revenue"),
+        percent_rank().over(Window.orderBy("revenue")).as("revenue_pctl"))
+      .orderBy("c_nationkey")
+  }
+
+  // q15 — ntile quartiles
+  val q15: Q = q("q15_ntile",
+    """WITH t AS (SELECT c_mktsegment, c_acctbal,
+      |    CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+      |  FROM customer)
+      |SELECT c_mktsegment, quartile, COUNT(*) AS n,
+      |  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal, CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+      |FROM t GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""") { c =>
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    c.customer
+      .select(col("c_mktsegment"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n"),
+        dbl(min(col("c_acctbal"))).as("min_bal"),
+        dbl(max(col("c_acctbal"))).as("max_bal"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  // q16 — stddev/variance/corr (grade-inflation + predictor models)
+  val q16: Q = q("q16_stats",
+    """SELECT l_returnflag,
+      |  CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DOUBLE) AS stddev_qty,
+      |  CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DOUBLE) AS var_qty,
+      |  CAST(ROUND(STDDEV_SAMP(l_discount), 4) AS DOUBLE) AS stddev_disc,
+      |  CAST(ROUND(CORR(l_quantity, l_discount), 4) AS DOUBLE) AS corr_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+    c.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("stddev_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_samp(col("l_discount")), 4).as("stddev_disc"),
+        round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  // q17 — ordered string_agg (reference: int_course_prerequisite_chains.sql:76)
+  val q17: Q = q("q17_string_agg",
+    """SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n_nations
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |GROUP BY r_name ORDER BY r_name""") { c =>
+    c.region
+      .join(c.nation, col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  // q18 — grade-point macro + weighted-average GPA macro
+  // (reference: macros/grade_point_calculator.sql, macros/calculate_gpa.sql)
+  val q18: Q = q("q18_grade_macro",
+    """WITH g AS (
+      |  SELECT c_mktsegment,
+      |    CASE o_orderpriority WHEN '1-URGENT' THEN CAST('4.0' AS DECIMAL(3,1))
+      |      WHEN '2-HIGH' THEN CAST('3.0' AS DECIMAL(3,1))
+      |      WHEN '3-MEDIUM' THEN CAST('2.0' AS DECIMAL(3,1))
+      |      WHEN '4-NOT SPECIFIED' THEN CAST('1.0' AS DECIMAL(3,1))
+      |      WHEN '5-LOW' THEN CAST('0.0' AS DECIMAL(3,1)) END AS pts,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS w
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment,
+      |  CAST(ROUND(CAST(SUM(pts * w) AS DOUBLE) / NULLIF(CAST(SUM(w) AS DOUBLE), 0.0), 2) AS DOUBLE) AS priority_gpa,
+      |  COUNT(*) AS n_orders
+      |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""") { c =>
+    c.orders
+      .join(c.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        Macros.priorityPoints(col("o_orderpriority")).as("pts"),
+        decTotal(col("o_totalprice")).as("w"))
+      .groupBy("c_mktsegment")
+      .agg(
+        Macros.weightedAvg(col("pts"), col("w")).as("priority_gpa"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  // q19 — academic-year date macro (reference: macros/academic_year_from_date.sql)
+  val q19: Q = q("q19_academic_year",
+    """SELECT CASE WHEN CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) >= 8
+      |    THEN CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS VARCHAR) || '-' ||
+      |         CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) + 1 AS VARCHAR)
+      |    ELSE CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) - 1 AS VARCHAR) || '-' ||
+      |         CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS VARCHAR) END AS academic_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY academic_year ORDER BY academic_year""") { c =>
+    c.orders
+      .groupBy(Macros.academicYear(col("o_orderdate")).as("academic_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      .orderBy("academic_year")
+  }
+
+  // q20 — UNION ALL / EXCEPT set ops
+  val q20: Q = q("q20_union_except",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+      |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+      |     u AS (SELECT k FROM a UNION ALL SELECT k FROM b),
+      |     e AS (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |SELECT 'except' AS tag, COUNT(*) AS n FROM e
+      |UNION ALL
+      |SELECT 'union_all' AS tag, COUNT(*) AS n FROM u
+      |ORDER BY tag""") { c =>
+    val a = c.orders.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("k")).distinct()
+    val b = c.orders.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("k")).distinct()
+    val e = a.except(b).agg(count(lit(1)).as("n")).select(lit("except").as("tag"), col("n"))
+    val u = a.unionAll(b).agg(count(lit(1)).as("n")).select(lit("union_all").as("tag"), col("n"))
+    e.unionAll(u).orderBy("tag")
+  }
+
+  // q21 — recursive CTE → iterative frontier expansion
+  // (reference: models/intermediate/int_course_prerequisite_chains.sql:3-37)
+  // Synthetic hierarchy: parent(p_partkey) = p_partkey // 2, keys ≤ 255.
+  val q21: Q = q("q21_recursive_chain",
+    """WITH RECURSIVE ch AS (
+      |  SELECT p_partkey, 0 AS depth, CAST(p_partkey AS VARCHAR) AS chain
+      |  FROM part WHERE p_partkey = 1
+      |  UNION ALL
+      |  SELECT p.p_partkey, ch.depth + 1, ch.chain || '->' || CAST(p.p_partkey AS VARCHAR)
+      |  FROM part p JOIN ch ON CAST(FLOOR(p.p_partkey / 2) AS BIGINT) = ch.p_partkey
+      |  WHERE p.p_partkey > 1 AND p.p_partkey <= 255 AND ch.depth < 10)
+      |SELECT p_partkey, depth, chain FROM ch ORDER BY p_partkey""") { c =>
+    val parts = c.part.select("p_partkey")
+    val base = parts.filter(col("p_partkey") === 1)
+      .select(col("p_partkey"), lit(0).as("depth"),
+        col("p_partkey").cast(StringType).as("chain"))
+    val children = parts
+      .filter(col("p_partkey") > 1 && col("p_partkey") <= 255)
+      .select(col("p_partkey").as("child_key"),
+        floor(col("p_partkey") / 2).cast(LongType).as("parent_key"))
+    Recursive.iterate(base, maxIter = 10) { frontier =>
+      frontier
+        .join(children, col("parent_key") === col("p_partkey"))
+        .select(
+          col("child_key").as("p_partkey"),
+          (col("depth") + 1).as("depth"),
+          concat(col("chain"), lit("->"), col("child_key").cast(StringType)).as("chain"))
+    }.orderBy("p_partkey")
+  }
+
+  // q22 — conditional aggregation / manual pivot (dashboard models)
+  val q22: Q = q("q22_conditional_pivot",
+    """SELECT c_nationkey,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(14,2))
+      |               ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS urgent_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""") { c =>
+    c.orders
+      .join(c.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast(LongType).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast(LongType).as("n_open"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast(LongType).as("n_pending"),
+        dbl(sum(when(col("o_orderpriority") === "1-URGENT", decTotal(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(14, 2))))).as("urgent_revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  // q23 — top-k per group (rank-then-filter, QUALIFY shape)
+  val q23: Q = q("q23_topk_per_group",
+    """SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, c_name,
+      |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |FROM (SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+      |        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |      FROM customer) t
+      |WHERE rn <= 3 ORDER BY c_nationkey, rn""") { c =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    c.customer
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        dbl(col("c_acctbal")).as("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  // q24 — multi-grain ROLLUP aggregate (dashboards re-aggregate at
+  // dept + institution level)
+  val q24: Q = q("q24_rollup",
+    """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+      |  CAST(GROUPING(r_name) AS INT) AS g_region, CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+      |  COUNT(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_region, g_nation, region_name, nation_name""") { c =>
+    val joined = c.supplier
+      .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("s_acctbal"))
+    // Selecting rollup grouping columns post-agg trips Spark 4's
+    // DetectAmbiguousSelfJoin (the Expand's null-extended copies alias
+    // the originals), so the rollup goes through the SQL resolution
+    // path — identical Catalyst plan, no Dataset-column ambiguity check.
+    val view = "graft_q24_src"
+    joined.createOrReplaceTempView(view)
+    joined.sparkSession.sql(
+      s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
+         |  COALESCE(n_name, 'ALL') AS nation_name,
+         |  CAST(GROUPING(r_name) AS INT) AS g_region,
+         |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+         |  COUNT(*) AS n_suppliers
+         |FROM $view GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY g_region, g_nation, region_name, nation_name""".stripMargin)
+  }
+
+  // q25 — scalar math battery (round/abs/mod/power/exp/ln/sign/
+  // greatest/least/nullif/coalesce — all used in reference models)
+  val q25: Q = q("q25_scalar_math",
+    """SELECT p_partkey,
+      |  CAST(ROUND(ABS(p_retailprice - 1000.0), 2) AS DOUBLE) AS abs_diff,
+      |  CAST(p_size % 7 AS INT) AS size_mod,
+      |  CAST(ROUND(POWER(CAST(p_size AS DOUBLE), 2.0), 6) AS DOUBLE) AS size_sq,
+      |  CAST(ROUND(EXP(CAST(p_size AS DOUBLE) / 25.0), 6) AS DOUBLE) AS size_exp,
+      |  CAST(ROUND(LN(CAST(p_retailprice AS DOUBLE)), 6) AS DOUBLE) AS price_ln,
+      |  CAST(SIGN(p_retailprice - 1500.0) AS INT) AS price_sign,
+      |  CAST(GREATEST(p_size, 25) AS INT) AS g25,
+      |  CAST(LEAST(p_size, 25) AS INT) AS l25,
+      |  CAST(COALESCE(NULLIF(p_size, 13), -1) AS INT) AS size_nz
+      |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""") { c =>
+    c.part
+      .filter(col("p_partkey") <= 2000)
+      .select(
+        col("p_partkey"),
+        round(abs(col("p_retailprice") - 1000.0), 2).as("abs_diff"),
+        i32(col("p_size") % 7).as("size_mod"),
+        round(pow(dbl(col("p_size")), 2.0), 6).as("size_sq"),
+        round(exp(dbl(col("p_size")) / 25.0), 6).as("size_exp"),
+        round(log(dbl(col("p_retailprice"))), 6).as("price_ln"),
+        i32(signum(col("p_retailprice") - 1500.0)).as("price_sign"),
+        i32(greatest(col("p_size"), lit(25))).as("g25"),
+        i32(least(col("p_size"), lit(25))).as("l25"),
+        i32(coalesce(nullif(col("p_size"), lit(13)), lit(-1))).as("size_nz"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25)
+}

