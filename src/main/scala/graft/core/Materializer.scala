@@ -1,0 +1,134 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Executes a model against a warehouse — dbt's materialization layer
+  * re-expressed over parquet + DataFrames.
+  *
+  * Scale notes (the reason each strategy looks the way it does):
+  *  - `Append` reads ONE scalar (max watermark) to the driver, then
+  *    writes only the new rows; the target is never rewritten.
+  *  - `Merge` has no transactional MERGE on plain parquet, so it is
+  *    copy-on-write: union(new, existing) → latest-per-key via a
+  *    single shuffle on the unique key. On a real lakehouse table
+  *    format this maps 1:1 to MERGE INTO; semantics are identical.
+  *  - `InsertOverwrite` uses dynamic partition overwrite — only the
+  *    partitions present in the incoming batch are replaced, a
+  *    metadata swap per partition, no full-table rewrite.
+  */
+final case class Materializer(wh: Warehouse) {
+  private def spark: SparkSession = wh.spark
+
+  private final class Ctx(model: Model, resolve: String => DataFrame) extends ModelCtx {
+    def source(name: String): DataFrame = resolve(name)
+    def ref(name: String): DataFrame = resolve(name)
+    def thisTable: Option[DataFrame] =
+      if (wh.exists(model.targetSchema, model.name))
+        Some(wh.read(model.targetSchema, model.name))
+      else None
+  }
+
+  /** Run one model. `resolve` maps a dep/source name to its DataFrame
+    * (the runner passes materialized refs; raw names fall through to
+    * sources). Returns the model's current full contents.
+    */
+  def run(model: Model, resolve: String => DataFrame): DataFrame = {
+    val ctx = new Ctx(model, resolve)
+    val out = model.transform(ctx)
+    model.materialization match {
+      case Materialization.View =>
+        out // never persisted; caller composes the plan downstream
+
+      case Materialization.Table =>
+        wh.write(out, model.targetSchema, model.name)
+        wh.read(model.targetSchema, model.name)
+
+      case Materialization.Incremental(strategy) =>
+        ctx.thisTable match {
+          case None =>
+            val partCols = strategy match {
+              case IncrementalStrategy.InsertOverwrite(cols) => cols
+              case _ => Nil
+            }
+            wh.write(out, model.targetSchema, model.name, partitionBy = partCols)
+          case Some(existing) =>
+            runIncremental(model, strategy, existing, out)
+        }
+        wh.read(model.targetSchema, model.name)
+    }
+  }
+
+  private def runIncremental(model: Model, strategy: IncrementalStrategy,
+      existing: DataFrame, incoming: DataFrame): Unit = {
+    strategy match {
+      case IncrementalStrategy.Append(wm) =>
+        // dbt: where wm > (select max(wm) from this) — one scalar to
+        // the driver, then a pure append of the new slice.
+        val maxWm = existing.agg(max(col(wm))).head.get(0)
+        val fresh =
+          if (maxWm == null) incoming
+          else incoming.filter(col(wm) > lit(maxWm))
+        val tgt = targetSchemaOf(model, existing, incoming)
+        if (tgt.length == existing.columns.length) {
+          wh.write(alignTo(tgt, fresh), model.targetSchema, model.name,
+            mode = "append")
+        } else {
+          // schema evolved (append_new_columns): plain parquet appends
+          // with a wider schema would make reads footer-dependent, so
+          // back-fill via one rewrite — on a lakehouse format this is
+          // a metadata-only ALTER TABLE ADD COLUMNS instead.
+          val staged = alignTo(tgt, existing).unionByName(alignTo(tgt, fresh))
+            .localCheckpoint(eager = true)
+          wh.write(staged, model.targetSchema, model.name)
+        }
+
+      case IncrementalStrategy.Merge(keys, wmOpt) =>
+        // Latest-per-key: incoming wins over existing; within a batch,
+        // higher watermark wins. One shuffle on the unique key.
+        val tgt = targetSchemaOf(model, existing, incoming)
+        val newer = alignTo(tgt, incoming).withColumn("__is_new", lit(1))
+        val older = alignTo(tgt, existing).withColumn("__is_new", lit(0))
+        val ordering = col("__is_new").desc +: wmOpt.map(c => col(c).desc).toSeq
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+        val merged = newer.unionByName(older)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__is_new")
+        // copy-on-write: stage to a temp table, swap (parquet cannot
+        // overwrite a table it is reading)
+        val staged = merged.localCheckpoint(eager = true)
+        wh.write(staged, model.targetSchema, model.name)
+
+      case IncrementalStrategy.InsertOverwrite(partCols) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val aligned = alignTo(targetSchemaOf(model, existing, incoming), incoming)
+        wh.write(aligned, model.targetSchema, model.name,
+          mode = "overwrite", partitionBy = partCols)
+    }
+  }
+
+  /** Target column list after applying on_schema_change. */
+  private def targetSchemaOf(model: Model, existing: DataFrame,
+      incoming: DataFrame): Seq[String] = {
+    val have = existing.columns.toSeq
+    val extra = incoming.columns.toSeq.filterNot(have.contains)
+    model.onSchemaChange match {
+      case OnSchemaChange.Ignore => have
+      case OnSchemaChange.AppendNewColumns => have ++ extra
+      case OnSchemaChange.Fail =>
+        require(extra.isEmpty, s"schema change on ${model.name}: new columns $extra")
+        have
+    }
+  }
+
+  /** Project `df` to exactly `cols`, adding typed NULLs for columns it
+    * lacks (dbt append_new_columns back-fill semantics).
+    */
+  private def alignTo(cols: Seq[String], df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    df.select(cols.map(c =>
+      if (present.contains(c)) col(c) else lit(null).as(c)): _*)
+  }
+}

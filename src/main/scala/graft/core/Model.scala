@@ -1,0 +1,89 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization strategies, mirroring the reference's dbt project
+  * surface (reference: DbtEducationalDataProject/dbt_project.yml:262-283
+  * — view / table / incremental with unique_key + on_schema_change).
+  */
+sealed trait Materialization
+object Materialization {
+  /** Not persisted; recomputed on reference (dbt `materialized: view`). */
+  case object View extends Materialization
+  /** Full rewrite every run (dbt `materialized: table`). */
+  case object Table extends Materialization
+  /** Incremental with optional watermark predicate and unique-key
+    * merge (reference:
+    * DbtEducationalDataProject/models/staging/stg_enrollments_incremental.sql:1-22).
+    */
+  final case class Incremental(strategy: IncrementalStrategy) extends Materialization
+}
+
+sealed trait IncrementalStrategy
+object IncrementalStrategy {
+  /** Append rows newer than the target's max watermark — the
+    * `where wm > (select max(wm) from this)` pattern.
+    */
+  final case class Append(watermarkCol: String) extends IncrementalStrategy
+  /** unique_key upsert: incoming rows replace target rows with the
+    * same key (dbt's default merge strategy for `unique_key`).
+    */
+  final case class Merge(uniqueKey: Seq[String], watermarkCol: Option[String]) extends IncrementalStrategy
+  /** Replace exactly the partitions present in the incoming batch
+    * (dbt `insert_overwrite`); maps to Spark dynamic partition
+    * overwrite, which at cluster scale is a metadata-only swap per
+    * partition — no read-modify-write of the full table.
+    */
+  final case class InsertOverwrite(partitionCols: Seq[String]) extends IncrementalStrategy
+}
+
+/** dbt `on_schema_change` policy for incremental runs. */
+sealed trait OnSchemaChange
+object OnSchemaChange {
+  case object Ignore extends OnSchemaChange
+  /** New source columns are added to the target; pre-existing rows
+    * read NULL for them (dbt `append_new_columns`; reference:
+    * DbtEducationalDataProject/dbt_project.yml:274).
+    */
+  case object AppendNewColumns extends OnSchemaChange
+  case object Fail extends OnSchemaChange
+}
+
+/** Resolution context handed to a model's transform — the Spark-native
+  * equivalent of dbt's `source()` / `ref()` / `this` / `is_incremental()`
+  * Jinja context.
+  */
+trait ModelCtx {
+  /** A raw source table (dbt `source()`). */
+  def source(name: String): DataFrame
+  /** Another model's materialized output (dbt `ref()`). */
+  def ref(name: String): DataFrame
+  /** The model's own existing target, when it exists (dbt `this`). */
+  def thisTable: Option[DataFrame]
+  /** True on an incremental run against an existing target. */
+  def isIncremental: Boolean = thisTable.isDefined
+}
+
+/** A declarative model: name, upstream deps, materialization policy,
+  * and a transform from resolved inputs to a DataFrame. The `body`
+  * string stands in for the model's source text — its hash is the
+  * manifest checksum used for `state:modified` detection, exactly how
+  * dbt checksums model files.
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    transform: ModelCtx => DataFrame,
+    schema: String = "analytics",
+    schemaSuffix: Option[String] = None,
+    onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+    body: String = "") {
+  /** Target schema name, dbt-style `<base>_<custom suffix>`. */
+  def targetSchema: String = schemaSuffix.fold(schema)(s => s"${schema}_$s")
+  def checksum: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((name + "|" + deps.mkString(",") + "|" + body).getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+}

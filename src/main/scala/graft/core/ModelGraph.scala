@@ -1,0 +1,95 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** The model DAG: topological ordering, cycle detection, and the
+  * `state:modified+` downstream closure that drives CI selection
+  * (reference: src/dbt_incremental_ci/dbt_helper.py:29-86).
+  *
+  * Pure driver-side graph logic over model *names* — node counts are
+  * O(number of models), never O(data), so this is cluster-size
+  * agnostic by construction.
+  */
+final case class ModelGraph(models: Seq[Model]) {
+  val byName: Map[String, Model] = models.map(m => m.name -> m).toMap
+  require(byName.size == models.size, "duplicate model names")
+
+  /** name -> models that depend on it (reverse edges). */
+  lazy val downstream: Map[String, Seq[String]] =
+    models.flatMap(m => m.deps.filter(byName.contains).map(_ -> m.name))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
+  /** Kahn topological sort; throws on cycles. Deterministic order
+    * (name tiebreak) so runs are reproducible.
+    */
+  def topoOrder: Seq[String] = {
+    val indeg = mutable.Map(models.map(m =>
+      m.name -> m.deps.count(byName.contains)): _*)
+    val ready = mutable.PriorityQueue(
+      indeg.collect { case (n, 0) => n }.toSeq: _*)(Ordering[String].reverse)
+    val out = mutable.ArrayBuffer.empty[String]
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      out += n
+      for (d <- downstream.getOrElse(n, Nil)) {
+        indeg(d) -= 1
+        if (indeg(d) == 0) ready.enqueue(d)
+      }
+    }
+    require(out.size == models.size,
+      s"cycle among: ${indeg.collect { case (n, d) if d > 0 => n }.mkString(", ")}")
+    out.toSeq
+  }
+
+  /** Directly-modified nodes plus everything downstream of them —
+    * dbt's `state:modified+` selector
+    * (reference: src/dbt_incremental_ci/dbt_helper.py:37-43).
+    */
+  def modifiedPlus(modified: Set[String]): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    val stack = mutable.Stack(modified.toSeq.filter(byName.contains): _*)
+    while (stack.nonEmpty) {
+      val n = stack.pop()
+      if (seen.add(n)) downstream.getOrElse(n, Nil).foreach(stack.push)
+    }
+    seen.toSet
+  }
+}
+
+/** A production manifest: model name -> (checksum, deps). Diffing two
+  * states yields the directly-modified set — checksum changed, node
+  * added, or deps changed — the same signal dbt derives from
+  * manifest.json checksums (reference:
+  * src/dbt_incremental_ci/dbt_helper.py:18-27, 88-162).
+  */
+final case class ManifestState(entries: Map[String, (String, Seq[String])]) {
+  def diff(current: ModelGraph): Set[String] =
+    current.models.collect {
+      case m if !entries.get(m.name).exists { case (cs, deps) =>
+        cs == m.checksum && deps == m.deps } => m.name
+    }.toSet
+
+  def toJson: String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    entries.toSeq.sortBy(_._1).map { case (n, (cs, deps)) =>
+      s""""${esc(n)}":{"checksum":"${esc(cs)}","deps":[${deps.map(d => s""""${esc(d)}"""").mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+  }
+}
+
+object ManifestState {
+  def of(graph: ModelGraph): ManifestState =
+    ManifestState(graph.models.map(m => m.name -> (m.checksum, m.deps)).toMap)
+
+  /** Minimal parser for the manifest JSON written by `toJson` —
+    * avoids any third-party JSON dependency.
+    */
+  def fromJson(json: String): ManifestState = {
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\]\s*\}""".r
+    val dep = """"((?:[^"\\]|\\.)*)"""".r
+    ManifestState(entry.findAllMatchIn(json).map { m =>
+      val deps = dep.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
+      m.group(1) -> (m.group(2), deps)
+    }.toMap)
+  }
+}
