@@ -45,6 +45,10 @@ final case class Materializer(wh: Warehouse) {
         wh.write(out, model.targetSchema, model.name)
         wh.read(model.targetSchema, model.name)
 
+      case Materialization.Snapshot(key, updatedAt) =>
+        Snapshot.capture(wh, model.targetSchema, model.name, out, key, updatedAt)
+        wh.read(model.targetSchema, model.name)
+
       case Materialization.Incremental(strategy) =>
         ctx.thisTable match {
           case None =>
@@ -80,8 +84,7 @@ final case class Materializer(wh: Warehouse) {
           // back-fill via one rewrite — on a lakehouse format this is
           // a metadata-only ALTER TABLE ADD COLUMNS instead.
           val staged = alignTo(tgt, existing).unionByName(alignTo(tgt, fresh))
-            .localCheckpoint(eager = true)
-          wh.write(staged, model.targetSchema, model.name)
+          wh.overwriteStaged(staged, model.targetSchema, model.name)
         }
 
       case IncrementalStrategy.Merge(keys, wmOpt) =>
@@ -96,16 +99,15 @@ final case class Materializer(wh: Warehouse) {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn", "__is_new")
-        // copy-on-write: stage to a temp table, swap (parquet cannot
-        // overwrite a table it is reading)
-        val staged = merged.localCheckpoint(eager = true)
-        wh.write(staged, model.targetSchema, model.name)
+        wh.overwriteStaged(merged, model.targetSchema, model.name)
 
       case IncrementalStrategy.InsertOverwrite(partCols) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // dynamic mode scoped to THIS write only — a session-level
+        // conf.set would leak into every later overwrite in the session
         val aligned = alignTo(targetSchemaOf(model, existing, incoming), incoming)
         wh.write(aligned, model.targetSchema, model.name,
-          mode = "overwrite", partitionBy = partCols)
+          mode = "overwrite", partitionBy = partCols,
+          options = Map("partitionOverwriteMode" -> "dynamic"))
     }
   }
 

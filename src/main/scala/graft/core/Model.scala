@@ -17,6 +17,11 @@ object Materialization {
     * DbtEducationalDataProject/models/staging/stg_enrollments_incremental.sql:1-22).
     */
   final case class Incremental(strategy: IncrementalStrategy) extends Materialization
+  /** SCD2 snapshot (dbt `snapshot` block, timestamp strategy); a
+    * first-class clone target in CI selection (reference:
+    * src/dbt_incremental_ci/dbt_helper.py:146-156).
+    */
+  final case class Snapshot(key: Seq[String], updatedAt: String) extends Materialization
 }
 
 sealed trait IncrementalStrategy

@@ -24,10 +24,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
     spark.read.parquet(path(schema, table))
 
   def write(df: DataFrame, schema: String, table: String,
-      mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode)
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(mode).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(schema, table))
+  }
+
+  /** Copy-on-write overwrite of a table the plan is also READING: stage
+    * the full result to `<table>.__tmp`, then swap directories. Parquet
+    * cannot overwrite its own input; staging to a sibling path keeps the
+    * write fully distributed and resilient (a lost executor just re-runs
+    * its write task), unlike pinning the result in block-manager memory
+    * via localCheckpoint. On a lakehouse table format this is exactly
+    * MERGE INTO's copy-on-write commit.
+    */
+  def overwriteStaged(df: DataFrame, schema: String, table: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = table + ".__tmp"
+    write(df, schema, tmp, partitionBy = partitionBy)
+    val target = new org.apache.hadoop.fs.Path(path(schema, table))
+    val staged = new org.apache.hadoop.fs.Path(path(schema, tmp))
+    val f = fs(target)
+    if (f.exists(target)) f.delete(target, true)
+    require(f.rename(staged, target), s"staged swap failed for $schema.$table")
   }
 
   def drop(schema: String, table: String): Unit = {

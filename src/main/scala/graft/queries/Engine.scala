@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ci.{IncrementalCI, TableCopier}
+import graft.core._
+import graft.sources.{Catalog, Seed}
+
+/** SURVEY.md §2.B — the dbt-engine core (materializations, snapshots,
+  * CI clone, seeds, DAG runs) exercised end-to-end as verifiable
+  * queries: each entry builds a scratch parquet warehouse, runs two
+  * materialization batches (the incremental path), and returns the
+  * final table for the DuckDB oracle to reproduce with plain SQL.
+  *
+  * Reference semantics matched:
+  *  - watermark append: models/staging/stg_enrollments_incremental.sql:19-21
+  *  - unique_key merge: models/marts/core/student_enrollment_history_incremental.sql:24-26
+  *  - CI clone:         src/dbt_incremental_ci/copier.py:110-284
+  *  - state:modified+:  src/dbt_incremental_ci/dbt_helper.py:29-162
+  */
+object Engine {
+
+  private def q(name: String, oracle: String)(
+      f: (SparkSession, String) => DataFrame): Q =
+    Q(name, f, Some(oracle.stripMargin.trim))
+
+  private def rowsOnly(name: String)(f: (SparkSession, String) => DataFrame): Q =
+    Q(name, f, None)
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+  private def decTotal(c: Column): Column = c.cast(DecimalType(14, 2))
+  private val cutoff = lit("1996-07-01").cast(TimestampType)
+
+  /** orders slimmed to the columns the m-queries materialize. */
+  private def ordersSrc(c: Catalog): DataFrame =
+    c.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+  // ---------------------------------------------------------------
+  // m01 — incremental append with watermark predicate: batch 1 loads
+  // history < cutoff, batch 2 offers the full source and only rows
+  // past the target's max watermark are appended.
+  val m01: Q = q("m01_incremental_append",
+    """WITH b1 AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |            FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+      |     mx AS (SELECT MAX(o_orderdate) AS m FROM b1)
+      |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM b1
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders, mx
+      |WHERE o_orderdate > mx.m
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m01")
+    val mat = Materializer(wh)
+    val model = Model("orders_inc", Seq("orders"),
+      Materialization.Incremental(IncrementalStrategy.Append("o_orderdate")),
+      ctx => ctx.source("orders"))
+    mat.run(model, _ => ordersSrc(c).filter(col("o_orderdate") < cutoff))
+    mat.run(model, _ => ordersSrc(c)).orderBy("o_orderkey")
+  }
+
+  // m02 — unique_key merge: batch 2 re-delivers every 10th order with
+  // a bumped price; merged rows win over their batch-1 versions.
+  val m02: Q = q("m02_incremental_merge",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS batch
+      |FROM orders ORDER BY o_orderkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m02")
+    val mat = Materializer(wh)
+    val model = Model("orders_merge", Seq("orders"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("o_orderkey"), Some("batch"))),
+      ctx => ctx.source("orders"))
+    val base = c.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), lit(1).as("batch"))
+    val updates = c.orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(2).as("batch"))
+    mat.run(model, _ => base)
+    mat.run(model, _ => updates).orderBy("o_orderkey")
+  }
+
+  // m03 — insert_overwrite: batch 2 rewrites ONLY the 1997+ year
+  // partitions (dynamic partition overwrite = per-partition metadata
+  // swap, no full-table rewrite).
+  val m03: Q = q("m03_insert_overwrite",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 1997 THEN o_totalprice * 0.9 ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 1997 THEN 2 ELSE 1 END AS batch,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year
+      |FROM orders ORDER BY o_orderkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m03")
+    val mat = Materializer(wh)
+    val model = Model("orders_byyear", Seq("orders"),
+      Materialization.Incremental(
+        IncrementalStrategy.InsertOverwrite(Seq("order_year"))),
+      ctx => ctx.source("orders"))
+    def shaped(df: DataFrame, batch: Int): DataFrame = df.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      lit(batch).as("batch"), year(col("o_orderdate")).as("order_year"))
+    val b1 = shaped(c.orders, 1)
+    val b2 = shaped(c.orders.filter(year(col("o_orderdate")) >= 1997), 2)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+    mat.run(model, _ => b1)
+    mat.run(model, _ => b2).orderBy("o_orderkey")
+  }
+
+  // m04 — SCD2 snapshot (timestamp strategy): run 1 captures each
+  // customer's latest-order state before the cutoff, run 2 the current
+  // state; changed keys close their old version and open a new one.
+  val m04: Q = q("m04_snapshot_scd2",
+    """WITH s1 AS (
+      |  SELECT o_custkey, o_orderdate AS updated_at, o_totalprice AS price
+      |  FROM (SELECT o_custkey, o_orderdate, o_totalprice,
+      |          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01') WHERE rn = 1),
+      |s2 AS (
+      |  SELECT o_custkey, o_orderdate AS updated_at, o_totalprice AS price
+      |  FROM (SELECT o_custkey, o_orderdate, o_totalprice,
+      |          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders) WHERE rn = 1)
+      |SELECT s1.o_custkey, s1.updated_at, s1.price, s1.updated_at AS valid_from,
+      |       CASE WHEN s2.updated_at > s1.updated_at THEN s2.updated_at END AS valid_to,
+      |       NOT (s2.updated_at > s1.updated_at) AS is_current
+      |FROM s1 JOIN s2 ON s1.o_custkey = s2.o_custkey
+      |UNION ALL
+      |SELECT s2.o_custkey, s2.updated_at, s2.price, s2.updated_at,
+      |       CAST(NULL AS TIMESTAMP), TRUE
+      |FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
+      |WHERE s1.o_custkey IS NULL OR s2.updated_at > s1.updated_at
+      |ORDER BY o_custkey, valid_from""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m04")
+    val mat = Materializer(wh)
+    def latestPerCust(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("updated_at"),
+          col("o_totalprice").as("price"))
+    }
+    val model = Model("cust_snapshot", Seq("orders"),
+      Materialization.Snapshot(Seq("o_custkey"), "updated_at"),
+      ctx => latestPerCust(ctx.source("orders")))
+    mat.run(model, _ => ordersSrc(c).filter(col("o_orderdate") < cutoff))
+    mat.run(model, _ => ordersSrc(c))
+      .select("o_custkey", "updated_at", "price", "valid_from", "valid_to", "is_current")
+      .orderBy("o_custkey", "valid_from")
+  }
+
+  // m05 — on_schema_change=append_new_columns: batch 2 arrives with a
+  // new column; prior rows read NULL for it (back-filled rewrite on
+  // plain parquet ≙ metadata-only ADD COLUMNS on a lakehouse format).
+  val m05: Q = q("m05_schema_evolution",
+    """WITH b1 AS (SELECT o_orderkey, o_orderdate, o_totalprice
+      |            FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+      |     mx AS (SELECT MAX(o_orderdate) AS m FROM b1)
+      |SELECT o_orderkey, o_orderdate, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM b1
+      |UNION ALL
+      |SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority FROM orders, mx
+      |WHERE o_orderdate > mx.m
+      |ORDER BY o_orderkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m05")
+    val mat = Materializer(wh)
+    val model = Model("orders_evolving", Seq("orders"),
+      Materialization.Incremental(IncrementalStrategy.Append("o_orderdate")),
+      ctx => ctx.source("orders"),
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    val b1 = c.orders.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val b2 = c.orders
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    mat.run(model, _ => b1)
+    mat.run(model, _ => b2).orderBy("o_orderkey")
+  }
+
+  // m06 — state:modified+ selection (rows-only; graph math also unit
+  // tested). One staging model's body changes; the closure pulls in
+  // its downstream incrementals + snapshot, and clone targets filter
+  // to exactly those (views/tables rebuild from scratch in CI).
+  val m06: Q = rowsOnly("m06_state_modified") { (spark, _) =>
+    def graphWith(bodyB: String): ModelGraph = {
+      def m(name: String, deps: Seq[String], mat: Materialization,
+          body: String): Model =
+        Model(name, deps, mat, _ => spark.emptyDataFrame, body = body)
+      val inc = Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("k"), None))
+      ModelGraph(Seq(
+        m("stg_a", Nil, Materialization.View, "select 1"),
+        m("stg_b", Nil, Materialization.View, bodyB),
+        m("stg_c", Nil, Materialization.View, "select 3"),
+        m("int_ab", Seq("stg_a", "stg_b"), inc, "join ab"),
+        m("int_c", Seq("stg_c"), Materialization.Table, "agg c"),
+        m("snap_b", Seq("stg_b"),
+          Materialization.Snapshot(Seq("k"), "ts"), "snapshot b"),
+        m("mart_all", Seq("int_ab", "int_c"),
+          Materialization.Incremental(IncrementalStrategy.Append("ts")), "mart")))
+    }
+    val oldState = ManifestState.of(graphWith("select 2"))
+    val current = graphWith("select 2 /* reworked */")
+    val sel = IncrementalCI.select(current, oldState)
+    val rows = current.models.map(m => (m.name,
+      sel.directlyModified.contains(m.name),
+      sel.closure.contains(m.name),
+      sel.cloneTargets.contains(m.name))).sortBy(_._1)
+    spark.createDataFrame(rows)
+      .toDF("model_name", "directly_modified", "in_closure", "clone_target")
+      .orderBy("model_name")
+  }
+
+  // m07 — CI clone: seed a "prod" schema from the catalog, clone all
+  // four tables into prod_ci on a 4-thread pool, report per-table rows.
+  val m07: Q = q("m07_ci_clone",
+    """SELECT * FROM (
+      |  SELECT 'customer' AS table_name, 'prod_ci' AS target_schema,
+      |         (SELECT COUNT(*) FROM customer) AS n_rows, 'copied' AS status
+      |  UNION ALL SELECT 'nation', 'prod_ci', (SELECT COUNT(*) FROM nation), 'copied'
+      |  UNION ALL SELECT 'region', 'prod_ci', (SELECT COUNT(*) FROM region), 'copied'
+      |  UNION ALL SELECT 'supplier', 'prod_ci', (SELECT COUNT(*) FROM supplier), 'copied'
+      |) ORDER BY table_name""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m07")
+    for (t <- Seq("customer", "nation", "region", "supplier"))
+      wh.write(c.table(t), "prod", t)
+    val results = TableCopier(wh, parallelism = 4)
+      .copyAll("prod", Seq("customer", "nation", "region", "supplier"), "ci")
+    spark.createDataFrame(
+        results.map(r => (r.table, r.targetSchema, r.rows, r.status)))
+      .toDF("table_name", "target_schema", "n_rows", "status")
+      .orderBy("table_name")
+  }
+
+  // m08 — CSV seed with an explicit typed schema.
+  val m08: Q = q("m08_seed",
+    """SELECT grade, CAST(points AS DOUBLE) AS points, CAST(min_pct AS INT) AS min_pct
+      |FROM (VALUES ('A',4.0,90),('B',3.0,80),('C',2.0,70),('D',1.0,60),('F',0.0,0)) t(grade, points, min_pct)
+      |ORDER BY grade""") { (spark, _) =>
+    Seed.fromString(spark, Seed.gradeScaleCsv, StructType(Seq(
+        StructField("grade", StringType),
+        StructField("points", DoubleType),
+        StructField("min_pct", IntegerType))))
+      .orderBy("grade")
+  }
+
+  // m09 — topological DAG run producing a mart: 2 staging views feed
+  // an intermediate table feeding a mart (views stay lazy, so the
+  // whole pipeline is 2 physical writes). Oracle = the same pipeline
+  // as chained CTEs.
+  val m09: Q = q("m09_run_dag",
+    """WITH stg_orders AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS tp
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |int_cust_spend AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders, SUM(tp) AS spend
+      |  FROM stg_orders GROUP BY o_custkey)
+      |SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_buyers,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(SUM(spend) AS DOUBLE) AS revenue
+      |FROM customer JOIN int_cust_spend ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m09")
+    val graph = ModelGraph(Seq(
+      Model("stg_orders", Seq("orders"), Materialization.View,
+        ctx => ctx.source("orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"),
+            decTotal(col("o_totalprice")).as("tp"))),
+      Model("stg_customer", Seq("customer"), Materialization.View,
+        ctx => ctx.source("customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment")),
+      Model("int_cust_spend", Seq("stg_orders"), Materialization.Table,
+        ctx => ctx.ref("stg_orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("spend"))),
+      Model("mart_segment_nation", Seq("stg_customer", "int_cust_spend"),
+        Materialization.Table,
+        ctx => ctx.ref("stg_customer")
+          .join(ctx.ref("int_cust_spend"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("n_buyers"),
+            sum(col("n_orders")).cast(LongType).as("n_orders"),
+            dbl(sum(col("spend"))).as("revenue")))))
+    val outputs = Runner(Materializer(wh), c.table).runAll(graph)
+    outputs("mart_segment_nation").orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+}

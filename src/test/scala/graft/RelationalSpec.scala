@@ -24,8 +24,12 @@ class RelationalSpec extends SparkSpec {
 
   test("q17 string_agg is sorted and comma-joined") {
     val r = Relational.q17.run(spark, sfDir).collect()
-    assert(r.forall(_.getString(1).split(",").toSeq.sorted == r
-      .find(_.getString(0) == r.head.getString(0)).get.getString(1).split(",").toSeq.sorted || true))
-    assert(r.map(_.getString(0)).toSeq == r.map(_.getString(0)).toSeq.sorted)
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(r == Map(
+      "AFRICA" -> "NATION_0,NATION_10,NATION_15,NATION_20,NATION_5",
+      "AMERICA" -> "NATION_1,NATION_11,NATION_16,NATION_21,NATION_6",
+      "ASIA" -> "NATION_12,NATION_17,NATION_2,NATION_22,NATION_7",
+      "EUROPE" -> "NATION_13,NATION_18,NATION_23,NATION_3,NATION_8",
+      "MIDDLE EAST" -> "NATION_14,NATION_19,NATION_24,NATION_4,NATION_9"))
   }
 }
