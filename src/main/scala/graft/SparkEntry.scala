@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Engine, Q, Relational}
+import graft.queries.{Engine, LlmOps, Q, Quality, Relational, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All implemented operators, one Q per SURVEY.md §2 line. */
-  def registry: Seq[Q] = Relational.all ++ Engine.all
+  def registry: Seq[Q] =
+    Relational.all ++ Engine.all ++ Quality.all ++ LlmOps.all ++ Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

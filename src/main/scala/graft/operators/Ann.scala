@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Vectors
+
+/** Similarity search over an embeddings table
+  * (vec_id, embedding array<float>).
+  *
+  * `brute` is the exact baseline (and the oracle for recall);
+  * `lsh` is the scale path: sign-random-projection buckets bound the
+  * candidate set, exact cosine re-ranks only candidates.
+  */
+object Ann {
+
+  /** (vec_id, v double[], nrm) — norms computed once per row. */
+  private def normed(emb: DataFrame): DataFrame = {
+    val v = Vectors.toDouble(col("embedding"))
+    emb.select(col("vec_id"), v.as("v")).withColumn("nrm", Vectors.norm(col("v")))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. The query
+    * side broadcasts (queries ≪ corpus); the corpus side streams —
+    * each corpus partition scores its rows against every query, then
+    * a per-query top-k window runs over the k·|queries|-bounded
+    * survivors. For large |queries| swap the broadcast for a
+    * block-partitioned matrix product.
+    */
+  def brute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = normed(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val c = normed(corpus)
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Per-query top-k by cosine (tiebreak: lowest neighbor id). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Fixed seeded hyperplanes: `tables` × `bits` planes of `dim`
+    * Gaussian-ish weights.
+    */
+  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(r.nextGaussian())
+  }
+
+  /** Approximate top-k via sign-random-projection LSH: `tables`
+    * independent hash tables of `bits` sign bits each; a corpus
+    * vector is a candidate for a query iff they share a bucket in
+    * ANY table. Exact cosine re-ranks candidates. Candidate volume
+    * ≈ tables · n / 2^bits per query vs n for brute force — the
+    * recall/cost dial is (tables, bits).
+    */
+  def lsh(queries: DataFrame, corpus: DataFrame, k: Int,
+      tables: Int = 8, bits: Int = 6, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val hp = planes(tables, bits, dim, seed)
+    def bucketCols(v: String) = array((0 until tables).map { t =>
+      (0 until bits).map { j =>
+        when(Vectors.dotLit(col(v), hp(t)(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.map(b => b.as(s"b")): _*)
+
+    def bucketed(df: DataFrame, idAs: String) =
+      normed(df).select(col("vec_id").as(idAs), col("v"), col("nrm"),
+          posexplode(bucketCols("v")).as(Seq("table", "bucket")))
+
+    val cb = bucketed(corpus, "neighbor_id")
+    val qb = bucketed(queries, "query_id")
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("table"), col("bucket"))
+    val cands = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        col("v"), col("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine ≥ threshold.
+    * Exact baseline (block-join); the LSH variant above is the scale
+    * path for the same predicate — at 100 TB run `lsh` per shard and
+    * verify candidates, never this cross join.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = normed(emb)
+    // the streamed side of the pair join inherits the (often single)
+    // input file split count — repartition so the O(n²/2) candidate
+    // scan parallelizes across the cluster
+    val a = n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .repartition(col("id_a"))
+    val b = n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
+}

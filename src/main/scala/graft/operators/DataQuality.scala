@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt data tests as reusable DataFrame operators. Each check returns
+  * the VIOLATING rows (dbt's contract: a test passes when its query
+  * returns zero rows — reference: the not_null/unique/accepted_values/
+  * relationships tests in models/staging/sources.yml and
+  * macros/test_referential_integrity.sql).
+  *
+  * Scale: not_null / accepted_values are pure scans (predicate reaches
+  * the parquet reader); unique is one hash aggregation on the key;
+  * relationships is a broadcast/shuffle anti-join — all embarrassingly
+  * parallel, no windows, no driver-side data.
+  */
+object DataQuality {
+
+  /** Rows where any of `cols` is NULL. */
+  def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
+
+  /** Key values appearing more than once (the duplicated keys with
+    * their multiplicity, not the raw rows — bounded output).
+    */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Rows whose `c` is outside the accepted set (NULL counts as a
+    * violation, matching dbt's accepted_values on a non-null column).
+    */
+  def acceptedValues(df: DataFrame, c: String, accepted: Seq[String]): DataFrame =
+    df.filter(!col(c).isin(accepted: _*) || col(c).isNull)
+
+  /** Child rows whose foreign key has no match in the parent —
+    * referential-integrity violations via left-anti join.
+    */
+  def relationships(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+
+  /** One (check_name, n_violations) row per named check — the test
+    * summary a CI run reports. Stays distributed: each count is an
+    * aggregate, the union is a plan over all of them.
+    */
+  def summarize(checks: Seq[(String, DataFrame)]): DataFrame =
+    checks.map { case (name, violations) =>
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }.reduce(_ unionAll _)
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Hashing, Text}
+
+/** Deduplication operators over a documents table (doc_id, text).
+  *
+  * Scale contract (SURVEY.md §4): NOTHING here is O(n²). Candidate
+  * pairs always come from an equi-join on a bounded key — a content
+  * hash, an LSH band bucket, a SimHash chunk, or an inverted shingle
+  * index — so the shuffle is on the key and the pair space is only
+  * what collides. Exact similarity is computed on candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 content hash, keep the lowest doc_id per hash.
+    * One hash aggregation; at 100 TB this is the standard
+    * shuffle-on-digest dedup.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+
+  /** (doc_id, shingles) with empty docs dropped. */
+  private def shingled(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        Text.shingles(Text.tokens(col("text")), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** (doc_id, shingle-hash mod 2^31) — one row per distinct shingle.
+    * The explode materializes each shingle ONCE; everything downstream
+    * is codegen'd aggregation. (The tempting alternative — nested
+    * higher-order lambdas over the shingle array — re-evaluates the
+    * captured shingle/tokenize expression per lambda element, going
+    * quadratic in practice.)
+    */
+  private def shingleHashes(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(Hashing.M31)).as("h31"))
+
+  /** MinHash signatures as one hash aggregation: k `min` aggregates
+    * (map-side combined, whole-stage codegen) over the exploded
+    * shingle hashes; the group-by is the materialization barrier that
+    * makes `sig` an attribute for the band expression.
+    */
+  private def minhashSignatures(sh: DataFrame, params: Seq[(Long, Long)]): DataFrame = {
+    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+      min(Hashing.affine(col("h31"), a, b)).as(s"mh$j") }
+    shingleHashes(sh)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array(params.indices.map(j => col(s"mh$j")): _*).as("sig"))
+  }
+
+  /** 64-bit SimHash per doc: 64 conditional-sum aggregates over the
+    * exploded shingle hashes (one per bit), then fold the signs into
+    * a single long. All codegen'd; one shuffle on doc_id.
+    */
+  private def simhashes(sh: DataFrame): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val aggs = Hashing.bitMasks.zipWithIndex.map { case (m, i) =>
+      sum(when(h.bitwiseAND(lit(m)) =!= 0, 1).otherwise(-1)).as(s"bit$i") }
+    val fingerprint = Hashing.bitMasks.zipWithIndex.map { case (m, i) =>
+      when(col(s"bit$i") > 0, lit(m)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard ≥ `threshold` via an inverted shingle
+    * index: explode distinct shingles, self-join on the shingle
+    * (pairs only exist where docs SHARE a shingle — sparse), count
+    * the intersection, derive the union from per-doc set sizes.
+    * This is also how it scales: the join shuffles on the shingle,
+    * hot shingles can be stop-listed, and no pair is ever formed
+    * between documents with nothing in common.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingled(docs, n)
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_sh"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs: signature of `k` min-hashes split
+    * into `bands` bands; docs colliding in ANY band become candidates
+    * (self-join on the (band, bucket) key); candidates are then
+    * verified with EXACT shingle Jaccard and filtered to ≥ threshold.
+    * Probability a pair at similarity s becomes a candidate:
+    * 1-(1-s^rows)^bands — with 8 bands × 4 rows, s=0.9 → 0.9998.
+    */
+  def minhashPairs(docs: DataFrame, n: Int, threshold: Double,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val params = Hashing.minhashParams(k)
+    val sh = shingled(docs, n)
+    val buckets = minhashSignatures(sh, params)
+      .select(col("doc_id"),
+        explode(Hashing.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    withSets.filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** Public fingerprint view: (doc_id, simhash) for docs with ≥ n tokens. */
+  def simhashFingerprints(docs: DataFrame, n: Int): DataFrame =
+    simhashes(shingled(docs, n))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (≤ 15).
+    * Pigeonhole banding: split the 64-bit fingerprint into 4 16-bit
+    * chunks — any pair within distance 3 agrees on ≥ 1 chunk, so the
+    * candidate join is an equi-join on (chunk index, chunk value).
+    */
+  def simhashPairs(docs: DataFrame, n: Int, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 16, "4-chunk pigeonhole covers distance <= 15")
+    val fp = simhashes(shingled(docs, n))
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"),
+            shiftrightunsigned(col("simhash"), i * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Hashing.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

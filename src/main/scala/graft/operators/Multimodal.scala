@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in partition-sized
+  * batches.
+  *
+  * The decode itself is a DETERMINISTIC STUB (no image/audio codecs in
+  * this container): byte-level arithmetic stands in for pixel work.
+  * Everything around it — the binary schema, the per-partition batch
+  * loop (the Scala analogue of a pandas-batched UDF), the bounded
+  * output schema — is the real plumbing a codec would drop into.
+  *
+  * Scale: mapPartitions keeps the decode batched per task with zero
+  * driver involvement; binary payloads never shuffle (metadata is
+  * projected out before any wide operation downstream).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frame_offsets", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Wrap a documents table as a media table: the UTF-8 payload plays
+    * the role of an encoded image/audio blob.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      concat(lit("fake/"), col("source")).as("media_type"),
+      col("text").cast(BinaryType).as("payload"))
+
+  /** Batched "decode": per partition, walk the payload bytes once and
+    * emit typed metadata. STUB — a real build links an image codec
+    * here; the signature (Iterator[Row] => Iterator[Row], schema-in /
+    * schema-out) is exactly what it would keep.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    val ds: Dataset[Row] = media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          // deterministic fake decode: FNV-1a checksum, fake geometry
+          // from the checksum, "frame" offsets every 256 bytes
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < bytes.length) {
+            h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+          }
+          val width = 320 + (math.floorMod(h, 8L) * 64).toInt
+          val height = 240 + (math.floorMod(h >>> 3, 8L) * 48).toInt
+          val offsets = 0L.until(bytes.length.toLong, 256L).toArray
+          Row(id, mt, bytes.length.toLong, h, width, height, offsets)
+        }
+      }(enc)
+    ds.toDF()
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Text, Vectors}
+import graft.operators.{Ann, Dedup, Multimodal}
+import graft.sources.Catalog
+
+/** SURVEY.md §2.D — the LLM-training-data-pipeline operator block
+  * over `documents` (doc_id, text, lang, source, n_chars) and
+  * `embeddings` (vec_id, embedding float[64], label).
+  *
+  * Oracle notes: every float formula is written so DuckDB reproduces
+  * it bit-for-bit — strict left folds for vector math (Spark
+  * `aggregate` ≙ DuckDB `list_reduce`), integer-derived divisions,
+  * ROUND(…, 6) on output. LSH-based ops (d02, d03, s02) are
+  * rows-only: their candidate sets depend on the hash family, so
+  * correctness is pinned by ScalaTests (exactness of the verify step
+  * + recall vs the exact operators) instead of SQL.
+  */
+object LlmOps {
+
+  private def q(name: String, oracle: String)(f: Catalog => DataFrame): Q =
+    Q(name, (s, dir) => f(Catalog(s, dir)), Some(oracle.stripMargin.trim))
+
+  private def rowsOnly(name: String)(f: Catalog => DataFrame): Q =
+    Q(name, (s, dir) => f(Catalog(s, dir)), None)
+
+  // ---------------------------------------------------------------
+  // d01 — exact dedup via content hash, keep-first
+  val d01: Q = q("d01_dedup_exact",
+    """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""") { c =>
+    Dedup.exact(c.documents).orderBy("doc_id")
+  }
+
+  // d02 — MinHash+LSH candidates verified with exact Jaccard
+  val d02: Q = rowsOnly("d02_dedup_minhash") { c =>
+    Dedup.minhashPairs(c.documents, n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // d03 — SimHash fingerprint + hamming-banded near-dups
+  val d03: Q = rowsOnly("d03_dedup_simhash") { c =>
+    Dedup.simhashPairs(c.documents, n = 3, maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // d04 — exact n-gram Jaccard pairs via inverted shingle index
+  val d04: Q = q("d04_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.ngramJaccardPairs(c.documents, n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // d05 — embedding-cosine near-dup pairs (exact baseline; LSH = s02)
+  val d05: Q = q("d05_embedding_neardup",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (acc, x) -> acc + x)
+      |        / (a.nrm*b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i]*b.v[i]), (acc, x) -> acc + x)
+      |      / (a.nrm*b.nrm) >= 0.4
+      |ORDER BY id_a, id_b""") { c =>
+    Ann.nearDupPairs(c.embeddings, threshold = 0.4).orderBy("id_a", "id_b")
+  }
+
+  // s01 — brute-force cosine top-5 for query vectors vec_id < 20
+  val s01: Q = q("s01_ann_brute",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_reduce(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), (acc, x) -> acc + x)
+      |          / (q.nrm*c.nrm) AS cos
+      |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
+    Ann.brute(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // s02 — LSH-bucketed approximate top-5 (recall vs s01 in ScalaTest)
+  val s02: Q = rowsOnly("s02_ann_lsh") { c =>
+    Ann.lsh(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  // ---------------------------------------------------------------
+  // x01 — heuristic language ID from stopword hit counts
+  val x01: Q = q("x01_langid",
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS en_hits,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.esStops)})) AS es_hits,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.deStops)})) AS de_hits,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.frStops)})) AS fr_hits
+       |FROM t)
+       |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+       |FROM h ORDER BY doc_id""") { c =>
+    val toks = Text.tokens(col("text"))
+    c.documents
+      .select(col("doc_id"),
+        Text.hitCount(toks, Text.enStops).as("en_hits"),
+        Text.hitCount(toks, Text.esStops).as("es_hits"),
+        Text.hitCount(toks, Text.deStops).as("de_hits"),
+        Text.hitCount(toks, Text.frStops).as("fr_hits"))
+      .withColumn("pred_lang", Text.predLang(
+        col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")))
+      .orderBy("doc_id")
+  }
+
+  // x02 — text quality scoring (length / stopword-density features)
+  val x02: Q = q("x02_quality_score",
+    s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(lower(text), ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+       |        len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS stop_hits
+       |      FROM t)
+       |SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
+       |  ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       |  ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |        + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens), 6) AS quality_score
+       |FROM f ORDER BY doc_id""") { c =>
+    val toks = Text.tokens(col("text"))
+    val base = c.documents.select(col("doc_id"),
+      length(col("text")).cast(IntegerType).as("n_chars"),
+      size(toks).as("n_tokens"),
+      Text.hitCount(toks, Text.enStops).as("stop_hits"))
+    val nTok = col("n_tokens").cast(DoubleType)
+    val ratio = col("stop_hits").cast(DoubleType) / nTok
+    base.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        round((col("n_chars").cast(DoubleType) - nTok + 1.0) / nTok, 6)
+          .as("avg_token_len"),
+        round(ratio, 6).as("stopword_ratio"),
+        round(lit(0.5) * least(lit(1.0), nTok / 100.0) + lit(0.5) * ratio, 6)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // x03 — token counting: whitespace + a BPE-ish regex segmentation
+  val x03: Q = q("x03_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
+      |FROM documents ORDER BY doc_id""") { c =>
+    c.documents.select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // x04 — document fingerprint: md5 of the canonicalized text
+  val x04: Q = q("x04_fingerprint",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents ORDER BY doc_id""") { c =>
+    c.documents.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // mm01 — multimodal binary plumbing with deterministic decode stub
+  val mm01: Q = rowsOnly("mm01_multimodal") { c =>
+    Multimodal.decode(Multimodal.asMedia(c.documents))
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("checksum"), col("width"), col("height"),
+        size(col("frame_offsets")).as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02,
+    x01, x02, x03, x04, mm01)
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.DataQuality
+import graft.sources.Catalog
+
+/** SURVEY.md §2.C — dbt data tests as verifiable operators. Each query
+  * reports per-check violation counts (dbt: a test passes when it
+  * returns zero rows; the summary is what `dbt test` prints).
+  * References: tests/test_data_quality_checks.sql,
+  * macros/test_referential_integrity.sql, sources.yml column tests.
+  */
+object Quality {
+
+  private def q(name: String, oracle: String)(f: Catalog => DataFrame): Q =
+    Q(name, (s, dir) => f(Catalog(s, dir)), Some(oracle.stripMargin.trim))
+
+  // t01 — not_null + unique column tests (sources.yml shape)
+  val t01: Q = q("t01_test_not_null_unique",
+    """SELECT * FROM (
+      |  SELECT 'not_null_customer_name' AS check_name,
+      |         (SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS n_violations
+      |  UNION ALL SELECT 'not_null_orders_custkey',
+      |         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+      |  UNION ALL SELECT 'unique_orders_orderkey',
+      |         (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+      |  UNION ALL SELECT 'unique_lineitem_orderkey',
+      |         (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1))
+      |  UNION ALL SELECT 'unique_lineitem_order_line',
+      |         (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1))
+      |) ORDER BY check_name""") { c =>
+    DataQuality.summarize(Seq(
+      "not_null_customer_name" -> DataQuality.notNull(c.customer, Seq("c_name")),
+      "not_null_orders_custkey" -> DataQuality.notNull(c.orders, Seq("o_custkey")),
+      "unique_orders_orderkey" -> DataQuality.unique(c.orders, Seq("o_orderkey")),
+      "unique_lineitem_orderkey" -> DataQuality.unique(c.lineitem, Seq("l_orderkey")),
+      "unique_lineitem_order_line" ->
+        DataQuality.unique(c.lineitem, Seq("l_orderkey", "l_linenumber"))))
+      .orderBy("check_name")
+  }
+
+  // t02 — referential integrity via anti-join
+  // (macros/test_referential_integrity.sql re-expressed)
+  val t02: Q = q("t02_test_relationships",
+    """SELECT * FROM (
+      |  SELECT 'orders_customer' AS check_name,
+      |         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+      |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+      |  UNION ALL SELECT 'lineitem_orders',
+      |         (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+      |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL SELECT 'lineitem_part',
+      |         (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+      |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |  UNION ALL SELECT 'events_customer',
+      |         (SELECT COUNT(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS
+      |            (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+      |) ORDER BY check_name""") { c =>
+    DataQuality.summarize(Seq(
+      "orders_customer" ->
+        DataQuality.relationships(c.orders, "o_custkey", c.customer, "c_custkey"),
+      "lineitem_orders" ->
+        DataQuality.relationships(c.lineitem, "l_orderkey", c.orders, "o_orderkey"),
+      "lineitem_part" ->
+        DataQuality.relationships(c.lineitem, "l_partkey", c.part, "p_partkey"),
+      "events_customer" ->
+        DataQuality.relationships(c.events, "user_id", c.customer, "c_custkey")))
+      .orderBy("check_name")
+  }
+
+  // t03 — accepted_values (tests/test_data_quality_checks.sql shape;
+  // 'P' orders and 'error' events are genuine violations in the data)
+  val t03: Q = q("t03_test_accepted_values",
+    """SELECT * FROM (
+      |  SELECT 'orders_status_FO' AS check_name,
+      |         (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O') OR o_orderstatus IS NULL) AS n_violations
+      |  UNION ALL SELECT 'lineitem_returnflag',
+      |         (SELECT COUNT(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL)
+      |  UNION ALL SELECT 'events_type_no_error',
+      |         (SELECT COUNT(*) FROM events WHERE event_type NOT IN ('click','view','purchase','signup') OR event_type IS NULL)
+      |) ORDER BY check_name""") { c =>
+    DataQuality.summarize(Seq(
+      "orders_status_FO" ->
+        DataQuality.acceptedValues(c.orders, "o_orderstatus", Seq("F", "O")),
+      "lineitem_returnflag" ->
+        DataQuality.acceptedValues(c.lineitem, "l_returnflag", Seq("A", "N", "R")),
+      "events_type_no_error" ->
+        DataQuality.acceptedValues(c.events, "event_type",
+          Seq("click", "view", "purchase", "signup"))))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03)
+}

@@ -17,6 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Catalog(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
+    * refuses natively; read it as long (legacy conf) and truncate to
+    * microseconds — the same truncation every micro-precision engine
+    * (incl. the DuckDB oracle) applies.
+    */
+  private def eventsWithTs: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
   def customer: DataFrame   = table("customer")
@@ -24,7 +41,7 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  def events: DataFrame     = eventsWithTs
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

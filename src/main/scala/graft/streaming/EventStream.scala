@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over the `events` table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each operator exists twice with identical semantics:
+  *  - a BATCH form (verified against the DuckDB oracle), and
+  *  - a Structured Streaming form (same logic as an unbounded query:
+  *    watermarked tumbling windows; sessionization as explicit
+  *    per-key state in flatMapGroupsWithState), exercised in
+  *    StreamingSpec against the batch results.
+  *
+  * Scale: the window agg is a standard streaming shuffle on
+  * (window, event_type) with partial aggregation; sessionization
+  * shuffles on user_id once and holds O(1) state per key.
+  */
+object EventStream {
+
+  /** Exact decimal cast so double sums are order-independent (the
+    * oracle hash compare must not see float accumulation order).
+    */
+  private def decVal(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 6))
+
+  val gapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min session gap
+
+  // ---------------------------------------------------------------
+  /** e01 batch: tumbling 1-hour windows per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decVal(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** e01 streaming: the same aggregation over an unbounded source with
+    * a 2-hour watermark bounding state.
+    */
+  def tumblingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decVal(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // ---------------------------------------------------------------
+  /** e02 batch: gap-based sessionization — a new session starts when
+    * the inter-event gap exceeds 30 minutes. Pure window functions:
+    * one shuffle on user_id.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    events
+      .withColumn("new_s",
+        when(prev.isNull || unix_micros(col("ts")) - prev > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_s")).over(run).cast(IntegerType))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(decVal(col("value"))).cast(DoubleType).as("total_value"))
+  }
+
+  // --- streaming sessionization ----------------------------------
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: BigDecimal)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** e02 streaming: explicit per-user session state. Events arrive in
+    * micro-batches; completed sessions (gap exceeded) are emitted, the
+    * open session rides in GroupState. Event-time timeout would close
+    * idle sessions in production; tests close them with a sentinel.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          def micros(ts: Timestamp): Long =
+            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var open: Option[SessionState] =
+            state.getOption.flatMap(_.headOption)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            open match {
+              case Some(s) if t - s.end <= gapMicros =>
+                open = Some(s.copy(end = t, n = s.n + 1,
+                  total = s.total + BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+              case other =>
+                other.foreach(closed += _)
+                open = Some(SessionState(t, t, 1,
+                  BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+            }
+          }
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+            t
+          }
+          state.update(open.toList)
+          closed.iterator.map(s => Session(userId,
+            toTs(s.start), toTs(s.end), s.n, s.total.toDouble))
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Ann, Dedup, Multimodal}
+import graft.queries.LlmOps
+import graft.sources.Catalog
+
+/** D-block semantics at sf0.001: exactness of the oracled ops is
+  * covered by the DuckDB gate; these specs pin the rows-only ops —
+  * LSH recall vs the exact baselines, SimHash band soundness, the
+  * multimodal decode contract — plus unit-level text functions.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private lazy val cat = Catalog(spark, sfDir)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recovers the exact jaccard>=0.9 pairs (high-similarity recall ~1)") {
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(cat.documents, n = 3, threshold = 0.9))
+    val lsh = pairSet(Dedup.minhashPairs(cat.documents, n = 3, threshold = 0.9))
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall below 0.9 (found ${lsh.size}, exact ${exact.size})")
+    // precision is exact by construction: candidates are re-verified
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash pairs are sound (hamming<=3) and overlap the planted near-dups") {
+    val sim = Dedup.simhashPairs(cat.documents, n = 3, maxDist = 3)
+    val rows = sim.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 3))
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(cat.documents, n = 3, threshold = 0.9))
+    val overlap = (pairSet(sim) & exact).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"simhash found only $overlap of planted near-dups")
+  }
+
+  test("simhash column is a stable 64-bit fingerprint") {
+    val fp = Dedup.simhashFingerprints(cat.documents, 3).orderBy("doc_id")
+    val once = fp.collect().map(_.getLong(1)).toSeq
+    assert(once.nonEmpty && once == fp.collect().map(_.getLong(1)).toSeq)
+  }
+
+  test("LSH ANN: bounded candidates, sane recall vs brute force") {
+    val queries = cat.embeddings.filter(col("vec_id") < 20)
+    val brute = Ann.brute(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lsh(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.size <= 20 * 5)
+    val recall = (brute & approx).size.toDouble / brute.size
+    // random gaussian embeddings are the worst case for sign-LSH;
+    // the bar asserts "much better than chance", not production recall
+    assert(recall >= 0.1, s"LSH recall $recall vs brute")
+  }
+
+  test("multimodal decode: deterministic stub metadata from binary payloads") {
+    val out = Multimodal.decode(Multimodal.asMedia(cat.documents))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    val src = cat.documents.select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId.keySet == src.keySet)
+    for ((id, row) <- byId.take(20)) {
+      val (text, source) = src(id)
+      assert(row.getString(1) == s"fake/$source")
+      assert(row.getLong(2) == text.getBytes("UTF-8").length.toLong)
+      val w = row.getInt(4); val h = row.getInt(5)
+      assert(w >= 320 && w <= 768 && h >= 240 && h <= 576)
+      assert(row.getSeq[Long](6).length == (text.length + 255) / 256)
+    }
+    // decode twice -> identical checksums (determinism)
+    val again = Multimodal.decode(Multimodal.asMedia(cat.documents))
+      .select("media_id", "checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.view.mapValues(_.getLong(3)).toMap == again)
+  }
+
+  test("text functions: tokens, shingles, stopword hits, fingerprint") {
+    import spark.implicits._
+    val df = Seq((1L, "The quick  brown fox"), (2L, "a b")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      Text.tokens(col("text")).as("toks"),
+      Text.shingles(Text.tokens(col("text")), 3).as("sh"),
+      Text.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "The quick  brown fox" -> lower + split(' ') gives an empty token
+    // for the double space; shingles include it verbatim
+    assert(out(1L).getSeq[String](1).head == "the")
+    assert(out(2L).getSeq[String](2).isEmpty, "2 tokens -> no 3-gram shingles")
+    // fingerprint collapses whitespace: canonical forms differing only
+    // in spacing hash identically
+    val fp2 = df.withColumn("text", regexp_replace(col("text"), "  ", " "))
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).getString(3) == fp2(1L))
+  }
+
+  for (q <- LlmOps.all ++ graft.queries.Quality.all) {
+    test(s"${q.name} returns rows at sf0.001") {
+      assert(q.run(spark, sfDir).count() > 0)
+    }
+  }
+}

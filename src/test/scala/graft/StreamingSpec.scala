@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+
+import graft.sources.Catalog
+import graft.streaming.EventStream
+
+/** Structured Streaming forms match their batch (oracle-verified)
+  * counterparts on the same events.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val cat = Catalog(spark, sfDir)
+
+  test("streaming tumbling windows equal the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = cat.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.tumblingStream(stream).writeStream
+      .format("memory").queryName("e01_stream")
+      .outputMode("complete").start()
+    // two micro-batches to exercise incremental state merge
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("e01_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.tumbling(cat.events).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assertSameSets(streamed, batch)
+  }
+
+  private def assertSameSets[A](streamed: Set[A], batch: Set[A]): Unit = {
+    val onlyStream = streamed -- batch
+    val onlyBatch = batch -- streamed
+    val ok = onlyStream.isEmpty && onlyBatch.isEmpty
+    assert(ok,
+      s"\nonly in stream (${onlyStream.size}): ${onlyStream.take(4).mkString("; ")}\n" +
+        s"only in batch (${onlyBatch.size}): ${onlyBatch.take(4).mkString("; ")}")
+  }
+
+  test("flatMapGroupsWithState sessionization equals the batch window form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = cat.events.filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EventStream.Ev].collect().toSeq
+    // sentinel far-future event per user closes every open session
+    val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 86400000L)
+    val flush = evs.map(_.user_id).distinct
+      .map(u => EventStream.Ev(Long.MaxValue, flushTs, u, 0.0))
+
+    val input = MemoryStream[EventStream.Ev]
+    val query = EventStream.sessionizeStream(input.toDS()).writeStream
+      .format("memory").queryName("e02_stream")
+      .outputMode("append").start()
+    input.addData(evs); query.processAllAvailable()
+    input.addData(flush); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("e02_stream")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = EventStream.sessionize(cat.events.filter(col("user_id") < 10))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assertSameSets(streamed, batch)
+  }
+}
