@@ -82,14 +82,21 @@ object ManifestState {
     ManifestState(graph.models.map(m => m.name -> (m.checksum, m.deps)).toMap)
 
   /** Minimal parser for the manifest JSON written by `toJson` —
-    * avoids any third-party JSON dependency.
+    * avoids any third-party JSON dependency. Fails hard when the
+    * document contains entries the pattern did not match: a partially
+    * parsed manifest would silently mis-diff (every dropped model
+    * reads as "modified"), which is worse than aborting the CI run.
     */
   def fromJson(json: String): ManifestState = {
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\]\s*\}""".r
     val dep = """"((?:[^"\\]|\\.)*)"""".r
-    ManifestState(entry.findAllMatchIn(json).map { m =>
+    val parsed = entry.findAllMatchIn(json).map { m =>
       val deps = dep.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
       m.group(1) -> (m.group(2), deps)
-    }.toMap)
+    }.toMap
+    val expected = "\"checksum\"".r.findAllMatchIn(json).size
+    require(parsed.size == expected,
+      s"manifest parse mismatch: matched ${parsed.size} of $expected entries")
+    ManifestState(parsed)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Macros
-import graft.operators.Recursive
+import graft.operators.{Recursive, TopK}
 import graft.sources.Catalog
 
 /** A named query with an optional DuckDB oracle (ANSI SQL over the
@@ -230,9 +230,16 @@ object Relational {
       |    CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS INT) AS drnk
       |  FROM customer) t
       |WHERE rn <= 100 ORDER BY c_mktsegment, rn""") { c =>
+    // rank-limit pushdown does NOT fire here (the rn filter sits above
+    // TWO stacked Window nodes), so bound the wide windows explicitly:
+    // local top-100 per (segment, input partition) first. rank/
+    // dense_rank stay exact on the pruned set — every row ordered
+    // before a surviving row also survives phase 1. See PLANS.md.
+    val pruned = TopK.prune(c.customer,
+      Seq(col("c_mktsegment")), Seq(col("c_nationkey"), col("c_custkey")), 100)
     val wTie = Window.partitionBy("c_mktsegment").orderBy("c_nationkey", "c_custkey")
     val w = Window.partitionBy("c_mktsegment").orderBy("c_nationkey")
-    c.customer
+    pruned
       .select(
         col("c_mktsegment"), col("c_custkey"), col("c_nationkey"),
         row_number().over(wTie).as("rn"),
@@ -498,6 +505,10 @@ object Relational {
       |        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
       |      FROM customer) t
       |WHERE rn <= 3 ORDER BY c_nationkey, rn""") { c =>
+    // scale note: rank-limit pushdown (WindowGroupLimit Partial/Final)
+    // bounds this to 3 rows per (nation, map task) pre-shuffle — the
+    // 25-nation key skew never sees full-nation buffers; see PLANS.md.
+    // graft.operators.TopK covers engines/cases without the rewrite.
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     c.customer

@@ -22,6 +22,32 @@ class RelationalSpec extends SparkSpec {
     assert(rows(128L) == ((7, "1->2->4->8->16->32->64->128")))
   }
 
+  test("two-phase TopK equals the naive single-window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.TopK
+    val cat = graft.sources.Catalog(spark, sfDir)
+    // skewed grouping: 5 segments, plenty of rows each
+    val naive = cat.customer
+      .withColumn("rn", row_number().over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      .filter(col("rn") <= 7)
+      .select("c_mktsegment", "rn", "c_custkey")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val twoPhase = TopK.perGroup(cat.customer,
+        Seq(col("c_mktsegment")), Seq(col("c_acctbal").desc, col("c_custkey")), 7)
+      .select("c_mktsegment", "rn", "c_custkey")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(twoPhase == naive)
+  }
+
+  test("manifest parser fails hard on unparseable residue") {
+    intercept[IllegalArgumentException] {
+      graft.core.ManifestState.fromJson(
+        """{"ok":{"checksum":"abcd","deps":[]},"bad":{"checksum":"XYZ-not-hex","deps":[]}}""")
+    }
+  }
+
   test("q17 string_agg is sorted and comma-joined") {
     val r = Relational.q17.run(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getString(1)).toMap
