@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** SCD2 snapshots, dbt's `timestamp` strategy re-expressed set-based:
   * each run captures the source's CURRENT state; rows whose
@@ -58,6 +59,56 @@ object Snapshot {
         .select((srcCols.map(c => col(s"__src_$c").as(c)) ++ Seq(
           col(s"__src_$updatedAt").as("valid_from"),
           lit(null).cast(tsType).as("valid_to"),
+          lit(true).as("is_current"))): _*)
+
+      wh.overwriteStaged(
+        history.unionByName(carried).unionByName(opened), schema, name)
+    }
+  }
+
+  /** dbt's `check` snapshot strategy: a row is a new version when any
+    * of `checkCols` changed (null-safe compare), stamped with the
+    * run's `captureTs` (dbt uses the run clock; graft takes it as a
+    * parameter so CI runs are reproducible). Same single-shuffle
+    * full-outer shape as the timestamp strategy.
+    */
+  def captureCheck(wh: Warehouse, schema: String, name: String,
+      source: DataFrame, key: Seq[String], checkCols: Seq[String],
+      captureTs: String): Unit = {
+    val ts = lit(captureTs).cast(TimestampType)
+    if (!wh.exists(schema, name)) {
+      wh.write(source
+        .withColumn("valid_from", ts)
+        .withColumn("valid_to", lit(null).cast(TimestampType))
+        .withColumn("is_current", lit(true)), schema, name)
+    } else {
+      val existing = wh.read(schema, name)
+      val history = existing.filter(!col("is_current"))
+      val current = existing.filter(col("is_current"))
+
+      val srcCols = source.columns.toSeq
+      val newState = source.select(srcCols.map(c => col(c).as(s"__src_$c")): _*)
+      val joinCond = key.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
+      val joined = current.join(newState, joinCond, "full_outer")
+
+      val anchor = col(key.head)
+      val srcExists = col(s"__src_${key.head}").isNotNull
+      // a key absent from the source is NOT a change (dbt keeps it
+      // current unless invalidate_hard_deletes is on)
+      val changed = srcExists &&
+        checkCols.map(c => !(col(c) <=> col(s"__src_$c"))).reduce(_ || _)
+      val newKey = anchor.isNull
+
+      val carried = joined.filter(anchor.isNotNull)
+        .select((current.columns.toSeq.filterNot(
+          Set("valid_to", "is_current")).map(col) ++ Seq(
+          when(changed, ts).otherwise(lit(null).cast(TimestampType)).as("valid_to"),
+          (!changed).as("is_current"))): _*)
+
+      val opened = joined.filter(newKey || changed)
+        .select((srcCols.map(c => col(s"__src_$c").as(c)) ++ Seq(
+          ts.as("valid_from"),
+          lit(null).cast(TimestampType).as("valid_to"),
           lit(true).as("is_current"))): _*)
 
       wh.overwriteStaged(

@@ -50,6 +50,25 @@ object Macros {
         concat((y - 1).cast(StringType), lit("-"), y.cast(StringType)))
   }
 
+  /** Deterministic "as of" date: the reference models call
+    * `current_date` in ~20 places and `age()` in 3
+    * (e.g. models/marts/academic/student_retention_analysis.sql:35,
+    * models/marts/core/institutional_kpi_dashboard.sql:5) — an
+    * injectable as-of keeps those queries reproducible and lets CI
+    * pin a date. Pass as a literal date string.
+    */
+  def asOf(date: String): Column = lit(date).cast(DateType)
+
+  /** Full years elapsed from `start` to `asOf` (the `age()` pattern):
+    * calendar-year difference minus one when the anniversary hasn't
+    * been reached. String MMdd comparison is locale-free and has an
+    * exact DuckDB counterpart (strftime '%m%d').
+    */
+  def yearsBetween(asOfDate: Column, start: Column): Column =
+    (year(asOfDate) - year(start) -
+      when(date_format(start, "MMdd") > date_format(asOfDate, "MMdd"), 1)
+        .otherwise(0)).cast(IntegerType)
+
   /** Threshold bucketing CASE chain — the single most common pattern
     * in the reference models (181 CASE uses; e.g.
     * reference: models/staging/stg_enrollments.sql:24-41).

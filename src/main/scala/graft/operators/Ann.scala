@@ -92,6 +92,47 @@ object Ann {
     topK(scored, k)
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are
+    * assigned to their nearest coarse centroid; a query probes its
+    * `nProbe` nearest centroids and re-ranks only those clusters with
+    * exact cosine. Candidate volume ≈ nProbe/nCentroids of the corpus.
+    *
+    * Centroids here are the first `nCentroids` corpus vectors —
+    * deterministic and collected to the driver as a config-sized
+    * constant (nCentroids × dim doubles; a k-means refinement would
+    * replace this pick, the assign/probe machinery is unchanged).
+    */
+  def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[(Int, Array[Double], Double)] =
+      corpus.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("cv"))
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Double](1).toArray
+          (r.getLong(0).toInt, v, math.sqrt(v.map(x => x * x).sum))
+        }
+    require(cents.nonEmpty, "corpus must contain the centroid ids")
+    // (cosine-to-centroid, centroid-id) structs; array_max / sort give
+    // argmax / top-probes (struct ordering = field order)
+    def centScores(v: String) = array(cents.map { case (i, c, nc) =>
+      struct((Vectors.dotLit(col(v), c) / nc).as("s"), lit(i).as("i")) }: _*)
+
+    val corpusA = normed(corpus)
+      .withColumn("cluster", array_max(centScores("v"))("i"))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cluster"))
+    val queriesA = normed(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(
+          slice(reverse(array_sort(centScores("v"))), 1, nProbe),
+          p => p("i"))).as("cluster"))
+    val cands = corpusA.join(queriesA, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold.
     * Exact baseline (block-join); the LSH variant above is the scale
     * path for the same predicate — at 100 TB run `lsh` per shard and

@@ -27,10 +27,17 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "content_hash", "n_copies")
 
-  /** (doc_id, shingles) with empty docs dropped. */
+  /** (doc_id, shingles: array<long>) — distinct word n-gram shingles
+    * folded to xxhash64 immediately, so every downstream join/compare
+    * moves 8-byte keys instead of strings (collision odds across a
+    * ~10^5-shingle corpus: ~10^-9; irrelevant next to the similarity
+    * thresholds). Empty docs dropped.
+    */
   private def shingled(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-        Text.shingles(Text.tokens(col("text")), n).as("shingles"))
+        array_distinct(transform(
+          Text.shingles(Text.tokens(col("text")), n),
+          s => xxhash64(s))).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** (doc_id, shingle-hash mod 2^31) — one row per distinct shingle.
@@ -42,8 +49,7 @@ object Dedup {
     */
   private def shingleHashes(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("shingle")), lit(Hashing.M31)).as("h31"))
+      .select(col("doc_id"), pmod(col("shingle"), lit(Hashing.M31)).as("h31"))
 
   /** MinHash signatures as one hash aggregation: k `min` aggregates
     * (map-side combined, whole-stage codegen) over the exploded
@@ -65,7 +71,7 @@ object Dedup {
     * a single long. All codegen'd; one shuffle on doc_id.
     */
   private def simhashes(sh: DataFrame): DataFrame = {
-    val h = xxhash64(col("shingle"))
+    val h = col("shingle") // already the 64-bit shingle hash
     val aggs = Hashing.bitMasks.zipWithIndex.map { case (m, i) =>
       sum(when(h.bitwiseAND(lit(m)) =!= 0, 1).otherwise(-1)).as(s"bit$i") }
     val fingerprint = Hashing.bitMasks.zipWithIndex.map { case (m, i) =>

@@ -137,13 +137,6 @@ object Engine {
     val c = Catalog(spark, dir)
     val wh = Warehouse.scratch(spark, "m04")
     val mat = Materializer(wh)
-    def latestPerCust(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("o_custkey"), col("o_orderdate").as("updated_at"),
-          col("o_totalprice").as("price"))
-    }
     val model = Model("cust_snapshot", Seq("orders"),
       Materialization.Snapshot(Seq("o_custkey"), "updated_at"),
       ctx => latestPerCust(ctx.source("orders")))
@@ -151,6 +144,50 @@ object Engine {
     mat.run(model, _ => ordersSrc(c))
       .select("o_custkey", "updated_at", "price", "valid_from", "valid_to", "is_current")
       .orderBy("o_custkey", "valid_from")
+  }
+
+  /** Latest order state per customer (deterministic tiebreak). */
+  private def latestPerCust(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").as("updated_at"),
+        col("o_totalprice").as("price"))
+  }
+
+  // m10 — SCD2 snapshot, CHECK strategy: a new version opens when the
+  // checked column's VALUE changes (not its timestamp), stamped with
+  // the run's injected capture time.
+  val m10: Q = q("m10_snapshot_check",
+    """WITH s1 AS (
+      |  SELECT o_custkey, o_totalprice AS price
+      |  FROM (SELECT o_custkey, o_totalprice,
+      |          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01') WHERE rn = 1),
+      |s2 AS (
+      |  SELECT o_custkey, o_totalprice AS price
+      |  FROM (SELECT o_custkey, o_totalprice,
+      |          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders) WHERE rn = 1)
+      |SELECT s1.o_custkey, s1.price, TIMESTAMP '1996-07-01' AS valid_from,
+      |       CASE WHEN s2.price <> s1.price THEN TIMESTAMP '1998-01-01' END AS valid_to,
+      |       NOT (s2.price <> s1.price) AS is_current
+      |FROM s1 JOIN s2 ON s1.o_custkey = s2.o_custkey
+      |UNION ALL
+      |SELECT s2.o_custkey, s2.price, TIMESTAMP '1998-01-01',
+      |       CAST(NULL AS TIMESTAMP), TRUE
+      |FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
+      |WHERE s1.o_custkey IS NULL OR s2.price <> s1.price
+      |ORDER BY o_custkey, valid_from""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m10")
+    def state(df: DataFrame) = latestPerCust(df).select("o_custkey", "price")
+    Snapshot.captureCheck(wh, "snap", "cust",
+      state(ordersSrc(c).filter(col("o_orderdate") < cutoff)),
+      Seq("o_custkey"), Seq("price"), "1996-07-01")
+    Snapshot.captureCheck(wh, "snap", "cust", state(ordersSrc(c)),
+      Seq("o_custkey"), Seq("price"), "1998-01-01")
+    wh.read("snap", "cust").orderBy("o_custkey", "valid_from")
   }
 
   // m05 — on_schema_change=append_new_columns: batch 2 arrives with a
@@ -291,5 +328,5 @@ object Engine {
     outputs("mart_segment_nation").orderBy("c_mktsegment", "c_nationkey")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

@@ -101,6 +101,12 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  // s03 — IVF-bucketed approximate top-5 (recall vs s01 in ScalaTest)
+  val s03: Q = rowsOnly("s03_ann_ivf") { c =>
+    Ann.ivf(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -191,6 +197,6 @@ object LlmOps {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
     x01, x02, x03, x04, mm01)
 }

@@ -582,8 +582,48 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // q26 — cohort retention with deterministic as-of date arithmetic
+  // (reference: student_retention_analysis.sql:35 age()/current_date
+  // — 20 current_date uses across marts; graft injects the as-of)
+  val q26: Q = q("q26_cohort_retention",
+    """WITH firsts AS (
+      |  SELECT o_custkey, MIN(o_orderdate) AS first_order FROM orders GROUP BY o_custkey),
+      |recents AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01')
+      |SELECT
+      |  CASE WHEN CAST(EXTRACT(MONTH FROM first_order) AS INT) >= 8
+      |    THEN CAST(CAST(EXTRACT(YEAR FROM first_order) AS INT) AS VARCHAR) || '-' ||
+      |         CAST(CAST(EXTRACT(YEAR FROM first_order) AS INT) + 1 AS VARCHAR)
+      |    ELSE CAST(CAST(EXTRACT(YEAR FROM first_order) AS INT) - 1 AS VARCHAR) || '-' ||
+      |         CAST(CAST(EXTRACT(YEAR FROM first_order) AS INT) AS VARCHAR) END AS cohort,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(SUM(CAST(EXTRACT(YEAR FROM DATE '1998-07-01') AS INT) - CAST(EXTRACT(YEAR FROM first_order) AS INT)
+      |        - CASE WHEN strftime(first_order, '%m%d') > strftime(DATE '1998-07-01', '%m%d') THEN 1 ELSE 0 END) AS BIGINT) AS total_tenure_years,
+      |  ROUND(CAST(SUM(CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS retention_rate
+      |FROM firsts f LEFT JOIN recents r ON f.o_custkey = r.o_custkey
+      |GROUP BY cohort ORDER BY cohort""") { c =>
+    val asOf = Macros.asOf("1998-07-01")
+    val firsts = c.orders.groupBy("o_custkey")
+      .agg(min(col("o_orderdate")).as("first_order"))
+    val recents = c.orders
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast(TimestampType))
+      .select(col("o_custkey").as("r_custkey")).distinct()
+    val retained = sum(when(col("r_custkey").isNotNull, 1).otherwise(0)).cast(LongType)
+    firsts
+      .join(recents, col("o_custkey") === col("r_custkey"), "left")
+      .groupBy(Macros.academicYear(col("first_order")).as("cohort"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        retained.as("n_retained"),
+        sum(Macros.yearsBetween(asOf, col("first_order"))).cast(LongType)
+          .as("total_tenure_years"),
+        round(retained.cast(DoubleType) / count(lit(1)), 6).as("retention_rate"))
+      .orderBy("cohort")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25)
+    q21, q22, q23, q24, q25, q26)
 }

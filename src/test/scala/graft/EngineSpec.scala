@@ -95,6 +95,22 @@ class EngineSpec extends SparkSpec {
       (3L, "n1", false, true)))  // new key
   }
 
+  test("snapshot check strategy: value change opens a version, same value stays current") {
+    val wh = freshWh("snapcheck")
+    val s1 = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("k", "v")
+    val s2 = spark.createDataFrame(Seq((1L, "a"), (2L, "c"), (3L, "d"))).toDF("k", "v")
+    Snapshot.captureCheck(wh, "s", "t", s1, Seq("k"), Seq("v"), "2024-01-01 00:00:00")
+    Snapshot.captureCheck(wh, "s", "t", s2, Seq("k"), Seq("v"), "2024-02-01 00:00:00")
+    val rows = wh.read("s", "t").orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Any]("valid_to") != null, r.getBoolean(r.fieldIndex("is_current"))))
+    assert(rows.toSeq == Seq(
+      (1L, "a", false, true),   // value unchanged: still current
+      (2L, "b", true, false),   // closed at capture 2
+      (2L, "c", false, true),
+      (3L, "d", false, true)))  // new key
+  }
+
   test("copier: suffix mapping, parallel copy, dry-run and missing source statuses") {
     val wh = freshWh("copier")
     wh.write(df(Seq((1L, "a", 1), (2L, "b", 2))), "prod", "t1")

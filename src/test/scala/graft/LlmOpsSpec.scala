@@ -61,6 +61,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.1, s"LSH recall $recall vs brute")
   }
 
+  test("IVF ANN: probes bound candidates, recall beats coverage floor") {
+    val queries = cat.embeddings.filter(col("vec_id") < 20)
+    val brute = Ann.brute(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.ivf(queries, cat.embeddings, k = 5,
+      nCentroids = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.size <= 20 * 5)
+    val recall = (brute & approx).size.toDouble / brute.size
+    // 4-of-16 probes cover ~25% of a random corpus; recall at or above
+    // coverage says the probe ranking isn't hurting
+    assert(recall >= 0.15, s"IVF recall $recall vs brute")
+  }
+
   test("multimodal decode: deterministic stub metadata from binary payloads") {
     val out = Multimodal.decode(Multimodal.asMedia(cat.documents))
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
