@@ -328,5 +328,75 @@ object Engine {
     outputs("mart_segment_nation").orderBy("c_mktsegment", "c_nationkey")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  // m11 — the reference's raison d'être, end-to-end: prod runs the
+  // DAG on the first batch; a staging model's body changes; CI diffs
+  // the manifest, expands to the modified+ closure, clones ONLY the
+  // incremental clone-targets' prod state into the _ci schema, and
+  // runs the selected models there — the incremental model appends
+  // just the new rows on top of its clone, then the mart rebuilds.
+  // (reference: src/dbt_incremental_ci/core.py orchestration +
+  // dbt_helper.py:29-162 + copier.py:110-284)
+  val m11: Q = q("m11_incremental_ci",
+    """WITH b1 AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |            FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+      |     mx AS (SELECT MAX(o_orderdate) AS m FROM b1),
+      |     stg AS (SELECT o_orderkey, o_custkey, o_totalprice FROM b1
+      |             UNION ALL
+      |             SELECT o_orderkey, o_custkey, o_totalprice + 999.0 FROM orders, mx
+      |             WHERE o_orderdate > mx.m)
+      |SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM stg JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m11")
+    def graphWith(stgBody: String): ModelGraph = ModelGraph(Seq(
+      Model("stg_orders_inc", Seq("orders"),
+        Materialization.Incremental(IncrementalStrategy.Append("o_orderdate")),
+        ctx => ctx.source("orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        body = stgBody),
+      Model("mart_segment_spend", Seq("stg_orders_inc", "customer"),
+        Materialization.Table,
+        ctx => ctx.ref("stg_orders_inc")
+          .join(ctx.source("customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(sum(decTotal(col("o_totalprice")))).as("revenue")),
+        body = "mart v1")))
+
+    // 1. prod run on batch 1
+    val prodGraph = graphWith("stg v1")
+    val prodSources: String => DataFrame = {
+      case "orders" => c.orders.filter(col("o_orderdate") < cutoff)
+      case other => c.table(other)
+    }
+    Runner(Materializer(wh), prodSources).runAll(prodGraph)
+    val manifest = ManifestState.fromJson(ManifestState.of(prodGraph).toJson)
+
+    // 2. the staging model changes; detect -> closure -> clone targets
+    val ciGraphBase = graphWith("stg v2 /* watermark predicate reworked */")
+    val sel = IncrementalCI.select(ciGraphBase, manifest)
+    val copier = TableCopier(wh, parallelism = 2)
+    copier.copyAll("analytics", sel.cloneTargets, "ci")
+
+    // 3. CI run of the selected closure in the _ci schema. The CI
+    //    batch carries DIFFERENT prices (+999) than prod: only rows
+    //    past the clone's watermark may show them — the oracle's hash
+    //    fails if CI rebuilt from scratch instead of appending onto
+    //    the cloned prod state.
+    val ciGraph = ModelGraph(ciGraphBase.models.map(m =>
+      if (sel.closure.contains(m.name)) m.copy(schemaSuffix = Some("ci")) else m))
+    val ciOrder = ciGraph.topoOrder.filter(sel.closure.contains)
+    val ciSources: String => DataFrame = {
+      case "orders" =>
+        c.orders.withColumn("o_totalprice", col("o_totalprice") + 999.0)
+      case other => c.table(other)
+    }
+    val outputs = Runner(Materializer(wh), ciSources)
+      .runSelected(ciGraph, ciOrder)
+    outputs("mart_segment_spend").orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }
