@@ -1,5 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.core.{IncrementalStrategy, Materialization, Materializer, Model, Warehouse}
 import graft.sources.Catalog
 import graft.streaming.EventStream
 
@@ -41,5 +46,46 @@ object Streaming {
     EventStream.sessionize(c.events).orderBy("user_id", "session_seq")
   }
 
-  val all: Seq[Q] = Seq(e01, e02)
+  // e03 — streaming ingest into an incremental warehouse table:
+  // readStream over the events files, each micro-batch routed through
+  // the SAME Materializer append path the batch engine uses
+  // (foreachBatch is the documented stream→batch-sink bridge). The
+  // watermark predicate makes re-delivered rows no-ops, so the sink
+  // is effectively exactly-once on top of at-least-once delivery.
+  val e03: Q = Q("e03_stream_ingest", (spark, dir) => {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val wh = Warehouse.scratch(spark, "e03")
+    val mat = Materializer(wh)
+    val model = Model("events_inc", Seq("events"),
+      Materialization.Incremental(IncrementalStrategy.Append("ts")),
+      ctx => ctx.source("events"))
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file-stream source requires a DIRECTORY; expose the single
+    // parquet file through a temp dir (at scale this is the landing
+    // directory new files drop into)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_e03_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e03_ckpt").toString
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        mat.run(model, _ => batch); ()
+      }
+      .start()
+    query.awaitTermination()
+    wh.read("analytics", "events_inc").orderBy("event_id")
+  }, Some(
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin.trim))
+
+  val all: Seq[Q] = Seq(e01, e02, e03)
 }

@@ -51,6 +51,13 @@ class StreamingSpec extends SparkSpec {
         s"only in batch (${onlyBatch.size}): ${onlyBatch.take(4).mkString("; ")}")
   }
 
+  test("e03 stream ingest lands every event in the incremental table exactly once") {
+    val out = graft.queries.Streaming.e03.run(spark, sfDir)
+    val n = cat.events.count()
+    assert(out.count() == n)
+    assert(out.select("event_id").distinct().count() == n)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch window form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
