@@ -1,0 +1,99 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core._
+import graft.functions.Macros
+import graft.operators.TopK
+
+/** Property-style checks: operator semantics against independent
+  * in-memory models over seeded ScalaCheck generators (driven
+  * directly — deterministic, no scalatestplus bridge needed).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val batchGen: Gen[List[(Long, String, Int)]] =
+    Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 9L),
+      Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(4)),
+      Gen.choose(0, 20)))
+
+  test("incremental merge == latest-per-key of both batches (incoming wins)") {
+    for (i <- 1 to 8) {
+      val b1 = sample(batchGen, 100 + i)
+      val b2 = sample(batchGen, 200 + i)
+      // reference model: per key, batch2 (incoming) beats batch1; the
+      // winning row carries the batch's max watermark. Value ties on
+      // equal wm are broken arbitrarily by row_number, so compare the
+      // winning watermark, which IS deterministic.
+      def bestWm(rows: List[(Long, String, Int)]): Map[Long, Int] =
+        rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+      val expected = bestWm(b1) ++ bestWm(b2)
+
+      val wh = Warehouse.scratch(spark, "prop_merge")
+      val mat = Materializer(wh)
+      val model = Model("t", Seq("src"),
+        Materialization.Incremental(IncrementalStrategy.Merge(Seq("k"), Some("wm"))),
+        ctx => ctx.source("src"))
+      def df(rows: List[(Long, String, Int)]) =
+        spark.createDataFrame(rows).toDF("k", "v", "wm")
+      mat.run(model, _ => df(b1))
+      val out = mat.run(model, _ => df(b2))
+      val got = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got == expected, s"iteration $i")
+    }
+  }
+
+  test("TopK.perGroup == naive window top-k on random data") {
+    val rowGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0, 1000), Gen.choose(0L, 100000L)))
+    for (i <- 1 to 6) {
+      val rows = sample(rowGen, 300 + i).distinct // unique rows => total order
+      val k = 1 + i % 5
+      val df = spark.createDataFrame(rows).toDF("g", "s", "id")
+      val naive = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("s").desc, col("id"))))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getInt(0), r.getInt(3), r.getLong(2))).toSet
+      val two = TopK.perGroup(df, Seq(col("g")),
+          Seq(col("s").desc, col("id")), k)
+        .collect().map(r => (r.getInt(0), r.getInt(3), r.getLong(2))).toSet
+      assert(two == naive, s"iteration $i (k=$k)")
+    }
+  }
+
+  test("yearsBetween == java.time full-year difference") {
+    import spark.implicits._
+    val dateGen = for {
+      y <- Gen.choose(1990, 2020); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield LocalDate.of(y, m, d)
+    val cases = (1 to 60).map { i =>
+      val a = sample(dateGen, 400L + i); val b = sample(dateGen, 500L + i)
+      if (a.isBefore(b)) (a, b) else (b, a)
+    }
+    val got = cases.map { case (s, a) => (s.toString, a.toString) }
+      .toDF("start", "as_of")
+      .select(Macros.yearsBetween(col("as_of").cast("date"),
+        col("start").cast("date")).as("y"))
+      .collect().map(_.getInt(0)).toSeq
+    val expected = cases.map { case (s, a) =>
+      java.time.Period.between(s, a).getYears }
+    assert(got == expected)
+  }
+
+  test("academicYear boundary: August splits the label") {
+    import spark.implicits._
+    val got = Seq("2001-07-31", "2001-08-01").toDF("d")
+      .select(Macros.academicYear(col("d").cast("date")).as("ay"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("2000-2001", "2001-2002"))
+  }
+}
