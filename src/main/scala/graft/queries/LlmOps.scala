@@ -178,6 +178,29 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x05 — corpus n-gram statistics: document frequency of bigrams
+  // (the inverted-index building block; top-k by DF with a total
+  // tiebreak). Explode → two hash aggregations; the final top-20 is
+  // driver-bounded output, not driver-side compute.
+  val x05: Q = q("x05_ngram_stats",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+      |         i -> t[i] || ' ' || t[i+1]))) AS bigram
+      |       FROM toks WHERE len(t) >= 2),
+      |df AS (SELECT bigram, COUNT(*) AS doc_freq FROM bg GROUP BY bigram)
+      |SELECT bigram, doc_freq FROM df
+      |ORDER BY doc_freq DESC, bigram LIMIT 20""") { c =>
+    val sh = c.documents
+      .select(col("doc_id"),
+        explode(array(Text.tokens(col("text")))).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("toks"), 2))).as("bigram"))
+    sh.groupBy("bigram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(20)
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -198,5 +221,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-    x01, x02, x03, x04, mm01)
+    x01, x02, x03, x04, x05, mm01)
 }
