@@ -16,8 +16,12 @@ object SparkEntry {
     Relational.q02.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.run).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = registry.map(q => q.name -> q.run).toMap
+    require(m.size == registry.size,
+      "duplicate query names would silently drop coverage")
+    m
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
