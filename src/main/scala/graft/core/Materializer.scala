@@ -33,8 +33,18 @@ final case class Materializer(wh: Warehouse) {
   /** Run one model. `resolve` maps a dep/source name to its DataFrame
     * (the runner passes materialized refs; raw names fall through to
     * sources). Returns the model's current full contents.
+    *
+    * `fullRefresh` is dbt's `--full-refresh`: an incremental model
+    * drops its target and rebuilds from scratch (the escape hatch for
+    * schema breaks and backfills).
     */
-  def run(model: Model, resolve: String => DataFrame): DataFrame = {
+  def run(model: Model, resolve: String => DataFrame,
+      fullRefresh: Boolean = false): DataFrame = {
+    if (fullRefresh) (model.materialization match {
+      case Materialization.Incremental(_) =>
+        wh.drop(model.targetSchema, model.name)
+      case _ => ()
+    })
     val ctx = new Ctx(model, resolve)
     val out = model.transform(ctx)
     model.materialization match {

@@ -76,6 +76,19 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("full refresh drops the incremental target and rebuilds from the batch") {
+    val wh = freshWh("refresh")
+    val mat = Materializer(wh)
+    val model = Model("t", Seq("src"),
+      Materialization.Incremental(IncrementalStrategy.Append("wm")),
+      ctx => ctx.source("src"))
+    mat.run(model, _ => df(Seq((1L, "a", 1))))
+    mat.run(model, _ => df(Seq((2L, "b", 2))))
+    assert(wh.read("analytics", "t").count() == 2)
+    val out = mat.run(model, _ => df(Seq((9L, "z", 9))), fullRefresh = true)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("snapshot SCD2: changed key closes old version, unchanged stays current") {
     val wh = freshWh("snap")
     val state1 = spark.createDataFrame(Seq((1L, "v1", 10), (2L, "w1", 10)))
