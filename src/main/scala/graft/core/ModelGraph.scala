@@ -88,11 +88,15 @@ object ManifestState {
     * reads as "modified"), which is worse than aborting the CI run.
     */
   def fromJson(json: String): ManifestState = {
+    // inverse of toJson's esc(): \" -> " and \\ -> \ (applied to model
+    // and dep names so quoted/backslashed names round-trip instead of
+    // reading as permanently-modified on every CI diff)
+    def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\]\s*\}""".r
     val dep = """"((?:[^"\\]|\\.)*)"""".r
     val parsed = entry.findAllMatchIn(json).map { m =>
-      val deps = dep.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
-      m.group(1) -> (m.group(2), deps)
+      val deps = dep.findAllMatchIn(m.group(3)).map(mm => unesc(mm.group(1))).toSeq
+      unesc(m.group(1)) -> (m.group(2), deps)
     }.toMap
     val expected = "\"checksum\"".r.findAllMatchIn(json).size
     require(parsed.size == expected,

@@ -44,10 +44,15 @@ object Snapshot {
       val joined = current.join(newState, joinCond, "full_outer")
 
       val changed = col(s"__src_$updatedAt") > col(updatedAt)
-      val newKey = col(updatedAt).isNull // key only in source
+      // row existence is anchored on KEY nullity, not updated_at: an
+      // existing current row whose updated_at is legitimately NULL must
+      // still be carried (changed is NULL there -> coalesce keeps it
+      // current), not silently dropped from the snapshot.
+      val anchor = col(key.head)
+      val newKey = anchor.isNull // key only in source
 
       // existing current rows: closed out if changed, else carried
-      val carried = joined.filter(col(updatedAt).isNotNull)
+      val carried = joined.filter(anchor.isNotNull)
         .select((current.columns.toSeq.filterNot(
           Set("valid_to", "is_current")).map(col) ++ Seq(
           when(changed, col(s"__src_$updatedAt"))

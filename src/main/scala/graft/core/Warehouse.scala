@@ -38,16 +38,29 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * its write task), unlike pinning the result in block-manager memory
     * via localCheckpoint. On a lakehouse table format this is exactly
     * MERGE INTO's copy-on-write commit.
+    *
+    * Commit order is crash-safe: the live table is renamed ASIDE
+    * (`<table>.__old`) before the staged dir takes its place, so at no
+    * point is there zero copies of the data — a failure between the two
+    * renames leaves the previous version recoverable at `.__old`, and a
+    * failure after leaves the new version live.
     */
   def overwriteStaged(df: DataFrame, schema: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
-    val tmp = table + ".__tmp"
-    write(df, schema, tmp, partitionBy = partitionBy)
     val target = new org.apache.hadoop.fs.Path(path(schema, table))
-    val staged = new org.apache.hadoop.fs.Path(path(schema, tmp))
+    val staged = new org.apache.hadoop.fs.Path(path(schema, table + ".__tmp"))
+    val old = new org.apache.hadoop.fs.Path(path(schema, table + ".__old"))
     val f = fs(target)
-    if (f.exists(target)) f.delete(target, true)
-    require(f.rename(staged, target), s"staged swap failed for $schema.$table")
+    // clear leftovers from a previous crashed swap before staging anew
+    if (f.exists(staged)) f.delete(staged, true)
+    if (f.exists(old)) f.delete(old, true)
+    write(df, schema, table + ".__tmp", partitionBy = partitionBy)
+    val hadTarget = f.exists(target)
+    if (hadTarget) require(f.rename(target, old),
+      s"could not move $schema.$table aside for staged swap")
+    require(f.rename(staged, target),
+      s"staged swap failed for $schema.$table; previous data intact at $old, new data at $staged")
+    if (hadTarget) { f.delete(old, true); () }
   }
 
   def drop(schema: String, table: String): Unit = {
@@ -56,11 +69,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     if (f.exists(p)) { f.delete(p, true); () }
   }
 
+  /** Live tables only — staging/backup dirs from an in-flight or
+    * crashed staged swap (`.__tmp`, `.__old`) are never listed, so
+    * schema-wide consumers (e.g. a CI clone of a prod schema) cannot
+    * pick up stale staging data.
+    */
   def tables(schema: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$schema")
     val f = fs(p)
     if (!f.exists(p)) Nil
-    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old"))
+      .toSeq.sorted
   }
 }
 

