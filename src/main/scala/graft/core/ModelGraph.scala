@@ -81,6 +81,22 @@ object ManifestState {
   def of(graph: ModelGraph): ManifestState =
     ManifestState(graph.models.map(m => m.name -> (m.checksum, m.deps)).toMap)
 
+  /** Where a production run leaves its manifest for later CI runs to
+    * diff against — the warehouse-artifact analogue of the reference's
+    * dbt-Cloud latest-successful-run manifest fetch (reference:
+    * src/dbt_cloud.py:29-172 acquires it over HTTP; core.py:134-165
+    * feeds it into run()). graft persists to the warehouse itself, so
+    * any engine with warehouse access can diff without a dbt-Cloud
+    * dependency; the HTTP acquisition path is out of scope (SURVEY §6).
+    */
+  val artifactName = "manifest.json"
+
+  def save(wh: Warehouse, state: ManifestState): Unit =
+    wh.saveArtifact(artifactName, state.toJson)
+
+  def load(wh: Warehouse): Option[ManifestState] =
+    wh.loadArtifact(artifactName).map(fromJson)
+
   /** Minimal parser for the manifest JSON written by `toJson` —
     * avoids any third-party JSON dependency. Fails hard when the
     * document contains entries the pattern did not match: a partially

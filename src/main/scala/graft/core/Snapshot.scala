@@ -23,9 +23,16 @@ object Snapshot {
 
   /** Run one snapshot capture of `source` into `schema.name`.
     * `source` must be one row per `key` (the current state).
+    *
+    * `hardDeleteTs`: dbt's opt-in `invalidate_hard_deletes` — when
+    * set, current rows whose key is ABSENT from the source are closed
+    * out with this timestamp (dbt stamps the run clock; graft takes it
+    * as a parameter so CI runs are reproducible). Default `None`
+    * keeps dbt's default: an absent key stays current.
     */
   def capture(wh: Warehouse, schema: String, name: String,
-      source: DataFrame, key: Seq[String], updatedAt: String): Unit = {
+      source: DataFrame, key: Seq[String], updatedAt: String,
+      hardDeleteTs: Option[String] = None): Unit = {
     val tsType = source.schema(updatedAt).dataType
     if (!wh.exists(schema, name)) {
       val seeded = source
@@ -43,26 +50,34 @@ object Snapshot {
       val joinCond = key.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
       val joined = current.join(newState, joinCond, "full_outer")
 
-      val changed = col(s"__src_$updatedAt") > col(updatedAt)
+      // a non-null source timestamp against a NULL stored one IS a
+      // change (the key finally got a real updated_at) — a bare
+      // `src > cur` would be NULL there and freeze the row forever
+      val srcTs = col(s"__src_$updatedAt")
+      val changed = srcTs.isNotNull && (col(updatedAt).isNull || srcTs > col(updatedAt))
       // row existence is anchored on KEY nullity, not updated_at: an
       // existing current row whose updated_at is legitimately NULL must
-      // still be carried (changed is NULL there -> coalesce keeps it
-      // current), not silently dropped from the snapshot.
+      // still be carried, not silently dropped from the snapshot.
       val anchor = col(key.head)
       val newKey = anchor.isNull // key only in source
+      val gone =
+        if (hardDeleteTs.isDefined) col(s"__src_${key.head}").isNull
+        else lit(false)
 
-      // existing current rows: closed out if changed, else carried
+      // existing current rows: closed out if changed (or hard-deleted
+      // under invalidate_hard_deletes), else carried
       val carried = joined.filter(anchor.isNotNull)
         .select((current.columns.toSeq.filterNot(
           Set("valid_to", "is_current")).map(col) ++ Seq(
-          when(changed, col(s"__src_$updatedAt"))
+          when(changed, srcTs)
+            .when(gone, lit(hardDeleteTs.orNull).cast(tsType))
             .otherwise(lit(null).cast(tsType)).as("valid_to"),
-          (!coalesce(changed, lit(false))).as("is_current"))): _*)
+          (!(changed || gone)).as("is_current"))): _*)
 
       // new versions: changed keys + brand-new keys
-      val opened = joined.filter(newKey || coalesce(changed, lit(false)))
+      val opened = joined.filter(newKey || changed)
         .select((srcCols.map(c => col(s"__src_$c").as(c)) ++ Seq(
-          col(s"__src_$updatedAt").as("valid_from"),
+          srcTs.as("valid_from"),
           lit(null).cast(tsType).as("valid_to"),
           lit(true).as("is_current"))): _*)
 
@@ -79,7 +94,7 @@ object Snapshot {
     */
   def captureCheck(wh: Warehouse, schema: String, name: String,
       source: DataFrame, key: Seq[String], checkCols: Seq[String],
-      captureTs: String): Unit = {
+      captureTs: String, invalidateHardDeletes: Boolean = false): Unit = {
     val ts = lit(captureTs).cast(TimestampType)
     if (!wh.exists(schema, name)) {
       wh.write(source
@@ -103,12 +118,14 @@ object Snapshot {
       val changed = srcExists &&
         checkCols.map(c => !(col(c) <=> col(s"__src_$c"))).reduce(_ || _)
       val newKey = anchor.isNull
+      val gone = if (invalidateHardDeletes) !srcExists else lit(false)
 
       val carried = joined.filter(anchor.isNotNull)
         .select((current.columns.toSeq.filterNot(
           Set("valid_to", "is_current")).map(col) ++ Seq(
-          when(changed, ts).otherwise(lit(null).cast(TimestampType)).as("valid_to"),
-          (!changed).as("is_current"))): _*)
+          when(changed || gone, ts)
+            .otherwise(lit(null).cast(TimestampType)).as("valid_to"),
+          (!(changed || gone)).as("is_current"))): _*)
 
       val opened = joined.filter(newKey || changed)
         .select((srcCols.map(c => col(s"__src_$c").as(c)) ++ Seq(

@@ -15,13 +15,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
   private def fs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(schema: String, table: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(schema, table))
-    fs(p).exists(p)
+  /** Self-healing check for a crashed staged swap: if the live dir is
+    * missing but the `.__old` backup from [[overwriteStaged]] exists,
+    * the process died between the two renames — restore the backup.
+    * Runs on every exists/read/swap entry so ANY access path heals
+    * (e.g. Snapshot.capture would otherwise see exists()==false and
+    * silently re-seed, discarding all history). The extra FS probe
+    * only happens when the target is already missing.
+    */
+  private def heal(schema: String, table: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path(schema, table))
+    val f = fs(target)
+    if (f.exists(target)) true
+    else {
+      val old = new org.apache.hadoop.fs.Path(path(schema, table + ".__old"))
+      f.exists(old) && f.rename(old, target)
+    }
   }
 
-  def read(schema: String, table: String): DataFrame =
+  def exists(schema: String, table: String): Boolean = heal(schema, table)
+
+  def read(schema: String, table: String): DataFrame = {
+    heal(schema, table)
     spark.read.parquet(path(schema, table))
+  }
 
   def write(df: DataFrame, schema: String, table: String,
       mode: String = "overwrite", partitionBy: Seq[String] = Nil,
@@ -42,16 +59,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * Commit order is crash-safe: the live table is renamed ASIDE
     * (`<table>.__old`) before the staged dir takes its place, so at no
     * point is there zero copies of the data — a failure between the two
-    * renames leaves the previous version recoverable at `.__old`, and a
-    * failure after leaves the new version live.
+    * renames leaves the previous version recoverable at `.__old`
+    * (restored by [[heal]] on the next access), and a failure after
+    * leaves the new version live.
     */
   def overwriteStaged(df: DataFrame, schema: String, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
+    // restore a half-swapped table FIRST — when the target is missing,
+    // `.__old` is the only copy of the data, never a leftover to delete
+    heal(schema, table)
     val target = new org.apache.hadoop.fs.Path(path(schema, table))
     val staged = new org.apache.hadoop.fs.Path(path(schema, table + ".__tmp"))
     val old = new org.apache.hadoop.fs.Path(path(schema, table + ".__old"))
     val f = fs(target)
     // clear leftovers from a previous crashed swap before staging anew
+    // (post-heal, anything still at .__old is a stale backup of a
+    // COMPLETED swap, safe to drop)
     if (f.exists(staged)) f.delete(staged, true)
     if (f.exists(old)) f.delete(old, true)
     write(df, schema, table + ".__tmp", partitionBy = partitionBy)
@@ -61,6 +84,37 @@ final case class Warehouse(spark: SparkSession, root: String) {
     require(f.rename(staged, target),
       s"staged swap failed for $schema.$table; previous data intact at $old, new data at $staged")
     if (hadTarget) { f.delete(old, true); () }
+  }
+
+  /** Small driver-side artifacts (the CI manifest, run metadata)
+    * persisted beside the data under `<root>/_artifacts/` — the same
+    * Hadoop FS layer as the tables, so on a cluster they land on the
+    * object store, not a local disk. Atomic via write-tmp + rename.
+    */
+  def saveArtifact(name: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_artifacts/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_artifacts/$name.__tmp")
+    val f = fs(p)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"could not commit artifact $name")
+  }
+
+  def loadArtifact(name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_artifacts/$name")
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
   }
 
   def drop(schema: String, table: String): Unit = {

@@ -61,8 +61,18 @@ object Ntile {
 
     val wLocal = Window.partitionBy((col("__pid") +: pk): _*)
       .orderBy(orderCols.map(col): _*)
+    // null-safe (<=>) join keys: `ntile` treats a NULL partition key as
+    // a normal group, so the offset lookup must too — a plain equi-join
+    // would silently drop every NULL-keyed row.
+    val offSide = offsets.select(
+      (col("__pid").as("__o_pid") +:
+        partCols.map(c => col(c).as(s"__o_$c"))) ++
+        Seq(col("__off"), col("__n")): _*)
+    val joinCond = ((col("__pid") === col("__o_pid")) +:
+      partCols.map(c => col(c) <=> col(s"__o_$c"))).reduce(_ && _)
     val ranked = ranged
-      .join(broadcast(offsets), ("__pid" +: partCols).toSeq)
+      .join(broadcast(offSide), joinCond)
+      .drop(("__o_pid" +: partCols.map(c => s"__o_$c")): _*)
       .withColumn("__rank", col("__off") + row_number().over(wLocal))
 
     // NTILE bucket math: base = n div k rows per bucket, the first

@@ -365,14 +365,18 @@ object Engine {
             dbl(sum(decTotal(col("o_totalprice")))).as("revenue")),
         body = "mart v1")))
 
-    // 1. prod run on batch 1
+    // 1. prod run on batch 1; the manifest is PERSISTED as a warehouse
+    //    artifact (<root>/_artifacts/manifest.json) and read back for
+    //    the diff — the same handoff a real CI run does against the
+    //    last successful prod manifest.
     val prodGraph = graphWith("stg v1")
     val prodSources: String => DataFrame = {
       case "orders" => c.orders.filter(col("o_orderdate") < cutoff)
       case other => c.table(other)
     }
     Runner(Materializer(wh), prodSources).runAll(prodGraph)
-    val manifest = ManifestState.fromJson(ManifestState.of(prodGraph).toJson)
+    ManifestState.save(wh, ManifestState.of(prodGraph))
+    val manifest = ManifestState.load(wh).get
 
     // 2. the staging model changes; detect -> closure -> clone targets
     val ciGraphBase = graphWith("stg v2 /* watermark predicate reworked */")

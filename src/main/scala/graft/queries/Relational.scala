@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Macros
-import graft.operators.{Recursive, TopK}
+import graft.operators.{Ntile, Recursive, TopK}
 import graft.sources.Catalog
 
 /** A named query with an optional DuckDB oracle (ANSI SQL over the
@@ -338,9 +338,15 @@ object Relational {
       |SELECT c_mktsegment, quartile, COUNT(*) AS n,
       |  CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal, CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
       |FROM t GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""") { c =>
-    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    c.customer
-      .select(col("c_mktsegment"), col("c_acctbal"), ntile(4).over(w).as("quartile"))
+    // Ntile.exact, not ntile().over(partitionBy(...)): the built-in
+    // window funnels each segment through ONE task (parallelism = 5
+    // market segments forever); the distributed operator keeps
+    // parallelism = shuffle partitions with a bit-identical assignment
+    // under the (c_acctbal, c_custkey) total order.
+    Ntile.exact(
+        c.customer.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        k = 4, partCols = Seq("c_mktsegment"),
+        orderCols = Seq("c_acctbal", "c_custkey"), bucketName = "quartile")
       .groupBy("c_mktsegment", "quartile")
       .agg(count(lit(1)).as("n"),
         dbl(min(col("c_acctbal"))).as("min_bal"),

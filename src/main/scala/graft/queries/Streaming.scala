@@ -53,7 +53,6 @@ object Streaming {
   // watermark predicate makes re-delivered rows no-ops, so the sink
   // is effectively exactly-once on top of at-least-once delivery.
   val e03: Q = Q("e03_stream_ingest", (spark, dir) => {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val wh = Warehouse.scratch(spark, "e03")
     val mat = Materializer(wh)
     val model = Model("events_inc", Seq("events"),

@@ -18,12 +18,15 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
-    * refuses natively; read it as long (legacy conf) and truncate to
-    * microseconds — the same truncation every micro-precision engine
-    * (incl. the DuckDB oracle) applies.
+    * refuses natively; read it as long and truncate to microseconds —
+    * the same truncation every micro-precision engine (incl. the
+    * DuckDB oracle) applies. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the SESSION
+    * builder (Verify/Bench/Main/the test session all set it) — a
+    * per-call `conf.set` here would mutate shared session state from
+    * read paths.
     */
   private def eventsWithTs: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -155,6 +155,128 @@ class EngineSpec extends SparkSpec {
     assert(out("int_c") == ((false, false, false)))
   }
 
+  test("staged swap: leftover .__tmp/.__old dirs are hidden and cleaned on re-run") {
+    val wh = freshWh("leftover")
+    wh.write(df(Seq((1L, "a", 1))), "s", "t")
+    val fs = new org.apache.hadoop.fs.Path(wh.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${wh.root}/s/t.__tmp"))
+    wh.write(df(Seq((9L, "stale", 9))), "s", "t.__old")
+    assert(wh.tables("s") == Seq("t"), "staging dirs must never list")
+    // a re-run converges: swap succeeds, leftovers gone
+    wh.overwriteStaged(df(Seq((2L, "b", 2))), "s", "t")
+    assert(wh.read("s", "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(wh.tables("s") == Seq("t"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${wh.root}/s/t.__old")))
+  }
+
+  test("staged swap: crash between renames self-heals from .__old, snapshot keeps history") {
+    val wh = freshWh("heal")
+    val s1 = spark.createDataFrame(Seq((1L, "a", 10), (2L, "b", 10))).toDF("k", "v", "updated")
+    val s2 = spark.createDataFrame(Seq((1L, "a2", 20), (2L, "b", 10))).toDF("k", "v", "updated")
+    Snapshot.capture(wh, "s", "t", s1, Seq("k"), "updated")
+    Snapshot.capture(wh, "s", "t", s2, Seq("k"), "updated")
+    assert(wh.read("s", "t").count() == 3)
+    // simulate dying between rename(target, .__old) and rename(.__tmp, target):
+    // the table dir is GONE, the only copy of the data sits at .__old
+    val fs = new org.apache.hadoop.fs.Path(wh.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${wh.root}/s/t"),
+      new org.apache.hadoop.fs.Path(s"${wh.root}/s/t.__old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${wh.root}/s/t.__tmp"))
+    // any access path heals: exists() restores the backup in place
+    assert(wh.exists("s", "t"), "heal must restore the half-swapped table")
+    assert(wh.read("s", "t").count() == 3)
+    // and the next snapshot run sees the restored state — it must NOT
+    // re-seed (which would silently discard the closed-out history row)
+    Snapshot.capture(wh, "s", "t", s2, Seq("k"), "updated")
+    val rows = wh.read("s", "t").orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(r.fieldIndex("is_current"))))
+    assert(rows.toSeq == Seq((1L, "a", false), (1L, "a2", true), (2L, "b", true)))
+  }
+
+  test("snapshot: NULL updated_at row is carried, then a real timestamp opens a new version") {
+    val wh = freshWh("snapnull")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("updated", IntegerType)))
+    def state(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    import org.apache.spark.sql.Row
+    val s1 = state(Seq(Row(1L, "v1", null), Row(2L, "w1", 10)))
+    Snapshot.capture(wh, "s", "t", s1, Seq("k"), "updated")
+    // re-capture of the identical state: the NULL-updated_at row must
+    // be carried current, not dropped and not duplicated
+    Snapshot.capture(wh, "s", "t", s1, Seq("k"), "updated")
+    assert(wh.read("s", "t").filter(col("is_current")).count() == 2)
+    // the key then gets a REAL updated_at: that IS a change — close the
+    // NULL-stamped version, open the new one (a bare src > cur compare
+    // would be NULL here and freeze the row forever)
+    val s2 = state(Seq(Row(1L, "v2", 20), Row(2L, "w1", 10)))
+    Snapshot.capture(wh, "s", "t", s2, Seq("k"), "updated")
+    val k1 = wh.read("s", "t").filter(col("k") === 1L)
+      .orderBy("is_current").collect()
+      .map(r => (r.getString(1), r.getBoolean(r.fieldIndex("is_current"))))
+    assert(k1.toSeq == Seq(("v1", false), ("v2", true)))
+  }
+
+  test("snapshot invalidate_hard_deletes closes absent keys in both strategies") {
+    val wh = freshWh("harddel")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val s1 = spark.createDataFrame(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")), (2L, "b", ts("2024-01-01 00:00:00"))))
+      .toDF("k", "v", "updated")
+    val s2 = s1.filter(col("k") === 1L)
+    // timestamp strategy: default keeps the absent key current...
+    Snapshot.capture(wh, "s", "keep", s1, Seq("k"), "updated")
+    Snapshot.capture(wh, "s", "keep", s2, Seq("k"), "updated")
+    assert(wh.read("s", "keep").filter(col("k") === 2L && col("is_current")).count() == 1)
+    // ...opt-in closes it out at the injected timestamp, no new version
+    Snapshot.capture(wh, "s", "del", s1, Seq("k"), "updated")
+    Snapshot.capture(wh, "s", "del", s2, Seq("k"), "updated",
+      hardDeleteTs = Some("2024-02-01 00:00:00"))
+    val gone = wh.read("s", "del").filter(col("k") === 2L).collect()
+    assert(gone.length == 1 && !gone.head.getBoolean(gone.head.fieldIndex("is_current")))
+    assert(gone.head.getAs[java.sql.Timestamp]("valid_to") == ts("2024-02-01 00:00:00"))
+    // check strategy, same contract
+    val c1 = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("k", "v")
+    val c2 = c1.filter(col("k") === 1L)
+    Snapshot.captureCheck(wh, "s", "chk", c1, Seq("k"), Seq("v"), "2024-01-01 00:00:00")
+    Snapshot.captureCheck(wh, "s", "chk", c2, Seq("k"), Seq("v"), "2024-02-01 00:00:00",
+      invalidateHardDeletes = true)
+    val chk = wh.read("s", "chk").filter(col("k") === 2L).collect()
+    assert(chk.length == 1 && !chk.head.getBoolean(chk.head.fieldIndex("is_current")))
+  }
+
+  test("manifest JSON round-trips names with quotes and backslashes") {
+    val st = ManifestState(Map(
+      "model \"quoted\"" -> ("0123abcd", Seq("dep\\one", "dep\"two")),
+      "plain" -> ("deadbeef", Nil)))
+    assert(ManifestState.fromJson(st.toJson) == st)
+  }
+
+  test("manifest persists as a warehouse artifact and loads back") {
+    val wh = freshWh("manifest_art")
+    assert(ManifestState.load(wh).isEmpty)
+    val g = ModelGraph(Seq(
+      Model("a", Nil, Materialization.View, _ => spark.emptyDataFrame, body = "x"),
+      Model("b", Seq("a"), Materialization.Table, _ => spark.emptyDataFrame, body = "y")))
+    ManifestState.save(wh, ManifestState.of(g))
+    assert(ManifestState.load(wh).contains(ManifestState.of(g)))
+    // a saved manifest from run N diffs cleanly against run N+1's graph
+    val g2 = ModelGraph(g.models.map(m =>
+      if (m.name == "b") m.copy(body = "y v2") else m))
+    assert(ManifestState.load(wh).get.diff(g2) == Set("b"))
+  }
+
+  test("bench harness records per-query errors instead of swallowing them") {
+    val qs = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "ok" -> ((s, _) => s.range(5).toDF()),
+      "boom" -> ((_, _) => throw new RuntimeException("deliberately broken query")))
+    val res = Bench.runAll(spark, sfDir, qs).map(r => r._1 -> r._3).toMap
+    assert(res("ok").isEmpty)
+    assert(res("boom").exists(_.contains("deliberately broken")))
+  }
+
   test("manifest round-trips through JSON") {
     val g = ModelGraph(Seq(
       Model("a", Nil, Materialization.View, _ => spark.emptyDataFrame, body = "x"),

@@ -9,7 +9,7 @@ import org.scalacheck.rng.Seed
 
 import graft.core._
 import graft.functions.Macros
-import graft.operators.TopK
+import graft.operators.{Ntile, TopK}
 
 /** Property-style checks: operator semantics against independent
   * in-memory models over seeded ScalaCheck generators (driven
@@ -67,6 +67,31 @@ class PropertySpec extends SparkSpec {
           Seq(col("s").desc, col("id")), k)
         .collect().map(r => (r.getInt(0), r.getInt(3), r.getLong(2))).toSet
       assert(two == naive, s"iteration $i (k=$k)")
+    }
+  }
+
+  test("Ntile.exact == ntile() on a skewed frame incl. NULL partition keys") {
+    import spark.implicits._
+    // skewed: ~60% of rows in one hot key, a NULL-key group, small tails
+    val rowGen = Gen.listOfN(400, Gen.zip(
+      Gen.frequency(
+        6 -> Gen.const(Option("hot")),
+        1 -> Gen.const(Option.empty[String]),
+        2 -> Gen.choose(0, 2).map(i => Option(s"k$i")),
+        1 -> Gen.const(Option("tail"))),
+      Gen.choose(0, 50)))
+    for (i <- 1 to 4) {
+      val rows = sample(rowGen, 700 + i).zipWithIndex
+        .map { case ((k, v), id) => (k, v, id.toLong) } // id => total order
+      val k = Seq(2, 3, 4, 7)(i - 1)
+      val df = rows.toDF("g", "v", "id").repartition(8)
+      val naive = df.withColumn("b", ntile(k).over(
+          Window.partitionBy("g").orderBy("v", "id")))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getInt(3))).toSet
+      val exact = Ntile.exact(df, k, Seq("g"), Seq("v", "id"), "b")
+        .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getInt(3))).toSet
+      assert(exact.size == rows.size, s"k=$k: NULL-keyed rows must not drop")
+      assert(exact == naive, s"k=$k")
     }
   }
 
