@@ -75,6 +75,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall vs brute")
   }
 
+  test("nearDupLsh: recall 1.0 vs exact all-pairs on planted near-dups at cosine >= 0.9") {
+    // plant near-dups: each base vector gets a copy perturbed by a
+    // small deterministic rotation of itself — cosine ~0.9988, firmly
+    // in the >= 0.9 regime the operator's recall contract targets
+    val base = cat.embeddings.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.05f * embedding[(i + 1) % 64] as float))")
+        .as("embedding"))
+    val corpus = base.unionByName(shifted)
+    val exact = pairSet(Ann.nearDupPairs(corpus, threshold = 0.9))
+    val lsh = pairSet(Ann.nearDupLsh(corpus, threshold = 0.9))
+    assert(exact.size >= 50, s"should contain the 50 planted pairs, got ${exact.size}")
+    assert((exact -- lsh).isEmpty,
+      s"LSH missed ${(exact -- lsh).size} of ${exact.size} exact pairs (recall must be 1.0 here)")
+    // precision is exact by construction: candidates are re-verified
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("d04 capped regime: a hot shingle above maxDf leaves intersections AND set sizes") {
+    import spark.implicits._
+    // 'h h h' appears in all 5 docs (DF=5); with maxDf=4 it must be
+    // dropped from the index — from the intersection counts and from
+    // the per-doc set sizes, so jaccard is exact over non-stop sets
+    val docs = Seq(
+      (1L, "h h h h a b c d e"),
+      (2L, "h h h h a b c d f"),
+      (3L, "h h h h p q r"),
+      (4L, "h h h h s t u"),
+      (5L, "h h h h v w x")).toDF("doc_id", "text")
+    // uncapped: docs 1,2 share {hhh,hha,hab,abc,bcd} of 6+6 -> 5/7
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(uncapped.toSeq == Seq((1L, 2L, 0.714286)))
+    // capped: hhh gone -> {hha,hab,abc,bcd} of 5+5 -> 4/6
+    val capped = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 0.666667)))
+  }
+
+  test("d04 oracle invariant: max shingle DF at oracle scales stays far below the 1000 cap") {
+    // the registered d04 runs maxDf=1000 while its DuckDB oracle is
+    // uncapped — results agree only while no shingle's DF exceeds the
+    // cap, so pin that invariant at both driver compare scales
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Catalog(spark, dir).documents
+      val sh = docs
+        .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(Text.shingles(col("toks"), 3))).as("shingle"))
+      val maxDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head.getLong(0)
+      assert(maxDf <= 1000L, s"$dir: max shingle DF $maxDf exceeds the d04 cap — oracle would diverge")
+    }
+  }
+
   test("multimodal decode: deterministic stub metadata from binary payloads") {
     val out = Multimodal.decode(Multimodal.asMedia(cat.documents))
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
