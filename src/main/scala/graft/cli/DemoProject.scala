@@ -1,0 +1,89 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core._
+
+/** A reference-scale model DAG over the TPC-H-ish catalog — the same
+  * 3-layer staging → intermediate → marts shape as the reference's
+  * 43-model dbt project (reference: DbtEducationalDataProject/models/
+  * staging|intermediate|marts, 43 models), sized by `nSlices`:
+  * `2·nSlices + 5` models (nSlices = 19 → 43).
+  *
+  * Layers:
+  *  - nSlices staging VIEWS, each a hash slice of orders (stand-ins
+  *    for the reference's many per-source staging models; views stay
+  *    lazy so Catalyst composes them into downstream plans);
+  *  - one staging view over customer;
+  *  - nSlices intermediate TABLES, one aggregation per slice;
+  *  - an all-slices rollup table + two mart tables + one INCREMENTAL
+  *    mart (watermark append), so every materialization class the
+  *    engine supports appears in the DAG.
+  *
+  * `changed` marks model bodies as edited — the hook the CLI's `ci`
+  * command uses to simulate a PR diff against the stored manifest.
+  */
+object DemoProject {
+
+  def graph(nSlices: Int = 19, changed: Set[String] = Set.empty): ModelGraph = {
+    require(nSlices >= 1)
+    def body(name: String, base: String): String =
+      if (changed(name)) base + " /* v2 */" else base
+
+    val stgOrders = (0 until nSlices).map { i =>
+      Model(s"stg_orders_$i", Seq("orders"), Materialization.View,
+        ctx => ctx.source("orders")
+          .filter(pmod(col("o_orderkey"), lit(nSlices)) === lit(i))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        body = body(s"stg_orders_$i", s"select orders slice $i of $nSlices"))
+    }
+    val stgCustomer = Model("stg_customer", Seq("customer"), Materialization.View,
+      ctx => ctx.source("customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment"),
+      body = body("stg_customer", "select customer dims"))
+
+    val ints = (0 until nSlices).map { i =>
+      Model(s"int_spend_$i", Seq(s"stg_orders_$i"), Materialization.Table,
+        ctx => ctx.ref(s"stg_orders_$i")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(14, 2))).as("spend"),
+            max(col("o_orderdate")).as("last_order")),
+        body = body(s"int_spend_$i", s"aggregate spend for slice $i"))
+    }
+    val intAll = Model("int_spend_all",
+      (0 until nSlices).map(i => s"int_spend_$i"),
+      Materialization.Table,
+      ctx => (0 until nSlices).map(i => ctx.ref(s"int_spend_$i"))
+        .reduce(_ unionByName _)
+        .groupBy("o_custkey")
+        .agg(sum("n_orders").cast("long").as("n_orders"),
+          sum("spend").as("spend"), max("last_order").as("last_order")),
+      body = body("int_spend_all", "union + rollup of all slices"))
+
+    val martSegment = Model("mart_segment_spend",
+      Seq("int_spend_all", "stg_customer"), Materialization.Table,
+      ctx => ctx.ref("stg_customer")
+        .join(ctx.ref("int_spend_all"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum("n_orders").cast("long").as("n_orders"),
+          sum("spend").as("spend")),
+      body = body("mart_segment_spend", "spend by market segment"))
+    val martNation = Model("mart_nation_spend",
+      Seq("int_spend_all", "stg_customer"), Materialization.Table,
+      ctx => ctx.ref("stg_customer")
+        .join(ctx.ref("int_spend_all"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_buyers"), sum("spend").as("spend")),
+      body = body("mart_nation_spend", "spend by nation"))
+    val martRecent = Model("mart_recent_buyers", Seq("int_spend_all"),
+      Materialization.Incremental(IncrementalStrategy.Append("last_order")),
+      ctx => ctx.ref("int_spend_all"),
+      body = body("mart_recent_buyers", "incremental buyers by last order date"))
+
+    ModelGraph((stgOrders :+ stgCustomer) ++ ints ++
+      Seq(intAll, martSegment, martNation, martRecent))
+  }
+}

@@ -13,7 +13,8 @@ import org.apache.spark.sql.DataFrame
   * view), so a 3-layer staging→intermediate→mart pipeline collapses
   * into as few physical jobs as there are persisted models.
   */
-final case class Runner(mat: Materializer, sources: String => DataFrame) {
+final case class Runner(mat: Materializer, sources: String => DataFrame,
+    fullRefresh: Boolean = false) {
 
   /** Run every model in topological order; returns name → output. */
   def runAll(graph: ModelGraph): Map[String, DataFrame] =
@@ -24,6 +25,6 @@ final case class Runner(mat: Materializer, sources: String => DataFrame) {
     names.foldLeft(Map.empty[String, DataFrame]) { (acc, name) =>
       val model = graph.byName(name)
       val resolve: String => DataFrame = n => acc.getOrElse(n, sources(n))
-      acc + (name -> mat.run(model, resolve))
+      acc + (name -> mat.run(model, resolve, fullRefresh))
     }
 }

@@ -43,6 +43,16 @@ object DataQuality {
       .join(parent.select(col(parentKey)),
         col(childKey) === col(parentKey), "left_anti")
 
+  /** dbt "singular" test: ANY query's rows are the violations — the
+    * escape hatch for cross-model assertions no generic test shape
+    * covers (reference: tests/test_financial_consistency.sql,
+    * tests/test_enrollment_integrity.sql — arbitrary SQL joining
+    * several models, failing when rows come back). Pairs with
+    * [[summarize]] exactly like the generic checks.
+    */
+  def singular(name: String, violations: DataFrame): (String, DataFrame) =
+    name -> violations
+
   /** One (check_name, n_violations) row per named check — the test
     * summary a CI run reports. Stays distributed: each count is an
     * aggregate, the union is a plan over all of them.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.operators.DataQuality
 import graft.sources.Catalog
@@ -91,5 +92,42 @@ object Quality {
       .orderBy("check_name")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03)
+  // t04 — SINGULAR cross-model tests (reference:
+  // tests/test_financial_consistency.sql shape — reconcile a parent
+  // model's stored totals against its child model's computed totals,
+  // fail on rows). All three checks are genuine findings in this
+  // synthetic data; thresholds sit far from any boundary value
+  // (min observed reconciliation diff is ~8.9), so the counts are
+  // deterministic across engines despite double-precision sums.
+  val t04: Q = q("t04_singular_financial_consistency",
+    """SELECT * FROM (
+      |  SELECT 'lineitem_total_mismatch' AS check_name,
+      |         (SELECT COUNT(*) FROM orders o JOIN
+      |            (SELECT l_orderkey, SUM(l_extendedprice*(1-l_discount)*(1+l_tax)) AS li_total
+      |             FROM lineitem GROUP BY 1) li ON o.o_orderkey = li.l_orderkey
+      |          WHERE ABS(o.o_totalprice - li.li_total) > 1.0) AS n_violations
+      |  UNION ALL SELECT 'linenumber_sequence_broken',
+      |         (SELECT COUNT(*) FROM (SELECT l_orderkey FROM lineitem
+      |                                GROUP BY 1 HAVING MAX(l_linenumber) <> COUNT(*)))
+      |  UNION ALL SELECT 'orders_without_lineitems',
+      |         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |            (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+      |) ORDER BY check_name""") { c =>
+    val li = c.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("li_total"),
+        max(col("l_linenumber")).as("max_ln"),
+        count(lit(1)).as("n_ln"))
+    DataQuality.summarize(Seq(
+      DataQuality.singular("lineitem_total_mismatch",
+        c.orders.join(li, col("o_orderkey") === col("l_orderkey"))
+          .filter(abs(col("o_totalprice") - col("li_total")) > 1.0)),
+      DataQuality.singular("linenumber_sequence_broken",
+        li.filter(col("max_ln") =!= col("n_ln"))),
+      DataQuality.singular("orders_without_lineitems",
+        c.orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"))))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04)
 }
