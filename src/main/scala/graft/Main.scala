@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ci.{CopyResult, IncrementalCI, TableCopier}
+import graft.cli.DemoProject
+import graft.core._
+import graft.operators.DataQuality
+import graft.sources.Catalog
+
+/** Command-line config — the Spark-native rendering of the reference
+  * CLI's options (reference: src/dbt_incremental_ci/cli.py:22-112 —
+  * manifest path, project dir, database URI, CI schema, threads,
+  * dry-run, verbose). The database URI becomes the warehouse root;
+  * the dbt project dir becomes the built-in demo DAG sized by
+  * `--slices`; the prod manifest is the warehouse artifact a prior
+  * `run` persisted (the dbt-Cloud HTTP fetch is out of scope, SURVEY
+  * §4).
+  */
+final case class CliConfig(
+    command: String = "",
+    sfDir: String = "/root/testdata/sf0.001",
+    warehouseRoot: String = "/tmp/graft_warehouse",
+    suffix: String = "ci",
+    threads: Int = 1,
+    slices: Int = 19,
+    changed: Set[String] = Set.empty,
+    cutoff: Option[String] = None,
+    select: Option[String] = None,
+    onSuffixed: Boolean = false,
+    dryRun: Boolean = false,
+    fullRefresh: Boolean = false,
+    verbose: Boolean = false)
+
+/** `graft run|test|clone|ci` — the engine's front door, mirroring the
+  * reference's console entry point (reference:
+  * src/dbt_incremental_ci/cli.py:22-243 + core.py orchestration):
+  *
+  *  - `run`   — materialize the demo DAG into the warehouse and persist
+  *              the manifest artifact (`dbt run` + manifest handoff);
+  *  - `test`  — data-quality checks over the materialized marts
+  *              (`dbt test`: a check passes at zero violations);
+  *  - `clone` — copy every incremental/snapshot model's prod state into
+  *              the `_<suffix>` schema (copier.py:110-284);
+  *  - `ci`    — the full workflow: diff the persisted manifest against
+  *              the current graph (with `--changed` simulating a PR's
+  *              edited model bodies), expand to the `state:modified+`
+  *              closure, clone only the closure's incremental/snapshot
+  *              targets, then run the closure in the suffixed schema
+  *              with out-of-closure refs deferred to prod state — the
+  *              reference's detect → filter → copy → build loop.
+  *
+  * Every subcommand returns a structured report (asserted in
+  * EngineSpec); `main` only parses, dispatches, prints, and exits.
+  */
+object Main {
+
+  val usage: String =
+    """usage: graft.Main <run|test|clone|ci> [options]
+      |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
+      |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
+      |  --schema-suffix <s>    CI schema suffix (default "ci")
+      |  --threads <n>          parallel table copies (default 1)
+      |  --slices <n>           demo DAG size: 2n+5 models (default 19 -> 43)
+      |  --changed <a,b,...>    model names whose bodies a PR edited (ci)
+      |  --cutoff <yyyy-mm-dd>  restrict source orders to before this date (run)
+      |  --select <sel>         ci selector; only state:modified+ is supported
+      |  --on-suffixed          point `test` at the _<suffix> schema
+      |  --dry-run              report what ci/clone WOULD copy
+      |  --full-refresh         incremental models rebuild from scratch
+      |  --verbose              per-model/table detail lines""".stripMargin
+
+  def parse(args: Seq[String]): Either[String, CliConfig] = {
+    if (args.isEmpty) return Left("missing command\n" + usage)
+    val cmd = args.head
+    if (!Set("run", "test", "clone", "ci").contains(cmd))
+      return Left(s"unknown command '$cmd'\n" + usage)
+    @annotation.tailrec
+    def loop(rest: List[String], cfg: CliConfig): Either[String, CliConfig] =
+      rest match {
+        case Nil => Right(cfg)
+        case "--sf-dir" :: v :: t => loop(t, cfg.copy(sfDir = v))
+        case "--warehouse" :: v :: t => loop(t, cfg.copy(warehouseRoot = v))
+        case "--schema-suffix" :: v :: t => loop(t, cfg.copy(suffix = v))
+        case "--threads" :: v :: t => loop(t, cfg.copy(threads = v.toInt))
+        case "--slices" :: v :: t => loop(t, cfg.copy(slices = v.toInt))
+        case "--changed" :: v :: t =>
+          loop(t, cfg.copy(changed = v.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        case "--cutoff" :: v :: t => loop(t, cfg.copy(cutoff = Some(v)))
+        case "--select" :: v :: t => loop(t, cfg.copy(select = Some(v)))
+        case "--on-suffixed" :: t => loop(t, cfg.copy(onSuffixed = true))
+        case "--dry-run" :: t => loop(t, cfg.copy(dryRun = true))
+        case "--full-refresh" :: t => loop(t, cfg.copy(fullRefresh = true))
+        case "--verbose" :: t => loop(t, cfg.copy(verbose = true))
+        case other :: _ => Left(s"unknown option '$other'\n" + usage)
+      }
+    loop(args.tail.toList, CliConfig(command = cmd)).flatMap { cfg =>
+      cfg.select match {
+        case Some(s) if s != "state:modified+" =>
+          Left(s"unsupported selector '$s' (only state:modified+)")
+        case _ => Right(cfg)
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // reports (spec-assertable, printing lives in main)
+
+  final case class RunReport(ran: Seq[String], counts: Map[String, Long])
+  final case class TestReport(checks: Seq[(String, Long)]) {
+    def failed: Boolean = checks.exists(_._2 > 0)
+  }
+  final case class CiReport(
+      selection: IncrementalCI.Selection,
+      copies: Seq[CopyResult],
+      ran: Seq[String],
+      ciCounts: Map[String, Long])
+
+  /** Raw-source resolution (dbt `source()`): catalog tables, with the
+    * `--cutoff` date restricting orders — how the demo stages a "prod
+    * as of yesterday" state for a later ci run to append onto.
+    */
+  def sources(spark: SparkSession, cfg: CliConfig): String => DataFrame = {
+    val c = Catalog(spark, cfg.sfDir)
+    name =>
+      cfg.cutoff match {
+        case Some(d) if name == "orders" =>
+          c.orders.filter(col("o_orderdate") < lit(d).cast("timestamp"))
+        case _ => c.table(name)
+      }
+  }
+
+  /** dbt `--defer`: a ref NOT materialized by this run resolves to the
+    * model's prod warehouse state (persisted kinds) or composes its
+    * plan in place (views), falling through to raw sources — the same
+    * resolution `dbt ls --select modified+ --defer` sets up for CI
+    * (reference: src/dbt_incremental_ci/dbt_helper.py:29-86).
+    */
+  def deferResolve(graph: ModelGraph, wh: Warehouse,
+      srcs: String => DataFrame): String => DataFrame = {
+    def resolve(name: String): DataFrame = graph.byName.get(name) match {
+      case Some(m) =>
+        m.materialization match {
+          case Materialization.View =>
+            m.transform(new ModelCtx {
+              def source(n: String): DataFrame = resolve(n)
+              def ref(n: String): DataFrame = resolve(n)
+              def thisTable: Option[DataFrame] = None
+            })
+          case _ => wh.read(m.schema, m.name) // prod (unsuffixed) state
+        }
+      case None => srcs(name)
+    }
+    resolve
+  }
+
+  /** `dbt run`: materialize the full demo DAG, then persist the
+    * manifest artifact the next ci run diffs against.
+    */
+  def run(spark: SparkSession, cfg: CliConfig): RunReport = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val graph = DemoProject.graph(cfg.slices)
+    val order = graph.topoOrder
+    val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh)
+      .runAll(graph)
+    ManifestState.save(wh, ManifestState.of(graph))
+    val counts = graph.models.collect {
+      case m if m.materialization != Materialization.View =>
+        m.name -> outs(m.name).count()
+    }.toMap
+    RunReport(order, counts)
+  }
+
+  /** `dbt test` over the materialized marts: generic not_null/unique/
+    * relationships checks plus one singular cross-model test, summarized
+    * as (check_name, n_violations) — pass = all zeros.
+    */
+  def test(spark: SparkSession, cfg: CliConfig): TestReport = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val schema = if (cfg.onSuffixed) s"analytics_${cfg.suffix}" else "analytics"
+    for (t <- Seq("int_spend_all", "mart_segment_spend", "mart_nation_spend"))
+      require(wh.exists(schema, t),
+        s"table $schema.$t missing - run `graft.Main run` first")
+    val intAll = wh.read(schema, "int_spend_all")
+    val seg = wh.read(schema, "mart_segment_spend")
+    val nat = wh.read(schema, "mart_nation_spend")
+    val nation = Catalog(spark, cfg.sfDir).nation
+    val checks = Seq(
+      "not_null_int_spend_all_custkey" ->
+        DataQuality.notNull(intAll, Seq("o_custkey")),
+      "unique_int_spend_all_custkey" ->
+        DataQuality.unique(intAll, Seq("o_custkey")),
+      "not_null_mart_segment" -> DataQuality.notNull(seg, Seq("c_mktsegment")),
+      "unique_mart_nation_key" -> DataQuality.unique(nat, Seq("c_nationkey")),
+      "relationships_mart_nation" ->
+        DataQuality.relationships(nat, "c_nationkey", nation, "n_nationkey"),
+      DataQuality.singular("singular_nonnegative_spend",
+        seg.filter(col("spend") < 0)))
+    val rows = DataQuality.summarize(checks).orderBy("check_name").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    TestReport(rows)
+  }
+
+  /** Standalone clone: every incremental/snapshot model of the DAG,
+    * prod -> `_<suffix>` schema (the reference run WITHOUT manifest
+    * filtering; copier.py:110-284).
+    */
+  def clone(spark: SparkSession, cfg: CliConfig): Seq[CopyResult] = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val graph = DemoProject.graph(cfg.slices)
+    val targets = graph.models.collect {
+      case m if (m.materialization match {
+        case Materialization.Incremental(_) | Materialization.Snapshot(_, _) => true
+        case _ => false
+      }) => m.name
+    }
+    TableCopier(wh, cfg.threads)
+      .copyAll("analytics", targets, cfg.suffix, cfg.dryRun)
+  }
+
+  /** The reference's core workflow, end-to-end on the demo DAG:
+    * manifest diff -> modified+ closure -> clone the closure's
+    * incremental/snapshot prod state -> run the closure in the
+    * suffixed schema with deferred refs. Dry-run stops after reporting
+    * what would be copied (reference: cli.py:160-214 summary).
+    */
+  def ci(spark: SparkSession, cfg: CliConfig): CiReport = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val manifest = ManifestState.load(wh).getOrElse(sys.error(
+      s"no manifest artifact under ${cfg.warehouseRoot}/_artifacts - run `graft.Main run` first"))
+    val graph = DemoProject.graph(cfg.slices, changed = cfg.changed)
+    val copier = TableCopier(wh, cfg.threads)
+    val (sel, copies) =
+      IncrementalCI.run(graph, manifest, copier, "analytics", cfg.suffix, cfg.dryRun)
+    if (cfg.dryRun) return CiReport(sel, copies, Nil, Map.empty)
+
+    val ciGraph = ModelGraph(graph.models.map(m =>
+      if (sel.closure.contains(m.name)) m.copy(schemaSuffix = Some(cfg.suffix))
+      else m))
+    val order = ciGraph.topoOrder.filter(sel.closure.contains)
+    val resolve = deferResolve(graph, wh, sources(spark, cfg))
+    val outs = Runner(Materializer(Warehouse(spark, cfg.warehouseRoot)), resolve,
+      cfg.fullRefresh).runSelected(ciGraph, order)
+    val counts = order.collect {
+      case n if ciGraph.byName(n).materialization != Materialization.View =>
+        n -> outs(n).count()
+    }.toMap
+    CiReport(sel, copies, order, counts)
+  }
+
+  // ----------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args.toSeq) match {
+      case Left(err) => System.err.println(err); sys.exit(2)
+      case Right(c) => c
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName(s"graft-${cfg.command}")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (cfg.verbose) "INFO" else "WARN")
+    val bar = "=" * 60
+    try cfg.command match {
+      case "run" =>
+        val r = run(spark, cfg)
+        println(bar + "\nRUN SUMMARY\n" + bar)
+        println(s"Models run: ${r.ran.size}")
+        if (cfg.verbose) r.ran.foreach(n => println(s"  - $n"))
+        r.counts.toSeq.sortBy(_._1).foreach { case (n, c) =>
+          println(f"  $n%-24s $c%10d rows") }
+      case "test" =>
+        val r = test(spark, cfg)
+        println(bar + "\nTEST SUMMARY\n" + bar)
+        r.checks.foreach { case (n, v) =>
+          println(f"  $n%-32s ${if (v == 0) "PASS" else s"FAIL ($v violations)"}") }
+        if (r.failed) { spark.stop(); sys.exit(1) }
+      case "clone" =>
+        val rs = clone(spark, cfg)
+        printCopySummary(bar, rs, cfg.dryRun)
+        if (rs.exists(_.status.startsWith("error"))) { spark.stop(); sys.exit(1) }
+      case "ci" =>
+        val r = ci(spark, cfg)
+        println(bar + (if (cfg.dryRun) "\nDRY RUN SUMMARY\n" else "\nCI SUMMARY\n") + bar)
+        println(s"Modified nodes: ${r.selection.directlyModified.size}")
+        println(s"state:modified+ closure: ${r.selection.closure.size}")
+        println(s"Incremental/Snapshot nodes: ${r.selection.cloneTargets.size}")
+        printCopySummary(bar, r.copies, cfg.dryRun)
+        if (!cfg.dryRun) {
+          println(s"CI models built (analytics_${cfg.suffix}): ${r.ran.size}")
+          r.ciCounts.toSeq.sortBy(_._1).foreach { case (n, c) =>
+            println(f"  $n%-24s $c%10d rows") }
+        }
+        if (r.copies.exists(_.status.startsWith("error"))) { spark.stop(); sys.exit(1) }
+    } finally spark.stop()
+  }
+
+  private def printCopySummary(bar: String, rs: Seq[CopyResult],
+      dryRun: Boolean): Unit = {
+    if (dryRun) {
+      println(s"Tables that would be copied: ${rs.count(_.status == "would_copy")}")
+      rs.filter(_.status == "would_copy").foreach(r =>
+        println(s"  - ${r.sourceSchema}.${r.table} -> ${r.targetSchema}.${r.table} (${r.rows} rows)"))
+    } else {
+      println(s"Tables copied successfully: ${rs.count(_.status == "copied")}")
+      val failed = rs.filterNot(_.status == "copied")
+      if (failed.nonEmpty) {
+        println(s"Tables failed: ${failed.size}")
+        failed.foreach(r => println(s"  - ${r.table}: ${r.status}"))
+      }
+    }
+  }
+}

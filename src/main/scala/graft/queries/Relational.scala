@@ -545,17 +545,25 @@ object Relational {
     // DetectAmbiguousSelfJoin (the Expand's null-extended copies alias
     // the originals), so the rollup goes through the SQL resolution
     // path — identical Catalyst plan, no Dataset-column ambiguity check.
-    val view = "graft_q24_src"
+    // The view is session-unique and dropped once the plan is analyzed,
+    // so the query leaves no shared session state behind.
+    val view = s"graft_q24_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     joined.createOrReplaceTempView(view)
-    joined.sparkSession.sql(
-      s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
-         |  COALESCE(n_name, 'ALL') AS nation_name,
-         |  CAST(GROUPING(r_name) AS INT) AS g_region,
-         |  CAST(GROUPING(n_name) AS INT) AS g_nation,
-         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
-         |  COUNT(*) AS n_suppliers
-         |FROM $view GROUP BY ROLLUP(r_name, n_name)
-         |ORDER BY g_region, g_nation, region_name, nation_name""".stripMargin)
+    try {
+      val out = joined.sparkSession.sql(
+        s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
+           |  COALESCE(n_name, 'ALL') AS nation_name,
+           |  CAST(GROUPING(r_name) AS INT) AS g_region,
+           |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+           |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           |  COUNT(*) AS n_suppliers
+           |FROM $view GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY g_region, g_nation, region_name, nation_name""".stripMargin)
+      out.queryExecution.analyzed // resolve the view ref before dropping it
+      out
+    } finally {
+      joined.sparkSession.catalog.dropTempView(view); ()
+    }
   }
 
   // q25 — scalar math battery (round/abs/mod/power/exp/ln/sign/

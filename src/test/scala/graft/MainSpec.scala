@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{ManifestState, Warehouse}
+import graft.sources.Catalog
+
+/** The graft.Main CLI end-to-end: run -> test -> dry-run ci -> ci,
+  * with the ci mart contents verified against an independent
+  * recomputation of the defer semantics (changed slice from full
+  * source, untouched slices from prod's cutoff state).
+  */
+class MainSpec extends SparkSpec {
+
+  private val slices = 5 // 2*5+5 = 15 models; Main defaults to 19 -> 43
+  private val cutoffDate = "1996-07-01"
+
+  test("Main.parse: commands, options, and rejection of unknowns") {
+    val cfg = Main.parse(Seq("ci", "--sf-dir", "/x", "--warehouse", "/w",
+      "--threads", "4", "--slices", "7", "--changed", "a,b", "--dry-run",
+      "--select", "state:modified+")).toOption.get
+    assert(cfg.command == "ci" && cfg.sfDir == "/x" && cfg.warehouseRoot == "/w")
+    assert(cfg.threads == 4 && cfg.slices == 7)
+    assert(cfg.changed == Set("a", "b") && cfg.dryRun)
+    assert(Main.parse(Nil).isLeft)
+    assert(Main.parse(Seq("frobnicate")).isLeft)
+    assert(Main.parse(Seq("run", "--bogus")).isLeft)
+    assert(Main.parse(Seq("ci", "--select", "tag:nightly")).isLeft)
+  }
+
+  test("Main ci: manifest diff -> closure -> clone -> deferred run on the demo DAG") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_main").toString
+    val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = slices, cutoff = Some(cutoffDate))
+
+    // ---- prod run on the cutoff state + persisted manifest
+    val runRep = Main.run(spark, base)
+    assert(runRep.ran.size == 2 * slices + 5)
+    val wh = Warehouse(spark, whRoot)
+    assert(ManifestState.load(wh).isDefined)
+    assert(wh.exists("analytics", "mart_recent_buyers"))
+
+    // ---- dbt test over the prod marts: all checks green
+    val testRep = Main.test(spark, base.copy(command = "test"))
+    assert(testRep.checks.nonEmpty && !testRep.failed,
+      s"prod quality checks failed: ${testRep.checks.filter(_._2 > 0)}")
+
+    // ---- dry-run ci: reports the would-copy set, builds nothing
+    val changed = Set("stg_orders_3")
+    val ciCfg = base.copy(command = "ci", cutoff = None, changed = changed)
+    val dry = Main.ci(spark, ciCfg.copy(dryRun = true))
+    assert(dry.copies.map(r => (r.table, r.status)) ==
+      Seq("mart_recent_buyers" -> "would_copy"))
+    assert(dry.ran.isEmpty && !wh.exists("analytics_ci", "mart_recent_buyers"))
+
+    // ---- real ci: the closure is exactly the changed slice + downstream
+    val rep = Main.ci(spark, ciCfg)
+    assert(rep.selection.directlyModified == changed)
+    assert(rep.selection.closure == Set("stg_orders_3", "int_spend_3",
+      "int_spend_all", "mart_segment_spend", "mart_nation_spend",
+      "mart_recent_buyers"))
+    assert(rep.selection.cloneTargets == Seq("mart_recent_buyers"))
+    assert(rep.copies.map(r => (r.table, r.status)) ==
+      Seq("mart_recent_buyers" -> "copied"))
+    assert(wh.tables("analytics_ci").toSet == Set("int_spend_3",
+      "int_spend_all", "mart_segment_spend", "mart_nation_spend",
+      "mart_recent_buyers"))
+
+    // ---- defer semantics, verified independently: slice 3 rebuilt from
+    // the FULL source, every other slice read from prod's cutoff state
+    val c = Catalog(spark, sfDir)
+    val cut = c.orders.filter(col("o_orderdate") < lit(cutoffDate).cast("timestamp"))
+    def spend(df: DataFrame, i: Int): DataFrame =
+      df.filter(pmod(col("o_orderkey"), lit(slices)) === lit(i))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).as("spend"),
+          max(col("o_orderdate")).as("last_order"))
+    val expIntAll = (0 until slices)
+      .map(i => spend(if (i == 3) c.orders else cut, i))
+      .reduce(_ unionByName _)
+      .groupBy("o_custkey")
+      .agg(sum("n_orders").cast("long").as("n_orders"),
+        sum("spend").as("spend"), max("last_order").as("last_order"))
+    val expSeg = c.customer
+      .join(expIntAll, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_buyers"),
+        sum("n_orders").cast("long").as("n_orders"), sum("spend").as("spend"))
+      .orderBy("c_mktsegment")
+    val gotSeg = wh.read("analytics_ci", "mart_segment_spend")
+      .orderBy("c_mktsegment")
+    assert(gotSeg.collect().map(_.toString).toSeq ==
+      expSeg.collect().map(_.toString).toSeq)
+
+    // ---- the incremental mart APPENDED onto its clone: prod rows kept,
+    // plus exactly the ci rows past prod's max watermark
+    val prodRecent = wh.read("analytics", "mart_recent_buyers")
+    val prodMax = prodRecent.agg(max("last_order")).head.get(0)
+    val ciIntAll = wh.read("analytics_ci", "int_spend_all")
+    val expAppended = ciIntAll.filter(col("last_order") > lit(prodMax)).count()
+    assert(expAppended > 0, "demo must exercise a non-empty append")
+    assert(wh.read("analytics_ci", "mart_recent_buyers").count() ==
+      prodRecent.count() + expAppended)
+
+    // ---- dbt test over the ci marts too
+    val ciTest = Main.test(spark, ciCfg.copy(command = "test", onSuffixed = true))
+    assert(!ciTest.failed, s"ci quality checks failed: ${ciTest.checks.filter(_._2 > 0)}")
+
+    // ---- ci with no edits: empty selection, nothing cloned or run
+    val noop = Main.ci(spark, base.copy(command = "ci", cutoff = None))
+    assert(noop.selection.directlyModified.isEmpty && noop.ran.isEmpty)
+  }
+
+  test("Main clone: copies every incremental/snapshot model prod -> suffixed schema") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = slices)
+    Main.run(spark, base)
+    val rs = Main.clone(spark, base.copy(command = "clone", suffix = "pr_7"))
+    assert(rs.map(r => (r.table, r.targetSchema, r.status)) ==
+      Seq(("mart_recent_buyers", "analytics_pr_7", "copied")))
+    assert(wh(whRoot).read("analytics_pr_7", "mart_recent_buyers").count() ==
+      wh(whRoot).read("analytics", "mart_recent_buyers").count())
+  }
+
+  private def wh(root: String) = Warehouse(spark, root)
+}
