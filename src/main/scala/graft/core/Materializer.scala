@@ -85,7 +85,7 @@ final case class Materializer(wh: Warehouse) {
           if (maxWm == null) incoming
           else incoming.filter(col(wm) > lit(maxWm))
         val tgt = targetSchemaOf(model, existing, incoming)
-        if (tgt.length == existing.columns.length) {
+        if (tgt == existing.columns.toSeq) {
           wh.write(alignTo(tgt, fresh), model.targetSchema, model.name,
             mode = "append")
         } else {
@@ -129,6 +129,8 @@ final case class Materializer(wh: Warehouse) {
     model.onSchemaChange match {
       case OnSchemaChange.Ignore => have
       case OnSchemaChange.AppendNewColumns => have ++ extra
+      case OnSchemaChange.SyncAllColumns =>
+        have.filter(incoming.columns.toSet) ++ extra
       case OnSchemaChange.Fail =>
         require(extra.isEmpty, s"schema change on ${model.name}: new columns $extra")
         have

@@ -51,6 +51,12 @@ object OnSchemaChange {
     * DbtEducationalDataProject/dbt_project.yml:274).
     */
   case object AppendNewColumns extends OnSchemaChange
+  /** Full sync to the incoming schema: new columns are added AND
+    * columns the source no longer produces are dropped from the
+    * target (dbt `sync_all_columns`). Surviving columns keep their
+    * existing order; new ones append at the end.
+    */
+  case object SyncAllColumns extends OnSchemaChange
   case object Fail extends OnSchemaChange
 }
 

@@ -129,5 +129,40 @@ object Quality {
       .orderBy("check_name")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04)
+  // t05 — SINGULAR date-logic test (reference:
+  // tests/test_enrollment_integrity.sql shape — enrollment after the
+  // semester's end OR completion before enrollment, i.e. child-event
+  // timestamps outside the parent's validity window, plus the
+  // duplicate-enrollment shape). Over orders/lineitem: a line shipped
+  // before its order exists, shipped past the 120-day fulfilment
+  // window, or the same (order, part, supplier) appearing twice.
+  // Timestamps compare exactly (ms precision, no rounding), so the
+  // counts are engine-independent.
+  val t05: Q = q("t05_singular_enrollment_integrity",
+    """SELECT * FROM (
+      |  SELECT 'duplicate_order_part_supp' AS check_name,
+      |         (SELECT COUNT(*) FROM (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+      |                                GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)) AS n_violations
+      |  UNION ALL SELECT 'shipped_before_order',
+      |         (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |          WHERE l.l_shipdate < o.o_orderdate)
+      |  UNION ALL SELECT 'shipped_outside_window',
+      |         (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+      |) ORDER BY check_name""") { c =>
+    val joined = c.lineitem
+      .join(c.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    DataQuality.summarize(Seq(
+      DataQuality.singular("duplicate_order_part_supp",
+        DataQuality.unique(c.lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+      DataQuality.singular("shipped_before_order",
+        joined.filter(col("l_shipdate") < col("o_orderdate"))),
+      DataQuality.singular("shipped_outside_window",
+        joined.filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 120 DAYS")))))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
 }

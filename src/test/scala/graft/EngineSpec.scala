@@ -76,6 +76,23 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: sync_all_columns drops removed columns and adds new ones") {
+    val wh = freshWh("sync")
+    val mat = Materializer(wh)
+    val model = Model("t", Seq("src"),
+      Materialization.Incremental(IncrementalStrategy.Append("wm")),
+      ctx => ctx.source("src"),
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    mat.run(model, _ => df(Seq((1L, "a", 1))))          // (k, v, wm)
+    // batch 2: v gone, extra new — target syncs to (k, wm, extra)
+    val reshaped = spark.createDataFrame(Seq((2L, 2, "x"))).toDF("k", "wm", "extra")
+    val out = mat.run(model, _ => reshaped)
+    assert(out.columns.toSeq == Seq("k", "wm", "extra"))
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 1, null), (2L, 2, "x")))
+  }
+
   test("full refresh drops the incremental target and rebuilds from the batch") {
     val wh = freshWh("refresh")
     val mat = Materializer(wh)
