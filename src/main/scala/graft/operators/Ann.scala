@@ -103,14 +103,52 @@ object Ann {
     * `nProbe` nearest centroids and re-ranks only those clusters with
     * exact cosine. Candidate volume ≈ nProbe/nCentroids of the corpus.
     *
-    * Centroids here are the first `nCentroids` corpus vectors —
-    * deterministic and collected to the driver as a config-sized
-    * constant (nCentroids × dim doubles; a k-means refinement would
-    * replace this pick, the assign/probe machinery is unchanged).
+    * Centroids: the first `nCentroids` corpus vectors seed the
+    * codebook (deterministic), then `kmeansIters` Lloyd iterations
+    * refine it — each iteration is ONE distributed pass (assign to
+    * nearest centroid, element-wise mean per cluster) and only the
+    * nCentroids × dim aggregated means reach the driver, so the
+    * refinement is as cluster-scale as the probe itself. An empty
+    * cluster keeps its previous centroid.
     */
-  def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[(Int, Array[Double], Double)] =
+  /** A coarse codebook entry: (centroid id, vector, norm). */
+  type Codebook = Array[(Int, Array[Double], Double)]
+
+  /** (cosine-to-centroid, centroid-id) structs for a vector column;
+    * array_max / sort give argmax / top-probes (struct ordering =
+    * field order).
+    */
+  private[graft] def centScoresFor(cs: Codebook, v: String) =
+    array(cs.toSeq.map { case (i, c, nc) =>
+      struct((Vectors.dotLit(col(v), c) / nc).as("s"), lit(i).as("i")) }: _*)
+
+  /** Corpus rows with their nearest-centroid assignment:
+    * (neighbor_id, v, nrm, cluster).
+    */
+  private[graft] def assigned(corpus: DataFrame, cs: Codebook): DataFrame =
+    normed(corpus)
+      .withColumn("cluster", array_max(centScoresFor(cs, "v"))("i"))
+
+  /** Build the IVF coarse codebook: the first `nCentroids` corpus
+    * vectors seed it (deterministic), then `kmeansIters` spherical
+    * k-means (Lloyd) iterations refine it. Each iteration is ONE
+    * distributed pass — assign to nearest centroid, element-wise mean
+    * of UNIT vectors per cluster (a raw mean would let long vectors
+    * dominate the direction, which is all cosine assignment cares
+    * about) — and only nCentroids × dim aggregated doubles reach the
+    * driver. An empty cluster keeps its previous centroid.
+    *
+    * What refinement buys at scale: BALANCED inverted lists. A seed
+    * codebook of arbitrary corpus vectors leaves some clusters holding
+    * a large corpus fraction, and the largest probed list bounds both
+    * per-query work and tail latency; Lloyd iterations shrink the max
+    * list toward n/nCentroids (pinned in LlmOpsSpec). On structureless
+    * corpora that balance costs ~0.03 recall at fixed nProbe (coverage
+    * per probe drops as lists even out) — the classic IVF trade.
+    */
+  def ivfCodebook(corpus: DataFrame, nCentroids: Int = 16,
+      kmeansIters: Int = 2): Codebook = {
+    val seed0: Codebook =
       corpus.filter(col("vec_id") < nCentroids)
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("cv"))
         .collect()
@@ -118,11 +156,30 @@ object Ann {
           val v = r.getSeq[Double](1).toArray
           (r.getLong(0).toInt, v, math.sqrt(v.map(x => x * x).sum))
         }
-    require(cents.nonEmpty, "corpus must contain the centroid ids")
-    // (cosine-to-centroid, centroid-id) structs; array_max / sort give
-    // argmax / top-probes (struct ordering = field order)
-    def centScores(v: String) = array(cents.map { case (i, c, nc) =>
-      struct((Vectors.dotLit(col(v), c) / nc).as("s"), lit(i).as("i")) }: _*)
+    require(seed0.nonEmpty, "corpus must contain the centroid ids")
+    val dim = seed0.head._2.length
+    (0 until kmeansIters).foldLeft(seed0) { (cur, _) =>
+      val means = assigned(corpus, cur)
+        .select(col("cluster"),
+          posexplode(transform(col("v"), x => x / col("nrm"))).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cur.map { case (i, cOld, nOld) =>
+        means.get(i).fold((i, cOld, nOld)) { rows =>
+          val m = new Array[Double](dim)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          if (nrm > 0) (i, m, nrm) else (i, cOld, nOld)
+        }
+      }
+    }
+  }
+
+  def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val cents = ivfCodebook(corpus, nCentroids, kmeansIters)
+    def centScores(v: String) = centScoresFor(cents, v)
 
     val corpusA = normed(corpus)
       .withColumn("cluster", array_max(centScores("v"))("i"))
