@@ -120,6 +120,26 @@ class LlmOpsSpec extends SparkSpec {
     ()
   }
 
+  test("connected components: transitive closure over chains, isolated pairs, canonical mins") {
+    import graft.operators.DupGroups
+    // chain 10-11-12-13 plus a bridge 30-13 (min label must travel the
+    // full diameter, exercising multiple propagation rounds), and an
+    // isolated pair 20-21
+    val edges = spark.createDataFrame(Seq(
+      (11L, 12L), (12L, 13L), (10L, 11L), (30L, 13L), (20L, 21L)))
+      .toDF("id_a", "id_b")
+    val comp = DupGroups.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      30L -> 10L, 20L -> 20L, 21L -> 20L))
+    val groups = DupGroups.groups(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(groups(13L) == ((10L, 5L, false)))
+    assert(groups(10L) == ((10L, 5L, true)))
+    assert(groups(21L) == ((20L, 2L, false)))
+  }
+
   test("nearDupLsh: recall 1.0 vs exact all-pairs on planted near-dups at cosine >= 0.9") {
     // plant near-dups: each base vector gets a copy perturbed by a
     // small deterministic rotation of itself — cosine ~0.9988, firmly
