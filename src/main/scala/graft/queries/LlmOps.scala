@@ -270,6 +270,81 @@ object LlmOps {
       .limit(20)
   }
 
+  // x06 — the FILTER stage of a training-data pipeline: combine the
+  // lang-ID and quality signals into a per-doc keep/drop decision
+  // (predicted language must match the labeled one AND the quality
+  // score must clear a floor), reported as per-(lang, source) keep
+  // rates — the dashboard a data-curation run actually reads. Both
+  // engines compute the score with identical double arithmetic, so
+  // the >= threshold compare is deterministic.
+  val x06: Q = q("x06_quality_filter",
+    s"""WITH t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, lang, source,
+       |  len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS en_hits,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.esStops)})) AS es_hits,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.deStops)})) AS de_hits,
+       |  len(list_filter(toks, x -> x IN ${inList(Text.frStops)})) AS fr_hits
+       |FROM t),
+       |d AS (SELECT lang, source,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+       |  0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |    + 0.5 * (CAST(en_hits AS DOUBLE) / n_tokens) AS score
+       |FROM h)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN pred_lang = lang AND score >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  ROUND(CAST(SUM(CASE WHEN pred_lang = lang AND score >= 0.3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+       |FROM d GROUP BY lang, source ORDER BY lang, source""") { c =>
+    val toks = Text.tokens(col("text"))
+    val h = c.documents.select(col("doc_id"), col("lang"), col("source"),
+      size(toks).as("n_tokens"),
+      Text.hitCount(toks, Text.enStops).as("en_hits"),
+      Text.hitCount(toks, Text.esStops).as("es_hits"),
+      Text.hitCount(toks, Text.deStops).as("de_hits"),
+      Text.hitCount(toks, Text.frStops).as("fr_hits"))
+    val nTok = col("n_tokens").cast(DoubleType)
+    val score = lit(0.5) * least(lit(1.0), nTok / 100.0) +
+      lit(0.5) * (col("en_hits").cast(DoubleType) / nTok)
+    val keep = (Text.predLang(col("en_hits"), col("es_hits"),
+      col("de_hits"), col("fr_hits")) === col("lang")) && score >= 0.3
+    val kept = sum(when(keep, 1).otherwise(0)).cast(LongType)
+    h.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), kept.as("n_keep"),
+        round(kept.cast(DoubleType) / count(lit(1)), 6).as("keep_rate"))
+      .orderBy("lang", "source")
+  }
+
+  // x07 — per-language corpus profile: doc counts, token volume, char
+  // length distribution (exact median — percentile() in Spark is the
+  // exact interpolated quantile, = DuckDB quantile_cont), source
+  // diversity. The profiling pass a curation run uses to weight
+  // language mixes.
+  val x07: Q = q("x07_corpus_stats",
+    """WITH t AS (SELECT lang, source, length(text) AS n_chars,
+      |             len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+      |  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars,
+      |  CAST(MIN(n_chars) AS INT) AS min_chars, CAST(MAX(n_chars) AS INT) AS max_chars,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM t GROUP BY lang ORDER BY lang""") { c =>
+    c.documents
+      .select(col("lang"), col("source"),
+        length(col("text")).cast(IntegerType).as("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast(LongType).as("total_tokens"),
+        round(avg(col("n_chars").cast(DoubleType)), 6).as("avg_chars"),
+        round(expr("percentile(cast(n_chars as double), 0.5)"), 6).as("median_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -290,5 +365,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
-    x01, x02, x03, x04, x05, mm01)
+    x01, x02, x03, x04, x05, x06, x07, mm01)
 }
