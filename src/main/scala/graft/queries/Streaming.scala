@@ -86,5 +86,22 @@ object Streaming {
     """SELECT event_id, ts, user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin.trim))
 
-  val all: Seq[Q] = Seq(e01, e02, e03)
+  // e04 — stream dedup: an at-least-once source re-delivers a slice
+  // of the events (every 10th, modeling a replayed partition); the
+  // dedup collapses them back to exactly-once. Batch form = distinct
+  // on the event key over the re-delivered union; the streaming form
+  // (dropDuplicatesWithinWatermark, state bounded by the watermark)
+  // is exercised in StreamingSpec with cross-batch re-delivery.
+  val e04: Q = q("e04_stream_dedup",
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT * FROM events
+      |    UNION ALL SELECT * FROM events WHERE event_id % 10 = 0))
+      |ORDER BY event_id""") { c =>
+    EventStream.dedup(
+        c.events.unionAll(c.events.filter(col("event_id") % 10 === 0)))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04)
 }

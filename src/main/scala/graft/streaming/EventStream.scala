@@ -76,6 +76,23 @@ object EventStream {
         sum(decVal(col("value"))).cast(DoubleType).as("total_value"))
   }
 
+  // ---------------------------------------------------------------
+  /** e04 batch: exactly-once view over an at-least-once stream —
+    * re-delivered events collapse to one row per event key.
+    */
+  def dedup(events: DataFrame): DataFrame = events.dropDuplicates("event_id")
+
+  /** e04 streaming: the same dedup with state BOUNDED by the
+    * watermark — `dropDuplicatesWithinWatermark` only remembers keys
+    * inside the watermark horizon, so state is O(events per window)
+    * instead of O(all keys ever seen). Re-delivery later than the
+    * watermark would re-emit; at-least-once sources re-deliver within
+    * seconds-to-minutes, far inside the horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- streaming sessionization ----------------------------------
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: BigDecimal)

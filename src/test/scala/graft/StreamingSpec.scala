@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == n)
   }
 
+  test("stream dedup: cross-batch re-delivery within the watermark emits each event once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = cat.events.filter(col("user_id") < 20)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.dedupStream(stream).writeStream
+      .format("memory").queryName("e04_stream")
+      .outputMode("append").start()
+    // batch 1: first half; batch 2: second half PLUS a replay of a
+    // slice of batch 1 (the at-least-once failure mode: a partition
+    // re-delivered across a micro-batch boundary)
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2 ++ b1.filter(_._1 % 10 == 0)); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("e04_stream").select("event_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(streamed.size == rows.size, "every event exactly once")
+    assert(streamed.toSet == rows.map(_._1).toSet)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch window form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
