@@ -364,6 +364,15 @@ object LlmOps {
       .orderBy("media_id")
   }
 
+  // mm02 — frame sampling: every 4th frame per payload with byte-range
+  // metadata + per-frame checksum (decode and sample fused into one
+  // executor-side scan; only fixed-width features ship). Rows-only;
+  // determinism + stride/count invariants pinned in LlmOpsSpec.
+  val mm02: Q = rowsOnly("mm02_frame_sample") { c =>
+    Multimodal.frameSample(Multimodal.asMedia(c.documents), stride = 4)
+      .orderBy("media_id", "frame_idx")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, mm01)
+    x01, x02, x03, x04, x05, x06, x07, mm01, mm02)
 }

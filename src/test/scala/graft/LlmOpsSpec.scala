@@ -196,6 +196,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frame sampling: stride/count invariants, deterministic checksums") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asMedia(cat.documents)
+    val frames = Multimodal.frameSample(media, stride = 4)
+    val byMedia = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n_sampled"), max("frame_idx").as("max_idx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val decoded = Multimodal.decode(media)
+      .select(col("media_id"), size(col("frame_offsets")).as("n_frames"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byMedia.keySet == decoded.keySet)
+    for ((id, n) <- decoded) {
+      val (sampled, maxIdx) = byMedia(id)
+      assert(sampled == (n + 3) / 4, s"media $id: $n frames -> $sampled sampled")
+      assert(maxIdx % 4 == 0 && maxIdx < n)
+    }
+    // stub checksums are a pure function of the payload: two runs agree
+    val once = frames.orderBy("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSeq
+    val again = Multimodal.frameSample(media, stride = 4)
+      .orderBy("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4))).toSeq
+    assert(once.nonEmpty && once == again)
+  }
+
   test("multimodal decode: deterministic stub metadata from binary payloads") {
     val out = Multimodal.decode(Multimodal.asMedia(cat.documents))
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
