@@ -402,5 +402,31 @@ object Engine {
     outputs("mart_segment_spend").orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+  // m12 — the CLI's reference-scale demo DAG (43 models: 19 hash-slice
+  // staging views -> 19 per-slice aggregate tables -> rollup + marts +
+  // one incremental), materialized end-to-end by the same Runner the
+  // CLI drives, with the final mart oracle-gated. The oracle exploits
+  // that the 19 slices PARTITION orders: the slice union re-aggregates
+  // to a plain per-customer rollup.
+  val m12: Q = q("m12_demo_dag",
+    """WITH spend AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_buyers,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(SUM(spend) AS DOUBLE) AS spend
+      |FROM customer JOIN spend ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m12")
+    val outs = Runner(Materializer(wh), c.table)
+      .runAll(graft.cli.DemoProject.graph(19))
+    outs("mart_segment_spend")
+      .select(col("c_mktsegment"), col("n_buyers"), col("n_orders"),
+        dbl(col("spend")).as("spend"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 }

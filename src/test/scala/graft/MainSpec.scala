@@ -114,6 +114,15 @@ class MainSpec extends SparkSpec {
     assert(noop.selection.directlyModified.isEmpty && noop.ran.isEmpty)
   }
 
+  test("Main ci without a prod manifest fails with a clear error") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_nomanifest").toString
+    val e = intercept[RuntimeException] {
+      Main.ci(spark, CliConfig(command = "ci", sfDir = sfDir,
+        warehouseRoot = whRoot, slices = 3))
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("Main clone: copies every incremental/snapshot model prod -> suffixed schema") {
     val whRoot = java.nio.file.Files.createTempDirectory("graft_clone").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
