@@ -95,6 +95,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == union-find on random graphs") {
+    import graft.operators.DupGroups
+    val edgeGen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    for (i <- 1 to 6) {
+      val edges = sample(edgeGen, 600 + i)
+      if (edges.nonEmpty) {
+        // reference model: path-compressing union-find, component
+        // label = min node id (same canonical rule)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); () }
+        }
+        edges.foreach { case (a, b) => union(a, b) }
+        val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(n => n -> find(n)).toMap
+
+        val df = spark.createDataFrame(edges).toDF("id_a", "id_b")
+        val got = DupGroups.connectedComponents(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"iteration $i (${edges.size} edges)")
+      }
+    }
+  }
+
+  test("Bench.median == middle of the sorted sample") {
+    val xs = Gen.listOfN(9, Gen.choose(0.0, 100.0))
+    for (i <- 1 to 6) {
+      val v = sample(xs, 900 + i).take(3 + i % 5)
+      val s = v.sorted
+      val expected =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      assert(Bench.median(v) == expected, s"iteration $i ($v)")
+    }
+    assert(Bench.median(Nil) == 0.0)
+  }
+
   test("yearsBetween == java.time full-year difference") {
     import spark.implicits._
     val dateGen = for {
