@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -345,6 +346,45 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  // x08 — TF-IDF top terms per document: term frequency × smoothed
+  // inverse document frequency (the classic corpus-weighting step a
+  // curation/retrieval pipeline runs before keyword filters or sparse
+  // retrieval). Two hash aggregations + one broadcast of the 1-row
+  // corpus count; the rank<=3 filter sits directly above one window,
+  // so Spark's rank-limit pushdown (WindowGroupLimit) bounds it
+  // map-side. Ordering ties break on the term, and both engines
+  // compute the same double `tf * ln((n+1)/(df+1))`, so the top-3 cut
+  // is deterministic.
+  val x08: Q = q("x08_tfidf",
+    """WITH toks AS (SELECT doc_id, t AS term FROM
+      |         (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |       WHERE t <> ''),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+      |        tf.tf * LN((n.n_docs + 1.0) / (dfr.df + 1.0)) AS raw
+      |      FROM tf JOIN dfr USING (term), n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rank FROM s)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, ROUND(raw, 6) AS tfidf
+      |FROM r WHERE rank <= 3 AND doc_id < 100 ORDER BY doc_id, rank""") { c =>
+    val toks = c.documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = c.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("raw",
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+    val w = Window.partitionBy("doc_id").orderBy(col("raw").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3 && col("doc_id") < 100)
+      .select(col("doc_id"), col("rank").cast(IntegerType).as("rank"),
+        col("term"), col("tf"), col("df"), round(col("raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -374,5 +414,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, mm01, mm02)
+    x01, x02, x03, x04, x05, x06, x07, x08, mm01, mm02)
 }
