@@ -22,6 +22,7 @@ final case class CliConfig(
     command: String = "",
     sfDir: String = "/root/testdata/sf0.001",
     warehouseRoot: String = "/tmp/graft_warehouse",
+    schema: String = "analytics",
     suffix: String = "ci",
     threads: Int = 1,
     slices: Int = 19,
@@ -60,8 +61,10 @@ object Main {
     """usage: graft.Main <run|test|clone|ci> [options]
       |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
       |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
+      |  --schema <name>        base warehouse schema for `run` (default "analytics");
+      |                         test/clone/ci auto-detect it from the persisted manifest
       |  --schema-suffix <s>    CI schema suffix (default "ci")
-      |  --threads <n>          parallel table copies (default 1)
+      |  --threads <n>          parallel table copies AND model builds (default 1)
       |  --slices <n>           demo DAG size: 2n+5 models (default 19 -> 43)
       |  --changed <a,b,...>    model names whose bodies a PR edited (ci)
       |  --cutoff <yyyy-mm-dd>  restrict source orders to before this date (run)
@@ -82,6 +85,7 @@ object Main {
         case Nil => Right(cfg)
         case "--sf-dir" :: v :: t => loop(t, cfg.copy(sfDir = v))
         case "--warehouse" :: v :: t => loop(t, cfg.copy(warehouseRoot = v))
+        case "--schema" :: v :: t => loop(t, cfg.copy(schema = v))
         case "--schema-suffix" :: v :: t => loop(t, cfg.copy(suffix = v))
         case "--threads" :: v :: t => loop(t, cfg.copy(threads = v.toInt))
         case "--slices" :: v :: t => loop(t, cfg.copy(slices = v.toInt))
@@ -115,7 +119,23 @@ object Main {
       selection: IncrementalCI.Selection,
       copies: Seq[CopyResult],
       ran: Seq[String],
-      ciCounts: Map[String, Long])
+      ciCounts: Map[String, Long],
+      ciSchema: String = "")
+
+  /** A user-correctable CLI failure (e.g. `ci` before any `run` has
+    * persisted a manifest): `main` prints the message to stderr and
+    * exits 2 — the same clean path parse errors take — instead of an
+    * uncaught stack trace.
+    */
+  final class CliError(msg: String) extends RuntimeException(msg)
+
+  /** The warehouse base schema: inferred from the persisted manifest
+    * (what the last `run` actually materialized — reference:
+    * src/dbt_incremental_ci/core.py:98-132 reads it off manifest.json),
+    * falling back to `--schema` when no manifest exists yet.
+    */
+  def baseSchemaOf(wh: Warehouse, cfg: CliConfig): String =
+    ManifestState.load(wh).flatMap(_.baseSchema).getOrElse(cfg.schema)
 
   /** Raw-source resolution (dbt `source()`): catalog tables, with the
     * `--cutoff` date restricting orders — how the demo stages a "prod
@@ -160,9 +180,10 @@ object Main {
     */
   def run(spark: SparkSession, cfg: CliConfig): RunReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val graph = DemoProject.graph(cfg.slices)
+    val graph = DemoProject.graph(cfg.slices, schema = cfg.schema)
     val order = graph.topoOrder
-    val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh)
+    val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh,
+        threads = cfg.threads)
       .runAll(graph)
     ManifestState.save(wh, ManifestState.of(graph))
     val counts = graph.models.collect {
@@ -178,9 +199,10 @@ object Main {
     */
   def test(spark: SparkSession, cfg: CliConfig): TestReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val schema = if (cfg.onSuffixed) s"analytics_${cfg.suffix}" else "analytics"
+    val base = baseSchemaOf(wh, cfg)
+    val schema = if (cfg.onSuffixed) s"${base}_${cfg.suffix}" else base
     for (t <- Seq("int_spend_all", "mart_segment_spend", "mart_nation_spend"))
-      require(wh.exists(schema, t),
+      if (!wh.exists(schema, t)) throw new CliError(
         s"table $schema.$t missing - run `graft.Main run` first")
     val intAll = wh.read(schema, "int_spend_all")
     val seg = wh.read(schema, "mart_segment_spend")
@@ -208,7 +230,8 @@ object Main {
     */
   def clone(spark: SparkSession, cfg: CliConfig): Seq[CopyResult] = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val graph = DemoProject.graph(cfg.slices)
+    val base = baseSchemaOf(wh, cfg)
+    val graph = DemoProject.graph(cfg.slices, schema = base)
     val targets = graph.models.collect {
       case m if (m.materialization match {
         case Materialization.Incremental(_) | Materialization.Snapshot(_, _) => true
@@ -216,7 +239,7 @@ object Main {
       }) => m.name
     }
     TableCopier(wh, cfg.threads)
-      .copyAll("analytics", targets, cfg.suffix, cfg.dryRun)
+      .copyAll(base, targets, cfg.suffix, cfg.dryRun)
   }
 
   /** The reference's core workflow, end-to-end on the demo DAG:
@@ -227,13 +250,15 @@ object Main {
     */
   def ci(spark: SparkSession, cfg: CliConfig): CiReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val manifest = ManifestState.load(wh).getOrElse(sys.error(
+    val manifest = ManifestState.load(wh).getOrElse(throw new CliError(
       s"no manifest artifact under ${cfg.warehouseRoot}/_artifacts - run `graft.Main run` first"))
-    val graph = DemoProject.graph(cfg.slices, changed = cfg.changed)
+    val base = manifest.baseSchema.getOrElse(cfg.schema)
+    val graph = DemoProject.graph(cfg.slices, changed = cfg.changed, schema = base)
     val copier = TableCopier(wh, cfg.threads)
     val (sel, copies) =
-      IncrementalCI.run(graph, manifest, copier, "analytics", cfg.suffix, cfg.dryRun)
-    if (cfg.dryRun) return CiReport(sel, copies, Nil, Map.empty)
+      IncrementalCI.run(graph, manifest, copier, base, cfg.suffix, cfg.dryRun)
+    val ciSchema = s"${base}_${cfg.suffix}"
+    if (cfg.dryRun) return CiReport(sel, copies, Nil, Map.empty, ciSchema)
 
     val ciGraph = ModelGraph(graph.models.map(m =>
       if (sel.closure.contains(m.name)) m.copy(schemaSuffix = Some(cfg.suffix))
@@ -241,12 +266,12 @@ object Main {
     val order = ciGraph.topoOrder.filter(sel.closure.contains)
     val resolve = deferResolve(graph, wh, sources(spark, cfg))
     val outs = Runner(Materializer(Warehouse(spark, cfg.warehouseRoot)), resolve,
-      cfg.fullRefresh).runSelected(ciGraph, order)
+      cfg.fullRefresh, threads = cfg.threads).runSelected(ciGraph, order)
     val counts = order.collect {
       case n if ciGraph.byName(n).materialization != Materialization.View =>
         n -> outs(n).count()
     }.toMap
-    CiReport(sel, copies, order, counts)
+    CiReport(sel, copies, order, counts, ciSchema)
   }
 
   // ----------------------------------------------------------------
@@ -291,11 +316,14 @@ object Main {
         println(s"Incremental/Snapshot nodes: ${r.selection.cloneTargets.size}")
         printCopySummary(bar, r.copies, cfg.dryRun)
         if (!cfg.dryRun) {
-          println(s"CI models built (analytics_${cfg.suffix}): ${r.ran.size}")
+          println(s"CI models built (${r.ciSchema}): ${r.ran.size}")
           r.ciCounts.toSeq.sortBy(_._1).foreach { case (n, c) =>
             println(f"  $n%-24s $c%10d rows") }
         }
         if (r.copies.exists(_.status.startsWith("error"))) { spark.stop(); sys.exit(1) }
+    } catch {
+      case e: CliError =>
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
     } finally spark.stop()
   }
 

@@ -26,7 +26,8 @@ import graft.core._
   */
 object DemoProject {
 
-  def graph(nSlices: Int = 19, changed: Set[String] = Set.empty): ModelGraph = {
+  def graph(nSlices: Int = 19, changed: Set[String] = Set.empty,
+      schema: String = "analytics"): ModelGraph = {
     require(nSlices >= 1)
     def body(name: String, base: String): String =
       if (changed(name)) base + " /* v2 */" else base
@@ -83,7 +84,8 @@ object DemoProject {
       ctx => ctx.ref("int_spend_all"),
       body = body("mart_recent_buyers", "incremental buyers by last order date"))
 
-    ModelGraph((stgOrders :+ stgCustomer) ++ ints ++
+    ModelGraph(((stgOrders :+ stgCustomer) ++ ints ++
       Seq(intAll, martSegment, martNation, martRecent))
+      .map(_.copy(schema = schema)))
   }
 }

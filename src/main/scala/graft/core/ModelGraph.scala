@@ -62,24 +62,42 @@ final case class ModelGraph(models: Seq[Model]) {
   * manifest.json checksums (reference:
   * src/dbt_incremental_ci/dbt_helper.py:18-27, 88-162).
   */
-final case class ManifestState(entries: Map[String, (String, Seq[String])]) {
+final case class ManifestState(entries: Map[String, (String, Seq[String])],
+    schemas: Map[String, String] = Map.empty) {
   def diff(current: ModelGraph): Set[String] =
     current.models.collect {
       case m if !entries.get(m.name).exists { case (cs, deps) =>
         cs == m.checksum && deps == m.deps } => m.name
     }.toSet
 
+  /** The warehouse base schema this manifest's models materialize
+    * into — dbt's target schema, inferred from the manifest exactly as
+    * the reference infers it from manifest.json's node metadata
+    * (reference: src/dbt_incremental_ci/core.py:98-132) instead of
+    * asking the caller to re-state it. Most-frequent schema wins
+    * (custom-schema models are the exception, not the base); name
+    * tiebreak keeps it deterministic. None for pre-schema manifests.
+    */
+  def baseSchema: Option[String] =
+    if (schemas.isEmpty) None
+    else Some(schemas.values.groupBy(identity)
+      .map { case (s, vs) => (s, vs.size) }
+      .toSeq.sortBy { case (s, n) => (-n, s) }.head._1)
+
   def toJson: String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     entries.toSeq.sortBy(_._1).map { case (n, (cs, deps)) =>
-      s""""${esc(n)}":{"checksum":"${esc(cs)}","deps":[${deps.map(d => s""""${esc(d)}"""").mkString(",")}]}"""
+      val schemaField =
+        schemas.get(n).fold("")(s => s""","schema":"${esc(s)}"""")
+      s""""${esc(n)}":{"checksum":"${esc(cs)}","deps":[${deps.map(d => s""""${esc(d)}"""").mkString(",")}]$schemaField}"""
     }.mkString("{", ",", "}")
   }
 }
 
 object ManifestState {
   def of(graph: ModelGraph): ManifestState =
-    ManifestState(graph.models.map(m => m.name -> (m.checksum, m.deps)).toMap)
+    ManifestState(graph.models.map(m => m.name -> (m.checksum, m.deps)).toMap,
+      graph.models.map(m => m.name -> m.schema).toMap)
 
   /** Where a production run leaves its manifest for later CI runs to
     * diff against — the warehouse-artifact analogue of the reference's
@@ -108,15 +126,21 @@ object ManifestState {
     // and dep names so quoted/backslashed names round-trip instead of
     // reading as permanently-modified on every CI diff)
     def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\]\s*\}""".r
+    // the schema field is optional so manifests persisted before it
+    // existed still load (their baseSchema is then None -> caller default)
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\](?:\s*,\s*"schema"\s*:\s*"((?:[^"\\]|\\.)*)")?\s*\}""".r
     val dep = """"((?:[^"\\]|\\.)*)"""".r
-    val parsed = entry.findAllMatchIn(json).map { m =>
+    val matches = entry.findAllMatchIn(json).toSeq
+    val parsed = matches.map { m =>
       val deps = dep.findAllMatchIn(m.group(3)).map(mm => unesc(mm.group(1))).toSeq
       unesc(m.group(1)) -> (m.group(2), deps)
+    }.toMap
+    val schemas = matches.collect {
+      case m if m.group(4) != null => unesc(m.group(1)) -> unesc(m.group(4))
     }.toMap
     val expected = "\"checksum\"".r.findAllMatchIn(json).size
     require(parsed.size == expected,
       s"manifest parse mismatch: matched ${parsed.size} of $expected entries")
-    ManifestState(parsed)
+    ManifestState(parsed, schemas)
   }
 }

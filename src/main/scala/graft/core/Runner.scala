@@ -1,5 +1,10 @@
 package graft.core
 
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
 import org.apache.spark.sql.DataFrame
 
 /** Topological DAG runner — `dbt run` over a graft ModelGraph: every
@@ -12,9 +17,20 @@ import org.apache.spark.sql.DataFrame
   * downstream models — Catalyst sees through them, exactly like a SQL
   * view), so a 3-layer staging→intermediate→mart pipeline collapses
   * into as few physical jobs as there are persisted models.
+  *
+  * `threads > 1` is dbt's `--threads`: models whose deps have all
+  * completed run CONCURRENTLY from a fixed submitter pool (reference:
+  * src/dbt_incremental_ci/cli.py `--threads` option + copier.py:255-271
+  * thread pool). Completion-driven, not level-synchronized — each
+  * model's future fires the moment its own deps finish, so a slow
+  * model in one branch never barriers an independent branch. Spark
+  * schedules the concurrent jobs across the cluster; the submitter
+  * threads only declare work. At 100 TB this is the difference between
+  * the cluster idling through every per-model tail and keeping the
+  * executors saturated across independent subtrees.
   */
 final case class Runner(mat: Materializer, sources: String => DataFrame,
-    fullRefresh: Boolean = false) {
+    fullRefresh: Boolean = false, threads: Int = 1) {
 
   /** Run every model in topological order; returns name → output. */
   def runAll(graph: ModelGraph): Map[String, DataFrame] =
@@ -22,9 +38,42 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
 
   /** Run `names` (must already be topologically ordered). */
   def runSelected(graph: ModelGraph, names: Seq[String]): Map[String, DataFrame] =
+    if (threads <= 1) runSequential(graph, names)
+    else runParallel(graph, names)
+
+  private def runSequential(graph: ModelGraph,
+      names: Seq[String]): Map[String, DataFrame] =
     names.foldLeft(Map.empty[String, DataFrame]) { (acc, name) =>
       val model = graph.byName(name)
       val resolve: String => DataFrame = n => acc.getOrElse(n, sources(n))
       acc + (name -> mat.run(model, resolve, fullRefresh))
     }
+
+  /** One future per model, sequenced on its deps' futures only — deps
+    * outside the selection resolve through `sources` exactly as in the
+    * sequential path (the CI runner passes a defer-resolver there).
+    * A failed model fails its downstream futures; independent branches
+    * keep running to completion before the first error propagates.
+    */
+  private def runParallel(graph: ModelGraph,
+      names: Seq[String]): Map[String, DataFrame] = {
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val done = new ConcurrentHashMap[String, DataFrame]()
+    try {
+      val futures = scala.collection.mutable.Map.empty[String, Future[Unit]]
+      for (name <- names) { // topo order => dep futures already created
+        val model = graph.byName(name)
+        val depFutures = model.deps.flatMap(futures.get)
+        futures(name) = Future.sequence(depFutures).map { _ =>
+          val resolve: String => DataFrame =
+            n => Option(done.get(n)).getOrElse(sources(n))
+          done.put(name, mat.run(model, resolve, fullRefresh))
+          ()
+        }
+      }
+      Await.result(Future.sequence(names.map(futures)), Duration.Inf)
+      names.map(n => n -> done.get(n)).toMap
+    } finally { pool.shutdown(); () }
+  }
 }

@@ -116,11 +116,64 @@ class MainSpec extends SparkSpec {
 
   test("Main ci without a prod manifest fails with a clear error") {
     val whRoot = java.nio.file.Files.createTempDirectory("graft_nomanifest").toString
-    val e = intercept[RuntimeException] {
+    // CliError specifically: main() turns it into stderr + exit(2), the
+    // same clean path parse errors take (no uncaught stack trace)
+    val e = intercept[Main.CliError] {
       Main.ci(spark, CliConfig(command = "ci", sfDir = sfDir,
         warehouseRoot = whRoot, slices = 3))
     }
     assert(e.getMessage.contains("manifest"))
+  }
+
+  test("Runner --threads: parallel run and ci produce marts identical to sequential") {
+    def runBoth(threads: Int): (String, Warehouse) = {
+      val whRoot = java.nio.file.Files
+        .createTempDirectory(s"graft_par$threads").toString
+      val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+        slices = slices, cutoff = Some(cutoffDate), threads = threads)
+      Main.run(spark, base)
+      Main.ci(spark, base.copy(command = "ci", cutoff = None,
+        changed = Set("stg_orders_1", "stg_orders_3")))
+      (whRoot, wh(whRoot))
+    }
+    val (_, seqWh) = runBoth(1)
+    val (_, parWh) = runBoth(4)
+    for (schema <- Seq("analytics", "analytics_ci"); t <- seqWh.tables(schema)) {
+      assert(parWh.tables(schema).contains(t), s"missing $schema.$t in parallel run")
+      val s = seqWh.read(schema, t)
+      val sortCols = s.columns.toSeq
+      val a = s.orderBy(sortCols.map(col): _*).collect().map(_.toString).toSeq
+      val b = parWh.read(schema, t).orderBy(sortCols.map(col): _*)
+        .collect().map(_.toString).toSeq
+      assert(a == b, s"$schema.$t differs between threads=1 and threads=4")
+    }
+  }
+
+  test("custom base schema: run --schema, then test/clone/ci auto-detect it") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft_schema").toString
+    val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = 3, cutoff = Some(cutoffDate), schema = "edu_wh")
+    Main.run(spark, base)
+    val w = wh(whRoot)
+    assert(w.exists("edu_wh", "mart_segment_spend"))
+    assert(!w.exists("analytics", "mart_segment_spend"))
+
+    // test/clone/ci get NO --schema flag: they must detect edu_wh from
+    // the persisted manifest (reference core.py:98-132 reads the base
+    // schema off manifest.json rather than asking the caller)
+    val detect = base.copy(schema = "analytics")
+    val testRep = Main.test(spark, detect.copy(command = "test"))
+    assert(testRep.checks.nonEmpty && !testRep.failed)
+    val rs = Main.clone(spark, detect.copy(command = "clone", suffix = "pr9"))
+    assert(rs.map(r => (r.table, r.targetSchema, r.status)) ==
+      Seq(("mart_recent_buyers", "edu_wh_pr9", "copied")))
+    val rep = Main.ci(spark, detect.copy(command = "ci", cutoff = None,
+      changed = Set("stg_orders_0")))
+    assert(rep.ciSchema == "edu_wh_ci")
+    assert(w.exists("edu_wh_ci", "mart_segment_spend"))
+    val ciTest = Main.test(spark,
+      detect.copy(command = "test", onSuffixed = true))
+    assert(!ciTest.failed)
   }
 
   test("Main clone: copies every incremental/snapshot model prod -> suffixed schema") {
