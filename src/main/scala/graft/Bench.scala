@@ -52,7 +52,8 @@ object Bench {
   /** The heavy operators whose work grows with the corpus. */
   val scaleOps: Seq[String] = Seq(
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
-    "d05_embedding_neardup", "m02_incremental_merge", "q26_cohort_retention")
+    "d05_embedding_neardup", "d06_dedup_groups", "m02_incremental_merge",
+    "q26_cohort_retention", "x08_tfidf")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -141,16 +142,31 @@ object Bench {
     // samples inside the same window.
     val passes = (1 to iters).map(_ => runAll(spark, sfDir, SparkEntry.queries))
     val names = passes.head.map(_._1)
+    // Median over SUCCESSFUL samples only: a query that crashes in
+    // some passes would otherwise feed its time-to-crash into the
+    // median it is supposed to protect. When every pass fails, the
+    // crash times are all there is — fall back to them so the query
+    // still reports a number alongside its error.
     val byName = names.map { n =>
       val samples = passes.map(_.find(_._1 == n).get)
-      n -> (samples.map(_._2), samples.flatMap(_._3).headOption)
+      val ok = samples.filter(_._3.isEmpty).map(_._2)
+      val times = if (ok.nonEmpty) ok else samples.map(_._2)
+      n -> (times, samples.flatMap(_._3))
     }.toMap
     val medians = names.map(n => n -> median(byName(n)._1)).toMap
     val mins = names.map(n => n -> byName(n)._1.min).toMap
-    val errs = names.flatMap(n => byName(n)._2.map(n -> _))
+    val errs = names.flatMap { n =>
+      val es = byName(n)._2
+      es.headOption.map(e => (n, e, es.size))
+    }
 
     val scaleResults: Seq[(String, Double, Double, Option[String])] =
       if (!doScale) Nil
+      else if (elapsed > budgetSec)
+        // staging alone is 3 full corpus rewrites — budget-gate it too,
+        // not just the per-op timings, so a contended host can't blow
+        // the wall during staging itself
+        scaleOps.map(n => (n, -1.0, medians(n), Some("skipped_budget")))
       else {
         val scaleDir = s"/tmp/graft_scale10x_${ProcessHandle.current().pid()}"
         stageScaled(spark, sfDir, scaleDir)
@@ -161,18 +177,18 @@ object Bench {
             (n, secs, medians(n), err)
           }
         } ++ {
-          // the d05 scale DIAL, demonstrated on the same 10x corpus:
-          // bits raised 6 -> 9 (log2 of the copy factor, +1) restores
-          // per-bucket occupancy to ~the 1x corpus, collapsing the
-          // quadratic candidate volume fixed-width LSH accrues.
-          // Reported against the bits=6 run on the SAME corpus.
+          // the d05 scale dial, now AUTomatic: bits derived from a
+          // corpus count (Ann.adaptiveBits — occupancy-preserving),
+          // run on the same 10x corpus and reported against the
+          // registered fixed-bits d05's 1x median. This is the path a
+          // 100x corpus takes without hand-tuning.
           if (elapsed > budgetSec) Nil
           else {
             val (secs, err) = timed(spark, scaleDir, (s, d) =>
-              graft.operators.Ann.nearDupLsh(
+              graft.operators.Ann.nearDupLshAuto(
                 s.read.parquet(s"$d/embeddings.parquet"),
-                threshold = 0.4, tables = 8, bits = 9, dim = 64, seed = 7L))
-            Seq(("d05_embedding_neardup_bits9", secs, -1.0, err))
+                threshold = 0.4, tables = 8, dim = 64, seed = 7L))
+            Seq(("d05_embedding_neardup_auto", secs, medians("d05_embedding_neardup"), err))
           }
         }
         // best-effort scratch cleanup; the data lives under /tmp anyway
@@ -186,8 +202,9 @@ object Bench {
 
     val qs = names.map(n => s"${jstr(n)}:${medians(n)}").mkString("{", ",", "}")
     val qmins = names.map(n => s"${jstr(n)}:${mins(n)}").mkString("{", ",", "}")
-    val errJson = errs.map { case (k, e) => s"${jstr(k)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
+    val errJson = errs.map { case (k, e, nFail) =>
+      s"""${jstr(k)}:{"msg":${jstr(e)},"failed_passes":$nFail,"of":$iters}"""
+    }.mkString("{", ",", "}")
     val scaleJson = scaleResults.map { case (n, s10, s1, err) =>
       val ratio = if (s1 > 0 && s10 >= 0) s10 / s1 else -1.0
       s"${jstr(n)}:{" +
@@ -196,7 +213,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = errs.size
     val total = names.map(medians).sum
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"errors":$errJson,"scale10x":$scaleJson,"n_queries":${names.size},"n_ok":${names.size - nErr},"n_err":$nErr,"bench_wall_sec":$elapsed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"errors":$errJson,"scale10x":$scaleJson,"n_queries":${names.size},"n_ok":${names.size - nErr},"n_err":$nErr,"bench_wall_sec":$elapsed,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line gets head-truncated by capped log captures (it
+    // lost 30 of 66 medians in round 5's durable record) — always
+    // persist the full JSON to a file as well
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -158,17 +158,31 @@ object Ann {
         }
     require(seed0.nonEmpty, "corpus must contain the centroid ids")
     val dim = seed0.head._2.length
+    // Per-(cluster, pos) mean via SCALED-LONG sums: doubles summed
+    // under a partial aggregate merge in nondeterministic order would
+    // make the codebook jitter between runs (and s03's candidate set
+    // flip on near-tie assignments). Long addition is exactly
+    // associative+commutative, so the fold order cannot matter. Unit
+    // components are in [-1,1]; scale 2^40 keeps ~1e-12 resolution and
+    // overflows (ANSI: throws, never silently wraps) only past ~2^23
+    // members per cluster — far beyond any codebook-sized corpus; a
+    // 100 TB build would shard the sum (sum of per-partition longs)
+    // before hitting it.
+    val scale = 1L << 40
     (0 until kmeansIters).foldLeft(seed0) { (cur, _) =>
       val means = assigned(corpus, cur)
         .select(col("cluster"),
           posexplode(transform(col("v"), x => x / col("nrm"))).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster", "pos")
+        .agg(sum((col("x") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
       cur.map { case (i, cOld, nOld) =>
         means.get(i).fold((i, cOld, nOld)) { rows =>
           val m = new Array[Double](dim)
-          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          rows.foreach(r =>
+            m(r.getInt(1)) = r.getLong(2).toDouble / scale / r.getLong(3))
           val nrm = math.sqrt(m.map(x => x * x).sum)
           if (nrm > 0) (i, m, nrm) else (i, cOld, nOld)
         }
@@ -214,24 +228,8 @@ object Ann {
   def nearDupLsh(emb: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 6, dim: Int = 64,
       seed: Long = 7L): DataFrame = {
-    val hp = planes(tables, bits, dim, seed)
     val n = normed(emb)
-    val buckets = n.select(col("vec_id"),
-      posexplode(array((0 until tables).map { t =>
-        (0 until bits).map { j =>
-          when(Vectors.dotLit(col("v"), hp(t)(j)) > 0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*)).as(Seq("tbl", "bucket")))
-    // ids only through the candidate join; vectors re-attached after
-    // dedup so each pair's payload is shuffled once, not once per
-    // colliding table
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cands = lshCandidatePairs(n, tables, bits, dim, seed)
     val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
     cands
       .join(n.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
@@ -239,6 +237,69 @@ object Ann {
       .filter(cos >= threshold)
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
   }
+
+  /** Distinct candidate pairs (id_a < id_b) from SRP bucket
+    * collisions — the pre-verify stage of [[nearDupLsh]], exposed so
+    * candidate VOLUME (the scale driver) can be measured directly.
+    * Ids only through the join; vector payloads re-attach after the
+    * distinct so each pair ships once, not once per colliding table.
+    */
+  private[graft] def lshCandidatePairs(n: DataFrame, tables: Int,
+      bits: Int, dim: Int, seed: Long): DataFrame = {
+    val hp = planes(tables, bits, dim, seed)
+    val buckets = n.select(col("vec_id"),
+      posexplode(array((0 until tables).map { t =>
+        (0 until bits).map { j =>
+          when(Vectors.dotLit(col("v"), hp(t)(j)) > 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("tbl", "bucket")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate-pair count for a corpus under the adaptive bit rule —
+    * the quantity that must stay ~linear in n as the corpus grows
+    * (pinned in LlmOpsSpec across a 1x/10x synthetic pair).
+    */
+  private[graft] def lshCandidateCount(emb: DataFrame, tables: Int = 8,
+      dim: Int = 64, seed: Long = 7L): Long = {
+    val n = normed(emb).localCheckpoint()
+    lshCandidatePairs(n, tables, adaptiveBits(n.count()), dim, seed).count()
+  }
+
+  /** SRP bit-width for a corpus of `n` vectors: bits = max(floor,
+    * ceil(log2 n) - 4), i.e. 2^bits buckets per table ≈ n/16 — mean
+    * bucket occupancy stays ~16 regardless of corpus size. Fixed-width
+    * LSH accrues QUADRATIC candidate volume as n grows past 2^bits ·
+    * occupancy (measured in round 5's scale10x probe: bits=6 left the
+    * 10x corpus at ~8x the candidate volume the same data needs at
+    * bits=9); deriving bits from one cheap count() restores per-bucket
+    * occupancy — candidate volume ≈ tables · n · occupancy/2 grows
+    * linearly. The recall trade is the standard SRP dial: P(collide
+    * per table) = (1 - acos(s)/π)^bits, so at the near-dup regime
+    * (s ≥ 0.9, acos/π ≈ 0.14) each extra bit costs ~14% per-table
+    * recall, recovered by the 8-table OR — miss probability at bits=9
+    * is (1-0.86^9)^8 ≈ 2e-5.
+    */
+  def adaptiveBits(n: Long, floor: Int = 6): Int = {
+    val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(floor, ceilLog2 - 4)
+  }
+
+  /** [[nearDupLsh]] with the bit-width derived from the corpus size —
+    * the 100 TB default. One count() job sizes the hash family; the
+    * registered d05 keeps fixed bits=6 only because its DuckDB oracle
+    * is generated from the seeded planes, which requires the plane
+    * count to be known before the data is read.
+    */
+  def nearDupLshAuto(emb: DataFrame, threshold: Double,
+      tables: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame =
+    nearDupLsh(emb, threshold, tables, adaptiveBits(emb.count()), dim, seed)
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold.
     * EXACT all-pairs baseline — spec-only oracle for [[nearDupLsh]]'s

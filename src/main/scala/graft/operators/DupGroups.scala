@@ -9,27 +9,35 @@ import org.apache.spark.sql.functions._
   * closure {a,b,c} with ONE canonical survivor, which is exactly a
   * connected-components problem on the similarity graph.
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with its own id; each round every node takes the minimum
-  * label in its neighborhood (including its own); fixpoint when no
-  * label changes. The component label is therefore the smallest node
-  * id in the component — a deterministic canonical id.
+  * Algorithm: min-label propagation WITH pointer jumping (path
+  * compression). Every node starts labeled with its own id; each
+  * round every node (1) takes the minimum label in its neighborhood
+  * (including its own), then (2) replaces its label with its LABEL'S
+  * label — the Shiloach-Vishkin shortcut step. Step 2 roughly doubles
+  * the distance a min label travels per round, so convergence is
+  * O(log diameter) rounds instead of O(diameter): a 50-node chain
+  * finishes in ~6 rounds, not 50 (pinned in PropertySpec). The
+  * component label is the smallest node id in the component — a
+  * deterministic canonical id.
   *
   * Scale shape: each round is one shuffle on node id (join edges with
-  * labels + a min aggregation); the driver reads only a changed-count
-  * scalar per round, and `localCheckpoint` cuts lineage exactly like
-  * Recursive.iterate. Rounds needed = component diameter; near-dup
-  * components are shallow clusters (not long chains), so the loop is
-  * short in practice and `maxIter` is a safety cap, not a tuning knob.
-  * This is the DataFrame rendering of classic label-propagation CC
-  * (the Pregel/GraphX formulation).
+  * labels + a min aggregation) plus one label self-join on the label
+  * key (the compression lookup — labels is |V| rows, far smaller than
+  * the edge join); the driver reads only a changed-count scalar per
+  * round, and `localCheckpoint` cuts lineage exactly like
+  * Recursive.iterate. With the log-round bound, `maxIter` = 50 covers
+  * diameters up to ~2^48 — a pure safety net against a malformed edge
+  * list, not a knob a caller must tune for chain-shaped corpora
+  * (templated/boilerplate docs commonly form long near-dup chains).
+  * This is the DataFrame rendering of label-propagation CC with the
+  * classic Pregel/GraphX pointer-jumping acceleration.
   */
 object DupGroups {
 
   /** (id, comp) for every node appearing in `edges` (columns
     * id_a/id_b); comp = min node id of the connected component.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // symmetric edge list, materialized once — every iteration reuses
     // it instead of recomputing the (possibly expensive) pair plan
     val sym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -41,13 +49,22 @@ object DupGroups {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // (1) propagate: min label across the neighborhood
       val nbr = sym.join(labels, sym("u") === labels("id"))
         .select(col("v").as("id"), col("comp").as("ncomp"))
         .groupBy("id").agg(min("ncomp").as("ncomp"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("__chg"))
+      // (2) compress: comp <- comp's own label (pointer jumping). Every
+      // comp value IS a node id present in `prop`, so the lookup is an
+      // equi-join of labels against itself keyed on the label value.
+      val byId = prop.select(col("id").as("__cid"), col("comp").as("__ccomp"))
+      val next = prop.join(byId, prop("comp") === byId("__cid"), "left")
+        .select(col("id"),
+          coalesce(col("__ccomp"), col("comp")).as("comp"),
+          (col("__chg") || col("__ccomp") < col("comp")).as("__chg"))
         .localCheckpoint()
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")

@@ -72,15 +72,31 @@ object Streaming {
     val stream = spark.readStream.schema(rawSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_e03_ckpt").toString
-    val query = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        mat.run(model, _ => batch); ()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e03_ckpt")
+    try {
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mat.run(model, _ => batch); ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      // the stream is finished once awaitTermination returns and the
+      // returned DataFrame reads the WAREHOUSE, not these dirs — drop
+      // them now instead of accruing one symlink + checkpoint dir per
+      // invocation under /tmp (3 bench passes x N rounds adds up)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
-      .start()
-    query.awaitTermination()
+      rm(ckpt); rm(srcDir)
+    }
     wh.read("analytics", "events_inc").orderBy("event_id")
   }, Some(
     """SELECT event_id, ts, user_id, event_type, value, props

@@ -159,6 +159,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("adaptiveBits: occupancy-preserving widths, floor respected") {
+    assert(Ann.adaptiveBits(1) == 6 && Ann.adaptiveBits(500) == 6)
+    assert(Ann.adaptiveBits(5000) == 9)      // ceil(log2 5000)=13
+    assert(Ann.adaptiveBits(1L << 20) == 16) // 2^16 buckets ~ n/16
+    assert(Ann.adaptiveBits(3000, floor = 8) == 8)
+  }
+
+  test("adaptive LSH bits keep candidate volume ~linear where fixed bits go quadratic") {
+    // 10x corpus from 10 key-shifted copies, embedding circular-shifted
+    // per copy (exact within-copy cosines, cross-copy ~orthogonal) —
+    // the same construction as Bench.stageScaled
+    val one = cat.embeddings.select("vec_id", "embedding").cache()
+    val n1 = one.count()
+    val ten = (0 until 10).map { i =>
+      one.select((col("vec_id") + i * 100000L).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> embedding[cast((j + $i) % 64 as int)])")
+          .as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    assert(ten.count() == 10 * n1)
+
+    val c1 = Ann.lshCandidateCount(one)
+    val c10 = Ann.lshCandidateCount(ten)
+    // adaptive: 10x rows -> ~10x candidates (occupancy held constant;
+    // slack for bucket-size variance)
+    assert(c10 <= 20 * c1,
+      s"adaptive candidate growth super-linear: $c1 -> $c10")
+
+    // the contrast the dial exists for: the same 10x corpus under the
+    // 1x corpus's FIXED bit-width accrues clearly super-linear volume
+    val nrm10 = ten.select(col("vec_id"),
+      graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+    val cFixed = Ann.lshCandidatePairs(nrm10,
+      tables = 8, bits = Ann.adaptiveBits(n1), dim = 64, seed = 7L).count()
+    assert(cFixed > 3 * c10,
+      s"fixed-bits volume $cFixed should far exceed adaptive $c10")
+  }
+
+  test("nearDupLshAuto: recall 1.0 on planted near-dups with derived bits") {
+    val base = cat.embeddings.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.05f * embedding[(i + 1) % 64] as float))")
+        .as("embedding"))
+    val corpus = base.unionByName(shifted)
+    val exact = pairSet(Ann.nearDupPairs(corpus, threshold = 0.9))
+    val auto = pairSet(Ann.nearDupLshAuto(corpus, threshold = 0.9))
+    assert((exact -- auto).isEmpty && auto.subsetOf(exact),
+      s"auto-bits LSH must keep the >=0.9-regime recall contract " +
+        s"(missed ${(exact -- auto).size} of ${exact.size})")
+  }
+
   test("d04 capped regime: a hot shingle above maxDf leaves intersections AND set sizes") {
     import spark.implicits._
     // 'h h h' appears in all 5 docs (DF=5); with maxDf=4 it must be

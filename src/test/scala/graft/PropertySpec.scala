@@ -125,6 +125,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges on a 50-node chain in O(log d) rounds") {
+    import graft.operators.DupGroups
+    // worst case for plain label propagation: a single path graph of
+    // diameter 49 (templated/boilerplate corpora form exactly these
+    // chains). Pointer jumping must converge WELL under the plain
+    // propagation bound of 49 rounds — maxIter=10 only admits the
+    // O(log d) path (2^10 >> 49 but 10 << 49).
+    val edges = (0L until 49L).map(i => (i, i + 1))
+    val df = spark.createDataFrame(edges).toDF("id_a", "id_b")
+    val got = DupGroups.connectedComponents(df, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 49L).map(_ -> 0L).toMap)
+  }
+
   test("Bench.median == middle of the sorted sample") {
     val xs = Gen.listOfN(9, Gen.choose(0.0, 100.0))
     for (i <- 1 to 6) {
