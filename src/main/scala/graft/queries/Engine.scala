@@ -428,5 +428,76 @@ object Engine {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+  // m13 — calendar seeds consumed by a model: the two reference
+  // date-dimension seed shapes (seeds/semester_calendar.csv,
+  // seeds/academic_calendar_holidays.csv) loaded as typed seed DAG
+  // nodes, then a mart range-joins orders into semester windows and
+  // flags class-affecting holiday orders. The 9-row term dim and
+  // 12-row holiday dim broadcast (a nested-loop range join against a
+  // driver-size dim is the right plan — no shuffle of the fact side);
+  // the single source for both the CSVs and the oracle's VALUES is
+  // Seed.semesterTerms/calendarHolidays, so seed and oracle cannot
+  // drift.
+  private def m13OracleSql: String = {
+    val semRows = Seed.semesterTerms.map { t =>
+      s"('${t._1}','${t._2}','${t._3}',DATE '${t._4}',DATE '${t._5}')"
+    }.mkString(",")
+    val holRows = Seed.calendarHolidays.map { h =>
+      s"('${h._1}',DATE '${h._2}','${h._3}')"
+    }.mkString(",")
+    s"""WITH sem(semester_name, academic_year, semester_type, start_date, end_date) AS (VALUES $semRows),
+       |hol(holiday_name, holiday_date, affects_classes) AS (VALUES $holRows),
+       |o AS (SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS od FROM orders)
+       |SELECT academic_year, semester_name, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       |  CAST(SUM(CASE WHEN h.holiday_date IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_holiday_orders
+       |FROM o JOIN sem ON od BETWEEN start_date AND end_date
+       |LEFT JOIN (SELECT holiday_date FROM hol WHERE affects_classes = 'Yes') h
+       |  ON od = h.holiday_date
+       |GROUP BY academic_year, semester_name
+       |ORDER BY academic_year, semester_name""".stripMargin
+  }
+
+  val m13: Q = q("m13_calendar_model", m13OracleSql) { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m13")
+    val semSchema = StructType(Seq(
+      StructField("semester_name", StringType),
+      StructField("academic_year", StringType),
+      StructField("semester_type", StringType),
+      StructField("start_date", DateType),
+      StructField("end_date", DateType)))
+    val holSchema = StructType(Seq(
+      StructField("holiday_name", StringType),
+      StructField("holiday_date", DateType),
+      StructField("affects_classes", StringType)))
+    val graph = ModelGraph(Seq(
+      Model("semester_calendar", Nil, Materialization.Table,
+        _ => Seed.fromString(spark, Seed.semesterCalendarCsv, semSchema)),
+      Model("calendar_holidays", Nil, Materialization.Table,
+        _ => Seed.fromString(spark, Seed.calendarHolidaysCsv, holSchema)),
+      Model("mart_term_orders", Seq("semester_calendar", "calendar_holidays"),
+        Materialization.Table,
+        ctx => {
+          val od = ctx.source("orders").select(col("o_orderkey"),
+            col("o_totalprice"), col("o_orderdate").cast(DateType).as("od"))
+          val terms = ctx.ref("semester_calendar")
+          val hol = ctx.ref("calendar_holidays")
+            .filter(col("affects_classes") === "Yes")
+            .select(col("holiday_date"))
+          od.join(broadcast(terms),
+              col("od").between(col("start_date"), col("end_date")))
+            .join(broadcast(hol), col("od") === col("holiday_date"), "left")
+            .groupBy("academic_year", "semester_name")
+            .agg(count(lit(1)).as("n_orders"),
+              dbl(sum(decTotal(col("o_totalprice")))).as("revenue"),
+              sum(when(col("holiday_date").isNotNull, 1L).otherwise(0L))
+                .as("n_holiday_orders"))
+        })))
+    Runner(Materializer(wh), c.table).runAll(graph)("mart_term_orders")
+      .orderBy("academic_year", "semester_name")
+  }
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
+    m11, m12, m13)
 }
