@@ -405,9 +405,12 @@ object Engine {
   // m12 — the CLI's reference-scale demo DAG (43 models: 19 hash-slice
   // staging views -> 19 per-slice aggregate tables -> rollup + marts +
   // one incremental), materialized end-to-end by the same Runner the
-  // CLI drives, with the final mart oracle-gated. The oracle exploits
-  // that the 19 slices PARTITION orders: the slice union re-aggregates
-  // to a plain per-customer rollup.
+  // CLI drives, with the final mart oracle-gated. Runs at threads=4
+  // (dbt --threads): the 19 independent int_spend_* tables build
+  // concurrently — identical outputs to sequential (MainSpec pins
+  // this), measurably lower wall time. The oracle exploits that the
+  // 19 slices PARTITION orders: the slice union re-aggregates to a
+  // plain per-customer rollup.
   val m12: Q = q("m12_demo_dag",
     """WITH spend AS (
       |  SELECT o_custkey, COUNT(*) AS n_orders,
@@ -420,7 +423,7 @@ object Engine {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (spark, dir) =>
     val c = Catalog(spark, dir)
     val wh = Warehouse.scratch(spark, "m12")
-    val outs = Runner(Materializer(wh), c.table)
+    val outs = Runner(Materializer(wh), c.table, threads = 4)
       .runAll(graft.cli.DemoProject.graph(19))
     outs("mart_segment_spend")
       .select(col("c_mktsegment"), col("n_buyers"), col("n_orders"),

@@ -385,6 +385,123 @@ object LlmOps {
       .orderBy("doc_id", "rank")
   }
 
+  // d07 — chunk-level dedup (the line-level dedup of C4/RefinedWeb-
+  // style curation, over a corpus whose docs are unpunctuated token
+  // streams): each doc splits into non-overlapping 8-token chunks;
+  // a chunk occurrence survives only if it is the corpus-wide FIRST
+  // (min (doc_id, pos), encoded as one long so the keep-first rule is
+  // a plain min aggregation — one shuffle on the chunk text); docs
+  // reassemble from their surviving chunks in position order. Docs
+  // whose every chunk is a duplicate stay in the output with empty
+  // clean_text (left join), so the row count is the doc count.
+  val d07: Q = q("d07_chunk_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+      |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
+      |        FROM toks),
+      |keyed AS (SELECT doc_id, pos, seg, doc_id*100000 + pos AS k FROM seg),
+      |keeper AS (SELECT seg, MIN(k) AS keep_k FROM keyed GROUP BY seg),
+      |kept AS (SELECT doc_id, pos, keyed.seg FROM keyed
+      |         JOIN keeper ON keyed.seg = keeper.seg AND keyed.k = keeper.keep_k),
+      |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |            FROM kept GROUP BY doc_id),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM keyed GROUP BY doc_id)
+      |SELECT counts.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+      |       COALESCE(clean_text, '') AS clean_text
+      |FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id
+      |ORDER BY counts.doc_id""") { c =>
+    val docs = c.documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val segs = docs.select(col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(toks)/8.0) as int) - 1),
+          |  i -> array_join(slice(toks, i*8+1, 8), ' '))""".stripMargin))
+        .as(Seq("pos", "seg")))
+    val keyed = segs
+      .withColumn("k", col("doc_id") * lit(100000L) + col("pos"))
+    val keeper = keyed.groupBy("seg").agg(min("k").as("keep_k"))
+    val kept = keyed.join(keeper, "seg").filter(col("k") === col("keep_k"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x("seg")), " ").as("clean_text"))
+    keyed.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // x09 — PII scrubbing: email/phone/IPv4 redaction with per-doc
+  // counts. The corpus carries no PII, so each doc gets a
+  // deterministic doc_id-derived payload appended FIRST — both engines
+  // compute the identical injection, then the identical scrub, so the
+  // replacement logic itself (not just a no-op pass) is hash-gated.
+  // Patterns stay in the Java-regex ∩ RE2 common subset.
+  private val emailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val phonePat = """\b\d{3}-\d{4}\b"""
+  private val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val x09: Q = q("x09_pii_scrub",
+    s"""WITH inj AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |  '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |  ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(regexp_replace(t, '$emailPat', '<EMAIL>', 'g'), '$ipPat')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'),
+       |    '$ipPat', '<IP>', 'g') AS scrubbed
+       |FROM inj ORDER BY doc_id""") { c =>
+    val inj = c.documents.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")).as("t"))
+    val noEmail = regexp_replace(col("t"), emailPat, "<EMAIL>")
+    inj.select(col("doc_id"),
+        regexp_count(col("t"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
+        // count IPs after the email scrub: 'user10.0.0.7@…' digit runs
+        // must not double-count (the scrub order the replace chain uses)
+        regexp_count(noEmail, lit(ipPat)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(noEmail,
+          phonePat, "<PHONE>"), ipPat, "<IP>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  // x10 — corpus mixing: per-source sampling rates (the data-mixing
+  // step before pretraining: upweight rare sources, downsample
+  // dominant ones). The keep rule is pure integer arithmetic on
+  // (doc_id, source), so the sample is reproducible on any engine and
+  // any cluster size — no RNG state, no per-partition seeds.
+  val x10: Q = q("x10_corpus_mix",
+    """WITH rated AS (SELECT source, doc_id, text,
+      |  20 + (CAST(substr(source, 4) AS INT) * 7) % 80 AS rate FROM documents)
+      |SELECT source, MAX(rate) AS rate, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN doc_id % 100 < rate THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM rated GROUP BY source ORDER BY source""") { c =>
+    val rated = c.documents
+      .withColumn("rate",
+        lit(20) + (expr("cast(substring(source, 4, 10) as int)") * 7) % 80)
+      .withColumn("keep", pmod(col("doc_id"), lit(100)) < col("rate"))
+    rated.groupBy("source").agg(
+        max("rate").as("rate"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), size(split(col("text"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -413,6 +530,6 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, x08, mm01, mm02)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, mm01, mm02)
 }
