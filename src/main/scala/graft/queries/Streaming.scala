@@ -119,5 +119,23 @@ object Streaming {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04)
+  // e05 — stream-static enrichment join + rollup: events join the
+  // broadcast customer dim (stateless — each micro-batch joins the
+  // same static side; the stream never shuffles), then aggregate per
+  // (segment, event_type). StreamingSpec runs the same `enrich`
+  // function over a MemoryStream and checks batch parity.
+  val e05: Q = q("e05_stream_enrich",
+    """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+    EventStream.enrich(c.events, c.customer)
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy("segment", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05)
 }

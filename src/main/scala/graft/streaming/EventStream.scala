@@ -93,6 +93,22 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---------------------------------------------------------------
+  /** e05: stream-static enrichment — events joined to a driver-small
+    * static dimension (customer segments). The SAME code serves batch
+    * and streaming inputs: a broadcast equi-join is stateless, so on a
+    * stream each micro-batch joins against the broadcast dim with no
+    * streaming state at all (the canonical stream-static join). The
+    * stream side never shuffles.
+    */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        col("c_mktsegment").as("segment"))
+
   // --- streaming sessionization ----------------------------------
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: BigDecimal)

@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
         s"only in batch (${onlyBatch.size}): ${onlyBatch.take(4).mkString("; ")}")
   }
 
+  test("stream-static enrichment join equals the batch join, stateless across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = cat.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.enrich(stream, cat.customer).writeStream
+      .format("memory").queryName("e05_stream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2), r.getString(3), r.getString(5))
+    val streamed = spark.table("e05_stream").collect().map(key).toSet
+    val batch = EventStream.enrich(
+      cat.events.select("event_id", "ts", "user_id", "event_type", "value"),
+      cat.customer).collect().map(key).toSet
+    assert(streamed.size == rows.size, "every event must be enriched exactly once")
+    assertSameSets(streamed, batch)
+  }
+
   test("e03 stream ingest lands every event in the incremental table exactly once") {
     val out = graft.queries.Streaming.e03.run(spark, sfDir)
     val n = cat.events.count()
