@@ -72,7 +72,14 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
           ()
         }
       }
-      Await.result(Future.sequence(names.map(futures)), Duration.Inf)
+      // settle EVERY future before surfacing an error (dbt finishes
+      // in-flight models before exiting): each is recovered into an
+      // outcome, the barrier waits for all, then the first failure in
+      // topo order rethrows.
+      val settled = Future.sequence(names.map(n =>
+        futures(n).map(_ => None: Option[Throwable])
+          .recover { case e => Some(e) }))
+      Await.result(settled, Duration.Inf).flatten.headOption.foreach(throw _)
       names.map(n => n -> done.get(n)).toMap
     } finally { pool.shutdown(); () }
   }

@@ -318,6 +318,26 @@ class EngineSpec extends SparkSpec {
     assert(wh.exists("analytics", "mart") && !wh.exists("analytics", "stg"))
   }
 
+  test("parallel DAG runner: a failing model propagates without hanging, siblings complete") {
+    val wh = freshWh("dag_par_fail")
+    val sources: String => org.apache.spark.sql.DataFrame =
+      _ => df(Seq((1L, "a", 1), (2L, "b", 2)))
+    val graph = ModelGraph(Seq(
+      Model("ok_branch", Seq("raw"), Materialization.Table,
+        ctx => ctx.source("raw")),
+      Model("boom", Seq("raw"), Materialization.Table,
+        _ => throw new RuntimeException("deliberate model failure")),
+      Model("downstream", Seq("boom"), Materialization.Table,
+        ctx => ctx.ref("boom"))))
+    val e = intercept[RuntimeException] {
+      Runner(Materializer(wh), sources, threads = 3).runAll(graph)
+    }
+    assert(e.getMessage.contains("deliberate model failure"))
+    // the independent branch still materialized; the failed subtree did not
+    assert(wh.exists("analytics", "ok_branch"))
+    assert(!wh.exists("analytics", "downstream"))
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)
