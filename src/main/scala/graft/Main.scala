@@ -111,7 +111,8 @@ object Main {
   // ----------------------------------------------------------------
   // reports (spec-assertable, printing lives in main)
 
-  final case class RunReport(ran: Seq[String], counts: Map[String, Long])
+  final case class RunReport(ran: Seq[String], counts: Map[String, Long],
+      secs: Map[String, Double] = Map.empty, wallSec: Double = 0.0)
   final case class TestReport(checks: Seq[(String, Long)]) {
     def failed: Boolean = checks.exists(_._2 > 0)
   }
@@ -182,15 +183,19 @@ object Main {
     val wh = Warehouse(spark, cfg.warehouseRoot)
     val graph = DemoProject.graph(cfg.slices, schema = cfg.schema)
     val order = graph.topoOrder
+    val t0 = System.nanoTime()
+    val secs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh,
-        threads = cfg.threads)
+        threads = cfg.threads, onModelDone = (n, s) => { secs.put(n, s); () })
       .runAll(graph)
+    val wall = (System.nanoTime() - t0) / 1e9
     ManifestState.save(wh, ManifestState.of(graph))
     val counts = graph.models.collect {
       case m if m.materialization != Materialization.View =>
         m.name -> outs(m.name).count()
     }.toMap
-    RunReport(order, counts)
+    import scala.jdk.CollectionConverters._
+    RunReport(order, counts, secs.asScala.toMap, wall)
   }
 
   /** `dbt test` over the materialized marts: generic not_null/unique/
@@ -294,8 +299,10 @@ object Main {
       case "run" =>
         val r = run(spark, cfg)
         println(bar + "\nRUN SUMMARY\n" + bar)
-        println(s"Models run: ${r.ran.size}")
-        if (cfg.verbose) r.ran.foreach(n => println(s"  - $n"))
+        println(f"Models run: ${r.ran.size} in ${r.wallSec}%.1fs" +
+          (if (cfg.threads > 1) s" (threads=${cfg.threads})" else ""))
+        if (cfg.verbose) r.ran.foreach { n =>
+          println(f"  - $n%-24s ${r.secs.getOrElse(n, 0.0)}%6.2fs") }
         r.counts.toSeq.sortBy(_._1).foreach { case (n, c) =>
           println(f"  $n%-24s $c%10d rows") }
       case "test" =>

@@ -30,7 +30,18 @@ import org.apache.spark.sql.DataFrame
   * executors saturated across independent subtrees.
   */
 final case class Runner(mat: Materializer, sources: String => DataFrame,
-    fullRefresh: Boolean = false, threads: Int = 1) {
+    fullRefresh: Boolean = false, threads: Int = 1,
+    onModelDone: (String, Double) => Unit = (_, _) => ()) {
+
+  private def runModel(model: Model,
+      resolve: String => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = mat.run(model, resolve, fullRefresh)
+    // dbt-style per-model timing; called from submitter threads under
+    // `threads > 1`, so collectors must be thread-safe
+    onModelDone(model.name, (System.nanoTime() - t0) / 1e9)
+    out
+  }
 
   /** Run every model in topological order; returns name → output. */
   def runAll(graph: ModelGraph): Map[String, DataFrame] =
@@ -46,7 +57,7 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
     names.foldLeft(Map.empty[String, DataFrame]) { (acc, name) =>
       val model = graph.byName(name)
       val resolve: String => DataFrame = n => acc.getOrElse(n, sources(n))
-      acc + (name -> mat.run(model, resolve, fullRefresh))
+      acc + (name -> runModel(model, resolve))
     }
 
   /** One future per model, sequenced on its deps' futures only — deps
@@ -68,7 +79,7 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
         futures(name) = Future.sequence(depFutures).map { _ =>
           val resolve: String => DataFrame =
             n => Option(done.get(n)).getOrElse(sources(n))
-          done.put(name, mat.run(model, resolve, fullRefresh))
+          done.put(name, runModel(model, resolve))
           ()
         }
       }
