@@ -64,6 +64,7 @@ final case class Materializer(wh: Warehouse) {
           case None =>
             val partCols = strategy match {
               case IncrementalStrategy.InsertOverwrite(cols) => cols
+              case IncrementalStrategy.Merge(_, _, cols) => cols
               case _ => Nil
             }
             wh.write(out, model.targetSchema, model.name, partitionBy = partCols)
@@ -97,19 +98,41 @@ final case class Materializer(wh: Warehouse) {
           wh.overwriteStaged(staged, model.targetSchema, model.name)
         }
 
-      case IncrementalStrategy.Merge(keys, wmOpt) =>
+      case IncrementalStrategy.Merge(keys, wmOpt, partCols) =>
         // Latest-per-key: incoming wins over existing; within a batch,
         // higher watermark wins. One shuffle on the unique key.
+        // With partitionBy set, the merge is PARTITION-SCOPED: only
+        // the partitions the batch touches are read (partition-pruned
+        // scan — the predicate is equality on partition columns, so it
+        // prunes directories, not rows) and only those are rewritten.
         val tgt = targetSchemaOf(model, existing, incoming)
         val newer = alignTo(tgt, incoming).withColumn("__is_new", lit(1))
-        val older = alignTo(tgt, existing).withColumn("__is_new", lit(0))
+        val existingSide =
+          if (partCols.isEmpty) existing
+          else {
+            // touched-partition list: one distinct over the batch,
+            // driver-bounded by the batch's partition count
+            val touched = incoming.select(partCols.map(col): _*)
+              .distinct().collect()
+            // empty batch => false predicate => empty merge => no swaps
+            val pred = touched.map(r => partCols.zipWithIndex.map {
+                case (c, i) =>
+                  if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+              }.reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
+            existing.filter(pred)
+          }
+        val older = alignTo(tgt, existingSide).withColumn("__is_new", lit(0))
         val ordering = col("__is_new").desc +: wmOpt.map(c => col(c).desc).toSeq
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
         val merged = newer.unionByName(older)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn", "__is_new")
-        wh.overwriteStaged(merged, model.targetSchema, model.name)
+        if (partCols.isEmpty)
+          wh.overwriteStaged(merged, model.targetSchema, model.name)
+        else
+          wh.overwritePartitionsStaged(merged, model.targetSchema, model.name,
+            partCols)
 
       case IncrementalStrategy.InsertOverwrite(partCols) =>
         // dynamic mode scoped to THIS write only — a session-level

@@ -32,8 +32,19 @@ object IncrementalStrategy {
   final case class Append(watermarkCol: String) extends IncrementalStrategy
   /** unique_key upsert: incoming rows replace target rows with the
     * same key (dbt's default merge strategy for `unique_key`).
+    *
+    * `partitionBy` turns on PARTITION-SCOPED merge (dbt
+    * `incremental_predicates` / lakehouse MERGE with partition
+    * pruning): the target is stored partitioned on these columns, and
+    * a merge rewrites ONLY the partitions present in the incoming
+    * batch — untouched partitions are neither read nor written, so a
+    * one-partition batch against a 100 TB table costs one partition,
+    * not a full-table copy-on-write. Constraint (same as dbt
+    * insert_overwrite and lakehouse partition-pruned MERGE): a key
+    * must not move between partitions across batches.
     */
-  final case class Merge(uniqueKey: Seq[String], watermarkCol: Option[String]) extends IncrementalStrategy
+  final case class Merge(uniqueKey: Seq[String], watermarkCol: Option[String],
+      partitionBy: Seq[String] = Nil) extends IncrementalStrategy
   /** Replace exactly the partitions present in the incoming batch
     * (dbt `insert_overwrite`); maps to Spark dynamic partition
     * overwrite, which at cluster scale is a metadata-only swap per

@@ -86,6 +86,62 @@ final case class Warehouse(spark: SparkSession, root: String) {
     if (hadTarget) { f.delete(old, true); () }
   }
 
+  /** Partition-scoped copy-on-write: stage `df` (holding ONLY the
+    * partitions to replace, already partitioned by `partCols`) to a
+    * sibling dir, then swap exactly those partition directories into
+    * the live table — untouched partitions are never read, staged, or
+    * moved. The FS loop is O(#touched partitions) driver-side renames
+    * (each a metadata op), the data path stays fully distributed.
+    * On a lakehouse format this is MERGE INTO with partition pruning /
+    * replaceWhere. Swap order per partition mirrors
+    * [[overwriteStaged]]: live dir aside, staged dir in, backup
+    * dropped — a crash mid-loop leaves each partition either old,
+    * new, or recoverable at `.__old` (partition-level atomicity; the
+    * table-format analogue commits all partitions in one metadata
+    * swap).
+    */
+  def overwritePartitionsStaged(df: DataFrame, schema: String, table: String,
+      partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "partition-scoped overwrite needs partition columns")
+    val f = fs(new org.apache.hadoop.fs.Path(path(schema, table)))
+    // qualify both roots so relative paths computed against listStatus
+    // results (which come back scheme-qualified, e.g. file:/...) are
+    // true suffixes — an unqualified prefix would silently fail to
+    // strip and the "relative" path would resolve back to the staged
+    // dir itself
+    val stagedRoot = f.makeQualified(
+      new org.apache.hadoop.fs.Path(path(schema, table + ".__tmp")))
+    val liveRoot = f.makeQualified(
+      new org.apache.hadoop.fs.Path(path(schema, table)))
+    if (f.exists(stagedRoot)) f.delete(stagedRoot, true)
+    write(df, schema, table + ".__tmp", partitionBy = partCols)
+    // every staged partition dir (part=val[/part2=val2...]) swaps in
+    def partitionDirs(root: org.apache.hadoop.fs.Path,
+        depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(root)
+      else f.listStatus(root).filter(s =>
+          s.isDirectory && s.getPath.getName.contains("=")).toSeq
+        .flatMap(s => partitionDirs(s.getPath, depth - 1))
+    for (staged <- partitionDirs(stagedRoot, partCols.size)) {
+      val rel = f.makeQualified(staged).toString
+        .stripPrefix(stagedRoot.toString + "/")
+      require(!rel.contains(":"),
+        s"could not relativize staged partition $staged against $stagedRoot")
+      val live = new org.apache.hadoop.fs.Path(liveRoot, rel)
+      val old = new org.apache.hadoop.fs.Path(liveRoot, rel + ".__old")
+      if (f.exists(old)) f.delete(old, true)
+      f.mkdirs(live.getParent)
+      val had = f.exists(live)
+      if (had) require(f.rename(live, old),
+        s"could not move partition $rel aside in $schema.$table")
+      require(f.rename(staged, live),
+        s"partition swap failed for $rel in $schema.$table")
+      if (had) f.delete(old, true)
+    }
+    f.delete(stagedRoot, true)
+    ()
+  }
+
   /** Small driver-side artifacts (the CI manifest, run metadata)
     * persisted beside the data under `<root>/_artifacts/` — the same
     * Hadoop FS layer as the tables, so on a cluster they land on the

@@ -501,6 +501,41 @@ object Engine {
       .orderBy("academic_year", "semester_name")
   }
 
+  // m14 — partition-scoped merge (dbt incremental_predicates /
+  // lakehouse MERGE with partition pruning): the target is stored
+  // partitioned by order_year; batch 2 re-delivers a key subset of
+  // 1997 only, so the merge reads and rewrites ONLY the 1997
+  // partition — at 100 TB a one-partition batch costs one partition,
+  // not a full-table copy-on-write (EngineSpec additionally pins that
+  // untouched partition FILES are byte-identical after the merge).
+  val m14: Q = q("m14_merge_partitioned",
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_orderkey % 3 = 0
+      |       THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_orderkey % 3 = 0
+      |       THEN 2 ELSE 1 END AS batch,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year
+      |FROM orders ORDER BY o_orderkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m14")
+    val mat = Materializer(wh)
+    val model = Model("orders_part_merge", Seq("orders"),
+      Materialization.Incremental(IncrementalStrategy.Merge(
+        Seq("o_orderkey"), Some("batch"), partitionBy = Seq("order_year"))),
+      ctx => ctx.source("orders"))
+    def shaped(df: DataFrame, batch: Int): DataFrame = df.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      lit(batch).as("batch"), year(col("o_orderdate")).as("order_year"))
+    val b1 = shaped(c.orders, 1)
+    val b2 = shaped(c.orders.filter(
+        year(col("o_orderdate")) === 1997 && col("o_orderkey") % 3 === 0), 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+    mat.run(model, _ => b1)
+    mat.run(model, _ => b2)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "batch", "order_year")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13)
+    m11, m12, m13, m14)
 }

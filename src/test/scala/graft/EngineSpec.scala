@@ -318,6 +318,42 @@ class EngineSpec extends SparkSpec {
     assert(wh.exists("analytics", "mart") && !wh.exists("analytics", "stg"))
   }
 
+  test("partition-scoped merge rewrites only touched partitions, untouched files identical") {
+    val wh = freshWh("part_merge")
+    val mat = Materializer(wh)
+    val model = Model("t", Seq("src"),
+      Materialization.Incremental(IncrementalStrategy.Merge(
+        Seq("k"), Some("wm"), partitionBy = Seq("yr"))),
+      ctx => ctx.source("src"))
+    def rows(data: Seq[(Long, String, Int, Int)]) =
+      spark.createDataFrame(data).toDF("k", "v", "wm", "yr")
+    mat.run(model, _ => rows(Seq(
+      (1L, "a95", 1, 1995), (2L, "b95", 1, 1995),
+      (3L, "a96", 1, 1996), (4L, "a97", 1, 1997), (5L, "b97", 1, 1997))))
+
+    def files(yr: Int): Set[String] = {
+      val dir = java.nio.file.Paths.get(wh.path("analytics", "t"), s"yr=$yr")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(p => p.getFileName.toString + ":" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .filterNot(_.startsWith(".")).toSet
+    }
+    val before95 = files(1995)
+    val before97 = files(1997)
+
+    // batch 2 touches ONLY 1997: k=4 updated, k=6 new
+    mat.run(model, _ => rows(Seq((4L, "a97v2", 2, 1997), (6L, "c97", 2, 1997))))
+
+    assert(files(1995) == before95,
+      "untouched partition was rewritten — pruning failed")
+    assert(files(1997) != before97, "touched partition must be rewritten")
+    val got = wh.read("analytics", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a95", 1), (2L, "b95", 1), (3L, "a96", 1),
+      (4L, "a97v2", 2), (5L, "b97", 1), (6L, "c97", 2)))
+  }
+
   test("parallel DAG runner: a failing model propagates without hanging, siblings complete") {
     val wh = freshWh("dag_par_fail")
     val sources: String => org.apache.spark.sql.DataFrame =
