@@ -124,6 +124,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val benchStart = System.nanoTime()

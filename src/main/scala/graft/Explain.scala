@@ -14,6 +14,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.isEmpty) Seq("q23_topk_per_group") else args.toSeq

@@ -292,6 +292,8 @@ object Main {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (cfg.verbose) "INFO" else "WARN")
     val bar = "=" * 60

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Macros
-import graft.operators.{Ntile, Recursive, TopK}
+import graft.operators.{Bucketing, Ntile, Recursive, Salting, TopK}
 import graft.sources.Catalog
 
 /** A named query with an optional DuckDB oracle (ANSI SQL over the
@@ -636,8 +636,59 @@ object Relational {
       .orderBy("cohort")
   }
 
+  // q27 — salted skew join: lineitem⋈orders executed on (key, salt)
+  // with the orders side replicated 8×. Results are bit-identical to
+  // the plain join (the Murmur3 salt never reaches the output), which
+  // is exactly what the oracle verifies; the value is the mechanism —
+  // the manual skew fallback for when AQE's runtime skew splitting
+  // can't apply (see operators/Salting.scala).
+  val q27: Q = q("q27_salted_join",
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { c =>
+    Salting.saltedJoin(
+        c.lineitem.select("l_orderkey", "l_linenumber", "l_partkey",
+          "l_quantity", "l_extendedprice"),
+        "l_orderkey",
+        c.orders.select("o_orderkey", "o_orderstatus"),
+        "o_orderkey", salts = 8, saltBy = "l_partkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        dbl(sum(decQty(col("l_quantity")))).as("total_qty"),
+        dbl(sum(decPrice(col("l_extendedprice")))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // q28 — bucketed co-located join: both sides written hash-bucketed
+  // on the join key, then joined with ZERO shuffle exchanges (the
+  // plan assertion lives in RelationalSpec). The write-once shuffle
+  // amortizes over every downstream join on the key — the storage
+  // layout a 100 TB fact table wants under the reference's
+  // staging→marts shape.
+  val q28: Q = Q("q28_bucketed_join", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    Bucketing.writeBucketed(
+      c.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bkt_orders", "o_custkey", buckets = 8)
+    Bucketing.writeBucketed(
+      c.customer.select("c_custkey", "c_mktsegment"),
+      "graft_bkt_customer", "c_custkey", buckets = 8)
+    Bucketing.coLocatedJoin(spark, "graft_bkt_orders", "graft_bkt_customer",
+        "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      .orderBy("c_mktsegment")
+  }, Some(
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26)
+    q21, q22, q23, q24, q25, q26, q27, q28)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.queries.Relational
 
 class RelationalSpec extends SparkSpec {
@@ -67,6 +69,38 @@ class RelationalSpec extends SparkSpec {
     assert(flat.contains(s"${registered.size} checklist lines total, " +
       s"${SparkEntry.oracleSql.size} by DuckDB oracle"),
       "contract paragraph counts out of date")
+  }
+
+  test("salted join == plain join, salt never reaches the output") {
+    import graft.operators.Salting
+    val c = graft.sources.Catalog(spark, sfDir)
+    val fact = c.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    val dim = c.orders.select("o_orderkey", "o_orderstatus")
+    val salted = Salting.saltedJoin(fact, "l_orderkey", dim, "o_orderkey",
+      salts = 8, saltBy = "l_partkey")
+    assert(!salted.columns.contains("__salt"))
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toString).sorted.toSeq
+    assert(sig(salted) == sig(plain))
+  }
+
+  test("bucketed co-located join plan has zero shuffle exchanges") {
+    import graft.operators.Bucketing
+    val c = graft.sources.Catalog(spark, sfDir)
+    Bucketing.writeBucketed(c.orders.select("o_orderkey", "o_custkey"),
+      "spec_bkt_orders", "o_custkey", buckets = 4)
+    Bucketing.writeBucketed(c.customer.select("c_custkey", "c_mktsegment"),
+      "spec_bkt_customer", "c_custkey", buckets = 4)
+    val joined = Bucketing.coLocatedJoin(spark,
+      "spec_bkt_orders", "spec_bkt_customer", "o_custkey", "c_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    // and it is still the same join
+    assert(joined.count() ==
+      c.orders.join(c.customer, col("o_custkey") === col("c_custkey")).count())
   }
 
   test("q17 string_agg is sorted and comma-joined") {
