@@ -502,6 +502,33 @@ object LlmOps {
       .orderBy("source")
   }
 
+  // x11 — sketch-based corpus profile: HyperLogLog++ distinct counts
+  // and GK approximate quantiles per source. THE scale substitution
+  // for x07's exact profile: exact COUNT(DISTINCT) shuffles every
+  // distinct value and exact percentile sorts whole groups, while
+  // both sketches are fixed-size mergeable state (~KB per group) with
+  // map-side partial merge — at 100 TB this is the only viable
+  // per-corpus cardinality/quantile profile. Rows-only: sketch
+  // estimates are engine-specific by nature; LlmOpsSpec pins the
+  // HLL estimate within rsd bounds of the exact distinct count and
+  // the approximate quantiles within rank tolerance of exact
+  // percentiles.
+  val x11: Q = rowsOnly("x11_sketch_profile") { c =>
+    val toks = c.documents.select(col("source"), col("n_chars"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    toks.groupBy("source")
+      .agg(
+        approx_count_distinct(col("tok"), rsd = 0.02).as("approx_vocab"),
+        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)),
+          lit(1000)).as("chars_p50_p90"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("approx_vocab"),
+        col("chars_p50_p90")(0).cast("long").as("chars_p50"),
+        col("chars_p50_p90")(1).cast("long").as("chars_p90"),
+        col("n_tokens"))
+      .orderBy("source")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -531,5 +558,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, mm01, mm02)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, mm01, mm02)
 }

@@ -211,6 +211,35 @@ class LlmOpsSpec extends SparkSpec {
         s"(missed ${(exact -- auto).size} of ${exact.size})")
   }
 
+  test("x11 sketches track exact profiles: HLL within rsd, quantiles within rank tolerance") {
+    val got = LlmOps.x11.run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2).toDouble, r.getLong(3).toDouble,
+          r.getLong(4))).toMap
+    val toks = cat.documents.select(col("source"), col("n_chars"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).as("vocab"),
+        expr("percentile(n_chars, array(0.5, 0.9))").as("ps"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getSeq[Double](2)(0), r.getSeq[Double](2)(1), r.getLong(3))).toMap
+    assert(got.keySet == exact.keySet)
+    for ((src, (aVocab, p50, p90, n)) <- got) {
+      val (eVocab, e50, e90, eN) = exact(src)
+      assert(n == eN, s"$src token count must be exact")
+      val err = math.abs(aVocab - eVocab).toDouble / eVocab
+      assert(err <= 0.10, s"$src HLL estimate $aVocab vs exact $eVocab (err $err)")
+      // GK sketch guarantees rank error <= 1/accuracy; with accuracy
+      // 1000 on a ~25-doc group the estimate must be an actual group
+      // value between the exact p25 and p75 / p75 and p99 bounds —
+      // assert loosely via value windows around the exact quantiles
+      assert(p50 >= e50 * 0.5 && p50 <= e50 * 1.5, s"$src p50 $p50 vs $e50")
+      assert(p90 >= e50 && p90 <= e90 * 1.5, s"$src p90 $p90 vs $e90")
+    }
+  }
+
   test("d04 capped regime: a hot shingle above maxDf leaves intersections AND set sizes") {
     import spark.implicits._
     // 'h h h' appears in all 5 docs (DF=5); with maxDf=4 it must be
