@@ -171,7 +171,18 @@ object Bench {
         scaleOps.map(n => (n, -1.0, medians(n), Some("skipped_budget")))
       else {
         val scaleDir = s"/tmp/graft_scale10x_${ProcessHandle.current().pid()}"
-        stageScaled(spark, sfDir, scaleDir)
+        // a staging failure (disk full, interrupted write) must not
+        // take the whole bench line — and all 75 medians — with it
+        val staged =
+          try { stageScaled(spark, sfDir, scaleDir); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .takeWhile(_ != '\n').take(200))
+          }
+        if (staged.isDefined)
+          scaleOps.map(n =>
+            (n, -1.0, medians(n), Some(s"staging_failed: ${staged.get}")))
+        else {
         val rs = scaleOps.map { n =>
           if (elapsed > budgetSec) (n, -1.0, medians(n), Some("skipped_budget"))
           else {
@@ -200,6 +211,7 @@ object Bench {
           ()
         } catch { case _: Throwable => () }
         rs
+        }
       }
 
     val qs = names.map(n => s"${jstr(n)}:${medians(n)}").mkString("{", ",", "}")

@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSpec {
         s"only in batch (${onlyBatch.size}): ${onlyBatch.take(4).mkString("; ")}")
   }
 
+  test("append-mode windowed agg emits a window only after the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.tumblingStream(stream).writeStream
+      .format("memory").queryName("e01_append")
+      .outputMode("append").start()
+    def at(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    input.addData((1L, at(1), 1L, "view", 1.0), (2L, at(1), 2L, "view", 2.0))
+    query.processAllAvailable()
+    // watermark still before the window end: nothing may be emitted
+    assert(spark.table("e01_append").count() == 0)
+    // event time jumps to 06:30 -> watermark 04:30 -> the 01:00 window
+    // (end 02:00) finalizes; the 06:00 window stays open
+    input.addData((3L, at(6), 1L, "view", 5.0))
+    query.processAllAvailable()
+    input.addData((4L, at(6), 2L, "view", 7.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("e01_append").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((Timestamp.valueOf("2024-01-01 01:00:00"), 2L, 3.0)),
+      s"exactly the finalized 01:00 window must be emitted, got ${rows.toSeq}")
+  }
+
   test("stream-static enrichment join equals the batch join, stateless across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
