@@ -137,5 +137,32 @@ object Streaming {
       .orderBy("segment", "event_type")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05)
+  // e06 — as-of (point-in-time) join: each non-purchase event picks
+  // up the user's latest prior-or-simultaneous purchase. Composed as
+  // union + rows-preceding window (ONE shuffle on user_id, no range
+  // explosion — operators/AsOf.scala); the oracle is DuckDB's native
+  // ASOF LEFT JOIN, so the inclusive >= semantics are hash-compared
+  // end to end including the no-prior-purchase NULLs.
+  val e06: Q = q("e06_asof_join",
+    """WITH p AS (SELECT event_id, ts, user_id, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id, ts, user_id, event_type FROM events
+      |      WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.ts, e.user_id, e.event_type,
+      |  p.event_id AS prior_purchase_id,
+      |  p.value AS prior_purchase_value
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""") { c =>
+    val purchases = c.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val others = c.events.filter(col("event_type") =!= "purchase")
+      .select("event_id", "ts", "user_id", "event_type")
+    graft.operators.AsOf.joinAsOf(others, purchases, "user_id", "ts")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("asof.event_id").as("prior_purchase_id"),
+        col("asof.value").as("prior_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
 }
