@@ -164,5 +164,32 @@ object Streaming {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
+  // e07 — bounded range (interval) join: every event within 30
+  // minutes AFTER a purchase by the same user — the attribution
+  // window. Binned equi-join on (user_id, time bin) + exact filter
+  // (operators/RangeJoin.scala) instead of the nested-loop plan a raw
+  // time-inequality join produces; the oracle is the plain inequality
+  // join, so the bin+filter rendering is hash-compared exactly.
+  val e07: Q = q("e07_range_join",
+    """WITH p AS (SELECT event_id, ts, user_id FROM events
+      |           WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id, ts, user_id, event_type FROM events
+      |      WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |  p.event_id AS purchase_id, p.ts AS range_ts
+      |FROM e JOIN p ON e.user_id = p.user_id
+      |  AND e.ts >= p.ts AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
+      |ORDER BY e.event_id, purchase_id""") { c =>
+    val purchases = c.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val others = c.events.filter(col("event_type") =!= "purchase")
+      .select("event_id", "ts", "user_id", "event_type")
+    graft.operators.RangeJoin
+      .intervalJoin(others, purchases, "user_id", "ts", maxGapSec = 1800L)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("range.event_id").as("purchase_id"), col("range_ts"))
+      .orderBy("event_id", "purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }
