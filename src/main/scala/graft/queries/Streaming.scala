@@ -191,5 +191,75 @@ object Streaming {
       .orderBy("event_id", "purchase_id")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  // e08 — STREAM-STREAM time-bound join, run through the real
+  // Structured Streaming machinery (two file streams over the same
+  // landing dir, watermarks on both sides, event-time range condition
+  // so the join state is cleanly bounded): the streaming counterpart
+  // of e07's batch attribution window, and the oracle IS that plain
+  // inequality join — the stateful streaming execution must reproduce
+  // the batch result exactly.
+  val e08: Q = Q("e08_stream_stream_join", (spark, dir) => {
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_e08_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_e08_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e08_ckpt")
+    def stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    try {
+      val others = stream.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .withWatermark("ts", "2 hours")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user_id"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = others.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("ts") >= col("p_ts") &&
+          col("ts") <= col("p_ts") + expr("interval 30 minutes"))
+      val query = joined.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(outDir.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("p_event_id").as("purchase_id"), col("p_ts").as("range_ts"))
+        .orderBy("event_id", "purchase_id")
+        // pull the result out of the scratch dir before it is deleted
+        .localCheckpoint()
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      rm(ckpt); rm(srcDir)
+      // outDir intentionally NOT deleted here: localCheckpoint has
+      // already materialized the result, but the dir is tiny and a
+      // same-process re-run overwrites it; register for JVM-exit GC
+      outDir.toFile.deleteOnExit()
+    }
+  }, Some(
+    """WITH p AS (SELECT event_id, ts, user_id FROM events
+      |           WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id, ts, user_id, event_type FROM events
+      |      WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |  p.event_id AS purchase_id, p.ts AS range_ts
+      |FROM e JOIN p ON e.user_id = p.user_id
+      |  AND e.ts >= p.ts AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
+      |ORDER BY e.event_id, purchase_id""".stripMargin.trim))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
 }
