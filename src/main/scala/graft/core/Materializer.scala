@@ -141,6 +141,18 @@ final case class Materializer(wh: Warehouse) {
         wh.write(aligned, model.targetSchema, model.name,
           mode = "overwrite", partitionBy = partCols,
           options = Map("partitionOverwriteMode" -> "dynamic"))
+
+      case IncrementalStrategy.DeleteInsert(keys) =>
+        // delete: one LEFT ANTI join of the target against the batch's
+        // distinct keys (shuffle on the key; the key set is the
+        // batch's, so it broadcasts when the batch is small). insert:
+        // the whole batch, key multiplicity preserved. On a lakehouse
+        // format this commit is DELETE WHERE key IN (batch) + INSERT.
+        val tgt = targetSchemaOf(model, existing, incoming)
+        val in = alignTo(tgt, incoming)
+        val kept = alignTo(tgt, existing)
+          .join(in.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        wh.overwriteStaged(kept.unionByName(in), model.targetSchema, model.name)
     }
   }
 

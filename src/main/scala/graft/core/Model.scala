@@ -51,6 +51,13 @@ object IncrementalStrategy {
     * partition — no read-modify-write of the full table.
     */
   final case class InsertOverwrite(partitionCols: Seq[String]) extends IncrementalStrategy
+  /** dbt `delete+insert`: target rows whose key appears in the batch
+    * are deleted, then EVERY incoming row is inserted. Unlike Merge
+    * this preserves key multiplicity within the batch (a key may fan
+    * out to several rows — e.g. an order re-delivered as its line
+    * items), which is exactly why dbt offers both strategies.
+    */
+  final case class DeleteInsert(uniqueKey: Seq[String]) extends IncrementalStrategy
 }
 
 /** dbt `on_schema_change` policy for incremental runs. */

@@ -536,6 +536,38 @@ object Engine {
       .orderBy("o_orderkey")
   }
 
+  // m15 — delete+insert incremental strategy (dbt's other unique_key
+  // strategy): batch 2 re-delivers every 10th order SPLIT INTO TWO
+  // half-price line rows. Merge would collapse the pair to one row;
+  // delete+insert deletes the key's old row and inserts BOTH — key
+  // multiplicity is the batch's, which is the whole point of the
+  // strategy. Physically: one anti-join on the key (batch key set
+  // broadcasts when small) + the append, copy-on-write staged swap.
+  val m15: Q = q("m15_delete_insert",
+    """SELECT o_orderkey, line, o_totalprice, batch FROM (
+      |  SELECT o_orderkey, 1 AS line, o_totalprice, 1 AS batch
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, l AS line, o_totalprice * 0.5 AS o_totalprice, 2 AS batch
+      |  FROM orders, (VALUES (1), (2)) AS t(l) WHERE o_orderkey % 10 = 0)
+      |ORDER BY o_orderkey, line""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m15")
+    val mat = Materializer(wh)
+    val model = Model("orders_di", Seq("orders"),
+      Materialization.Incremental(
+        IncrementalStrategy.DeleteInsert(Seq("o_orderkey"))),
+      ctx => ctx.source("orders"))
+    val b1 = c.orders.select(col("o_orderkey"), lit(1).as("line"),
+      col("o_totalprice"), lit(1).as("batch"))
+    val redelivered = c.orders.filter(col("o_orderkey") % 10 === 0)
+    val b2 = Seq(1, 2).map(l => redelivered.select(col("o_orderkey"),
+      lit(l).as("line"), (col("o_totalprice") * 0.5).as("o_totalprice"),
+      lit(2).as("batch"))).reduce(_ unionByName _)
+    mat.run(model, _ => b1)
+    mat.run(model, _ => b2).orderBy("o_orderkey", "line")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14)
+    m11, m12, m13, m14, m15)
 }

@@ -57,6 +57,22 @@ class EngineSpec extends SparkSpec {
       == Seq(1L -> "new", 2L -> "old2", 3L -> "three"))
   }
 
+  test("delete+insert: batch key multiplicity survives where merge would collapse it") {
+    val wh = freshWh("delins")
+    val mat = Materializer(wh)
+    val model = Model("t", Seq("src"),
+      Materialization.Incremental(
+        IncrementalStrategy.DeleteInsert(Seq("k"))),
+      ctx => ctx.source("src"))
+    mat.run(model, _ => df(Seq((1L, "old1", 1), (2L, "old2", 1))))
+    // key 1 re-delivered as TWO rows: both must land; key 2 untouched
+    val out = mat.run(model,
+      _ => df(Seq((1L, "a", 2), (1L, "b", 3), (3L, "three", 1))))
+    assert(out.orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq(1L -> "a", 1L -> "b", 2L -> "old2", 3L -> "three"))
+  }
+
   test("schema evolution: append_new_columns back-fills NULL, Fail raises") {
     val wh = freshWh("evolve")
     val mat = Materializer(wh)
