@@ -23,6 +23,15 @@ object Text {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  /** All word n-grams in document order, duplicates KEPT — the input
+    * to repetition signals, where multiplicity is the measurement.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
   /** Occurrences of any word from `words` (duplicates counted). */
   def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast(LongType)

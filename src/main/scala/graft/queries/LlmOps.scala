@@ -529,6 +529,41 @@ object LlmOps {
       .orderBy("source")
   }
 
+  // x12 — repetition signals (the Gopher/RefinedWeb quality rules
+  // that catch boilerplate and degenerate generations): per doc, the
+  // fraction of bigram occurrences taken by the single most frequent
+  // bigram, and the fraction that are repeats of an earlier bigram.
+  // Two hash aggregations after one explode — (doc_id, bigram) then
+  // doc_id, both map-side combined; no windows, no distinct-explode,
+  // so the plan is the same two-shuffle shape at any corpus size.
+  val x12: Q = q("x12_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |         i -> t[i] || ' ' || t[i+1])) AS bigram
+      |       FROM toks WHERE len(t) >= 2),
+      |cnt AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |          MAX(n) AS mx, COUNT(*) AS n_distinct FROM cnt GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+      |  ROUND(CAST(mx AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+      |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+      |FROM agg ORDER BY doc_id""") { c =>
+    val bg = c.documents
+      .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(Text.ngrams(col("toks"), 2)).as("bigram"))
+    bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("mx"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams").cast(IntegerType).as("n_bigrams"),
+        round(col("mx").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -558,5 +593,5 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, mm01, mm02)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, mm01, mm02)
 }

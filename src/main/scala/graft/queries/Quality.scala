@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
 import graft.operators.DataQuality
 import graft.sources.Catalog
@@ -164,5 +165,47 @@ object Quality {
       .orderBy("check_name")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
+  // t06 — source freshness (dbt `source freshness`: per source, the
+  // max of its loaded_at field is aged against warn_after/error_after
+  // and reported as pass/warn/error — sources.yml `freshness:` block).
+  // The as-of instant is pinned (a wall-clock `now()` would be
+  // nondeterministic across engines and runs); thresholds sit far
+  // from the observed ages so the statuses are stable. Each max() is
+  // a single-column scan aggregate — at 100 TB this is the cheapest
+  // possible full-scan check, and on a lakehouse format it degrades
+  // to metadata-only (max stats per file).
+  val t06: Q = q("t06_source_freshness",
+    """WITH f AS (
+      |  SELECT 'events' AS source_name, CAST(MAX(ts) AS TIMESTAMP) AS max_loaded_at,
+      |         14 AS warn_after, 60 AS error_after
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(MAX(l_shipdate) AS TIMESTAMP), 5000, 8000 FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', CAST(MAX(o_orderdate) AS TIMESTAMP), 9000, 10000 FROM orders),
+      |a AS (SELECT source_name, max_loaded_at,
+      |  CAST(date_diff('day', CAST(max_loaded_at AS DATE), DATE '2024-03-01') AS INT) AS age_days,
+      |  warn_after, error_after FROM f)
+      |SELECT source_name, max_loaded_at, age_days,
+      |  CASE WHEN age_days > error_after THEN 'error'
+      |       WHEN age_days > warn_after THEN 'warn' ELSE 'pass' END AS status
+      |FROM a ORDER BY source_name""") { c =>
+    val asof = to_date(lit("2024-03-01"))
+    def fresh(src: DataFrame, name: String, loadedAt: String,
+        warnAfter: Int, errorAfter: Int): DataFrame = {
+      src.agg(max(col(loadedAt)).cast(TimestampType).as("max_loaded_at"))
+        .select(lit(name).as("source_name"), col("max_loaded_at"),
+          datediff(asof, col("max_loaded_at").cast(DateType)).as("age_days"))
+        .withColumn("status",
+          when(col("age_days") > errorAfter, "error")
+            .when(col("age_days") > warnAfter, "warn")
+            .otherwise("pass"))
+    }
+    fresh(c.events, "events", "ts", 14, 60)
+      .unionByName(fresh(c.lineitem, "lineitem", "l_shipdate", 5000, 8000))
+      .unionByName(fresh(c.orders, "orders", "o_orderdate", 9000, 10000))
+      .orderBy("source_name")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
 }

@@ -261,5 +261,61 @@ object Streaming {
       |  AND e.ts >= p.ts AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
       |ORDER BY e.event_id, purchase_id""".stripMargin.trim))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  // e09 — streaming UPSERT (the streaming incremental model): each
+  // micro-batch reduces to its latest row per user, then routes
+  // through the SAME Merge materialization the batch engine uses —
+  // foreachBatch is the stream→MERGE bridge, and the maintained table
+  // is a continuously-updated "current user state" dimension. In-order
+  // delivery + the merge's incoming-wins rule = last-write-wins;
+  // StreamingSpec drives the same sink over a multi-batch MemoryStream
+  // with cross-batch key updates and checks parity with the batch
+  // window form.
+  val e09: Q = Q("e09_stream_merge", (spark, dir) => {
+    val wh = Warehouse.scratch(spark, "e09")
+    val mat = Materializer(wh)
+    val model = Model("user_state", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"))),
+      ctx => ctx.source("events"))
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_e09_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e09_ckpt")
+    try {
+      val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mat.run(model, _ => EventStream.latestPerUser(batch)); ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      rm(ckpt); rm(srcDir)
+    }
+    wh.read("analytics", "user_state").orderBy("user_id")
+  }, Some(
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin.trim))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

@@ -94,6 +94,25 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   // ---------------------------------------------------------------
+  /** e09: the per-batch reduction of the streaming upsert — latest
+    * event per user within the batch, deterministically tie-broken by
+    * event_id. One map-side-bounded window per micro-batch (batches
+    * are small next to the table); the cross-batch combine is the
+    * Merge materialization's incoming-wins rule, so in-order delivery
+    * gives last-write-wins on the maintained table.
+    */
+  def latestPerUser(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("last_ts").desc, col("last_event_id").desc)
+    batch.select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------
   /** e05: stream-static enrichment — events joined to a driver-small
     * static dimension (customer segments). The SAME code serves batch
     * and streaming inputs: a broadcast equi-join is stateless, so on a

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 
+import graft.core.{IncrementalStrategy, Materialization, Materializer, Model, Warehouse}
 import graft.sources.Catalog
 import graft.streaming.EventStream
 
@@ -104,6 +105,50 @@ class StreamingSpec extends SparkSpec {
       cat.customer).collect().map(key).toSet
     assert(streamed.size == rows.size, "every event must be enriched exactly once")
     assertSameSets(streamed, batch)
+  }
+
+  test("e09 streaming upsert maintains latest-per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Warehouse.scratch(spark, "e09spec")
+    val mat = Materializer(wh)
+    val model = Model("user_state", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"))),
+      ctx => ctx.source("events"))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e09spec_ckpt")
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        mat.run(model, _ => EventStream.latestPerUser(batch)); ()
+      }
+      .start()
+    def at(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // batch 1: user 3 has an in-batch ts tie -> event_id 4 must win
+    input.addData((1L, at(1), 1L, "view", 1.0), (2L, at(2), 2L, "view", 2.0),
+      (3L, at(3), 3L, "view", 3.0), (4L, at(3), 3L, "click", 4.0))
+    query.processAllAvailable()
+    // batch 2: users 2 and 3 advance, user 4 appears, user 1 untouched
+    input.addData((5L, at(5), 2L, "purchase", 5.0),
+      (6L, at(6), 3L, "view", 6.0), (7L, at(4), 4L, "view", 7.0))
+    query.processAllAvailable()
+    query.stop()
+    try {
+      val got = wh.read("analytics", "user_state").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .toSeq
+      assert(got == Seq((1L, 1L, "view", 1.0), (2L, 5L, "purchase", 5.0),
+        (3L, 6L, "view", 6.0), (4L, 7L, "view", 7.0)),
+        s"unexpected final state: $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("e03 stream ingest lands every event in the incremental table exactly once") {
