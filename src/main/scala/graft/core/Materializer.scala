@@ -65,6 +65,7 @@ final case class Materializer(wh: Warehouse) {
             val partCols = strategy match {
               case IncrementalStrategy.InsertOverwrite(cols) => cols
               case IncrementalStrategy.Merge(_, _, cols) => cols
+              case IncrementalStrategy.Microbatch(p, _) => Seq(p)
               case _ => Nil
             }
             wh.write(out, model.targetSchema, model.name, partitionBy = partCols)
@@ -141,6 +142,28 @@ final case class Materializer(wh: Warehouse) {
         wh.write(aligned, model.targetSchema, model.name,
           mode = "overwrite", partitionBy = partCols,
           options = Map("partitionOverwriteMode" -> "dynamic"))
+
+      case IncrementalStrategy.Microbatch(periodCol, lookback) =>
+        // dbt microbatch: recompute only the periods from
+        // (newest target period - lookback) forward, one
+        // dynamic-partition-overwrite job per period — each job is the
+        // per-batch retry unit, and the period filter pushes down into
+        // the batch's source scan (same physical effect as dbt
+        // injecting the batch window into source()/ref()). Periods
+        // older than the window — even if present in the incoming
+        // frame — are NOT rewritten.
+        val maxPeriod = existing.agg(max(col(periodCol))).head.getDate(0)
+        val startMonth = java.sql.Date.valueOf(
+          maxPeriod.toLocalDate.minusMonths(lookback.toLong))
+        val windowed = incoming.filter(col(periodCol) >= lit(startMonth))
+        val periods = windowed.select(col(periodCol)).distinct()
+          .collect().map(_.getDate(0)).sorted(Ordering.by[java.sql.Date, Long](_.getTime))
+        periods.foreach { p =>
+          wh.write(windowed.filter(col(periodCol) === lit(p)),
+            model.targetSchema, model.name,
+            mode = "overwrite", partitionBy = Seq(periodCol),
+            options = Map("partitionOverwriteMode" -> "dynamic"))
+        }
 
       case IncrementalStrategy.DeleteInsert(keys) =>
         // delete: one LEFT ANTI join of the target against the batch's

@@ -51,6 +51,18 @@ object IncrementalStrategy {
     * partition — no read-modify-write of the full table.
     */
   final case class InsertOverwrite(partitionCols: Seq[String]) extends IncrementalStrategy
+  /** dbt `microbatch` (event-time batching): the table is maintained
+    * per event-time PERIOD. An incremental run recomputes only the
+    * periods from `lookback` periods before the target's newest one
+    * forward — late-arriving data inside the lookback window is
+    * healed, anything older is left untouched — and each period is
+    * replaced independently (one dynamic-partition-overwrite job per
+    * period = dbt's per-batch retry unit). `periodCol` must hold the
+    * month of the model's event-time column as a DATE (the month
+    * granularity of dbt `batch_size`).
+    */
+  final case class Microbatch(periodCol: String, lookback: Int = 1)
+      extends IncrementalStrategy
   /** dbt `delete+insert`: target rows whose key appears in the batch
     * are deleted, then EVERY incoming row is inserted. Unlike Merge
     * this preserves key multiplicity within the batch (a key may fan

@@ -568,6 +568,39 @@ object Engine {
     mat.run(model, _ => b2).orderBy("o_orderkey", "line")
   }
 
+  // m16 — microbatch incremental (dbt 1.9 `microbatch`): the table is
+  // maintained per event-time month; run 2 offers the full source but
+  // recomputes ONLY the months from (newest existing month - 1
+  // lookback) forward — the boundary month is healed for late
+  // arrivals, genuinely new months append, and every older month is
+  // untouched (still batch 1 in the output). Each recomputed month is
+  // its own dynamic-partition-overwrite job, dbt's per-batch retry
+  // unit; the month filter pushes into the batch's scan.
+  val m16: Q = q("m16_microbatch",
+    """WITH mx AS (SELECT date_trunc('month', MAX(o_orderdate)) AS m
+      |            FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01')
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  CASE WHEN date_trunc('month', o_orderdate) >= m - INTERVAL 1 MONTH
+      |       THEN 2 ELSE 1 END AS batch
+      |FROM orders, mx ORDER BY o_orderkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m16")
+    val mat = Materializer(wh)
+    val model = Model("orders_mb", Seq("orders"),
+      Materialization.Incremental(
+        IncrementalStrategy.Microbatch("order_month", lookback = 1)),
+      ctx => ctx.source("orders"))
+    def shaped(df: DataFrame, batch: Int): DataFrame = df.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"),
+      lit(batch).as("batch"))
+    mat.run(model, _ => shaped(c.orders.filter(col("o_orderdate") < cutoff), 1))
+    mat.run(model, _ => shaped(c.orders, 2))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "order_month", "batch")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15)
+    m11, m12, m13, m14, m15, m16)
 }

@@ -73,6 +73,32 @@ class EngineSpec extends SparkSpec {
       == Seq(1L -> "a", 1L -> "b", 2L -> "old2", 3L -> "three"))
   }
 
+  test("microbatch: lookback heals the boundary period, older periods untouched") {
+    val wh = freshWh("microbatch")
+    val mat = Materializer(wh)
+    val model = Model("t", Seq("src"),
+      Materialization.Incremental(
+        IncrementalStrategy.Microbatch("p", lookback = 1)),
+      ctx => ctx.source("src"))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def mdf(rows: Seq[(Long, java.sql.Date, Int)]) =
+      spark.createDataFrame(rows).toDF("k", "p", "batch")
+    mat.run(model, _ => mdf(Seq((1L, d("2024-01-01"), 1),
+      (2L, d("2024-02-01"), 1), (3L, d("2024-03-01"), 1))))
+    // run 2 offers every month: a rewritten Jan row sits OUTSIDE the
+    // lookback window (newest=Mar, lookback 1 -> Feb onward) and must
+    // be ignored; Feb is healed with a late arrival; Apr is new
+    val out = mat.run(model, _ => mdf(Seq(
+        (9L, d("2024-01-01"), 2),
+        (2L, d("2024-02-01"), 2), (20L, d("2024-02-01"), 2),
+        (3L, d("2024-03-01"), 2),
+        (4L, d("2024-04-01"), 2))))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("batch"))).toSeq
+    assert(out == Seq((1L, 1), (2L, 2), (3L, 2), (4L, 2), (20L, 2)),
+      s"got $out")
+  }
+
   test("schema evolution: append_new_columns back-fills NULL, Fail raises") {
     val wh = freshWh("evolve")
     val mat = Materializer(wh)
