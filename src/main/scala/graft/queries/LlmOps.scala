@@ -394,6 +394,42 @@ object LlmOps {
   // reassemble from their surviving chunks in position order. Docs
   // whose every chunk is a duplicate stay in the output with empty
   // clean_text (left join), so the row count is the doc count.
+  // d08 — URL-canonicalization dedup (the very first pass of a web
+  // curation run: the same page arrives under scheme/case/tracking/
+  // trailing-slash variants). The corpus has no URL column, so each
+  // doc gets a deterministic doc_id-derived URL with planted variants
+  // (upper-cased WWW host, utm query string, trailing slash) — both
+  // engines compute the identical injection, then the identical
+  // normalization, so the canonicalization logic itself is hash-gated.
+  // One hash aggregation on the canonical key (min doc_id = keep
+  // first, count = cluster size); shuffles only on the URL key.
+  val d08: Q = q("d08_url_dedup",
+    """WITH u AS (SELECT doc_id,
+      |  'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/page/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS url
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(lower(url),
+      |    '\?.*$', ''), '/$', ''), '://www\.', '://') AS url_key
+      |  FROM u)
+      |SELECT url_key, CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+      |  COUNT(*) AS n_docs
+      |FROM n GROUP BY url_key ORDER BY url_key""") { c =>
+    val url = concat(
+      lit("https://WWW.Example"), (col("doc_id") % 7).cast("string"),
+      lit(".COM/page/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, "?utm_source=feed").otherwise(""),
+      when(col("doc_id") % 2 === 0, "/").otherwise(""))
+    val urlKey = regexp_replace(regexp_replace(regexp_replace(lower(url),
+      "\\?.*$", ""), "/$", ""), "://www\\.", "://")
+    c.documents.select(col("doc_id"), urlKey.as("url_key"))
+      .groupBy("url_key")
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy("url_key")
+  }
+
   val d07: Q = q("d07_chunk_dedup",
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
@@ -592,6 +628,6 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, mm01, mm02)
 }
