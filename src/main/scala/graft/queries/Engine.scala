@@ -569,13 +569,19 @@ object Engine {
   }
 
   // m16 — microbatch incremental (dbt 1.9 `microbatch`): the table is
-  // maintained per event-time month; run 2 offers the full source but
-  // recomputes ONLY the months from (newest existing month - 1
-  // lookback) forward — the boundary month is healed for late
-  // arrivals, genuinely new months append, and every older month is
-  // untouched (still batch 1 in the output). Each recomputed month is
-  // its own dynamic-partition-overwrite job, dbt's per-batch retry
-  // unit; the month filter pushes into the batch's scan.
+  // maintained per event-time month; run 2's batch recomputes ONLY
+  // the months from (newest existing month - 1 lookback) forward —
+  // the boundary month is healed for late arrivals, genuinely new
+  // months append, and every older month is untouched (still batch 1
+  // in the output). Each recomputed month is its own
+  // dynamic-partition-overwrite job, dbt's per-batch retry unit, and
+  // the month filter pushes into that batch's scan. Run 2 delivers a
+  // recent 3-month slice, which is what an incremental batch IS — a
+  // full-history replay through the per-period path would serialize
+  // one job per month of history (and the jobs must stay sequential
+  // on plain parquet: concurrent FileOutputCommitter commits against
+  // one table path share _temporary; dbt's concurrent_batches needs a
+  // lakehouse commit protocol).
   val m16: Q = q("m16_microbatch",
     """WITH mx AS (SELECT date_trunc('month', MAX(o_orderdate)) AS m
       |            FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01')
@@ -583,7 +589,8 @@ object Engine {
       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
       |  CASE WHEN date_trunc('month', o_orderdate) >= m - INTERVAL 1 MONTH
       |       THEN 2 ELSE 1 END AS batch
-      |FROM orders, mx ORDER BY o_orderkey""") { (spark, dir) =>
+      |FROM orders, mx WHERE o_orderdate < TIMESTAMP '1996-10-01'
+      |ORDER BY o_orderkey""") { (spark, dir) =>
     val c = Catalog(spark, dir)
     val wh = Warehouse.scratch(spark, "m16")
     val mat = Materializer(wh)
@@ -595,8 +602,9 @@ object Engine {
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"),
       lit(batch).as("batch"))
+    val horizon = lit("1996-10-01").cast(TimestampType)
     mat.run(model, _ => shaped(c.orders.filter(col("o_orderdate") < cutoff), 1))
-    mat.run(model, _ => shaped(c.orders, 2))
+    mat.run(model, _ => shaped(c.orders.filter(col("o_orderdate") < horizon), 2))
       .select("o_orderkey", "o_custkey", "o_totalprice", "order_month", "batch")
       .orderBy("o_orderkey")
   }
