@@ -600,6 +600,38 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x13 — benchmark DECONTAMINATION: flag training documents that
+  // share word n-grams with a held-out evaluation set (the standard
+  // n-gram-overlap contamination check run before any LLM training
+  // job; real corpora use 8-13-gram windows — this synthetic token
+  // soup needs 4-grams for the planted near-dups to register, the
+  // machinery is identical). Scale shape: the eval side is always
+  // benchmark-sized, so its distinct-shingle set BROADCASTS and the
+  // train-side shingle stream never shuffles — one broadcast hash
+  // join plus a doc_id hash agg, no matter how large the corpus.
+  val x13: Q = q("x13_decontamination",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-2),
+      |        i -> array_to_string(t[i:i+3], ' ')))) AS g4
+      |      FROM toks WHERE len(t) >= 4),
+      |ev AS (SELECT DISTINCT g4 FROM g WHERE doc_id < 20)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM g JOIN ev USING (g4) WHERE g.doc_id >= 20
+      |GROUP BY g.doc_id ORDER BY g.doc_id""") { c =>
+    val g = c.documents
+      .select(col("doc_id"),
+        explode(array(Text.tokens(col("text")))).as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        explode(Text.shingles(col("toks"), 4)).as("g4"))
+    val ev = g.filter(col("doc_id") < 20).select("g4").distinct()
+    g.filter(col("doc_id") >= 20)
+      .join(broadcast(ev), "g4")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -629,5 +661,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, mm01, mm02)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+    mm01, mm02)
 }
