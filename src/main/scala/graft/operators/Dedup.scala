@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -191,5 +192,62 @@ object Dedup {
         Hashing.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** SPAN-level duplicate detection (the substring-dedup idea of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, re-expressed relationally): report document
+    * pairs sharing a contiguous run of at least `minSpan` tokens,
+    * with the length of the longest shared run. Where d04/d02 score
+    * whole-document set similarity, this finds LOCAL duplication —
+    * boilerplate headers, quoted passages, license blocks — that
+    * document-level Jaccard dilutes away.
+    *
+    * Plan shape: every `w`-token window is folded to xxhash64 at the
+    * tokenize scan (8-byte keys from then on); candidate pairs come
+    * from the inverted window index (equi-join on the window hash,
+    * DF-capped like d04's shingle index so template boilerplate
+    * cannot go quadratic); each pair's shared window POSITIONS in the
+    * left document are then grouped into consecutive runs with the
+    * pos - row_number() trick — one window function partitioned by
+    * pair, so the run measurement shuffles on the pair key, never on
+    * the corpus. A run of r consecutive shared windows certifies a
+    * shared span of r + w - 1 tokens.
+    */
+  def spanPairs(docs: DataFrame, w: Int, minSpan: Int,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minSpan >= w, "a shared span shorter than one window is unobservable")
+    val toks = docs
+      .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("t"))
+      .filter(size(col("t")) >= w)
+    // (doc_id, pos, h): 1-based window start position -> window hash
+    val wins = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w))))))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val dw = wins.select("doc_id", "h").distinct()
+    // hot-window stop list: only keys with DF > maxDf — tiny, broadcasts
+    val hot = dw.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val kept = dw.join(broadcast(hot), Seq("h"), "left_anti")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.h"))
+    // shared-window start positions in the LEFT doc (distinct: a hash
+    // occurring at several positions contributes each position once)
+    val posA = pairs
+      .join(wins.select(col("doc_id").as("id_a"), col("pos"), col("h")),
+        Seq("id_a", "h"))
+      .select("id_a", "id_b", "pos").distinct()
+    val byPair = Window.partitionBy("id_a", "id_b").orderBy("pos")
+    posA.withColumn("grp", col("pos") - row_number().over(byPair))
+      .groupBy("id_a", "id_b", "grp")
+      .agg(count(lit(1)).as("runlen"))
+      .groupBy("id_a", "id_b")
+      .agg(sum("runlen").as("n_shared_windows"),
+        (max("runlen") + (w - 1)).as("longest_span"))
+      .filter(col("longest_span") >= minSpan)
   }
 }

@@ -609,6 +609,35 @@ object Engine {
       .orderBy("o_orderkey")
   }
 
+  // m17 — OPTIMIZE / small-file compaction (Delta OPTIMIZE, Iceberg
+  // rewrite_data_files): a year-partitioned orders table is written
+  // deliberately fragmented (8 files per partition — the shape
+  // micro-batch ingest leaves behind), compacted toward 512 MB files
+  // (→ exactly one per partition at any test SF), and read back. The
+  // oracle reproduces the CONTENT from the raw source, so the gate
+  // proves compaction is a pure layout change; the file-count
+  // mechanics (before > after, skip-when-compact, crash-safe swap)
+  // are pinned in EngineSpec.
+  val m17: Q = q("m17_compaction",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m17")
+    val src = c.orders.select(col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("order_year"))
+    wh.write(src.repartition(8), "analytics", "orders_frag",
+      partitionBy = Seq("order_year"))
+    Compaction.compact(wh, "analytics", "orders_frag",
+      nPartCols = 1, targetBytes = 512L * 1024 * 1024)
+    wh.read("analytics", "orders_frag")
+      .groupBy("order_year")
+      .agg(count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+      .orderBy("order_year")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16)
+    m11, m12, m13, m14, m15, m16, m17)
 }

@@ -177,6 +177,15 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  // s04 — IVF-PQ: coarse probe bounds WHICH rows, product-quantized
+  // asymmetric distance (m table lookups/row over dim/m-times smaller
+  // codes) bounds WORK PER ROW; exact cosine re-ranks the ADC
+  // shortlist (recall + determinism vs brute in ScalaTest)
+  val s04: Q = rowsOnly("s04_ann_ivfpq") { c =>
+    Ann.ivfpq(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -471,6 +480,36 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // d09 — SPAN-level duplicate detection (Lee et al. 2022 substring
+  // dedup, relationally): pairs sharing a contiguous run of >= 12
+  // tokens, via an inverted 8-token-window index + the
+  // pos - row_number() run-grouping trick (operators/Dedup.spanPairs).
+  // maxDf = 1000 >> the corpus max window DF, so the oracle output is
+  // the uncapped exact result while the REGISTERED plan carries the
+  // hot-window DF cap that bounds the self-join at corpus scale (the
+  // d04 stop-shingle contract).
+  val d09: Q = q("d09_span_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |p AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+      |      FROM toks WHERE len(t) >= 8),
+      |w AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS win FROM p),
+      |dw AS (SELECT DISTINCT doc_id, win FROM w),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.win
+      |          FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id),
+      |pa AS (SELECT DISTINCT id_a, id_b, w.pos
+      |       FROM pairs JOIN w ON w.doc_id = pairs.id_a AND w.win = pairs.win),
+      |runs AS (SELECT id_a, id_b,
+      |           pos - ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+      |         FROM pa),
+      |rl AS (SELECT id_a, id_b, grp, COUNT(*) AS runlen FROM runs GROUP BY 1, 2, 3)
+      |SELECT id_a, id_b, CAST(SUM(runlen) AS BIGINT) AS n_shared_windows,
+      |       CAST(MAX(runlen) + 7 AS BIGINT) AS longest_span
+      |FROM rl GROUP BY 1, 2 HAVING MAX(runlen) + 7 >= 12
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.spanPairs(c.documents, w = 8, minSpan = 12, maxDf = 1000L)
+      .orderBy("id_a", "id_b")
+  }
+
   // x09 — PII scrubbing: email/phone/IPv4 redaction with per-doc
   // counts. The corpus carries no PII, so each doc gets a
   // deterministic doc_id-derived payload appended FIRST — both engines
@@ -632,6 +671,32 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x14 — deterministic TRAIN/VAL holdout split: a document's split is
+  // a pure function of its id (first two hex chars of md5(doc_id) —
+  // 256 buckets, the 26 below '1a' ≈ 10.2% become 'val'), so the
+  // assignment survives reshards, reruns, and engine swaps where an
+  // RNG-based split leaks val docs into train. This is the standard
+  // leakage-safe holdout mechanism for corpus pipelines. Scale shape:
+  // one projection + one map-side-combined hash agg over the doc
+  // scan; no shuffle larger than the (split × lang) grid.
+  val x14: Q = q("x14_hash_split",
+    """WITH s AS (
+      |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+      |              THEN 'val' ELSE 'train' END AS split,
+      |         lang, n_chars
+      |  FROM documents)
+      |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+    c.documents
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 2) < "1a", "val")
+          .otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -660,7 +725,8 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03,
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    s01, s02, s03, s04,
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     mm01, mm02)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, TimestampType}
 
@@ -207,5 +208,62 @@ object Quality {
       .orderBy("source_name")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
+  // t07 — volume anomaly test (elementary/dbt-style freshness+volume
+  // monitoring): each day's event count is z-scored against the
+  // trailing 7-day window and flagged when |z| > 3. The variance is
+  // rebuilt from INTEGER trailing sums (n, Σx, Σx²) rather than a
+  // builtin stddev so both engines evaluate the identical IEEE
+  // expression — counts this small make Σx²/n exact in a double.
+  // Scale shape: the window runs over the POST-AGGREGATE daily series
+  // (one row per day — thousands of rows for years of data), so the
+  // single-partition window is bounded by the calendar, not the
+  // corpus; the heavy lifting is the groupBy(day) hash agg, which is
+  // map-side combined on the event scan.
+  val t07: Q = q("t07_volume_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT day, n_events,
+      |  COUNT(*)                 OVER tw AS t_n,
+      |  SUM(n_events)            OVER tw AS t_sum,
+      |  SUM(n_events * n_events) OVER tw AS t_sumsq
+      |  FROM daily
+      |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT day, n_events, t_n, t_sum,
+      |  CASE WHEN t_n >= 3 AND (t_sumsq - CAST(t_sum AS DOUBLE) * t_sum / t_n) > 0
+      |       THEN (n_events - CAST(t_sum AS DOUBLE) / t_n)
+      |            / sqrt((t_sumsq - CAST(t_sum AS DOUBLE) * t_sum / t_n) / (t_n - 1))
+      |  END AS zscore FROM w)
+      |SELECT day, n_events, ROUND(zscore, 6) AS zscore,
+      |  CASE WHEN t_n < 3 THEN 'insufficient'
+      |       WHEN zscore IS NULL THEN
+      |         CASE WHEN n_events * t_n = t_sum THEN 'ok' ELSE 'anomaly' END
+      |       WHEN abs(zscore) > 3.0 THEN 'anomaly' ELSE 'ok' END AS status
+      |FROM z ORDER BY day""") { c =>
+    val daily = c.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tw = Window.orderBy("day").rowsBetween(-7, -1)
+    val w = daily
+      .withColumn("t_n", count(lit(1)).over(tw))
+      .withColumn("t_sum", sum("n_events").over(tw))
+      .withColumn("t_sumsq", sum(col("n_events") * col("n_events")).over(tw))
+    val varNum =
+      col("t_sumsq") - col("t_sum").cast("double") * col("t_sum") / col("t_n")
+    w.withColumn("zscore",
+        when(col("t_n") >= 3 && varNum > 0,
+          (col("n_events") - col("t_sum").cast("double") / col("t_n")) /
+            sqrt(varNum / (col("t_n") - 1))))
+      .select(col("day"), col("n_events"),
+        round(col("zscore"), 6).as("zscore"),
+        when(col("t_n") < 3, "insufficient")
+          .when(col("zscore").isNull,
+            when(col("n_events") * col("t_n") === col("t_sum"), "ok")
+              .otherwise("anomaly"))
+          .when(abs(col("zscore")) > 3.0, "anomaly")
+          .otherwise("ok").as("status"))
+      .orderBy("day")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

@@ -396,6 +396,44 @@ class EngineSpec extends SparkSpec {
       (4L, "a97v2", 2), (5L, "b97", 1), (6L, "c97", 2)))
   }
 
+  test("compaction: fragmented partitions merge to the target count, content identical, compact ones skipped") {
+    val wh = freshWh("compact")
+    val src = spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("yr"),
+        (col("id") * 3 % 97).as("v"))
+    // 8 files per partition — the micro-batch-per-file ingest shape
+    wh.write(src.repartition(8), "analytics", "t", partitionBy = Seq("yr"))
+    def snapshot(): Set[(Long, Int, Long)] =
+      wh.read("analytics", "t").select("k", "yr", "v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = snapshot()
+
+    val stats = Compaction.compact(wh, "analytics", "t",
+      nPartCols = 1, targetBytes = 512L * 1024 * 1024)
+    assert(stats.size == 4)
+    assert(stats.forall(s => s.filesBefore == 8 && s.filesAfter == 1),
+      s"expected 8 -> 1 per partition, got $stats")
+    val after = snapshot()
+    assert(after == before, "compaction must be a pure layout change")
+
+    // second pass: every partition already compact -> skipped unread,
+    // files untouched (same name+mtime)
+    def files(yr: Int): Set[String] = {
+      val dir = java.nio.file.Paths.get(wh.path("analytics", "t"), s"yr=$yr")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(p => p.getFileName.toString + ":" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .filterNot(_.startsWith(".")).toSet
+    }
+    val snap = (0 until 4).map(files)
+    val stats2 = Compaction.compact(wh, "analytics", "t",
+      nPartCols = 1, targetBytes = 512L * 1024 * 1024)
+    assert(stats2.forall(s => s.filesBefore == 1 && s.filesAfter == 1))
+    assert((0 until 4).map(files) == snap,
+      "already-compact partitions must not be rewritten")
+  }
+
   test("parallel DAG runner: a failing model propagates without hanging, siblings complete") {
     val wh = freshWh("dag_par_fail")
     val sources: String => org.apache.spark.sql.DataFrame =

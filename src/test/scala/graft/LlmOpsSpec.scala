@@ -76,6 +76,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall vs brute")
   }
 
+  test("IVF-PQ ANN: ADC shortlist + exact re-rank tracks plain IVF, bitwise deterministic") {
+    val queries = cat.embeddings.filter(col("vec_id") < 20)
+    val brute = Ann.brute(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run() = Ann.ivfpq(queries, cat.embeddings, k = 5,
+      nCentroids = 16, nProbe = 4, m = 8, pqK = 16, shortlist = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val pq = run()
+    assert(pq.length <= 20 * 5)
+    val pqSet = pq.map(r => (r._1, r._3)).toSet
+    // same probe as the IVF spec, so the same coverage floor applies;
+    // the exact re-rank means PQ error can only lose shortlist-
+    // boundary rows, not corrupt scores
+    val recall = (brute & pqSet).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF-PQ recall $recall vs brute")
+    // within the probed clusters, the 64-wide shortlist + exact
+    // re-rank must agree with plain IVF (same clusters, exact scoring)
+    val ivf = Ann.ivf(queries, cat.embeddings, k = 5,
+      nCentroids = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val agree = (ivf & pqSet).size.toDouble / ivf.size
+    assert(agree >= 0.8,
+      s"ADC shortlist lost ${(1 - agree) * 100}% of IVF's own top-5")
+    // scaled-long codebook sums -> the whole output is run-stable
+    assert(run().toSeq == pq.toSeq, "IVF-PQ output must be bitwise deterministic")
+  }
+
   test("IVF ANN: k-means refinement recovers planted clusters from a degenerate seed codebook") {
     // 8 planted clusters of 50 members (anchor + 0.35*deterministic
     // shift of itself, bijective per member index); vec_ids 0..7 are
@@ -259,6 +286,29 @@ class LlmOpsSpec extends SparkSpec {
     val capped = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5, maxDf = 4L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(capped.toSeq == Seq((1L, 2L, 0.666667)))
+  }
+
+  test("d09 planted spans: run length is measured exactly, sub-minSpan overlap excluded") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val a = words("a", 30)
+    // doc 2 embeds a1..a20 of doc 1 -> longest shared span 20 tokens,
+    // windows starting at a1..a13 = one run of 13
+    val doc2 = words("b", 10) ++ a.take(20) ++ words("c", 10)
+    // doc 3 shares EXACTLY one 8-token window (a1..a8): span 8 < 12
+    val doc3 = words("d", 5) ++ a.take(8) ++ words("e", 5)
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, doc2.mkString(" ")),
+      (3L, doc3.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.spanPairs(docs, w = 8, minSpan = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 13L, 20L)),
+      s"expected the single (1,2) pair with a 13-window run = 20-token span, got ${out.toSeq}")
+    // at minSpan=8 the one-window (1,3) and (2,3) overlaps appear too
+    val loose = Dedup.spanPairs(docs, w = 8, minSpan = 8)
+    assert(pairSet(loose) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("d04 oracle invariant: max shingle DF at oracle scales stays far below the 1000 cap") {
