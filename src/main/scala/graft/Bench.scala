@@ -52,8 +52,8 @@ object Bench {
   /** The heavy operators whose work grows with the corpus. */
   val scaleOps: Seq[String] = Seq(
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
-    "d05_embedding_neardup", "d06_dedup_groups", "m02_incremental_merge",
-    "q26_cohort_retention", "x08_tfidf")
+    "d05_embedding_neardup", "d06_dedup_groups", "d09_span_dedup",
+    "m02_incremental_merge", "q26_cohort_retention", "x08_tfidf")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
