@@ -697,6 +697,56 @@ object LlmOps {
       .orderBy("split", "lang")
   }
 
+  // x15 — PERPLEXITY-proxy quality scoring (the CCNet filter: docs
+  // are ranked by language-model perplexity; docs the model finds
+  // improbable are noise, boilerplate, or wrong-language). Here the
+  // bigram LM is trained on the corpus ITSELF in the same job —
+  // add-one smoothed P(w2|w1) from corpus counts — so the score is a
+  // self-contained "how typical of this corpus is this document"
+  // signal; swapping in an external pre-trained model only changes
+  // where the count table comes from. log_ppl = mean −ln P ( =
+  // ln(perplexity) ), lower is better. Scale shape: two map-side-
+  // combined hash aggs build the model, the scoring pass is ONE
+  // equi-join of the bigram stream against the model (shuffle on the
+  // bigram key), vocab is a 1-row broadcast, no windows. LN crosses
+  // the engine boundary per-row with ROUND(,6) on the per-doc mean —
+  // the x08 idf discipline.
+  val x15: Q = q("x15_perplexity",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+      |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1 FROM bg),
+      |cb AS (SELECT bigram, COUNT(*) AS cb FROM b GROUP BY 1),
+      |cu AS (SELECT w1, COUNT(*) AS cu FROM b GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tk) AS v FROM
+      |        (SELECT unnest(t) AS tk FROM toks) WHERE tk <> ''),
+      |s AS (SELECT b.doc_id, LN((cb.cb + 1.0) / (cu.cu + v.v)) AS logp
+      |      FROM b JOIN cb USING (bigram) JOIN cu USING (w1), v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(-SUM(logp) / COUNT(*), 6) AS log_ppl
+      |FROM s GROUP BY 1 ORDER BY doc_id""") { c =>
+    val toksD = c.documents
+      .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toksD.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            concat_ws(" ", slice(col("toks"), i, lit(2))).as("bigram"),
+            element_at(col("toks"), i).as("w1")))).as("b"))
+      .select(col("doc_id"), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = c.documents
+      .select(explode(Text.tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+      .agg(countDistinct(col("tk")).as("v"))
+    bg.join(cb, "bigram").join(cu, "w1").crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("cb") + 1.0) / (col("cu") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("logp")) / count(lit(1)), 6).as("log_ppl"))
+      .orderBy("doc_id")
+  }
+
   // x04 — document fingerprint: md5 of the canonicalized text
   val x04: Q = q("x04_fingerprint",
     """SELECT doc_id,
@@ -705,6 +755,47 @@ object LlmOps {
     c.documents.select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+  }
+
+  // p01 — the curation PIPELINE end-to-end: exact dedup → quality
+  // filter → leakage-safe holdout split → per-(split, lang) corpus
+  // accounting, composed from the registered operators' own building
+  // blocks (d01 keep-first, x02 token/stopword features, x14 hash
+  // split) in ONE dataflow — the shape an actual pre-training data
+  // run has, and the proof the operator blocks compose without
+  // driver-side glue. Scale shape: dedup is one hash agg on the
+  // content digest; the feature filter is a projection; the survivor
+  // join is an equi-join on doc_id; the report is one map-side hash
+  // agg. Nothing materializes between stages.
+  val p01: Q = q("p01_curation_pipeline",
+    s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS toks
+       |      FROM documents JOIN surv USING (doc_id)),
+       |f AS (SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+       |        len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS stop_hits
+       |      FROM d),
+       |g AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+       |               THEN 'val' ELSE 'train' END AS split,
+       |        lang, n_tokens, n_chars
+       |      FROM f WHERE n_tokens >= 50 AND stop_hits >= 1)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+    val surv = Dedup.exact(c.documents).select("doc_id")
+    val toks = Text.tokens(col("text"))
+    val feats = c.documents.join(surv, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        Text.hitCount(toks, Text.enStops).as("stop_hits"))
+    feats.filter(col("n_tokens") >= 50 && col("stop_hits") >= 1)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) < "1a", "val").otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
+      .orderBy("split", "lang")
   }
 
   // mm01 — multimodal binary plumbing with deterministic decode stub
@@ -728,5 +819,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
     s01, s02, s03, s04,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    mm01, mm02)
+    x15, p01, mm01, mm02)
 }
