@@ -464,4 +464,36 @@ object Ann {
       .filter(cos >= threshold)
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with the IVF coarse codebook, then compare pairs
+    * ONLY within a cluster — the third candidate-generation strategy
+    * next to d05's LSH buckets (fixed random geometry) and s03's
+    * probes (query-time): data-adaptive regions whose size the
+    * codebook controls. Candidate volume is Σ|cluster|²/2 ≈
+    * n²/(2·nCentroids) for balanced lists (the k-means refinement's
+    * balance guarantee is what keeps the worst list bounded — pinned
+    * in LlmOpsSpec), and the pair join is an equi-join on the cluster
+    * key, so the shuffle moves each row once. Reported pairs are
+    * exact cosine ≥ threshold (quantization decides only WHO gets
+    * compared, never the score); the paper's contract — near-dups at
+    * high cosine co-cluster with overwhelming probability, cross-
+    * cluster misses are the accepted trade — is spec-pinned on
+    * planted dups.
+    */
+  def semDedup(emb: DataFrame, threshold: Double,
+      nCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cb = ivfCodebook(emb, nCentroids, kmeansIters)
+    val a = assigned(emb, cb)
+    val x = a.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val y = a.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
+    x.join(y, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
 }

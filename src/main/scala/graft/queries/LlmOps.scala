@@ -150,6 +150,20 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d10 — SemDeDup: semantic (embedding-space) dedup with k-means-
+  // cluster-bounded candidates — the data-adaptive third candidate
+  // strategy next to d05's LSH and d04's inverted index; reported
+  // pairs are exact cosine (rows-only: the candidate set depends on
+  // the trained codebook; recall on planted dups + exactness pinned
+  // in LlmOpsSpec)
+  val d10: Q = rowsOnly("d10_semdedup") { c =>
+    // registered at the same 0.4 threshold regime as d05 (the
+    // synthetic corpus is near-orthogonal gaussian noise; the paper's
+    // >=0.9 regime is what the planted-dup spec pins)
+    Ann.semDedup(c.embeddings, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   // s01 — brute-force cosine top-5 for query vectors vec_id < 20
   val s01: Q = q("s01_ann_brute",
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -816,7 +830,7 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, p01, mm01, mm02)

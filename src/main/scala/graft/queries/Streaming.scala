@@ -317,5 +317,40 @@ object Streaming {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin.trim))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  // e10 — NATIVE session windows: Spark's session_window() gap-merge
+  // operator, the engine-managed alternative to e02's lag-island
+  // form — one hash-agg-with-merging-windows instead of two window
+  // functions, and the SAME expression runs under Structured
+  // Streaming with watermark-driven state eviction (parity pinned in
+  // StreamingSpec). Gap semantics differ from e02 at the exact
+  // boundary: session_window starts a NEW session when the gap
+  // equals the timeout (next.ts < prev.ts + gap merges, strictly),
+  // so the oracle's island rule is >= where e02's is >. Window end =
+  // last event + gap, per the operator's contract.
+  val e10: Q = q("e10_session_window",
+    """WITH s AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |t AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS seq FROM s)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM t GROUP BY user_id, seq
+      |ORDER BY user_id, session_start""") { c =>
+    c.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }

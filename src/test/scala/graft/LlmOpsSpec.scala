@@ -186,6 +186,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("semDedup: planted near-dups co-cluster and are found exactly, pairs are sound") {
+    // same planted construction as the nearDupLsh spec: cosine ~0.9988
+    // copies — SemDeDup's contract is that pairs THIS similar land in
+    // the same k-means cell with overwhelming probability
+    val base = cat.embeddings.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.05f * embedding[(i + 1) % 64] as float))")
+        .as("embedding"))
+    val corpus = base.unionByName(shifted)
+    val exact = pairSet(Ann.nearDupPairs(corpus, threshold = 0.9))
+    val sem = pairSet(Ann.semDedup(corpus, threshold = 0.9))
+    assert(exact.size >= 50)
+    val recall = (exact & sem).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"semDedup found ${(exact & sem).size} of ${exact.size} planted pairs")
+    // soundness: only-within-cluster candidates, but every REPORTED
+    // pair carries an exact score — so sem ⊆ exact always
+    assert(sem.subsetOf(exact))
+  }
+
   test("adaptiveBits: occupancy-preserving widths, floor respected") {
     assert(Ann.adaptiveBits(1) == 6 && Ann.adaptiveBits(500) == 6)
     assert(Ann.adaptiveBits(5000) == 9)      // ceil(log2 5000)=13

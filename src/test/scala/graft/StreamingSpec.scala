@@ -185,6 +185,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == rows.map(_._1).toSet)
   }
 
+  test("native session_window: streaming with watermark equals the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+    val evs = cat.events.filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EventStream.Ev].collect().toSeq
+    // sentinel far-future event per user: advances the watermark past
+    // every real session so append mode emits them all; the sentinel
+    // sessions themselves stay open and are never emitted
+    val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 86400000L)
+    val flush = evs.map(_.user_id).distinct
+      .map(u => EventStream.Ev(Long.MaxValue, flushTs, u, 0.0))
+
+    val input = MemoryStream[EventStream.Ev]
+    val query = sessions(input.toDS().toDF().withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("e10_stream")
+      .outputMode("append").start()
+    input.addData(evs); query.processAllAvailable()
+    input.addData(flush); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("e10_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = sessions(cat.events.filter(col("user_id") < 10)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assertSameSets(streamed, batch)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch window form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
