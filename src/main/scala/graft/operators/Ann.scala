@@ -496,4 +496,100 @@ object Ann {
       .filter(cos >= threshold)
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
   }
+
+  // ---------------------------------------------------------------
+  // DataFrame-native k-means: the codebook as DATA, not as driver
+  // literals. The literal-expression codebook above embeds every
+  // centroid in the assign expression (O(k) expression size), which
+  // tops out around hundreds of centroids; SemDeDup at corpus scale
+  // needs k ∝ n to hold cluster occupancy constant. Here centroids
+  // live in a DataFrame end-to-end — nothing codebook-sized reaches
+  // the driver, assignment is a broadcast join + max_by argmax, and
+  // means accumulate scaled longs (order-independent → run-stable).
+  // Past broadcast size (~10⁶ centroids) the assign join would move
+  // to a coarse-bucketed equi-join; the dataflow is otherwise
+  // unchanged.
+
+  /** Corpus rows with their nearest-centroid id: (vec_id, v, nrm,
+    * cid). `cents` must hold UNIT centroid vectors (cid, cv).
+    * Tie-break: highest cosine, then lowest cid — deterministic.
+    */
+  private[graft] def assignViaJoin(n: DataFrame, cents: DataFrame): DataFrame =
+    n.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+          (-col("cid")).as("negcid"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+        max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("best.cid").as("cid"))
+
+  /** Distributed spherical k-means: returns (cid, cv) with UNIT
+    * centroid vectors, seeded from the first `k` corpus vectors.
+    * Each Lloyd iteration is one assign join + one scaled-long mean
+    * aggregation, both fully distributed; localCheckpoint cuts the
+    * iterative lineage (the DupGroups discipline). Empty clusters
+    * keep their previous centroid.
+    */
+  def kmeansDf(corpus: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame = {
+    val n = normed(corpus)
+    val seed = n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("v"), x => x / col("nrm")).as("cv"))
+      .localCheckpoint(true)
+    val scale = 1L << 40
+    (0 until kmeansIters).foldLeft(seed) { (cents, _) =>
+      val means = assignViaJoin(n, cents)
+        .select(col("cid"),
+          posexplode(transform(col("v"), x => x / col("nrm")))
+            .as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum((col("x") * scale).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
+          e => e("s").cast("double") / scale / e("cnt")).as("mv"))
+      cents.join(means, Seq("cid"), "left")
+        .withColumn("mnrm",
+          sqrt(aggregate(col("mv"), lit(0.0), (a, x) => a + x * x)))
+        .select(col("cid"),
+          when(col("mv").isNull || col("mnrm") === 0.0, col("cv"))
+            .otherwise(transform(col("mv"), x => x / col("mnrm"))).as("cv"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** SemDeDup with CORPUS-ADAPTIVE centroid count: k = max(16,
+    * n/occupancy) holds expected cluster size ~constant, so the
+    * within-cluster candidate volume Σ|c|²/2 grows ~linearly with
+    * the corpus where a fixed k accrues n²/(2k) — the same dial as
+    * d05's adaptiveBits, enabled by the DataFrame-native codebook
+    * (spec-pinned on a 1×/10× synthetic pair). The registered d10
+    * stays fixed-k for run-to-run comparability; this is the path a
+    * 100× corpus takes.
+    */
+  /** Cluster-occupancy histogram (cid, n) for a given k — Σn² bounds
+    * semDedup's candidate volume; used by the scale spec and for
+    * capacity planning.
+    */
+  def clusterSizes(emb: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame =
+    assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+
+  def semDedupAuto(emb: DataFrame, threshold: Double,
+      occupancy: Long = 256L, kmeansIters: Int = 2): DataFrame = {
+    val n = emb.count()
+    val k = math.max(16L, n / occupancy)
+    val a = assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
+    val x = a.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cid"))
+    val y = a.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cid"))
+    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
+    x.join(y, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
 }

@@ -207,6 +207,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(sem.subsetOf(exact))
   }
 
+  test("semDedupAuto: adaptive k keeps candidate volume ~linear where fixed k goes quadratic") {
+    // recall contract first, on the planted-dup corpus (DataFrame-
+    // native codebook path must find what the literal-codebook path
+    // finds)
+    val base = cat.embeddings.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.05f * embedding[(i + 1) % 64] as float))")
+        .as("embedding"))
+    val planted = base.unionByName(shifted)
+    val exact = pairSet(Ann.nearDupPairs(planted, threshold = 0.9))
+    val sem = pairSet(Ann.semDedupAuto(planted, threshold = 0.9, occupancy = 32))
+    assert((exact & sem).size.toDouble / exact.size >= 0.9,
+      s"auto path found ${(exact & sem).size} of ${exact.size} planted pairs")
+    assert(sem.subsetOf(exact))
+
+    // the scale dial: 1x vs 10x (circular-shift construction, as in
+    // the adaptive-bits spec). Candidate volume = Σ n(n-1) over the
+    // occupancy histogram.
+    val one = cat.embeddings.select("vec_id", "embedding").cache()
+    val n1 = one.count()
+    val ten = (0 until 10).map { i =>
+      one.select((col("vec_id") + i * 100000L).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> embedding[cast((j + $i) % 64 as int)])")
+          .as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    def vol(emb: org.apache.spark.sql.DataFrame, k: Long): Long =
+      Ann.clusterSizes(emb, k)
+        .agg(sum(col("n") * (col("n") - 1)).as("v")).head.getLong(0)
+    val v1 = vol(one, math.max(16L, n1 / 32))
+    val v10auto = vol(ten, math.max(16L, 10 * n1 / 32))
+    assert(v10auto <= 20 * v1,
+      s"adaptive-k candidate growth super-linear: $v1 -> $v10auto")
+    // the same 10x corpus under the 1x corpus's FIXED k accrues
+    // clearly super-linear volume — the dial semDedupAuto exists for
+    val v10fixed = vol(ten, math.max(16L, n1 / 32))
+    assert(v10fixed > 3 * v10auto,
+      s"fixed-k volume $v10fixed should far exceed adaptive $v10auto")
+  }
+
   test("adaptiveBits: occupancy-preserving widths, floor respected") {
     assert(Ann.adaptiveBits(1) == 6 && Ann.adaptiveBits(500) == 6)
     assert(Ann.adaptiveBits(5000) == 9)      // ceil(log2 5000)=13
