@@ -53,7 +53,8 @@ object Bench {
   val scaleOps: Seq[String] = Seq(
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d05_embedding_neardup", "d06_dedup_groups", "d09_span_dedup",
-    "m02_incremental_merge", "q26_cohort_retention", "x08_tfidf")
+    "d10_semdedup", "m02_incremental_merge", "q26_cohort_retention",
+    "x08_tfidf")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -202,6 +203,17 @@ object Bench {
                 s.read.parquet(s"$d/embeddings.parquet"),
                 threshold = 0.4, tables = 8, dim = 64, seed = 7L))
             Seq(("d05_embedding_neardup_auto", secs, medians("d05_embedding_neardup"), err))
+          }
+        } ++ {
+          // the d10 scale dial: adaptive k (DataFrame-native k-means)
+          // vs the registered fixed-k SemDeDup on the same 10x corpus
+          if (elapsed > budgetSec) Nil
+          else {
+            val (secs, err) = timed(spark, scaleDir, (s, d) =>
+              graft.operators.Ann.semDedupAuto(
+                s.read.parquet(s"$d/embeddings.parquet"),
+                threshold = 0.4))
+            Seq(("d10_semdedup_auto", secs, medians("d10_semdedup"), err))
           }
         }
         // best-effort scratch cleanup; the data lives under /tmp anyway
