@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Vectors}
-import graft.operators.{Ann, Dedup, DupGroups, Multimodal}
+import graft.operators.{Ann, Dedup, DupGroups, Multimodal, Packing}
 import graft.sources.Catalog
 
 /** SURVEY.md §2.D — the LLM-training-data-pipeline operator block
@@ -771,6 +771,30 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x16 — sequence PACKING (GPT-style concat-and-chunk): documents
+  // laid end-to-end in doc_id order, sliced into fixed 1024-token
+  // training sequences, reported per sequence. The global token
+  // offset is a corpus-wide prefix sum — computed with the TWO-PHASE
+  // parallel scan (range partition → config-sized partition totals →
+  // broadcast offsets → per-partition windows), NOT the naive global
+  // window that would serialize onto one partition
+  // (operators/Packing.scala).
+  val x16: Q = q("x16_sequence_packing",
+    """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok FROM documents),
+      |o AS (SELECT doc_id, n_tok,
+      |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |      FROM t),
+      |e AS (SELECT doc_id, unnest(range(tok_start // 1024,
+      |               (tok_start + n_tok - 1) // 1024 + 1)) AS seq_id
+      |      FROM o WHERE n_tok > 0)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM e GROUP BY 1 ORDER BY seq_id""") { c =>
+    Packing.pack(c.documents, seqLen = 1024)
+  }
+
   // p01 — the curation PIPELINE end-to-end: exact dedup → quality
   // filter → leakage-safe holdout split → per-(split, lang) corpus
   // accounting, composed from the registered operators' own building
@@ -833,5 +857,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     s01, s02, s03, s04,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, p01, mm01, mm02)
+    x15, x16, p01, mm01, mm02)
 }

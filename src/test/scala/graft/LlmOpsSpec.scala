@@ -372,6 +372,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairSet(loose) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("packing: two-phase prefix sum == naive global cumsum, invariant to partition count") {
+    import graft.operators.Packing
+    val naive = cat.documents
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tok"))
+      .withColumn("start",
+        coalesce(sum("n_tok").over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("doc_id", "start").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scanned = Packing.offsets(cat.documents, numParts = 7)
+      .select("doc_id", "start").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scanned == naive, "distributed scan must equal the sequential prefix sum")
+    // output invariant to the parallelism knob
+    val a = Packing.pack(cat.documents, seqLen = 512, numParts = 4).collect().toSeq
+    val b = Packing.pack(cat.documents, seqLen = 512, numParts = 32).collect().toSeq
+    assert(a == b)
+    // every sequence is fully covered: doc spans tile the token space
+    assert(a.nonEmpty && a.map(_.getLong(0)) == (0L until a.size).toSeq)
+  }
+
   test("d04 oracle invariant: max shingle DF at oracle scales stays far below the 1000 cap") {
     // the registered d04 runs maxDf=1000 while its DuckDB oracle is
     // uncapped — results agree only while no shingle's DF exceeds the
