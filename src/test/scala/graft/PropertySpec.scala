@@ -139,6 +139,29 @@ class PropertySpec extends SparkSpec {
     assert(got == (0L to 49L).map(_ -> 0L).toMap)
   }
 
+  test("Packing.offsets == sequential fold on random corpora") {
+    import graft.operators.Packing
+    val docGen: Gen[List[(Long, Int)]] =
+      Gen.listOfN(60, Gen.choose(0, 40)).map(_.zipWithIndex
+        .map { case (n, i) => (i.toLong * 3 + 1, n) }) // sparse, unsorted-safe ids
+    for (i <- 1 to 4) {
+      val docs = sample(docGen, seed = 5000 + i)
+      // build synthetic texts with exactly n one-char tokens ("a a a")
+      val df = spark.createDataFrame(
+        docs.map { case (id, n) => (id, List.fill(math.max(n, 1))("a").mkString(" ")) })
+        .toDF("doc_id", "text")
+      // sequential model: fold in doc_id order; every text has
+      // max(n,1) tokens (split of a non-empty string is never empty)
+      val expected = docs.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, n)) =>
+          (id, acc + math.max(n, 1)) }
+        .sliding(2).map { case Seq((_, acc), (id, _)) => id -> acc }.toMap
+      val got = Packing.offsets(df, numParts = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"iteration $i")
+    }
+  }
+
   test("Bench.median == middle of the sorted sample") {
     val xs = Gen.listOfN(9, Gen.choose(0.0, 100.0))
     for (i <- 1 to 6) {
