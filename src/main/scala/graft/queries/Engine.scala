@@ -638,6 +638,42 @@ object Engine {
       .orderBy("order_year")
   }
 
+  // m18 — source/sink FORMAT breadth: the same orders slice written
+  // to and read back from ORC, JSON, and CSV (parquet is the native
+  // path everywhere else; CSV-with-schema is also the seed loader's
+  // mechanism). Read-back uses the writer's schema explicitly — the
+  // production discipline (schema inference on JSON/CSV is a full
+  // extra scan AND a correctness hazard at 100 TB). The oracle gates
+  // each format's roundtrip on count + exact decimal sum; row-level
+  // fidelity is pinned in EngineSpec.
+  val m18: Q = q("m18_format_roundtrip",
+    """SELECT fmt, n_rows, total FROM (
+      |  SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total FROM orders
+      |  UNION ALL SELECT 'json', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'orc', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM orders
+      |) ORDER BY fmt""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m18")
+    val src = ordersSrc(c)
+    val root = wh.path("analytics", "fmt")
+    src.write.mode("overwrite").orc(s"$root/orc")
+    src.write.mode("overwrite").json(s"$root/json")
+    src.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+    def summary(df: DataFrame, fmt: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+        .select(lit(fmt).as("fmt"), col("n_rows"), col("total"))
+    summary(spark.read.schema(src.schema)
+        .option("header", "true").csv(s"$root/csv"), "csv")
+      .unionByName(summary(
+        spark.read.schema(src.schema).json(s"$root/json"), "json"))
+      .unionByName(summary(spark.read.orc(s"$root/orc"), "orc"))
+      .orderBy("fmt")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17)
+    m11, m12, m13, m14, m15, m16, m17, m18)
 }

@@ -434,6 +434,27 @@ class EngineSpec extends SparkSpec {
       "already-compact partitions must not be rewritten")
   }
 
+  test("format roundtrip: ORC/JSON/CSV read-back is row-identical to the source") {
+    val wh = freshWh("fmt")
+    val src = spark.range(0, 500)
+      .select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"),
+        (col("id") % 97).cast("double").as("x"),
+        to_date(lit("2024-01-01")).as("d"))
+    val root = wh.path("analytics", "t")
+    src.write.mode("overwrite").orc(s"$root/orc")
+    src.write.mode("overwrite").json(s"$root/json")
+    src.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double, java.sql.Date)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getDate(3))).toSet
+    val expected = rows(src)
+    assert(rows(spark.read.orc(s"$root/orc")) == expected)
+    assert(rows(spark.read.schema(src.schema).json(s"$root/json")) == expected)
+    assert(rows(spark.read.schema(src.schema)
+      .option("header", "true").csv(s"$root/csv")) == expected)
+  }
+
   test("parallel DAG runner: a failing model propagates without hanging, siblings complete") {
     val wh = freshWh("dag_par_fail")
     val sources: String => org.apache.spark.sql.DataFrame =
