@@ -58,24 +58,18 @@ object Compaction {
     val stagedRoot = f.makeQualified(
       new Path(wh.path(schema, table + ".__ctmp")))
     if (f.exists(stagedRoot)) f.delete(stagedRoot, true)
+    // restore any half-swapped partition from a crashed previous run
+    // BEFORE enumerating — the backup may be the only copy
+    wh.healPartitions(f, liveRoot)
 
-    def partitionDirs(root: Path, depth: Int): Seq[Path] =
-      if (depth == 0) Seq(root)
-      else f.listStatus(root).filter(s =>
-          s.isDirectory && s.getPath.getName.contains("=")).toSeq
-        .flatMap(s => partitionDirs(s.getPath, depth - 1))
-
-    val parts = partitionDirs(liveRoot, nPartCols)
+    val parts = wh.partitionDirs(f, liveRoot, nPartCols)
     val pool = Executors.newFixedThreadPool(math.max(1, threads))
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try {
       val futures = parts.map { dir =>
         Future {
-          val rel = f.makeQualified(dir).toString
-            .stripPrefix(liveRoot.toString + "/")
-          require(!rel.contains(":"),
-            s"could not relativize partition $dir against $liveRoot")
+          val rel = wh.relativize(f, liveRoot, dir)
           val files = f.listStatus(dir).filter(s =>
             s.isFile && isDataFile(s.getPath))
           val bytes = files.map(_.getLen).sum
@@ -92,7 +86,11 @@ object Compaction {
               .write.mode("overwrite").parquet(staged.toString)
             val written = f.listStatus(staged).count(s =>
               s.isFile && isDataFile(s.getPath))
-            val old = new Path(liveRoot, rel + ".__old")
+            // hidden (dot-prefixed) backup: invisible to Spark
+            // partition discovery, so concurrent readers never see
+            // the partition twice, and a crash here is restored by
+            // healPartitions on the next writer entry
+            val old = new Path(dir.getParent, wh.hiddenOldName(dir.getName))
             if (f.exists(old)) f.delete(old, true)
             require(f.rename(dir, old),
               s"could not move partition $rel aside in $schema.$table")

@@ -114,21 +114,14 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val liveRoot = f.makeQualified(
       new org.apache.hadoop.fs.Path(path(schema, table)))
     if (f.exists(stagedRoot)) f.delete(stagedRoot, true)
+    healPartitions(f, liveRoot)
     write(df, schema, table + ".__tmp", partitionBy = partCols)
     // every staged partition dir (part=val[/part2=val2...]) swaps in
-    def partitionDirs(root: org.apache.hadoop.fs.Path,
-        depth: Int): Seq[org.apache.hadoop.fs.Path] =
-      if (depth == 0) Seq(root)
-      else f.listStatus(root).filter(s =>
-          s.isDirectory && s.getPath.getName.contains("=")).toSeq
-        .flatMap(s => partitionDirs(s.getPath, depth - 1))
-    for (staged <- partitionDirs(stagedRoot, partCols.size)) {
-      val rel = f.makeQualified(staged).toString
-        .stripPrefix(stagedRoot.toString + "/")
-      require(!rel.contains(":"),
-        s"could not relativize staged partition $staged against $stagedRoot")
+    for (staged <- partitionDirs(f, stagedRoot, partCols.size)) {
+      val rel = relativize(f, stagedRoot, staged)
       val live = new org.apache.hadoop.fs.Path(liveRoot, rel)
-      val old = new org.apache.hadoop.fs.Path(liveRoot, rel + ".__old")
+      val old = new org.apache.hadoop.fs.Path(
+        live.getParent, hiddenOldName(live.getName))
       if (f.exists(old)) f.delete(old, true)
       f.mkdirs(live.getParent)
       val had = f.exists(live)
@@ -140,6 +133,59 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
     f.delete(stagedRoot, true)
     ()
+  }
+
+  /** Leaf partition dirs (`col=val[/col2=val2...]`) `depth` levels
+    * under `root`. Hidden entries (leading dot — partition backups,
+    * metadata) are skipped, matching Spark's own discovery rules.
+    */
+  private[graft] def partitionDirs(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+    if (depth == 0) Seq(root)
+    else f.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.contains("=") && !s.getPath.getName.startsWith("."))
+      .toSeq.flatMap(s => partitionDirs(f, s.getPath, depth - 1))
+
+  /** `root`-relative subpath of `p`; fails loudly when `p` is not a
+    * true suffix of `root` (the scheme-qualification trap above).
+    */
+  private[graft] def relativize(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path): String = {
+    val rel = f.makeQualified(p).toString
+      .stripPrefix(f.makeQualified(root).toString + "/")
+    require(!rel.contains(":"), s"could not relativize $p against $root")
+    rel
+  }
+
+  /** Backup name for a partition dir mid-swap: the LEADING DOT keeps
+    * it invisible to Spark partition discovery (a bare `yr=3.__old`
+    * would be parsed as partition value "3.__old", silently widening
+    * the column to string) and to [[partitionDirs]].
+    */
+  private[graft] def hiddenOldName(name: String): String =
+    "." + name + ".__old"
+
+  /** Restore half-swapped partition backups under `root`: a crash
+    * between the two renames leaves `.X.__old` with no live `X` —
+    * rename it back; a backup WITH a live copy is a completed swap's
+    * leftover — drop it. Run by every partition-swapping writer on
+    * entry (the table-level analogue is [[heal]]).
+    */
+  private[graft] def healPartitions(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      f.listStatus(dir).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".__old")) {
+          val live = new org.apache.hadoop.fs.Path(dir,
+            n.stripPrefix(".").stripSuffix(".__old"))
+          if (!f.exists(live))
+            require(f.rename(s.getPath, live),
+              s"could not restore partition backup ${s.getPath}")
+          else { f.delete(s.getPath, true); () }
+        } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+      }
+    if (f.exists(root)) walk(root)
   }
 
   /** Small driver-side artifacts (the CI manifest, run metadata)

@@ -485,16 +485,7 @@ object Ann {
   def semDedup(emb: DataFrame, threshold: Double,
       nCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
     val cb = ivfCodebook(emb, nCentroids, kmeansIters)
-    val a = assigned(emb, cb)
-    val x = a.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("cluster"))
-    val y = a.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cluster"))
-    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
-    x.join(y, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(cos >= threshold)
-      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+    pairsWithinCluster(assigned(emb, cb), "cluster", threshold)
   }
 
   // ---------------------------------------------------------------
@@ -532,10 +523,17 @@ object Ann {
     * keep their previous centroid.
     */
   def kmeansDf(corpus: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
     val n = normed(corpus)
-    val seed = n.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"),
+    // seed from the k LOWEST vec_ids (rank, not value — a filtered or
+    // re-keyed shard whose ids don't start at 0 still seeds correctly;
+    // the row_number window runs over k rows post-limit, not the data)
+    val seed = n.orderBy("vec_id").limit(k.toInt)
+      .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("cv"))
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .select("cid", "cv")
       .localCheckpoint(true)
     val scale = 1L << 40
     (0 until kmeansIters).foldLeft(seed) { (cents, _) =>
@@ -560,6 +558,32 @@ object Ann {
     }
   }
 
+  /** Cluster-occupancy histogram (cid, n) for a given k — Σn² bounds
+    * semDedup's candidate volume; used by the scale spec and for
+    * capacity planning.
+    */
+  def clusterSizes(emb: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame =
+    assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+
+  /** The shared SemDeDup pair stage: exact-cosine pairs within a
+    * cluster, from an assigned frame (vec_id, v, nrm, `key`). Both
+    * the fixed-k and adaptive-k paths route here, so the threshold /
+    * rounding / ordering discipline cannot diverge between them.
+    */
+  private def pairsWithinCluster(assigned: DataFrame, key: String,
+      threshold: Double): DataFrame = {
+    val x = assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col(key))
+    val y = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col(key))
+    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
+    x.join(y, Seq(key))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
+
   /** SemDeDup with CORPUS-ADAPTIVE centroid count: k = max(16,
     * n/occupancy) holds expected cluster size ~constant, so the
     * within-cluster candidate volume Σ|c|²/2 grows ~linearly with
@@ -569,27 +593,11 @@ object Ann {
     * stays fixed-k for run-to-run comparability; this is the path a
     * 100× corpus takes.
     */
-  /** Cluster-occupancy histogram (cid, n) for a given k — Σn² bounds
-    * semDedup's candidate volume; used by the scale spec and for
-    * capacity planning.
-    */
-  def clusterSizes(emb: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame =
-    assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
-      .groupBy("cid").agg(count(lit(1)).as("n"))
-
   def semDedupAuto(emb: DataFrame, threshold: Double,
       occupancy: Long = 256L, kmeansIters: Int = 2): DataFrame = {
     val n = emb.count()
     val k = math.max(16L, n / occupancy)
     val a = assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
-    val x = a.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("cid"))
-    val y = a.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cid"))
-    val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
-    x.join(y, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(cos >= threshold)
-      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+    pairsWithinCluster(a, "cid", threshold)
   }
 }

@@ -207,25 +207,38 @@ object Dedup {
     * tokenize scan (8-byte keys from then on); candidate pairs come
     * from the inverted window index (equi-join on the window hash,
     * DF-capped like d04's shingle index so template boilerplate
-    * cannot go quadratic); each pair's shared window POSITIONS in the
-    * left document are then grouped into consecutive runs with the
-    * pos - row_number() trick — one window function partitioned by
-    * pair, so the run measurement shuffles on the pair key, never on
-    * the corpus. A run of r consecutive shared windows certifies a
-    * shared span of r + w - 1 tokens.
+    * cannot go quadratic); each pair's shared window occurrences are
+    * then grouped into consecutive runs ALONG A DIAGONAL
+    * (pos_a − pos_b constant) with the pos − row_number() trick —
+    * one window function partitioned by (pair, diagonal), so the run
+    * measurement shuffles on the pair key, never on the corpus. A
+    * diagonal run of r windows means r consecutive windows match at
+    * the SAME offset in both documents — only that certifies a shared
+    * contiguous span of r + w − 1 tokens (runs in one document alone
+    * over-certify on periodic text, where many positions of A match
+    * one short window of B).
+    *
+    * `maxRep` caps a window's occurrences WITHIN a document before
+    * the position join (degenerate periodic runs — 10k repeated
+    * separator tokens — would otherwise square in the occurrence
+    * pairing; such windows carry no span information anyway).
     */
   def spanPairs(docs: DataFrame, w: Int, minSpan: Int,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue, maxRep: Long = Long.MaxValue): DataFrame = {
     require(minSpan >= w, "a shared span shorter than one window is unobservable")
     val toks = docs
       .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("t"))
       .filter(size(col("t")) >= w)
     // (doc_id, pos, h): 1-based window start position -> window hash
-    val wins = toks.select(col("doc_id"),
+    val winsAll = toks.select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
           i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(w))))))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val wReps = Window.partitionBy("doc_id", "h")
+    val wins = winsAll
+      .withColumn("rep", count(lit(1)).over(wReps))
+      .filter(col("rep") <= maxRep).drop("rep")
     val dw = wins.select("doc_id", "h").distinct()
     // hot-window stop list: only keys with DF > maxDf — tiny, broadcasts
     val hot = dw.groupBy("h").agg(count(lit(1)).as("df"))
@@ -235,19 +248,25 @@ object Dedup {
       .join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.h"))
-    // shared-window start positions in the LEFT doc (distinct: a hash
-    // occurring at several positions contributes each position once)
-    val posA = pairs
-      .join(wins.select(col("doc_id").as("id_a"), col("pos"), col("h")),
+    // every shared occurrence pairing, with BOTH positions
+    val posAB = pairs
+      .join(wins.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("h")),
         Seq("id_a", "h"))
-      .select("id_a", "id_b", "pos").distinct()
-    val byPair = Window.partitionBy("id_a", "id_b").orderBy("pos")
-    posA.withColumn("grp", col("pos") - row_number().over(byPair))
-      .groupBy("id_a", "id_b", "grp")
+      .join(wins.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("h")),
+        Seq("id_b", "h"))
+      .select("id_a", "id_b", "pos_a", "pos_b").distinct()
+    val spans = posAB
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")))
+      .groupBy("id_a", "id_b", "diag", "grp")
       .agg(count(lit(1)).as("runlen"))
       .groupBy("id_a", "id_b")
-      .agg(sum("runlen").as("n_shared_windows"),
-        (max("runlen") + (w - 1)).as("longest_span"))
+      .agg((max("runlen") + (w - 1)).as("longest_span"))
+    val shared = posAB.groupBy("id_a", "id_b")
+      .agg(countDistinct("pos_a").as("n_shared_windows"))
+    shared.join(spans, Seq("id_a", "id_b"))
       .filter(col("longest_span") >= minSpan)
+      .select("id_a", "id_b", "n_shared_windows", "longest_span")
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Text
+
 /** Sequence packing — the "concatenate and chunk" preprocessing step
   * of GPT-style training: documents are laid end-to-end in a
   * deterministic order (doc_id) and sliced into fixed-length training
@@ -17,45 +19,43 @@ import org.apache.spark.sql.functions._
   * scale. This operator implements the classic TWO-PHASE PARALLEL
   * SCAN instead:
   *
-  *   1. range-partition by doc_id (so partition i holds a contiguous
-  *      id range) and size each partition: one tiny aggregate —
-  *      only numPartitions (pid, total) rows reach the driver;
-  *   2. the driver prefix-sums those totals (a numPartitions-length
-  *      loop) and broadcasts the per-partition starting offsets back;
+  *   1. range-partition by doc_id (partition i holds a contiguous id
+  *      range) and MATERIALIZE that layout once (eager
+  *      localCheckpoint): the range partitioner samples boundaries
+  *      per execution, so the two consumers below must read the SAME
+  *      materialized partitioning — re-executing the exchange twice
+  *      could sample different boundaries and mis-assign offsets;
+  *   2. per-partition totals → running offsets, computed over the
+  *      numPartitions-row count table (the single-partition window
+  *      there is bounded by the parallelism knob, not the data — the
+  *      Ntile.exact argument) and broadcast-joined back;
   *   3. each partition computes its own within-partition running sum
   *      under a window PARTITIONED BY pid — every partition scans in
-  *      parallel, no single-partition stage anywhere.
-  *
-  * The result is invariant to where the range boundaries fall, so the
-  * sampling inside the range partitioner cannot affect the output —
-  * only the degree of parallelism.
+  *      parallel, no data-sized single-partition stage anywhere.
   */
 object Packing {
 
   /** Per-document global token offsets: (doc_id, n_tok, start) with
-    * `start` = total tokens of all lower-id docs.
+    * `start` = total tokens of all lower-id docs. Token rule =
+    * [[Text.tokens]], the corpus-wide tokenization every operator
+    * shares.
     */
   def offsets(docs: DataFrame, numParts: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
     val sized = docs
-      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n_tok"))
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tok"))
       .repartitionByRange(numParts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-    // phase 1: numPartitions (pid, total) rows — config-sized collect
-    val totals = sized.groupBy("pid").agg(sum("n_tok").as("total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // phase 2: driver-side prefix over the partition totals (empty
-    // partitions produce no row and need no offset)
-    val prefixes = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
-    val offsetDf = spark.createDataFrame(prefixes.toSeq)
-      .toDF("pid", "part_offset")
-    // phase 3: per-partition running sums, all partitions in parallel
-    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .localCheckpoint(true)
+    val wRun = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    sized.join(broadcast(offsetDf), "pid")
+    val offs = sized.groupBy("pid").agg(sum("n_tok").as("total"))
+      .select(col("pid"),
+        coalesce(sum("total").over(wRun), lit(0L)).as("part_offset"))
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized.join(broadcast(offs), "pid")
       .withColumn("start",
-        col("part_offset") + coalesce(sum("n_tok").over(w), lit(0L)))
+        col("part_offset") + coalesce(sum("n_tok").over(wLocal), lit(0L)))
       .select(col("doc_id"), col("n_tok"), col("start"))
   }
 

@@ -510,17 +510,23 @@ object LlmOps {
       |dw AS (SELECT DISTINCT doc_id, win FROM w),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.win
       |          FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id),
-      |pa AS (SELECT DISTINCT id_a, id_b, w.pos
-      |       FROM pairs JOIN w ON w.doc_id = pairs.id_a AND w.win = pairs.win),
-      |runs AS (SELECT id_a, id_b,
-      |           pos - ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+      |pa AS (SELECT DISTINCT id_a, id_b, wa.pos AS pos_a, wb.pos AS pos_b
+      |       FROM pairs JOIN w wa ON wa.doc_id = pairs.id_a AND wa.win = pairs.win
+      |                  JOIN w wb ON wb.doc_id = pairs.id_b AND wb.win = pairs.win),
+      |runs AS (SELECT id_a, id_b, pos_a - ROW_NUMBER() OVER (
+      |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp,
+      |           pos_a - pos_b AS diag
       |         FROM pa),
-      |rl AS (SELECT id_a, id_b, grp, COUNT(*) AS runlen FROM runs GROUP BY 1, 2, 3)
-      |SELECT id_a, id_b, CAST(SUM(runlen) AS BIGINT) AS n_shared_windows,
-      |       CAST(MAX(runlen) + 7 AS BIGINT) AS longest_span
-      |FROM rl GROUP BY 1, 2 HAVING MAX(runlen) + 7 >= 12
+      |rl AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS runlen FROM runs GROUP BY 1, 2, 3, 4),
+      |sp AS (SELECT id_a, id_b, CAST(MAX(runlen) + 7 AS BIGINT) AS longest_span
+      |       FROM rl GROUP BY 1, 2),
+      |sh AS (SELECT id_a, id_b, CAST(COUNT(DISTINCT pos_a) AS BIGINT) AS n_shared_windows
+      |       FROM pa GROUP BY 1, 2)
+      |SELECT sh.id_a, sh.id_b, n_shared_windows, longest_span
+      |FROM sh JOIN sp USING (id_a, id_b) WHERE longest_span >= 12
       |ORDER BY id_a, id_b""") { c =>
-    Dedup.spanPairs(c.documents, w = 8, minSpan = 12, maxDf = 1000L)
+    Dedup.spanPairs(c.documents, w = 8, minSpan = 12, maxDf = 1000L,
+      maxRep = 100L)
       .orderBy("id_a", "id_b")
   }
 

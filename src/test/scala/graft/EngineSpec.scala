@@ -432,6 +432,22 @@ class EngineSpec extends SparkSpec {
     assert(stats2.forall(s => s.filesBefore == 1 && s.filesAfter == 1))
     assert((0 until 4).map(files) == snap,
       "already-compact partitions must not be rewritten")
+
+    // crash between the two swap renames: the live dir is gone and
+    // only the HIDDEN dot-prefixed backup remains — invisible to
+    // Spark discovery (no string-widened ghost partition), restored
+    // by the next writer's heal pass
+    val root = java.nio.file.Paths.get(wh.path("analytics", "t"))
+    java.nio.file.Files.move(root.resolve("yr=2"), root.resolve(".yr=2.__old"))
+    assert(!wh.read("analytics", "t").columns.isEmpty)
+    assert(wh.read("analytics", "t").filter(col("yr") === 2).count() == 0,
+      "hidden backup must be invisible to partition discovery")
+    val stats3 = Compaction.compact(wh, "analytics", "t",
+      nPartCols = 1, targetBytes = 512L * 1024 * 1024)
+    assert(stats3.size == 4, "healed partition must be enumerated again")
+    assert(wh.read("analytics", "t").select("k", "yr", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == before,
+      "heal must restore the crashed partition's data")
   }
 
   test("format roundtrip: ORC/JSON/CSV read-back is row-identical to the source") {

@@ -370,6 +370,22 @@ class LlmOpsSpec extends SparkSpec {
     // at minSpan=8 the one-window (1,3) and (2,3) overlaps appear too
     val loose = Dedup.spanPairs(docs, w = 8, minSpan = 8)
     assert(pairSet(loose) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // PERIODIC text must not over-certify: doc A = 20 identical tokens
+    // (13 identical windows), doc B = exactly 8 — the true shared
+    // contiguous span is 8 tokens, not 20. Every A-position matches
+    // B's one window but on 13 DIFFERENT diagonals, so each diagonal
+    // run has length 1 and the reported span stays 8.
+    val periodic = Seq(
+      (1L, List.fill(20)("r").mkString(" ")),
+      (2L, List.fill(8)("r").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.spanPairs(periodic, w = 8, minSpan = 12).count() == 0,
+      "periodic text must not certify a span longer than the real overlap")
+    val p8 = Dedup.spanPairs(periodic, w = 8, minSpan = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(p8.toSeq == Seq((1L, 2L, 8L)))
+    // maxRep drops degenerate within-doc repeats before the pairing
+    assert(Dedup.spanPairs(periodic, w = 8, minSpan = 8, maxRep = 5).count() == 0)
   }
 
   test("packing: two-phase prefix sum == naive global cumsum, invariant to partition count") {
@@ -407,6 +423,24 @@ class LlmOpsSpec extends SparkSpec {
       val maxDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .agg(max("df")).head.getLong(0)
       assert(maxDf <= 1000L, s"$dir: max shingle DF $maxDf exceeds the d04 cap — oracle would diverge")
+    }
+  }
+
+  test("d09 oracle invariant: within-doc window repetition stays far below the 100 cap") {
+    // the registered d09 runs maxRep=100 while its DuckDB oracle is
+    // uncapped — results agree only while no window repeats 100×
+    // inside one document, so pin that at both driver compare scales
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Catalog(spark, dir).documents
+      val wins = docs
+        .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 7),
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(8)))))).as("h"))
+      val maxRep = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("rep"))
+        .agg(max("rep")).head.getLong(0)
+      assert(maxRep <= 100L, s"$dir: max within-doc window rep $maxRep exceeds the d09 cap — oracle would diverge")
     }
   }
 
