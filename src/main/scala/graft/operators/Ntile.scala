@@ -42,8 +42,17 @@ object Ntile {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sortKeys = (partCols ++ orderCols).map(col)
+    // eager localCheckpoint FREEZES the range partitioning: the range
+    // partitioner samples boundaries per exchange materialization, and
+    // `ranged` feeds two consumers (the count subtree and the final
+    // join). Within one execution ReuseExchange usually dedups the
+    // identical exchanges, but that is an optimizer courtesy, not a
+    // contract — materializing once makes the (__pid → rows) mapping
+    // the two consumers see identical BY CONSTRUCTION (the same fix
+    // as Packing.offsets; a drifted boundary would mis-assign offsets).
     val ranged = df.repartitionByRange(parts, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
 
     val pk = partCols.map(col)
     val counts = ranged.groupBy((col("__pid") +: pk): _*)
