@@ -171,7 +171,7 @@ object Bench {
         // the wall during staging itself
         scaleOps.map(n => (n, -1.0, medians(n), Some("skipped_budget")))
       else {
-        val scaleDir = s"/tmp/graft_scale10x_${ProcessHandle.current().pid()}"
+        val scaleDir = graft.core.Scratch.dir("scale10x").toString
         // a staging failure (disk full, interrupted write) must not
         // take the whole bench line — and all 75 medians — with it
         val staged =

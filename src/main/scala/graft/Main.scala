@@ -58,7 +58,7 @@ final case class CliConfig(
 object Main {
 
   val usage: String =
-    """usage: graft.Main <run|test|clone|ci> [options]
+    """usage: graft.Main <run|test|clone|ci|clean> [options]
       |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
       |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
       |  --schema <name>        base warehouse schema for `run` (default "analytics");
@@ -72,12 +72,17 @@ object Main {
       |  --on-suffixed          point `test` at the _<suffix> schema
       |  --dry-run              report what ci/clone WOULD copy
       |  --full-refresh         incremental models rebuild from scratch
-      |  --verbose              per-model/table detail lines""".stripMargin
+      |  --verbose              per-model/table detail lines
+      |
+      |  clean: drop every `_<suffix>` CI schema and sweep staged-swap
+      |  debris (abandoned .__tmp/.__ctmp staging, completed-swap .__old
+      |  backups, orphaned artifact temps); half-swaps are healed, never
+      |  deleted.""".stripMargin
 
   def parse(args: Seq[String]): Either[String, CliConfig] = {
     if (args.isEmpty) return Left("missing command\n" + usage)
     val cmd = args.head
-    if (!Set("run", "test", "clone", "ci").contains(cmd))
+    if (!Set("run", "test", "clone", "ci", "clean").contains(cmd))
       return Left(s"unknown command '$cmd'\n" + usage)
     @annotation.tailrec
     def loop(rest: List[String], cfg: CliConfig): Either[String, CliConfig] =
@@ -247,6 +252,23 @@ object Main {
       .copyAll(base, targets, cfg.suffix, cfg.dryRun)
   }
 
+  final case class CleanReport(droppedSchemas: Seq[String],
+      droppedDebris: Seq[String])
+
+  /** CI scratch teardown (the reference's `cleanup()`, core.py:220 —
+    * release the CI resources a run accreted): drop every `_<suffix>`
+    * CI schema and sweep staged-swap debris warehouse-wide. Sweep runs
+    * FIRST so a half-swapped prod table is healed, not deleted with
+    * the debris.
+    */
+  def clean(spark: SparkSession, cfg: CliConfig): CleanReport = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val debris = wh.sweep()
+    val ciSchemas = wh.schemas.filter(_.endsWith(s"_${cfg.suffix}"))
+    ciSchemas.foreach(wh.dropSchema)
+    CleanReport(ciSchemas, debris)
+  }
+
   /** The reference's core workflow, end-to-end on the demo DAG:
     * manifest diff -> modified+ closure -> clone the closure's
     * incremental/snapshot prod state -> run the closure in the
@@ -330,6 +352,13 @@ object Main {
             println(f"  $n%-24s $c%10d rows") }
         }
         if (r.copies.exists(_.status.startsWith("error"))) { spark.stop(); sys.exit(1) }
+      case "clean" =>
+        val r = clean(spark, cfg)
+        println(bar + "\nCLEAN SUMMARY\n" + bar)
+        println(s"CI schemas dropped: ${r.droppedSchemas.size}")
+        r.droppedSchemas.foreach(s => println(s"  - $s"))
+        println(s"Debris removed: ${r.droppedDebris.size}")
+        if (cfg.verbose) r.droppedDebris.foreach(d => println(s"  - $d"))
     } catch {
       case e: CliError =>
         System.err.println(e.getMessage); spark.stop(); sys.exit(2)

@@ -27,8 +27,13 @@ import org.apache.hadoop.fs.Path
   * state maintenance touches only what ingest fragmented since the
   * last pass. The commit per partition mirrors
   * [[Warehouse.overwritePartitionsStaged]]: stage to a sibling dir,
-  * live dir aside, staged in, backup dropped — crash-safe at every
-  * step, no moment with zero copies.
+  * live dir aside, staged in, backup dropped — crash-DURABLE at every
+  * step (at least one complete copy always exists on disk, and the
+  * healer restores it), but not reader-atomic: between the two renames
+  * a concurrent reader sees the partition absent (the backup is
+  * dot-prefixed, invisible to partition discovery). Single-writer,
+  * no-concurrent-reader is the assumed maintenance window, as with
+  * the staged overwrite it mirrors.
   */
 object Compaction {
 

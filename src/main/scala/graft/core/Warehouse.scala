@@ -238,14 +238,69 @@ final case class Warehouse(spark: SparkSession, root: String) {
       .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old"))
       .toSeq.sorted
   }
+
+  /** Schema directories under the root. Underscore/dot entries
+    * (`_artifacts`, hidden debris) are metadata, not schemas.
+    */
+  def schemas: Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .toSeq.sorted
+  }
+
+  def dropSchema(schema: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$schema")
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** Heal-then-sweep of staged-swap debris across the whole warehouse:
+    * half-swaps are RESTORED first (a `.__old` with no live copy is
+    * the only surviving data — exactly what [[heal]]/[[healPartitions]]
+    * do on access), then what remains is deletable by construction —
+    * abandoned `.__tmp`/`.__ctmp` staging dirs, completed-swap `.__old`
+    * backups (table- and partition-level), and orphaned `_artifacts`
+    * temp files. Returns root-relative paths removed.
+    */
+  def sweep(): Seq[String] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = fs(rootP)
+    val removed = Seq.newBuilder[String]
+    for (schema <- schemas) {
+      val sp = new org.apache.hadoop.fs.Path(s"$root/$schema")
+      f.listStatus(sp).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        if (n.endsWith(".__tmp") || n.endsWith(".__ctmp")) {
+          f.delete(s.getPath, true); removed += s"$schema/$n"
+        } else if (n.endsWith(".__old")) {
+          val live = new org.apache.hadoop.fs.Path(sp, n.stripSuffix(".__old"))
+          if (!f.exists(live))
+            require(f.rename(s.getPath, live),
+              s"could not restore table backup $schema/$n")
+          else { f.delete(s.getPath, true); removed += s"$schema/$n" }
+        }
+      }
+      // partition-level dot backups inside each live table: heal-or-drop
+      f.listStatus(sp).filter(_.isDirectory).map(_.getPath)
+        .foreach(healPartitions(f, _))
+    }
+    val art = new org.apache.hadoop.fs.Path(s"$root/_artifacts")
+    if (f.exists(art))
+      f.listStatus(art).filter(_.getPath.getName.endsWith(".__tmp")).foreach {
+        s => f.delete(s.getPath, false)
+          removed += s"_artifacts/${s.getPath.getName}"
+      }
+    removed.result()
+  }
 }
 
 object Warehouse {
-  /** Fresh scratch warehouse under the JVM temp dir (unit tests and
-    * the Verify-driven engine queries).
+  /** Fresh scratch warehouse under the session [[Scratch]] root (unit
+    * tests and the Verify-driven engine queries) — swept at JVM exit.
     */
-  def scratch(spark: SparkSession, tag: String): Warehouse = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
-    Warehouse(spark, dir)
-  }
+  def scratch(spark: SparkSession, tag: String): Warehouse =
+    Warehouse(spark, Scratch.dir(tag).toString)
 }

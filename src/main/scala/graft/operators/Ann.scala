@@ -158,23 +158,22 @@ object Ann {
         }
     require(seed0.nonEmpty, "corpus must contain the centroid ids")
     val dim = seed0.head._2.length
-    // Per-(cluster, pos) mean via SCALED-LONG sums: doubles summed
+    // Per-(cluster, pos) mean via SCALED-INTEGER sums: doubles summed
     // under a partial aggregate merge in nondeterministic order would
     // make the codebook jitter between runs (and s03's candidate set
-    // flip on near-tie assignments). Long addition is exactly
-    // associative+commutative, so the fold order cannot matter. Unit
-    // components are in [-1,1]; scale 2^40 keeps ~1e-12 resolution and
-    // overflows (ANSI: throws, never silently wraps) only past ~2^23
-    // members per cluster — far beyond any codebook-sized corpus; a
-    // 100 TB build would shard the sum (sum of per-partition longs)
-    // before hitting it.
+    // flip on near-tie assignments). Each component is quantized to a
+    // 2^40-scaled integer (~1e-12 resolution) and summed as
+    // DECIMAL(38,0): integer-exact, associative+commutative (fold
+    // order cannot matter), and headroom to 10^38 — ~10^25 members
+    // per cluster — so there is no overflow cliff at any corpus size
+    // (a plain long sum would hit 2^63 past ~2^23 members).
     val scale = 1L << 40
     (0 until kmeansIters).foldLeft(seed0) { (cur, _) =>
       val means = assigned(corpus, cur)
         .select(col("cluster"),
           posexplode(transform(col("v"), x => x / col("nrm"))).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
-        .agg(sum((col("x") * scale).cast("long")).as("s"),
+        .agg(sum((col("x") * scale).cast("long").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
@@ -182,7 +181,7 @@ object Ann {
         means.get(i).fold((i, cOld, nOld)) { rows =>
           val m = new Array[Double](dim)
           rows.foreach(r =>
-            m(r.getInt(1)) = r.getLong(2).toDouble / scale / r.getLong(3))
+            m(r.getInt(1)) = r.getDecimal(2).doubleValue() / scale / r.getLong(3))
           val nrm = math.sqrt(m.map(x => x * x).sum)
           if (nrm > 0) (i, m, nrm) else (i, cOld, nOld)
         }
@@ -277,7 +276,9 @@ object Ann {
         .select(col("j"), col("c"),
           posexplode(col("x")).as(Seq("pos", "xi")))
         .groupBy("j", "c", "pos")
-        .agg(sum((col("xi") * scale).cast("long")).as("s"),
+        // decimal(38,0) accumulator: same overflow-proof scaled-integer
+        // discipline as ivfCodebook/kmeansDf
+        .agg(sum((col("xi") * scale).cast("long").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -285,7 +286,7 @@ object Ann {
         means.get((j, kk)).fold(cur(j)(kk)) { rows =>
           val mArr = cur(j)(kk).clone()
           rows.foreach(r =>
-            mArr(r.getInt(2)) = r.getLong(3).toDouble / scale / r.getLong(4))
+            mArr(r.getInt(2)) = r.getDecimal(3).doubleValue() / scale / r.getLong(4))
           mArr
         }
       }
@@ -496,7 +497,8 @@ object Ann {
   // needs k ∝ n to hold cluster occupancy constant. Here centroids
   // live in a DataFrame end-to-end — nothing codebook-sized reaches
   // the driver, assignment is a broadcast join + max_by argmax, and
-  // means accumulate scaled longs (order-independent → run-stable).
+  // means accumulate 2^40-scaled integers in a DECIMAL(38,0) sum
+  // (order-independent → run-stable, no member-count overflow cliff).
   // Past broadcast size (~10⁶ centroids) the assign join would move
   // to a coarse-bucketed equi-join; the dataflow is otherwise
   // unchanged.
@@ -542,7 +544,11 @@ object Ann {
           posexplode(transform(col("v"), x => x / col("nrm")))
             .as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(sum((col("x") * scale).cast("long")).as("s"),
+        // decimal(38,0) accumulator: integer-exact and order-free like
+        // a long, but with headroom to ~10^25 members per (cid, pos) —
+        // the fixed-k paths (clusterSizes, small-k kmeansDf on a large
+        // corpus) can exceed the ~2^23-member cliff a long sum has
+        .agg(sum((col("x") * scale).cast("long").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("cnt"))
         .groupBy("cid")
         .agg(transform(

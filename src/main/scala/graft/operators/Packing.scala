@@ -68,9 +68,12 @@ object Packing {
     offsets(docs, numParts)
       .filter(col("n_tok") > 0)
       .select(col("doc_id"),
+        // integral `div`, not double `/` + cast: double division only
+        // matches the oracle's floor past ~2^42 tokens by luck of the
+        // mantissa — `div` is exact at any corpus size
         explode(sequence(
-          (col("start") / seqLen).cast("long"),
-          ((col("start") + col("n_tok") - 1) / seqLen).cast("long")))
+          expr(s"start div $seqLen"),
+          expr(s"(start + n_tok - 1) div $seqLen")))
           .as("seq_id"))
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"),

@@ -150,6 +150,30 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** The driver's oracle-compare corpus size (sf0.01 embeddings) —
+    * the AUTO d05's oracle must know the SRP bit-width before the data
+    * is read, so the count is pinned here and guarded by an
+    * LlmOpsSpec invariant (a regenerated test corpus that changes it
+    * fails the pin, not the hash).
+    */
+  private[graft] val oracleEmbCount = 500L
+
+  // d05 AUTO — the production-default dial (Ann.adaptiveBits: bits
+  // derived from one corpus count() so bucket occupancy stays ~16 at
+  // any scale) promoted into the hash-gated registry: the REGISTERED
+  // plan runs the real runtime derivation (count → bits → seeded
+  // planes), and the oracle mirrors the same derived constant from
+  // the pinned compare-scale count. At sf0.01 both sides resolve to
+  // adaptiveBits(500)=6; at bench scale (sf0.1, n=2000) the same code
+  // path widens to 7 bits — the dial the fixed-bits d05 cannot turn.
+  val d05auto: Q = q("d05_embedding_neardup_auto",
+    d05OracleSql(threshold = 0.4, tables = 8,
+      bits = Ann.adaptiveBits(oracleEmbCount), dim = 64, seed = 7L)) { c =>
+    Ann.nearDupLshAuto(c.embeddings, threshold = 0.4,
+        tables = 8, dim = 64, seed = 7L)
+      .orderBy("id_a", "id_b")
+  }
+
   // d10 — SemDeDup: semantic (embedding-space) dedup with k-means-
   // cluster-bounded candidates — the data-adaptive third candidate
   // strategy next to d05's LSH and d04's inverted index; reported
@@ -705,7 +729,8 @@ object LlmOps {
       |              THEN 'val' ELSE 'train' END AS split,
       |         lang, n_chars
       |  FROM documents)
-      |SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+      |SELECT split, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
     c.documents
       .withColumn("split",
@@ -860,7 +885,7 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10,
     s01, s02, s03, s04,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, p01, mm01, mm02)

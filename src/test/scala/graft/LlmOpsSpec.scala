@@ -254,6 +254,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(Ann.adaptiveBits(3000, floor = 8) == 8)
   }
 
+  test("d05 auto oracle pin: compare-scale corpus count and derived bits hold") {
+    // d05_embedding_neardup_auto's oracle hardcodes the SRP width
+    // derived from the PINNED sf0.01 corpus count while the registered
+    // plan derives it from a runtime count() — they agree only while
+    // the pin matches the data, so a regenerated test corpus fails
+    // HERE, not as an opaque driver hash mismatch
+    assert(Catalog(spark, "/root/testdata/sf0.01").embeddings.count() ==
+      LlmOps.oracleEmbCount)
+    assert(Ann.adaptiveBits(LlmOps.oracleEmbCount) == 6)
+    // and at bench scale the same dial genuinely widens (sf0.1 n=2000),
+    // so the auto entry exercises a different hash family than fixed d05
+    assert(Ann.adaptiveBits(2000L) == 7)
+  }
+
   test("adaptive LSH bits keep candidate volume ~linear where fixed bits go quadratic") {
     // 10x corpus from 10 key-shifted copies, embedding circular-shifted
     // per copy (exact within-copy cosines, cross-copy ~orthogonal) —
@@ -441,6 +455,27 @@ class LlmOpsSpec extends SparkSpec {
       val maxRep = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("rep"))
         .agg(max("rep")).head.getLong(0)
       assert(maxRep <= 100L, s"$dir: max within-doc window rep $maxRep exceeds the d09 cap — oracle would diverge")
+    }
+  }
+
+  test("d09 oracle invariant: cross-doc window DF stays far below the 1000 cap") {
+    // the registered d09 also carries maxDf=1000 (the hot-window stop
+    // list) while the oracle is uncapped — a boilerplate window shared
+    // by >1000 docs would silently drop its pairs from the registered
+    // plan only. Measured on the UNFILTERED distinct (doc, window) set,
+    // a superset of what the registered plan indexes, so conservative.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Catalog(spark, dir).documents
+      val wins = docs
+        .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 7),
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(8)))))).as("h"))
+      val maxDf = wins.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .agg(max("df")).head.getLong(0)
+      assert(maxDf <= 1000L, s"$dir: max cross-doc window DF $maxDf exceeds the d09 cap — oracle would diverge")
     }
   }
 

@@ -24,6 +24,7 @@ class MainSpec extends SparkSpec {
     assert(cfg.command == "ci" && cfg.sfDir == "/x" && cfg.warehouseRoot == "/w")
     assert(cfg.threads == 4 && cfg.slices == 7)
     assert(cfg.changed == Set("a", "b") && cfg.dryRun)
+    assert(Main.parse(Seq("clean")).toOption.exists(_.command == "clean"))
     assert(Main.parse(Nil).isLeft)
     assert(Main.parse(Seq("frobnicate")).isLeft)
     assert(Main.parse(Seq("run", "--bogus")).isLeft)
@@ -31,7 +32,7 @@ class MainSpec extends SparkSpec {
   }
 
   test("Main ci: manifest diff -> closure -> clone -> deferred run on the demo DAG") {
-    val whRoot = java.nio.file.Files.createTempDirectory("graft_main").toString
+    val whRoot = graft.core.Scratch.dir("main").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
       slices = slices, cutoff = Some(cutoffDate))
 
@@ -115,7 +116,7 @@ class MainSpec extends SparkSpec {
   }
 
   test("Main ci without a prod manifest fails with a clear error") {
-    val whRoot = java.nio.file.Files.createTempDirectory("graft_nomanifest").toString
+    val whRoot = graft.core.Scratch.dir("nomanifest").toString
     // CliError specifically: main() turns it into stderr + exit(2), the
     // same clean path parse errors take (no uncaught stack trace)
     val e = intercept[Main.CliError] {
@@ -127,8 +128,7 @@ class MainSpec extends SparkSpec {
 
   test("Runner --threads: parallel run and ci produce marts identical to sequential") {
     def runBoth(threads: Int): (String, Warehouse) = {
-      val whRoot = java.nio.file.Files
-        .createTempDirectory(s"graft_par$threads").toString
+      val whRoot = graft.core.Scratch.dir(s"par$threads").toString
       val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
         slices = slices, cutoff = Some(cutoffDate), threads = threads)
       Main.run(spark, base)
@@ -150,7 +150,7 @@ class MainSpec extends SparkSpec {
   }
 
   test("custom base schema: run --schema, then test/clone/ci auto-detect it") {
-    val whRoot = java.nio.file.Files.createTempDirectory("graft_schema").toString
+    val whRoot = graft.core.Scratch.dir("schema").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
       slices = 3, cutoff = Some(cutoffDate), schema = "edu_wh")
     Main.run(spark, base)
@@ -177,7 +177,7 @@ class MainSpec extends SparkSpec {
   }
 
   test("Main clone: copies every incremental/snapshot model prod -> suffixed schema") {
-    val whRoot = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val whRoot = graft.core.Scratch.dir("clone").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
       slices = slices)
     Main.run(spark, base)
@@ -186,6 +186,61 @@ class MainSpec extends SparkSpec {
       Seq(("mart_recent_buyers", "analytics_pr_7", "copied")))
     assert(wh(whRoot).read("analytics_pr_7", "mart_recent_buyers").count() ==
       wh(whRoot).read("analytics", "mart_recent_buyers").count())
+  }
+
+  test("Main clean: drops CI schemas + swap debris, heals half-swaps, prod intact") {
+    val whRoot = graft.core.Scratch.dir("clean").toString
+    val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = 3, cutoff = Some(cutoffDate))
+    Main.run(spark, base)
+    Main.ci(spark, base.copy(command = "ci", cutoff = None,
+      changed = Set("stg_orders_1")))
+    val w = wh(whRoot)
+    assert(w.schemas == Seq("analytics", "analytics_ci"))
+
+    // plant the debris classes a crashed/abandoned run leaves behind
+    val f = new org.apache.hadoop.fs.Path(whRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(rel: String) =
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$whRoot/$rel"))
+    mk("analytics/int_spend_all.__tmp")        // abandoned staged overwrite
+    mk("analytics/mart_nation_spend.__ctmp")   // abandoned compaction staging
+    mk("analytics/mart_segment_spend.__old")   // completed-swap leftover
+    f.create(new org.apache.hadoop.fs.Path(
+      s"$whRoot/_artifacts/manifest.json.__tmp"), true).close()
+    // HALF-swap: live dir renamed aside, crash before staged moved in —
+    // the backup is the only copy and must be healed, never deleted
+    val prodRows = w.read("analytics", "mart_recent_buyers").count()
+    require(f.rename(
+      new org.apache.hadoop.fs.Path(s"$whRoot/analytics/mart_recent_buyers"),
+      new org.apache.hadoop.fs.Path(s"$whRoot/analytics/mart_recent_buyers.__old")))
+
+    val rep = Main.clean(spark, base.copy(command = "clean"))
+    assert(rep.droppedSchemas == Seq("analytics_ci"))
+    assert(rep.droppedDebris.toSet == Set(
+      "analytics/int_spend_all.__tmp",
+      "analytics/mart_nation_spend.__ctmp",
+      "analytics/mart_segment_spend.__old",
+      "_artifacts/manifest.json.__tmp"))
+
+    // only prod schemas remain, no debris dirs, half-swap healed in place
+    assert(w.schemas == Seq("analytics"))
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$whRoot/analytics"))
+      .map(_.getPath.getName).forall(n =>
+        !n.contains(".__tmp") && !n.contains(".__ctmp") && !n.endsWith(".__old")))
+    assert(w.read("analytics", "mart_recent_buyers").count() == prodRows)
+    // prod marts still fully queryable after the sweep
+    assert(!Main.test(spark, base.copy(command = "test")).failed)
+  }
+
+  test("Scratch: every scratch dir lives under the one swept session root") {
+    // the shutdown hook removes Scratch.root recursively, so as long as
+    // all scratch (specs, Verify warehouses, bench staging) nests under
+    // it, repeated runs leave no net /tmp growth
+    val d = graft.core.Scratch.dir("probe")
+    assert(d.startsWith(graft.core.Scratch.root))
+    val w = Warehouse.scratch(spark, "probe2")
+    assert(java.nio.file.Paths.get(w.root).startsWith(graft.core.Scratch.root))
   }
 
   private def wh(root: String) = Warehouse(spark, root)

@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
     val stream = input.toDF()
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_e09spec_ckpt")
+    val ckpt = graft.core.Scratch.dir("e09spec_ckpt")
     val query = stream.writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -40,7 +40,44 @@ for name in sorted(oracle):
     g, e = canon(got), canon(exp)
     if len(g) != len(e):
         print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}"); fails.append(name); continue
-    # dtype-aware compare
+
+    # typeclass check FIRST: the driver's hasher is type-aware, so a
+    # value-equal column with a different type (the classic: DuckDB
+    # SUM(BIGINT) -> HUGEINT, arriving as an object column of Python
+    # ints, vs Spark's int64) is a driver-gate FAIL that a value-only
+    # compare masks. Mirror that here so the local gate predicts the
+    # driver gate.
+    def typeclass(s: pd.Series, other: pd.Series):
+        k = s.dtype.kind
+        if k in 'iu':  return 'int'
+        if k == 'f':   return 'float'
+        if k == 'b':   return 'bool'
+        if k in 'mM':  return 'datetime'
+        if k == 'O':
+            nn = s.dropna()
+            if len(nn) == 0:  # all-null: adopt the other side's class
+                return typeclass(other, s) if other.dtype.kind != 'O' or len(other.dropna()) else 'null'
+            v = nn.iloc[0]
+            if isinstance(v, bool):  return 'bool'
+            if isinstance(v, int):   return 'hugeint'   # object-of-int = DuckDB HUGEINT
+            if isinstance(v, float): return 'float'
+            if isinstance(v, str):   return 'str'
+            import datetime, decimal
+            if isinstance(v, decimal.Decimal): return 'decimal'
+            if isinstance(v, (datetime.date, datetime.datetime)): return 'datetime'
+            if isinstance(v, (list, tuple)) or type(v).__name__ == 'ndarray': return 'list'
+            return type(v).__name__
+        return k
+    bad = None
+    for c in g.columns:
+        tg, te = typeclass(g[c], e[c]), typeclass(e[c], g[c])
+        if tg != te:
+            print(f"FAIL {name}: col {c} typeclass spark={tg} duck={te}"
+                  + (" (uncast integer SUM in the oracle? CAST(... AS BIGINT))"
+                     if te == 'hugeint' else ""))
+            bad = (c, tg, te, -1); break
+    if bad:
+        fails.append(name); continue
     bad = None
     for c in g.columns:
         gc, ec = g[c], e[c]
