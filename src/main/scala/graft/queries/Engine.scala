@@ -674,6 +674,47 @@ object Engine {
       .orderBy("fmt")
   }
 
+  // m19 — dbt's opt-in `invalidate_hard_deletes`: a key that VANISHES
+  // from the source is closed out (valid_to = run stamp, not current)
+  // with no replacement version, composing with the check-strategy
+  // change detection in the SAME capture. Run 2 drops every 5th
+  // customer (the churn) and bumps every 3rd's price (the change), so
+  // all three row fates — carried / changed / hard-deleted — and the
+  // changed∧deleted overlap (custkey % 15) materialize in one pass.
+  // Same single full-outer-join shuffle as m04/m10; the hard-delete
+  // adds only a null-check on the source side of that join.
+  val m19: Q = q("m19_snapshot_hard_delete",
+    """WITH s1 AS (
+      |  SELECT o_custkey, o_totalprice AS price
+      |  FROM (SELECT o_custkey, o_totalprice,
+      |          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders) WHERE rn = 1)
+      |SELECT o_custkey, price, TIMESTAMP '1996-07-01' AS valid_from,
+      |       CASE WHEN o_custkey % 5 = 0 OR o_custkey % 3 = 0
+      |            THEN TIMESTAMP '1998-01-01' END AS valid_to,
+      |       (o_custkey % 5 <> 0 AND o_custkey % 3 <> 0) AS is_current
+      |FROM s1
+      |UNION ALL
+      |SELECT o_custkey, price + 100, TIMESTAMP '1998-01-01',
+      |       CAST(NULL AS TIMESTAMP), TRUE
+      |FROM s1 WHERE o_custkey % 5 <> 0 AND o_custkey % 3 = 0
+      |ORDER BY o_custkey, valid_from""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m19")
+    val state0 = latestPerCust(ordersSrc(c)).select("o_custkey", "price")
+    val state1 = state0.filter(col("o_custkey") % 5 =!= 0)
+      .withColumn("price",
+        when(col("o_custkey") % 3 === 0, col("price") + 100)
+          .otherwise(col("price")))
+    Snapshot.captureCheck(wh, "snap", "cust_hd", state0,
+      Seq("o_custkey"), Seq("price"), "1996-07-01",
+      invalidateHardDeletes = true)
+    Snapshot.captureCheck(wh, "snap", "cust_hd", state1,
+      Seq("o_custkey"), Seq("price"), "1998-01-01",
+      invalidateHardDeletes = true)
+    wh.read("snap", "cust_hd").orderBy("o_custkey", "valid_from")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17, m18)
+    m11, m12, m13, m14, m15, m16, m17, m18, m19)
 }

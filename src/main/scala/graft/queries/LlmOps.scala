@@ -836,6 +836,63 @@ object LlmOps {
   // content digest; the feature filter is a projection; the survivor
   // join is an equi-join on doc_id; the report is one map-side hash
   // agg. Nothing materializes between stages.
+  // x17 — DSIR-style importance weighting (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"): score
+  // each document by how much more likely its hashed-bigram features
+  // are under a TARGET distribution (here the 'en' slice) than under
+  // the raw corpus — importance = Σ_b cnt_doc[b]·(ln p_tgt[b] −
+  // ln p_raw[b]) with add-one smoothing over B=256 md5 buckets (the
+  // same first-two-hex-chars bucket rule as x14, identical in both
+  // engines). Selection then resamples by weight; the weight table is
+  // the operator. Scale shape: one shuffle on (doc, bucket), then the
+  // ≤256-row bucket model BROADCASTS to both the totals and the
+  // per-doc scoring join — the corpus is never shuffled again, the
+  // model never leaves the plan. ROUND(,6) absorbs double-sum
+  // association differences (x08/x15 discipline; ≤256 terms/doc).
+  val x17: Q = q("x17_importance_weights",
+    """WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, lang,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      |       FROM toks WHERE len(t) >= 2),
+      |bk AS (SELECT doc_id, lang, substr(md5(bigram), 1, 2) AS b FROM bg),
+      |db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+      |raw AS (SELECT b, COUNT(*) AS rc FROM bk GROUP BY 1),
+      |tgt AS (SELECT b, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT COUNT(*) FROM bk) AS tr,
+      |               (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS tt),
+      |w AS (SELECT raw.b,
+      |        ln((COALESCE(tc, 0) + 1.0) / (tt + 256.0))
+      |          - ln((rc + 1.0) / (tr + 256.0)) AS lnw
+      |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |       ROUND(SUM(cnt * lnw), 6) AS importance
+      |FROM db JOIN w USING (b) GROUP BY doc_id ORDER BY doc_id""") { c =>
+    val bk = c.documents
+      .select(col("doc_id"), col("lang"),
+        explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("bigram").cast("binary")), 1, 2).as("b"))
+    // ONE corpus explode + ONE (doc, bucket) shuffle feeds everything:
+    // the bucket model folds from the per-doc aggregate (lang rides
+    // along — it is functionally dependent on doc_id, so the group
+    // count is unchanged) instead of re-tokenizing the corpus a
+    // second time for the model pass
+    val db = bk.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+    val raw = db.groupBy("b").agg(
+      sum("cnt").as("rc"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tc"))
+    val tot = raw.agg(sum("rc").as("tr"), sum("tc").as("tt"))
+    val w = raw.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("tc") + 1.0) / (col("tt") + 256.0))
+          - log((col("rc") + 1.0) / (col("tr") + 256.0))).as("lnw"))
+    db.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * col("lnw")), 6).as("importance"))
+      .orderBy("doc_id")
+  }
+
   val p01: Q = q("p01_curation_pipeline",
     s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS toks
@@ -888,5 +945,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10,
     s01, s02, s03, s04,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, p01, mm01, mm02)
+    x15, x16, x17, p01, mm01, mm02)
 }
