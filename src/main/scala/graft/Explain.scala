@@ -18,11 +18,21 @@ object Explain {
         s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wanted = if (args.isEmpty) Seq("q23_topk_per_group") else args.toSeq
+    // --execute: run the query first and print the FINAL adaptive plan
+    // (ReusedExchange/ReusedSubquery only appear post-execution, so the
+    // initial formatted plan under-reports stage reuse)
+    val execute = args.contains("--execute")
+    val wanted0 = args.toSeq.filterNot(_.startsWith("--"))
+    val wanted = if (wanted0.isEmpty) Seq("q23_topk_per_group") else wanted0
     for (name <- wanted; fn <- SparkEntry.queries.get(name)) {
       println(s"==== $name ====")
-      println(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val df = fn(spark, sfDir)
+      if (execute) {
+        df.count()
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

@@ -872,21 +872,34 @@ object LlmOps {
         explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram"))
       .select(col("doc_id"), col("lang"),
         substring(md5(col("bigram").cast("binary")), 1, 2).as("b"))
-    // ONE corpus explode + ONE (doc, bucket) shuffle feeds everything:
-    // the bucket model folds from the per-doc aggregate (lang rides
-    // along — it is functionally dependent on doc_id, so the group
-    // count is unchanged) instead of re-tokenizing the corpus a
-    // second time for the model pass
-    val db = bk.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
-    val raw = db.groupBy("b").agg(
-      sum("cnt").as("rc"),
-      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tc"))
-    val tot = raw.agg(sum("rc").as("tr"), sum("tc").as("tt"))
-    val w = raw.crossJoin(broadcast(tot))
+    // ONE corpus explode + ONE (doc, bucket) shuffle feeds everything.
+    // The per-doc aggregate is frozen (eager localCheckpoint — the
+    // Packing/Ntile multi-consumer discipline) because its two
+    // consumers (scoring join, bucket model) otherwise each re-derive
+    // the full tokenize+explode: ReuseExchange does NOT unify them —
+    // the scoring branch carries a join-key null filter the model
+    // branch lacks, so the exchanges are not canonically equal
+    // (verified on the executed plan, which showed three corpus
+    // scans pre-freeze). At warehouse scale this materialization is
+    // "write the (doc, bucket) count table once, aggregate it twice".
+    // lang rides along — functionally dependent on doc_id, the group
+    // count is unchanged.
+    val db0 = bk.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // corpus/target totals via an unpartitioned window over the bucket
+    // model — 256 rows by construction (bounded by the hash width, not
+    // the data), so the single partition is safe; this replaces a
+    // third corpus-scanning totals branch
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = db0.groupBy("b").agg(
+        sum("cnt").as("rc"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tc"))
       .select(col("b"),
-        (log((col("tc") + 1.0) / (col("tt") + 256.0))
-          - log((col("rc") + 1.0) / (col("tr") + 256.0))).as("lnw"))
-    db.join(broadcast(w), "b")
+        (log((col("tc") + 1.0) / (sum("tc").over(wTot) + 256.0))
+          - log((col("rc") + 1.0) / (sum("rc").over(wTot) + 256.0))).as("lnw"))
+    db0.join(broadcast(w), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         round(sum(col("cnt") * col("lnw")), 6).as("importance"))
