@@ -22,14 +22,25 @@ object Explain {
     // (ReusedExchange/ReusedSubquery only appear post-execution, so the
     // initial formatted plan under-reports stage reuse)
     val execute = args.contains("--execute")
+    val auditOnly = args.contains("--audit") // one line per query
     val wanted0 = args.toSeq.filterNot(_.startsWith("--"))
     val wanted = if (wanted0.isEmpty) Seq("q23_topk_per_group") else wanted0
     for (name <- wanted; fn <- SparkEntry.queries.get(name)) {
-      println(s"==== $name ====")
+      if (!auditOnly) println(s"==== $name ====")
       val df = fn(spark, sfDir)
-      if (execute) {
+      if (execute || auditOnly) {
         df.count()
-        println(df.queryExecution.executedPlan.toString)
+        val p = df.queryExecution.executedPlan.toString
+        if (!auditOnly) println(p)
+        // the multi-scan audit in one line: every FileScan / Generate
+        // in the FINAL plan is a real pass over (a stream derived
+        // from) the input — >1 over the same table means a shared
+        // subtree is being recomputed per consumer
+        println(s"[audit] $name: fileScans=" +
+          "FileScan".r.findAllIn(p).size +
+          " generates=" + "Generate".r.findAllIn(p).size +
+          " reusedExchanges=" + "ReusedExchange".r.findAllIn(p).size +
+          " existingRdd=" + "ExistingRDD".r.findAllIn(p).size)
       } else
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))

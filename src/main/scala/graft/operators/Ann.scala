@@ -374,7 +374,9 @@ object Ann {
   def nearDupLsh(emb: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 6, dim: Int = 64,
       seed: Long = 7L): DataFrame = {
-    val n = normed(emb)
+    // frozen: the normed view feeds bucketing AND both verify sides —
+    // 4 embedding scans pre-freeze (Explain --execute audit)
+    val n = normed(emb).localCheckpoint(true)
     val cands = lshCandidatePairs(n, tables, bits, dim, seed)
     val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
     cands
@@ -579,9 +581,14 @@ object Ann {
     */
   private def pairsWithinCluster(assigned: DataFrame, key: String,
       threshold: Double): DataFrame = {
-    val x = assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+    // frozen: both sides of the within-cluster self-join consume the
+    // assigned frame — without the freeze each re-runs the full
+    // normalize+assign (2 embedding scans pre-freeze, for the fixed-k
+    // AND adaptive paths, which both route here)
+    val frozen = assigned.localCheckpoint(true)
+    val x = frozen.select(col("vec_id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col(key))
-    val y = assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+    val y = frozen.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"), col(key))
     val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
     x.join(y, Seq(key))

@@ -112,7 +112,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingled(docs, n)
+    // the inverted index is frozen once (eager localCheckpoint): its
+    // consumers (stop list, sizes, both sides of the candidate
+    // self-join) would otherwise EACH re-tokenize the corpus —
+    // ReuseExchange does not unify them (Explain --execute showed 8
+    // corpus scans pre-freeze). At warehouse scale this is "write the
+    // (doc, shingle) index once, read it four times".
     val all = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint(true)
     // hot-shingle stop list: tiny by construction (only keys with
     // DF > maxDf), so the anti-join broadcasts
     val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -145,7 +152,9 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val params = Hashing.minhashParams(k)
-    val sh = shingled(docs, n)
+    // frozen: consumed by the signature pass AND both verify sides —
+    // 4 corpus scans pre-freeze (Explain --execute audit)
+    val sh = shingled(docs, n).localCheckpoint(true)
     val buckets = minhashSignatures(sh, params)
       .select(col("doc_id"),
         explode(Hashing.bandKeys(col("sig"), bands, rows)).as("bk"))
@@ -176,7 +185,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, n: Int, maxDist: Int = 3): DataFrame = {
     require(maxDist < 16, "4-chunk pigeonhole covers distance <= 15")
-    val fp = simhashes(shingled(docs, n))
+    // frozen: both sides of the chunk self-join re-derive the
+    // fingerprints (2 corpus scans pre-freeze); (doc_id, simhash) is
+    // two columns per doc — the cheapest possible materialization
+    val fp = simhashes(shingled(docs, n)).localCheckpoint(true)
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"),
@@ -236,9 +248,15 @@ object Dedup {
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val wReps = Window.partitionBy("doc_id", "h")
+    // frozen: the rep-filtered window index feeds the distinct view,
+    // BOTH position joins, and (via kept) both candidate sides — the
+    // worst multi-scan in the repo pre-freeze (Explain --execute: 12
+    // corpus scans / 24 explodes). One materialized (doc, pos, h)
+    // index; everything downstream re-reads it, never the corpus.
     val wins = winsAll
       .withColumn("rep", count(lit(1)).over(wReps))
       .filter(col("rep") <= maxRep).drop("rep")
+      .localCheckpoint(true)
     val dw = wins.select("doc_id", "h").distinct()
     // hot-window stop list: only keys with DF > maxDf — tiny, broadcasts
     val hot = dw.groupBy("h").agg(count(lit(1)).as("df"))
@@ -249,12 +267,17 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.h"))
     // every shared occurrence pairing, with BOTH positions
+    // frozen: the run-grouping and the shared-window count below both
+    // consume the full occurrence pairing — without the freeze each
+    // re-runs the two position joins (size bounded by maxDf·maxRep²
+    // per window key, the operator's quadratic guard)
     val posAB = pairs
       .join(wins.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("h")),
         Seq("id_a", "h"))
       .join(wins.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("h")),
         Seq("id_b", "h"))
       .select("id_a", "id_b", "pos_a", "pos_b").distinct()
+      .localCheckpoint(true)
     val spans = posAB
       .withColumn("diag", col("pos_a") - col("pos_b"))
       .withColumn("grp", col("pos_a") - row_number().over(

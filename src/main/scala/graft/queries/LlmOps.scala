@@ -418,7 +418,10 @@ object LlmOps {
     val toks = c.documents
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
+    // frozen: the DF table and the scoring join both consume the term
+    // frequencies — 2 corpus re-tokenizations pre-freeze
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = c.documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
@@ -501,8 +504,12 @@ object LlmOps {
         """transform(sequence(0, cast(ceil(size(toks)/8.0) as int) - 1),
           |  i -> array_join(slice(toks, i*8+1, 8), ' '))""".stripMargin))
         .as(Seq("pos", "seg")))
+    // frozen: keeper, the keep join, and the per-doc chunk counts all
+    // consume the chunk frame — 3 corpus re-tokenizations pre-freeze
+    // (Explain --execute audit)
     val keyed = segs
       .withColumn("k", col("doc_id") * lit(100000L) + col("pos"))
+      .localCheckpoint(true)
     val keeper = keyed.groupBy("seg").agg(min("k").as("keep_k"))
     val kept = keyed.join(keeper, "seg").filter(col("k") === col("keep_k"))
     val rebuilt = kept.groupBy("doc_id").agg(
@@ -772,12 +779,19 @@ object LlmOps {
     val toksD = c.documents
       .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("toks"))
       .filter(size(col("toks")) >= 2)
+    // frozen: the bigram stream trains BOTH model tables and is then
+    // scored against them — 3 corpus re-tokenizations pre-freeze
+    // (Explain --execute audit). Kept at occurrence level (not
+    // pre-counted) so the per-doc -Σ logp is term-for-term the
+    // oracle's sum, not a cnt·logp reweighting with different
+    // floating-point association.
     val bg = toksD.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => struct(
             concat_ws(" ", slice(col("toks"), i, lit(2))).as("bigram"),
             element_at(col("toks"), i).as("w1")))).as("b"))
       .select(col("doc_id"), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
+      .localCheckpoint(true)
     val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
     val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
     val vocab = c.documents
