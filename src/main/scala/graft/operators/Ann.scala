@@ -209,6 +209,39 @@ object Ann {
     topK(scored, k)
   }
 
+  /** k-NN GRAPH: every vector's top-k cosine neighbors — the
+    * self-query form of [[ivf]] (SemDeDup clustering, curriculum
+    * neighborhoods, and graph-based filtering all start here). An
+    * exact graph is inherently all-pairs, so candidates are IVF-
+    * bounded: each vector probes its `nProbe` nearest inverted lists
+    * and scores only those members — per-row work is capped by the
+    * probed list sizes (Lloyd balancing keeps the max list near
+    * n/nCentroids), and the join is an equi-join on cluster id, never
+    * a cross. One frozen normed frame feeds the member side AND the
+    * probe side (the two roles differ only in the probe explode, and
+    * ReuseExchange cannot unify them). Rows-only: the neighbor set
+    * depends on the trained codebook; recall vs [[brute]] and cosine
+    * exactness are pinned in LlmOpsSpec.
+    */
+  def knnGraph(emb: DataFrame, k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val cents = ivfCodebook(emb, nCentroids, kmeansIters)
+    val n = normed(emb).localCheckpoint(true)
+    val members = n
+      .withColumn("cluster", array_max(centScoresFor(cents, "v"))("i"))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cluster"))
+    val probes = n
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(transform(
+          slice(reverse(array_sort(centScoresFor(cents, "v"))), 1, nProbe),
+          p => p("i"))).as("cluster"))
+    val scored = members.join(probes, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   // ---------------------------------------------------------------
   // IVF-PQ: product quantization over the IVF probe (the FAISS
   // IVFPQ shape, minus residual encoding — codes quantize the unit

@@ -28,6 +28,44 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "content_hash", "n_copies")
 
+  /** Incremental ingest dedup: drop new-batch docs whose content
+    * already exists in the corpus, without shuffling the corpus.
+    *
+    * The scale asymmetry this exploits: a daily ingest batch is tiny
+    * next to the accumulated corpus (GBs vs 100 TB), and a plain
+    * anti-join would shuffle the 100 TB side on digest. Instead a
+    * Bloom filter is built over the BATCH digests (one distributed
+    * pass over the small side; `expectedItems`·~10 bits however large
+    * the corpus is), the corpus is scanned ONCE and filtered to
+    * digests that might be in the batch — fpp·|corpus| + true
+    * overlaps survive — and that sliver broadcasts into an exact
+    * anti-join. Bloom false positives only add rows to the broadcast
+    * sliver; they match no batch digest, so the result is EXACT (and
+    * oracle-gated as d11). No false negatives: every corpus digest
+    * equal to a batch digest passes `mightContain` by construction.
+    * Within-batch duplicates collapse keep-first like [[exact]].
+    *
+    * `digest` canonicalizes before hashing — full text by default;
+    * crawl pipelines commonly key on a prefix hash (near-exact dup
+    * families share head content long before they share full bodies).
+    */
+  def incremental(newBatch: DataFrame, existing: DataFrame,
+      digest: org.apache.spark.sql.Column =
+        md5(col("text").cast(BinaryType)),
+      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    val newH = newBatch.select(col("doc_id"), digest.as("content_hash"))
+    val bf = newH.stat.bloomFilter("content_hash", expectedItems, fpp)
+    val mightMatch = udf((h: String) => bf.mightContain(h))
+    val sliver = existing
+      .select(digest.as("content_hash"))
+      .filter(mightMatch(col("content_hash")))
+      .distinct()
+    newH.join(broadcast(sliver), Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+  }
+
   /** (doc_id, shingles: array<long>) — distinct word n-gram shingles
     * folded to xxhash64 immediately, so every downstream join/compare
     * moves 8-byte keys instead of strings (collision odds across a

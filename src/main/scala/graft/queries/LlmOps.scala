@@ -188,6 +188,32 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d11 — incremental ingest dedup: the new batch (md5 doc_id bucket
+  // >= 'c', ~25%) dedups against the accumulated corpus (the other
+  // ~75%) via a Bloom filter built over the BATCH digests — the
+  // corpus side is scanned once, never shuffled, and only the
+  // fpp-sized sliver broadcasts into the exact anti-join (see
+  // Dedup.incremental). Result is exact despite the approximate
+  // prefilter, so it is oracle-gated like d01. Digest = 64-char
+  // prefix hash (the crawl-pipeline canonicalization: near-exact dup
+  // families share head content), which on this corpus drops real
+  // cross-batch dups AND collapses within-batch groups.
+  val d11: Q = q("d11_incremental_dedup",
+    """WITH h AS (SELECT doc_id, md5(substr(text, 1, 64)) AS content_hash,
+      |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_new
+      |           FROM documents),
+      |ex AS (SELECT DISTINCT content_hash FROM h WHERE NOT is_new)
+      |SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_copies
+      |FROM h WHERE is_new AND content_hash NOT IN (SELECT content_hash FROM ex)
+      |GROUP BY content_hash ORDER BY doc_id""") { c =>
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Dedup.incremental(
+        c.documents.filter(bucket >= "c"),
+        c.documents.filter(bucket < "c"),
+        digest = md5(substring(col("text"), 1, 64).cast("binary")))
+      .orderBy("doc_id")
+  }
+
   // s01 — brute-force cosine top-5 for query vectors vec_id < 20
   val s01: Q = q("s01_ann_brute",
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -221,6 +247,16 @@ object LlmOps {
   // shortlist (recall + determinism vs brute in ScalaTest)
   val s04: Q = rowsOnly("s04_ann_ivfpq") { c =>
     Ann.ivfpq(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // s05 — k-NN GRAPH: every vector's top-3 neighbors with IVF-bounded
+  // candidates (the self-query form of s03 — an exact graph is
+  // all-pairs by definition, so the probe bound IS the operator).
+  // Rows-only: neighbor sets depend on the trained codebook; recall
+  // vs the brute graph + cosine exactness pinned in LlmOpsSpec.
+  val s05: Q = rowsOnly("s05_knn_graph") { c =>
+    Ann.knnGraph(c.embeddings, k = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -840,6 +876,57 @@ object LlmOps {
     Packing.pack(c.documents, seqLen = 1024)
   }
 
+  // x18 — token-budget sampling: build a training mix by taking each
+  // source's docs in deterministic hash order until a per-source
+  // token budget fills (how a mix spec "N tokens of web, M of code"
+  // is actually materialized; the hash order IS the reproducible
+  // shuffle). Semantically a per-source running-sum cutoff — but a
+  // global per-source window would sort a whole source (50 TB of web)
+  // on one key, so it runs as a TWO-PHASE prefix sum like x16's
+  // packing: (1) one hash agg computes token sums for 256 md5-prefix
+  // buckets, a 256-row-per-source window turns them into bucket start
+  // offsets, and buckets starting past the budget are PRUNED before
+  // any sort; (2) the within-bucket running sum (window over ~n/256
+  // rows) is offset by the broadcast bucket starts. Identical output
+  // to the one-window form the oracle states, at 1/256th the sort.
+  val x18: Q = q("x18_token_budget_sample",
+    """WITH t AS (SELECT source, doc_id,
+      |             len(string_split(text, ' ')) AS n_tok,
+      |             md5(CAST(doc_id AS VARCHAR)) AS hk
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |        SUM(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |      FROM t)
+      |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 800 ORDER BY source, doc_id""") { c =>
+    val budget = 800L
+    // frozen: the bucket-sum pass and the main join both consume the
+    // tokenized frame — without the freeze each re-tokenizes the
+    // corpus (Explain --audit: 2 fileScans). Only 4 narrow columns
+    // materialize; the text never leaves the first scan.
+    val toks = c.documents.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("bucket", substring(col("hk"), 1, 2))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy("source").orderBy("bucket")
+    val starts = toks.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("btok"))
+      .withColumn("bstart", sum("btok").over(wB) - col("btok"))
+      .filter(col("bstart") < budget)
+      .select("source", "bucket", "bstart")
+    val wIn = Window.partitionBy("source", "bucket")
+      .orderBy("hk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(starts), Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("bstart") + sum("n_tok").over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select("source", "doc_id", "n_tok", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   // p01 — the curation PIPELINE end-to-end: exact dedup → quality
   // filter → leakage-safe holdout split → per-(split, lang) corpus
   // accounting, composed from the registered operators' own building
@@ -969,8 +1056,8 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10,
-    s01, s02, s03, s04,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d11,
+    s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, p01, mm01, mm02)
+    x15, x16, x17, x18, p01, mm01, mm02)
 }

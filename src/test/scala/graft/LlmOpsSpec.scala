@@ -545,6 +545,94 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L).getString(3) == fp2(1L))
   }
 
+  test("d11 incremental dedup: Bloom prefilter is invisible in the result (exact vs plain anti-join)") {
+    // split the corpus like the registered entry and compare against
+    // the Bloom-free form: batch hashes anti-joined to ALL existing
+    // hashes. Bloom fpp only widens the broadcast sliver — any
+    // difference here means a false NEGATIVE, which the filter
+    // guarantees cannot happen.
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val digest = md5(substring(col("text"), 1, 64).cast("binary"))
+    val newB = cat.documents.filter(bucket >= "c")
+    val exB = cat.documents.filter(bucket < "c")
+    val got = Dedup.incremental(newB, exB, digest = digest).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val newH = newB.select(col("doc_id"), digest.as("content_hash"))
+    val exH = exB.select(digest.as("content_hash")).distinct()
+    val want = newH.join(exH, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want)
+    // the interesting paths actually fire on this corpus: planted
+    // near-dup families straddle the batch split (cross-batch drops)
+    // and repeat within the batch (keep-first collapse)
+    val crossDup = newH.join(exH, Seq("content_hash"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(crossDup.nonEmpty, "corpus should plant cross-batch prefix dups")
+    assert(crossDup.forall(id => !got.exists(_._1 == id)),
+      "cross-batch dup leaked through the Bloom path")
+    assert(got.exists(_._3 > 1), "corpus should plant within-batch dups")
+  }
+
+  test("s05 knn graph: IVF-bounded candidates, recall vs brute graph, exact cosines") {
+    val n = cat.embeddings.count()
+    val graph = Ann.knnGraph(cat.embeddings, k = 3).collect()
+    assert(graph.length <= n * 3)
+    val got = graph.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // brute graph = brute(all, all): same top-k semantics, all-pairs
+    val brute = Ann.brute(cat.embeddings, cat.embeddings, k = 3).collect()
+    val want = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & want).size.toDouble / want.size
+    // 4-of-16 probes on structureless gaussian noise (IVF's worst
+    // case) — same coverage floor as the s03 spec
+    assert(recall >= 0.15, s"knn-graph recall $recall vs brute graph")
+    // cosines on shared edges are the SAME exact values brute computed
+    val bruteCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    graph.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-12,
+          s"cosine mismatch on edge ${r.getLong(0)}->${r.getLong(2)}")
+      }
+    }
+  }
+
+  test("x18 token-budget sample: two-phase prefix sum equals the one-window form, budget maximal") {
+    import org.apache.spark.sql.expressions.Window
+    val out = LlmOps.x18.run(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // the naive one-window form (what the oracle states), computed
+    // directly: global per-source running sum in (md5, doc_id) order
+    val docs = Catalog(spark, "/root/testdata/sf0.01").documents
+    val w = Window.partitionBy("source")
+      .orderBy("hk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("cum_tokens", sum("n_tok").over(w))
+      .filter(col("cum_tokens") <= 800)
+      .select("source", "doc_id", "n_tok", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == want.toSet,
+      s"two-phase (${out.length}) != one-window (${want.length})")
+    // budget holds per source, and the sample is MAXIMAL: every
+    // source either fills to within one doc of the budget or is
+    // exhausted entirely
+    val bySource = out.groupBy(_._1)
+    val totalDocs = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= 800, s"$src kept $tot tokens over budget")
+      assert(rows.map(_._4).max == tot, s"$src cum/total mismatch")
+      assert(tot > 0)
+      if (rows.length < totalDocs(src))
+        assert(tot > 800 - 200, s"$src stopped at $tot with docs remaining")
+    }
+  }
+
   for (q <- LlmOps.all ++ graft.queries.Quality.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)
