@@ -178,6 +178,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** Shingle CONTAINMENT pairs: ordered (id_a contained-in id_b) with
+    * |S(a)∩S(b)| / |S(a)| ≥ threshold — the asymmetric complement to
+    * [[ngramJaccardPairs]]. Jaccard misses doc-in-doc relations (a
+    * quote, a boilerplate wrapper, an article embedded in a digest
+    * drowns in the larger doc's union); containment normalizes by the
+    * SMALLER side only, which is how quote/subset families are found.
+    * Same scale shape as d04: one frozen inverted index, hot-shingle
+    * stop list, intersections from the equi-join computed ONCE per
+    * unordered pair and emitted in both directions (cheaper than an
+    * a≠b join, which would double the join output). `minShingles`
+    * keeps trivially-short docs from flagging spurious containment.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue, minShingles: Long = 10L): DataFrame = {
+    val all = shingled(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint(true)
+    val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val exploded = all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = exploded.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_sh"))
+    // frozen: the two union directions below would otherwise EACH
+    // re-run the candidate self-join (the expensive part); one row
+    // per colliding pair is the cheapest possible materialization
+    val interU = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true)
+    val directed = interU.select(col("u").as("id_a"), col("v").as("id_b"), col("inter"))
+      .unionAll(interU.select(col("v").as("id_a"), col("u").as("id_b"), col("inter")))
+    val cont = col("inter").cast(DoubleType) / col("na")
+    directed
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .filter(col("na") >= minShingles && cont >= threshold)
+      .select(col("id_a"), col("id_b"), round(cont, 6).as("containment"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature of `k` min-hashes split
     * into `bands` bands; docs colliding in ANY band become candidates
     * (self-join on the (band, bucket) key); candidates are then

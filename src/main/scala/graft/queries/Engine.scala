@@ -715,6 +715,69 @@ object Engine {
     wh.read("snap", "cust_hd").orderBy("o_custkey", "valid_from")
   }
 
+  // ---------------------------------------------------------------
+  // m20 — dbt unit tests (dbt-core 1.8 `unit_tests:`): a model's
+  // transform runs against MOCKED inputs (literal fixture rows, dbt
+  // YAML `given:`) and its output multiset-diffs against `expect:`
+  // rows — model logic tested in isolation, nothing materialized.
+  // Two cases over one aggregate model: a passing expectation and a
+  // deliberately wrong one the diff must catch (missing=1 +
+  // unexpected=1: dbt reports BOTH sides of a mismatched row). The
+  // oracle replays the fixtures as VALUES and the diff as EXCEPT ALL.
+  val m20: Q = q("m20_unit_test",
+    """WITH g AS (SELECT * FROM (VALUES
+      |    ('1996-01-01', 10), ('1996-01-01', 5), ('1996-01-02', 7),
+      |    ('1996-01-02', 1), ('1996-01-03', 4)) t(day, amount)),
+      |a AS (SELECT day, COUNT(*) AS n_orders, CAST(SUM(amount) AS BIGINT) AS revenue
+      |      FROM g GROUP BY day),
+      |e1 AS (SELECT * FROM (VALUES
+      |    ('1996-01-01', CAST(2 AS BIGINT), CAST(15 AS BIGINT)),
+      |    ('1996-01-02', CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+      |    ('1996-01-03', CAST(1 AS BIGINT), CAST(4 AS BIGINT))) t(day, n_orders, revenue)),
+      |e2 AS (SELECT * FROM (VALUES
+      |    ('1996-01-01', CAST(2 AS BIGINT), CAST(15 AS BIGINT)),
+      |    ('1996-01-02', CAST(2 AS BIGINT), CAST(9 AS BIGINT)),
+      |    ('1996-01-03', CAST(1 AS BIGINT), CAST(4 AS BIGINT))) t(day, n_orders, revenue)),
+      |c1 AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM e1)) AS u,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM e1 EXCEPT ALL SELECT * FROM a)) AS m),
+      |c2 AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM e2)) AS u,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM e2 EXCEPT ALL SELECT * FROM a)) AS m)
+      |SELECT case_name, model, status, n_unexpected, n_missing FROM (
+      |  SELECT 'aggregates_per_day' AS case_name, 'mart_daily_rev' AS model,
+      |         CASE WHEN u + m = 0 THEN 'pass' ELSE 'fail' END AS status,
+      |         CAST(u AS BIGINT) AS n_unexpected, CAST(m AS BIGINT) AS n_missing FROM c1
+      |  UNION ALL
+      |  SELECT 'caught_regression', 'mart_daily_rev',
+      |         CASE WHEN u + m = 0 THEN 'pass' ELSE 'fail' END,
+      |         CAST(u AS BIGINT), CAST(m AS BIGINT) FROM c2)
+      |ORDER BY case_name""") { (spark, dir) =>
+    import spark.implicits._
+    val graph = ModelGraph(Seq(
+      Model("stg_orders", Nil, Materialization.View,
+        ctx => ctx.source("orders")),
+      Model("mart_daily_rev", Seq("stg_orders"), Materialization.Table,
+        ctx => ctx.ref("stg_orders")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("amount").as("revenue")))))
+    val fixture = Seq(("1996-01-01", 10L), ("1996-01-01", 5L),
+      ("1996-01-02", 7L), ("1996-01-02", 1L), ("1996-01-03", 4L))
+      .toDF("day", "amount")
+    val pass = Seq(("1996-01-01", 2L, 15L), ("1996-01-02", 2L, 8L),
+      ("1996-01-03", 1L, 4L)).toDF("day", "n_orders", "revenue")
+    val regress = Seq(("1996-01-01", 2L, 15L), ("1996-01-02", 2L, 9L),
+      ("1996-01-03", 1L, 4L)).toDF("day", "n_orders", "revenue")
+    UnitTester.report(spark, graph, Seq(
+        UnitTester.UnitCase("aggregates_per_day", "mart_daily_rev",
+          Map("stg_orders" -> fixture), pass),
+        UnitTester.UnitCase("caught_regression", "mart_daily_rev",
+          Map("stg_orders" -> fixture), regress)),
+      fallback = Catalog(spark, dir).table)
+      .orderBy("case_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17, m18, m19)
+    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20)
 }

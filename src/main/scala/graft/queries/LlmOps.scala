@@ -71,6 +71,28 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d12 — shingle CONTAINMENT (id_a ⊆ id_b): normalizes the
+  // intersection by the SMALLER side only, catching quote/boilerplate
+  // doc-in-doc families that Jaccard's union denominator drowns.
+  // Same inverted-index + stop-list scale shape as d04; same
+  // maxDf=1000 ≫ corpus-max reasoning for oracle equivalence.
+  val d12: Q = q("d12_containment",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/sa.n, 6) AS containment
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+      |WHERE sa.n >= 10 AND CAST(inter AS DOUBLE)/sa.n >= 0.9
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.containmentPairs(c.documents, n = 3, threshold = 0.9, maxDf = 1000L)
+      .orderBy("id_a", "id_b")
+  }
+
   // d06 — dedup GROUPS: transitive closure over the exact n-gram
   // Jaccard pairs (d04's graph) via iterative min-label connected
   // components, with a canonical doc per group. The oracle reproduces
@@ -1056,7 +1078,7 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d11, d12,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, p01, mm01, mm02)

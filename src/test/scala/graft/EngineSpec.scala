@@ -491,6 +491,35 @@ class EngineSpec extends SparkSpec {
     assert(!wh.exists("analytics", "downstream"))
   }
 
+  test("unit tester: mocks override refs AND sources, diff aligns by name, incremental models build fresh") {
+    import spark.implicits._
+    val graph = ModelGraph(Seq(
+      // incremental model: unit test must take the full-refresh branch
+      // (thisTable=None), never a merge against real state
+      Model("m", Seq("up"),
+        Materialization.Incremental(IncrementalStrategy.Merge(Seq("grp"), None)),
+        ctx => {
+          assert(!ctx.isIncremental, "unit run must see no existing target")
+          val base = ctx.ref("up").join(ctx.source("dim"), "k")
+          base.groupBy("grp").agg(sum("x").as("total"))
+        })))
+    val up = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("k", "x")
+    val dim = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "grp")
+    // expect with columns deliberately REORDERED vs the transform output
+    val expectOk = Seq((15L, "a"), (7L, "b")).toDF("total", "grp")
+    val expectBad = Seq((14L, "a"), (7L, "b")).toDF("total", "grp")
+    val noFallback: String => org.apache.spark.sql.DataFrame =
+      n => fail(s"unit case should not touch real input '$n'")
+    val rep = UnitTester.report(spark, graph, Seq(
+        UnitTester.UnitCase("ok", "m", Map("up" -> up, "dim" -> dim), expectOk),
+        UnitTester.UnitCase("bad", "m", Map("up" -> up, "dim" -> dim), expectBad)),
+      noFallback)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep("ok") == (("pass", 0L, 0L)))
+    assert(rep("bad") == (("fail", 1L, 1L)), "both diff sides counted")
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

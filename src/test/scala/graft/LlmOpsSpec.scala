@@ -545,6 +545,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L).getString(3) == fp2(1L))
   }
 
+  test("d12 containment: doc-in-doc is asymmetric and invisible to Jaccard") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (13 to 60).map(i => s"u$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 ⊂ 2: all of doc 1's shingles appear in doc 2 -> (1,2) flagged;
+    // the reverse direction is nowhere near 0.9; doc 3 shares nothing
+    assert(cont == Set((1L, 2L)), s"got $cont")
+    // Jaccard at the d04 threshold misses the same pair: the union
+    // denominator (58 shingles) drowns the 10-shingle intersection
+    val jac = pairSet(Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5))
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("d11 incremental dedup: Bloom prefilter is invisible in the result (exact vs plain anti-join)") {
     // split the corpus like the registered entry and compare against
     // the Bloom-free form: batch hashes anti-joined to ALL existing
