@@ -53,8 +53,9 @@ object Bench {
   val scaleOps: Seq[String] = Seq(
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d05_embedding_neardup", "d06_dedup_groups", "d09_span_dedup",
-    "d10_semdedup", "m02_incremental_merge", "q26_cohort_retention",
-    "x08_tfidf")
+    "d10_semdedup", "d11_incremental_dedup", "d12_containment",
+    "m02_incremental_merge", "q26_cohort_retention",
+    "s05_knn_graph", "x08_tfidf", "x18_token_budget_sample")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -214,6 +215,18 @@ object Bench {
                 s.read.parquet(s"$d/embeddings.parquet"),
                 threshold = 0.4))
             Seq(("d10_semdedup_auto", secs, medians("d10_semdedup"), err))
+          }
+        } ++ {
+          // the s05 scale dial: occupancy-held k-NN graph (k ∝ n via
+          // the DataFrame-native k-means) vs the registered fixed-16-
+          // centroid graph, whose within-cluster work is quadratic
+          // at fixed k (ratio ~9 on this probe)
+          if (elapsed > budgetSec) Nil
+          else {
+            val (secs, err) = timed(spark, scaleDir, (s, d) =>
+              graft.operators.Ann.knnGraphAuto(
+                s.read.parquet(s"$d/embeddings.parquet"), k = 3))
+            Seq(("s05_knn_graph_auto", secs, medians("s05_knn_graph"), err))
           }
         }
         // best-effort scratch cleanup; the data lives under /tmp anyway

@@ -47,6 +47,9 @@ final case class Materializer(wh: Warehouse) {
     })
     val ctx = new Ctx(model, resolve)
     val out = model.transform(ctx)
+    // dbt contract enforcement: schema-level, BEFORE any write — a
+    // drifted public shape fails the build, nothing materializes
+    model.contract.foreach(Contract.enforce(model.name, out.schema, _))
     model.materialization match {
       case Materialization.View =>
         out // never persisted; caller composes the plan downstream

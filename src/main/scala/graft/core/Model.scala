@@ -119,7 +119,8 @@ final case class Model(
     schema: String = "analytics",
     schemaSuffix: Option[String] = None,
     onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
-    body: String = "") {
+    body: String = "",
+    contract: Option[Contract] = None) {
   /** Target schema name, dbt-style `<base>_<custom suffix>`. */
   def targetSchema: String = schemaSuffix.fold(schema)(s => s"${schema}_$s")
   def checksum: String = {

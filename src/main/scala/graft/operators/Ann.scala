@@ -646,4 +646,33 @@ object Ann {
     val a = assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
     pairsWithinCluster(a, "cid", threshold)
   }
+
+  /** The corpus-scale k-NN graph: [[knnGraph]]'s fixed codebook keeps
+    * per-cluster membership ∝ n/k, so at fixed k the within-cluster
+    * candidate work grows quadratically (the 10× bench probe shows
+    * exactly that: ratio ~9 at k=16). This dial holds OCCUPANCY
+    * constant instead — k ∝ n via the DataFrame-native k-means, so
+    * candidate volume stays ~n·occupancy and the graph scales
+    * linearly. The trade is single-probe recall (each vector scores
+    * only its own cluster, the SemDeDup regime — multi-probe with
+    * k ∝ n would need a quantizer hierarchy); the planted-neighbor
+    * spec pins what that buys.
+    */
+  def knnGraphAuto(emb: DataFrame, k: Int, occupancy: Long = 256L,
+      kmeansIters: Int = 2): DataFrame = {
+    val n = emb.count()
+    val kc = math.max(16L, n / occupancy)
+    // frozen: member and query roles both consume the assignment
+    val a = assignViaJoin(normed(emb), kmeansDf(emb, kc, kmeansIters))
+      .localCheckpoint(true)
+    val members = a.select(col("vec_id").as("neighbor_id"), col("v"),
+      col("nrm"), col("cid"))
+    val queries = a.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cid"))
+    val scored = members.join(queries, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
 }

@@ -778,6 +778,42 @@ object Engine {
       .orderBy("case_name")
   }
 
+  // ---------------------------------------------------------------
+  // m21 — dbt model contracts (`contract: enforced: true`): the
+  // model's OUTPUT schema validates against declared per-column
+  // data types BEFORE materializing — a drifted shape fails the
+  // build, nothing writes. The entry builds a contracted model
+  // (enforcement passes in-line in the Runner), then reports the
+  // per-column verdicts for the conforming contract AND for a
+  // drifted one (type change + rename) against the materialized
+  // schema — both diff sides of the contract check in one report.
+  // Rows-only: verdicts are schema-level (no table data flows into
+  // the output); EngineSpec pins that a violating contracted model
+  // refuses to build.
+  val m21: Q = rowsOnly("m21_contract") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m21")
+    val good = Contract.of("o_orderkey" -> LongType,
+      "o_custkey" -> LongType, "o_totalprice" -> DoubleType)
+    val graph = ModelGraph(Seq(
+      Model("mart_orders", Nil, Materialization.Table,
+        ctx => ctx.source("orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        contract = Some(good))))
+    Runner(Materializer(wh), c.table).runAll(graph)
+    val schema = wh.read("analytics", "mart_orders").schema
+    // the drift scenario: one type change, one rename — yields a
+    // type_mismatch, a missing, and an unexpected verdict
+    val drifted = Contract.of("o_orderkey" -> IntegerType,
+      "o_custkey" -> LongType, "o_total" -> DoubleType)
+    import spark.implicits._
+    (good.check(schema).map(("enforced_build", _)) ++
+      drifted.check(schema).map(("drift_detected", _)))
+      .map { case (cse, (cn, exp, act, st)) => (cse, cn, exp, act, st) }
+      .toDF("contract_case", "column", "expected", "actual", "status")
+      .orderBy("contract_case", "column", "status")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20)
+    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
 }

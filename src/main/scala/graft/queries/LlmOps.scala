@@ -898,6 +898,56 @@ object LlmOps {
     Packing.pack(c.documents, seqLen = 1024)
   }
 
+  // p02 — the INCREMENTAL curation pipeline: what p01 is for a
+  // from-scratch build, this is for the daily-ingest run — new batch
+  // dedups against the accumulated corpus (d11's Bloom prefilter +
+  // exact anti-join: the corpus side never shuffles), survivors flow
+  // through the same quality-feature filter and leakage-safe hash
+  // split, ending in per-(split, lang) accounting. ONE dataflow, no
+  // driver glue; at 100 TB the only full-corpus work is the single
+  // digest scan the Bloom filter prunes.
+  val p02: Q = q("p02_incremental_pipeline",
+    s"""WITH h AS (SELECT doc_id, lang, n_chars, text,
+       |            md5(substr(text, 1, 64)) AS ch,
+       |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_new
+       |           FROM documents),
+       |ex AS (SELECT DISTINCT ch FROM h WHERE NOT is_new),
+       |surv AS (SELECT MIN(doc_id) AS doc_id FROM h
+       |         WHERE is_new AND ch NOT IN (SELECT ch FROM ex) GROUP BY ch),
+       |d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS toks
+       |      FROM h JOIN surv USING (doc_id)),
+       |f AS (SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+       |        len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS stop_hits
+       |      FROM d),
+       |g AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+       |               THEN 'val' ELSE 'train' END AS split,
+       |        lang, n_tokens, n_chars
+       |      FROM f WHERE n_tokens >= 50 AND stop_hits >= 1)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val surv = Dedup.incremental(
+        c.documents.filter(bucket >= "c"),
+        c.documents.filter(bucket < "c"),
+        digest = md5(substring(col("text"), 1, 64).cast("binary")))
+      .select("doc_id")
+    val toks = Text.tokens(col("text"))
+    val feats = c.documents.join(surv, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        Text.hitCount(toks, Text.enStops).as("stop_hits"))
+    feats.filter(col("n_tokens") >= 50 && col("stop_hits") >= 1)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) < "1a", "val").otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
   // x18 — token-budget sampling: build a training mix by taking each
   // source's docs in deterministic hash order until a per-source
   // token budget fills (how a mix spec "N tokens of web, M of code"
@@ -1081,5 +1131,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d11, d12,
     s01, s02, s03, s04, s05,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, p01, mm01, mm02)
+    x15, x16, x17, x18, p01, p02, mm01, mm02)
 }

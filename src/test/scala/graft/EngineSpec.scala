@@ -491,6 +491,26 @@ class EngineSpec extends SparkSpec {
     assert(!wh.exists("analytics", "downstream"))
   }
 
+  test("model contracts: conforming model builds, drifted schema fails before anything writes") {
+    val wh = freshWh("contract")
+    val mat = Materializer(wh)
+    val src = df(Seq((1L, "a", 1), (2L, "b", 2)))
+    val good = Contract.of("k" -> LongType, "v" -> StringType,
+      "wm" -> IntegerType)
+    mat.run(Model("m_ok", Nil, Materialization.Table, _ => src,
+      contract = Some(good)), n => fail(s"no refs: $n"))
+    assert(wh.read("analytics", "m_ok").count() == 2)
+    // type drift + an undeclared column -> build refused, no write
+    val bad = Contract.of("k" -> StringType, "v" -> StringType)
+    val e = intercept[IllegalArgumentException] {
+      mat.run(Model("m_bad", Nil, Materialization.Table, _ => src,
+        contract = Some(bad)), n => fail(s"no refs: $n"))
+    }
+    assert(e.getMessage.contains("type_mismatch") &&
+      e.getMessage.contains("unexpected"))
+    assertThrows[Exception](wh.read("analytics", "m_bad").collect())
+  }
+
   test("unit tester: mocks override refs AND sources, diff aligns by name, incremental models build fresh") {
     import spark.implicits._
     val graph = ModelGraph(Seq(

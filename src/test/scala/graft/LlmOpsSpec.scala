@@ -247,6 +247,27 @@ class LlmOpsSpec extends SparkSpec {
       s"fixed-k volume $v10fixed should far exceed adaptive $v10auto")
   }
 
+  test("knnGraphAuto: planted nearest neighbors found, top-k bounded, single-probe subset of graph semantics") {
+    // same planted construction as the semDedupAuto spec: each base
+    // vector's 0.05-perturbed copy is its overwhelming top-1 neighbor
+    val base = cat.embeddings.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.05f * embedding[(i + 1) % 64] as float))")
+        .as("embedding"))
+    val planted = base.unionByName(shifted)
+    val g = Ann.knnGraphAuto(planted, k = 3, occupancy = 32).collect()
+    assert(g.length <= 100 * 3)
+    assert(g.forall(_.getInt(1) <= 3))
+    val edges = g.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // near-identical pairs co-cluster, so the single-probe graph must
+    // recover (v -> v+10000) for most planted vectors
+    val found = (0L until 50L).count(v => edges.contains((v, v + 10000L)))
+    assert(found >= 40, s"auto graph found only $found/50 planted neighbors")
+    // candidate-volume linearity under k ∝ n is pinned by the
+    // semDedupAuto spec on the same clusterSizes machinery
+  }
+
   test("adaptiveBits: occupancy-preserving widths, floor respected") {
     assert(Ann.adaptiveBits(1) == 6 && Ann.adaptiveBits(500) == 6)
     assert(Ann.adaptiveBits(5000) == 9)      // ceil(log2 5000)=13
