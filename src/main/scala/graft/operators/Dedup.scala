@@ -52,12 +52,24 @@ object Dedup {
   def incremental(newBatch: DataFrame, existing: DataFrame,
       digest: org.apache.spark.sql.Column =
         md5(col("text").cast(BinaryType)),
+      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame =
+    incrementalAgainstDigests(newBatch,
+      existing.select(digest.as("content_hash")), digest,
+      expectedItems, fpp)
+
+  /** [[incremental]] when the accumulated side is ALREADY a digest
+    * table (`content_hash` column) — the maintained-state form: a
+    * streaming ingest keeps the corpus's digests as a table and never
+    * re-reads corpus text at all.
+    */
+  def incrementalAgainstDigests(newBatch: DataFrame, digests: DataFrame,
+      digest: org.apache.spark.sql.Column,
       expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
     val newH = newBatch.select(col("doc_id"), digest.as("content_hash"))
     val bf = newH.stat.bloomFilter("content_hash", expectedItems, fpp)
     val mightMatch = udf((h: String) => bf.mightContain(h))
-    val sliver = existing
-      .select(digest.as("content_hash"))
+    val sliver = digests
+      .select(col("content_hash"))
       .filter(mightMatch(col("content_hash")))
       .distinct()
     newH.join(broadcast(sliver), Seq("content_hash"), "left_anti")

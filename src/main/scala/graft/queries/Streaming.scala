@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 import graft.core.{IncrementalStrategy, Materialization, Materializer, Model, Scratch, Warehouse}
 import graft.sources.Catalog
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, IngestDedup}
 
 /** SURVEY.md §2.E — event-stream operators, verified in their batch
   * form against DuckDB (identical semantics to the streaming forms,
@@ -334,5 +336,70 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+  // e11 — streaming ingest dedup: the CONTINUOUS form of d11. The
+  // corpus persists as a digest table; each arriving micro-batch
+  // admits only novel documents (Bloom prefilter over the batch →
+  // sliver broadcast → exact anti-join, IngestDedup.step) and appends
+  // their digests, so an admitted doc blocks every later copy —
+  // first-batch-wins across batches, keep-first within. The ingest
+  // is staged as three doc_id-ranged files arriving oldest-first
+  // (one micro-batch each via maxFilesPerTrigger=1), which makes
+  // sequential first-wins equal the oracle's global min-doc_id rule.
+  val e11: Q = Q("e11_stream_ingest_dedup", (spark, dir) => {
+    val wh = Warehouse.scratch(spark, "e11")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val digest = md5(substring(col("text"), 1, 64).cast("binary"))
+    wh.write(docs.filter(bucket < "c")
+      .select(col("doc_id"), digest.as("content_hash")),
+      "analytics", "corpus_digests")
+    val batch = docs.filter(bucket >= "c")
+    val bounds = batch
+      .agg(expr("percentile_approx(doc_id, array(0.34, 0.67), 100000)"))
+      .head.getSeq[Long](0)
+    val srcDir = Scratch.dir("e11_src")
+    val ckpt = Scratch.dir("e11_ckpt")
+    try {
+      Seq(batch.filter(col("doc_id") <= bounds(0)),
+          batch.filter(col("doc_id") > bounds(0) && col("doc_id") <= bounds(1)),
+          batch.filter(col("doc_id") > bounds(1)))
+        .zipWithIndex.foreach { case (s, i) =>
+          val tmp = Scratch.dir(s"e11_stage$i")
+          s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = srcDir.resolve(s"b$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          // arrival order == slice order (file source is oldest-first)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          Scratch.remove(tmp)
+        }
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          IngestDedup.step(wh, "analytics", "corpus_digests", b, digest); ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      Scratch.remove(ckpt); Scratch.remove(srcDir)
+    }
+    wh.read("analytics", "corpus_digests").orderBy("doc_id")
+  }, Some(
+    """WITH h AS (SELECT doc_id, md5(substr(text, 1, 64)) AS content_hash,
+      |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_new
+      |           FROM documents),
+      |ex AS (SELECT doc_id, content_hash FROM h WHERE NOT is_new),
+      |surv AS (SELECT MIN(doc_id) AS doc_id, content_hash FROM h
+      |         WHERE is_new AND content_hash NOT IN (SELECT content_hash FROM ex)
+      |         GROUP BY content_hash)
+      |SELECT doc_id, content_hash FROM ex
+      |UNION ALL SELECT doc_id, content_hash FROM surv
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
 }

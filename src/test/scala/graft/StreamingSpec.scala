@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{IncrementalStrategy, Materialization, Materializer, Model, Warehouse}
 import graft.sources.Catalog
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, IngestDedup}
 
 /** Structured Streaming forms match their batch (oracle-verified)
   * counterparts on the same events.
@@ -251,5 +251,27 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
         r.getLong(4), r.getDouble(5))).toSet
     assertSameSets(streamed, batch)
+  }
+
+  test("ingest dedup steps: admitted digests block later copies across batches") {
+    import spark.implicits._
+    val wh = Warehouse.scratch(spark, "ingestdedup")
+    val digest = md5(col("text").cast("binary"))
+    wh.write(Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .select(col("doc_id"), digest.as("content_hash")),
+      "analytics", "corpus")
+    // batch 1: one corpus dup (dropped), one in-batch dup pair (keep
+    // min id), one novel doc
+    val b1 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),
+      (13L, "delta")).toDF("doc_id", "text")
+    assert(IngestDedup.step(wh, "analytics", "corpus", b1, digest) == 2L)
+    // batch 2: dups of batch-1 ADMISSIONS (blocked by accumulated
+    // state, not by the original corpus), plus one novel doc
+    val b2 = Seq((20L, "gamma"), (21L, "delta"), (22L, "epsilon"))
+      .toDF("doc_id", "text")
+    assert(IngestDedup.step(wh, "analytics", "corpus", b2, digest) == 1L)
+    val ids = wh.read("analytics", "corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L, 13L, 22L), s"got $ids")
   }
 }
