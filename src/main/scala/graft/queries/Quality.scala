@@ -265,5 +265,69 @@ object Quality {
       .orderBy("day")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  // t08 — distribution drift (PSI): bucket the metric into 10 fixed
+  // bands, compare the baseline window's shares (orders before the
+  // engine cutoff) against the current window's, and report each
+  // band's Population Stability Index contribution plus the
+  // classified total (>0.2 drift / >0.1 moderate — the standard PSI
+  // bands). Laplace-smoothed shares keep empty bands finite. Scale
+  // shape: ONE conditional hash agg over the table; everything after
+  // operates on the 10-row band frame (the unpartitioned windows are
+  // over those 10 rows, never data).
+  val t08: Q = q("t08_distribution_drift",
+    """WITH b AS (SELECT LEAST(9, CAST(floor(o_totalprice / 60000.0) AS BIGINT)) AS bucket,
+      |            o_orderdate < TIMESTAMP '1996-07-01' AS is_base FROM orders),
+      |spine AS (SELECT range AS bucket FROM range(0, 10)),
+      |counts AS (SELECT bucket,
+      |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+      |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+      |  FROM b GROUP BY bucket),
+      |f AS (SELECT s.bucket, COALESCE(n_base, 0) AS n_base,
+      |        COALESCE(n_curr, 0) AS n_curr
+      |      FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket),
+      |t AS (SELECT *, SUM(n_base) OVER () AS t_base,
+      |        SUM(n_curr) OVER () AS t_curr FROM f),
+      |p AS (SELECT bucket, n_base, n_curr,
+      |        (CAST(n_curr + 1 AS DOUBLE) / (t_curr + 10)
+      |          - CAST(n_base + 1 AS DOUBLE) / (t_base + 10))
+      |        * ln((CAST(n_curr + 1 AS DOUBLE) / (t_curr + 10))
+      |             / (CAST(n_base + 1 AS DOUBLE) / (t_base + 10))) AS term
+      |      FROM t)
+      |SELECT bucket, CAST(n_base AS BIGINT) AS n_base,
+      |  CAST(n_curr AS BIGINT) AS n_curr, ROUND(term, 6) AS psi_term,
+      |  ROUND(SUM(term) OVER (), 6) AS psi_total,
+      |  CASE WHEN SUM(term) OVER () > 0.2 THEN 'drift'
+      |       WHEN SUM(term) OVER () > 0.1 THEN 'moderate'
+      |       ELSE 'stable' END AS status
+      |FROM p ORDER BY bucket""") { c =>
+    val cutoff = lit("1996-07-01").cast(TimestampType)
+    val bucketed = c.orders.select(
+      least(lit(9L), floor(col("o_totalprice") / 60000.0)).as("bucket"),
+      (col("o_orderdate").cast(TimestampType) < cutoff).as("is_base"))
+    val counts = bucketed.groupBy("bucket").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr"))
+    val spine = c.spark.range(0, 10).select(col("id").as("bucket"))
+    val f = spine.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_curr"))
+    // 10-row frame from here on: unpartitioned windows are bounded
+    // by the band count, not data
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pb = (col("n_base") + 1).cast("double") / (col("t_base") + 10)
+    val pc = (col("n_curr") + 1).cast("double") / (col("t_curr") + 10)
+    f.withColumn("t_base", sum("n_base").over(wAll))
+      .withColumn("t_curr", sum("n_curr").over(wAll))
+      .withColumn("term", (pc - pb) * log(pc / pb))
+      .withColumn("psi_total_raw", sum("term").over(wAll))
+      .select(col("bucket"), col("n_base"), col("n_curr"),
+        round(col("term"), 6).as("psi_term"),
+        round(col("psi_total_raw"), 6).as("psi_total"),
+        when(col("psi_total_raw") > 0.2, "drift")
+          .when(col("psi_total_raw") > 0.1, "moderate")
+          .otherwise("stable").as("status"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
