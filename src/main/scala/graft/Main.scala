@@ -58,7 +58,7 @@ final case class CliConfig(
 object Main {
 
   val usage: String =
-    """usage: graft.Main <run|test|clone|ci|clean> [options]
+    """usage: graft.Main <run|test|unit|clone|ci|clean> [options]
       |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
       |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
       |  --schema <name>        base warehouse schema for `run` (default "analytics");
@@ -74,6 +74,10 @@ object Main {
       |  --full-refresh         incremental models rebuild from scratch
       |  --verbose              per-model/table detail lines
       |
+      |  unit: run the demo project's dbt-style unit tests — each case
+      |  builds its model from mocked fixture rows only (no warehouse,
+      |  no sources) and diffs against the expected rows.
+      |
       |  clean: drop every `_<suffix>` CI schema and sweep staged-swap
       |  debris (abandoned .__tmp/.__ctmp staging, completed-swap .__old
       |  backups, orphaned artifact temps); half-swaps are healed, never
@@ -82,7 +86,7 @@ object Main {
   def parse(args: Seq[String]): Either[String, CliConfig] = {
     if (args.isEmpty) return Left("missing command\n" + usage)
     val cmd = args.head
-    if (!Set("run", "test", "clone", "ci", "clean").contains(cmd))
+    if (!Set("run", "test", "unit", "clone", "ci", "clean").contains(cmd))
       return Left(s"unknown command '$cmd'\n" + usage)
     @annotation.tailrec
     def loop(rest: List[String], cfg: CliConfig): Either[String, CliConfig] =
@@ -207,6 +211,21 @@ object Main {
     * relationships checks plus one singular cross-model test, summarized
     * as (check_name, n_violations) — pass = all zeros.
     */
+  /** dbt unit tests over the demo project: each case runs its model's
+    * transform against mocked fixture inputs only (no warehouse, no
+    * sources touched — the resolver fails loudly if a case under-
+    * mocks) and multiset-diffs against the expected rows.
+    */
+  def unit(spark: SparkSession, cfg: CliConfig): Seq[(String, String, String, Long, Long)] = {
+    val graph = DemoProject.graph(cfg.slices)
+    val noReal: String => DataFrame = n =>
+      throw new CliError(s"unit case references unmocked input '$n'")
+    UnitTester.report(spark, graph, DemoProject.unitCases(spark), noReal)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+  }
+
   def test(spark: SparkSession, cfg: CliConfig): TestReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
     val base = baseSchemaOf(wh, cfg)
@@ -335,6 +354,14 @@ object Main {
         r.checks.foreach { case (n, v) =>
           println(f"  $n%-32s ${if (v == 0) "PASS" else s"FAIL ($v violations)"}") }
         if (r.failed) { spark.stop(); sys.exit(1) }
+      case "unit" =>
+        val rows = unit(spark, cfg)
+        println(bar + "\nUNIT TEST SUMMARY\n" + bar)
+        rows.foreach { case (cse, model, status, u, m) =>
+          println(f"  $cse%-28s $model%-22s ${
+            if (status == "pass") "PASS"
+            else s"FAIL (unexpected=$u missing=$m)"}") }
+        if (rows.exists(_._3 != "pass")) { spark.stop(); sys.exit(1) }
       case "clone" =>
         val rs = clone(spark, cfg)
         printCopySummary(bar, rs, cfg.dryRun)

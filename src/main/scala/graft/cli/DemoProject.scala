@@ -88,4 +88,31 @@ object DemoProject {
       Seq(intAll, martSegment, martNation, martRecent))
       .map(_.copy(schema = schema)))
   }
+
+  /** dbt `unit_tests:` for the demo project — fixture-driven cases
+    * over the mart logic (the models whose transforms embed business
+    * rules worth pinning). Mocks cover every input each model under
+    * test references, so a `unit` run touches no real sources.
+    */
+  def unitCases(spark: org.apache.spark.sql.SparkSession): Seq[graft.core.UnitTester.UnitCase] = {
+    import spark.implicits._
+    val customers = Seq((1L, 7L, "BUILDING"), (2L, 7L, "AUTOMOBILE"),
+      (3L, 8L, "BUILDING"), (4L, 9L, "MACHINERY"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val spend = Seq((1L, 2L, BigDecimal("100.50")), (2L, 1L, BigDecimal("40.00")),
+      (3L, 3L, BigDecimal("59.50")))
+      .toDF("o_custkey", "n_orders", "spend")
+    Seq(
+      graft.core.UnitTester.UnitCase("segment_rollup", "mart_segment_spend",
+        Map("stg_customer" -> customers, "int_spend_all" -> spend),
+        // customer 4 never bought: inner join must drop it, not emit
+        // a zero row — the rule this case exists to pin
+        Seq(("AUTOMOBILE", 1L, 1L, BigDecimal("40.00")),
+          ("BUILDING", 2L, 5L, BigDecimal("160.00")))
+          .toDF("c_mktsegment", "n_buyers", "n_orders", "spend")),
+      graft.core.UnitTester.UnitCase("nation_rollup", "mart_nation_spend",
+        Map("stg_customer" -> customers, "int_spend_all" -> spend),
+        Seq((7L, 2L, BigDecimal("140.50")), (8L, 1L, BigDecimal("59.50")))
+          .toDF("c_nationkey", "n_buyers", "spend")))
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.cli.DemoProject
 import graft.core.{ManifestState, Warehouse}
 import graft.sources.Catalog
 
@@ -231,6 +232,23 @@ class MainSpec extends SparkSpec {
     assert(w.read("analytics", "mart_recent_buyers").count() == prodRows)
     // prod marts still fully queryable after the sweep
     assert(!Main.test(spark, base.copy(command = "test")).failed)
+  }
+
+  test("Main unit: demo unit cases pass from mocks alone; unmocked inputs fail loudly") {
+    val cfg = Main.parse(Seq("unit")).toOption.get
+    val rows = Main.unit(spark, cfg)
+    assert(rows.size >= 2 && rows.map(_._2).distinct.size >= 2,
+      "unit cases should cover multiple demo models")
+    assert(rows.forall(_._3 == "pass"), s"got $rows")
+    // a case that references an input its mocks don't cover must fail
+    // loudly, not silently read real data
+    val underMocked = graft.core.UnitTester.UnitCase("bad", "mart_segment_spend",
+      Map.empty, spark.range(1).toDF())
+    assertThrows[Exception] {
+      graft.core.UnitTester.run(DemoProject.graph(3), underMocked,
+        n => throw new Main.CliError(s"unmocked '$n'"))
+        .collect()
+    }
   }
 
   test("Scratch: every scratch dir lives under the one swept session root") {
