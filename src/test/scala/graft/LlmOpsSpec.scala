@@ -671,6 +671,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("single-scan pin: frozen heavy plans never re-read the corpus per consumer") {
+    // regression guard for the round-7 freeze discipline (PLANS.md
+    // multi-scan sweep): these plans each materialize their shared
+    // derived frame once — a reintroduced multi-consumer subtree
+    // shows up as extra FileScans in the FINAL executed plan (d09 was
+    // 12 pre-freeze, d04 8, x15 4). x15 legitimately keeps one scan
+    // (the vocab branch reads the corpus directly).
+    val maxScans = Map("d04_ngram_jaccard" -> 0, "d09_span_dedup" -> 0,
+      "d02_dedup_minhash" -> 0, "d07_chunk_dedup" -> 0,
+      "x15_perplexity" -> 1, "x18_token_budget_sample" -> 0)
+    for ((name, cap) <- maxScans) {
+      val df = LlmOps.all.find(_.name == name).get.run(spark, sfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "FileScan".r.findAllIn(plan).size
+      assert(scans <= cap, s"$name: $scans FileScans in final plan (cap $cap)")
+    }
+  }
+
   for (q <- LlmOps.all ++ graft.queries.Quality.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)
