@@ -814,6 +814,52 @@ object Engine {
       .orderBy("contract_case", "column", "status")
   }
 
+  // ---------------------------------------------------------------
+  // m22 — dbt retry: the first run dies mid-DAG (a planted failure in
+  // the third node), the retry resumes from the journal — upstream
+  // tables that completed are SKIPPED (resolved from the warehouse),
+  // only the failed node and its downstream cone execute. The entry
+  // runs exactly that fail-then-retry sequence and returns the final
+  // mart, which the oracle reproduces as one straight-through SQL
+  // dataflow — the retry leaves no trace in the result, only in the
+  // work (skip behavior + journal lifecycle pinned in EngineSpec).
+  val m22: Q = q("m22_retry",
+    """WITH t1 AS (SELECT o_custkey, COUNT(*) AS n_orders,
+      |        SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      |      FROM orders GROUP BY 1),
+      |t2 AS (SELECT * FROM t1 WHERE n_orders >= 5)
+      |SELECT n_orders, COUNT(*) AS n_custs,
+      |  CAST(SUM(spend) AS DOUBLE) AS spend
+      |FROM t2 GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m22")
+    @volatile var boom = true
+    val graph = ModelGraph(Seq(
+      Model("stg_orders", Nil, Materialization.View,
+        ctx => ctx.source("orders")
+          .select("o_custkey", "o_totalprice")),
+      Model("int_cust", Seq("stg_orders"), Materialization.Table,
+        ctx => ctx.ref("stg_orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(decTotal(col("o_totalprice"))).as("spend"))),
+      Model("int_active", Seq("int_cust"), Materialization.Table,
+        ctx => {
+          if (boom) throw new RuntimeException("planted mid-run failure")
+          ctx.ref("int_cust").filter(col("n_orders") >= 5)
+        }),
+      Model("mart_order_profile", Seq("int_active"), Materialization.Table,
+        ctx => ctx.ref("int_active")
+          .groupBy("n_orders")
+          .agg(count(lit(1)).as("n_custs"), dbl(sum("spend")).as("spend")))))
+    val mat = Materializer(wh)
+    try { Retry.run(graph, mat, c.table, wh); () }
+    catch { case _: RuntimeException => () }
+    boom = false
+    Retry.run(graph, mat, c.table, wh)
+    wh.read("analytics", "mart_order_profile").orderBy("n_orders")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
+    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
 }

@@ -491,6 +491,49 @@ class EngineSpec extends SparkSpec {
     assert(!wh.exists("analytics", "downstream"))
   }
 
+  test("retry: completed upstream skipped, edited model re-runs, journal clears on success") {
+    val wh = freshWh("retry")
+    val mat = Materializer(wh)
+    val src = df(Seq((1L, "a", 1), (2L, "b", 2)))
+    val invocations =
+      scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    @volatile var boom = true
+    def graph(bodyA: String) = ModelGraph(Seq(
+      Model("a", Nil, Materialization.Table,
+        _ => { invocations("a") += 1; src }, body = bodyA),
+      Model("b", Seq("a"), Materialization.Table,
+        ctx => { invocations("b") += 1
+          if (boom) throw new RuntimeException("boom")
+          ctx.ref("a").filter(col("wm") > 0) }),
+      Model("c", Seq("b"), Materialization.Table,
+        ctx => { invocations("c") += 1; ctx.ref("b") })))
+    val noSrc: String => org.apache.spark.sql.DataFrame =
+      n => fail(s"unexpected source '$n'")
+    intercept[RuntimeException](Retry.run(graph("v1"), mat, noSrc, wh))
+    // the journal reflects exactly what completed before the failure
+    assert(Retry.loadJournal(wh).keySet == Set("a"))
+    boom = false
+    val (ran, skipped) = Retry.run(graph("v1"), mat, noSrc, wh)
+    assert(skipped == Seq("a") && ran == Seq("b", "c"), s"$ran / $skipped")
+    assert(invocations("a") == 1, "completed upstream must not rebuild")
+    assert(Retry.loadJournal(wh).isEmpty, "journal clears on success")
+    assert(wh.read("analytics", "c").count() == 2)
+    // within a failed window, an EDITED journaled model re-runs
+    // (checksum mismatch) while unchanged completed ones still skip
+    var boomC = true
+    def graph2(bodyA: String) = ModelGraph(Seq(
+      Model("a", Nil, Materialization.Table, _ => src, body = bodyA),
+      Model("b", Seq("a"), Materialization.Table, ctx => ctx.ref("a")),
+      Model("c", Seq("b"), Materialization.Table,
+        ctx => { if (boomC) throw new RuntimeException("boom2")
+          ctx.ref("b") })))
+    intercept[RuntimeException](Retry.run(graph2("v1"), mat, noSrc, wh))
+    boomC = false
+    val (ran2, skipped2) = Retry.run(graph2("v2"), mat, noSrc, wh)
+    assert(ran2 == Seq("a", "c") && skipped2 == Seq("b"),
+      s"$ran2 / $skipped2")
+  }
+
   test("model contracts: conforming model builds, drifted schema fails before anything writes") {
     val wh = freshWh("contract")
     val mat = Materializer(wh)
