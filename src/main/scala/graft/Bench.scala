@@ -103,6 +103,31 @@ object Bench {
     }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 
+  /** 100× embeddings corpus for the routed-assignment probe. Each
+    * copy mixes a circular shift into the original with golden-angle
+    * weights, so the 100 variants of a vector point in ~decorrelated
+    * directions — a plain 100-way duplication would plant C(100,2)
+    * identical-direction pairs per vector and the probe would time
+    * output volume, not assignment.
+    */
+  def stageEmbeddings100x(spark: SparkSession, sfDir: String,
+      outDir: String, copies: Int = 100): Unit = {
+    (0 until copies).map { i =>
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      if (i == 0) e
+      else {
+        val s = i % 63 + 1
+        val theta = 2.399963 * i // golden angle: decorrelated mixes
+        val (a, b) = (math.cos(theta), math.sin(theta))
+        e.withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> cast($a * x + $b * embedding[(j + $s) % 64] as float))"))
+      }
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   // ----------------------------------------------------------------
 
   private def jstr(s: String): String =
@@ -227,6 +252,53 @@ object Bench {
               graft.operators.Ann.knnGraphAuto(
                 s.read.parquet(s"$d/embeddings.parquet"), k = 3))
             Seq(("s05_knn_graph_auto", secs, medians("s05_knn_graph"), err))
+          }
+        } ++ {
+          // 100× embeddings probe: the 10× probe cannot separate the
+          // Auto paths' O(n·√k) routed assignment from a quadratic —
+          // at 10× the adaptive k is still under RouteThreshold and
+          // assignment runs direct. 100× pushes k = n/256 past the
+          // threshold, so THIS probe runs the two-level routing live
+          // (coarse-cell probe + cell equi-join) at a k where the old
+          // keyless broadcast form would score 780+ centroids per row.
+          // Embeddings-only staging: ~50 MB, one write.
+          if (elapsed > budgetSec) Nil
+          else {
+            val dir100 = graft.core.Scratch.dir("scale100x").toString
+            val staged100 =
+              try { stageEmbeddings100x(spark, sfDir, dir100); None }
+              catch { case e: Throwable =>
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .takeWhile(_ != '\n').take(200))
+              }
+            val rs100 =
+              if (staged100.isDefined)
+                Seq("d10_semdedup_auto_100x", "s05_knn_graph_auto_100x").map(n =>
+                  (n, -1.0, 0.0, Some(s"staging_failed: ${staged100.get}")))
+              else Seq(
+                ("d10_semdedup_auto_100x", (s: SparkSession, d: String) =>
+                  graft.operators.Ann.semDedupAuto(
+                    s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.4)),
+                ("s05_knn_graph_auto_100x", (s: SparkSession, d: String) =>
+                  graft.operators.Ann.knnGraphAuto(
+                    s.read.parquet(s"$d/embeddings.parquet"), k = 3))
+              ).map { case (n, fn) =>
+                if (elapsed > budgetSec) (n, -1.0, 0.0, Some("skipped_budget"))
+                else {
+                  val (secs, err) = timed(spark, dir100, fn)
+                  val base = n.stripSuffix("_100x").stripSuffix("_auto") match {
+                    case "d10_semdedup" => medians("d10_semdedup")
+                    case _ => medians("s05_knn_graph")
+                  }
+                  (n, secs, base, err)
+                }
+              }
+            try {
+              val p = new org.apache.hadoop.fs.Path(dir100)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+              ()
+            } catch { case _: Throwable => () }
+            rs100
           }
         }
         // best-effort scratch cleanup; the data lives under /tmp anyway

@@ -17,7 +17,7 @@ import graft.functions.Vectors
 object Ann {
 
   /** (vec_id, v double[], nrm) — norms computed once per row. */
-  private def normed(emb: DataFrame): DataFrame = {
+  private[graft] def normed(emb: DataFrame): DataFrame = {
     val v = Vectors.toDouble(col("embedding"))
     emb.select(col("vec_id"), v.as("v")).withColumn("nrm", Vectors.norm(col("v")))
   }
@@ -531,18 +531,24 @@ object Ann {
   // tops out around hundreds of centroids; SemDeDup at corpus scale
   // needs k ∝ n to hold cluster occupancy constant. Here centroids
   // live in a DataFrame end-to-end — nothing codebook-sized reaches
-  // the driver, assignment is a broadcast join + max_by argmax, and
-  // means accumulate 2^40-scaled integers in a DECIMAL(38,0) sum
-  // (order-independent → run-stable, no member-count overflow cliff).
-  // Past broadcast size (~10⁶ centroids) the assign join would move
-  // to a coarse-bucketed equi-join; the dataflow is otherwise
-  // unchanged.
+  // the driver, and means accumulate 2^40-scaled integers in a
+  // DECIMAL(38,0) sum (order-independent → run-stable, no
+  // member-count overflow cliff). Assignment is two-level: below
+  // [[RouteThreshold]] centroids every vector scores every centroid
+  // (exact argmax, a bounded broadcast); above it, vectors ROUTE
+  // through ~√k coarse cells so per-row work is O(√k), not O(k) —
+  // with the Auto dials setting k ∝ n, the direct form would be the
+  // one quadratic left in the engine (O(n²/occupancy) at 10⁹
+  // vectors: a GB-scale broadcast and millions of dot products per
+  // row).
 
-  /** Corpus rows with their nearest-centroid id: (vec_id, v, nrm,
-    * cid). `cents` must hold UNIT centroid vectors (cid, cv).
-    * Tie-break: highest cosine, then lowest cid — deterministic.
+  /** Direct assignment: every vector scores EVERY centroid via a
+    * bounded broadcast — exact argmax. Correct at any k, affordable
+    * only below [[RouteThreshold]]; [[assignViaJoin]] picks the form.
+    * `cents` must hold UNIT centroid vectors (cid, cv). Tie-break:
+    * highest cosine, then lowest cid — deterministic.
     */
-  private[graft] def assignViaJoin(n: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignDirect(n: DataFrame, cents: DataFrame): DataFrame =
     n.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"),
         struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
@@ -552,6 +558,110 @@ object Ann {
         max(col("sc")).as("best"))
       .select(col("vec_id"), col("v"), col("nrm"), col("best.cid").as("cid"))
 
+  /** Centroid count above which assignment routes through coarse
+    * cells. 256 centroids × 64 dims is a ~128 KB broadcast and 256
+    * dot products per row — the regime where exact direct scoring is
+    * both cheaper than routing overhead and exactly right; past it,
+    * per-row work and broadcast size grow with k, which the Auto
+    * dials tie to n.
+    */
+  private[graft] val RouteThreshold = 256L
+
+  /** Corpus rows with their nearest-centroid id: (vec_id, v, nrm,
+    * cid) — exact below [[RouteThreshold]], two-level routed above
+    * it. Deterministic either way (seeded coarse training, struct
+    * tie-breaks), and total: every input vector appears in the
+    * output exactly once (routing only probes cells that hold at
+    * least one registered centroid).
+    */
+  private[graft] def assignViaJoin(n: DataFrame, cents: DataFrame,
+      k: Long, nProbe: Int = 2): DataFrame =
+    if (k <= RouteThreshold) assignDirect(n, cents)
+    else {
+      val (vCell, centCell) = routedSides(n, cents, k, nProbe)
+      routedScored(vCell, centCell)
+        .groupBy("vec_id")
+        .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+          max(col("sc")).as("best"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("best.cid").as("cid"))
+    }
+
+  /** The two routed frames: vectors tagged with their best coarse
+    * cell, and centroids registered under their `nProbe` nearest
+    * cells. Split out so the spec can count the candidate volume —
+    * the quantity routing exists to bound.
+    *
+    * Routing recovers the argmax whenever a vector's nearest
+    * centroid registers in the vector's best cell; centroid-side
+    * spilling (each centroid lives in `nProbe` cells, the
+    * SPANN-style redundancy) covers cell boundaries while the HUGE
+    * side — the corpus — keeps a single map-side argmax with an O(1)
+    * aggregation buffer. The residual miss (a vector whose true
+    * centroid sits outside all `nProbe` cells of its own best cell)
+    * moves a vector to a near-tied neighboring cluster: for the
+    * SemDeDup/k-NN consumers the contract that matters is that
+    * NEAR-IDENTICAL vectors route identically — which holds by
+    * construction, routing is a deterministic function of the vector
+    * — so planted-dup recall survives (spec-pinned).
+    */
+  private[graft] def routedSides(n: DataFrame, cents: DataFrame,
+      k: Long, nProbe: Int): (DataFrame, DataFrame) = {
+    val kc = math.max(4L, math.round(math.sqrt(k.toDouble)))
+    // coarse codebook over the CENTROID frame itself: k rows — corpus-
+    // independent cost — and kc ≈ √k cells keep both routed stages at
+    // O(√k) per row. Recursion terminates: √k ≤ RouteThreshold until
+    // k > 65536, and shrinks by √ per level after that.
+    val centsAsCorpus = cents
+      .select(col("cid").as("vec_id"), col("cv").as("v"), lit(1.0).as("nrm"))
+    val coarse = kmeansNormed(centsAsCorpus, kc, kmeansIters = 1)
+      .localCheckpoint(true)
+    // centroid -> its nProbe nearest cells (k × √k work, all bounded;
+    // the per-group collect_list buffer is √k structs, distributed
+    // over k groups)
+    val centCell = centsAsCorpus.join(broadcast(coarse))
+      .select(col("vec_id").as("ccid"), col("v").as("ccv"),
+        struct(Vectors.dot(col("v"), col("cv")).as("s"),
+          (-col("cid")).as("negcell")).as("sc"))
+      .groupBy("ccid")
+      .agg(any_value(col("ccv")).as("ccv"),
+        slice(reverse(array_sort(collect_list(col("sc")))), 1, nProbe).as("top"))
+      .select(col("ccid").as("cid"), col("ccv").as("cv"),
+        explode(col("top")).as("sc"))
+      .select(col("cid"), col("cv"), (-col("sc.negcell")).as("cell"))
+      // frozen: consumed by the live-cell filter AND the scoring
+      // equi-join (k·nProbe rows — centroid-sized, never corpus-sized)
+      .localCheckpoint(true)
+    // vector -> its single best LIVE cell (cells with no registered
+    // centroid are excluded up front, so the cell equi-join below can
+    // never drop a vector). One bounded √k broadcast + a map-side
+    // max with an O(1) buffer — the corpus side never windows,
+    // collects, or sees anything k-sized.
+    val live = coarse.join(
+      centCell.select(col("cell").as("cid")).distinct(), Seq("cid"), "left_semi")
+    val vCell = n.join(broadcast(live))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+          (-col("cid")).as("negcell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+        max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negcell")).as("cell"))
+    (vCell, centCell)
+  }
+
+  /** The routed candidate stage: vectors equi-joined to the
+    * centroids registered in their best cell — per-row work ≈
+    * nProbe·k/kc ≈ nProbe·√k, and the join key means the shuffle
+    * moves each row once. Exposed so the spec can pin the candidate
+    * volume against the n·k the direct form would score.
+    */
+  private[graft] def routedScored(vCell: DataFrame, centCell: DataFrame): DataFrame =
+    vCell.join(centCell, "cell")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+          (-col("cid")).as("negcid"), col("cid")).as("sc"))
+
   /** Distributed spherical k-means: returns (cid, cv) with UNIT
     * centroid vectors, seeded from the first `k` corpus vectors.
     * Each Lloyd iteration is one assign join + one scaled-long mean
@@ -559,22 +669,30 @@ object Ann {
     * iterative lineage (the DupGroups discipline). Empty clusters
     * keep their previous centroid.
     */
-  def kmeansDf(corpus: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame = {
+  def kmeansDf(corpus: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame =
+    kmeansNormed(normed(corpus), k, kmeansIters)
+
+  /** [[kmeansDf]] over an already-normed (vec_id, v, nrm) frame —
+    * the form [[routedSides]] reuses to cluster the centroid frame
+    * itself.
+    */
+  private[graft] def kmeansNormed(n: DataFrame, k: Long,
+      kmeansIters: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val n = normed(corpus)
-    // seed from the k LOWEST vec_ids (rank, not value — a filtered or
-    // re-keyed shard whose ids don't start at 0 still seeds correctly;
-    // the row_number window runs over k rows post-limit, not the data)
-    val seed = n.orderBy("vec_id").limit(k.toInt)
-      .select(col("vec_id"),
+    // seed from the k LOWEST vec_ids by RANK, not value (a filtered or
+    // re-keyed shard whose ids don't start at 0 still seeds
+    // correctly). Rank is a two-phase prefix sum — range-partition on
+    // vec_id, per-partition row_number, add the collected partition
+    // offsets (≤64 longs reach the driver) — because with k ∝ n both
+    // a global limit(k) and an unpartitioned row_number window would
+    // funnel n/occupancy rows through ONE task.
+    val seed = lowestKByRank(n, k)
+      .select(col("rank").as("cid"),
         transform(col("v"), x => x / col("nrm")).as("cv"))
-      .withColumn("cid",
-        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
-      .select("cid", "cv")
       .localCheckpoint(true)
     val scale = 1L << 40
     (0 until kmeansIters).foldLeft(seed) { (cents, _) =>
-      val means = assignViaJoin(n, cents)
+      val means = assignViaJoin(n, cents, k)
         .select(col("cid"),
           posexplode(transform(col("v"), x => x / col("nrm")))
             .as(Seq("pos", "x")))
@@ -599,12 +717,45 @@ object Ann {
     }
   }
 
+  /** The k lowest-vec_id rows of a normed frame with their exact
+    * global rank (0-based) attached — the x16/x18 two-phase
+    * prefix-sum discipline: range-partition on vec_id so partition
+    * order IS global order, row_number within each partition
+    * (partitioned window — no single-task funnel), then add the
+    * per-partition offsets, of which only ≤`parts` longs ever reach
+    * the driver. Partitions whose offset already exceeds k skip the
+    * local sort entirely.
+    */
+  private[graft] def lowestKByRank(n: DataFrame, k: Long,
+      parts: Int = 64): DataFrame = {
+    // pinned so the count pass and the rank pass see the SAME
+    // partition ids (range partitioning is deterministic, but the
+    // checkpoint also saves recomputing the input twice)
+    val ranged = n.repartitionByRange(parts, col("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        spark_partition_id().as("pid"))
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      (acc, p) => acc + counts.getOrElse(p, 0L)
+    }
+    val offCol = element_at(
+      typedLit(offsets.indices.map(i => i -> offsets(i)).toMap), col("pid"))
+    val w = Window.partitionBy("pid").orderBy("vec_id")
+    ranged.filter(offCol < k)
+      .withColumn("rank",
+        row_number().over(w).cast("long") + offCol - 1)
+      .filter(col("rank") < k)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rank"))
+  }
+
   /** Cluster-occupancy histogram (cid, n) for a given k — Σn² bounds
     * semDedup's candidate volume; used by the scale spec and for
     * capacity planning.
     */
   def clusterSizes(emb: DataFrame, k: Long, kmeansIters: Int = 2): DataFrame =
-    assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
+    assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters), k)
       .groupBy("cid").agg(count(lit(1)).as("n"))
 
   /** The shared SemDeDup pair stage: exact-cosine pairs within a
@@ -643,7 +794,7 @@ object Ann {
       occupancy: Long = 256L, kmeansIters: Int = 2): DataFrame = {
     val n = emb.count()
     val k = math.max(16L, n / occupancy)
-    val a = assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters))
+    val a = assignViaJoin(normed(emb), kmeansDf(emb, k, kmeansIters), k)
     pairsWithinCluster(a, "cid", threshold)
   }
 
@@ -663,7 +814,7 @@ object Ann {
     val n = emb.count()
     val kc = math.max(16L, n / occupancy)
     // frozen: member and query roles both consume the assignment
-    val a = assignViaJoin(normed(emb), kmeansDf(emb, kc, kmeansIters))
+    val a = assignViaJoin(normed(emb), kmeansDf(emb, kc, kmeansIters), kc)
       .localCheckpoint(true)
     val members = a.select(col("vec_id").as("neighbor_id"), col("v"),
       col("nrm"), col("cid"))

@@ -210,6 +210,20 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d10 AUTO — the corpus-adaptive dial: k = max(16, n/occupancy)
+  // holds cluster occupancy constant (candidate volume ~linear in n
+  // where fixed k accrues n²/2k), and past Ann.RouteThreshold
+  // centroids the assignment itself goes two-level — vectors route
+  // through ~√k coarse cells and equi-join on the cell id, so no
+  // stage ever scores all k centroids (with k ∝ n the direct form
+  // would be the engine's one remaining quadratic). Rows-only like
+  // d10; routing totality/determinism/recall pinned in LlmOpsSpec,
+  // the 100× probe in Bench runs this dial with routing live.
+  val d10auto: Q = rowsOnly("d10_semdedup_auto") { c =>
+    Ann.semDedupAuto(c.embeddings, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   // d11 — incremental ingest dedup: the new batch (md5 doc_id bucket
   // >= 'c', ~25%) dedups against the accumulated corpus (the other
   // ~75%) via a Bloom filter built over the BATCH digests — the
@@ -279,6 +293,17 @@ object LlmOps {
   // vs the brute graph + cosine exactness pinned in LlmOpsSpec.
   val s05: Q = rowsOnly("s05_knn_graph") { c =>
     Ann.knnGraph(c.embeddings, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  // s05 AUTO — occupancy-held k-NN graph (k ∝ n via the DataFrame-
+  // native k-means, routed assignment past RouteThreshold): the
+  // fixed-16-centroid graph's within-cluster work is quadratic at
+  // fixed k (10× probe ratio ~9-16); this dial keeps candidate
+  // volume ~n·occupancy. Rows-only like s05; planted-neighbor recall
+  // and the routing contracts are pinned in LlmOpsSpec.
+  val s05auto: Q = rowsOnly("s05_knn_graph_auto") { c =>
+    Ann.knnGraphAuto(c.embeddings, k = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -1128,8 +1153,9 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d11, d12,
-    s01, s02, s03, s04, s05,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
+    d11, d12,
+    s01, s02, s03, s04, s05, s05auto,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, p01, p02, mm01, mm02)
 }

@@ -268,6 +268,93 @@ class LlmOpsSpec extends SparkSpec {
     // semDedupAuto spec on the same clusterSizes machinery
   }
 
+  test("routed assignment (k > RouteThreshold): total, deterministic, near-dup recall survives routing") {
+    // 1000 vectors at occupancy 2 force k = 500 > RouteThreshold, so
+    // the WHOLE auto path — Lloyd training and the final assignment —
+    // runs two-level routed: no stage ever scores all k centroids
+    val base = cat.embeddings.select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.05f * embedding[(i + 1) % 64] as float))")
+        .as("embedding"))
+    val planted = base.unionByName(shifted).localCheckpoint(true)
+    val nRows = planted.count()
+    val k = nRows / 2
+    assert(k > Ann.RouteThreshold, "fixture must exercise the routed path")
+
+    // totality: routing must assign EVERY vector exactly once (live-
+    // cell filtering is what guarantees no vector probes an empty cell)
+    val cents = Ann.kmeansDf(planted, k)
+    val a = Ann.assignViaJoin(Ann.normed(planted), cents, k)
+    assert(a.count() == nRows)
+    assert(a.select("vec_id").distinct().count() == nRows)
+
+    // determinism: routed assignment is a pure function of the input
+    val again = Ann.assignViaJoin(Ann.normed(planted), Ann.kmeansDf(planted, k), k)
+    val pairs = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(a) == pairs(again))
+
+    // recall: near-identical vectors route identically (routing is a
+    // deterministic function of the vector), so planted pairs still
+    // co-cluster and SemDeDup recall survives the approximation
+    val exact = pairSet(Ann.nearDupPairs(planted, threshold = 0.9))
+    val sem = pairSet(Ann.semDedupAuto(planted, threshold = 0.9, occupancy = 2))
+    assert(exact.size >= 400, s"expected ~500 planted pairs, got ${exact.size}")
+    val recall = (exact & sem).size.toDouble / exact.size
+    assert(recall >= 0.9, s"routed semDedupAuto recall $recall")
+    assert(sem.subsetOf(exact))
+  }
+
+  test("routed assignment: candidate volume is O(n·√k), plan equi-joins the centroid frame") {
+    val base = cat.embeddings.select("vec_id", "embedding")
+    val shifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x + 0.03f * embedding[(i + 2) % 64] as float))")
+        .as("embedding"))
+    val planted = base.unionByName(shifted).localCheckpoint(true)
+    val nRows = planted.count()
+    val k = nRows / 2
+    val n = Ann.normed(planted)
+    val cents = Ann.kmeansDf(planted, k)
+    // the quantity routing exists to bound: rows reaching the scoring
+    // stage. Direct scores n·k; routed ≈ n·nProbe·k/kc = O(n·√k).
+    val (vCell, centCell) = Ann.routedSides(n, cents, k, nProbe = 2)
+    val vol = Ann.routedScored(vCell, centCell).count()
+    assert(vol >= nRows, "every vector needs at least one candidate")
+    assert(vol < nRows * k / 3,
+      s"routed volume $vol not meaningfully below direct ${nRows * k}")
+    // plan pin: the k-row centroid frame reaches scoring through an
+    // equi-join on the routed cell key — the one nested-loop join
+    // left is the bounded ~√k-cell probe (its build side shrinks as
+    // √k of the centroid count, never ∝ k, never ∝ n)
+    val plan = Ann.assignViaJoin(n, cents, k).queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"routed plan has $bnlj nested-loop joins:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\\[cell#".r
+      .findFirstIn(plan.replaceAll("\n", " ")).isDefined ||
+      plan.linesIterator.exists(l => l.contains("Join") && l.contains("cell#")),
+      s"no cell equi-join found in routed plan:\n$plan")
+  }
+
+  test("kmeans seed rank: two-phase prefix sum matches global order, no unpartitioned window") {
+    // lowestKByRank must reproduce exactly "the k lowest vec_ids,
+    // ranked 0..k-1" — on a shard whose ids neither start at 0 nor
+    // arrive ordered
+    val skewed = cat.embeddings.select((col("vec_id") * 7L + 3L).as("vec_id"), col("embedding"))
+    val n = Ann.normed(skewed)
+    val got = Ann.lowestKByRank(n, 25).select("vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val want = skewed.select("vec_id").collect().map(_.getLong(0)).sorted.take(25)
+    assert(got.map(_._1).toSeq == want.toSeq)
+    assert(got.map(_._2).toSeq == (0L until 25L))
+    // and the seed path itself must not contain an unpartitioned
+    // window or a global limit (both funnel k ∝ n rows into one task)
+    val plan = Ann.lowestKByRank(n, 25).queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalLimit"), s"global limit in seed plan:\n$plan")
+    // the only window must be the pid-partitioned local rank
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"rank window is not partitioned by pid:\n$plan")
+  }
+
   test("adaptiveBits: occupancy-preserving widths, floor respected") {
     assert(Ann.adaptiveBits(1) == 6 && Ann.adaptiveBits(500) == 6)
     assert(Ann.adaptiveBits(5000) == 9)      // ceil(log2 5000)=13
