@@ -860,6 +860,39 @@ object Engine {
     wh.read("analytics", "mart_order_profile").orderBy("n_orders")
   }
 
+  // m23 — external JDBC warehouse: prod state lives in a real
+  // database (embedded Derby here — the same `spark.read.jdbc` path
+  // speaks postgresql/redshift/trino through one URI), the CI clone
+  // runs IN-DATABASE (drop + CTAS per dialect; rows never transit
+  // Spark — the reference copier's clone, copier.py:106-157) into
+  // the suffix-mapped CI schema (`prod_marts` → `prod_ci_marts`,
+  // preserving the custom suffix past the base schema,
+  // copier.py:38-64), and the cloned table is read back through a
+  // PARTITIONED jdbc scan (bounds query + range predicates — the
+  // piece that keeps an external-warehouse read data-parallel on a
+  // cluster). Oracle = the nation table itself: a wrong clone, a
+  // broken suffix map, or a lossy type round-trip all surface as a
+  // hash mismatch.
+  val m23: Q = q("m23_jdbc_warehouse",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val jdbc = graft.sources.JdbcWarehouse(spark,
+      s"jdbc:derby:${Scratch.dir("m23")}/db;create=true")
+    jdbc.write(c.nation.select("n_nationkey", "n_name", "n_regionkey"),
+      "prod_marts", "nation")
+    val copier = graft.sources.JdbcCopier(jdbc, "prod_ci",
+      baseSchema = Some("prod"))
+    val results = copier.cloneAll("prod_marts", Seq("nation"))
+    require(results.forall(_.status == "copied"),
+      s"jdbc clone failed: ${results.map(r => s"${r.table}=${r.status}").mkString(",")}")
+    jdbc.read("prod_ci_marts", "nation",
+        partitionColumn = Some("n_nationkey"), numPartitions = 4)
+      .select(col("n_nationkey").cast(IntegerType), col("n_name"),
+        col("n_regionkey").cast(IntegerType))
+      .orderBy("n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
+    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23)
 }
