@@ -58,7 +58,7 @@ final case class CliConfig(
 object Main {
 
   val usage: String =
-    """usage: graft.Main <run|test|unit|clone|ci|clean> [options]
+    """usage: graft.Main <run|retry|test|unit|clone|ci|clean> [options]
       |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
       |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
       |  --schema <name>        base warehouse schema for `run` (default "analytics");
@@ -78,15 +78,21 @@ object Main {
       |  builds its model from mocked fixture rows only (no warehouse,
       |  no sources) and diffs against the expected rows.
       |
-      |  clean: drop every `_<suffix>` CI schema and sweep staged-swap
-      |  debris (abandoned .__tmp/.__ctmp staging, completed-swap .__old
-      |  backups, orphaned artifact temps); half-swaps are healed, never
-      |  deleted.""".stripMargin
+      |  retry: resume the last failed `run` from its point of failure
+      |  (journaled-and-unchanged models are skipped; an append model
+      |  caught in the write-vs-journal crash window rebuilds instead
+      |  of double-appending).
+      |
+      |  clean: drop every `_<suffix>` CI schema (never the base
+      |  schema) and sweep staged-swap debris (abandoned .__tmp/.__ctmp
+      |  staging, completed-swap .__old backups, orphaned artifact
+      |  temps); half-swaps are healed, never deleted. --dry-run
+      |  reports without deleting.""".stripMargin
 
   def parse(args: Seq[String]): Either[String, CliConfig] = {
     if (args.isEmpty) return Left("missing command\n" + usage)
     val cmd = args.head
-    if (!Set("run", "test", "unit", "clone", "ci", "clean").contains(cmd))
+    if (!Set("run", "retry", "test", "unit", "clone", "ci", "clean").contains(cmd))
       return Left(s"unknown command '$cmd'\n" + usage)
     @annotation.tailrec
     def loop(rest: List[String], cfg: CliConfig): Either[String, CliConfig] =
@@ -186,25 +192,72 @@ object Main {
   }
 
   /** `dbt run`: materialize the full demo DAG, then persist the
-    * manifest artifact the next ci run diffs against.
+    * manifest artifact the next ci run diffs against. The run is
+    * JOURNALED — the intent map for every persisted model commits up
+    * front, each completion appends to the run journal, and both
+    * clear on full success — so a failed `run` resumes from its point
+    * of failure via the `retry` subcommand instead of leaving no
+    * trace (the journal is the same artifact [[Retry.run]] reads).
     */
   def run(spark: SparkSession, cfg: CliConfig): RunReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
     val graph = DemoProject.graph(cfg.slices, schema = cfg.schema)
     val order = graph.topoOrder
+    val persisted = graph.models
+      .filter(_.materialization != Materialization.View)
+    // fresh run: reset the journal, declare intent for every persisted
+    // model (any of them may end written-but-unjournaled if we crash —
+    // retry uses this to rebuild rather than double-append the
+    // non-idempotent ones)
+    Retry.commit(wh, Map.empty)
+    Retry.commit(wh, persisted.map(m => m.name -> m.checksum).toMap,
+      Retry.intentArtifact)
+    val journalLock = new Object
+    var journal = Map.empty[String, String]
     val t0 = System.nanoTime()
     val secs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val byName = graph.byName
     val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh,
-        threads = cfg.threads, onModelDone = (n, s) => { secs.put(n, s); () })
+        threads = cfg.threads, onModelDone = (n, s) => {
+          secs.put(n, s)
+          val m = byName(n)
+          if (m.materialization != Materialization.View)
+            journalLock.synchronized {
+              journal += n -> m.checksum
+              Retry.commit(wh, journal)
+            }
+        })
       .runAll(graph)
     val wall = (System.nanoTime() - t0) / 1e9
     ManifestState.save(wh, ManifestState.of(graph))
-    val counts = graph.models.collect {
-      case m if m.materialization != Materialization.View =>
-        m.name -> outs(m.name).count()
-    }.toMap
+    Retry.commit(wh, Map.empty)
+    Retry.commit(wh, Map.empty, Retry.intentArtifact)
+    val counts = persisted.map(m => m.name -> outs(m.name).count()).toMap
     import scala.jdk.CollectionConverters._
     RunReport(order, counts, secs.asScala.toMap, wall)
+  }
+
+  final case class RetryReport(ran: Seq[String], skipped: Seq[String],
+      counts: Map[String, Long])
+
+  /** `dbt retry`: resume the last failed `run` from its point of
+    * failure — journaled-and-unchanged models are skipped (their refs
+    * resolve from the warehouse), everything else runs in topological
+    * order ([[Retry.run]] semantics, including the ambiguous-append
+    * rebuild).
+    */
+  def retry(spark: SparkSession, cfg: CliConfig): RetryReport = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val graph = DemoProject.graph(cfg.slices, schema = baseSchemaOf(wh, cfg))
+    val (ran, skipped) =
+      Retry.run(graph, Materializer(wh), sources(spark, cfg), wh, cfg.fullRefresh)
+    ManifestState.save(wh, ManifestState.of(graph))
+    val counts = graph.models.collect {
+      case m if m.materialization != Materialization.View &&
+          ran.contains(m.name) =>
+        m.name -> wh.read(m.targetSchema, m.name).count()
+    }.toMap
+    RetryReport(ran, skipped, counts)
   }
 
   /** `dbt test` over the materialized marts: generic not_null/unique/
@@ -278,14 +331,27 @@ object Main {
     * release the CI resources a run accreted): drop every `_<suffix>`
     * CI schema and sweep staged-swap debris warehouse-wide. Sweep runs
     * FIRST so a half-swapped prod table is healed, not deleted with
-    * the debris.
+    * the debris. Two guards keep this from eating prod state:
+    *
+    *  - the BASE schema (from the persisted manifest, falling back to
+    *    `--schema`) is never dropped even when its name happens to end
+    *    `_<suffix>` — a warehouse built with `run --schema foo_ci`
+    *    must survive a default `clean`;
+    *  - `--dry-run` reports the would-drop schemas and would-remove
+    *    debris without deleting anything (half-swapped backups are
+    *    would-HEALS and are excluded from the debris preview).
     */
   def clean(spark: SparkSession, cfg: CliConfig): CleanReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val debris = wh.sweep()
-    val ciSchemas = wh.schemas.filter(_.endsWith(s"_${cfg.suffix}"))
-    ciSchemas.foreach(wh.dropSchema)
-    CleanReport(ciSchemas, debris)
+    val base = baseSchemaOf(wh, cfg)
+    val ciSchemas = wh.schemas
+      .filter(s => s.endsWith(s"_${cfg.suffix}") && s != base)
+    if (cfg.dryRun) CleanReport(ciSchemas, wh.debris())
+    else {
+      val debris = wh.sweep()
+      ciSchemas.foreach(wh.dropSchema)
+      CleanReport(ciSchemas, debris)
+    }
   }
 
   /** The reference's core workflow, end-to-end on the demo DAG:
@@ -348,6 +414,14 @@ object Main {
           println(f"  - $n%-24s ${r.secs.getOrElse(n, 0.0)}%6.2fs") }
         r.counts.toSeq.sortBy(_._1).foreach { case (n, c) =>
           println(f"  $n%-24s $c%10d rows") }
+      case "retry" =>
+        val r = retry(spark, cfg)
+        println(bar + "\nRETRY SUMMARY\n" + bar)
+        println(s"Models skipped (journaled, unchanged): ${r.skipped.size}")
+        if (cfg.verbose) r.skipped.foreach(n => println(s"  = $n"))
+        println(s"Models run: ${r.ran.size}")
+        r.counts.toSeq.sortBy(_._1).foreach { case (n, c) =>
+          println(f"  $n%-24s $c%10d rows") }
       case "test" =>
         val r = test(spark, cfg)
         println(bar + "\nTEST SUMMARY\n" + bar)
@@ -381,10 +455,11 @@ object Main {
         if (r.copies.exists(_.status.startsWith("error"))) { spark.stop(); sys.exit(1) }
       case "clean" =>
         val r = clean(spark, cfg)
-        println(bar + "\nCLEAN SUMMARY\n" + bar)
-        println(s"CI schemas dropped: ${r.droppedSchemas.size}")
+        val would = if (cfg.dryRun) " (dry run: nothing deleted)" else ""
+        println(bar + "\nCLEAN SUMMARY" + would + "\n" + bar)
+        println(s"CI schemas ${if (cfg.dryRun) "that would drop" else "dropped"}: ${r.droppedSchemas.size}")
         r.droppedSchemas.foreach(s => println(s"  - $s"))
-        println(s"Debris removed: ${r.droppedDebris.size}")
+        println(s"Debris ${if (cfg.dryRun) "that would remove" else "removed"}: ${r.droppedDebris.size}")
         if (cfg.verbose) r.droppedDebris.foreach(d => println(s"  - $d"))
     } catch {
       case e: CliError =>

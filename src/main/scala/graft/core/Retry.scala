@@ -28,6 +28,19 @@ object Retry {
 
   val artifactName = "run_journal.json"
 
+  /** Pre-write intent marker: committed BEFORE a persisted model
+    * materializes, cleared by the journal commit that follows it. A
+    * hard crash BETWEEN the table write and the journal commit leaves
+    * the model un-journaled but possibly written — idempotent
+    * materializations (table, merge, insert-overwrite) just redo the
+    * work on retry, but an APPEND-strategy incremental would
+    * duplicate the batch. The intent record makes that ambiguous
+    * state detectable: on retry, an intent-without-journal for an
+    * append model whose target exists forces a full refresh of that
+    * one model instead of a blind re-append.
+    */
+  val intentArtifact = "run_intent.json"
+
   private def toJson(j: Map[String, String]): String =
     j.toSeq.sorted.map { case (n, cs) => s""""$n":"$cs"""" }
       .mkString("{", ",", "}")
@@ -39,15 +52,30 @@ object Retry {
   def loadJournal(wh: Warehouse): Map[String, String] =
     wh.loadArtifact(artifactName).map(fromJson).getOrElse(Map.empty)
 
+  /** Commit a journal (or intent) map — public so the CLI's threaded
+    * `run` can journal each completed model through the same artifact
+    * the `retry` subcommand resumes from.
+    */
+  def commit(wh: Warehouse, journal: Map[String, String],
+      artifact: String = artifactName): Unit =
+    wh.saveArtifact(artifact, toJson(journal))
+
   /** Journaled run. Returns (ran, skipped) in topological order; the
     * journal is committed after each persisted model and cleared on
     * full success. Throws the failing model's error after the journal
     * reflects everything completed before it.
     */
+  private def isAppend(m: Model): Boolean = m.materialization match {
+    case Materialization.Incremental(IncrementalStrategy.Append(_)) => true
+    case _ => false
+  }
+
   def run(graph: ModelGraph, mat: Materializer,
       sources: String => DataFrame, wh: Warehouse,
       fullRefresh: Boolean = false): (Seq[String], Seq[String]) = {
     var journal = loadJournal(wh)
+    val priorIntents = wh.loadArtifact(intentArtifact)
+      .map(fromJson).getOrElse(Map.empty)
     var acc = Map.empty[String, DataFrame]
     val ran = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
@@ -62,7 +90,16 @@ object Retry {
         acc += name -> wh.read(m.targetSchema, name)
         skipped += name
       } else {
-        val out = mat.run(m, resolve, fullRefresh)
+        // the crash window: target written, journal not yet committed.
+        // An intent from the FAILED run with no matching journal entry
+        // means this append target may already hold the batch —
+        // rebuild it from scratch rather than double-append.
+        val ambiguousAppend = isAppend(m) &&
+          priorIntents.get(name).contains(m.checksum) &&
+          wh.exists(m.targetSchema, name)
+        if (!isView)
+          wh.saveArtifact(intentArtifact, toJson(Map(name -> m.checksum)))
+        val out = mat.run(m, resolve, fullRefresh || ambiguousAppend)
         acc += name -> out
         if (!isView) {
           journal += name -> m.checksum
@@ -72,6 +109,7 @@ object Retry {
       }
     }
     wh.saveArtifact(artifactName, "{}")
+    wh.saveArtifact(intentArtifact, "{}")
     (ran.result(), skipped.result())
   }
 }

@@ -169,10 +169,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * between the two renames leaves `.X.__old` with no live `X` —
     * rename it back; a backup WITH a live copy is a completed swap's
     * leftover — drop it. Run by every partition-swapping writer on
-    * entry (the table-level analogue is [[heal]]).
+    * entry (the table-level analogue is [[heal]]). Returns the
+    * backups it DROPPED (root-relative) so sweeping callers can
+    * report partition-level deletions alongside table-level ones.
     */
   private[graft] def healPartitions(f: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val dropped = Seq.newBuilder[String]
     def walk(dir: org.apache.hadoop.fs.Path): Unit =
       f.listStatus(dir).filter(_.isDirectory).foreach { s =>
         val n = s.getPath.getName
@@ -182,10 +185,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
           if (!f.exists(live))
             require(f.rename(s.getPath, live),
               s"could not restore partition backup ${s.getPath}")
-          else { f.delete(s.getPath, true); () }
+          else { f.delete(s.getPath, true); dropped += relativize(f, root, s.getPath) }
         } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
       }
     if (f.exists(root)) walk(root)
+    dropped.result()
   }
 
   /** Small driver-side artifacts (the CI manifest, run metadata)
@@ -283,9 +287,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
           else { f.delete(s.getPath, true); removed += s"$schema/$n" }
         }
       }
-      // partition-level dot backups inside each live table: heal-or-drop
-      f.listStatus(sp).filter(_.isDirectory).map(_.getPath)
-        .foreach(healPartitions(f, _))
+      // partition-level dot backups inside each live table: heal-or-
+      // drop, with drops REPORTED (a CleanReport that omitted them
+      // would undercount what was actually deleted)
+      f.listStatus(sp).filter(_.isDirectory).map(_.getPath).foreach { tp =>
+        removed ++= healPartitions(f, tp).map(rel => s"$schema/${tp.getName}/$rel")
+      }
     }
     val art = new org.apache.hadoop.fs.Path(s"$root/_artifacts")
     if (f.exists(art))
@@ -294,6 +301,46 @@ final case class Warehouse(spark: SparkSession, root: String) {
           removed += s"_artifacts/${s.getPath.getName}"
       }
     removed.result()
+  }
+
+  /** Non-destructive preview of what [[sweep]] would remove — the
+    * `clean --dry-run` listing. Half-swapped backups (live copy
+    * missing) are would-HEALS, not would-removes, and are excluded:
+    * dry-run must not imply data would be deleted that sweep would in
+    * fact restore.
+    */
+  def debris(): Seq[String] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = fs(rootP)
+    val found = Seq.newBuilder[String]
+    for (schema <- schemas) {
+      val sp = new org.apache.hadoop.fs.Path(s"$root/$schema")
+      f.listStatus(sp).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        if (n.endsWith(".__tmp") || n.endsWith(".__ctmp")) found += s"$schema/$n"
+        else if (n.endsWith(".__old") &&
+            f.exists(new org.apache.hadoop.fs.Path(sp, n.stripSuffix(".__old"))))
+          found += s"$schema/$n"
+      }
+      f.listStatus(sp).filter(_.isDirectory).map(_.getPath).foreach { tp =>
+        def walk(dir: org.apache.hadoop.fs.Path): Unit =
+          if (f.exists(dir)) f.listStatus(dir).filter(_.isDirectory).foreach { s =>
+            val n = s.getPath.getName
+            if (n.startsWith(".") && n.endsWith(".__old")) {
+              val live = new org.apache.hadoop.fs.Path(dir,
+                n.stripPrefix(".").stripSuffix(".__old"))
+              if (f.exists(live))
+                found += s"$schema/${tp.getName}/${relativize(f, tp, s.getPath)}"
+            } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+          }
+        walk(tp)
+      }
+    }
+    val art = new org.apache.hadoop.fs.Path(s"$root/_artifacts")
+    if (f.exists(art))
+      f.listStatus(art).filter(_.getPath.getName.endsWith(".__tmp"))
+        .foreach(s => found += s"_artifacts/${s.getPath.getName}")
+    found.result()
   }
 }
 

@@ -370,8 +370,14 @@ object Streaming {
             .find(_.getFileName.toString.endsWith(".parquet")).get
           val dst = srcDir.resolve(s"b$i.parquet")
           java.nio.file.Files.move(part, dst)
-          // arrival order == slice order (file source is oldest-first)
-          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          // arrival order == slice order (file source is oldest-first).
+          // The oracle equivalence (global min-doc_id == sequential
+          // first-batch-wins) DEPENDS on this ordering — fail loudly
+          // on a filesystem that cannot set mtimes rather than let the
+          // source process slices in an arbitrary order and diverge
+          // nondeterministically at the driver gate.
+          require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+            s"could not set mtime on $dst; e11 requires ordered file arrival")
           Scratch.remove(tmp)
         }
       val stream = spark.readStream.schema(docs.schema)

@@ -201,6 +201,95 @@ class EngineSpec extends SparkSpec {
     assert(wh.read("prod_ci", "t1").count() == 2)
   }
 
+  test("retry: append model in the write-vs-journal crash window rebuilds instead of double-appending") {
+    val wh = freshWh("retrywin")
+    val mat = Materializer(wh)
+    // a processing-stamped watermark: every invocation's rows are
+    // "new" to the target, so a blind re-append would duplicate the
+    // batch — the non-idempotent shape the intent record exists for
+    var batch = 0
+    val m = Model("inc", Seq("src"),
+      Materialization.Incremental(IncrementalStrategy.Append("wm")),
+      ctx => { batch += 1
+        ctx.source("src").select(col("k"), col("v"), lit(batch).as("wm")) })
+    val graph = ModelGraph(Seq(m))
+    val srcs: String => org.apache.spark.sql.DataFrame =
+      _ => df(Seq((1L, "a", 0), (2L, "b", 0)))
+
+    // the crash: target written, journal never committed (intent
+    // stands, journal empty — exactly the state a hard crash between
+    // the table write and the journal commit leaves behind)
+    mat.run(m, srcs, fullRefresh = false)
+    assert(wh.read("analytics", "inc").count() == 2)
+    Retry.commit(wh, Map.empty)
+    Retry.commit(wh, Map("inc" -> m.checksum), Retry.intentArtifact)
+
+    val (ran, skipped) = Retry.run(graph, mat, srcs, wh)
+    assert(ran == Seq("inc") && skipped.isEmpty)
+    // rebuilt, not double-appended: 2 rows, all from the retry batch
+    val rows = wh.read("analytics", "inc").collect()
+    assert(rows.length == 2, s"expected rebuild, got ${rows.length} rows")
+    assert(rows.forall(_.getInt(2) == 2))
+
+    // contrast: WITHOUT the intent record the same crash state
+    // double-appends (the window the record closes)
+    val wh2 = freshWh("retrywin2")
+    val mat2 = Materializer(wh2)
+    batch = 0
+    mat2.run(m, srcs, fullRefresh = false)
+    Retry.commit(wh2, Map.empty) // journal lost, no intent written
+    Retry.run(graph, mat2, srcs, wh2)
+    assert(wh2.read("analytics", "inc").count() == 4)
+  }
+
+  test("jdbc warehouse: embedded clone with suffix mapping, dry-run, partitioned read-back, parquet landing") {
+    val dbDir = graft.core.Scratch.dir("jdbcspec").toString + "/db"
+    val jdbc = graft.sources.JdbcWarehouse(spark, s"jdbc:derby:$dbDir;create=true")
+    assert(jdbc.dialect == "derby")
+    assert(graft.sources.JdbcWarehouse(spark, "jdbc:postgresql://h/d").dialect == "postgresql")
+
+    // prod state into the database: a base-schema table and a
+    // custom-suffix-schema table (the reference's dbt custom schemas)
+    jdbc.write(df(Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3))), "edu_dbt", "students")
+    jdbc.write(df(Seq((9L, "z", 9))), "edu_dbt_incremental_models", "enrollments")
+    assert(jdbc.tableExists("edu_dbt", "students"))
+    assert(!jdbc.tableExists("edu_dbt", "ghost"))
+
+    // suffix semantics (reference copier.py:38-64): base schema maps
+    // to the CI schema, a suffixed schema KEEPS its custom suffix
+    val copier = graft.sources.JdbcCopier(jdbc, "ci_test", baseSchema = Some("edu_dbt"))
+    assert(copier.targetSchema("edu_dbt") == "ci_test")
+    assert(copier.targetSchema("edu_dbt_incremental_models") == "ci_test_incremental_models")
+    assert(copier.targetSchema("unrelated") == "ci_test")
+
+    // dry-run reports the statements that WOULD run, executes nothing
+    val dry = copier.cloneAll("edu_dbt", Seq("students"), dryRun = true)
+    assert(dry.map(_.status) == Seq("would_copy"))
+    assert(dry.head.statements.exists(_.contains("ci_test.students")))
+    assert(!jdbc.tableExists("ci_test", "students"))
+
+    // real in-database clone, both schema shapes; re-clone is
+    // idempotent (drop + recreate, the reference's overwrite)
+    assert(copier.cloneAll("edu_dbt", Seq("students")).map(_.status) == Seq("copied"))
+    assert(copier.cloneAll("edu_dbt_incremental_models", Seq("enrollments"))
+      .map(_.status) == Seq("copied"))
+    assert(copier.cloneAll("edu_dbt", Seq("students")).map(_.status) == Seq("copied"))
+
+    // partitioned read-back: content identical to the source frame
+    val back = jdbc.read("ci_test", "students",
+      partitionColumn = Some("k"), numPartitions = 3)
+    assert(back.rdd.getNumPartitions > 1, "partitioned jdbc scan expected")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(jdbc.read("ci_test_incremental_models", "enrollments").count() == 1)
+
+    // landing path: jdbc -> parquet lake CI schema
+    val wh = freshWh("jdbcland")
+    val landed = copier.landToParquet(wh, "edu_dbt", "students",
+      partitionColumn = Some("k"))
+    assert(landed == 3 && wh.read("ci_test", "students").count() == 3)
+  }
+
   test("state:modified+ closure and clone-target filter") {
     // graph built inside the m06 query; assert its final selection
     val out = Engine.m06.run(spark, sfDir).collect()

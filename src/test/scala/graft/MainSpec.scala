@@ -262,4 +262,54 @@ class MainSpec extends SparkSpec {
   }
 
   private def wh(root: String) = Warehouse(spark, root)
+
+  test("clean: dry-run previews without deleting; base schema survives a suffix-name collision") {
+    val whRoot = graft.core.Scratch.dir("mainclean").toString
+    // a prod warehouse whose BASE schema itself ends `_ci` — the shape
+    // a pattern-matching clean would irreversibly delete
+    val cfg = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = 3, schema = "prod_ci", cutoff = Some(cutoffDate))
+    Main.run(spark, cfg)
+    val w = wh(whRoot)
+    assert(w.schemas.contains("prod_ci"))
+    // a genuine CI clone schema plus staged-swap debris
+    w.write(w.read("prod_ci", "mart_recent_buyers"), "prod_ci_ci", "mart_recent_buyers")
+    w.write(w.read("prod_ci", "mart_recent_buyers"), "prod_ci_ci", "stale.__tmp")
+
+    val dry = Main.clean(spark, cfg.copy(command = "clean", dryRun = true))
+    assert(!dry.droppedSchemas.contains("prod_ci"), "base schema must never drop")
+    assert(dry.droppedSchemas == Seq("prod_ci_ci"))
+    assert(dry.droppedDebris.contains("prod_ci_ci/stale.__tmp"))
+    // dry-run deleted nothing
+    assert(w.schemas.contains("prod_ci_ci"))
+    assert(w.tables("prod_ci").nonEmpty)
+
+    val real = Main.clean(spark, cfg.copy(command = "clean"))
+    assert(real.droppedSchemas == Seq("prod_ci_ci"))
+    assert(w.schemas.contains("prod_ci") && !w.schemas.contains("prod_ci_ci"))
+    assert(w.tables("prod_ci").nonEmpty, "prod tables must survive clean")
+  }
+
+  test("run journals each model; retry skips journaled-and-unchanged models") {
+    val whRoot = graft.core.Scratch.dir("mainretry").toString
+    val cfg = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = 3, cutoff = Some(cutoffDate))
+    Main.run(spark, cfg)
+    val w = wh(whRoot)
+    // full success clears journal + intent
+    assert(graft.core.Retry.loadJournal(w).isEmpty)
+
+    // simulate a run that died AFTER the last model but BEFORE the
+    // journal cleared: every persisted model journaled and on disk —
+    // retry must skip them all and re-run only the views
+    val graph = DemoProject.graph(3, schema = "analytics")
+    val persisted = graph.models
+      .filter(_.materialization != graft.core.Materialization.View)
+    graft.core.Retry.commit(w,
+      persisted.map(m => m.name -> m.checksum).toMap)
+    val rep = Main.retry(spark, cfg.copy(command = "retry"))
+    assert(rep.skipped.toSet == persisted.map(_.name).toSet)
+    assert(rep.ran.toSet == (graph.models.map(_.name).toSet -- persisted.map(_.name)))
+    assert(graft.core.Retry.loadJournal(w).isEmpty, "journal clears on success")
+  }
 }
