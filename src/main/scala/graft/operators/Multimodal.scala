@@ -87,9 +87,109 @@ object Multimodal {
     ds.toDF()
   }
 
+  // ---------------------------------------------------------------
+  // REAL decode path: javax.imageio (in-JDK, no external codec)
+  // behind the SAME batched mapPartitions shape as the stub. The stub
+  // remains the registered/bench default — synthetic document bytes
+  // are not valid image streams — but the plumbing below proves the
+  // contract is real: schema-in/schema-out, per-partition batching,
+  // payloads never shuffle, only fixed-width metadata comes out.
+
+  /** Deterministic synthetic PNG: id-keyed dimensions and a gradient
+    * pattern, encoded with the JDK writer. PNG is lossless, so the
+    * DECODED PIXELS are an exact function of `id` even though the
+    * encoded byte stream is codec-version-dependent — specs assert on
+    * pixels, never on encoding bytes.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 8).toInt * 4
+    val h = 12 + (id % 5).toInt * 4
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + id.toInt) % 256
+        val g = (y * 11 + 3 * id.toInt) % 256
+        val b = (x + y + 5 * id.toInt) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A media table of `n` synthetic PNGs, generated ON THE EXECUTORS
+    * (the driver never holds a payload) — the seed for the real-decode
+    * specs and the drop-in stand-in for an object-store image scan.
+    */
+  def pngMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val ds: Dataset[Row] = spark.range(n.toLong).toDF("media_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "image/png", syntheticPng(id))
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** FNV-1a over the decoded ARGB pixels in scan order — the real
+    * analogue of the stub's byte checksum: pixel-exact, codec-
+    * independent, and cheap enough to run inline with the decode.
+    */
+  private[graft] def pixelChecksum(img: java.awt.image.BufferedImage): Long = {
+    var h = 0xcbf29ce484222325L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h ^= (img.getRGB(x, y) & 0xffffffffL)
+        h *= 0x100000001b3L
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** REAL image decode: javax.imageio behind the same batched
+    * mapPartitions as [[decode]] — actual width/height from the codec,
+    * checksum over decoded pixels, frame_offsets = scanline byte
+    * offsets (width·4 bytes per decoded row). Undecodable payloads
+    * fail loudly per-row with the media id rather than poisoning the
+    * batch.
+    */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    val ds: Dataset[Row] = media.select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for media $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          val rowBytes = w.toLong * 4
+          val offsets = 0L.until(h.toLong * rowBytes, rowBytes).toArray
+          Row(id, mt, bytes.length.toLong, pixelChecksum(img), w, h, offsets)
+        }
+      }(enc)
+    ds.toDF()
+  }
+
   /** Batched "decode": per partition, walk the payload bytes once and
     * emit typed metadata. STUB — a real build links an image codec
-    * here; the signature (Iterator[Row] => Iterator[Row], schema-in /
+    * here ([[decodeImage]] is exactly that link, over javax.imageio);
+    * the signature (Iterator[Row] => Iterator[Row], schema-in /
     * schema-out) is exactly what it would keep.
     */
   def decode(media: DataFrame): DataFrame = {

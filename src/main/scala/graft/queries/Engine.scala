@@ -787,10 +787,24 @@ object Engine {
   // per-column verdicts for the conforming contract AND for a
   // drifted one (type change + rename) against the materialized
   // schema — both diff sides of the contract check in one report.
-  // Rows-only: verdicts are schema-level (no table data flows into
-  // the output); EngineSpec pins that a violating contracted model
+  // Oracle-gated (information-schema style): the verdict matrix is a
+  // pure function of the declared contracts and the materialized
+  // parquet schema, so DuckDB reproduces it as a VALUES relation — a
+  // drifted enforcement rule, catalog type rename, or schema change
+  // in the materialized model all surface as a hash mismatch.
+  // EngineSpec additionally pins that a violating contracted model
   // refuses to build.
-  val m21: Q = rowsOnly("m21_contract") { (spark, dir) =>
+  val m21: Q = q("m21_contract",
+    """SELECT * FROM (VALUES
+      |  ('drift_detected','o_custkey','bigint','bigint','ok'),
+      |  ('drift_detected','o_orderkey','int','bigint','type_mismatch'),
+      |  ('drift_detected','o_total','double','<absent>','missing'),
+      |  ('drift_detected','o_totalprice','<undeclared>','double','unexpected'),
+      |  ('enforced_build','o_custkey','bigint','bigint','ok'),
+      |  ('enforced_build','o_orderkey','bigint','bigint','ok'),
+      |  ('enforced_build','o_totalprice','double','double','ok')
+      |) t(contract_case, "column", expected, actual, status)
+      |ORDER BY contract_case, "column", status""") { (spark, dir) =>
     val c = Catalog(spark, dir)
     val wh = Warehouse.scratch(spark, "m21")
     val good = Contract.of("o_orderkey" -> LongType,

@@ -612,6 +612,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(once.nonEmpty && once == again)
   }
 
+  test("multimodal real decode: javax.imageio dims + pixel checksums match a driver-side oracle") {
+    val media = Multimodal.pngMedia(spark, 24)
+    val out = Multimodal.decodeImage(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 24)
+    for (id <- 0L until 24L) {
+      val r = out(id)
+      // the codec must recover the generator's exact geometry
+      assert(r.getInt(4) == 16 + (id % 8).toInt * 4, s"width of $id")
+      assert(r.getInt(5) == 12 + (id % 5).toInt * 4, s"height of $id")
+      // scanline frame offsets: one per decoded row, width*4 apart
+      val offs = r.getSeq[Long](6)
+      assert(offs.length == r.getInt(5))
+      assert(offs.take(2).toSeq == Seq(0L, r.getInt(4).toLong * 4))
+    }
+    // pixel checksums are exact: the executor-side decode must agree
+    // with an independent driver-side decode of the same payload
+    // (PNG is lossless — pixels, unlike encoded bytes, are stable)
+    for (id <- Seq(0L, 7L, 23L)) {
+      val expected = Multimodal.pixelChecksum(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(id))))
+      assert(out(id).getLong(3) == expected, s"checksum of $id")
+    }
+    // and deterministic across runs
+    val again = Multimodal.decodeImage(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.map { case (k, r) => k -> r.getLong(3) } == again)
+  }
+
   test("multimodal decode: deterministic stub metadata from binary payloads") {
     val out = Multimodal.decode(Multimodal.asMedia(cat.documents))
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
