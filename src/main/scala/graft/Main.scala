@@ -29,6 +29,7 @@ final case class CliConfig(
     changed: Set[String] = Set.empty,
     cutoff: Option[String] = None,
     select: Option[String] = None,
+    jdbcUrl: Option[String] = None,
     onSuffixed: Boolean = false,
     dryRun: Boolean = false,
     fullRefresh: Boolean = false,
@@ -69,6 +70,10 @@ object Main {
       |  --changed <a,b,...>    model names whose bodies a PR edited (ci)
       |  --cutoff <yyyy-mm-dd>  restrict source orders to before this date (run)
       |  --select <sel>         ci selector; only state:modified+ is supported
+      |  --jdbc-url <uri>       clone against an external JDBC warehouse
+      |                         (the reference's database URI): tables copy
+      |                         IN-DATABASE via dialect CTAS into the
+      |                         suffix-mapped CI schema
       |  --on-suffixed          point `test` at the _<suffix> schema
       |  --dry-run              report what ci/clone WOULD copy
       |  --full-refresh         incremental models rebuild from scratch
@@ -108,6 +113,7 @@ object Main {
           loop(t, cfg.copy(changed = v.split(",").map(_.trim).filter(_.nonEmpty).toSet))
         case "--cutoff" :: v :: t => loop(t, cfg.copy(cutoff = Some(v)))
         case "--select" :: v :: t => loop(t, cfg.copy(select = Some(v)))
+        case "--jdbc-url" :: v :: t => loop(t, cfg.copy(jdbcUrl = Some(v)))
         case "--on-suffixed" :: t => loop(t, cfg.copy(onSuffixed = true))
         case "--dry-run" :: t => loop(t, cfg.copy(dryRun = true))
         case "--full-refresh" :: t => loop(t, cfg.copy(fullRefresh = true))
@@ -308,7 +314,11 @@ object Main {
 
   /** Standalone clone: every incremental/snapshot model of the DAG,
     * prod -> `_<suffix>` schema (the reference run WITHOUT manifest
-    * filtering; copier.py:110-284).
+    * filtering; copier.py:110-284). With `--jdbc-url` the prod state
+    * lives in an external JDBC warehouse and tables copy IN-DATABASE
+    * (dialect CTAS — rows never transit Spark), exactly the
+    * reference's `database_uri` path; otherwise the parquet
+    * warehouse clones as before.
     */
   def clone(spark: SparkSession, cfg: CliConfig): Seq[CopyResult] = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
@@ -320,8 +330,21 @@ object Main {
         case _ => false
       }) => m.name
     }
-    TableCopier(wh, cfg.threads)
-      .copyAll(base, targets, cfg.suffix, cfg.dryRun)
+    cfg.jdbcUrl match {
+      case Some(url) =>
+        val jdbc = graft.sources.JdbcWarehouse(spark, url)
+        val copier = graft.sources.JdbcCopier(jdbc,
+          s"${base}_${cfg.suffix}", baseSchema = Some(base))
+        copier.cloneAll(base, targets, cfg.dryRun).map { r =>
+          val rows =
+            if (r.status == "copied") jdbc.count(r.targetSchema, r.table) else 0L
+          CopyResult(r.table, r.sourceSchema, r.targetSchema, rows,
+            r.dryRun, r.status)
+        }
+      case None =>
+        TableCopier(wh, cfg.threads)
+          .copyAll(base, targets, cfg.suffix, cfg.dryRun)
+    }
   }
 
   final case class CleanReport(droppedSchemas: Seq[String],

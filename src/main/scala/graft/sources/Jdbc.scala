@@ -73,6 +73,16 @@ final case class JdbcWarehouse(spark: SparkSession, url: String,
     }
   }
 
+  /** Row count pushed to the database — one scalar over the wire. */
+  def count(schema: String, table: String): Long = withConnection { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $schema.$table")
+      rs.next()
+      rs.getLong(1)
+    } finally st.close()
+  }
+
   def tableExists(schema: String, table: String): Boolean = withConnection { c =>
     val rs = c.getMetaData.getTables(null, schema.toUpperCase, null, null)
     try {

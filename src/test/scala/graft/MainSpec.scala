@@ -290,6 +290,29 @@ class MainSpec extends SparkSpec {
     assert(w.tables("prod_ci").nonEmpty, "prod tables must survive clean")
   }
 
+  test("clone --jdbc-url: in-database CTAS clone against an external warehouse") {
+    val url = s"jdbc:derby:${graft.core.Scratch.dir("mainjdbc")}/db;create=true"
+    val jdbc = graft.sources.JdbcWarehouse(spark, url)
+    // prod state in the DATABASE: the demo DAG's clone target
+    jdbc.write(Catalog(spark, sfDir).orders
+      .select("o_orderkey", "o_custkey"), "analytics", "mart_recent_buyers")
+    val cfg = CliConfig(command = "clone", sfDir = sfDir,
+      warehouseRoot = graft.core.Scratch.dir("mainjdbcwh").toString,
+      slices = 3, jdbcUrl = Some(url))
+    assert(Main.parse(Seq("clone", "--jdbc-url", url))
+      .toOption.exists(_.jdbcUrl.contains(url)))
+
+    val dry = Main.clone(spark, cfg.copy(dryRun = true))
+    assert(dry.map(_.status) == Seq("would_copy"))
+    assert(!jdbc.tableExists("analytics_ci", "mart_recent_buyers"))
+
+    val rs = Main.clone(spark, cfg)
+    assert(rs.map(r => (r.table, r.targetSchema, r.status)) ==
+      Seq(("mart_recent_buyers", "analytics_ci", "copied")))
+    assert(rs.head.rows > 0)
+    assert(jdbc.count("analytics_ci", "mart_recent_buyers") == rs.head.rows)
+  }
+
   test("run journals each model; retry skips journaled-and-unchanged models") {
     val whRoot = graft.core.Scratch.dir("mainretry").toString
     val cfg = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
