@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Ann
+
+/** Dev-loop stage-timing probe (the companion to [[Explain]]): stage
+  * the 10× corpus once, then time the individual stages of an
+  * operator to find where the seconds actually go — bench medians
+  * time the whole plan and cannot localize a bottleneck.
+  *
+  * `runMain graft.Probe d05` — stages to a scratch dir, prints one
+  * line per stage.
+  */
+object Probe {
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val dir = graft.core.Scratch.dir("probe10x").toString
+      time("stage 10x corpus")(Bench.stageScaled(spark, sfDir, dir))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      args.headOption.getOrElse("d05") match {
+        case "d05" =>
+          val n = time("normed + checkpoint")(
+            Ann.normed(emb).localCheckpoint(true))
+          time("rows")(println(s"  n = ${n.count()}"))
+          for (bits <- Seq(6, 11)) {
+            time(s"bucket signatures bits=$bits")(
+              println(s"  buckets = ${Ann.lshBuckets(n, 8, bits, 64, 7L).count()}"))
+            time(s"candidate pairs bits=$bits")(
+              println(s"  cands = ${Ann.lshCandidatePairs(n, 8, bits, 64, 7L).count()}"))
+          }
+          time("full nearDupLsh bits=6")(
+            println(s"  pairs = ${Ann.nearDupLsh(emb, 0.4, 8, 6, 64, 7L).count()}"))
+          time("full nearDupLshAuto")(
+            println(s"  pairs = ${Ann.nearDupLshAuto(emb, 0.4).count()}"))
+        case other =>
+          println(s"unknown probe '$other' (have: d05)")
+      }
+    } finally spark.stop()
+  }
+}

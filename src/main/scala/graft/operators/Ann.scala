@@ -74,15 +74,11 @@ object Ann {
       tables: Int = 8, bits: Int = 6, dim: Int = 64,
       seed: Long = 7L): DataFrame = {
     val hp = planes(tables, bits, dim, seed)
-    def bucketCols(v: String) = array((0 until tables).map { t =>
-      (0 until bits).map { j =>
-        when(Vectors.dotLit(col(v), hp(t)(j)) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }.map(b => b.as(s"b")): _*)
 
     def bucketed(df: DataFrame, idAs: String) =
       normed(df).select(col("vec_id").as(idAs), col("v"), col("nrm"),
-          posexplode(bucketCols("v")).as(Seq("table", "bucket")))
+          posexplode(graft.plans.VectorExpressions.srpSignatures(col("v"), hp))
+            .as(Seq("table", "bucket")))
 
     val cb = bucketed(corpus, "neighbor_id")
     val qb = bucketed(queries, "query_id")
@@ -425,16 +421,25 @@ object Ann {
     * Ids only through the join; vector payloads re-attach after the
     * distinct so each pair ships once, not once per colliding table.
     */
-  private[graft] def lshCandidatePairs(n: DataFrame, tables: Int,
+  /** (vec_id, tbl, bucket) SRP signatures — the hashing stage of
+    * [[lshCandidatePairs]], exposed so the probe can time it apart
+    * from the collision join. One [[graft.plans.SrpSignatures]] pass:
+    * all tables·bits sign bits in a single primitive loop (the
+    * per-plane literal-array form cost 3.6-6.1s per side on the 10×
+    * probe and dominated both d05 dials; this is the same bits,
+    * bit-identically, in milliseconds).
+    */
+  private[graft] def lshBuckets(n: DataFrame, tables: Int,
       bits: Int, dim: Int, seed: Long): DataFrame = {
     val hp = planes(tables, bits, dim, seed)
-    val buckets = n.select(col("vec_id"),
-      posexplode(array((0 until tables).map { t =>
-        (0 until bits).map { j =>
-          when(Vectors.dotLit(col("v"), hp(t)(j)) > 0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*)).as(Seq("tbl", "bucket")))
+    n.select(col("vec_id"),
+      posexplode(graft.plans.VectorExpressions.srpSignatures(col("v"), hp))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  private[graft] def lshCandidatePairs(n: DataFrame, tables: Int,
+      bits: Int, dim: Int, seed: Long): DataFrame = {
+    val buckets = lshBuckets(n, tables, bits, dim, seed)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
