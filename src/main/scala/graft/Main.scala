@@ -211,20 +211,35 @@ object Main {
     val order = graph.topoOrder
     val persisted = graph.models
       .filter(_.materialization != Materialization.View)
-    // fresh run: reset the journal, declare intent for every persisted
-    // model (any of them may end written-but-unjournaled if we crash —
-    // retry uses this to rebuild rather than double-append the
-    // non-idempotent ones)
+    // fresh run: reset journal + intents, and persist the schema this
+    // run targets so a bare `retry` resumes the SAME schema (the
+    // manifest only saves at run END — after a crash it still
+    // describes the previous run)
     Retry.commit(wh, Map.empty)
-    Retry.commit(wh, persisted.map(m => m.name -> m.checksum).toMap,
-      Retry.intentArtifact)
+    Retry.commit(wh, Map.empty, Retry.intentArtifact)
+    wh.saveArtifact(runSchemaArtifact, cfg.schema)
     val journalLock = new Object
     var journal = Map.empty[String, String]
+    var intents = Map.empty[String, String]
     val t0 = System.nanoTime()
     val secs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val byName = graph.byName
     val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh,
-        threads = cfg.threads, onModelDone = (n, s) => {
+        threads = cfg.threads,
+        // intent commits at MODEL START — after a crash it marks
+        // exactly the in-flight (possibly written-but-unjournaled)
+        // models, never ones the run hadn't reached, so retry's
+        // ambiguous-append rebuild cannot wipe the accumulated
+        // history of an untouched append model
+        onModelStart = n => {
+          val m = byName(n)
+          if (m.materialization != Materialization.View)
+            journalLock.synchronized {
+              intents += n -> m.checksum
+              Retry.commit(wh, intents, Retry.intentArtifact)
+            }
+        },
+        onModelDone = (n, s) => {
           secs.put(n, s)
           val m = byName(n)
           if (m.materialization != Materialization.View)
@@ -243,6 +258,12 @@ object Main {
     RunReport(order, counts, secs.asScala.toMap, wall)
   }
 
+  /** Schema the last `run` targeted — written at run START so `retry`
+    * can resume it after a crash (unlike the manifest, which commits
+    * only on success).
+    */
+  val runSchemaArtifact = "run_schema"
+
   final case class RetryReport(ran: Seq[String], skipped: Seq[String],
       counts: Map[String, Long])
 
@@ -254,7 +275,12 @@ object Main {
     */
   def retry(spark: SparkSession, cfg: CliConfig): RetryReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val graph = DemoProject.graph(cfg.slices, schema = baseSchemaOf(wh, cfg))
+    // resume the schema the CRASHED run targeted (its artifact commits
+    // at run start); the manifest-derived base is the previous
+    // successful run's schema and may differ
+    val schema = wh.loadArtifact(runSchemaArtifact)
+      .getOrElse(baseSchemaOf(wh, cfg))
+    val graph = DemoProject.graph(cfg.slices, schema = schema)
     val (ran, skipped) =
       Retry.run(graph, Materializer(wh), sources(spark, cfg), wh, cfg.fullRefresh)
     ManifestState.save(wh, ManifestState.of(graph))
@@ -336,8 +362,12 @@ object Main {
         val copier = graft.sources.JdbcCopier(jdbc,
           s"${base}_${cfg.suffix}", baseSchema = Some(base))
         copier.cloneAll(base, targets, cfg.dryRun).map { r =>
+          // dry-run opens no connection (reference parity: the dry
+          // copier never creates an engine), so row counts are
+          // UNKNOWN (-1), not zero — the summary prints them as n/a
           val rows =
-            if (r.status == "copied") jdbc.count(r.targetSchema, r.table) else 0L
+            if (r.status == "copied") jdbc.count(r.targetSchema, r.table)
+            else -1L
           CopyResult(r.table, r.sourceSchema, r.targetSchema, rows,
             r.dryRun, r.status)
         }
@@ -495,7 +525,8 @@ object Main {
     if (dryRun) {
       println(s"Tables that would be copied: ${rs.count(_.status == "would_copy")}")
       rs.filter(_.status == "would_copy").foreach(r =>
-        println(s"  - ${r.sourceSchema}.${r.table} -> ${r.targetSchema}.${r.table} (${r.rows} rows)"))
+        println(s"  - ${r.sourceSchema}.${r.table} -> ${r.targetSchema}.${r.table}" +
+          (if (r.rows >= 0) s" (${r.rows} rows)" else "")))
     } else {
       println(s"Tables copied successfully: ${rs.count(_.status == "copied")}")
       val failed = rs.filterNot(_.status == "copied")

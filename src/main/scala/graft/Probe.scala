@@ -50,8 +50,22 @@ object Probe {
             println(s"  pairs = ${Ann.nearDupLsh(emb, 0.4, 8, 6, 64, 7L).count()}"))
           time("full nearDupLshAuto")(
             println(s"  pairs = ${Ann.nearDupLshAuto(emb, 0.4).count()}"))
+        case "ivf" =>
+          val n = time("normed + checkpoint")(
+            Ann.normed(emb).localCheckpoint(true))
+          val cb = time("ivfCodebook k=16")(
+            Ann.ivfCodebook(emb, 16, 2))
+          time("assigned (literal codebook) count")(
+            println(s"  rows = ${Ann.assigned(emb, cb).count()}"))
+          time("full d10 semDedup")(
+            println(s"  pairs = ${Ann.semDedup(emb, 0.4).count()}"))
+          time("full s05 knnGraph k=3")(
+            println(s"  edges = ${Ann.knnGraph(emb, 3).count()}"))
+          time("full s05 knnGraphAuto k=3")(
+            println(s"  edges = ${Ann.knnGraphAuto(emb, 3).count()}"))
+          println(s"  (n frozen: ${n.count()})")
         case other =>
-          println(s"unknown probe '$other' (have: d05)")
+          println(s"unknown probe '$other' (have: d05, ivf)")
       }
     } finally spark.stop()
   }

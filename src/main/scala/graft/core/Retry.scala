@@ -74,8 +74,13 @@ object Retry {
       sources: String => DataFrame, wh: Warehouse,
       fullRefresh: Boolean = false): (Seq[String], Seq[String]) = {
     var journal = loadJournal(wh)
-    val priorIntents = wh.loadArtifact(intentArtifact)
+    // CUMULATIVE: the failed run's intents must survive this retry's
+    // own intent commits — if the retry itself crashes before reaching
+    // a later append model, the next retry still needs to know that
+    // model may hold an unjournaled batch
+    var intents = wh.loadArtifact(intentArtifact)
       .map(fromJson).getOrElse(Map.empty)
+    val priorIntents = intents
     var acc = Map.empty[String, DataFrame]
     val ran = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
@@ -91,14 +96,23 @@ object Retry {
         skipped += name
       } else {
         // the crash window: target written, journal not yet committed.
-        // An intent from the FAILED run with no matching journal entry
-        // means this append target may already hold the batch —
-        // rebuild it from scratch rather than double-append.
+        // An intent with NO journal entry means this append target may
+        // already hold the batch — rebuild it from scratch rather than
+        // double-append. Matched by NAME, not checksum: the
+        // fix-then-retry flow edits the model between crash and retry,
+        // and an edited model's target is just as ambiguous as an
+        // unedited one's. A journal entry at ANY checksum excludes the
+        // model: its last write committed, so the crash window never
+        // applied — an edited-but-completed append model re-runs as a
+        // normal incremental instead of wiping its accumulated
+        // history.
         val ambiguousAppend = isAppend(m) &&
-          priorIntents.get(name).contains(m.checksum) &&
+          priorIntents.contains(name) && !journal.contains(name) &&
           wh.exists(m.targetSchema, name)
-        if (!isView)
-          wh.saveArtifact(intentArtifact, toJson(Map(name -> m.checksum)))
+        if (!isView) {
+          intents += name -> m.checksum
+          wh.saveArtifact(intentArtifact, toJson(intents))
+        }
         val out = mat.run(m, resolve, fullRefresh || ambiguousAppend)
         acc += name -> out
         if (!isView) {

@@ -31,10 +31,16 @@ import org.apache.spark.sql.DataFrame
   */
 final case class Runner(mat: Materializer, sources: String => DataFrame,
     fullRefresh: Boolean = false, threads: Int = 1,
-    onModelDone: (String, Double) => Unit = (_, _) => ()) {
+    onModelDone: (String, Double) => Unit = (_, _) => (),
+    onModelStart: String => Unit = _ => ()) {
 
   private def runModel(model: Model,
       resolve: String => DataFrame): DataFrame = {
+    // fired IMMEDIATELY before the materialization — the journaling
+    // run records its pre-write intent here, so the intent marks
+    // exactly the models that may be written-but-unjournaled after a
+    // crash (never the ones the run hadn't reached)
+    onModelStart(model.name)
     val t0 = System.nanoTime()
     val out = mat.run(model, resolve, fullRefresh)
     // dbt-style per-model timing; called from submitter threads under

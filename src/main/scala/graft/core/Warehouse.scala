@@ -174,23 +174,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * report partition-level deletions alongside table-level ones.
     */
   private[graft] def healPartitions(f: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[String] = {
-    val dropped = Seq.newBuilder[String]
-    def walk(dir: org.apache.hadoop.fs.Path): Unit =
-      f.listStatus(dir).filter(_.isDirectory).foreach { s =>
-        val n = s.getPath.getName
-        if (n.startsWith(".") && n.endsWith(".__old")) {
-          val live = new org.apache.hadoop.fs.Path(dir,
-            n.stripPrefix(".").stripSuffix(".__old"))
-          if (!f.exists(live))
-            require(f.rename(s.getPath, live),
-              s"could not restore partition backup ${s.getPath}")
-          else { f.delete(s.getPath, true); dropped += relativize(f, root, s.getPath) }
-        } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
-      }
-    if (f.exists(root)) walk(root)
-    dropped.result()
-  }
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    partitionBackups(f, root, delete = true)
 
   /** Small driver-side artifacts (the CI manifest, run metadata)
     * persisted beside the data under `<root>/_artifacts/` — the same
@@ -269,78 +254,89 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * backups (table- and partition-level), and orphaned `_artifacts`
     * temp files. Returns root-relative paths removed.
     */
-  def sweep(): Seq[String] = {
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val f = fs(rootP)
-    val removed = Seq.newBuilder[String]
-    for (schema <- schemas) {
-      val sp = new org.apache.hadoop.fs.Path(s"$root/$schema")
-      f.listStatus(sp).filter(_.isDirectory).foreach { s =>
-        val n = s.getPath.getName
-        if (n.endsWith(".__tmp") || n.endsWith(".__ctmp")) {
-          f.delete(s.getPath, true); removed += s"$schema/$n"
-        } else if (n.endsWith(".__old")) {
-          val live = new org.apache.hadoop.fs.Path(sp, n.stripSuffix(".__old"))
-          if (!f.exists(live))
-            require(f.rename(s.getPath, live),
-              s"could not restore table backup $schema/$n")
-          else { f.delete(s.getPath, true); removed += s"$schema/$n" }
-        }
-      }
-      // partition-level dot backups inside each live table: heal-or-
-      // drop, with drops REPORTED (a CleanReport that omitted them
-      // would undercount what was actually deleted)
-      f.listStatus(sp).filter(_.isDirectory).map(_.getPath).foreach { tp =>
-        removed ++= healPartitions(f, tp).map(rel => s"$schema/${tp.getName}/$rel")
-      }
-    }
-    val art = new org.apache.hadoop.fs.Path(s"$root/_artifacts")
-    if (f.exists(art))
-      f.listStatus(art).filter(_.getPath.getName.endsWith(".__tmp")).foreach {
-        s => f.delete(s.getPath, false)
-          removed += s"_artifacts/${s.getPath.getName}"
-      }
-    removed.result()
-  }
+  def sweep(): Seq[String] = sweepOrPreview(delete = true)
 
   /** Non-destructive preview of what [[sweep]] would remove — the
     * `clean --dry-run` listing. Half-swapped backups (live copy
     * missing) are would-HEALS, not would-removes, and are excluded:
     * dry-run must not imply data would be deleted that sweep would in
-    * fact restore.
+    * fact restore. SAME traversal as [[sweep]] (one code path, a
+    * delete flag) so the preview cannot drift from the deletion.
     */
-  def debris(): Seq[String] = {
+  def debris(): Seq[String] = sweepOrPreview(delete = false)
+
+  private def sweepOrPreview(delete: Boolean): Seq[String] = {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val f = fs(rootP)
-    val found = Seq.newBuilder[String]
+    val removed = Seq.newBuilder[String]
+    def isStaging(n: String) = n.endsWith(".__tmp") || n.endsWith(".__ctmp")
     for (schema <- schemas) {
       val sp = new org.apache.hadoop.fs.Path(s"$root/$schema")
       f.listStatus(sp).filter(_.isDirectory).foreach { s =>
         val n = s.getPath.getName
-        if (n.endsWith(".__tmp") || n.endsWith(".__ctmp")) found += s"$schema/$n"
-        else if (n.endsWith(".__old") &&
-            f.exists(new org.apache.hadoop.fs.Path(sp, n.stripSuffix(".__old"))))
-          found += s"$schema/$n"
-      }
-      f.listStatus(sp).filter(_.isDirectory).map(_.getPath).foreach { tp =>
-        def walk(dir: org.apache.hadoop.fs.Path): Unit =
-          if (f.exists(dir)) f.listStatus(dir).filter(_.isDirectory).foreach { s =>
-            val n = s.getPath.getName
-            if (n.startsWith(".") && n.endsWith(".__old")) {
-              val live = new org.apache.hadoop.fs.Path(dir,
-                n.stripPrefix(".").stripSuffix(".__old"))
-              if (f.exists(live))
-                found += s"$schema/${tp.getName}/${relativize(f, tp, s.getPath)}"
-            } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+        if (isStaging(n)) {
+          if (delete) f.delete(s.getPath, true)
+          removed += s"$schema/$n"
+        } else if (n.endsWith(".__old")) {
+          val live = new org.apache.hadoop.fs.Path(sp, n.stripSuffix(".__old"))
+          if (!f.exists(live)) {
+            // half-swap: the backup is the only copy — heal, never
+            // report as debris (preview reports nothing here either)
+            if (delete) require(f.rename(s.getPath, live),
+              s"could not restore table backup $schema/$n")
+          } else {
+            if (delete) { f.delete(s.getPath, true); () }
+            removed += s"$schema/$n"
           }
-        walk(tp)
+        }
       }
+      // partition-level dot backups inside each LIVE table; staging/
+      // backup dirs are excluded — they are handled (deleted or
+      // reported) whole above, so the preview count matches what
+      // sweep actually does
+      f.listStatus(sp)
+        .filter(s => s.isDirectory && !isStaging(s.getPath.getName) &&
+          !s.getPath.getName.endsWith(".__old"))
+        .map(_.getPath).foreach { tp =>
+          removed ++= partitionBackups(f, tp, delete)
+            .map(rel => s"$schema/${tp.getName}/$rel")
+        }
     }
     val art = new org.apache.hadoop.fs.Path(s"$root/_artifacts")
     if (f.exists(art))
-      f.listStatus(art).filter(_.getPath.getName.endsWith(".__tmp"))
-        .foreach(s => found += s"_artifacts/${s.getPath.getName}")
-    found.result()
+      f.listStatus(art).filter(_.getPath.getName.endsWith(".__tmp")).foreach {
+        s =>
+          if (delete) { f.delete(s.getPath, false); () }
+          removed += s"_artifacts/${s.getPath.getName}"
+      }
+    removed.result()
+  }
+
+  /** Walk a table dir for partition-level `.X.__old` backups: heal
+    * half-swaps (delete mode only — the backup is the only copy),
+    * drop-or-report completed-swap leftovers. Returns the
+    * dropped/would-drop backups, table-relative.
+    */
+  private def partitionBackups(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, delete: Boolean): Seq[String] = {
+    val dropped = Seq.newBuilder[String]
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      f.listStatus(dir).filter(_.isDirectory).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".__old")) {
+          val live = new org.apache.hadoop.fs.Path(dir,
+            n.stripPrefix(".").stripSuffix(".__old"))
+          if (!f.exists(live)) {
+            if (delete) require(f.rename(s.getPath, live),
+              s"could not restore partition backup ${s.getPath}")
+          } else {
+            if (delete) { f.delete(s.getPath, true); () }
+            dropped += relativize(f, root, s.getPath)
+          }
+        } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+      }
+    if (f.exists(root)) walk(root)
+    dropped.result()
   }
 }
 

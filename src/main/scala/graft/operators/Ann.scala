@@ -415,12 +415,6 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) from SRP bucket
-    * collisions — the pre-verify stage of [[nearDupLsh]], exposed so
-    * candidate VOLUME (the scale driver) can be measured directly.
-    * Ids only through the join; vector payloads re-attach after the
-    * distinct so each pair ships once, not once per colliding table.
-    */
   /** (vec_id, tbl, bucket) SRP signatures — the hashing stage of
     * [[lshCandidatePairs]], exposed so the probe can time it apart
     * from the collision join. One [[graft.plans.SrpSignatures]] pass:
@@ -437,6 +431,12 @@ object Ann {
         .as(Seq("tbl", "bucket")))
   }
 
+  /** Distinct candidate pairs (id_a < id_b) from SRP bucket
+    * collisions — the pre-verify stage of [[nearDupLsh]], exposed so
+    * candidate VOLUME (the scale driver) can be measured directly.
+    * Ids only through the join; vector payloads re-attach after the
+    * distinct so each pair ships once, not once per colliding table.
+    */
   private[graft] def lshCandidatePairs(n: DataFrame, tables: Int,
       bits: Int, dim: Int, seed: Long): DataFrame = {
     val buckets = lshBuckets(n, tables, bits, dim, seed)

@@ -61,7 +61,10 @@ final case class JdbcWarehouse(spark: SparkSession, url: String,
 
   /** `CREATE SCHEMA` with the reference's per-dialect shape
     * (copier.py:77-95): IF NOT EXISTS where the dialect has it,
-    * attempt-and-swallow-exists where it doesn't (trino/derby).
+    * attempt-and-verify where it doesn't (trino/derby) — the swallow
+    * covers ONLY already-exists; a permissions/lock/syntax failure
+    * re-throws instead of surfacing later as a confusing "schema not
+    * found" at the first write.
     */
   def ensureSchema(schema: String): Unit = withConnection { c =>
     dialect match {
@@ -69,8 +72,21 @@ final case class JdbcWarehouse(spark: SparkSession, url: String,
         execute(c, s"CREATE SCHEMA IF NOT EXISTS $schema")
       case _ =>
         try execute(c, s"CREATE SCHEMA $schema")
-        catch { case _: java.sql.SQLException => () } // already exists
+        catch {
+          case e: java.sql.SQLException =>
+            if (!schemaExists(c, schema)) throw e
+        }
     }
+  }
+
+  private def schemaExists(c: Connection, schema: String): Boolean = {
+    val rs = c.getMetaData.getSchemas
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_SCHEM").equalsIgnoreCase(schema)
+      found
+    } finally rs.close()
   }
 
   /** Row count pushed to the database — one scalar over the wire. */
@@ -83,14 +99,21 @@ final case class JdbcWarehouse(spark: SparkSession, url: String,
     } finally st.close()
   }
 
+  /** Case-fold-tolerant existence check: unquoted identifiers fold
+    * UP on derby/h2 but DOWN on postgresql, so the schema pattern is
+    * tried in stored-likely order and table names compare
+    * case-insensitively.
+    */
   def tableExists(schema: String, table: String): Boolean = withConnection { c =>
-    val rs = c.getMetaData.getTables(null, schema.toUpperCase, null, null)
-    try {
-      var found = false
-      while (!found && rs.next())
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      found
-    } finally rs.close()
+    Seq(schema, schema.toUpperCase, schema.toLowerCase).distinct.exists { s =>
+      val rs = c.getMetaData.getTables(null, s, null, null)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    }
   }
 
   /** Distributed read of `schema.table`. With `partitionColumn` the

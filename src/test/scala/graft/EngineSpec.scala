@@ -240,6 +240,32 @@ class EngineSpec extends SparkSpec {
     Retry.commit(wh2, Map.empty) // journal lost, no intent written
     Retry.run(graph, mat2, srcs, wh2)
     assert(wh2.read("analytics", "inc").count() == 4)
+
+    // edited between crash and retry: intent matches by NAME, so a
+    // checksum change (the fix-then-retry flow) still rebuilds
+    val wh3 = freshWh("retrywin3")
+    val mat3 = Materializer(wh3)
+    batch = 0
+    mat3.run(m, srcs, fullRefresh = false)
+    Retry.commit(wh3, Map.empty)
+    Retry.commit(wh3, Map("inc" -> ("0" * 32)), Retry.intentArtifact)
+    Retry.run(graph, mat3, srcs, wh3)
+    assert(wh3.read("analytics", "inc").count() == 2)
+
+    // journaled-and-intent (the run COMPLETED the model before
+    // crashing elsewhere): no crash window — the append target's
+    // history must survive, the model re-runs as a plain incremental
+    val wh4 = freshWh("retrywin4")
+    val mat4 = Materializer(wh4)
+    batch = 0
+    mat4.run(m, srcs, fullRefresh = false) // batch 1 committed
+    Retry.commit(wh4, Map("inc" -> "feed0000feed0000feed0000feed0000"))
+    Retry.commit(wh4, Map("inc" -> m.checksum), Retry.intentArtifact)
+    // journal checksum differs (edited model) -> re-runs, but NOT
+    // ambiguous (journal has the name) -> append, not rebuild
+    Retry.run(graph, mat4, srcs, wh4)
+    assert(wh4.read("analytics", "inc").count() == 4,
+      "journaled append model must keep its history on retry")
   }
 
   test("jdbc warehouse: embedded clone with suffix mapping, dry-run, partitioned read-back, parquet landing") {

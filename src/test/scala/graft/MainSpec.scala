@@ -319,8 +319,11 @@ class MainSpec extends SparkSpec {
       slices = 3, cutoff = Some(cutoffDate))
     Main.run(spark, cfg)
     val w = wh(whRoot)
-    // full success clears journal + intent
+    // full success clears journal + intent; the run's target schema
+    // persists (written at run START) so a bare `retry` after a crash
+    // resumes the schema the crashed run was building
     assert(graft.core.Retry.loadJournal(w).isEmpty)
+    assert(w.loadArtifact(Main.runSchemaArtifact).contains("analytics"))
 
     // simulate a run that died AFTER the last model but BEFORE the
     // journal cleared: every persisted model journaled and on disk —
