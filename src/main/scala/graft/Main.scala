@@ -59,7 +59,7 @@ final case class CliConfig(
 object Main {
 
   val usage: String =
-    """usage: graft.Main <run|retry|test|unit|clone|ci|clean> [options]
+    """usage: graft.Main <run|retry|test|unit|clone|ci|clean|docs> [options]
       |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
       |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
       |  --schema <name>        base warehouse schema for `run` (default "analytics");
@@ -92,12 +92,16 @@ object Main {
       |  schema) and sweep staged-swap debris (abandoned .__tmp/.__ctmp
       |  staging, completed-swap .__old backups, orphaned artifact
       |  temps); half-swaps are healed, never deleted. --dry-run
-      |  reports without deleting.""".stripMargin
+      |  reports without deleting.
+      |
+      |  docs: `dbt docs generate` — profile the persisted tables of
+      |  the last run's schema (row/null/distinct counts per column)
+      |  and save the catalog.json warehouse artifact.""".stripMargin
 
   def parse(args: Seq[String]): Either[String, CliConfig] = {
     if (args.isEmpty) return Left("missing command\n" + usage)
     val cmd = args.head
-    if (!Set("run", "retry", "test", "unit", "clone", "ci", "clean").contains(cmd))
+    if (!Set("run", "retry", "test", "unit", "clone", "ci", "clean", "docs").contains(cmd))
       return Left(s"unknown command '$cmd'\n" + usage)
     @annotation.tailrec
     def loop(rest: List[String], cfg: CliConfig): Either[String, CliConfig] =
@@ -506,6 +510,13 @@ object Main {
             println(f"  $n%-24s $c%10d rows") }
         }
         if (r.copies.exists(_.status.startsWith("error"))) { spark.stop(); sys.exit(1) }
+      case "docs" =>
+        val cat = docs(spark, cfg)
+        println(bar + "\nDOCS CATALOG\n" + bar)
+        cat.collect().foreach { r =>
+          println(f"  ${r.getString(0)}%-22s ${r.getString(1)}%-16s ${r.getString(2)}%-14s " +
+            f"rows=${r.getLong(3)}%-8d nulls=${r.getLong(4)}%-6d distinct=${r.getLong(5)}%d") }
+        println("Saved artifact: catalog.json")
       case "clean" =>
         val r = clean(spark, cfg)
         val would = if (cfg.dryRun) " (dry run: nothing deleted)" else ""
@@ -518,6 +529,21 @@ object Main {
       case e: CliError =>
         System.err.println(e.getMessage); spark.stop(); sys.exit(2)
     } finally spark.stop()
+  }
+
+  /** `dbt docs generate`: profile the persisted tables of the last
+    * run's schema (or --schema when no run artifact exists) and save
+    * the catalog.json warehouse artifact. One aggregation pass per
+    * table; the catalog is one row per column — metadata-sized.
+    */
+  def docs(spark: SparkSession, cfg: CliConfig): DataFrame = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val schema = wh.loadArtifact(runSchemaArtifact).getOrElse(cfg.schema)
+    if (wh.tables(schema).isEmpty)
+      throw new CliError(s"no tables in schema '$schema' — run `graft.Main run` first")
+    val cat = Docs.forSchema(wh, schema)
+    wh.saveArtifact("catalog.json", Docs.toJson(cat))
+    cat
   }
 
   private def printCopySummary(bar: String, rs: Seq[CopyResult],

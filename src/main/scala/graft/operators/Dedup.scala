@@ -264,6 +264,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** (doc_id, shingles: array<long>) with the ENGINE-PORTABLE shingle
+    * hash: the first 15 hex chars of md5(shingle) decoded to a 60-bit
+    * long — Spark `conv(substring(md5(s),1,15),16,10)`, DuckDB
+    * `('0x' || substr(md5(s),1,15))::BIGINT` — so any ANSI engine
+    * derives the identical value (and the identical, vanishingly rare
+    * collisions). Same Generate-barrier + post-hash-distinct
+    * discipline as [[shingled]]; ONE md5 per shingle, everything
+    * downstream is integer arithmetic.
+    */
+  private def shingledPortable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array(Text.tokens(col("text")))).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          Text.shingles(col("toks"), n),
+          s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10)
+            .cast(LongType))).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** MinHash+LSH with an ENGINE-PORTABLE hash family: shingles fold to
+    * md5-derived 60-bit longs ([[shingledPortable]]), slots are the
+    * SAME seeded affine family as [[minhashPairs]]
+    * ((a_j·(h mod 2^31) + b_j) mod (2^61−1) — every term < 2^63, so
+    * plain BIGINT arithmetic reproduces it anywhere), and a band's
+    * bucket is md5 of the band's '|'-joined slot minima. Every step —
+    * the shingle hash, the k min aggregates, the band buckets, hence
+    * the EXACT candidate set — is reproducible in plain SQL, which is
+    * what lets d02 be ORACLE-GATED (row/schema/hash vs DuckDB) rather
+    * than recall-tested. vs [[minhashPairs]] the only cost delta is
+    * one md5 per distinct shingle in place of xxhash64 (the k slot
+    * aggregates are the identical codegen'd integer mins).
+    *
+    * Plan shape is identical to [[minhashPairs]]: one frozen shingle
+    * index, k map-side-combined min aggregates, candidates from the
+    * (band, bucket) equi-join only, exact Jaccard verify on the
+    * shingle-hash sets. Nothing is O(n²).
+    */
+  def minhashPairsPortable(docs: DataFrame, n: Int, threshold: Double,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val params = Hashing.minhashParams(k)
+    // frozen: consumed by the signature pass AND both verify sides
+    val sh = shingledPortable(docs, n).localCheckpoint(true)
+    val sig = minhashSignatures(sh, params)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows)
+          .map(j => element_at(col("sig"), j + 1).cast(StringType)): _*)
+          .cast(BinaryType)).as("bucket")) }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    withSets.filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
+
   /** Public fingerprint view: (doc_id, simhash) for docs with ≥ n tokens. */
   def simhashFingerprints(docs: DataFrame, n: Int): DataFrame =
     simhashes(shingled(docs, n))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.ci.{IncrementalCI, TableCopier}
 import graft.core._
+import graft.operators.Layout
 import graft.sources.{Catalog, Seed}
 
 /** SURVEY.md §2.B — the dbt-engine core (materializations, snapshots,
@@ -304,29 +305,33 @@ object Engine {
       |ORDER BY c_mktsegment, c_nationkey""") { (spark, dir) =>
     val c = Catalog(spark, dir)
     val wh = Warehouse.scratch(spark, "m09")
-    val graph = ModelGraph(Seq(
-      Model("stg_orders", Seq("orders"), Materialization.View,
-        ctx => ctx.source("orders").filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey"), col("o_custkey"),
-            decTotal(col("o_totalprice")).as("tp"))),
-      Model("stg_customer", Seq("customer"), Materialization.View,
-        ctx => ctx.source("customer")
-          .select("c_custkey", "c_nationkey", "c_mktsegment")),
-      Model("int_cust_spend", Seq("stg_orders"), Materialization.Table,
-        ctx => ctx.ref("stg_orders").groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("spend"))),
-      Model("mart_segment_nation", Seq("stg_customer", "int_cust_spend"),
-        Materialization.Table,
-        ctx => ctx.ref("stg_customer")
-          .join(ctx.ref("int_cust_spend"),
-            col("c_custkey") === col("o_custkey"))
-          .groupBy("c_mktsegment", "c_nationkey")
-          .agg(count(lit(1)).as("n_buyers"),
-            sum(col("n_orders")).cast(LongType).as("n_orders"),
-            dbl(sum(col("spend"))).as("revenue")))))
-    val outputs = Runner(Materializer(wh), c.table).runAll(graph)
+    val outputs = Runner(Materializer(wh), c.table).runAll(m09Graph)
     outputs("mart_segment_nation").orderBy("c_mktsegment", "c_nationkey")
   }
+
+  /** m09's 4-model pipeline — shared with m25 (docs/catalog over the
+    * same run's persisted tables).
+    */
+  private def m09Graph: ModelGraph = ModelGraph(Seq(
+    Model("stg_orders", Seq("orders"), Materialization.View,
+      ctx => ctx.source("orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          decTotal(col("o_totalprice")).as("tp"))),
+    Model("stg_customer", Seq("customer"), Materialization.View,
+      ctx => ctx.source("customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")),
+    Model("int_cust_spend", Seq("stg_orders"), Materialization.Table,
+      ctx => ctx.ref("stg_orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(col("tp")).as("spend"))),
+    Model("mart_segment_nation", Seq("stg_customer", "int_cust_spend"),
+      Materialization.Table,
+      ctx => ctx.ref("stg_customer")
+        .join(ctx.ref("int_cust_spend"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(col("n_orders")).cast(LongType).as("n_orders"),
+          dbl(sum(col("spend"))).as("revenue")))))
 
   // m11 — the reference's raison d'être, end-to-end: prod runs the
   // DAG on the first batch; a staging model's body changes; CI diffs
@@ -907,6 +912,90 @@ object Engine {
       .orderBy("n_nationkey")
   }
 
+  // m24 — Z-ORDER layout + min/max file skipping (Delta `OPTIMIZE
+  // ZORDER BY` / Iceberg sort-order analogue): events rewritten
+  // z-ordered on (user_id, event_id) into 16 files, then a 2-D range
+  // query is answered through the per-file min/max manifest — only
+  // files whose envelope overlaps BOTH ranges are opened (EngineSpec
+  // pins that files actually prune and that the pruned read equals
+  // the full scan bit-for-bit; a LINEAR layout under the same query
+  // prunes on one dimension only, also pinned). The oracle replays
+  // the query against the raw table: layout must never change query
+  // results, only which files are touched.
+  val m24: Q = q("m24_zorder_layout",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE user_id BETWEEN 2 AND 6 AND event_id BETWEEN 100 AND 799
+      |GROUP BY 1 ORDER BY 1""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val root = s"${Scratch.dir("m24")}/events_z"
+    Layout.writeZOrdered(
+      c.events.select("event_id", "user_id", "event_type", "value"),
+      root, "user_id", "event_id", nFiles = 16)
+    val stats = Layout.fileStats(spark, root, Seq("user_id", "event_id"))
+    Layout.prunedRead(spark, root, stats,
+        Seq(("user_id", 2L, 6L), ("event_id", 100L, 799L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  // m25 — `dbt docs generate`: the catalog artifact over a run's
+  // PERSISTED relations (views recompose lazily — nothing in the
+  // warehouse to document, exactly dbt's catalog scope). m09's
+  // pipeline runs, then each table is profiled in ONE aggregation
+  // pass (count(*) + per-column count/count-distinct fold into a
+  // single agg via Expand — one scan per table regardless of column
+  // count); the catalog is one row per column, metadata-sized at any
+  // data volume, and also serializes to the catalog.json-shaped
+  // artifact via Docs.toJson (CLI `docs` subcommand). The oracle
+  // rebuilds the same pipeline as CTEs and profiles with the same
+  // counts — declared dtypes are literal on both sides.
+  val m25: Q = q("m25_docs_catalog",
+    """WITH stg_orders AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS tp
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |int_cust_spend AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders, SUM(tp) AS spend
+      |  FROM stg_orders GROUP BY o_custkey),
+      |mart AS (
+      |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_buyers,
+      |    CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |    CAST(SUM(spend) AS DOUBLE) AS revenue
+      |  FROM customer JOIN int_cust_spend ON c_custkey = o_custkey
+      |  GROUP BY c_mktsegment, c_nationkey),
+      |p1 AS (SELECT COUNT(*) AS n,
+      |  COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+      |  COUNT(n_orders) AS nn2, COUNT(DISTINCT n_orders) AS nd2,
+      |  COUNT(spend) AS nn3, COUNT(DISTINCT spend) AS nd3 FROM int_cust_spend),
+      |p2 AS (SELECT COUNT(*) AS n,
+      |  COUNT(c_mktsegment) AS nn1, COUNT(DISTINCT c_mktsegment) AS nd1,
+      |  COUNT(c_nationkey) AS nn2, COUNT(DISTINCT c_nationkey) AS nd2,
+      |  COUNT(n_buyers) AS nn3, COUNT(DISTINCT n_buyers) AS nd3,
+      |  COUNT(n_orders) AS nn4, COUNT(DISTINCT n_orders) AS nd4,
+      |  COUNT(revenue) AS nn5, COUNT(DISTINCT revenue) AS nd5 FROM mart)
+      |SELECT * FROM (
+      |  SELECT 'int_cust_spend' AS table_name, 'o_custkey' AS column_name,
+      |    'bigint' AS dtype, n AS n_rows, n - nn1 AS n_nulls, nd1 AS n_distinct FROM p1
+      |  UNION ALL SELECT 'int_cust_spend', 'n_orders', 'bigint', n, n - nn2, nd2 FROM p1
+      |  UNION ALL SELECT 'int_cust_spend', 'spend', 'decimal(24,2)', n, n - nn3, nd3 FROM p1
+      |  UNION ALL SELECT 'mart_segment_nation', 'c_mktsegment', 'string', n, n - nn1, nd1 FROM p2
+      |  UNION ALL SELECT 'mart_segment_nation', 'c_nationkey', 'int', n, n - nn2, nd2 FROM p2
+      |  UNION ALL SELECT 'mart_segment_nation', 'n_buyers', 'bigint', n, n - nn3, nd3 FROM p2
+      |  UNION ALL SELECT 'mart_segment_nation', 'n_orders', 'bigint', n, n - nn4, nd4 FROM p2
+      |  UNION ALL SELECT 'mart_segment_nation', 'revenue', 'double', n, n - nn5, nd5 FROM p2
+      |) ORDER BY table_name, column_name""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m25")
+    Runner(Materializer(wh), c.table).runAll(m09Graph)
+    val cat = Docs.forSchema(wh, "analytics")
+    wh.saveArtifact("catalog.json", Docs.toJson(cat))
+    cat
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23)
+    m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
+    m25)
 }

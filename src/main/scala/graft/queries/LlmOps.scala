@@ -16,10 +16,12 @@ import graft.sources.Catalog
   * Oracle notes: every float formula is written so DuckDB reproduces
   * it bit-for-bit — strict left folds for vector math (Spark
   * `aggregate` ≙ DuckDB `list_reduce`), integer-derived divisions,
-  * ROUND(…, 6) on output. LSH-based ops (d02, d03, s02) are
-  * rows-only: their candidate sets depend on the hash family, so
-  * correctness is pinned by ScalaTests (exactness of the verify step
-  * + recall vs the exact operators) instead of SQL.
+  * ROUND(…, 6) on output. Hash-family-dependent ops whose family is
+  * NOT SQL-portable (d03 simhash bits, s02's random hyperplanes) are
+  * rows-only, pinned by ScalaTests (exactness of the verify step +
+  * recall vs the exact operators); d02 registers the md5-portable
+  * MinHash family precisely so its candidate set IS SQL-reproducible
+  * and the entry oracle-gates.
   */
 object LlmOps {
 
@@ -37,9 +39,48 @@ object LlmOps {
     Dedup.exact(c.documents).orderBy("doc_id")
   }
 
-  // d02 — MinHash+LSH candidates verified with exact Jaccard
-  val d02: Q = rowsOnly("d02_dedup_minhash") { c =>
-    Dedup.minhashPairs(c.documents, n = 3, threshold = 0.5)
+  // d02 — MinHash+LSH candidates verified with exact Jaccard. The
+  // registered family is ENGINE-PORTABLE (shingle hash = 15 hex chars
+  // of md5 decoded to a 60-bit BIGINT, slots = the seeded affine
+  // family on h mod 2^31 — every term < 2^63 so plain BIGINT
+  // arithmetic reproduces it, band bucket = md5 of the '|'-joined
+  // mins), so the oracle below reproduces signatures, buckets, and
+  // therefore the EXACT candidate set; the xxhash64 throughput family
+  // (same plan, same slot aggregates) keeps its recall spec in
+  // LlmOpsSpec. The 32 min-aggregates / 8 band branches are generated
+  // from the SAME Hashing.minhashParams(32) constants the operator
+  // uses — one source of truth for the family.
+  private val d02SigAggs = graft.functions.Hashing.minhashParams(32)
+    .zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a*h31 + $b) % 2305843009213693951) AS mh$j" }.mkString(", ")
+  private val d02BandSelects = (0 until 8).map { b =>
+    val ms = (b * 4 until b * 4 + 4).map(j => s"mh$j").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
+  }.mkString(" UNION ALL ")
+  val d02: Q = q("d02_dedup_minhash",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
+      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
+      |bk AS ($d02BandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.id_a
+      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.minhashPairsPortable(c.documents, n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
 
@@ -1153,9 +1194,58 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
+  // x19 — BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75):
+  // the retrieval-grade ranking function over the corpus — the
+  // quality/curation sibling of x08's TF-IDF (BM25's tf saturation
+  // and length normalization are what make it the default lexical
+  // ranker). Plan shape: one projection scan for doc lengths (N and
+  // avgdl fold to a 1-row broadcast), one explode scan filtered to
+  // the query terms BEFORE any shuffle (the filter reaches the
+  // Generate, so the per-token stream is query-terms-only however
+  // wide the corpus), df is a ≤|terms|-row broadcast. The corpus
+  // shuffles once, on (doc, term). idf uses the +1 form
+  // ln(1 + (N−df+0.5)/(df+0.5)) — strictly positive, so stop-like
+  // terms cannot flip sign (Lucene's choice). ROUND(,6) absorbs the
+  // ≤3-element double-sum association (x08/x15 discipline).
+  val x19: Q = q("x19_bm25",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      |       WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |         ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+      |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
+      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 6) AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""") { c =>
+    val terms = Seq("spark", "vector", "merge")
+    val dl = c.documents.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast(LongType).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"),
+      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = c.documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val s = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfT), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), s.as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12,
     s01, s02, s03, s04, s05, s05auto,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, p01, p02, mm01, mm02)
+    x15, x16, x17, x18, x19, p01, p02, mm01, mm02)
 }

@@ -698,6 +698,60 @@ class EngineSpec extends SparkSpec {
     assert(rep("bad") == (("fail", 1L, 1L)), "both diff sides counted")
   }
 
+  test("docs profile: exact null/distinct accounting, one row per column") {
+    val df = spark.createDataFrame(Seq(
+        (1L, Option("a")), (2L, Option.empty[String]),
+        (3L, Option("a")), (4L, Option("b"))))
+      .toDF("k", "v")
+    val prof = Docs.profileTable("t", df).collect()
+      .map(r => r.getString(1) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(prof("k") == (("bigint", 4L, 0L, 4L)))
+    assert(prof("v") == (("string", 4L, 1L, 2L)),
+      "null excluded from distinct, counted in n_nulls")
+    val js = Docs.toJson(Docs.catalog(Seq("t" -> df)))
+    assert(js.contains("\"column\":\"v\"") && js.contains("\"n_nulls\":1"))
+  }
+
+  test("z-order layout: 2-D range query prunes files, pruned read == full scan, beats linear layout") {
+    import graft.operators.Layout
+    val c = graft.sources.Catalog(spark, sfDir)
+    val src = c.events.select("event_id", "user_id", "event_type", "value")
+    val ranges = Seq(("user_id", 0L, 3L), ("event_id", 0L, 249L))
+    val zroot = s"${Scratch.dir("spec_m24")}/z"
+    Layout.writeZOrdered(src, zroot, "user_id", "event_id", nFiles = 16)
+    val zstats = Layout.fileStats(spark, zroot, Seq("user_id", "event_id"))
+    val (zkept, ztotal) = Layout.prunedFiles(zstats, ranges)
+    assert(ztotal == 16L, s"expected 16 files, wrote $ztotal")
+    assert(zkept.size * 2 < ztotal,
+      s"z-order pruned under half (${zkept.size}/$ztotal) on a corner-box predicate")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val pruned = Layout.prunedRead(spark, zroot, zstats, ranges)
+    val full = src.filter(col("user_id").between(0, 3) &&
+      col("event_id").between(0, 249))
+    assert(full.count() > 0, "predicate should select rows at sf0.001")
+    assert(sig(pruned) == sig(full),
+      "manifest-pruned scan must be bit-identical to the full scan")
+    // a LINEAR layout (sorted by user_id alone) under the same 2-D
+    // predicate: event_id envelopes span the full range in every
+    // file, so only the user_id dimension prunes — z-order must keep
+    // no more files than that
+    val lroot = s"${Scratch.dir("spec_m24")}/linear"
+    src.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(lroot)
+    val lstats = Layout.fileStats(spark, lroot, Seq("user_id", "event_id"))
+    val (lkept, _) = Layout.prunedFiles(lstats, ranges)
+    assert(zkept.size <= lkept.size,
+      s"z-order (${zkept.size}) should not read more files than single-key layout (${lkept.size})")
+    // degenerate predicate outside the data range prunes everything
+    val (none, _) = Layout.prunedFiles(zstats, Seq(("user_id", 1000L, 2000L)))
+    assert(none.isEmpty)
+    assert(Layout.prunedRead(spark, zroot, zstats,
+      Seq(("user_id", 1000L, 2000L))).count() == 0L)
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

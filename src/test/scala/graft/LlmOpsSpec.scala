@@ -31,6 +31,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("portable md5 minhash family: sound, high-recall, and jaccard-exact") {
+    // the registered d02 family (oracle-gated at the driver); this
+    // spec pins the operator-level contract independent of the oracle:
+    // candidates verify to EXACT jaccard (subset of the uncapped exact
+    // pairs) and planted jaccard>=0.9 dups are recovered like the
+    // xxhash64 throughput family
+    val exact05 = pairSet(
+      Dedup.ngramJaccardPairs(cat.documents, n = 3, threshold = 0.5))
+    val exact09 = pairSet(
+      Dedup.ngramJaccardPairs(cat.documents, n = 3, threshold = 0.9))
+    val port = pairSet(
+      Dedup.minhashPairsPortable(cat.documents, n = 3, threshold = 0.5))
+    assert(port.subsetOf(exact05),
+      "portable family reported a pair whose exact jaccard is below threshold")
+    assert(exact09.nonEmpty)
+    val recall = (exact09 & port).size.toDouble / exact09.size
+    assert(recall >= 0.9,
+      s"portable minhash recall $recall on planted >=0.9 dups below 0.9")
+  }
+
   test("simhash pairs are sound (hamming<=3) and overlap the planted near-dups") {
     val sim = Dedup.simhashPairs(cat.documents, n = 3, maxDist = 3)
     val rows = sim.collect()

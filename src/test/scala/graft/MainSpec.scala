@@ -32,6 +32,26 @@ class MainSpec extends SparkSpec {
     assert(Main.parse(Seq("ci", "--select", "tag:nightly")).isLeft)
   }
 
+  test("Main docs: catalog over the last run's schema, artifact saved, empty warehouse rejected") {
+    val whRoot = graft.core.Scratch.dir("maindocs").toString
+    val cfg = CliConfig(command = "docs", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = slices, cutoff = Some(cutoffDate))
+    // docs before any run: clear error, nothing written
+    intercept[Main.CliError](Main.docs(spark, cfg))
+    Main.run(spark, cfg.copy(command = "run"))
+    val cat = Main.docs(spark, cfg).collect()
+    val persisted = DemoProject.graph(slices).models
+      .filter(_.materialization != graft.core.Materialization.View)
+      .map(_.name).toSet
+    assert(cat.map(_.getString(0)).toSet == persisted,
+      "catalog must cover exactly the persisted relations")
+    assert(cat.forall(_.getLong(3) > 0), "every demo table has rows")
+    val wh = Warehouse(spark, whRoot)
+    val js = wh.loadArtifact("catalog.json")
+    assert(js.exists(_.startsWith("[")), "catalog.json artifact saved")
+    assert(js.exists(_.contains("\"n_distinct\"")))
+  }
+
   test("Main ci: manifest diff -> closure -> clone -> deferred run on the demo DAG") {
     val whRoot = graft.core.Scratch.dir("main").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
