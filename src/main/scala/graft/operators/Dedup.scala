@@ -332,6 +332,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** 60-bit SimHash over the PORTABLE shingle hashes
+    * ([[shingledPortable]]): bit j of the fingerprint is the sign of
+    * Σ_shingles (±1 by bit j of the md5-derived 60-bit value). Same
+    * aggregate shape as [[simhashes]] (conditional sums, map-side
+    * combined, one shuffle on doc_id); every step is BIGINT
+    * arithmetic any engine reproduces.
+    */
+  private def simhashesPortable(sh: DataFrame): DataFrame = {
+    val bits = 60
+    val h = col("shingle")
+    val aggs = (0 until bits).map { i =>
+      sum(when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"bit$i") }
+    val fp = (0 until bits).map { i =>
+      when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce((a, b) => a.bitwiseOR(b))
+    sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** [[simhashPairs]] with the ENGINE-PORTABLE 60-bit family: 4×15-bit
+    * chunk pigeonhole (any pair within distance 3 still agrees on ≥ 1
+    * of 4 chunks — the guarantee counts chunks, not widths),
+    * candidates from the (chunk index, chunk value) equi-join, exact
+    * hamming = bit_count(xor). Fingerprints, chunks, and the verified
+    * distance all reproduce in plain SQL, which is what lets d03 be
+    * ORACLE-GATED; [[simhashPairs]] (xxhash64, 64-bit) keeps its
+    * soundness/recall specs as the throughput form.
+    */
+  def simhashPairsPortable(docs: DataFrame, n: Int, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4-chunk pigeonhole certifies distance <= 3")
+    // frozen: both sides of the chunk self-join (same discipline and
+    // cost bound as simhashPairs)
+    val fp = simhashesPortable(shingledPortable(docs, n)).localCheckpoint(true)
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"),
+            shiftrightunsigned(col("simhash"), i * 15)
+              .bitwiseAND(lit(0x7FFFL)).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Hashing.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Public fingerprint view: (doc_id, simhash) for docs with ≥ n tokens. */
   def simhashFingerprints(docs: DataFrame, n: Int): DataFrame =
     simhashes(shingled(docs, n))

@@ -17,11 +17,11 @@ import graft.sources.Catalog
   * it bit-for-bit — strict left folds for vector math (Spark
   * `aggregate` ≙ DuckDB `list_reduce`), integer-derived divisions,
   * ROUND(…, 6) on output. Hash-family-dependent ops whose family is
-  * NOT SQL-portable (d03 simhash bits, s02's random hyperplanes) are
+  * NOT SQL-portable (s02's random hyperplanes over float dots) are
   * rows-only, pinned by ScalaTests (exactness of the verify step +
-  * recall vs the exact operators); d02 registers the md5-portable
-  * MinHash family precisely so its candidate set IS SQL-reproducible
-  * and the entry oracle-gates.
+  * recall vs the exact operators); d02 and d03 register md5-portable
+  * families precisely so their candidate sets ARE SQL-reproducible
+  * and the entries oracle-gate.
   */
 object LlmOps {
 
@@ -84,9 +84,40 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
-  // d03 — SimHash fingerprint + hamming-banded near-dups
-  val d03: Q = rowsOnly("d03_dedup_simhash") { c =>
-    Dedup.simhashPairs(c.documents, n = 3, maxDist = 3)
+  // d03 — SimHash fingerprint + hamming-banded near-dups. Like d02,
+  // the registered family is ENGINE-PORTABLE: 60-bit fingerprints
+  // whose bit j is the sign of Σ ±1 over bit j of the md5-derived
+  // shingle hashes, 4×15-bit chunk pigeonhole for candidates, exact
+  // hamming = bit_count(xor) — every step BIGINT arithmetic DuckDB
+  // reproduces, so d03 is oracle-gated; the xxhash64 64-bit family
+  // keeps its soundness/recall specs. The 60 bit-sum aggregates /
+  // fingerprint assembly / 4 chunk branches are generated below.
+  private val d03BitSums = (0 until 60).map(j =>
+    s"SUM(CASE WHEN (shingle >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+    .mkString(", ")
+  private val d03FpTerms = (0 until 60).map(j =>
+    s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  private val d03Chunks = (0 until 4).map(i =>
+    s"SELECT doc_id, f, $i AS ci, (f >> ${i * 15}) & 32767 AS cv FROM fp")
+    .mkString(" UNION ALL ")
+  val d03: Q = q("d03_dedup_simhash",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |bits AS (SELECT doc_id, $d03BitSums FROM sh GROUP BY doc_id),
+      |fp AS (SELECT doc_id, $d03FpTerms AS f FROM bits),
+      |ch AS ($d03Chunks),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |           a.f AS fa, b.f AS fb
+      |         FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv
+      |          AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.simhashPairsPortable(c.documents, n = 3, maxDist = 3)
       .orderBy("id_a", "id_b")
   }
 

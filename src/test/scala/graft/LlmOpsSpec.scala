@@ -51,6 +51,20 @@ class LlmOpsSpec extends SparkSpec {
       s"portable minhash recall $recall on planted >=0.9 dups below 0.9")
   }
 
+  test("portable simhash family: sound (hamming<=3) and overlaps planted near-dups") {
+    // the registered d03 family (oracle-gated at the driver); pins the
+    // operator contract independent of the oracle, mirroring the
+    // xxhash64 family's spec below
+    val sim = Dedup.simhashPairsPortable(cat.documents, n = 3, maxDist = 3)
+    val rows = sim.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 3))
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(cat.documents, n = 3, threshold = 0.9))
+    val overlap = (pairSet(sim) & exact).size.toDouble / exact.size
+    assert(overlap >= 0.5, s"portable simhash found only $overlap of planted near-dups")
+  }
+
   test("simhash pairs are sound (hamming<=3) and overlap the planted near-dups") {
     val sim = Dedup.simhashPairs(cat.documents, n = 3, maxDist = 3)
     val rows = sim.collect()
