@@ -59,6 +59,36 @@ object Docs {
     catalog(names.map(n => n -> wh.read(schema, n)))
   }
 
+  /** Metadata-only schema frame: (table_name, column_name, dtype)
+    * from the RESOLVED schema — no scan (a createDataFrame of the
+    * field list), which is the point: schema monitoring at 100 TB
+    * must not read data.
+    */
+  def schemaFrame(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.schema.fields.toSeq.map(f => (name, f.name, f.dataType.simpleString))
+      .toDF("table_name", "column_name", "dtype")
+  }
+
+  /** Schema-change monitor (elementary's `schema_changes` / a dbt
+    * source-schema contract): BASELINE vs CURRENT schema catalogs,
+    * full-outer joined on (table, column) → one verdict per column:
+    * ok / type_changed / removed / added. Both sides are
+    * metadata-sized; the comparison never touches data.
+    */
+  def schemaDrift(baseline: DataFrame, current: DataFrame): DataFrame = {
+    val b = baseline.select(col("table_name"), col("column_name"),
+      col("dtype").as("baseline_type"))
+    val c = current.select(col("table_name"), col("column_name"),
+      col("dtype").as("current_type"))
+    b.join(c, Seq("table_name", "column_name"), "full_outer")
+      .withColumn("status",
+        when(col("baseline_type").isNull, "added")
+          .when(col("current_type").isNull, "removed")
+          .when(col("baseline_type") =!= col("current_type"), "type_changed")
+          .otherwise("ok"))
+  }
+
   /** Serialize a catalog frame to the dbt-catalog-shaped JSON
     * artifact. The collect is catalog-sized (one row per column) —
     * driver-bounded by construction, like every manifest.

@@ -1253,14 +1253,21 @@ object LlmOps {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 6) AS bm25
       |FROM sc GROUP BY doc_id ORDER BY doc_id""") { c =>
     val terms = Seq("spark", "vector", "merge")
+    // both derived frames feed TWO consumers (dl: the scoring join +
+    // the (N, avgdl) fold; tf: the df branch + the scoring join) —
+    // frozen once each (the d04/x17 multi-scan discipline), so the
+    // corpus tokenizes exactly twice (one projection pass, one
+    // term-filtered explode), never per consumer
     val dl = c.documents.select(col("doc_id"),
-      size(Text.tokens(col("text"))).cast(LongType).as("dl"))
+        size(Text.tokens(col("text"))).cast(LongType).as("dl"))
+      .localCheckpoint(true)
     val corpus = dl.agg(count(lit(1)).as("n"),
       (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
     val tf = c.documents
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val s = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
       (col("tf") * 2.2) /

@@ -329,5 +329,33 @@ object Quality {
       .orderBy("bucket")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  // t09 — schema-change monitor (elementary-style `schema_changes` /
+  // a dbt source-schema contract): the CURRENT source schema diffs
+  // against the stored BASELINE catalog, METADATA-ONLY — both sides
+  // come from resolved schemas (no scan at any data size), the
+  // comparison is a full outer join on (table, column). The simulated
+  // evolution drops a column, adds one, and narrows a type, so all
+  // four verdicts (ok / removed / added / type_changed) materialize;
+  // the oracle is the literal verdict matrix.
+  val t09: Q = q("t09_schema_drift",
+    """SELECT * FROM (VALUES
+      |  ('orders_slim', 'o_custkey', 'bigint', NULL, 'removed'),
+      |  ('orders_slim', 'o_orderdate', NULL, 'timestamp', 'added'),
+      |  ('orders_slim', 'o_orderkey', 'bigint', 'bigint', 'ok'),
+      |  ('orders_slim', 'o_totalprice', 'double', 'decimal(14,2)', 'type_changed'))
+      |  AS t(table_name, column_name, baseline_type, current_type, status)
+      |ORDER BY table_name, column_name""") { c =>
+    val v1 = c.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    val v2 = c.orders.select(col("o_orderkey"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(14, 2))
+        .as("o_totalprice"),
+      col("o_orderdate"))
+    graft.core.Docs.schemaDrift(
+      graft.core.Docs.schemaFrame(c.spark, "orders_slim", v1),
+      graft.core.Docs.schemaFrame(c.spark, "orders_slim", v2))
+      .orderBy("table_name", "column_name")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }
