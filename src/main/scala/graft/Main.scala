@@ -454,6 +454,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .appName(s"graft-${cfg.command}")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

@@ -19,6 +19,17 @@ import org.apache.spark.sql.types.LongType
   */
 object Docs {
 
+  /** Catalog rendering of a column type. Timezone flavor is a STORAGE
+    * property, not a schema contract: the same source table arrives
+    * as TIMESTAMP_NTZ or TIMESTAMP_LTZ depending on how the producer
+    * encoded parquet, and a schema-drift monitor that reported that
+    * flip as a type change would page on every encoding migration. So
+    * both flavors render as plain `timestamp` (what dbt's catalog and
+    * the DuckDB information schema call them too).
+    */
+  private[graft] def renderType(dt: org.apache.spark.sql.types.DataType): String =
+    dt.simpleString.replace("timestamp_ntz", "timestamp")
+
   /** Profile one relation: (table_name, column_name, dtype, n_rows,
     * n_nulls, n_distinct), one aggregation pass.
     */
@@ -30,7 +41,7 @@ object Docs {
     val one = df.agg(aggs.head, aggs.tail: _*)
     val perCol = array(fields.map(f => struct(
       lit(f.name).as("column_name"),
-      lit(f.dataType.simpleString).as("dtype"),
+      lit(renderType(f.dataType)).as("dtype"),
       col(s"__nn_${f.name}").as("n_notnull"),
       col(s"__nd_${f.name}").as("n_distinct"))): _*)
     one.select(lit(name).as("table_name"), col("__n").as("n_rows"),
@@ -66,7 +77,7 @@ object Docs {
     */
   def schemaFrame(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
     import spark.implicits._
-    df.schema.fields.toSeq.map(f => (name, f.name, f.dataType.simpleString))
+    df.schema.fields.toSeq.map(f => (name, f.name, renderType(f.dataType)))
       .toDF("table_name", "column_name", "dtype")
   }
 

@@ -29,8 +29,10 @@ object RangeJoin {
       tsCol: String, maxGapSec: Long): DataFrame = {
     require(maxGapSec > 0, "maxGapSec must be positive")
     val rPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    // epochMicros, not unix_micros: accepts TIMESTAMP_NTZ (the
+    // canonical events encoding) as well as LTZ.
     def binOf(c: org.apache.spark.sql.Column) =
-      floor(unix_micros(c) / lit(maxGapSec * 1000000L))
+      floor(graft.sources.Catalog.epochMicros(c) / lit(maxGapSec * 1000000L))
     val l = left
       .withColumn("__bin", explode(array(binOf(col(tsCol)),
         binOf(col(tsCol)) - 1)))
@@ -40,7 +42,8 @@ object RangeJoin {
       struct(rPayloadCols.map(col): _*).as("range"))
     l.join(r, l(keyCol) === r("__rk") && l("__bin") === r("__bin"))
       .filter(col("range_ts") <= col("__lts") &&
-        unix_micros(col("__lts")) - unix_micros(col("range_ts")) <=
+        graft.sources.Catalog.epochMicros(col("__lts")) -
+          graft.sources.Catalog.epochMicros(col("range_ts")) <=
           maxGapSec * 1000000L)
       .drop("__bin", "__rk", "__lts")
   }

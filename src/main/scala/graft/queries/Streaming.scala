@@ -60,20 +60,19 @@ object Streaming {
     val model = Model("events_inc", Seq("events"),
       Materialization.Incremental(IncrementalStrategy.Append("ts")),
       ctx => ctx.source("events"))
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // the file-stream source requires a DIRECTORY; expose the single
     // parquet file through a temp dir (at scale this is the landing
-    // directory new files drop into)
+    // directory new files drop into). The stream schema is PROBED from
+    // the batch relation — never hard-coded — so whatever ts encoding
+    // the landing files carry, Catalog.normalizeEventTs (the one
+    // events-time chokepoint) yields the canonical TIMESTAMP_NTZ.
     val srcDir = Scratch.dir("e03_src")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Catalog.normalizeEventTs(
+      spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
+        .parquet(srcDir.toString))
     val ckpt = Scratch.dir("e03_ckpt")
     try {
       val query = stream.writeStream
@@ -207,10 +206,9 @@ object Streaming {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   val e08: Q = Q("e08_stream_stream_join", (spark, dir) => {
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // schema probed from the batch relation + normalized through the
+    // one events-time chokepoint (see e03)
+    val rawSchema = Catalog(spark, dir).eventsRawSchema
     val (srcDir, outDir, ckpt) = e08Dirs.computeIfAbsent(dir, _ => {
       val src = Scratch.dir("e08_src")
       java.nio.file.Files.createSymbolicLink(
@@ -219,8 +217,13 @@ object Streaming {
       (src.toString, Scratch.dir("e08_out").toString,
         Scratch.dir("e08_ckpt").toString)
     })
-    def stream = spark.readStream.schema(rawSchema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Watermarks (EventTimeWatermark) accept only TIMESTAMP_LTZ, so
+    // the canonical NTZ ts rides through the streaming join as LTZ —
+    // under the pinned UTC session the cast is wall-clock identity —
+    // and the output casts back to NTZ below.
+    def stream = Catalog.normalizeEventTs(
+        spark.readStream.schema(rawSchema).parquet(srcDir))
+      .withColumn("ts", col("ts").cast(TimestampType))
     val others = stream.filter(col("event_type") =!= "purchase")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .withWatermark("ts", "2 hours")
@@ -240,7 +243,8 @@ object Streaming {
     query.awaitTermination()
     spark.read.parquet(outDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("p_event_id").as("purchase_id"), col("p_ts").as("range_ts"))
+        col("p_event_id").as("purchase_id"),
+        col("p_ts").cast(TimestampNTZType).as("range_ts"))
       .orderBy("event_id", "purchase_id")
   }, Some(
     """WITH p AS (SELECT event_id, ts, user_id FROM events
@@ -269,18 +273,16 @@ object Streaming {
       Materialization.Incremental(
         IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"))),
       ctx => ctx.source("events"))
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val srcDir = Scratch.dir("e09_src")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val ckpt = Scratch.dir("e09_ckpt")
     try {
-      val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // schema probed + ts normalized through the chokepoint (see e03)
+      val stream = Catalog.normalizeEventTs(
+        spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
+          .parquet(srcDir.toString))
       val query = stream.writeStream
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table registry over a scale-factor directory of parquet tables.
   *
@@ -17,26 +19,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Catalog(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
-    * refuses natively; read it as long and truncate to microseconds —
-    * the same truncation every micro-precision engine (incl. the
-    * DuckDB oracle) applies. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` in the SESSION
-    * builder (Verify/Bench/Main/the test session all set it) — a
-    * per-call `conf.set` here would mutate shared session state from
-    * read paths.
-    */
-  private def eventsWithTs: DataFrame = {
-    val raw = table("events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
-    }
-  }
-
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
   def customer: DataFrame   = table("customer")
@@ -44,7 +26,52 @@ final case class Catalog(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = eventsWithTs
+  def events: DataFrame     = Catalog.normalizeEventTs(table("events"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** Resolved on-disk schema of the raw events table — what a file
+    * STREAM over the same landing directory must declare (readStream
+    * requires an explicit schema; hard-coding one bakes in a storage
+    * encoding, which is exactly the break this probe prevents).
+    */
+  def eventsRawSchema: org.apache.spark.sql.types.StructType =
+    table("events").schema
+}
+
+object Catalog {
+
+  /** THE events-time chokepoint: normalize the `ts` column to the
+    * canonical TIMESTAMP_NTZ whatever the storage encoding is. The
+    * driver has shipped events.parquet as INT64 TIMESTAMP(NANOS)
+    * (read as raw long under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and as timestamp[us] with no timezone (read as TIMESTAMP_NTZ);
+    * a plain LTZ timestamp is also accepted. Every events consumer —
+    * batch via `Catalog.events`, streams via
+    * `normalizeEventTs(readStream…)` — goes through here, so a future
+    * encoding change is a one-line fix instead of a five-site hunt.
+    *
+    * All sessions pin `spark.sql.session.timeZone=UTC`, so the
+    * LTZ→NTZ cast is the identity on the wall clock (and DST-free).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // INT64 nanos-as-long: truncate to micros
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampType => // LTZ: same instant, UTC wall clock
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported events.ts encoding: $other")
+    }
+
+  /** Micros since the epoch for any timestamp flavor. `unix_micros`
+    * only accepts TIMESTAMP_LTZ; routing NTZ through a cast under the
+    * pinned UTC session makes the same expression valid for both, so
+    * time arithmetic (session gaps, range-join bins) never cares how
+    * the source stored time.
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 }

@@ -63,10 +63,14 @@ object EventStream {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    // Catalog.epochMicros, not unix_micros: the events ts is canonical
+    // TIMESTAMP_NTZ (Catalog.normalizeEventTs) and unix_micros rejects
+    // NTZ input outright.
+    val us = graft.sources.Catalog.epochMicros _
+    val prev = lag(us(col("ts")), 1).over(w)
     events
       .withColumn("new_s",
-        when(prev.isNull || unix_micros(col("ts")) - prev > gapMicros, 1)
+        when(prev.isNull || us(col("ts")) - prev > gapMicros, 1)
           .otherwise(0))
       .withColumn("session_seq", sum(col("new_s")).over(run).cast(IntegerType))
       .groupBy("user_id", "session_seq")

@@ -37,10 +37,22 @@ class StreamingSpec extends SparkSpec {
     query.stop()
 
     val streamed = spark.table("e01_stream").collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (tsMillis(r, 0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val batch = EventStream.tumbling(cat.events).collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (tsMillis(r, 0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assertSameSets(streamed, batch)
+  }
+
+  /** Epoch millis from either timestamp flavor: the MemoryStream side
+    * carries java.sql.Timestamp (LTZ) while the batch side reads the
+    * canonical TIMESTAMP_NTZ events; under the pinned UTC session the
+    * two name the same instant, so parity compares on epoch millis.
+    */
+  private def tsMillis(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+    case t: Timestamp => t.getTime
+    case d: java.time.LocalDateTime =>
+      d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case x => sys.error(s"column $i is not a timestamp: $x (${x.getClass})")
   }
 
   private def assertSameSets[A](streamed: Set[A], batch: Set[A]): Unit = {
@@ -214,10 +226,10 @@ class StreamingSpec extends SparkSpec {
     query.stop()
 
     val streamed = spark.table("e10_stream").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .map(r => (r.getLong(0), tsMillis(r, 1), tsMillis(r, 2), r.getLong(3)))
       .toSet
     val batch = sessions(cat.events.filter(col("user_id") < 10)).collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .map(r => (r.getLong(0), tsMillis(r, 1), tsMillis(r, 2), r.getLong(3)))
       .toSet
     assertSameSets(streamed, batch)
   }
@@ -244,11 +256,11 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("e02_stream")
       .select("user_id", "session_start", "session_end", "n_events", "total_value")
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+      .map(r => (r.getLong(0), tsMillis(r, 1), tsMillis(r, 2),
         r.getLong(3), r.getDouble(4))).toSet
     val batch = EventStream.sessionize(cat.events.filter(col("user_id") < 10))
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+      .map(r => (r.getLong(0), tsMillis(r, 2), tsMillis(r, 3),
         r.getLong(4), r.getDouble(5))).toSet
     assertSameSets(streamed, batch)
   }
