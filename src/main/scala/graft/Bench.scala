@@ -232,6 +232,19 @@ object Bench {
             Seq(("d05_embedding_neardup_auto", secs, medians("d05_embedding_neardup"), err))
           }
         } ++ {
+          // the d03 scale dial: Manku block-combination banding (at
+          // the 10x corpus the dial picks b=6 — 20 tables of 30-bit
+          // keys) vs the registered 4×15 pigeonhole, whose random
+          // collisions grow n²/2¹⁵ (measured 78× candidate volume at
+          // 10×). Same reported pairs, bounded occupancy.
+          if (elapsed > budgetSec) Nil
+          else {
+            val (secs, err) = timed(spark, scaleDir, (s, d) =>
+              graft.operators.Dedup.simhashPairsAuto(
+                s.read.parquet(s"$d/documents.parquet"), n = 3, maxDist = 3))
+            Seq(("d03_dedup_simhash_auto", secs, medians("d03_dedup_simhash"), err))
+          }
+        } ++ {
           // the d10 scale dial: adaptive k (DataFrame-native k-means)
           // vs the registered fixed-k SemDeDup on the same 10x corpus
           if (elapsed > budgetSec) Nil
@@ -312,29 +325,40 @@ object Bench {
         }
       }
 
-    val qs = names.map(n => s"${jstr(n)}:${medians(n)}").mkString("{", ",", "}")
-    val qmins = names.map(n => s"${jstr(n)}:${mins(n)}").mkString("{", ",", "}")
+    // millisecond precision: the 9-decimal nanos rendering tripled the
+    // stdout line past capped log captures' tail window, and nothing
+    // downstream reads sub-ms timing
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = names.map(n => s"${jstr(n)}:${fmt(medians(n))}").mkString("{", ",", "}")
+    val qmins = names.map(n => s"${jstr(n)}:${fmt(mins(n))}").mkString("{", ",", "}")
     val errJson = errs.map { case (k, e, nFail) =>
       s"""${jstr(k)}:{"msg":${jstr(e)},"failed_passes":$nFail,"of":$iters}"""
     }.mkString("{", ",", "}")
     val scaleJson = scaleResults.map { case (n, s10, s1, err) =>
       val ratio = if (s1 > 0 && s10 >= 0) s10 / s1 else -1.0
       s"${jstr(n)}:{" +
-        s""""sec10x":$s10,"sec1x_median":$s1,"ratio":$ratio""" +
+        s""""sec10x":${fmt(s10)},"sec1x_median":${fmt(s1)},"ratio":${fmt(ratio)}""" +
         err.fold("")(e => s""","err":${jstr(e)}""") + "}"
     }.mkString("{", ",", "}")
     val nErr = errs.size
     val total = names.map(medians).sum
-    val json = s"""{"metric":"total_median","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"errors":$errJson,"scale10x":$scaleJson,"n_queries":${names.size},"n_ok":${names.size - nErr},"n_err":$nErr,"bench_wall_sec":$elapsed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"errors":$errJson,"scale10x":$scaleJson,"n_queries":${names.size},"n_ok":${names.size - nErr},"n_err":$nErr,"bench_wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets head-truncated by capped log captures (it
     // lost 30 of 66 medians in round 5's durable record) — always
-    // persist the full JSON to a file as well
+    // persist the full JSON to a file as well, plus a repo-tracked
+    // copy (bench_results/latest.json) so each round's numbers are
+    // machine-readable from git history, not only from a log tail
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    for (f <- Seq(outFile, "bench_results/latest.json")) {
+      try {
+        val p = java.nio.file.Paths.get(f)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

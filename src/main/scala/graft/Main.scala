@@ -29,6 +29,7 @@ final case class CliConfig(
     changed: Set[String] = Set.empty,
     cutoff: Option[String] = None,
     select: Option[String] = None,
+    manifestPath: Option[String] = None,
     jdbcUrl: Option[String] = None,
     onSuffixed: Boolean = false,
     dryRun: Boolean = false,
@@ -70,6 +71,9 @@ object Main {
       |  --changed <a,b,...>    model names whose bodies a PR edited (ci)
       |  --cutoff <yyyy-mm-dd>  restrict source orders to before this date (run)
       |  --select <sel>         ci selector; only state:modified+ is supported
+      |  --manifest <path>      read the prod manifest from this file instead
+      |                         of the warehouse artifact (dbt's --state dir /
+      |                         an out-of-band downloaded manifest.json)
       |  --jdbc-url <uri>       clone against an external JDBC warehouse
       |                         (the reference's database URI): tables copy
       |                         IN-DATABASE via dialect CTAS into the
@@ -117,6 +121,7 @@ object Main {
           loop(t, cfg.copy(changed = v.split(",").map(_.trim).filter(_.nonEmpty).toSet))
         case "--cutoff" :: v :: t => loop(t, cfg.copy(cutoff = Some(v)))
         case "--select" :: v :: t => loop(t, cfg.copy(select = Some(v)))
+        case "--manifest" :: v :: t => loop(t, cfg.copy(manifestPath = Some(v)))
         case "--jdbc-url" :: v :: t => loop(t, cfg.copy(jdbcUrl = Some(v)))
         case "--on-suffixed" :: t => loop(t, cfg.copy(onSuffixed = true))
         case "--dry-run" :: t => loop(t, cfg.copy(dryRun = true))
@@ -155,13 +160,21 @@ object Main {
     */
   final class CliError(msg: String) extends RuntimeException(msg)
 
+  /** Where this invocation acquires the prod manifest: `--manifest
+    * <path>` overrides the default warehouse artifact (the acquisition
+    * seam — core/ManifestSource.scala).
+    */
+  def manifestSource(wh: Warehouse, cfg: CliConfig): ManifestSource =
+    cfg.manifestPath.map(ManifestSource.FilePath(_))
+      .getOrElse(ManifestSource.WarehouseArtifact(wh))
+
   /** The warehouse base schema: inferred from the persisted manifest
     * (what the last `run` actually materialized — reference:
     * src/dbt_incremental_ci/core.py:98-132 reads it off manifest.json),
     * falling back to `--schema` when no manifest exists yet.
     */
   def baseSchemaOf(wh: Warehouse, cfg: CliConfig): String =
-    ManifestState.load(wh).flatMap(_.baseSchema).getOrElse(cfg.schema)
+    manifestSource(wh, cfg).fetch().flatMap(_.baseSchema).getOrElse(cfg.schema)
 
   /** Raw-source resolution (dbt `source()`): catalog tables, with the
     * `--cutoff` date restricting orders — how the demo stages a "prod
@@ -419,8 +432,10 @@ object Main {
     */
   def ci(spark: SparkSession, cfg: CliConfig): CiReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val manifest = ManifestState.load(wh).getOrElse(throw new CliError(
-      s"no manifest artifact under ${cfg.warehouseRoot}/_artifacts - run `graft.Main run` first"))
+    val src = manifestSource(wh, cfg)
+    val manifest = src.fetch().getOrElse(throw new CliError(
+      s"no manifest at ${src.describe} - run `graft.Main run` first " +
+        "(or point --manifest at a prod manifest.json)"))
     val base = manifest.baseSchema.getOrElse(cfg.schema)
     val graph = DemoProject.graph(cfg.slices, changed = cfg.changed, schema = base)
     val copier = TableCopier(wh, cfg.threads)

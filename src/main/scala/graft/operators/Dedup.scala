@@ -385,6 +385,82 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Block counts the auto dial may pick: divisors of 60 > maxDist,
+    * capped at 12 (C(12,3)=220 index rows per doc is the largest
+    * explode worth trading for key width; past its reach you shard
+    * the corpus, not the fingerprint).
+    */
+  private val simhashBlockChoices = Seq(4, 6, 10, 12)
+
+  private def choose(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
+  /** The SimHash banding dial: how many blocks to split the 60-bit
+    * fingerprint into, given the corpus size. The 4-block pigeonhole
+    * (d03's compare-scale form) keys tables on ONE 15-bit block, so
+    * random (birthday) collisions grow as n²/2¹⁵ — measured 78×
+    * candidate volume at the 10× corpus; a 100 TB scale-killer even
+    * though hamming-≤3 recall is perfect. Manku/Jain/Das Sarma (WWW
+    * 2007, the Google near-dup system) fix: with tolerance t, a pair
+    * within hamming t agrees on some (b−t)-subset of blocks, so key
+    * each table on a FULL (b−t)-subset — C(b,t) tables of
+    * 60·(b−t)/b-bit keys. More tables, exponentially fewer random
+    * collisions; the reported pairs are IDENTICAL (superset of
+    * candidates + the same exact hamming filter). Smallest b whose
+    * expected random collisions stay ≤ ~1 per doc wins:
+    * n=5e3 → 4 (today's form), n=1e6 → 6, n=1e9 → 10, n=1e12 → 12.
+    */
+  def simhashBlocks(corpusCount: Long, maxDist: Int = 3): Int =
+    simhashBlockChoices.filter(_ > maxDist).find { b =>
+      val keyBits = 60.0 * (b - maxDist) / b
+      choose(b, maxDist) * corpusCount.toDouble / math.pow(2.0, keyBits) <= 1.0
+    }.getOrElse(simhashBlockChoices.last)
+
+  /** [[simhashPairsPortable]] generalized to `blocks` blocks with
+    * (blocks−maxDist)-block table keys (see [[simhashBlocks]]).
+    * blocks=4, maxDist=3 is exactly the registered d03 plan (4 tables
+    * keyed on single blocks). The subset keys fold into ONE long
+    * (≤ 51 bits at b=12), so the candidate join stays a codegen'd
+    * long equi-join however many tables there are.
+    */
+  def simhashPairsBlocked(docs: DataFrame, n: Int, maxDist: Int = 3,
+      blocks: Int = 4): DataFrame = {
+    require(60 % blocks == 0, s"blocks must divide 60, got $blocks")
+    require(blocks > maxDist, "need more blocks than the hamming tolerance")
+    val w = 60 / blocks
+    val fp = simhashesPortable(shingledPortable(docs, n)).localCheckpoint(true)
+    def blockVal(i: Int) =
+      shiftrightunsigned(col("simhash"), i * w).bitwiseAND(lit((1L << w) - 1))
+    val subsets = (0 until blocks).combinations(blocks - maxDist).toSeq
+    val tableKeys = subsets.zipWithIndex.map { case (ss, ti) =>
+      struct(lit(ti).as("ti"),
+        ss.zipWithIndex.map { case (blk, pos) => shiftleft(blockVal(blk), pos * w) }
+          .reduce(_ bitwiseOR _).as("kv"))
+    }
+    val keys = fp.select(col("doc_id"), col("simhash"),
+        explode(array(tableKeys: _*)).as("t"))
+      .select(col("doc_id"), col("simhash"),
+        col("t.ti").as("ti"), col("t.kv").as("kv"))
+    keys.as("a")
+      .join(keys.as("b"),
+        col("a.ti") === col("b.ti") && col("a.kv") === col("b.kv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Hashing.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The production SimHash entry point: banding dial derived from one
+    * corpus count() (the same one-count discipline as the d05/d10/s05
+    * auto dials). Output is identical to [[simhashPairsPortable]] —
+    * every pair with hamming ≤ maxDist — which is why the auto dial
+    * can share d03's DuckDB oracle instead of settling for recall
+    * specs.
+    */
+  def simhashPairsAuto(docs: DataFrame, n: Int, maxDist: Int = 3): DataFrame =
+    simhashPairsBlocked(docs, n, maxDist, simhashBlocks(docs.count(), maxDist))
+
   /** Public fingerprint view: (doc_id, simhash) for docs with ≥ n tokens. */
   def simhashFingerprints(docs: DataFrame, n: Int): DataFrame =
     simhashes(shingled(docs, n))

@@ -442,6 +442,38 @@ class EngineSpec extends SparkSpec {
     assert(ManifestState.load(wh).get.diff(g2) == Set("b"))
   }
 
+  test("manifest sources are interchangeable: same state:modified+ selection") {
+    def graphWith(bodyB: String) = ModelGraph(Seq(
+      Model("a", Nil, Materialization.View, _ => spark.emptyDataFrame, body = "x"),
+      Model("b", Seq("a"),
+        Materialization.Incremental(IncrementalStrategy.Append("ts")),
+        _ => spark.emptyDataFrame, body = bodyB),
+      Model("c", Seq("b"), Materialization.Table,
+        _ => spark.emptyDataFrame, body = "z")))
+    val prodState = ManifestState.of(graphWith("y"))
+    val current = graphWith("y v2")
+    // the same prod state through all three acquisition paths: the
+    // warehouse artifact a run persisted, an out-of-band manifest
+    // file (dbt's --state / a downloaded dbt-Cloud artifact), and an
+    // in-memory handoff
+    val wh = freshWh("manifest_src")
+    ManifestState.save(wh, prodState)
+    val file = graft.core.Scratch.dir("manifest_src").resolve("manifest.json")
+    java.nio.file.Files.writeString(file, prodState.toJson)
+    val sources: Seq[ManifestSource] = Seq(
+      ManifestSource.WarehouseArtifact(wh),
+      ManifestSource.FilePath(file.toString),
+      ManifestSource.Static(prodState))
+    val selections = sources.map(s =>
+      graft.ci.IncrementalCI.select(current, s.fetch().get))
+    assert(selections.distinct.size == 1,
+      s"sources disagreed: ${sources.map(_.describe).zip(selections)}")
+    assert(selections.head.directlyModified == Set("b"))
+    assert(selections.head.closure == Set("b", "c"))
+    // no prior state at the path reads as "no manifest", not an error
+    assert(ManifestSource.FilePath(s"$file.missing").fetch().isEmpty)
+  }
+
   test("bench harness records per-query errors instead of swallowing them") {
     val qs = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       "ok" -> ((s, _) => s.range(5).toDF()),

@@ -65,6 +65,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(overlap >= 0.5, s"portable simhash found only $overlap of planted near-dups")
   }
 
+  test("blocked simhash banding reports identical pairs at every dial setting") {
+    // the d03_auto contract: re-banding changes WHICH equi-join finds
+    // a candidate, never the reported pairs — all pairs within the
+    // hamming tolerance, exactly (what lets every dial share d03's
+    // DuckDB oracle). b=4 must also BE the registered 4×15 pigeonhole.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = rows(Dedup.simhashPairsPortable(cat.documents, n = 3, maxDist = 3))
+    assert(ref.nonEmpty)
+    for (b <- Seq(4, 6, 10)) {
+      val got = rows(Dedup.simhashPairsBlocked(cat.documents, n = 3,
+        maxDist = 3, blocks = b))
+      assert(got == ref, s"blocks=$b diverged: ${(got diff ref) ++ (ref diff got)}")
+    }
+  }
+
+  test("simhash banding dial widens keys as the corpus grows") {
+    // 4 blocks (15-bit keys) holds while 4·n/2^15 <= 1 collision/doc;
+    // past ~8k docs the dial steps to 6 blocks (30-bit keys, 20
+    // tables), past ~50M to 10 (42-bit keys) — never back down
+    assert(Dedup.simhashBlocks(500L) == 4)
+    assert(Dedup.simhashBlocks(5000L) == 4)
+    assert(Dedup.simhashBlocks(50000L) == 6)
+    assert(Dedup.simhashBlocks(10000000L) == 6)
+    assert(Dedup.simhashBlocks(1000000000L) == 10)
+    assert(Dedup.simhashBlocks(1000000000000L) == 12)
+    val dials = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L,
+      100000000000L, 10000000000000L).map(Dedup.simhashBlocks(_))
+    assert(dials == dials.sorted, s"dial must be monotone in n: $dials")
+  }
+
   test("simhash pairs are sound (hamming<=3) and overlap the planted near-dups") {
     val sim = Dedup.simhashPairs(cat.documents, n = 3, maxDist = 3)
     val rows = sim.collect()
