@@ -128,6 +128,28 @@ object Bench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** 100× documents corpus for the d03 banding probe. Two independent
+    * letter-rotation bijections over disjoint 12-letter alphabets give
+    * 144 distinct per-copy bijections — within-copy shingle structure
+    * is exactly preserved, cross-copy overlap collapses, and (unlike
+    * reusing the single 12-rotation family at 100 copies) no two
+    * copies share a bijection, so true-pair counts stay flat and the
+    * probe measures operator scaling, not output explosion.
+    */
+  def stageDocuments100x(spark: SparkSession, sfDir: String,
+      outDir: String, copies: Int = 100): Unit = {
+    val a1 = "etaoinshrdlu"; val a2 = "cmfwypvbgkqj"
+    (0 until copies).map { i =>
+      val r1 = a1.drop(i % 12) + a1.take(i % 12)
+      val r2 = a2.drop(i / 12 % 12) + a2.take(i / 12 % 12)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", translate(translate(col("text"), a1, r1), a2, r2))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   // ----------------------------------------------------------------
 
   private def jstr(s: String): String =
@@ -313,6 +335,41 @@ object Bench {
               ()
             } catch { case _: Throwable => () }
             rs100
+        } ++ {
+          // 100× documents probe for the d03 banding dial: at 500k
+          // docs the fixed 4×15 pigeonhole's random collisions alone
+          // are n²/2^15 ≈ 7.6e9 candidate pairs — unrunnable by
+          // design — while the dial re-bands to b=6 (20 tables,
+          // 30-bit keys, expected random collisions < 0.01/doc).
+          // Only the auto form runs here, like the embeddings probes.
+          if (elapsed > budgetSec) Nil
+          else {
+            val dir100d = graft.core.Scratch.dir("scale100xdocs").toString
+            val stagedD =
+              try { stageDocuments100x(spark, sfDir, dir100d); None }
+              catch { case e: Throwable =>
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .takeWhile(_ != '\n').take(200))
+              }
+            val rsD =
+              if (stagedD.isDefined)
+                Seq(("d03_dedup_simhash_auto_100x", -1.0,
+                  medians("d03_dedup_simhash"),
+                  Some(s"staging_failed: ${stagedD.get}")))
+              else {
+                val (secs, err) = timed(spark, dir100d, (s, d) =>
+                  graft.operators.Dedup.simhashPairsAuto(
+                    s.read.parquet(s"$d/documents.parquet"), n = 3, maxDist = 3))
+                Seq(("d03_dedup_simhash_auto_100x", secs,
+                  medians("d03_dedup_simhash"), err))
+              }
+            try {
+              val p = new org.apache.hadoop.fs.Path(dir100d)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+              ()
+            } catch { case _: Throwable => () }
+            rsD
+          }
           }
         }
         // best-effort scratch cleanup; the data lives under /tmp anyway

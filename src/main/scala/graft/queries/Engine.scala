@@ -218,11 +218,24 @@ object Engine {
     mat.run(model, _ => b2).orderBy("o_orderkey")
   }
 
-  // m06 — state:modified+ selection (rows-only; graph math also unit
-  // tested). One staging model's body changes; the closure pulls in
-  // its downstream incrementals + snapshot, and clone targets filter
-  // to exactly those (views/tables rebuild from scratch in CI).
-  val m06: Q = rowsOnly("m06_state_modified") { (spark, _) =>
+  // m06 — state:modified+ selection. One staging model's body
+  // changes; the closure pulls in its downstream incrementals +
+  // snapshot, and clone targets filter to exactly those (views/tables
+  // rebuild from scratch in CI). The selection over this fixed graph
+  // is fully deterministic driver-side math, so the oracle is the
+  // literal verdict matrix (same discipline as t09) — hash-gated, on
+  // top of the EngineSpec graph-semantics coverage.
+  val m06: Q = q("m06_state_modified",
+    """SELECT * FROM (VALUES
+      |  ('int_ab',   false, true,  true),
+      |  ('int_c',    false, false, false),
+      |  ('mart_all', false, true,  true),
+      |  ('snap_b',   false, true,  true),
+      |  ('stg_a',    false, false, false),
+      |  ('stg_b',    true,  true,  false),
+      |  ('stg_c',    false, false, false))
+      |  AS t(model_name, directly_modified, in_closure, clone_target)
+      |ORDER BY model_name""") { (spark, _) =>
     def graphWith(bodyB: String): ModelGraph = {
       def m(name: String, deps: Seq[String], mat: Materialization,
           body: String): Model =

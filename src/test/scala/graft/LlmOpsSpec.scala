@@ -81,6 +81,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("blocked simhash candidate join is an equi-join at every dial, never a loop") {
+    // the scale contract behind d03_auto: re-banding must keep the
+    // candidate stage a hash/sort EQUI-join on the folded (ti, kv)
+    // key — a dial setting that degenerated to a nested loop or
+    // cartesian would be quadratic no matter how wide the keys are
+    for (b <- Seq(4, 6)) {
+      val plan = Dedup.simhashPairsBlocked(cat.documents, n = 3,
+        maxDist = 3, blocks = b).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"blocks=$b candidate join degenerated:\n$plan")
+    }
+  }
+
   test("simhash banding dial widens keys as the corpus grows") {
     // 4 blocks (15-bit keys) holds while 4·n/2^15 <= 1 collision/doc;
     // past ~8k docs the dial steps to 6 blocks (30-bit keys, 20

@@ -136,6 +136,32 @@ class MainSpec extends SparkSpec {
     assert(noop.selection.directlyModified.isEmpty && noop.ran.isEmpty)
   }
 
+  test("Main ci --manifest: out-of-band manifest file drives the same selection") {
+    val whRoot = graft.core.Scratch.dir("main_mf").toString
+    val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = slices, cutoff = Some(cutoffDate))
+    Main.run(spark, base)
+    val wh = Warehouse(spark, whRoot)
+    // export the persisted manifest to a standalone file (what a CI job
+    // that fetched prod state out-of-band would have on disk), then
+    // DELETE the warehouse artifact: ci must run purely off --manifest
+    val exported = graft.core.Scratch.dir("main_mf_file").resolve("manifest.json")
+    java.nio.file.Files.writeString(exported,
+      ManifestState.load(wh).get.toJson)
+    val artifact = new java.io.File(s"$whRoot/_artifacts/manifest.json")
+    assert(artifact.delete(), "precondition: warehouse artifact removed")
+    val changed = Set("stg_orders_3")
+    val noManifest = base.copy(command = "ci", cutoff = None, changed = changed)
+    intercept[Main.CliError](Main.ci(spark, noManifest.copy(dryRun = true)))
+    val viaFile = Main.ci(spark, noManifest.copy(dryRun = true,
+      manifestPath = Some(exported.toString)))
+    assert(viaFile.selection.directlyModified == changed)
+    assert(viaFile.selection.closure.size > changed.size)
+    // parse wires the flag through
+    val parsed = Main.parse(Seq("ci", "--manifest", "/x/manifest.json"))
+    assert(parsed.exists(_.manifestPath.contains("/x/manifest.json")))
+  }
+
   test("Main ci without a prod manifest fails with a clear error") {
     val whRoot = graft.core.Scratch.dir("nomanifest").toString
     // CliError specifically: main() turns it into stderr + exit(2), the
