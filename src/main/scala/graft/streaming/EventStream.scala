@@ -138,10 +138,45 @@ object EventStream {
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
+  private def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Fold one sorted micro-batch into the per-user session state:
+    * extends the open session or closes it and opens a new one.
+    * Returns (sessions closed by this batch, the still-open session).
+    */
+  private def foldBatch(batch: Iterator[Ev],
+      openIn: Option[SessionState]): (Seq[SessionState], Option[SessionState]) = {
+    def dec(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var open = openIn
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    for (e <- sorted) {
+      val t = micros(e.ts)
+      open match {
+        case Some(s) if t - s.end <= gapMicros =>
+          open = Some(s.copy(end = t, n = s.n + 1, total = s.total + dec(e.value)))
+        case other =>
+          other.foreach(closed += _)
+          open = Some(SessionState(t, t, 1, dec(e.value)))
+      }
+    }
+    (closed.toSeq, open)
+  }
+
   /** e02 streaming: explicit per-user session state. Events arrive in
     * micro-batches; completed sessions (gap exceeded) are emitted, the
-    * open session rides in GroupState. Event-time timeout would close
-    * idle sessions in production; tests close them with a sentinel.
+    * open session rides in GroupState. This form has NO timeout: an
+    * idle user's last session stays open until their next event (or a
+    * test sentinel). Production uses [[sessionizeStreamEventTime]],
+    * where the watermark itself closes idle sessions.
     */
   def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -150,32 +185,50 @@ object EventStream {
       .flatMapGroupsWithState[List[SessionState], Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          def micros(ts: Timestamp): Long =
-            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
-          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var open: Option[SessionState] =
-            state.getOption.flatMap(_.headOption)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          for (e <- sorted) {
-            val t = micros(e.ts)
-            open match {
-              case Some(s) if t - s.end <= gapMicros =>
-                open = Some(s.copy(end = t, n = s.n + 1,
-                  total = s.total + BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
-              case other =>
-                other.foreach(closed += _)
-                open = Some(SessionState(t, t, 1,
-                  BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
-            }
-          }
-          def toTs(us: Long): Timestamp = {
-            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-            t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
-            t
-          }
+          val (closed, open) = foldBatch(batch, state.getOption.flatMap(_.headOption))
           state.update(open.toList)
           closed.iterator.map(s => Session(userId,
             toTs(s.start), toTs(s.end), s.n, s.total.toDouble))
+      }
+  }
+
+  /** e02 streaming, PRODUCTION form: event-time timeout closes idle
+    * sessions when the watermark passes `last event + gap` — no
+    * sentinel events, state strictly bounded by the watermark horizon
+    * (the input must carry `withWatermark("ts", ...)`). Timeout
+    * handling and gap-fold share one code path with
+    * [[sessionizeStream]], so the emitted sessions are identical —
+    * only WHEN the final session of an idle user emits differs.
+    */
+  def sessionizeStreamEventTime(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end + gap: no later
+            // event can extend it (late data would be dropped by the
+            // watermark anyway) — emit and clear
+            val timedOut = state.getOption.toSeq.flatten
+            state.remove()
+            timedOut.iterator.map(s => Session(userId,
+              toTs(s.start), toTs(s.end), s.n, s.total.toDouble))
+          } else {
+            val (closed, open) = foldBatch(batch, state.getOption.flatMap(_.headOption))
+            state.update(open.toList)
+            open.foreach { s =>
+              // fire when the watermark passes the gap horizon; the
+              // max() keeps the timestamp legal if the watermark
+              // already moved past it within this trigger
+              val horizonMs = Math.floorDiv(s.end + gapMicros, 1000L)
+              state.setTimeoutTimestamp(
+                Math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map(s => Session(userId,
+              toTs(s.start), toTs(s.end), s.n, s.total.toDouble))
+          }
       }
   }
 }

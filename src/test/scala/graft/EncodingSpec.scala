@@ -65,6 +65,48 @@ class EncodingSpec extends SparkSpec {
     assert(Catalog(spark, sfDir).events.schema("ts").dataType == TimestampNTZType)
   }
 
+  test("testdata schema contract: every table reads with the expected Spark types") {
+    // TRIPWIRE for driver-side testdata regeneration (round 9 changed
+    // the events ts encoding under the repo and five call sites broke
+    // at a distance): if a regen moves ANY column type, this points at
+    // exactly what moved instead of a hash mismatch three layers up.
+    // Types are as read THROUGH Catalog — i.e. post-normalization for
+    // events — because that is the surface every query consumes.
+    val expected = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+        "p_type:string, p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp_ntz"),
+      "events" -> ("event_id:bigint, ts:timestamp_ntz, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    val c = Catalog(spark, sfDir)
+    val frames = Map("region" -> c.region, "nation" -> c.nation,
+      "customer" -> c.customer, "supplier" -> c.supplier, "part" -> c.part,
+      "orders" -> c.orders, "lineitem" -> c.lineitem, "events" -> c.events,
+      "documents" -> c.documents, "embeddings" -> c.embeddings)
+    for ((name, df) <- frames) {
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got == expected(name),
+        s"table $name schema moved:\n  got      $got\n  expected ${expected(name)}")
+    }
+  }
+
+  test("SparkEntry.entry flagship returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("sessionize / tumbling / range-join results are encoding-invariant") {
     def fingerprint(dir: String): (Seq[String], Seq[String], Seq[String]) = {
       val ev = Catalog(spark, dir).events

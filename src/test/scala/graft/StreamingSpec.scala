@@ -265,6 +265,39 @@ class StreamingSpec extends SparkSpec {
     assertSameSets(streamed, batch)
   }
 
+  test("event-time-timeout sessionization: watermark closes idle sessions, no sentinel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = cat.events.filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EventStream.Ev].collect().toSeq
+    // one far-future event for a DIFFERENT user: it advances the
+    // GLOBAL watermark past every real session's gap horizon, so all
+    // user<10 sessions must emit via TIMEOUT — none of those users
+    // ever sees another event (the no-sentinel production semantics)
+    val futureTs = new Timestamp(evs.map(_.ts.getTime).max + 48L * 3600 * 1000)
+    val input = MemoryStream[EventStream.Ev]
+    val query = EventStream.sessionizeStreamEventTime(
+        input.toDS().withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("e02_evt")
+      .outputMode("append").start()
+    input.addData(evs); query.processAllAvailable()
+    input.addData(EventStream.Ev(Long.MaxValue, futureTs, 999999L, 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("e02_evt")
+      .filter(col("user_id") < 10)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), tsMillis(r, 1), tsMillis(r, 2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = EventStream.sessionize(cat.events.filter(col("user_id") < 10))
+      .collect()
+      .map(r => (r.getLong(0), tsMillis(r, 2), tsMillis(r, 3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assertSameSets(streamed, batch)
+  }
+
   test("ingest dedup steps: admitted digests block later copies across batches") {
     import spark.implicits._
     val wh = Warehouse.scratch(spark, "ingestdedup")
