@@ -16,12 +16,13 @@ import graft.sources.Catalog
   * Oracle notes: every float formula is written so DuckDB reproduces
   * it bit-for-bit — strict left folds for vector math (Spark
   * `aggregate` ≙ DuckDB `list_reduce`), integer-derived divisions,
-  * ROUND(…, 6) on output. Hash-family-dependent ops whose family is
-  * NOT SQL-portable (s02's random hyperplanes over float dots) are
-  * rows-only, pinned by ScalaTests (exactness of the verify step +
-  * recall vs the exact operators); d02 and d03 register md5-portable
-  * families precisely so their candidate sets ARE SQL-reproducible
-  * and the entries oracle-gate.
+  * ROUND(…, 6) on output. Hash-family-dependent ops oracle-gate
+  * wherever the family is reproducible in plain SQL: d02/d03 via
+  * md5-portable families, d05/s02 via the seeded SRP planes rendered
+  * as literal weights. Only ops whose candidates depend on iterative
+  * float training (k-means codebooks: d10, s03–s05) or on
+  * approximate sketches (x11) stay rows-only, pinned by ScalaTests
+  * (exactness of the verify step + recall vs the exact operators).
   */
 object LlmOps {
 
@@ -222,8 +223,12 @@ object LlmOps {
     * recall vs the exact all-pairs baseline is pinned separately in
     * LlmOpsSpec (planted near-dups at cosine ≥ 0.9 → recall 1.0).
     */
-  private def d05OracleSql(threshold: Double, tables: Int, bits: Int,
-      dim: Int, seed: Long): String = {
+  /** The SRP bucket branches shared by the d05 and s02 oracles: the
+    * SAME seeded planes the operators hash with, rendered as literal
+    * weights — both engines then compute identical sign bits.
+    */
+  private def srpBucketBranches(tables: Int, bits: Int, dim: Int,
+      seed: Long): String = {
     val hp = Ann.srpPlanes(tables, bits, dim, seed)
     def dot(plane: Array[Double]): String =
       plane.zipWithIndex.map { case (w, i) => s"v[${i + 1}]*($w)" }.mkString(" + ")
@@ -231,9 +236,14 @@ object LlmOps {
       (0 until bits).map { j =>
         s"(CASE WHEN (${dot(hp(t)(j))}) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-    val branches = (0 until tables).map { t =>
+    (0 until tables).map { t =>
       s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM n" }
       .mkString(" UNION ALL ")
+  }
+
+  private def d05OracleSql(threshold: Double, tables: Int, bits: Int,
+      dim: Int, seed: Long): String = {
+    val branches = srpBucketBranches(tables, bits, dim, seed)
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
        |b AS ($branches),
@@ -355,8 +365,26 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
-  // s02 — LSH-bucketed approximate top-5 (recall vs s01 in ScalaTest)
-  val s02: Q = rowsOnly("s02_ann_lsh") { c =>
+  // s02 — LSH-bucketed approximate top-5. Oracle-gated since round
+  // 10: the candidate set comes from the SAME seeded SRP planes the
+  // d05 oracle already mirrors as literal weights (identical sign
+  // bits in both engines), and the top-k ranking reuses s01's proven
+  // deterministic (cos DESC, neighbor_id) idiom — so the full
+  // approximate RESULT hash-compares, not just its recall.
+  val s02: Q = q("s02_ann_lsh",
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+      |b AS (${srpBucketBranches(tables = 8, bits = 6, dim = 64, seed = 7L)}),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |          AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |p AS (SELECT query_id, neighbor_id,
+      |        list_reduce(list_transform(range(1, 65), i -> x.v[i]*y.v[i]), (acc, t) -> acc + t)
+      |          / (x.nrm*y.nrm) AS cos
+      |      FROM cand JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
     Ann.lsh(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
       .orderBy("query_id", "rank")
   }
