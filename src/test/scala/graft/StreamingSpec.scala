@@ -265,6 +265,34 @@ class StreamingSpec extends SparkSpec {
     assertSameSets(streamed, batch)
   }
 
+  test("stream dedup: replay AFTER the watermark horizon still emits no duplicate") {
+    // the bounded-state contract: dropDuplicatesWithinWatermark
+    // forgets keys once the watermark passes them — safe ONLY because
+    // the same watermark also filters rows that old, so a replay
+    // arriving after its key's state expired is dropped as late data
+    // rather than re-emitted. Output stays exactly-once either way;
+    // this pins the second half of that argument.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.dedupStream(stream).writeStream
+      .format("memory").queryName("e04_late")
+      .outputMode("append").start()
+    input.addData((1L, at(1), 1L, "view", 1.0)); query.processAllAvailable()
+    // jump event time 12h -> watermark (2h delay) passes 01:00 by far,
+    // so event 1's dedup state is eligible for eviction
+    input.addData((2L, at(13), 2L, "view", 2.0)); query.processAllAvailable()
+    // replay of event 1 at its ORIGINAL (now far-late) timestamp
+    input.addData((1L, at(1), 1L, "view", 1.0)); query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("e04_late").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L),
+      s"late replay must not re-emit: got ${ids.toSeq.sorted}")
+  }
+
   test("event-time-timeout sessionization: watermark closes idle sessions, no sentinel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
