@@ -39,6 +39,51 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Exact top-k by raw inner product — MIPS, the retrieval mode for
+    * unnormalized embedding stores (recommenders, reward models),
+    * where magnitude carries signal and cosine is the wrong order.
+    * Same broadcast-queries / streaming-corpus shape as `brute`.
+    */
+  def bruteMips(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      Vectors.toDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("v"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.dot(col("qv"), col("v")).as("ip"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), round(col("ip"), 6).as("inner_product"))
+  }
+
+  /** MIPS at scale via the order-exact cosine reduction (Bachrach et
+    * al., RecSys 2014): corpus x → [x, sqrt(M² − |x|²)] with M the max
+    * corpus norm, query q → [q, 0]. Every augmented corpus vector has
+    * norm exactly M, so augmented cosine = ip/(|q|·M) — a positive
+    * per-query scaling that preserves the inner-product order. The
+    * existing IVF candidate machinery then applies UNCHANGED; the only
+    * approximation is IVF's candidate pruning (dial: nProbe), never
+    * the reduction itself. One extra scalar agg (M²) over the corpus.
+    */
+  def mipsIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("v"))
+    val m2 = c.agg(max(Vectors.dot(col("v"), col("v")))).head.getDouble(0)
+    val corpusAug = c.select(col("vec_id"),
+      concat(col("v"),
+        array(sqrt(greatest(lit(m2) - Vectors.dot(col("v"), col("v")), lit(0.0)))))
+        .as("embedding"))
+    val queriesAug = queries.select(col("vec_id"),
+      concat(Vectors.toDouble(col("embedding")), array(lit(0.0))).as("embedding"))
+    ivf(queriesAug, corpusAug, k, nCentroids, nProbe, kmeansIters)
+      .drop("cosine") // augmented cosine is a scaled ip — not reportable as either
+  }
+
   /** Per-query top-k by cosine (tiebreak: lowest neighbor id). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")

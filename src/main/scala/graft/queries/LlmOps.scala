@@ -417,6 +417,25 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  // s06 — exact MIPS top-5: raw inner-product retrieval for
+  // unnormalized embedding stores (magnitude carries signal — cosine
+  // is the wrong order there). Oracle-gated like s01: DuckDB computes
+  // the same strict left-to-right dot products. The scale path is
+  // Ann.mipsIvf — the order-exact [x, sqrt(M²−|x|²)] augmentation
+  // reduces MIPS to cosine so the IVF machinery applies unchanged
+  // (full-probe set-equality with this entry pinned in LlmOpsSpec).
+  val s06: Q = q("s06_ann_mips",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_reduce(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), (acc, x) -> acc + x) AS ip
+      |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(ip, 6) AS inner_product
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
+    Ann.bruteMips(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // s05 AUTO — occupancy-held k-NN graph (k ∝ n via the DataFrame-
   // native k-means, routed assignment past RouteThreshold): the
   // fixed-16-centroid graph's within-cluster work is quadratic at
@@ -1332,7 +1351,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12,
-    s01, s02, s03, s04, s05, s05auto,
+    s01, s02, s03, s04, s05, s05auto, s06,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, p01, p02, mm01, mm02)
 }

@@ -687,8 +687,82 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.trim))
 
+  // q29 — GROUPING SETS: the non-hierarchical multi-grain form the
+  // dashboard marts re-aggregate with (dept×priority, dept-only,
+  // priority-only in ONE pass). Unlike q24's ROLLUP this is an
+  // arbitrary grain list — Catalyst compiles it to a single Expand +
+  // hash-aggregate, one scan for all three grains (vs three scans +
+  // a union, which is what the reference's SQL engines would do
+  // without it). Same SQL-resolution-path workaround as q24: selecting
+  // grouping columns post-agg from the Dataset API trips Spark 4's
+  // DetectAmbiguousSelfJoin on the Expand's null-extended copies.
+  val q29: Q = Q("q29_grouping_sets", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val src = c.orders.select(col("o_orderstatus"), col("o_orderpriority"),
+      col("o_totalprice"))
+    val view = s"graft_q29_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    src.createOrReplaceTempView(view)
+    try {
+      val out = spark.sql(
+        s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           |  COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           |  COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+           |FROM $view
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |  (o_orderstatus), (o_orderpriority))
+           |ORDER BY g_status, g_priority, status, priority""".stripMargin)
+      out.queryExecution.analyzed // resolve the view ref before dropping it
+      out
+    } finally {
+      spark.catalog.dropTempView(view); ()
+    }
+  }, Some(
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority))
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin.trim))
+
+  // q30 — exact interpolated percentiles per group (the reference's
+  // benchmarking marts bucket on quartiles; percent_rank covers the
+  // rank side, this covers the VALUE side). Spark's `percentile` and
+  // DuckDB's `quantile_cont` share the lo + (hi-lo)·frac linear
+  // interpolation, so the doubles agree and ROUND(…,4) hash-compares.
+  // Scale note: exact percentile is a per-group sort — correct here
+  // and fine per-group, but the 100 TB default is
+  // `percentile_approx` (t-digest sketch, one pass, mergeable);
+  // x11_sketch_profile registers that path with tolerance specs.
+  val q30: Q = q("q30_percentile",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+      |  ROUND(quantile_cont(l_quantity, 0.50), 4) AS qty_p50,
+      |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+      |  ROUND(quantile_cont(l_quantity, 0.95), 4) AS qty_p95,
+      |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS price_median
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+    c.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(expr("percentile(l_quantity, 0.25D)"), 4).as("qty_p25"),
+        round(expr("percentile(l_quantity, 0.50D)"), 4).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.75D)"), 4).as("qty_p75"),
+        round(expr("percentile(l_quantity, 0.95D)"), 4).as("qty_p95"),
+        round(expr("percentile(l_extendedprice, 0.50D)"), 4).as("price_median"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }

@@ -155,6 +155,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall vs brute")
   }
 
+  test("MIPS: full-probe mipsIvf equals brute inner-product top-k (reduction is order-exact)") {
+    val queries = cat.embeddings.filter(col("vec_id") < 20)
+    val brute = Ann.bruteMips(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // nProbe = nCentroids => no candidate pruning: the ONLY remaining
+    // approximation would be the reduction itself, so set equality
+    // here pins that [x, sqrt(M^2-|x|^2)] preserves the ip order
+    val full = Ann.mipsIvf(queries, cat.embeddings, k = 5,
+      nCentroids = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == brute,
+      s"full-probe MIPS-via-cosine diverged: missing ${brute -- full}, extra ${full -- brute}")
+    // (on this near-uniform-norm synthetic corpus the MIPS and cosine
+    // top-5 sets largely coincide — the ip VALUES, which the DuckDB
+    // oracle hash-gates, are what distinguishes the operator)
+  }
+
   test("IVF-PQ ANN: ADC shortlist + exact re-rank tracks plain IVF, bitwise deterministic") {
     val queries = cat.embeddings.filter(col("vec_id") < 20)
     val brute = Ann.brute(queries, cat.embeddings, k = 5).collect()
