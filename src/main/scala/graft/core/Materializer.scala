@@ -67,7 +67,7 @@ final case class Materializer(wh: Warehouse) {
           case None =>
             val partCols = strategy match {
               case IncrementalStrategy.InsertOverwrite(cols) => cols
-              case IncrementalStrategy.Merge(_, _, cols) => cols
+              case IncrementalStrategy.Merge(_, _, cols, _) => cols
               case IncrementalStrategy.Microbatch(p, _) => Seq(p)
               case _ => Nil
             }
@@ -102,7 +102,7 @@ final case class Materializer(wh: Warehouse) {
           wh.overwriteStaged(staged, model.targetSchema, model.name)
         }
 
-      case IncrementalStrategy.Merge(keys, wmOpt, partCols) =>
+      case IncrementalStrategy.Merge(keys, wmOpt, partCols, predOpt) =>
         // Latest-per-key: incoming wins over existing; within a batch,
         // higher watermark wins. One shuffle on the unique key.
         // With partitionBy set, the merge is PARTITION-SCOPED: only
@@ -125,13 +125,28 @@ final case class Materializer(wh: Warehouse) {
               }.reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
             existing.filter(pred)
           }
-        val older = alignTo(tgt, existingSide).withColumn("__is_new", lit(0))
+        // dbt incremental_predicates: only the predicate-passing slice
+        // of the target enters the key-matching shuffle; everything
+        // else is carried through untouched (even same-key rows — the
+        // documented semantics). MERGE rule: a NULL predicate row is
+        // not matched, i.e. untouched.
+        val (scanned, untouched) = predOpt match {
+          case None => (existingSide, None)
+          case Some(p) =>
+            (existingSide.filter(p),
+              Some(existingSide.filter(!coalesce(p, lit(false)))))
+        }
+        val older = alignTo(tgt, scanned).withColumn("__is_new", lit(0))
         val ordering = col("__is_new").desc +: wmOpt.map(c => col(c).desc).toSeq
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-        val merged = newer.unionByName(older)
+        val mergedScanned = newer.unionByName(older)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn", "__is_new")
+        val merged = untouched match {
+          case Some(u) => mergedScanned.unionByName(alignTo(tgt, u))
+          case None => mergedScanned
+        }
         if (partCols.isEmpty)
           wh.overwriteStaged(merged, model.targetSchema, model.name)
         else

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Materialization strategies, mirroring the reference's dbt project
   * surface (reference: DbtEducationalDataProject/dbt_project.yml:262-283
@@ -42,9 +42,21 @@ object IncrementalStrategy {
     * not a full-table copy-on-write. Constraint (same as dbt
     * insert_overwrite and lakehouse partition-pruned MERGE): a key
     * must not move between partitions across batches.
+    *
+    * `predicate` is dbt `incremental_predicates`: a row-level filter
+    * on the DEST (target) side of the merge. Only target rows
+    * satisfying it are scanned for key matches; every other target
+    * row is carried through UNTOUCHED — including rows that share a
+    * key with the batch (dbt's documented footgun: a predicate that
+    * excludes a live key duplicates it). The point at 100 TB: the
+    * merge's key shuffle sees only the predicate-passing slice — with
+    * a predicate over the partition columns it prunes directories,
+    * with any other indexed/clustered column it prunes row groups —
+    * instead of the whole table. Composes with `partitionBy`.
     */
   final case class Merge(uniqueKey: Seq[String], watermarkCol: Option[String],
-      partitionBy: Seq[String] = Nil) extends IncrementalStrategy
+      partitionBy: Seq[String] = Nil,
+      predicate: Option[Column] = None) extends IncrementalStrategy
   /** Replace exactly the partitions present in the incoming batch
     * (dbt `insert_overwrite`); maps to Spark dynamic partition
     * overwrite, which at cluster scale is a metadata-only swap per

@@ -1008,7 +1008,43 @@ object Engine {
     cat
   }
 
+  // m26 — dbt `incremental_predicates`: a row-level DEST-side filter
+  // on the merge. Only target rows satisfying the predicate enter the
+  // key-matching shuffle; every other target row is carried through
+  // untouched — INCLUDING rows that share a key with the batch, dbt's
+  // documented footgun, which the oracle encodes on purpose: keys
+  // %7==0 with o_orderdate before the predicate cutoff end up with
+  // BOTH their old batch-1 row (unscanned) and the new batch-2 row
+  // (merge-inserted). At 100 TB the predicate is what keeps a
+  // "last 7 days" merge from shuffling seven years of target.
+  val m26: Q = q("m26_incremental_predicates",
+    """SELECT o_orderkey, o_orderdate, o_totalprice, batch FROM (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice, 1 AS batch
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderdate >= TIMESTAMP '1997-01-01')
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate, o_totalprice * 0.5 AS o_totalprice, 2 AS batch
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |ORDER BY o_orderkey, batch""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m26")
+    val mat = Materializer(wh)
+    val predCutoff = lit("1997-01-01").cast(TimestampType)
+    val model = Model("orders_pred", Seq("orders"),
+      Materialization.Incremental(IncrementalStrategy.Merge(
+        Seq("o_orderkey"), None,
+        predicate = Some(col("o_orderdate") >= predCutoff))),
+      ctx => ctx.source("orders"))
+    val base = c.orders.select(col("o_orderkey"), col("o_orderdate"),
+      col("o_totalprice"))
+    mat.run(model, _ => base.withColumn("batch", lit(1)))
+    val b2 = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      .withColumn("batch", lit(2))
+    mat.run(model, _ => b2).orderBy("o_orderkey", "batch")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25)
+    m25, m26)
 }

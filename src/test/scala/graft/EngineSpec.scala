@@ -507,6 +507,32 @@ class EngineSpec extends SparkSpec {
     assert(wh.exists("analytics", "mart") && !wh.exists("analytics", "stg"))
   }
 
+  test("merge with incremental_predicates: outside-predicate rows untouched, NULL rows untouched, inside rows merged") {
+    val wh = freshWh("pred_merge")
+    val mat = Materializer(wh)
+    val model = Model("t", Seq("src"),
+      Materialization.Incremental(IncrementalStrategy.Merge(
+        Seq("k"), Some("wm"), predicate = Some(col("wm") >= 2))),
+      ctx => ctx.source("src"))
+    def nwm(k: Long, v: String) = // NULL-watermark row: predicate is NULL
+      spark.createDataFrame(Seq((k, v))).toDF("k", "v")
+        .withColumn("wm", lit(null).cast(IntegerType))
+    mat.run(model, _ => df(Seq((1L, "lo", 1), (2L, "hi", 2), (3L, "hi", 3)))
+      .unionByName(nwm(4L, "nul")))
+    // batch 2 updates keys 1 (outside predicate!), 3 (inside), 4 (NULL)
+    val out = mat.run(model,
+      _ => df(Seq((1L, "new1", 9), (3L, "new3", 9))).unionByName(
+        spark.createDataFrame(Seq((4L, "new4", 9))).toDF("k", "v", "wm")))
+      .orderBy("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      1L -> "lo",   // untouched: predicate excluded it from the scan...
+      1L -> "new1", // ...so the incoming row merge-INSERTS (dbt's footgun)
+      2L -> "hi",   // inside predicate, no incoming match: survives
+      3L -> "new3", // inside predicate, matched: replaced
+      4L -> "new4", 4L -> "nul"), // NULL predicate = not matched = untouched
+      s"incremental_predicates semantics drifted: $out")
+  }
+
   test("partition-scoped merge rewrites only touched partitions, untouched files identical") {
     val wh = freshWh("part_merge")
     val mat = Materializer(wh)
