@@ -357,5 +357,43 @@ object Quality {
       .orderBy("table_name", "column_name")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // t10 — post-clone reconciliation: after the m07-style CI clone,
+  // prove the clone by comparing row counts AND an order-independent
+  // portable checksum (sum of a per-row polynomial mod a prime — one
+  // map-side-combined agg pass per side, engine-portable so the
+  // DuckDB oracle recomputes the identical longs). The oracle derives
+  // BOTH sides from the base tables — a faithful clone must match it
+  // twice over, checksums included.
+  val t10: Q = Q("t10_reconciliation", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val wh = graft.core.Warehouse.scratch(spark, "t10")
+    val tables = Seq(
+      ("customer", "c_custkey", "c_name"),
+      ("nation", "n_nationkey", "n_name"),
+      ("orders", "o_orderkey", "o_orderpriority"),
+      ("supplier", "s_suppkey", "s_name"))
+    for ((t, _, _) <- tables) wh.write(c.table(t), "prod", t)
+    graft.ci.TableCopier(wh, parallelism = 4)
+      .copyAll("prod", tables.map(_._1), "ci")
+    graft.ci.Reconcile.report(wh, "prod", "prod_ci", tables)
+      .orderBy("table_name")
+  }, Some {
+    def side(t: String, k: String, s: String, as: String) =
+      s"(SELECT CAST(SUM(($k % 1000000007) * 2654435761 % 1000000007 + length($s)) AS BIGINT) FROM $t) AS $as"
+    val rows = Seq(
+      ("customer", "c_custkey", "c_name"),
+      ("nation", "n_nationkey", "n_name"),
+      ("orders", "o_orderkey", "o_orderpriority"),
+      ("supplier", "s_suppkey", "s_name")).map { case (t, k, s) =>
+      s"""SELECT '$t' AS table_name,
+         |  (SELECT COUNT(*) FROM $t) AS prod_rows,
+         |  (SELECT COUNT(*) FROM $t) AS ci_rows,
+         |  ${side(t, k, s, "prod_checksum")},
+         |  ${side(t, k, s, "ci_checksum")},
+         |  true AS rows_match, true AS checksum_match""".stripMargin
+    }
+    rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY table_name")
+  })
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
