@@ -53,10 +53,20 @@ object IncrementalStrategy {
     * a predicate over the partition columns it prunes directories,
     * with any other indexed/clustered column it prunes row groups —
     * instead of the whole table. Composes with `partitionBy`.
+    *
+    * `lastWriteWins` flips the match rule from dbt's incoming-wins to
+    * event-time last-write-wins (requires `watermarkCol`): an incoming
+    * row replaces the target row only when its watermark is NEWER —
+    * the lakehouse CDC-apply condition (`MERGE … AND source.ts >
+    * target.ts`), which makes the merge correct under OUT-OF-ORDER
+    * delivery: a late pre-delete row cannot resurrect a newer
+    * tombstone. Incoming still wins watermark ties (redelivery of the
+    * same change is an update, not a no-op).
     */
   final case class Merge(uniqueKey: Seq[String], watermarkCol: Option[String],
       partitionBy: Seq[String] = Nil,
-      predicate: Option[Column] = None) extends IncrementalStrategy
+      predicate: Option[Column] = None,
+      lastWriteWins: Boolean = false) extends IncrementalStrategy
   /** Replace exactly the partitions present in the incoming batch
     * (dbt `insert_overwrite`); maps to Spark dynamic partition
     * overwrite, which at cluster scale is a metadata-only swap per

@@ -409,5 +409,55 @@ object Streaming {
       |UNION ALL SELECT doc_id, content_hash FROM surv
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
+  // e12 — CDC APPLY: the event stream read as a change-data-capture
+  // op-log on user_id ('error' = delete tombstone, anything else =
+  // upsert) maintaining a current-state MIRROR of the keyed entity —
+  // e09's upsert plus the delete half of the contract. Tombstones are
+  // STORED (a delete is a newer fact that must keep winning merges
+  // against pre-delete rows) and filtered at read time, the
+  // Debezium → lakehouse merge-mirror shape. StreamingSpec drives the
+  // same sink over multi-batch MemoryStream with cross-batch
+  // update→delete→reinsert sequences.
+  val e12: Q = Q("e12_cdc_apply", (spark, dir) => {
+    val wh = Warehouse.scratch(spark, "e12")
+    val mat = Materializer(wh)
+    val model = Model("user_mirror", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"),
+          lastWriteWins = true)),
+      ctx => ctx.source("events"))
+    val srcDir = Scratch.dir("e12_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ckpt = Scratch.dir("e12_ckpt")
+    try {
+      val stream = Catalog.normalizeEventTs(
+        spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
+          .parquet(srcDir.toString))
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mat.run(model, _ => EventStream.latestPerUserCdc(batch)); ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      Scratch.remove(ckpt); Scratch.remove(srcDir)
+    }
+    wh.read("analytics", "user_mirror")
+      .filter(col("op") =!= "D")
+      .select("user_id", "last_ts", "last_event_id", "last_value")
+      .orderBy("user_id")
+  }, Some(
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.trim))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+    e12)
 }

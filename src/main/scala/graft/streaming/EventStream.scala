@@ -116,6 +116,26 @@ object EventStream {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** e12: CDC op-log reduction — latestPerUser's shape but KEEPING
+    * the change op ('D' for error events, 'U' otherwise). A tombstone
+    * must survive both the per-batch reduce and the merge: a delete is
+    * a newer FACT about the key, not an absence — dropping it inside a
+    * batch would resurrect an older update, and dropping it from the
+    * maintained table would let a pre-delete row win the next merge.
+    * The mirror therefore stores tombstones and filters `op = 'D'` at
+    * READ time (exactly the Debezium → lakehouse merge-mirror shape).
+    */
+  def latestPerUserCdc(batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("last_ts").desc, col("last_event_id").desc)
+    batch.select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value").as("last_value"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   // ---------------------------------------------------------------
   /** e05: stream-static enrichment — events joined to a driver-small
     * static dimension (customer segments). The SAME code serves batch

@@ -163,6 +163,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("e12 CDC apply: tombstones delete across batches, reinsert resurrects, mirror filters at read") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Warehouse.scratch(spark, "e12spec")
+    val mat = Materializer(wh)
+    val model = Model("user_mirror", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"),
+          lastWriteWins = true)),
+      ctx => ctx.source("events"))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ckpt = graft.core.Scratch.dir("e12spec_ckpt")
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        mat.run(model, _ => EventStream.latestPerUserCdc(batch)); ()
+      }
+      .start()
+    def at(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // batch 1: user 1 upserted; user 2's update then IN-BATCH delete —
+    // the tombstone must win the in-batch reduce, not vanish from it
+    input.addData((1L, at(1), 1L, "view", 1.0),
+      (2L, at(2), 2L, "view", 2.0), (3L, at(3), 2L, "error", 0.0))
+    query.processAllAvailable()
+    // batch 2: user 1 deleted; user 2 reinserted after its tombstone
+    input.addData((4L, at(4), 1L, "error", 0.0), (5L, at(5), 2L, "click", 5.0))
+    query.processAllAvailable()
+    // batch 3: user 3 appears; a LATE pre-delete row for user 1 must
+    // NOT resurrect it (the stored tombstone outranks it on last_ts)
+    input.addData((6L, at(2), 1L, "view", 9.0), (7L, at(6), 3L, "view", 7.0))
+    query.processAllAvailable()
+    query.stop()
+    try {
+      val live = wh.read("analytics", "user_mirror")
+        .filter(col("op") =!= "D").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSeq
+      assert(live == Seq((2L, 5L, 5.0), (3L, 7L, 7.0)),
+        s"unexpected live mirror: $live")
+      // the tombstone itself is retained (it's a fact, not an absence)
+      val dead = wh.read("analytics", "user_mirror")
+        .filter(col("op") === "D").collect().map(_.getLong(0)).toSeq
+      assert(dead == Seq(1L), s"expected user 1 tombstone, got $dead")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("e03 stream ingest lands every event in the incremental table exactly once") {
     val out = graft.queries.Streaming.e03.run(spark, sfDir)
     val n = cat.events.count()
