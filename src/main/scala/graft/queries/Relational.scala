@@ -761,8 +761,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // q31 — event-time RANGE frame: trailing-90-day rolling aggregates
+  // per customer (the marts' "recent activity" windows). Unlike q13's
+  // ROWS frame this is VALUE-based — all date-tie peers enter the
+  // frame together, so the result is deterministic under ties, and a
+  // gap in activity shrinks the frame to reality instead of counting
+  // a fixed number of rows back. One shuffle on o_custkey; the frame
+  // scan is a per-partition sliding two-pointer, never a re-scan.
+  // Interval frames are SQL-only in Spark (the Dataset rangeBetween
+  // API takes long offsets), hence the q24-style view path.
+  val q31: Q = Q("q31_window_range_frame", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val src = c.orders.select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    val view = s"graft_q31_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    src.createOrReplaceTempView(view)
+    try {
+      val out = spark.sql(
+        s"""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  COUNT(*) OVER w AS n_90d,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS rev_90d
+           |FROM $view
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      out.queryExecution.analyzed
+      out
+    } finally {
+      spark.catalog.dropTempView(view); ()
+    }
+  }, Some(
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  COUNT(*) OVER w AS n_90d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS rev_90d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }
