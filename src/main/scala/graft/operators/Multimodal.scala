@@ -186,6 +186,154 @@ object Multimodal {
     ds.toDF()
   }
 
+  /** Deterministic synthetic "photo": 4×4-pixel blocks colored by an
+    * integer mix of (block, id) — blocky noise with a strong per-id
+    * signature (unlike [[syntheticPng]]'s smooth gradients, which an
+    * average-hash deliberately sees as similar). `delta` brightens
+    * every channel by a clamped offset — the classic perceptual-dup
+    * perturbation (re-encode/brightness shift) that must NOT change
+    * the hash by more than a couple of bits.
+    */
+  def noisePng(id: Long, delta: Int = 0): Array[Byte] = {
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def mix(a: Long): Long = {
+      var x = a * 0x9e3779b97f4a7c15L
+      x ^= x >>> 32; x *= 0xbf58476d1ce4e5b9L; x ^= x >>> 29
+      x
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = mix(id * 1024 + (y / 4) * 8 + (x / 4))
+        def ch(shift: Int) =
+          math.min(255, ((v >>> shift) & 0xff).toInt + delta)
+        img.setRGB(x, y, (ch(0) << 16) | (ch(8) << 8) | ch(16))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) over DECODED pixels: 8×8 block-mean
+    * luma, one bit per block thresholded at the global mean. Pure
+    * integer/double arithmetic on the decoded image — no
+    * codec-dependent smoothing — so the hash is bit-stable across
+    * JDKs for lossless formats, and invariant to uniform brightness
+    * shifts by construction (both the cell means and the threshold
+    * move together).
+    */
+  private[graft] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val means = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        means(gy * 8 + gx) = if (n == 0) 0.0 else sum.toDouble / n
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = means.sum / 64.0
+    var bits = 0L; var i = 0
+    while (i < 64) { if (means(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** A media table of `n` noise photos plus planted perceptual
+    * duplicates: every `dupEvery`-th base image re-appears as
+    * `media_id + dupOffset` with a +8 brightness shift (re-encoded,
+    * different bytes, visually identical). Payloads are generated ON
+    * the executors — the driver never holds an image.
+    */
+  def noiseMedia(spark: org.apache.spark.sql.SparkSession, n: Int,
+      dupEvery: Int = 10, dupOffset: Long = 100000L): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val ds: Dataset[Row] = spark.range(n.toLong).toDF("media_id")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val base = Row(id, "image/png", noisePng(id))
+          if (id % dupEvery == 0)
+            Iterator(base, Row(id + dupOffset, "image/png", noisePng(id, delta = 8)))
+          else Iterator(base)
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Decode + perceptual-hash fused into ONE mapPartitions pass: the
+    * payload is read once on the executor and only (media_id, 64-bit
+    * hash) ever leaves the scan — the image-dedup analogue of d03's
+    * text SimHash, with the same "hash on the scan, join on the hash"
+    * scale shape.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    val ds: Dataset[Row] = media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"undecodable image payload for media $id")
+          Row(id, aHash(img))
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` bits: 4×16-bit
+    * block pigeonhole (any pair within hamming 3 agrees on ≥1 block)
+    * generates candidates as a bounded EQUI-JOIN on (block, value) —
+    * never an all-pairs loop — then exact bit_count(xor) verifies.
+    * Same candidate-generation contract as the text SimHash family.
+    */
+  def phashPairs(hashed: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole only covers hamming <= 3")
+    val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("bval")))
+    val keyed = hashed.select(col("media_id"), col("phash"),
+        explode(array(blocks: _*)).as("k"))
+      .select(col("media_id"), col("phash"),
+        col("k.blk").as("blk"), col("k.bval").as("bval"))
+    val a = keyed.select(col("media_id").as("id_a"), col("phash").as("ha"),
+      col("blk"), col("bval"))
+    val b = keyed.select(col("media_id").as("id_b"), col("phash").as("hb"),
+      col("blk"), col("bval"))
+    a.join(b, Seq("blk", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Batched "decode": per partition, walk the payload bytes once and
     * emit typed metadata. STUB — a real build links an image codec
     * here ([[decodeImage]] is exactly that link, over javax.imageio);

@@ -1293,6 +1293,22 @@ object LlmOps {
       .orderBy("media_id", "frame_idx")
   }
 
+  // mm03 — perceptual image dedup: REAL javax.imageio decode fused
+  // with a 64-bit average-hash in ONE executor-side scan (only
+  // (media_id, hash) leaves the payload partition), then near-dup
+  // pairs within hamming 2 via the 4×16-bit block pigeonhole — a
+  // bounded equi-join on (block, value), never all-pairs, exactly the
+  // text SimHash family's candidate contract applied to images. The
+  // corpus plants re-encoded +8-brightness copies (different bytes,
+  // visually identical); aHash is brightness-invariant by
+  // construction so they land at hamming ~0. Rows-only: planted
+  // recall 1.0 + soundness + determinism pinned in LlmOpsSpec.
+  val mm03: Q = rowsOnly("mm03_image_phash") { c =>
+    val media = Multimodal.noiseMedia(c.spark, n = 300)
+    Multimodal.phashPairs(Multimodal.imagePhash(media), maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   // x19 — BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75):
   // the retrieval-grade ranking function over the corpus — the
   // quality/curation sibling of x08's TF-IDF (BM25's tf saturation
@@ -1353,5 +1369,5 @@ object LlmOps {
     d11, d12,
     s01, s02, s03, s04, s05, s05auto, s06,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, p01, p02, mm01, mm02)
+    x15, x16, x17, x18, x19, p01, p02, mm01, mm02, mm03)
 }

@@ -737,6 +737,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map { case (k, r) => k -> r.getLong(3) } == again)
   }
 
+  test("mm03 perceptual hash: planted brightness-shifted copies found, pairs sound, deterministic") {
+    val media = Multimodal.noiseMedia(spark, n = 100)
+    val hashed = Multimodal.imagePhash(media)
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // every +8-brightness re-encode must pair with its base image:
+    // aHash is brightness-invariant by construction (cell means and
+    // threshold shift together; only 255-clamped cells can flip bits)
+    val planted = (0L until 100L by 10).map(i => (i, i + 100000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), s"missing planted dups: ${planted -- found}")
+    assert(pairs.forall(_._3 <= 2), "pair above maxHamming escaped the verify")
+    // distinct base photos must not collapse into one hash bucket
+    val distinctHashes = hashed.filter(col("media_id") < 100000L)
+      .select("phash").distinct().count()
+    assert(distinctHashes >= 95, s"only $distinctHashes distinct hashes over 100 photos")
+    // bit-stable across runs (decode + hash are pure arithmetic)
+    val again = Multimodal.phashPairs(Multimodal.imagePhash(media), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == again, "phash pairs are not deterministic")
+  }
+
   test("multimodal decode: deterministic stub metadata from binary payloads") {
     val out = Multimodal.decode(Multimodal.asMedia(cat.documents))
     val byId = out.collect().map(r => r.getLong(0) -> r).toMap
