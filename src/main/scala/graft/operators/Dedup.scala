@@ -579,4 +579,45 @@ object Dedup {
       .filter(col("longest_span") >= minSpan)
       .select("id_a", "id_b", "n_shared_windows", "longest_span")
   }
+
+  /** Content-defined chunking (Muthitacharoen et al., LBFS SOSP'01 —
+    * the Rabin-fingerprint chunking behind every large-scale dedup
+    * store), at token granularity: a chunk boundary falls AFTER token
+    * p iff the hash of the trailing `window`-token context ≡ 0
+    * (mod `divisor`). Boundaries depend only on LOCAL content, so an
+    * edit near the head re-aligns within about one chunk instead of
+    * shifting every fixed-width chunk after it (d07's failure mode on
+    * edited near-dups). Expected chunk length ≈ `divisor` tokens.
+    *
+    * Plan shape: one explode scan, two windows over (doc_id, pos) —
+    * the trailing context via lag, chunk ids via a shifted running
+    * sum (the e02 prefix-sum idiom) — then one group per chunk.
+    * Every window partitions by doc_id; nothing is corpus-wide.
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 3, divisor: Int = 8): DataFrame = {
+    require(window >= 1 && divisor >= 2)
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ctx = concat_ws(" ",
+      ((window - 1) to 0 by -1).map(i => lag(col("tok"), i).over(w)): _*)
+    // a token can only cut once a full context exists behind it
+    val cut = when(col("pos") >= window - 1 &&
+      pmod(xxhash64(ctx), lit(divisor.toLong)) === 0, 1).otherwise(0)
+    // chunk id = cuts strictly BEFORE this token (a cutting token
+    // closes its own chunk): running sum shifted one row back
+    val chunkId = coalesce(
+      sum(col("__cut")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    toks.withColumn("__cut", cut)
+      .withColumn("chunk_id", chunkId)
+      .groupBy("doc_id", "chunk_id")
+      .agg(min("pos").as("start_pos"), count(lit(1)).as("n_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text").cast(BinaryType)))
+      .select("doc_id", "chunk_id", "start_pos", "n_tokens",
+        "chunk_hash", "chunk_text")
+  }
 }

@@ -181,6 +181,28 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d13 — CONTENT-DEFINED chunk dedup (LBFS Rabin chunking at token
+  // granularity): boundaries fall where the rolling-context hash ≡ 0
+  // mod the divisor, so an edit near a doc's head re-aligns within
+  // ~one chunk instead of shifting every fixed-width chunk after it —
+  // the property d07 lacks on edited near-dups, and why dedup STORES
+  // chunk this way. Keep-first per chunk hash; per-doc rollup of
+  // chunks vs survivors. Rows-only (rolling-hash boundaries aren't
+  // SQL-expressible): LlmOpsSpec pins the insertion-robustness win
+  // over fixed-width, lossless reconstruction, and determinism.
+  val d13: Q = rowsOnly("d13_cdc_chunk_dedup") { c =>
+    val chunks = Dedup.cdcChunks(c.documents)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+    val kept = chunks
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__kept", when(col("__rn") === 1, 1L).otherwise(0L))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("__kept")).as("n_kept"),
+        sum(col("n_tokens") * (lit(1L) - col("__kept"))).as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   // d06 — dedup GROUPS: transitive closure over the exact n-gram
   // Jaccard pairs (d04's graph) via iterative min-label connected
   // components, with a canonical doc per group. The oracle reproduces
@@ -1366,7 +1388,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12,
+    d11, d12, d13,
     s01, s02, s03, s04, s05, s05auto, s06,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, p01, p02, mm01, mm02, mm03)

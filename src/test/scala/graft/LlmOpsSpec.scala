@@ -737,6 +737,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map { case (k, r) => k -> r.getLong(3) } == again)
   }
 
+  test("content-defined chunking: head insertion re-aligns where fixed-width shifts everything") {
+    // 200 deterministic pseudo-random tokens; B = A with one token
+    // inserted at the head (the classic edited-near-dup)
+    val toksA = (1 to 200).map(i => "w" + (i * 7919 % 997))
+    val textA = toksA.mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, textA), (2L, "inserted " + textA))).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    def hashes(id: Long) = byDoc(id).map(_.getString(4)).toSet
+    val shared = (hashes(1L) & hashes(2L)).size.toDouble / hashes(2L).size
+    assert(shared >= 0.7,
+      s"CDC chunks shared only ${"%.2f".format(shared)} after a head insertion")
+    // fixed-width chunking (d07's 8-token segments) on the same edit:
+    // every boundary shifts by one token, so almost nothing is shared
+    def fixed(toks: Seq[String]) = toks.grouped(8).map(_.mkString(" ")).toSet
+    val fixedShared = (fixed(toksA) & fixed("inserted" +: toksA)).size.toDouble /
+      fixed("inserted" +: toksA).size
+    assert(fixedShared <= 0.2,
+      s"fixed-width unexpectedly robust ($fixedShared) — test corpus degenerate?")
+    // lossless: chunks concatenated in order rebuild the document
+    val rebuilt = byDoc(1L).sortBy(_.getLong(1)).map(_.getString(5)).mkString(" ")
+    assert(rebuilt == textA, "chunk concatenation must rebuild the doc")
+    // chunk ids are dense from 0 and start positions strictly increase
+    val ids = byDoc(1L).map(_.getLong(1)).sorted
+    assert(ids.toSeq == (0L until ids.length.toLong).toSeq)
+    // deterministic across runs
+    val again = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(again == chunks.map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet)
+  }
+
   test("mm03 perceptual hash: planted brightness-shifted copies found, pairs sound, deterministic") {
     val media = Multimodal.noiseMedia(spark, n = 100)
     val hashed = Multimodal.imagePhash(media)
