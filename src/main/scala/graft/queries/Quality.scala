@@ -395,5 +395,61 @@ object Quality {
     rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY table_name")
   })
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  // t11 — single-pass OBSERVED metrics: Dataset.observe
+  // (CollectMetrics) rides the QC counters on the SAME scan that
+  // materializes the model — at 100 TB the difference between "row
+  // counts, null rates and sums for free during the write" and a
+  // second full pass for monitoring. The entry writes a filtered
+  // lineitem slice to scratch (the "model run") and reports exactly
+  // the metrics observed during that one pass; the oracle recomputes
+  // them with plain aggregates, so the observation pipeline itself is
+  // hash-gated.
+  val t11: Q = Q("t11_observed_metrics", (spark, dir) => {
+    import org.apache.spark.sql.Observation
+    val c = Catalog(spark, dir)
+    val obs = Observation("t11")
+    val slice = c.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_null_qty"),
+        sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(8, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total_qty"))
+    val out = graft.core.Scratch.dir("t11_model")
+    try {
+      slice.write.mode("overwrite").parquet(out.toString)
+      val m = obs.get
+      def d(k: String): Double = m(k) match {
+        case l: java.lang.Long => l.toDouble
+        case x: java.lang.Double => x
+        case other => sys.error(s"unexpected metric type for $k: $other")
+      }
+      spark.createDataFrame(Seq(
+          ("n_null_qty", d("n_null_qty")),
+          ("n_returned", d("n_returned")),
+          ("n_rows", d("n_rows")),
+          ("total_qty", d("total_qty"))))
+        .toDF("metric", "value").orderBy("metric")
+    } finally {
+      graft.core.Scratch.remove(out)
+    }
+  }, Some(
+    """SELECT * FROM (
+      |  SELECT 'n_null_qty' AS metric,
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity IS NULL) AS DOUBLE) AS value
+      |  UNION ALL SELECT 'n_returned',
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_returnflag = 'R') AS DOUBLE)
+      |  UNION ALL SELECT 'n_rows',
+      |    CAST((SELECT COUNT(*) FROM lineitem
+      |          WHERE l_shipdate >= TIMESTAMP '1996-01-01') AS DOUBLE)
+      |  UNION ALL SELECT 'total_qty',
+      |    CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(8,2))) FROM lineitem
+      |          WHERE l_shipdate >= TIMESTAMP '1996-01-01') AS DOUBLE)
+      |) ORDER BY metric""".stripMargin.trim))
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
