@@ -563,6 +563,47 @@ object LlmOps {
       .limit(20)
   }
 
+  // x20 — the Gopher quality rule set (Rae et al. 2021, appendix A —
+  // the canonical pre-training document filter): word-count bounds,
+  // mean-word-length band, alphabetic-word fraction floor, and the
+  // ≥2-stopwords presence rule, each reported per doc plus the
+  // conjunction. One projection scan; every rule is a higher-order
+  // array expression over ONE tokenization (no per-rule re-split), so
+  // the whole battery is a single codegen'd pass — at 100 TB quality
+  // filtering is scan-bound and this shape keeps it that way.
+  // Dial note: the registered stopword list swaps Gopher's 'be' for
+  // 'a' so the presence rule stays live on the synthetic corpus; the
+  // bounds are Gopher's.
+  val x20: Q = q("x20_gopher_rules",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_words,
+      |  ROUND(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 4) AS mean_word_len,
+      |  ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE) / len(t), 4) AS alpha_frac,
+      |  CAST(len(list_intersect(list_distinct(t), ['the','a','to','of','and','that','have','with'])) AS INT) AS stopword_hits,
+      |  (len(t) BETWEEN 50 AND 100000
+      |   AND CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t) BETWEEN 3 AND 10
+      |   AND CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE) / len(t) >= 0.8
+      |   AND len(list_intersect(list_distinct(t), ['the','a','to','of','and','that','have','with'])) >= 2) AS pass
+      |FROM toks ORDER BY doc_id""") { c =>
+    val t = split(col("text"), " ")
+    val nWords = size(t)
+    val sumLen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+    val meanLen = sumLen.cast(DoubleType) / nWords
+    val alphaFrac = size(filter(t, w => w.rlike("^[a-z]+$"))).cast(DoubleType) / nWords
+    val stops = array(Seq("the", "a", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    val hits = size(array_intersect(array_distinct(t), stops))
+    c.documents.select(col("doc_id"),
+        nWords.cast(LongType).as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        hits.cast(IntegerType).as("stopword_hits"),
+        (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          alphaFrac >= 0.8 && hits >= 2).as("pass"))
+      .orderBy("doc_id")
+  }
+
   // x06 — the FILTER stage of a training-data pipeline: combine the
   // lang-ID and quality signals into a per-doc keep/drop decision
   // (predicted language must match the labeled one AND the quality
@@ -1391,5 +1432,5 @@ object LlmOps {
     d11, d12, d13,
     s01, s02, s03, s04, s05, s05auto, s06,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, p01, p02, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, p01, p02, mm01, mm02, mm03)
 }

@@ -799,8 +799,31 @@ object Relational {
       |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin.trim))
 
+  // q32 — semi-structured JSON extraction: the events `props` payload
+  // parsed ONCE per row into a typed struct with `from_json` (schema
+  // declared, codegen'd Jackson parse — not N get_json_object calls
+  // re-parsing the string per field), then a plain typed aggregate.
+  // At 100 TB the parse cost dominates semi-structured scans; one
+  // parse per row and pruned struct fields are the whole game.
+  val q32: Q = q("q32_json_extract",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""") { c =>
+    val k = from_json(col("props"), StructType(Seq(
+      StructField("k", IntegerType)))).getField("k")
+    c.events
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        sum(col("k")).cast(LongType).as("k_sum"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

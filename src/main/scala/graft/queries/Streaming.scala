@@ -458,6 +458,50 @@ object Streaming {
       |      FROM events)
       |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.trim))
 
+  // e13 — ordered conversion FUNNEL (view → click after it →
+  // purchase after that): each stage's timestamp is the MIN event
+  // time strictly after the previous stage's — the product-analytics
+  // MATCH_RECOGNIZE shape, composed as stage-wise conditional-join +
+  // min aggregates. The sequential dependency forces one round per
+  // stage (three here); every join and aggregate keys on user_id, so
+  // after the first shuffle the stages are co-partitioned and AQE
+  // keeps them exchange-local. Left joins keep drop-offs: the stage
+  // reached is the funnel metric.
+  val e13: Q = q("e13_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT v.user_id, t_view, MIN(e.ts) AS t_click
+      |      FROM v LEFT JOIN events e ON e.user_id = v.user_id
+      |        AND e.event_type = 'click' AND e.ts > v.t_view
+      |      GROUP BY v.user_id, t_view),
+      |p AS (SELECT c.user_id, t_view, t_click, MIN(e.ts) AS t_purchase
+      |      FROM c LEFT JOIN events e ON e.user_id = c.user_id
+      |        AND e.event_type = 'purchase' AND e.ts > c.t_click
+      |      GROUP BY c.user_id, t_view, t_click)
+      |SELECT user_id, t_view, t_click, t_purchase,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |            WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS INT) AS funnel_stage
+      |FROM p ORDER BY user_id""") { c =>
+    val ev = c.events
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"))
+    val cAgg = v.join(clicks,
+        col("user_id") === col("cu") && col("c_ts") > col("t_view"), "left")
+      .groupBy("user_id", "t_view").agg(min("c_ts").as("t_click"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+    cAgg.join(purch,
+        col("user_id") === col("pu") && col("p_ts") > col("t_click"), "left")
+      .groupBy("user_id", "t_view", "t_click").agg(min("p_ts").as("t_purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1)
+          .cast(IntegerType).as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12)
+    e12, e13)
 }
