@@ -54,8 +54,11 @@ object Bench {
     "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d05_embedding_neardup", "d06_dedup_groups", "d09_span_dedup",
     "d10_semdedup", "d11_incremental_dedup", "d12_containment",
+    "d13_cdc_chunk_dedup", "e13_funnel",
     "m02_incremental_merge", "q26_cohort_retention",
-    "s05_knn_graph", "x08_tfidf", "x18_token_budget_sample")
+    "q31_window_range_frame",
+    "s05_knn_graph", "x08_tfidf", "x18_token_budget_sample",
+    "x20_gopher_rules")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -101,6 +104,14 @@ object Bench {
         .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
     }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // events for the e13 funnel probe: user cardinality scales with
+    // the copies (ids shifted per copy), per-user history unchanged
+    union { i =>
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** 100× embeddings corpus for the routed-assignment probe. Each
