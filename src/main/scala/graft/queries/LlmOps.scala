@@ -472,6 +472,80 @@ object LlmOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  // s07 — HYBRID retrieval: BM25 (x19's leg, same dials) fused with
+  // dense cosine (query = vec_id 0's embedding) by Reciprocal Rank
+  // Fusion (Cormack et al., SIGIR'09; k=60) — the modern default for
+  // combining lexical and vector search without score calibration.
+  // Each leg keeps only its top-100 (TakeOrderedAndProject — no full
+  // sort shuffle), so the fusion join and the rank windows run over
+  // driver-bounded shortlists: the same rerank-a-shortlist shape as
+  // IVF-PQ. RRF works on ranks alone, so both engines compute
+  // IDENTICAL integers, the fused doubles agree exactly, and the
+  // whole hybrid result hash-compares.
+  val s07: Q = q("s07_hybrid_rrf",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      |       WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |         ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+      |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
+      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
+      |lex AS (SELECT doc_id, SUM(s) AS bm25 FROM sc GROUP BY doc_id),
+      |lext AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+      |         FROM lex QUALIFY lrank <= 100),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |nv AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+      |qv AS (SELECT v, nrm FROM nv WHERE vec_id = 0),
+      |vec AS (SELECT c.vec_id AS doc_id,
+      |          list_reduce(list_transform(range(1, 65), i -> qv.v[i]*c.v[i]), (a, x) -> a + x)
+      |            / (qv.nrm*c.nrm) AS cos
+      |        FROM nv c CROSS JOIN qv WHERE c.vec_id <> 0),
+      |vect AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vrank
+      |         FROM vec QUALIFY vrank <= 100),
+      |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |            CAST(l.lrank AS INT) AS lrank, CAST(v.vrank AS INT) AS vrank,
+      |            COALESCE(1.0/(60 + l.lrank), 0) + COALESCE(1.0/(60 + v.vrank), 0) AS raw
+      |          FROM lext l FULL JOIN vect v ON l.doc_id = v.doc_id)
+      |SELECT doc_id, lrank, vrank, ROUND(raw, 6) AS rrf FROM fused
+      |ORDER BY raw DESC, doc_id LIMIT 50""") { c =>
+    import org.apache.spark.sql.expressions.{Window => W}
+    val lexTop = bm25Frame(c, Seq("spark", "vector", "merge"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+    // rank windows run over the ALREADY-limited 100-row shortlists —
+    // the single-partition window is driver-bounded by construction
+    val lext = lexTop
+      .withColumn("lrank",
+        row_number().over(W.orderBy(col("bm25").desc, col("doc_id")))
+          .cast(IntegerType))
+      .select("doc_id", "lrank")
+    val e = c.embeddings.select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(100)
+    val vect = vecTop
+      .withColumn("vrank",
+        row_number().over(W.orderBy(col("cos").desc, col("doc_id")))
+          .cast(IntegerType))
+      .select("doc_id", "vrank")
+    val raw = coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0))
+    lext.join(vect, Seq("doc_id"), "full")
+      .withColumn("raw", raw)
+      .orderBy(col("raw").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), col("lrank"), col("vrank"),
+        round(col("raw"), 6).as("rrf"))
+  }
+
   // ---------------------------------------------------------------
   // x01 — heuristic language ID from stopword hit counts
   val x01: Q = q("x01_langid",
@@ -1385,26 +1459,10 @@ object LlmOps {
   // ln(1 + (N−df+0.5)/(df+0.5)) — strictly positive, so stop-like
   // terms cannot flip sign (Lucene's choice). ROUND(,6) absorbs the
   // ≤3-element double-sum association (x08/x15 discipline).
-  val x19: Q = q("x19_bm25",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-      |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
-      |tf AS (SELECT doc_id, w, COUNT(*) AS tf
-      |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-      |       WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
-      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT doc_id,
-      |         ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
-      |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
-      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 6) AS bm25
-      |FROM sc GROUP BY doc_id ORDER BY doc_id""") { c =>
-    val terms = Seq("spark", "vector", "merge")
-    // both derived frames feed TWO consumers (dl: the scoring join +
-    // the (N, avgdl) fold; tf: the df branch + the scoring join) —
-    // frozen once each (the d04/x17 multi-scan discipline), so the
-    // corpus tokenizes exactly twice (one projection pass, one
-    // term-filtered explode), never per consumer
+  /** Raw BM25 leg shared by x19 and s07: per-doc (n_terms, bm25 sum)
+    * for the given query terms — k1=1.2, b=0.75, the x19 dials.
+    */
+  private def bm25Frame(c: Catalog, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val dl = c.documents.select(col("doc_id"),
         size(Text.tokens(col("text"))).cast(LongType).as("dl"))
       .localCheckpoint(true)
@@ -1424,13 +1482,36 @@ object LlmOps {
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), s.as("s"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 6).as("bm25"))
+      .agg(count(lit(1)).as("n_terms"), sum("s").as("bm25"))
+  }
+
+  val x19: Q = q("x19_bm25",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+      |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      |       WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |         ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+      |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
+      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 6) AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""") { c =>
+    // both derived frames inside bm25Frame feed TWO consumers (dl:
+    // the scoring join + the (N, avgdl) fold; tf: the df branch + the
+    // scoring join) — frozen once each (the d04/x17 multi-scan
+    // discipline), so the corpus tokenizes exactly twice (one
+    // projection pass, one term-filtered explode), never per consumer
+    bm25Frame(c, Seq("spark", "vector", "merge"))
+      .select(col("doc_id"), col("n_terms"), round(col("bm25"), 6).as("bm25"))
       .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
-    s01, s02, s03, s04, s05, s05auto, s06,
+    s01, s02, s03, s04, s05, s05auto, s06, s07,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, p01, p02, mm01, mm02, mm03)
 }
