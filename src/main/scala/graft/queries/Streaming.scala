@@ -502,6 +502,102 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  // e14 — stream-stream LEFT OUTER join: e08's attribution join, but
+  // keeping the unmatched events. Outer stream-stream joins are the
+  // genuinely stateful case — a null-extended row may only be emitted
+  // once the WATERMARK proves no match can still arrive, so rows near
+  // the stream's end sit in state until event time advances past
+  // their join window. The harness makes that contract part of the
+  // test: two far-future sentinel files arrive as later micro-batches
+  // (maxFilesPerTrigger=1, e11's ordered-mtime discipline) purely to
+  // push the watermark forward and flush the tail state; the batch
+  // oracle is the plain LEFT inequality join, so the streamed outer
+  // rows — nulls included — must reproduce it exactly.
+  val e14: Q = Q("e14_stream_join_outer", (spark, dir) => {
+    val rawSchema = Catalog(spark, dir).eventsRawSchema
+    val srcDir = Scratch.dir("e14_src")
+    val ckpt = Scratch.dir("e14_ckpt")
+    val outDir = Scratch.dir("e14_out")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      require(srcDir.resolve("a_events.parquet").toFile
+        .setLastModified(1700000000000L), "cannot order e14 landing files")
+      // sentinels built FROM the raw relation so they carry whatever
+      // ts encoding the landing files use (long nanos or timestamp)
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val maxTs = raw.agg(max(col("ts"))).head.get(0)
+      for (i <- 1 to 2) {
+        val ts = maxTs match {
+          case l: java.lang.Long => // INT64 nanos encoding
+            lit(l + i * 10L * 86400L * 1000000000L)
+          case t: java.time.LocalDateTime =>
+            lit(t.plusDays(i * 10L))
+          case t: java.sql.Timestamp =>
+            lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(i * 10L * 86400L)))
+          case other => sys.error(s"unexpected events.ts value: $other")
+        }
+        val s = raw.limit(1)
+          .withColumn("ts", ts.cast(raw.schema("ts").dataType))
+          .withColumn("event_id", lit(-i.toLong))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit("view"))
+        val tmp = Scratch.dir(s"e14_s$i")
+        s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(s"b_sentinel$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+          "cannot order e14 landing files")
+        Scratch.remove(tmp)
+      }
+      def stream = Catalog.normalizeEventTs(
+          spark.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+        .withColumn("ts", col("ts").cast(TimestampType))
+      val others = stream.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .withWatermark("ts", "2 hours")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user_id"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = others.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("ts") >= col("p_ts") &&
+          col("ts") <= col("p_ts") + expr("interval 30 minutes"),
+        "left_outer")
+      val query = joined.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(outDir.toString)
+        .filter(col("event_id") >= 0) // drop the watermark sentinels
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("p_event_id").as("purchase_id"),
+          col("p_ts").cast(TimestampNTZType).as("range_ts"))
+        .orderBy("event_id", "purchase_id")
+    } finally {
+      // outDir stays: the RETURNED frame reads it lazily (the session
+      // Scratch root sweeps it at JVM exit); only the ingest plumbing
+      // is dropped eagerly
+      Scratch.remove(ckpt); Scratch.remove(srcDir)
+    }
+  }, Some(
+    """WITH p AS (SELECT event_id, ts, user_id FROM events
+      |           WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id, ts, user_id, event_type FROM events
+      |      WHERE event_type <> 'purchase')
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |  p.event_id AS purchase_id, p.ts AS range_ts
+      |FROM e LEFT JOIN p ON e.user_id = p.user_id
+      |  AND e.ts >= p.ts AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
+      |ORDER BY e.event_id, purchase_id""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13)
+    e12, e13, e14)
 }
