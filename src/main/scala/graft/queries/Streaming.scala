@@ -205,6 +205,59 @@ object Streaming {
   private val e08Dirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
+  /** Watermark-flush sentinels for stream-stream joins — one landing
+    * file per far-future batch, with ONE ROW PER JOIN LEG. Spark's
+    * global watermark for a stateful two-stream join is the MIN over
+    * both watermarked inputs (`multipleWatermarkPolicy=min`), so a
+    * sentinel that survives only one leg's pre-watermark filter
+    * advances that leg alone and the global watermark stalls — tail
+    * state (the last ~watermark-delay of null-extended outer rows)
+    * then never flushes before AvailableNow terminates. Every leg
+    * therefore gets its own sentinel row, keyed by the event_type its
+    * filter keeps, carried in the SAME file so one extra micro-batch
+    * advances both legs together. Sentinels can never join: each leg
+    * gets a distinct negative user_id (no real user, no cross-leg
+    * match either), and negative event_ids let output filters drop
+    * the left leg's null-extended sentinel rows.
+    */
+  private def writeWatermarkSentinels(
+      raw: org.apache.spark.sql.DataFrame,
+      srcDir: java.nio.file.Path,
+      legTypes: Seq[String],
+      tag: String,
+      nBatches: Int = 2): Unit = {
+    val maxTs = raw.agg(max(col("ts"))).head.get(0)
+    for (i <- 1 to nBatches) {
+      // built FROM the raw relation so the sentinel carries whatever
+      // ts encoding the landing files use (INT64 nanos or timestamp)
+      val ts = maxTs match {
+        case l: java.lang.Long => // INT64 nanos encoding
+          lit(l + i * 10L * 86400L * 1000000000L)
+        case t: java.time.LocalDateTime =>
+          lit(t.plusDays(i * 10L))
+        case t: java.sql.Timestamp =>
+          lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(i * 10L * 86400L)))
+        case other => sys.error(s"unexpected events.ts value: $other")
+      }
+      val one = raw.limit(1)
+        .withColumn("ts", ts.cast(raw.schema("ts").dataType))
+      val s = legTypes.zipWithIndex.map { case (legType, j) =>
+        one.withColumn("event_id", lit(-(i * legTypes.size + j).toLong))
+          .withColumn("user_id", lit(-(j + 1).toLong))
+          .withColumn("event_type", lit(legType))
+      }.reduce(_ unionByName _)
+      val tmp = Scratch.dir(s"${tag}_s$i")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"b_sentinel$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+        "cannot order streaming landing files")
+      Scratch.remove(tmp)
+    }
+  }
+
   val e08: Q = Q("e08_stream_stream_join", (spark, dir) => {
     // schema probed from the batch relation + normalized through the
     // one events-time chokepoint (see e03)
@@ -214,6 +267,12 @@ object Streaming {
       java.nio.file.Files.createSymbolicLink(
         src.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // per-leg sentinels (shared helper, see writeWatermarkSentinels)
+      // so BOTH legs' watermarks advance and join state gets evicted;
+      // sentinels carry distinct negative user_ids so the inner join
+      // can never emit them
+      writeWatermarkSentinels(spark.read.parquet(s"$dir/events.parquet"),
+        src, Seq("view", "purchase"), "e08")
       (src.toString, Scratch.dir("e08_out").toString,
         Scratch.dir("e08_ckpt").toString)
     })
@@ -424,7 +483,7 @@ object Streaming {
     val model = Model("user_mirror", Seq("events"),
       Materialization.Incremental(
         IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"),
-          lastWriteWins = true)),
+          lastWriteWins = true, tiebreak = Seq("last_event_id"))),
       ctx => ctx.source("events"))
     val srcDir = Scratch.dir("e12_src")
     java.nio.file.Files.createSymbolicLink(
@@ -524,35 +583,14 @@ object Streaming {
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       require(srcDir.resolve("a_events.parquet").toFile
         .setLastModified(1700000000000L), "cannot order e14 landing files")
-      // sentinels built FROM the raw relation so they carry whatever
-      // ts encoding the landing files use (long nanos or timestamp)
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      val maxTs = raw.agg(max(col("ts"))).head.get(0)
-      for (i <- 1 to 2) {
-        val ts = maxTs match {
-          case l: java.lang.Long => // INT64 nanos encoding
-            lit(l + i * 10L * 86400L * 1000000000L)
-          case t: java.time.LocalDateTime =>
-            lit(t.plusDays(i * 10L))
-          case t: java.sql.Timestamp =>
-            lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(i * 10L * 86400L)))
-          case other => sys.error(s"unexpected events.ts value: $other")
-        }
-        val s = raw.limit(1)
-          .withColumn("ts", ts.cast(raw.schema("ts").dataType))
-          .withColumn("event_id", lit(-i.toLong))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_type", lit("view"))
-        val tmp = Scratch.dir(s"e14_s$i")
-        s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val dst = srcDir.resolve(s"b_sentinel$i.parquet")
-        java.nio.file.Files.move(part, dst)
-        require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
-          "cannot order e14 landing files")
-        Scratch.remove(tmp)
-      }
+      // Per-leg sentinels (view AND purchase typed — shared helper).
+      // The r10 failure mode: view-only sentinels advanced just the
+      // left leg's watermark, the purchases leg (filtered before
+      // withWatermark) never saw one, and the MIN-policy global
+      // watermark stalled — the last ~2.5h of unmatched left rows
+      // never emitted their null-extended rows (7990 vs 8019).
+      writeWatermarkSentinels(spark.read.parquet(s"$dir/events.parquet"),
+        srcDir, Seq("view", "purchase"), "e14")
       def stream = Catalog.normalizeEventTs(
           spark.readStream.schema(rawSchema)
             .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))

@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSpec {
     val model = Model("user_mirror", Seq("events"),
       Materialization.Incremental(
         IncrementalStrategy.Merge(Seq("user_id"), Some("last_ts"),
-          lastWriteWins = true)),
+          lastWriteWins = true, tiebreak = Seq("last_event_id"))),
       ctx => ctx.source("events"))
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
     val stream = input.toDF()
@@ -196,12 +196,19 @@ class StreamingSpec extends SparkSpec {
     // NOT resurrect it (the stored tombstone outranks it on last_ts)
     input.addData((6L, at(2), 1L, "view", 9.0), (7L, at(6), 3L, "view", 7.0))
     query.processAllAvailable()
+    // batch 4: EQUAL-timestamp ties across batches resolve by
+    // event_id DESC (the declared tiebreak), not by batch recency —
+    // user 3's higher-id row at the same ts wins, user 2's LOWER-id
+    // row at the same ts loses to the stored row even though it
+    // arrived in a later micro-batch
+    input.addData((8L, at(6), 3L, "view", 8.0), (0L, at(5), 2L, "view", 0.5))
+    query.processAllAvailable()
     query.stop()
     try {
       val live = wh.read("analytics", "user_mirror")
         .filter(col("op") =!= "D").orderBy("user_id").collect()
         .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSeq
-      assert(live == Seq((2L, 5L, 5.0), (3L, 7L, 7.0)),
+      assert(live == Seq((2L, 5L, 5.0), (3L, 8L, 8.0)),
         s"unexpected live mirror: $live")
       // the tombstone itself is retained (it's a fact, not an absence)
       val dead = wh.read("analytics", "user_mirror")
@@ -376,6 +383,36 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), tsMillis(r, 2), tsMillis(r, 3),
         r.getLong(4), r.getDouble(5))).toSet
     assertSameSets(streamed, batch)
+  }
+
+  // The r10 regression pin: e14's streamed left-outer join must
+  // reproduce the batch LEFT join exactly, INCLUDING the null-extended
+  // tail rows that only flush once the global (min-policy) watermark
+  // passes them — which requires per-leg sentinels. A view-only
+  // sentinel stalls the purchases leg's watermark and drops the last
+  // ~2.5h of unmatched rows; this test would have caught that.
+  test("e14 streamed left-outer join equals the batch LEFT join, nulls included") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] =
+      rows.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSeq.sorted
+    val streamed = pairs(graft.queries.Streaming.e14.run(spark, sfDir)
+      .select("event_id", "purchase_id").collect())
+    val others = cat.events.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = cat.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user_id"))
+    val batch = pairs(others.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("ts") >= col("p_ts") &&
+        col("ts") <= col("p_ts") + expr("interval 30 minutes"),
+      "left_outer")
+      .select(col("event_id"), col("p_event_id")).collect())
+    assert(streamed.size == batch.size,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+    assert(streamed == batch)
+    // and the null-extended subset specifically (the tail-flush rows)
+    assert(streamed.count(_._2 == -1L) == batch.count(_._2 == -1L))
   }
 
   test("ingest dedup steps: admitted digests block later copies across batches") {
