@@ -23,10 +23,18 @@ object Reconcile {
   private val P = 1000000007L
   private val C = 2654435761L
 
-  /** One-row frame: (n_rows, checksum) over (key, strCol). */
+  /** One-row frame: (n_rows, checksum) over (key, strCol). NULLs are
+    * coalesced to sentinels INSIDE the polynomial — SUM skips NULL
+    * terms, so a NULL-keyed (or NULL-valued) row would otherwise
+    * contribute nothing and two tables differing only in null-bearing
+    * row content would still "checksum-match" when counts agree.
+    * An all-NULL (or empty) input checksums to 0, not NULL.
+    */
   def fingerprint(df: DataFrame, key: Column, strCol: Column): DataFrame =
     df.agg(count(lit(1)).as("n_rows"),
-      sum((key % P) * C % P + length(strCol)).cast("long").as("checksum"))
+      coalesce(sum(coalesce((key % P) * C % P, lit(P - 1)) +
+        coalesce(length(strCol).cast("long"), lit(-1L))), lit(0L))
+        .cast("long").as("checksum"))
 
   /** Reconciliation report between two schemas of a warehouse, one
     * row per (table, keyCol, strCol) triple. Each side's fingerprint
@@ -34,7 +42,8 @@ object Reconcile {
     * 1-row × 1-row.
     */
   def report(wh: Warehouse, prodSchema: String, ciSchema: String,
-      tables: Seq[(String, String, String)]): DataFrame =
+      tables: Seq[(String, String, String)]): DataFrame = {
+    require(tables.nonEmpty, "Reconcile.report: no tables to reconcile")
     tables.map { case (t, k, s) =>
       val p = fingerprint(wh.read(prodSchema, t), col(k), col(s))
         .select(col("n_rows").as("prod_rows"),
@@ -47,4 +56,5 @@ object Reconcile {
         (col("prod_rows") === col("ci_rows")).as("rows_match"),
         (col("prod_checksum") === col("ci_checksum")).as("checksum_match"))
     }.reduce(_ unionByName _)
+  }
 }

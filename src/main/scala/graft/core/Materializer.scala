@@ -67,7 +67,7 @@ final case class Materializer(wh: Warehouse) {
           case None =>
             val partCols = strategy match {
               case IncrementalStrategy.InsertOverwrite(cols) => cols
-              case IncrementalStrategy.Merge(_, _, cols, _, _) => cols
+              case m: IncrementalStrategy.Merge => m.partitionBy
               case IncrementalStrategy.Microbatch(p, _) => Seq(p)
               case _ => Nil
             }
@@ -102,7 +102,7 @@ final case class Materializer(wh: Warehouse) {
           wh.overwriteStaged(staged, model.targetSchema, model.name)
         }
 
-      case IncrementalStrategy.Merge(keys, wmOpt, partCols, predOpt, lww) =>
+      case IncrementalStrategy.Merge(keys, wmOpt, partCols, predOpt, lww, tiebreak) =>
         // Latest-per-key: incoming wins over existing; within a batch,
         // higher watermark wins. One shuffle on the unique key.
         // With partitionBy set, the merge is PARTITION-SCOPED: only
@@ -139,14 +139,19 @@ final case class Materializer(wh: Warehouse) {
         val older = alignTo(tgt, scanned).withColumn("__is_new", lit(0))
         // incoming-wins (dbt): is_new first, watermark breaks in-batch
         // ties. last-write-wins (CDC apply): watermark first — a LATE
-        // incoming row loses to a newer target row — is_new breaks
-        // equal-watermark ties in the incoming row's favor (redelivery
-        // of the same change is an update, not a no-op).
+        // incoming row loses to a newer target row. Declared tiebreak
+        // columns resolve EXACT watermark ties before batch recency
+        // (__is_new) does — which micro-batch delivered a row is an
+        // accident of delivery, not a fact about the data, so without
+        // a tiebreak equal-ts rows split across batches would merge
+        // nondeterministically. __is_new stays last: redelivery of the
+        // identical change is an update, not a no-op.
         require(!lww || wmOpt.nonEmpty,
           "lastWriteWins merge needs a watermark column to order by")
+        val tb = tiebreak.map(c => col(c).desc)
         val ordering =
-          if (lww) wmOpt.map(c => col(c).desc).toSeq :+ col("__is_new").desc
-          else col("__is_new").desc +: wmOpt.map(c => col(c).desc).toSeq
+          if (lww) wmOpt.map(c => col(c).desc).toSeq ++ tb :+ col("__is_new").desc
+          else col("__is_new").desc +: (wmOpt.map(c => col(c).desc).toSeq ++ tb)
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
         val mergedScanned = newer.unionByName(older)
           .withColumn("__rn", row_number().over(w))

@@ -66,7 +66,15 @@ object IncrementalStrategy {
   final case class Merge(uniqueKey: Seq[String], watermarkCol: Option[String],
       partitionBy: Seq[String] = Nil,
       predicate: Option[Column] = None,
-      lastWriteWins: Boolean = false) extends IncrementalStrategy
+      lastWriteWins: Boolean = false,
+      /** Extra DESC columns breaking exact watermark ties BEFORE the
+        * incoming-wins rule — e.g. a monotonic event id, so two rows
+        * with equal event time resolve by id everywhere instead of by
+        * which micro-batch delivered them (batch boundaries are an
+        * accident of delivery, not of the data). Equal (watermark,
+        * tiebreak) still resolves incoming-wins: redelivery updates.
+        */
+      tiebreak: Seq[String] = Nil) extends IncrementalStrategy
   /** Replace exactly the partitions present in the incoming batch
     * (dbt `insert_overwrite`); maps to Spark dynamic partition
     * overwrite, which at cluster scale is a metadata-only swap per

@@ -495,7 +495,7 @@ object LlmOps {
       |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
       |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
       |lex AS (SELECT doc_id, SUM(s) AS bm25 FROM sc GROUP BY doc_id),
-      |lext AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+      |lext AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id) AS lrank
       |         FROM lex QUALIFY lrank <= 100),
       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |nv AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
@@ -504,7 +504,7 @@ object LlmOps {
       |          list_reduce(list_transform(range(1, 65), i -> qv.v[i]*c.v[i]), (a, x) -> a + x)
       |            / (qv.nrm*c.nrm) AS cos
       |        FROM nv c CROSS JOIN qv WHERE c.vec_id <> 0),
-      |vect AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vrank
+      |vect AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, doc_id) AS vrank
       |         FROM vec QUALIFY vrank <= 100),
       |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
       |            CAST(l.lrank AS INT) AS lrank, CAST(v.vrank AS INT) AS vrank,
@@ -513,13 +513,18 @@ object LlmOps {
       |SELECT doc_id, lrank, vrank, ROUND(raw, 6) AS rrf FROM fused
       |ORDER BY raw DESC, doc_id LIMIT 50""") { c =>
     import org.apache.spark.sql.expressions.{Window => W}
+    // ranks order on the ROUNDED score (then doc_id): the raw doubles
+    // are parallel sums whose last bits depend on summation order, so
+    // a sub-1e-6 cross-engine divergence would flip a rank and break
+    // the hash gate — ROUND(,6) absorbs it (same rule as x19)
     val lexTop = bm25Frame(c, Seq("spark", "vector", "merge"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      .withColumn("bm25r", round(col("bm25"), 6))
+      .orderBy(col("bm25r").desc, col("doc_id")).limit(100)
     // rank windows run over the ALREADY-limited 100-row shortlists —
     // the single-partition window is driver-bounded by construction
     val lext = lexTop
       .withColumn("lrank",
-        row_number().over(W.orderBy(col("bm25").desc, col("doc_id")))
+        row_number().over(W.orderBy(col("bm25r").desc, col("doc_id")))
           .cast(IntegerType))
       .select("doc_id", "lrank")
     val e = c.embeddings.select(col("vec_id"),
@@ -531,10 +536,11 @@ object LlmOps {
       .select(col("vec_id").as("doc_id"),
         graft.functions.Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
           .as("cos"))
-      .orderBy(col("cos").desc, col("doc_id")).limit(100)
+      .withColumn("cosr", round(col("cos"), 6))
+      .orderBy(col("cosr").desc, col("doc_id")).limit(100)
     val vect = vecTop
       .withColumn("vrank",
-        row_number().over(W.orderBy(col("cos").desc, col("doc_id")))
+        row_number().over(W.orderBy(col("cosr").desc, col("doc_id")))
           .cast(IntegerType))
       .select("doc_id", "vrank")
     val raw = coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
