@@ -321,10 +321,17 @@ object LlmOps {
   // d10 — SemDeDup: semantic (embedding-space) dedup with k-means-
   // cluster-bounded candidates — the data-adaptive third candidate
   // strategy next to d05's LSH and d04's inverted index; reported
-  // pairs are exact cosine (rows-only: the candidate set depends on
-  // the trained codebook; recall on planted dups + exactness pinned
-  // in LlmOpsSpec)
-  val d10: Q = rowsOnly("d10_semdedup") { c =>
+  // pairs are exact cosine. Oracle-gated since round 11: the DuckDB
+  // oracle retrains the codebook (ivfTrainSql — bit-identical
+  // centroids) and hash-compares the full pair set; planted-dup
+  // recall stays pinned in LlmOpsSpec.
+  val d10: Q = q("d10_semdedup",
+    s"""${ivfTrainSql(nCentroids = 16)}
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ROUND(${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm), 6) AS cosine
+       |FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { c =>
     // registered at the same 0.4 threshold regime as d05 (the
     // synthetic corpus is near-orthogonal gaussian noise; the paper's
     // >=0.9 regime is what the planted-dup spec pins)
@@ -411,8 +418,75 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
-  // s03 — IVF-bucketed approximate top-5 (recall vs s01 in ScalaTest)
-  val s03: Q = rowsOnly("s03_ann_ivf") { c =>
+  /** DuckDB mirror of [[Ann.ivfCodebook]]'s seeded spherical k-means,
+    * unrolled to `iters` Lloyd iterations — the s02 recipe extended
+    * from "mirror the seeded planes" to "mirror the TRAINING":
+    * the codebook is a deterministic function of the corpus (seeds =
+    * vec_id < nCentroids; per-component means accumulate 2^40-scaled
+    * integers exactly, so fold order cannot matter; every dot product
+    * is the same strict left-to-right fold both engines run), so the
+    * oracle retrains it in SQL and must land on bit-identical
+    * centroids, probe sets, and ranks.
+    */
+  private def ivfDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]*$b[i]), (acc, x) -> acc + x)"
+
+  // nearest-centroid assignment (ties: highest cid, mirroring the
+  // struct array_max tie-break)
+  private def ivfAssign(out: String, cents: String, rnCond: String,
+      filt: String = "") =
+    s"""$out AS (SELECT * FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${ivfDot("n.v", "c.cv")} / c.ncv DESC, c.cid DESC) AS rn
+       |  FROM n CROSS JOIN $cents c$filt) WHERE $rnCond)""".stripMargin
+
+  /** The shared training CTEs: normed corpus `n`, seeds `c0`, `iters`
+    * unrolled Lloyd steps to `c<iters>`, and the final full-corpus
+    * assignment `af`. Each Lloyd step takes the element-wise mean of
+    * unit members per cluster via exact scaled-integer sums (trunc ==
+    * Spark's double->long cast); an empty or degenerate cluster keeps
+    * its previous centroid.
+    */
+  private def ivfTrainSql(nCentroids: Int, iters: Int = 2): String = {
+    def refine(prev: String, a: String, out: String) =
+      s"""${out}m AS (SELECT cid, i AS pos,
+         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
+         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
+         |${out}g AS (SELECT cid, cv, sqrt(list_reduce(list_transform(cv, x -> x*x), (acc, x) -> acc + x)) AS ncv
+         |  FROM (SELECT cid, list(comp ORDER BY pos) AS cv FROM ${out}m GROUP BY cid)),
+         |$out AS (SELECT p.cid,
+         |    CASE WHEN g.ncv IS NULL OR g.ncv = 0 THEN p.cv ELSE g.cv END AS cv,
+         |    CASE WHEN g.ncv IS NULL OR g.ncv = 0 THEN p.ncv ELSE g.ncv END AS ncv
+         |  FROM $prev p LEFT JOIN ${out}g g USING (cid))""".stripMargin
+    val lloyd = (1 to iters).map { t =>
+      ivfAssign(s"a$t", s"c${t - 1}", "rn = 1") + ",\n" +
+        refine(s"c${t - 1}", s"a$t", s"c$t")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS ncv FROM n WHERE vec_id < $nCentroids),
+       |$lloyd,
+       |${ivfAssign("af", s"c$iters", "rn = 1")}""".stripMargin
+  }
+
+  private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
+      iters: Int = 2): String =
+    s"""${ivfTrainSql(nCentroids, iters)},
+       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
+       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
+       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
+  // s03 — IVF-bucketed approximate top-5. Oracle-gated since round
+  // 11: the DuckDB oracle RETRAINS the codebook (ivfOracleSql) and
+  // the full approximate result hash-compares; recall vs s01 stays
+  // pinned in ScalaTest.
+  val s03: Q = q("s03_ann_ivf",
+    ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
     Ann.ivf(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
       .orderBy("query_id", "rank")
   }
@@ -429,12 +503,21 @@ object LlmOps {
   // s05 — k-NN GRAPH: every vector's top-3 neighbors with IVF-bounded
   // candidates (the self-query form of s03 — an exact graph is
   // all-pairs by definition, so the probe bound IS the operator).
-  // Rows-only: neighbor sets depend on the trained codebook; recall
-  // vs the brute graph + cosine exactness pinned in LlmOpsSpec.
+  // Oracle-gated since round 11 via the retrained-codebook recipe
+  // (every vector probes its 4 nearest lists); recall vs the brute
+  // graph + cosine exactness stay pinned in LlmOpsSpec.
   // COMPARE-SCALE DIAL: 16 fixed centroids — quadratic within-cluster
   // as n grows; at warehouse scale use s05_auto / Ann.knnGraphAuto
   // (README "Scale dials").
-  val s05: Q = rowsOnly("s05_knn_graph") { c =>
+  val s05: Q = q("s05_knn_graph",
+    s"""${ivfTrainSql(nCentroids = 16)},
+       |${ivfAssign("pf", "c2", "rn <= 4")},
+       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
+       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { c =>
     Ann.knnGraph(c.embeddings, k = 3)
       .orderBy("query_id", "rank")
   }
