@@ -470,6 +470,63 @@ object LlmOps {
        |${ivfAssign("af", s"c$iters", "rn = 1")}""".stripMargin
   }
 
+  /** DuckDB mirror of [[Ann.ivfpq]]: the coarse probe CTEs plus the
+    * per-subspace PQ training (same exact-scaled-integer Lloyd steps
+    * over unit subvectors, argmin ties to the LOWEST code mirroring
+    * array_position-of-min), ADC accumulated as an ORDERED list fold
+    * (SQL SUM over doubles is order-free and could flip the shortlist
+    * boundary by a last bit), shortlist by (adc ASC, neighbor_id),
+    * then the exact-cosine re-rank. m=8 subspaces of 8 dims, 16 codes.
+    */
+  private def ivfpqOracleSql(nCentroids: Int, nProbe: Int, k: Int,
+      m: Int = 8, pqK: Int = 16, shortlist: Int = 64,
+      iters: Int = 2): String = {
+    val subDim = 64 / m
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc, x) -> acc + x)"
+    def pqAssign(out: String, cb: String) =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT s.vec_id, s.j, s.sub, p.c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${l2("s.sub", "p.pv")} ASC, p.c ASC) AS rn
+         |  FROM subs s JOIN $cb p ON p.j = s.j) WHERE rn = 1)""".stripMargin
+    val pqLloyd = (1 to iters).map { t =>
+      s"""${pqAssign(s"pa$t", s"p${t - 1}")},
+         |pm$t AS (SELECT j, c, i AS pos,
+         |    CAST(SUM(CAST(trunc(sub[i]*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
+         |  FROM pa$t, range(1, ${subDim + 1}) t(i) GROUP BY j, c, i),
+         |pg$t AS (SELECT j, c, list(comp ORDER BY pos) AS pv FROM pm$t GROUP BY j, c),
+         |p$t AS (SELECT p.j, p.c, COALESCE(g.pv, p.pv) AS pv
+         |  FROM p${t - 1} p LEFT JOIN pg$t g ON g.j = p.j AND g.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""${ivfTrainSql(nCentroids, iters)},
+       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
+       |u AS (SELECT vec_id, list_transform(range(1, 65), i -> v[i]/nrm) AS uv FROM n),
+       |subs AS (SELECT vec_id, j, list_slice(uv, j*$subDim+1, j*$subDim+$subDim) AS sub
+       |  FROM u, range(0, $m) t(j)),
+       |p0 AS (SELECT j, vec_id AS c, sub AS pv FROM subs WHERE vec_id < $pqK),
+       |$pqLloyd,
+       |${pqAssign("codes", s"p$iters")},
+       |perj AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, nc.j,
+       |    ${l2("qs.sub", "p.pv")} AS dist
+       |  FROM pf q
+       |  JOIN af a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+       |  JOIN codes nc ON nc.vec_id = a.vec_id
+       |  JOIN subs qs ON qs.vec_id = q.vec_id AND qs.j = nc.j
+       |  JOIN p$iters p ON p.j = nc.j AND p.c = nc.c),
+       |adc AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list(dist ORDER BY j), (acc, x) -> acc + x) AS adc
+       |  FROM perj GROUP BY query_id, neighbor_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS r FROM adc) WHERE r <= $shortlist),
+       |sc AS (SELECT query_id, neighbor_id, ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) AS cos
+       |  FROM short JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
       iters: Int = 2): String =
     s"""${ivfTrainSql(nCentroids, iters)},
@@ -494,8 +551,11 @@ object LlmOps {
   // s04 — IVF-PQ: coarse probe bounds WHICH rows, product-quantized
   // asymmetric distance (m table lookups/row over dim/m-times smaller
   // codes) bounds WORK PER ROW; exact cosine re-ranks the ADC
-  // shortlist (recall + determinism vs brute in ScalaTest)
-  val s04: Q = rowsOnly("s04_ann_ivfpq") { c =>
+  // shortlist. Oracle-gated since round 11: the oracle retrains BOTH
+  // codebooks in SQL (ivfpqOracleSql) and hash-compares the full
+  // result; recall + determinism vs brute stay in ScalaTest.
+  val s04: Q = q("s04_ann_ivfpq",
+    ivfpqOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
     Ann.ivfpq(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
       .orderBy("query_id", "rank")
   }
