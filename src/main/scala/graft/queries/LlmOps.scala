@@ -348,7 +348,16 @@ object LlmOps {
   // would be the engine's one remaining quadratic). Rows-only like
   // d10; routing totality/determinism/recall pinned in LlmOpsSpec,
   // the 100× probe in Bench runs this dial with routing live.
-  val d10auto: Q = rowsOnly("d10_semdedup_auto") { c =>
+  // Oracle-gated since round 11 (kmeansAutoTrainSql — the adaptive-k,
+  // rank-seeded, unit-centroid mirror); the routed k > RouteThreshold
+  // regime stays pinned by the routing-contracts spec.
+  val d10auto: Q = q("d10_semdedup_auto",
+    s"""${kmeansAutoTrainSql()}
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ROUND(${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm), 6) AS cosine
+       |FROM kaf x JOIN kaf y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { c =>
     Ann.semDedupAuto(c.embeddings, threshold = 0.4)
       .orderBy("id_a", "id_b")
   }
@@ -468,6 +477,48 @@ object LlmOps {
        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS ncv FROM n WHERE vec_id < $nCentroids),
        |$lloyd,
        |${ivfAssign("af", s"c$iters", "rn = 1")}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Ann.kmeansDf]] (the DataFrame-native codebook
+    * behind the Auto dials) + final assignment `kaf`. Differs from
+    * [[ivfTrainSql]] exactly where the implementations differ: k is
+    * CORPUS-ADAPTIVE (GREATEST(16, n//256), computed in SQL), seeds
+    * are the k lowest vec_ids BY RANK with rank as the cid, centroids
+    * are UNIT-normalized each step (so assignment scores divide by
+    * the row norm only), and ties resolve to the LOWEST cid (the
+    * struct-negcid max). Valid while k stays ≤ RouteThreshold — the
+    * direct-assignment regime every oracle-scale corpus is in; the
+    * routed form (k > 256) keeps its rows-only spec.
+    */
+  private def kmeansAutoTrainSql(iters: Int = 2): String = {
+    def assign(out: String, cents: String) =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
+         |  FROM n CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def refine(prev: String, a: String, out: String) =
+      s"""${out}m AS (SELECT cid, i AS pos,
+         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
+         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
+         |${out}g AS (SELECT cid, mv, sqrt(list_reduce(list_transform(mv, x -> x*x), (acc, x) -> acc + x)) AS mnrm
+         |  FROM (SELECT cid, list(comp ORDER BY pos) AS mv FROM ${out}m GROUP BY cid)),
+         |$out AS (SELECT p.cid,
+         |    CASE WHEN g.mnrm IS NULL OR g.mnrm = 0 THEN p.cv
+         |         ELSE list_transform(g.mv, x -> x/g.mnrm) END AS cv
+         |  FROM $prev p LEFT JOIN ${out}g g USING (cid))""".stripMargin
+    val lloyd = (1 to iters).map { t =>
+      assign(s"ka$t", s"kc${t - 1}") + ",\n" +
+        refine(s"kc${t - 1}", s"ka$t", s"kc$t")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+       |kk AS (SELECT GREATEST(16, COUNT(*) // 256) AS k FROM n),
+       |kc0 AS (SELECT rnk - 1 AS cid, list_transform(v, x -> x/nrm) AS cv FROM (
+       |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk FROM n)
+       |  WHERE rnk <= (SELECT k FROM kk)),
+       |$lloyd,
+       |${assign("kaf", s"kc$iters")}""".stripMargin
   }
 
   /** DuckDB mirror of [[Ann.ivfpq]]: the coarse probe CTEs plus the
@@ -605,9 +656,18 @@ object LlmOps {
   // native k-means, routed assignment past RouteThreshold): the
   // fixed-16-centroid graph's within-cluster work is quadratic at
   // fixed k (10× probe ratio ~9-16); this dial keeps candidate
-  // volume ~n·occupancy. Rows-only like s05; planted-neighbor recall
-  // and the routing contracts are pinned in LlmOpsSpec.
-  val s05auto: Q = rowsOnly("s05_knn_graph_auto") { c =>
+  // volume ~n·occupancy. Oracle-gated since round 11 via the
+  // adaptive-k retrained codebook (single-probe: each vector scores
+  // only its own cluster); planted-neighbor recall and the routed
+  // k > RouteThreshold contracts stay pinned in LlmOpsSpec.
+  val s05auto: Q = q("s05_knn_graph_auto",
+    s"""${kmeansAutoTrainSql()},
+       |sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${ivfDot("q.v", "a.v")} / (q.nrm*a.nrm) AS cos
+       |       FROM kaf q JOIN kaf a ON a.cid = q.cid AND a.vec_id <> q.vec_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { c =>
     Ann.knnGraphAuto(c.embeddings, k = 3)
       .orderBy("query_id", "rank")
   }
