@@ -66,4 +66,67 @@ object ManifestSource {
     def fetch(): Option[ManifestState] = Some(state)
     def describe: String = "in-memory manifest"
   }
+
+  /** The dbt-Cloud-shaped HTTP source (reference:
+    * src/dbt_cloud.py:29-172, wired via core.py:134-165): list the
+    * job's recent runs newest-finished-first, take the first
+    * SUCCESSFUL one (status 10), then fetch that run's
+    * `manifest.json` artifact — or skip the listing when an explicit
+    * `runId` is given, exactly the reference's override. Token auth
+    * header on every request; any non-2xx fails hard
+    * (raise_for_status — a partial or unauthorized fetch must abort
+    * the CI diff, not degrade it). Uses only JDK HTTP; EngineSpec
+    * drives it against a loopback stub so the zero-egress build
+    * still exercises the full path (the request/artifact wire shapes,
+    * auth, run selection, and error handling), and pins that swapping
+    * this source for the warehouse artifact cannot change a
+    * `state:modified+` selection.
+    *
+    * `baseUrl` replaces the reference's hardcoded
+    * `https://cloud.getdbt.com/api/v2` so tests (and self-hosted
+    * deployments) can point elsewhere.
+    */
+  final case class Http(baseUrl: String, apiToken: String,
+      accountId: String, jobId: String, runId: Option[String] = None,
+      limit: Int = 50) extends ManifestSource {
+
+    private def get(url: String): String = {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("Authorization", s"Token $apiToken")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      val status = conn.getResponseCode
+      if (status < 200 || status >= 300)
+        throw new java.io.IOException(s"HTTP $status from $url")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+
+    /** First successful run id from the newest-first listing — the
+      * reference's get_latest_successful_run (status 10 = success).
+      * Minimal regex scan in the repo's no-json-dependency style: the
+      * listing entries only need (id, status) pairs.
+      */
+    private[core] def latestSuccessfulRunId(): Option[String] = {
+      val body = get(s"$baseUrl/accounts/$accountId/runs/" +
+        s"?job_definition_id=$jobId&limit=$limit&order_by=-finished_at")
+      val run = """\{[^{}]*"id"\s*:\s*(\d+)[^{}]*"status"\s*:\s*(\d+)[^{}]*\}""".r
+      run.findAllMatchIn(body)
+        .collectFirst { case m if m.group(2) == "10" => m.group(1) }
+    }
+
+    def fetch(): Option[ManifestState] = {
+      val rid = runId.orElse(latestSuccessfulRunId()).getOrElse(
+        throw new IllegalStateException(
+          s"no successful run found for job $jobId"))
+      Some(ManifestState.fromJson(
+        get(s"$baseUrl/accounts/$accountId/runs/$rid/artifacts/manifest.json")))
+    }
+
+    def describe: String =
+      s"dbt-Cloud manifest (account $accountId, job $jobId" +
+        runId.fold("")(r => s", run $r") + ")"
+  }
 }

@@ -460,18 +460,101 @@ class EngineSpec extends SparkSpec {
     ManifestState.save(wh, prodState)
     val file = graft.core.Scratch.dir("manifest_src").resolve("manifest.json")
     java.nio.file.Files.writeString(file, prodState.toJson)
-    val sources: Seq[ManifestSource] = Seq(
-      ManifestSource.WarehouseArtifact(wh),
-      ManifestSource.FilePath(file.toString),
-      ManifestSource.Static(prodState))
-    val selections = sources.map(s =>
-      graft.ci.IncrementalCI.select(current, s.fetch().get))
-    assert(selections.distinct.size == 1,
-      s"sources disagreed: ${sources.map(_.describe).zip(selections)}")
-    assert(selections.head.directlyModified == Set("b"))
-    assert(selections.head.closure == Set("b", "c"))
+    // the dbt-Cloud HTTP path against a loopback stub: run listing ->
+    // latest SUCCESSFUL run -> manifest artifact, all four acquisition
+    // paths must produce the identical selection
+    withDbtCloudStub(prodState.toJson) { (baseUrl, seenAuth) =>
+      val sources: Seq[ManifestSource] = Seq(
+        ManifestSource.WarehouseArtifact(wh),
+        ManifestSource.FilePath(file.toString),
+        ManifestSource.Static(prodState),
+        ManifestSource.Http(baseUrl, "tok-123", "7", "99"))
+      val selections = sources.map(s =>
+        graft.ci.IncrementalCI.select(current, s.fetch().get))
+      assert(selections.distinct.size == 1,
+        s"sources disagreed: ${sources.map(_.describe).zip(selections)}")
+      assert(selections.head.directlyModified == Set("b"))
+      assert(selections.head.closure == Set("b", "c"))
+      // the reference's Token auth header rode every request
+      assert(seenAuth().nonEmpty && seenAuth().forall(_ == "Token tok-123"),
+        s"auth headers seen: ${seenAuth()}")
+    }
     // no prior state at the path reads as "no manifest", not an error
     assert(ManifestSource.FilePath(s"$file.missing").fetch().isEmpty)
+  }
+
+  /** Loopback dbt-Cloud API stub (zero egress): newest-first run
+    * listing where the NEWEST run failed (status 20) and the next
+    * succeeded (status 10, id 42) — selecting any other run serves a
+    * 404 — plus run 42's manifest artifact. Collects Authorization
+    * headers for the caller to assert on.
+    */
+  private def withDbtCloudStub(manifestJson: String)(
+      body: (String, () => Seq[String]) => Unit): Unit = {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, status: Int,
+        bodyStr: String): Unit = {
+      val b = bodyStr.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/api/v2/", ex => {
+      seen.synchronized {
+        seen += Option(ex.getRequestHeaders.getFirst("Authorization")).orNull
+      }
+      val path = ex.getRequestURI.getPath
+      if (path == "/api/v2/accounts/7/runs/")
+        respond(ex, 200,
+          """{"data":[{"id":43,"status":20,"finished_at":"t2"},
+            |{"id":42,"status":10,"finished_at":"t1"},
+            |{"id":41,"status":10,"finished_at":"t0"}]}""".stripMargin)
+      else if (path == "/api/v2/accounts/7/runs/42/artifacts/manifest.json")
+        respond(ex, 200, manifestJson)
+      else respond(ex, 404, """{"error":"not found"}""")
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/api/v2",
+      () => seen.synchronized(seen.toSeq))
+    finally server.stop(0)
+  }
+
+  test("HTTP manifest source: explicit run override, no-success and non-2xx failures") {
+    val g = ModelGraph(Seq(
+      Model("a", Nil, Materialization.View, _ => spark.emptyDataFrame, body = "x")))
+    val state = ManifestState.of(g)
+    withDbtCloudStub(state.toJson) { (baseUrl, _) =>
+      // explicit runId skips the listing (the reference's override arg)
+      assert(ManifestSource.Http(baseUrl, "t", "7", "99", runId = Some("42"))
+        .fetch().contains(state))
+      // an override pointing at a run with no artifact fails hard
+      // (raise_for_status), never a silent empty diff
+      intercept[java.io.IOException] {
+        ManifestSource.Http(baseUrl, "t", "7", "99", runId = Some("40")).fetch()
+      }
+      // wrong account: listing itself 404s
+      intercept[java.io.IOException] {
+        ManifestSource.Http(baseUrl, "t", "8", "99").fetch()
+      }
+    }
+    // a listing with runs but NO successful one mirrors the
+    // reference's ValueError
+    val failing = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    failing.createContext("/api/v2/", ex => {
+      val b = """{"data":[{"id":5,"status":20,"finished_at":"t"}]}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    failing.start()
+    try intercept[IllegalStateException] {
+      ManifestSource.Http(
+        s"http://127.0.0.1:${failing.getAddress.getPort}/api/v2",
+        "t", "7", "99").fetch()
+    } finally failing.stop(0)
   }
 
   test("bench harness records per-query errors instead of swallowing them") {
