@@ -78,6 +78,19 @@ object ProbeAudit {
         println(f"[d13 $tag] $t%.1f s")
       }
     }
+    if (which == "m12") {
+      // demo-DAG thread sweep: 43 models, threads=1 vs the registered
+      // threads=4 — how much of the wall is critical path vs fan-out
+      val c = graft.sources.Catalog(spark, sfDir)
+      for (t <- Seq(1, 4, 8); rep <- 1 to 2) {
+        val wh = graft.core.Warehouse.scratch(spark, s"m12probe_t${t}_$rep")
+        val (_, secs) = sec {
+          graft.core.Runner(graft.core.Materializer(wh), c.table, threads = t)
+            .runAll(graft.cli.DemoProject.graph(19))
+        }
+        println(f"[m12 threads=$t rep=$rep] $secs%.1f s")
+      }
+    }
     if (which == "100x" || which == "both") {
       val d = graft.core.Scratch.dir("audit100x").toString
       val (_, tStage) = sec(Bench.stageEmbeddings100x(spark, sfDir, d))

@@ -441,7 +441,11 @@ object Engine {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (spark, dir) =>
     val c = Catalog(spark, dir)
     val wh = Warehouse.scratch(spark, "m12")
-    val outs = Runner(Materializer(wh), c.table, threads = 4)
+    // threads=8 from the round-11 ProbeAudit sweep (sf0.1, warmed):
+    // sequential 7.9 s, 4 threads 3.1 s, 8 threads 2.1 s — the
+    // 19-wide intermediate layer keeps submitter threads fed well
+    // past 4; beyond 8 the 4-level critical path dominates
+    val outs = Runner(Materializer(wh), c.table, threads = 8)
       .runAll(graft.cli.DemoProject.graph(19))
     outs("mart_segment_spend")
       .select(col("c_mktsegment"), col("n_buyers"), col("n_orders"),
