@@ -593,17 +593,31 @@ object Dedup {
     * the trailing context via lag, chunk ids via a shifted running
     * sum (the e02 prefix-sum idiom) — then one group per chunk.
     * Every window partitions by doc_id; nothing is corpus-wide.
+    *
+    * `portableHash = true` swaps xxhash64 for the engine-portable
+    * md5-60-bit context hash (the d02/d03 idiom: Spark
+    * `conv(substring(md5(ctx),1,15),16,10)`, DuckDB
+    * `('0x'||substr(md5(ctx),1,15))::BIGINT`), so the EXACT chunk
+    * boundaries — and hence the whole keep-first result — reproduce
+    * in plain SQL. That is what lets d13 be oracle-gated; the
+    * xxhash64 family (one integer hash per token instead of an md5)
+    * keeps the insertion-robustness spec.
     */
-  def cdcChunks(docs: DataFrame, window: Int = 3, divisor: Int = 8): DataFrame = {
+  def cdcChunks(docs: DataFrame, window: Int = 3, divisor: Int = 8,
+      portableHash: Boolean = false): DataFrame = {
     require(window >= 1 && divisor >= 2)
     val toks = docs.select(col("doc_id"),
       posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val ctx = concat_ws(" ",
       ((window - 1) to 0 by -1).map(i => lag(col("tok"), i).over(w)): _*)
+    val ctxHash =
+      if (portableHash)
+        conv(substring(md5(ctx.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+      else xxhash64(ctx)
     // a token can only cut once a full context exists behind it
     val cut = when(col("pos") >= window - 1 &&
-      pmod(xxhash64(ctx), lit(divisor.toLong)) === 0, 1).otherwise(0)
+      pmod(ctxHash, lit(divisor.toLong)) === 0, 1).otherwise(0)
     // chunk id = cuts strictly BEFORE this token (a cutting token
     // closes its own chunk): running sum shifted one row back
     val chunkId = coalesce(

@@ -187,11 +187,36 @@ object LlmOps {
   // ~one chunk instead of shifting every fixed-width chunk after it —
   // the property d07 lacks on edited near-dups, and why dedup STORES
   // chunk this way. Keep-first per chunk hash; per-doc rollup of
-  // chunks vs survivors. Rows-only (rolling-hash boundaries aren't
-  // SQL-expressible): LlmOpsSpec pins the insertion-robustness win
-  // over fixed-width, lossless reconstruction, and determinism.
-  val d13: Q = rowsOnly("d13_cdc_chunk_dedup") { c =>
-    val chunks = Dedup.cdcChunks(c.documents)
+  // chunks vs survivors. ORACLE-GATED since r11: the registered
+  // family cuts on the md5-60-bit context hash (the d02/d03 portable
+  // idiom), so DuckDB re-derives the IDENTICAL boundaries — trailing
+  // 3-token context per position, running-sum chunk ids, md5 chunk
+  // hashes, global keep-first — and the per-doc rollup hash-compares.
+  // The xxhash64 family keeps the insertion-robustness spec.
+  val d13: Q = q("d13_cdc_chunk_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |flat AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM toks),
+      |cut AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+      |          CASE WHEN i >= 3 AND
+      |            CAST('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 15) AS BIGINT) % 8 = 0
+      |          THEN 1 ELSE 0 END AS c
+      |        FROM flat),
+      |ck AS (SELECT doc_id, pos, tok,
+      |         COALESCE(SUM(c) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |       FROM cut),
+      |chunks AS (SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      |           FROM ck GROUP BY doc_id, chunk_id),
+      |kept AS (SELECT doc_id, n_tokens,
+      |           CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk_hash
+      |                  ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS k
+      |         FROM chunks)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(k) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_tokens * (1 - k)) AS BIGINT) AS dup_tokens
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""") { c =>
+    val chunks = Dedup.cdcChunks(c.documents, portableHash = true)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
       .orderBy("doc_id", "chunk_id")
     val kept = chunks
