@@ -150,7 +150,8 @@ final case class Model(
     schemaSuffix: Option[String] = None,
     onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
     body: String = "",
-    contract: Option[Contract] = None) {
+    contract: Option[Contract] = None,
+    tags: Seq[String] = Nil) {
   /** Target schema name, dbt-style `<base>_<custom suffix>`. */
   def targetSchema: String = schemaSuffix.fold(schema)(s => s"${schema}_$s")
   def checksum: String = {

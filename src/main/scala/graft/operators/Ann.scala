@@ -39,6 +39,31 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Exact RADIUS (threshold) search: every corpus vector with cosine
+    * >= minCos of each query — the retrieval mode where the answer
+    * size is data-dependent (dedup sweeps, recall-complete retrieval)
+    * and a top-k cutoff would silently truncate. Same broadcast-
+    * queries / streaming-corpus shape as [[brute]]: ONE corpus pass
+    * scores all |Q| queries, and because there is no rank, no window
+    * runs at all — the threshold filter is map-side, so output is the
+    * only shuffle-free cost. The filter lands on the ROUNDED cosine
+    * so engines decide boundary pairs identically (the s07 lesson).
+    * Scale dial: for corpus-sized query sets use the d05 LSH-bucket
+    * candidate path; this exact form is for query sets that fit a
+    * broadcast.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      minCos: Double): DataFrame = {
+    val q = normed(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val c = normed(corpus)
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= minCos)
+  }
+
   /** Exact top-k by raw inner product — MIPS, the retrieval mode for
     * unnormalized embedding stores (recommenders, reward models),
     * where magnitude carries signal and cosine is the wrong order.

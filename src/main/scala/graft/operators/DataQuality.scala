@@ -62,4 +62,42 @@ object DataQuality {
       violations.agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check_name"), col("n_violations"))
     }.reduce(_ unionAll _)
+
+  /** dbt-utils `accepted_range`: values outside [min, max] (bound
+    * inclusivity per flag) or NULL violate. Returns the violation
+    * PREDICATE so rules compose into [[ruleReport]]'s one-scan form.
+    */
+  def acceptedRange(c: Column, min: Column, max: Column,
+      minInclusive: Boolean = true, maxInclusive: Boolean = true): Column = {
+    val belowMin = if (minInclusive) c < min else c <= min
+    val aboveMax = if (maxInclusive) c > max else c >= max
+    belowMin || aboveMax || c.isNull
+  }
+
+  /** dbt-utils `expression_is_true`: rows where the asserted
+    * expression is false OR null violate (SQL's three-valued trap:
+    * a NULL comparison is not "true", so it must count).
+    */
+  def expressionIsTrue(assertion: Column): Column =
+    !coalesce(assertion, lit(false))
+
+  /** Many rules over ONE table in ONE scan: each rule is a violation
+    * predicate folded into a conditional sum, then the 1-row wide
+    * aggregate explodes into (check_name, n_violations) rows. vs
+    * [[summarize]] (one aggregate subtree per check — fine across
+    * DIFFERENT tables) this reads the table once no matter how many
+    * rules it carries, which is the difference between one and N
+    * full scans at 100 TB.
+    */
+  def ruleReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleReport needs at least one rule")
+    val sums = rules.map { case (name, viol) =>
+      coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(name)
+    }
+    df.agg(sums.head, sums.tail: _*)
+      .select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("check_name"), col(name).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.check_name"), col("r.n_violations"))
+  }
 }

@@ -1048,7 +1048,67 @@ object Engine {
     mat.run(model, _ => b2).orderBy("o_orderkey", "batch")
   }
 
+  // m27 — dbt node SELECTORS: the `--select`/`--exclude` mini-language
+  // (graph operators +/@, tag: method, name wildcards, space-union,
+  // comma-intersection) the reference's hard-coded `state:modified+`
+  // is one point in. Like m06, selection over a fixed graph is
+  // deterministic driver-side math, so the oracle is the literal
+  // verdict matrix — every selector's full selected set, hand-derived
+  // from dbt-core's documented semantics. Selection cost is O(graph
+  // nodes), never O(data): the same 38-row answer on any cluster.
+  val m27: Q = q("m27_node_selectors",
+    """SELECT * FROM (VALUES
+      |  ('+mart_y', 'int_ab'), ('+mart_y', 'int_bc'), ('+mart_y', 'mart_y'),
+      |  ('+mart_y', 'stg_a'), ('+mart_y', 'stg_b'), ('+mart_y', 'stg_c'),
+      |  ('+mart_y --exclude tag:staging', 'int_ab'),
+      |  ('+mart_y --exclude tag:staging', 'int_bc'),
+      |  ('+mart_y --exclude tag:staging', 'mart_y'),
+      |  ('@mart_x', 'int_ab'), ('@mart_x', 'mart_x'),
+      |  ('@mart_x', 'stg_a'), ('@mart_x', 'stg_b'),
+      |  ('stg_*', 'stg_a'), ('stg_*', 'stg_b'), ('stg_*', 'stg_c'),
+      |  ('stg_a stg_c+', 'audit_y'), ('stg_a stg_c+', 'int_bc'),
+      |  ('stg_a stg_c+', 'mart_y'), ('stg_a stg_c+', 'stg_a'),
+      |  ('stg_a stg_c+', 'stg_c'),
+      |  ('stg_b+', 'audit_y'), ('stg_b+', 'int_ab'), ('stg_b+', 'int_bc'),
+      |  ('stg_b+', 'mart_x'), ('stg_b+', 'mart_y'), ('stg_b+', 'stg_b'),
+      |  ('stg_b+,tag:mart', 'mart_x'), ('stg_b+,tag:mart', 'mart_y'),
+      |  ('tag:nightly', 'int_bc'), ('tag:nightly', 'mart_y'),
+      |  ('tag:nightly', 'stg_a'),
+      |  ('tag:nightly+', 'audit_y'), ('tag:nightly+', 'int_ab'),
+      |  ('tag:nightly+', 'int_bc'), ('tag:nightly+', 'mart_x'),
+      |  ('tag:nightly+', 'mart_y'), ('tag:nightly+', 'stg_a'))
+      |  AS t(selector, model_name)
+      |ORDER BY selector, model_name""") { (spark, _) =>
+    def m(name: String, deps: Seq[String], tags: Seq[String]): Model =
+      Model(name, deps, Materialization.View,
+        _ => spark.emptyDataFrame, tags = tags)
+    val g = ModelGraph(Seq(
+      m("stg_a", Nil, Seq("staging", "nightly")),
+      m("stg_b", Nil, Seq("staging")),
+      m("stg_c", Nil, Seq("staging")),
+      m("int_ab", Seq("stg_a", "stg_b"), Seq("intermediate")),
+      m("int_bc", Seq("stg_b", "stg_c"), Seq("intermediate", "nightly")),
+      m("mart_x", Seq("int_ab"), Seq("mart")),
+      m("mart_y", Seq("int_ab", "int_bc"), Seq("mart", "nightly")),
+      m("audit_y", Seq("mart_y"), Seq("audit"))))
+    val cases: Seq[(String, String, Option[String])] = Seq(
+      ("stg_b+", "stg_b+", None),
+      ("+mart_y", "+mart_y", None),
+      ("@mart_x", "@mart_x", None),
+      ("tag:nightly", "tag:nightly", None),
+      ("tag:nightly+", "tag:nightly+", None),
+      ("stg_*", "stg_*", None),
+      ("stg_b+,tag:mart", "stg_b+,tag:mart", None),
+      ("stg_a stg_c+", "stg_a stg_c+", None),
+      ("+mart_y --exclude tag:staging", "+mart_y", Some("tag:staging")))
+    val rows = cases.flatMap { case (label, spec, exclude) =>
+      Selector.select(g, spec, exclude).toSeq.sorted.map(label -> _)
+    }
+    spark.createDataFrame(rows).toDF("selector", "model_name")
+      .orderBy("selector", "model_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26)
+    m25, m26, m27)
 }

@@ -780,6 +780,27 @@ object LlmOps {
         round(col("raw"), 6).as("rrf"))
   }
 
+  // s08 — exact RADIUS (threshold) retrieval: every corpus vector
+  // with cosine >= 0.35 of each query (vec_id < 8) — the recall-
+  // complete mode where a top-k cutoff would silently truncate a
+  // data-dependent answer set. One corpus pass scores all queries
+  // (broadcast query side), the threshold filter is map-side, and —
+  // unlike s01 — NO rank window runs at all. The filter lands on the
+  // ROUNDED cosine so both engines decide boundary pairs identically
+  // (the s07 ordering lesson applied to a predicate).
+  val s08: Q = q("s08_range_search",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        ROUND(list_reduce(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), (acc, x) -> acc + x)
+      |          / (q.nrm*c.nrm), 6) AS cosine
+      |      FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, cosine FROM p WHERE cosine >= 0.35
+      |ORDER BY query_id, neighbor_id""") { c =>
+    Ann.rangeSearch(c.embeddings.filter(col("vec_id") < 8), c.embeddings, 0.35)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   // ---------------------------------------------------------------
   // x01 — heuristic language ID from stopword hit counts
   val x01: Q = q("x01_langid",
@@ -909,6 +930,51 @@ object LlmOps {
         hits.cast(IntegerType).as("stopword_hits"),
         (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
           alphaFrac >= 0.8 && hits >= 2).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  // x21 — character-entropy quality signal (the C4/MassiveText
+  // gibberish screen): per-doc Shannon entropy of the character
+  // unigram distribution, in nats — encoding junk, key-mash, and
+  // repeated-char padding score far below real prose (~2.9), and the
+  // signal is tokenizer-free so it runs before any tokenization
+  // stage. Plan: one explode scan + two map-side-combined hash aggs
+  // (the x12 shape), nothing corpus-wide. Cross-engine determinism:
+  // Σ cnt·ln(cnt) is a double sum whose value depends on group
+  // order, so both engines sum the 2^40-SCALED TRUNCATED INTEGER
+  // terms (the s04 codebook trick) — order-free exact longs — and
+  // convert to double once at the end. (Long headroom caps docs at
+  // ~500 KB of text; shard larger docs before profiling.)
+  val x21: Q = q("x21_char_entropy",
+    """WITH ch AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(lower(text))+1),
+      |           i -> substr(lower(text), i, 1))) AS ch FROM documents),
+      |cnt AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY doc_id, ch),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_chars,
+      |    CAST(COUNT(*) AS INT) AS n_distinct,
+      |    CAST(SUM(CAST(trunc(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1099511627776) AS BIGINT)) AS BIGINT) AS s
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_chars, n_distinct,
+      |  ROUND(ln(CAST(n_chars AS DOUBLE)) - (CAST(s AS DOUBLE)/1099511627776)/n_chars, 6) AS entropy,
+      |  (ROUND(ln(CAST(n_chars AS DOUBLE)) - (CAST(s AS DOUBLE)/1099511627776)/n_chars, 6) < 2.0) AS low_entropy
+      |FROM agg ORDER BY doc_id""") { c =>
+    val scale = 1099511627776L // 2^40
+    val chars = c.documents.select(col("doc_id"),
+        explode(split(lower(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val cd = col("cnt").cast(DoubleType)
+    val term = (cd * log(cd) * lit(scale.toDouble)).cast(LongType)
+    val agg = chars.groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast(LongType).as("n_chars"),
+        count(lit(1)).cast(IntegerType).as("n_distinct"),
+        sum(term).as("s"))
+    val ent = round(log(col("n_chars").cast(DoubleType)) -
+      (col("s").cast(DoubleType) / scale.toDouble) / col("n_chars"), 6)
+    agg.select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        ent.as("entropy"), (ent < 2.0).as("low_entropy"))
       .orderBy("doc_id")
   }
 
@@ -1745,7 +1811,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
-    s01, s02, s03, s04, s05, s05auto, s06, s07,
+    s01, s02, s03, s04, s05, s05auto, s06, s07, s08,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, p01, p02, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, x21, p01, p02, mm01, mm02, mm03)
 }

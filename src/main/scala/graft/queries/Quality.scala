@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, TimestampType}
 
 import graft.operators.DataQuality
 import graft.sources.Catalog
@@ -451,5 +451,48 @@ object Quality {
       |          WHERE l_shipdate >= TIMESTAMP '1996-01-01') AS DOUBLE)
       |) ORDER BY metric""".stripMargin.trim))
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  // t12 — dbt-utils GENERIC tests: accepted_range + expression_is_true
+  // (dbt_utils.accepted_range / dbt_utils.expression_is_true — the two
+  // workhorse generics beyond core's four). Each rule is a violation
+  // PREDICATE, and all of a table's rules fold into ONE conditional-sum
+  // scan (DataQuality.ruleReport) — orders is read once for its two
+  // rules, lineitem once for its three; at 100 TB per-rule scans are
+  // the difference between one pass and N. NULL handling matches dbt:
+  // out-of-range NULLs violate accepted_range, and a NULL assertion is
+  // not "true" (three-valued logic) so it violates expression_is_true.
+  val t12: Q = q("t12_accepted_range",
+    """SELECT * FROM (
+      |  SELECT 'range_o_totalprice_0_400k' AS check_name,
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice >= CAST(400000 AS DOUBLE)
+      |       OR o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) AS n_violations
+      |  UNION ALL SELECT 'expr_orderdate_before_2001',
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(o_orderdate < TIMESTAMP '2001-01-01', false)
+      |       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders)
+      |  UNION ALL SELECT 'range_l_discount_0_008',
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > CAST(0.08 AS DOUBLE)
+      |       OR l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)
+      |  UNION ALL SELECT 'range_l_quantity_1_45',
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > CAST(45 AS DOUBLE)
+      |       OR l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)
+      |  UNION ALL SELECT 'expr_extendedprice_positive',
+      |    (SELECT CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, false)
+      |       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem)
+      |) ORDER BY check_name""") { c =>
+    val orders = DataQuality.ruleReport(c.orders, Seq(
+      "range_o_totalprice_0_400k" -> DataQuality.acceptedRange(
+        col("o_totalprice"), lit(0).cast(DoubleType),
+        lit(400000).cast(DoubleType), maxInclusive = false),
+      "expr_orderdate_before_2001" -> DataQuality.expressionIsTrue(
+        col("o_orderdate") < lit("2001-01-01").cast(TimestampType))))
+    val lineitem = DataQuality.ruleReport(c.lineitem, Seq(
+      "range_l_discount_0_008" -> DataQuality.acceptedRange(
+        col("l_discount"), lit(0).cast(DoubleType), lit(0.08).cast(DoubleType)),
+      "range_l_quantity_1_45" -> DataQuality.acceptedRange(
+        col("l_quantity"), lit(1).cast(DoubleType), lit(45).cast(DoubleType)),
+      "expr_extendedprice_positive" -> DataQuality.expressionIsTrue(
+        col("l_extendedprice") > 0)))
+    orders.unionAll(lineitem).orderBy("check_name")
+  }
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

@@ -822,8 +822,45 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q33 — UNPIVOT/melt: the complement of q22's conditional pivot.
+  // Dashboard marts materialize wide per-entity metric rows; the
+  // long (entity, metric, value) form feeds generic metric stores
+  // and chart layers. Spark's Dataset.unpivot is ONE Expand pass
+  // over the already-aggregated frame (same operator family as
+  // q29's grouping sets) — NOT three scans + a union, which is what
+  // the naive SQL rewrite costs at 100 TB. Values unify to DOUBLE
+  // (unpivot requires one common type); counts are exact in double
+  // far past any test scale.
+  val q33: Q = q("q33_unpivot",
+    """WITH wide AS (
+      |  SELECT n_name,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+      |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_cust
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM wide
+      |UNION ALL SELECT n_name, 'total_price', total_price FROM wide
+      |UNION ALL SELECT n_name, 'n_cust', n_cust FROM wide
+      |ORDER BY n_name, metric""") { c =>
+    val wide = c.orders
+      .join(c.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n_orders"),
+        sum(decTotal(col("o_totalprice"))).cast(DoubleType).as("total_price"),
+        countDistinct(col("o_custkey")).cast(DoubleType).as("n_cust"))
+    wide.unpivot(
+        Array(col("n_name")),
+        Array(col("n_orders"), col("total_price"), col("n_cust")),
+        "metric", "value")
+      .orderBy("n_name", "metric")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }

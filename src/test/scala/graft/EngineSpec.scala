@@ -893,6 +893,52 @@ class EngineSpec extends SparkSpec {
       Seq(("user_id", 1000L, 2000L))).count() == 0L)
   }
 
+  test("Selector grammar: closures, wildcard, intersection, exclude, unknown names") {
+    import graft.core.{Materialization, Model, ModelGraph, Selector}
+    def m(name: String, deps: Seq[String], tags: String*): Model =
+      Model(name, deps, Materialization.View, _ => spark.emptyDataFrame,
+        tags = tags)
+    val g = ModelGraph(Seq(
+      m("stg_a", Nil, "staging"), m("stg_b", Nil, "staging"),
+      m("int_ab", Seq("stg_a", "stg_b")),
+      m("mart_m", Seq("int_ab"), "mart")))
+    // both-closures operator
+    assert(Selector.select(g, "+int_ab+") ==
+      Set("stg_a", "stg_b", "int_ab", "mart_m"))
+    // @ = node + descendants + ancestors OF those descendants
+    assert(Selector.select(g, "@stg_a") ==
+      Set("stg_a", "stg_b", "int_ab", "mart_m"))
+    // unknown / unmatched selectors select nothing (dbt warns, not fails)
+    assert(Selector.select(g, "nope").isEmpty)
+    assert(Selector.select(g, "zz_*").isEmpty)
+    // intersection with an empty side is empty
+    assert(Selector.select(g, "stg_a+,tag:nosuch").isEmpty)
+    // exclude side speaks the full grammar too (graph op in exclude)
+    assert(Selector.select(g, "stg_a+", Some("int_ab+")) == Set("stg_a"))
+    // union of groups
+    assert(Selector.select(g, "stg_b tag:mart") == Set("stg_b", "mart_m"))
+  }
+
+  test("ruleReport: one scan per table, zero counts on an empty table") {
+    import graft.operators.DataQuality
+    val c = graft.sources.Catalog(spark, sfDir)
+    val empty = c.orders.filter(col("o_orderkey") < 0)
+    val out = DataQuality.ruleReport(empty, Seq(
+      "r1" -> DataQuality.acceptedRange(col("o_totalprice"),
+        lit(0.0), lit(1.0)),
+      "r2" -> DataQuality.expressionIsTrue(col("o_orderkey") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("r1" -> 0L, "r2" -> 0L))
+    // the one-scan contract: a two-rule report reads orders ONCE
+    val plan = DataQuality.ruleReport(c.orders, Seq(
+      "r1" -> DataQuality.acceptedRange(col("o_totalprice"),
+        lit(0.0), lit(400000.0)),
+      "r2" -> DataQuality.expressionIsTrue(col("o_orderkey") > 0)))
+      .queryExecution.executedPlan.toString
+    assert("(?i)scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

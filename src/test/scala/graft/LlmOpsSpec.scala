@@ -956,6 +956,46 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: degenerate and uniform docs bracket real prose") {
+    // the x21 signal on constructed extremes: a single repeated char
+    // has entropy exactly 0 (flagged), a 16-char uniform alphabet is
+    // exactly ln 16, and real prose sits between them unflagged
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a" * 64),
+      (2L, "abcdefghijklmnop" * 4),
+      (3L, "the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
+    val q = LlmOps.all.find(_.name == "x21_char_entropy").get
+    // run against a scratch dir whose documents table = our fixture
+    val tmp = java.nio.file.Files.createTempDirectory("x21spec")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = q.run(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((64L, 1, 0.0, true)))
+    val (n2, d2, e2, f2) = out(2L)
+    assert(n2 == 64L && d2 == 16 && !f2)
+    assert(math.abs(e2 - math.log(16.0)) < 1e-5, s"uniform entropy $e2")
+    val (_, _, e3, f3) = out(3L)
+    assert(e3 > 2.0 && e3 < 4.0 && !f3, s"prose entropy $e3")
+  }
+
+  test("rangeSearch: recall-complete vs brute force, threshold on rounded cosine") {
+    // every (query, neighbor) the brute-force top-k surfaces above
+    // the threshold must appear in the radius result — no truncation
+    val queries = cat.embeddings.filter(col("vec_id") < 8)
+    val range = Ann.rangeSearch(queries, cat.embeddings, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteAbove = Ann.brute(queries, cat.embeddings, k = 50)
+      .filter(col("cosine") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(bruteAbove.nonEmpty, "fixture should have pairs above 0.35")
+    assert(bruteAbove.subsetOf(range),
+      s"radius search missed ${bruteAbove -- range}")
+    // and soundness: nothing below the threshold leaks through
+    assert(Ann.rangeSearch(queries, cat.embeddings, 0.35)
+      .filter(col("cosine") < 0.35).count() == 0L)
+  }
+
   for (q <- LlmOps.all ++ graft.queries.Quality.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)
