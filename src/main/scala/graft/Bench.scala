@@ -70,8 +70,8 @@ object Bench {
     "d13_cdc_chunk_dedup", "e13_funnel",
     "m02_incremental_merge", "q26_cohort_retention",
     "q31_window_range_frame",
-    "s05_knn_graph", "x08_tfidf", "x18_token_budget_sample",
-    "x20_gopher_rules")
+    "s05_knn_graph", "s08_range_search", "x08_tfidf",
+    "x18_token_budget_sample", "x20_gopher_rules", "x21_char_entropy")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -636,6 +636,86 @@ object Streaming {
       |  AND e.ts >= p.ts AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
       |ORDER BY e.event_id, purchase_id""".stripMargin.trim))
 
+  // e15 — LATE-DATA DROP audit: the watermark's other contract.
+  // e01-e14 prove watermarks FLUSH state; this entry pins what they
+  // DISCARD. A delayed partition (every third event) lands only
+  // after a far-future batch has already advanced the watermark, so
+  // the windowed aggregation drops every late row (their windows
+  // closed long ago) — Spark's documented
+  // numRowsDroppedByWatermark path. Because the landing order is
+  // deterministic (e11's ordered-mtime discipline,
+  // maxFilesPerTrigger=1), the drop set is deterministic too, and
+  // the batch oracle states it declaratively: aggregate ONLY the
+  // on-time slice. The streamed result must hash-match — a runtime
+  // that silently aggregated late rows (or dropped on-time ones)
+  // diverges. This is the property a 100 TB ingest pipeline bets
+  // its SLA on: bounded state BECAUSE late data is provably excluded.
+  val e15: Q = Q("e15_late_data_drop", (spark, dir) => {
+    val rawSchema = Catalog(spark, dir).eventsRawSchema
+    val srcDir = Scratch.dir("e15_src")
+    val ckpt = Scratch.dir("e15_ckpt")
+    val outDir = Scratch.dir("e15_out")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // land a filtered slice as ONE parquet file with a pinned mtime
+      // (e11's ordered-mtime discipline drives micro-batch order)
+      def land(slice: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val stage = Scratch.dir(s"e15_$name")
+        slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        require(dst.toFile.setLastModified(mtime),
+          "cannot order e15 landing files")
+        Scratch.remove(stage)
+      }
+      // on-time slice first; then TWO far-future sentinel batches
+      // (mtime +60/+120 s) — the watermark a batch FILTERS with is
+      // computed from the batch before it, so one sentinel would
+      // leave the late batch filtering with the pre-sentinel
+      // watermark and the still-open tail windows would absorb late
+      // rows; the delayed partition lands only after both (+150 s),
+      // provably below the advanced watermark
+      land(raw.filter(col("event_id") % 3 =!= 0), "a_events",
+        1700000000000L)
+      writeWatermarkSentinels(raw, srcDir, Seq("sentinel"), "e15",
+        nBatches = 2)
+      land(raw.filter(col("event_id") % 3 === 0), "d_late",
+        1700000150000L)
+      def stream = Catalog.normalizeEventTs(
+          spark.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+        .withColumn("ts", col("ts").cast(TimestampType))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("total_value"))
+      val query = agg.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet").option("path", outDir.toString)
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(outDir.toString)
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    } finally {
+      Scratch.remove(ckpt); Scratch.remove(srcDir)
+    }
+  }, Some(
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_id % 3 <> 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14)
+    e12, e13, e14, e15)
 }

@@ -415,6 +415,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._2 == -1L) == batch.count(_._2 == -1L))
   }
 
+  test("e15 late slice is discriminating: aggregating it would change the result") {
+    // guards the e15 oracle against degenerating — if the delayed
+    // partition stopped overlapping the on-time windows, "drops late
+    // rows" and "aggregates everything" would be indistinguishable
+    // and the gate would pass vacuously
+    val c = graft.sources.Catalog(spark, sfDir)
+    val all = c.events.groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .count().count()
+    val onTime = c.events.filter(col("event_id") % 3 =!= 0)
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .count().count()
+    val lateRows = c.events.filter(col("event_id") % 3 === 0).count()
+    assert(lateRows > 0, "late slice empty")
+    assert(all > onTime,
+      "late slice adds no groups - the e15 drop check is vacuous")
+  }
+
   test("ingest dedup steps: admitted digests block later copies across batches") {
     import spark.implicits._
     val wh = Warehouse.scratch(spark, "ingestdedup")
