@@ -254,7 +254,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * backups (table- and partition-level), and orphaned `_artifacts`
     * temp files. Returns root-relative paths removed.
     */
-  def sweep(): Seq[String] = sweepOrPreview(delete = true)
+  def sweep(): Seq[String] =
+    vacuum(dryRun = false).filter(_.action == "deleted").map(_.path)
 
   /** Non-destructive preview of what [[sweep]] would remove — the
     * `clean --dry-run` listing. Half-swapped backups (live copy
@@ -263,30 +264,59 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * fact restore. SAME traversal as [[sweep]] (one code path, a
     * delete flag) so the preview cannot drift from the deletion.
     */
-  def debris(): Seq[String] = sweepOrPreview(delete = false)
+  def debris(): Seq[String] =
+    vacuum(dryRun = true).filter(_.action == "would_delete").map(_.path)
 
-  private def sweepOrPreview(delete: Boolean): Seq[String] = {
+  /** The warehouse VACUUM (Delta VACUUM / Iceberg remove_orphan_files
+    * analogue) — the typed form of [[sweep]]/[[debris]]'s traversal,
+    * ONE code path for all three so the report can never drift from
+    * the deletion. Classifies every piece of staged-swap residue:
+    *  - `staged_tmp` — a `.__tmp`/`.__ctmp` stage that never
+    *    committed: delete (its data was never live);
+    *  - `stale_backup` — a `.__old` beside a live table: delete (the
+    *    completed swap superseded it);
+    *  - `interrupted_swap` — a `.__old` that is the ONLY copy: HEAL
+    *    (rename to live), never delete;
+    *  - `partition_backup` — partition-level `.X.__old` leftovers
+    *    inside live tables (m14's partition-scoped swaps);
+    *  - `artifact_tmp` — orphaned `_artifacts` temp files.
+    * Cost is O(#directory entries) driver-side metadata ops — no data
+    * IO at any warehouse size — so this runs as a routine janitor job.
+    */
+  def vacuum(dryRun: Boolean = false): Seq[Warehouse.VacuumAction] = {
+    import Warehouse.VacuumAction
+    val delete = !dryRun
+    def did(base: String) = {
+      val done = Map("delete" -> "deleted", "heal" -> "healed")(base)
+      if (delete) done else s"would_$base"
+    }
     val rootP = new org.apache.hadoop.fs.Path(root)
     val f = fs(rootP)
-    val removed = Seq.newBuilder[String]
+    val out = Seq.newBuilder[VacuumAction]
     def isStaging(n: String) = n.endsWith(".__tmp") || n.endsWith(".__ctmp")
+    def baseName(n: String) =
+      n.stripSuffix(".__tmp").stripSuffix(".__ctmp").stripSuffix(".__old")
     for (schema <- schemas) {
       val sp = new org.apache.hadoop.fs.Path(s"$root/$schema")
       f.listStatus(sp).filter(_.isDirectory).foreach { s =>
         val n = s.getPath.getName
         if (isStaging(n)) {
           if (delete) f.delete(s.getPath, true)
-          removed += s"$schema/$n"
+          out += VacuumAction(s"$schema/$n", schema, baseName(n),
+            "staged_tmp", did("delete"))
         } else if (n.endsWith(".__old")) {
           val live = new org.apache.hadoop.fs.Path(sp, n.stripSuffix(".__old"))
           if (!f.exists(live)) {
             // half-swap: the backup is the only copy — heal, never
-            // report as debris (preview reports nothing here either)
+            // delete (sweep/debris exclude heals from their listings)
             if (delete) require(f.rename(s.getPath, live),
               s"could not restore table backup $schema/$n")
+            out += VacuumAction(s"$schema/$n", schema, baseName(n),
+              "interrupted_swap", did("heal"))
           } else {
             if (delete) { f.delete(s.getPath, true); () }
-            removed += s"$schema/$n"
+            out += VacuumAction(s"$schema/$n", schema, baseName(n),
+              "stale_backup", did("delete"))
           }
         }
       }
@@ -298,8 +328,9 @@ final case class Warehouse(spark: SparkSession, root: String) {
         .filter(s => s.isDirectory && !isStaging(s.getPath.getName) &&
           !s.getPath.getName.endsWith(".__old"))
         .map(_.getPath).foreach { tp =>
-          removed ++= partitionBackups(f, tp, delete)
-            .map(rel => s"$schema/${tp.getName}/$rel")
+          out ++= partitionBackups(f, tp, delete)
+            .map(rel => VacuumAction(s"$schema/${tp.getName}/$rel", schema,
+              tp.getName, "partition_backup", did("delete")))
         }
     }
     val art = new org.apache.hadoop.fs.Path(s"$root/_artifacts")
@@ -307,9 +338,10 @@ final case class Warehouse(spark: SparkSession, root: String) {
       f.listStatus(art).filter(_.getPath.getName.endsWith(".__tmp")).foreach {
         s =>
           if (delete) { f.delete(s.getPath, false); () }
-          removed += s"_artifacts/${s.getPath.getName}"
+          out += VacuumAction(s"_artifacts/${s.getPath.getName}", "_artifacts",
+            baseName(s.getPath.getName), "artifact_tmp", did("delete"))
       }
-    removed.result()
+    out.result()
   }
 
   /** Walk a table dir for partition-level `.X.__old` backups: heal
@@ -346,4 +378,8 @@ object Warehouse {
     */
   def scratch(spark: SparkSession, tag: String): Warehouse =
     Warehouse(spark, Scratch.dir(tag).toString)
+
+  /** One [[Warehouse.vacuum]] finding: what was found, what was done. */
+  final case class VacuumAction(path: String, schema: String, table: String,
+      kind: String, action: String)
 }

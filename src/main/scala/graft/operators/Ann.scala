@@ -256,8 +256,41 @@ object Ann {
   }
 
   def ivf(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
-    val cents = ivfCodebook(corpus, nCentroids, kmeansIters)
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame =
+    ivfServe(queries, corpus, k, ivfCodebook(corpus, nCentroids, kmeansIters),
+      nProbe)
+
+  /** Persist a trained codebook as a warehouse TABLE (cid, cv) — the
+    * train/serve split every production ANN deployment runs on: the
+    * codebook is trained ONCE over the corpus (the expensive pass),
+    * versioned in the warehouse like any other relation, and every
+    * serving job loads it instead of retraining. Norms are derived,
+    * not stored — recomputed exactly on load.
+    */
+  def saveCodebook(wh: graft.core.Warehouse, schema: String, table: String,
+      cb: Codebook): Unit = {
+    val rows = cb.toSeq.map { case (i, v, _) => (i, v.toSeq) }
+    wh.write(wh.spark.createDataFrame(rows).toDF("cid", "cv"), schema, table)
+  }
+
+  /** Load a [[saveCodebook]] table back into serving form. The stored
+    * doubles round-trip parquet bit-exactly, so a served probe equals
+    * the train-session probe bitwise.
+    */
+  def loadCodebook(wh: graft.core.Warehouse, schema: String,
+      table: String): Codebook =
+    wh.read(schema, table).select(col("cid"), col("cv")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getInt(0), v, math.sqrt(v.map(x => x * x).sum))
+      }
+      .sortBy(_._1)
+
+  /** The serving half of [[ivf]]: probe with an ALREADY-TRAINED
+    * codebook (from this session or [[loadCodebook]]).
+    */
+  def ivfServe(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Codebook, nProbe: Int = 4): DataFrame = {
     def centScores(v: String) = centScoresFor(cents, v)
 
     val corpusA = normed(corpus)

@@ -1108,7 +1108,44 @@ object Engine {
       .orderBy("selector", "model_name")
   }
 
+  // m28 — warehouse VACUUM: the janitor every copy-on-write store
+  // needs (Delta VACUUM / Iceberg remove_orphan_files). The staged
+  // swap (m17/m02's commit path) can die mid-flight and leave
+  // `.__tmp` stages and `.__old` backups; the sweep classifies each —
+  // never-committed stage: delete; stale backup beside a live table:
+  // delete; backup that is the ONLY copy (interrupted swap): HEAL,
+  // never delete. The entry plants all three residue shapes plus a
+  // clean table and reports the sweep; like m06/m27 the verdicts over
+  // a fixed fixture are deterministic driver-side classification, so
+  // the oracle is the literal matrix. Cost is O(#dir entries)
+  // metadata ops — no data IO at any warehouse size.
+  val m28: Q = q("m28_vacuum",
+    """SELECT * FROM (VALUES
+      |  ('t_crashed', 'staged_tmp', 'deleted', false),
+      |  ('t_half', 'interrupted_swap', 'healed', true),
+      |  ('t_stale', 'stale_backup', 'deleted', true))
+      |  AS t(table_name, kind, action, live_after)
+      |ORDER BY table_name""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m28")
+    val nation = c.nation
+    wh.write(nation, "prod", "t_clean")
+    // stale backup beside a live table (completed swap, crash before
+    // backup drop)
+    wh.write(nation, "prod", "t_stale")
+    wh.write(nation.limit(5), "prod", "t_stale.__old")
+    // a stage that never committed
+    wh.write(nation.limit(3), "prod", "t_crashed.__tmp")
+    // an interrupted swap: backup only, no live dir
+    wh.write(nation, "prod", "t_half.__old")
+    val report = wh.vacuum()
+    spark.createDataFrame(report.map(a =>
+        (a.table, a.kind, a.action, wh.exists("prod", a.table))))
+      .toDF("table_name", "kind", "action", "live_after")
+      .orderBy("table_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27)
+    m25, m26, m27, m28)
 }

@@ -801,6 +801,27 @@ object LlmOps {
       .orderBy("query_id", "neighbor_id")
   }
 
+  // s09 — IVF TRAIN/SERVE split: the codebook is trained once (the
+  // expensive corpus pass), persisted as a warehouse TABLE like any
+  // other relation, and the probe runs against the RELOADED copy —
+  // the deployment shape every production ANN system uses (you do
+  // not retrain per query batch at 100 TB; you version the model).
+  // Stored doubles round-trip parquet bit-exactly, so the served
+  // probe must equal s03's train-session probe bitwise — which is
+  // why it shares s03's retrained-codebook oracle verbatim: a serve
+  // path that drifted from its training artifact is a wrong answer,
+  // not a slow one.
+  val s09: Q = q("s09_ann_ivf_served",
+    ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
+    val wh = graft.core.Warehouse.scratch(c.spark, "s09")
+    Ann.saveCodebook(wh, "models", "ivf16",
+      Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2))
+    val served = Ann.loadCodebook(wh, "models", "ivf16")
+    Ann.ivfServe(c.embeddings.filter(col("vec_id") < 20), c.embeddings,
+        k = 5, served, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------
   // x01 — heuristic language ID from stopword hit counts
   val x01: Q = q("x01_langid",
@@ -1811,7 +1832,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
-    s01, s02, s03, s04, s05, s05auto, s06, s07, s08,
+    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, p01, p02, mm01, mm02, mm03)
 }

@@ -939,6 +939,39 @@ class EngineSpec extends SparkSpec {
       s"expected exactly one scan:\n$plan")
   }
 
+  test("vacuum: dry-run touches nothing, heal restores the only copy intact") {
+    import graft.core.Warehouse
+    val c = graft.sources.Catalog(spark, sfDir)
+    val wh = Warehouse.scratch(spark, "vacspec")
+    val data = c.nation
+    val expected = data.count()
+    // interrupted swap: the backup is the only copy
+    wh.write(data, "s", "t.__old")
+    wh.write(data.limit(2), "s", "junk.__tmp")
+    // dry run: reports but leaves every path in place
+    val dry = wh.vacuum(dryRun = true)
+      .map(a => (a.table, a.kind, a.action)).toSet
+    assert(dry == Set(("t", "interrupted_swap", "would_heal"),
+      ("junk", "staged_tmp", "would_delete")))
+    // the dry run must not have healed t or dropped junk.__tmp
+    // (java.io checks, NOT wh.exists - that path self-heals)
+    assert(new java.io.File(wh.path("s", "t.__old")).exists)
+    assert(new java.io.File(wh.path("s", "junk.__tmp")).exists)
+    // real sweep: heal preserves every row, junk is gone
+    val real = wh.vacuum().map(a => (a.table, a.action)).toSet
+    assert(real == Set(("t", "healed"), ("junk", "deleted")))
+    assert(wh.read("s", "t").count() == expected)
+    assert(!new java.io.File(wh.path("s", "junk.__tmp")).exists)
+    // idempotent: a second sweep finds nothing
+    assert(wh.vacuum().isEmpty)
+    // sweep()/debris() stay projections of the same traversal:
+    // heals are never listed as removable debris
+    wh.write(data, "s", "t2.__old") // interrupted swap again
+    assert(wh.debris().isEmpty)
+    assert(wh.sweep().isEmpty) // heal happens, nothing "removed"
+    assert(wh.read("s", "t2").count() == expected)
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

@@ -979,6 +979,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(e3 > 2.0 && e3 < 4.0 && !f3, s"prose entropy $e3")
   }
 
+  test("codebook train/serve: the reloaded codebook probes bit-identically") {
+    import graft.core.Warehouse
+    val wh = Warehouse.scratch(spark, "cbspec")
+    val trained = Ann.ivfCodebook(cat.embeddings, nCentroids = 8, kmeansIters = 2)
+    Ann.saveCodebook(wh, "models", "cb8", trained)
+    val served = Ann.loadCodebook(wh, "models", "cb8")
+    // parquet round-trips doubles exactly: identical ids and vectors
+    assert(served.map(_._1).toSeq == trained.map(_._1).toSeq)
+    for (((_, tv, tn), (_, sv, sn)) <- trained.zip(served)) {
+      assert(tv.toSeq == sv.toSeq); assert(tn == sn)
+    }
+    // hence identical probe results, row for row
+    val q = cat.embeddings.filter(col("vec_id") < 10)
+    def rows(cb: Ann.Codebook) =
+      Ann.ivfServe(q, cat.embeddings, k = 3, cb, nProbe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(trained) == rows(served))
+  }
+
   test("rangeSearch: recall-complete vs brute force, threshold on rounded cosine") {
     // every (query, neighbor) the brute-force top-k surfaces above
     // the threshold must appear in the radius result — no truncation
