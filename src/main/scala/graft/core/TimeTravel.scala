@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Lakehouse-style TIME TRAVEL over the parquet warehouse: a table is
+  * a set of immutable commit directories plus tiny versioned MANIFEST
+  * files; every commit writes ONLY its own new files and one new
+  * manifest naming the commit set that composes the snapshot. Reads
+  * resolve a version's manifest and scan exactly those directories.
+  *
+  * This is the Delta-log / Iceberg-snapshot design re-expressed over
+  * plain parquet + a JSON log, and it is what makes history cheap at
+  * 100 TB:
+  *  - an APPEND commit shares every prior commit's files — version
+  *    N+1 costs only the new data plus one metadata file, never a
+  *    copy of the table;
+  *  - historical reads ("AS OF v2") are O(manifest) metadata plus
+  *    that snapshot's data — no backup restore, no second copy;
+  *  - the manifest rename is the COMMIT POINT (write-tmp + atomic
+  *    rename, same protocol as the Delta log): a crash after the data
+  *    write but before the manifest leaves orphan files that no
+  *    version references — invisible to every reader, and exactly
+  *    what warehouse VACUUM (m28's machinery) exists to sweep.
+  *
+  * Single-writer per table, like the rest of the warehouse (dbt's own
+  * execution model); concurrent-writer arbitration is a lock-service
+  * concern a table format layers on top of this same structure.
+  *
+  * Reference tie-in: the reference clones PROD state into CI schemas
+  * (copier.py:110-284) precisely because its warehouse has no
+  * as-of-yesterday read; with snapshot manifests, "the table as prod
+  * last ran it" is just a version pin.
+  */
+object TimeTravel {
+
+  final case class Snapshot(version: Int, commits: Seq[String])
+
+  private def fsOf(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
+
+  private def root(wh: Warehouse, schema: String, table: String) =
+    new org.apache.hadoop.fs.Path(wh.path(schema, table))
+
+  private def manifestDir(r: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(r, "_manifests")
+
+  private def commitDir(r: org.apache.hadoop.fs.Path, name: String) =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(r, "_commits"), name)
+
+  private def commitName(n: Int) = f"c$n%05d"
+
+  /** All snapshots, oldest first. Tolerates orphan commit dirs (a
+    * crashed writer's residue) — only manifests define versions.
+    */
+  def history(wh: Warehouse, schema: String, table: String): Seq[Snapshot] = {
+    val r = root(wh, schema, table)
+    val md = manifestDir(r)
+    val f = fsOf(wh, md)
+    if (!f.exists(md)) Seq.empty
+    else f.listStatus(md).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.matches("v\\d{5}\\.json"))
+      .sorted
+      .map { name =>
+        val in = f.open(new org.apache.hadoop.fs.Path(md, name))
+        val content = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+          new String(bytes.toByteArray, "UTF-8")
+        } finally in.close()
+        Snapshot(name.stripPrefix("v").stripSuffix(".json").toInt,
+          "\"(c\\d{5})\"".r.findAllMatchIn(content).map(_.group(1)).toSeq)
+      }
+  }
+
+  /** Commit `df` as the next version. `mode` is `overwrite` (the new
+    * commit alone composes the snapshot) or `append` (the new commit
+    * joins every commit of the previous snapshot — prior files are
+    * SHARED, never rewritten). Returns the committed version number.
+    */
+  def commit(wh: Warehouse, schema: String, table: String, df: DataFrame,
+      mode: String): Int = {
+    require(mode == "overwrite" || mode == "append", s"unknown commit mode $mode")
+    val r = root(wh, schema, table)
+    val f = fsOf(wh, r)
+    val prior = history(wh, schema, table)
+    val n = prior.lastOption.map(_.version).getOrElse(0) + 1
+    val cn = commitName(n)
+    // data first — readers still resolve the previous manifest. A dir
+    // already at this slot is a crashed writer's residue: no manifest
+    // references it (the rename below never happened), so replacing
+    // it is safe — this is also what unblocks commits after a crash.
+    df.write.mode("overwrite").parquet(commitDir(r, cn).toString)
+    val commits =
+      if (mode == "append") prior.lastOption.map(_.commits).getOrElse(Nil) :+ cn
+      else Seq(cn)
+    val json = s"""{"version":$n,"commits":[${commits.map("\"" + _ + "\"").mkString(",")}]}"""
+    // manifest rename is the atomic commit point (Delta-log protocol)
+    val md = manifestDir(r)
+    f.mkdirs(md)
+    val target = new org.apache.hadoop.fs.Path(md, f"v$n%05d.json")
+    val tmp = new org.apache.hadoop.fs.Path(md, f".v$n%05d.json.__tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(f.rename(tmp, target), s"could not commit $schema.$table v$n")
+    n
+  }
+
+  /** Read the table AS OF `version` (latest when omitted). */
+  def read(wh: Warehouse, schema: String, table: String,
+      version: Int = Int.MaxValue): DataFrame = {
+    val snaps = history(wh, schema, table)
+    require(snaps.nonEmpty, s"$schema.$table has no committed versions")
+    val snap = snaps.filter(_.version <= version).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$schema.$table has no version <= $version"))
+    val r = root(wh, schema, table)
+    wh.spark.read.parquet(snap.commits.map(c => commitDir(r, c).toString): _*)
+  }
+}

@@ -1145,7 +1145,100 @@ object Engine {
       .orderBy("table_name")
   }
 
+  // m29 — TIME TRAVEL: versioned snapshot reads over the manifest-
+  // logged table (core/TimeTravel.scala — the Delta-log/Iceberg-
+  // snapshot design on plain parquet). Three commits: v1 initial load
+  // (pre-cutoff history), v2 APPEND of the rest (v1's files shared,
+  // never rewritten — the metadata-cost-only commit), v3 corrective
+  // OVERWRITE (outlier orders dropped). The query then reads ALL
+  // THREE versions as-of and aggregates each — v1/v2 must still
+  // answer exactly after v3 replaced the current state, which is the
+  // whole contract. Oracle reproduces each snapshot from the raw
+  // source with the equivalent filter; file-sharing and manifest
+  // atomicity are pinned in EngineSpec.
+  val m29: Q = q("m29_time_travel",
+    """SELECT * FROM (
+      |  SELECT 1 AS version, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'
+      |  UNION ALL SELECT 2, COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |  FROM orders
+      |  UNION ALL SELECT 3, COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |  FROM orders WHERE o_totalprice <= CAST(300000 AS DOUBLE)
+      |) ORDER BY version""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m29")
+    val src = ordersSrc(c)
+    TimeTravel.commit(wh, "analytics", "orders_tt",
+      src.filter(col("o_orderdate") < cutoff), "overwrite")
+    TimeTravel.commit(wh, "analytics", "orders_tt",
+      src.filter(col("o_orderdate") >= cutoff), "append")
+    TimeTravel.commit(wh, "analytics", "orders_tt",
+      src.filter(col("o_totalprice") <= 300000.0), "overwrite")
+    (1 to 3).map { v =>
+      TimeTravel.read(wh, "analytics", "orders_tt", v)
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+        .select(lit(v).as("version"), col("n_rows"), col("total"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  // m30 — SQL-TEXT models (core/SqlModel.scala): the reference's
+  // actual authoring surface — dbt models are .sql files whose
+  // {{ ref() }}/{{ source() }}/{{ this }}/{% if is_incremental() %}
+  // calls define the DAG and the incremental predicate. A 3-model
+  // pipeline written as SQL strings runs through the SAME Runner/
+  // Materializer as Scala models: staging view → incremental append
+  // whose watermark predicate lives in the SQL's is_incremental
+  // block (`> (SELECT MAX(..) FROM {{ this }})` — safe on first
+  // build because the block strips) → mart. Batch 2 PERTURBS every
+  // pre-cutoff price by +999: those rows sit at or below the
+  // watermark so a correct incremental run never reads them, and the
+  // mart equals the plain full-source mart — a wrongly re-appending
+  // or rebuilding engine surfaces the 999s and fails the hash.
+  val m30: Q = q("m30_sql_models",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m30")
+    val graph = ModelGraph(Seq(
+      SqlModel("stg_orders",
+        """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+          |FROM {{ source('raw', 'orders') }}""".stripMargin),
+      SqlModel("inc_orders",
+        """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+          |FROM {{ ref('stg_orders') }}
+          |{% if is_incremental() %}
+          |WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM {{ this }})
+          |{% endif %}""".stripMargin,
+        Materialization.Incremental(IncrementalStrategy.Append("o_orderdate"))),
+      SqlModel("mart_segment",
+        """SELECT c_mktsegment, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+          |FROM {{ ref('inc_orders') }}
+          |JOIN {{ source('raw', 'customer') }} ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
+        Materialization.Table)))
+    val batch1: String => DataFrame = {
+      case "orders" => c.orders.filter(col("o_orderdate") < cutoff)
+      case n => c.table(n)
+    }
+    val batch2: String => DataFrame = {
+      case "orders" => c.orders.withColumn("o_totalprice",
+        when(col("o_orderdate") < cutoff, col("o_totalprice") + 999.0)
+          .otherwise(col("o_totalprice")))
+      case n => c.table(n)
+    }
+    Runner(Materializer(wh), batch1).runAll(graph)
+    Runner(Materializer(wh), batch2).runAll(graph)("mart_segment")
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28)
+    m25, m26, m27, m28, m29, m30)
 }

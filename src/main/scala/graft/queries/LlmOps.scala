@@ -1830,9 +1830,28 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x22 — BPE tokenizer TRAINING (operators/Bpe.scala — Sennrich
+  // ACL 2016): the corpus is read ONCE into a word-frequency dict,
+  // then every merge iteration is a vocab-sized pair-count agg + a
+  // 1-row argmax collect + a shuffle-free HOF fold — 100 TB of corpus
+  // costs one tokenize pass, the 24 iterations cost the same as at
+  // 1 GB. Output = the learned merge table (the tokenizer artifact a
+  // training run ships). Rows-only: the iterative data-dependent
+  // argmax is not SQL-expressible; LlmOpsSpec pins the merge sequence
+  // against an independent single-node reference implementation and
+  // train/serve segmentation agreement.
+  val x22: Q = rowsOnly("x22_bpe_train") { c =>
+    val merges = graft.operators.Bpe.train(c.documents, "text", nMerges = 24)
+    c.spark.createDataFrame(merges)
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"),
+        col("pairCount").as("pair_count"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, p01, p02, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, x21, x22, p01, p02, mm01, mm02, mm03)
 }

@@ -494,5 +494,58 @@ object Quality {
     orders.unionAll(lineitem).orderBy("check_name")
   }
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+  // t13 — the dbt-utils CARDINALITY generics: unique_combination_of_
+  // columns (multi-column uniqueness — the grain declaration every
+  // mart carries), equal_rowcount (two models must agree on row
+  // count — the staging-view-vs-source contract), fewer_rows_than
+  // (a dim must stay smaller than its fact), not_constant (a column
+  // that collapsed to one value is a broken upstream filter).
+  // Cost shape: the combo check is ONE hash aggregation on the grain
+  // (map-side combined); the three scalar checks share a single
+  // orders aggregate subtree (count + distinct-status in one pass —
+  // Catalyst reuses the identical exchange) plus one 1-row aggregate
+  // per other table, glued with 1-row crossJoins — no data shuffle
+  // beyond the aggregates themselves at any scale.
+  val t13: Q = q("t13_cardinality_tests",
+    """SELECT * FROM (
+      |  SELECT 'equal_rowcount_lineitem_orders' AS check_name,
+      |    CAST(ABS((SELECT COUNT(*) FROM orders)
+      |      - (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)) AS BIGINT) AS n_violations
+      |  UNION ALL SELECT 'fewer_rows_than_customer_orders',
+      |    CAST(CASE WHEN (SELECT COUNT(*) FROM customer)
+      |      >= (SELECT COUNT(*) FROM orders) THEN 1 ELSE 0 END AS BIGINT)
+      |  UNION ALL SELECT 'not_constant_o_orderstatus',
+      |    CAST(CASE WHEN (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+      |      <= 1 THEN 1 ELSE 0 END AS BIGINT)
+      |  UNION ALL SELECT 'unique_combo_custkey_orderdate',
+      |    CAST((SELECT COUNT(*) FROM (
+      |      SELECT 1 AS one FROM orders GROUP BY o_custkey, o_orderdate
+      |      HAVING COUNT(*) > 1)) AS BIGINT)
+      |) ORDER BY check_name""") { c =>
+    // orders' two scalar facts ride ONE aggregate; the frame is 1-row,
+    // so every downstream use is a broadcast-sized reuse
+    val o = c.orders.agg(count(lit(1)).as("n_orders"),
+      countDistinct(col("o_orderstatus")).as("nd_status"))
+    val dupCombos = DataQuality.unique(
+        c.orders, Seq("o_custkey", "o_orderdate"))
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("unique_combo_custkey_orderdate").as("check_name"),
+        col("n_violations"))
+    val equalRc = o.crossJoin(
+        c.lineitem.agg(countDistinct(col("l_orderkey")).as("n_line_orders")))
+      .select(lit("equal_rowcount_lineitem_orders").as("check_name"),
+        abs(col("n_orders") - col("n_line_orders")).as("n_violations"))
+    val fewer = o.crossJoin(c.customer.agg(count(lit(1)).as("n_customer")))
+      .select(lit("fewer_rows_than_customer_orders").as("check_name"),
+        when(col("n_customer") >= col("n_orders"), 1L).otherwise(0L)
+          .as("n_violations"))
+    val notConst = o
+      .select(lit("not_constant_o_orderstatus").as("check_name"),
+        when(col("nd_status") <= 1, 1L).otherwise(0L).as("n_violations"))
+    equalRc.unionAll(fewer).unionAll(notConst).unionAll(dupCombos)
+      .orderBy("check_name")
+  }
+
+  val all: Seq[Q] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }

@@ -859,8 +859,109 @@ object Relational {
       .orderBy("n_name", "metric")
   }
 
+  // q34 — DYNAMIC partition pruning (DPP): the fact table is laid out
+  // partitioned on a derived key (order year), the filter lives on a
+  // DIM attribute (`d_era`) the fact never stores, and Catalyst
+  // injects a runtime `dynamicpruningexpression` into the fact scan's
+  // PartitionFilters — the broadcast of the filtered dim doubles as
+  // the pruning subquery (reuseBroadcastOnly), so the fact reads ONLY
+  // the 2 of 7 year partitions the dim selects, for free. Static
+  // pushdown (q01) can't do this: the pruning values exist only at
+  // runtime. At 100 TB date-partitioned facts joined to a filtered
+  // calendar dim are THE dominant mart pattern, and DPP is the
+  // difference between scanning 7 years and 2. The executed-plan
+  // assertion (dynamicpruningexpression present, partitions actually
+  // skipped) lives in RelationalSpec; the oracle proves layout +
+  // pruning never change the answer.
+  val q34: Q = Q("q34_dpp", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val base = graft.core.Scratch.dir("q34_dpp_").toString
+    c.orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year")
+      .parquet(s"$base/orders_by_year")
+    // the year dim: era label known ONLY to the dim (the calendar-dim
+    // attribute shape of m13), written to disk so the planner sees an
+    // independent relation, not a foldable subtree of the fact
+    c.orders.select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("d_era",
+        when(col("d_year") >= 2000, "focus").otherwise("archive"))
+      .write.mode("overwrite").parquet(s"$base/year_dim")
+    val fact = spark.read.parquet(s"$base/orders_by_year")
+    val dim = spark.read.parquet(s"$base/year_dim")
+      .filter(col("d_era") === "focus")
+    fact.join(broadcast(dim), col("o_year") === col("d_year"))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      .orderBy("o_year")
+  }, Some(
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 2000
+      |GROUP BY 1 ORDER BY 1""".stripMargin.trim))
+
+  // q35 — RUNTIME bloom-filter join pruning (InjectRuntimeFilter —
+  // Spark 3.3+): the ROW-level sibling of q34's partition-level DPP.
+  // When a big fact shuffle-joins a dim that carries a selective
+  // filter, Catalyst builds a bloom filter over the dim's join keys
+  // as a subquery and injects `bloom_filter_might_contain` into the
+  // FACT side BEFORE its shuffle — at 100 TB that's the difference
+  // between shuffling every lineitem row and shuffling only the ~1/5
+  // that can possibly match. Semantically free: a bloom filter only
+  // PRUNES (false positives still meet the exact join), so the result
+  // is bit-identical — which is exactly what the oracle gates. The
+  // injection thresholds are sized for multi-GB scans, so this entry
+  // scopes bench-scale-friendly thresholds (and disables broadcast so
+  // the join actually shuffles) and PLANS + EXECUTES inside that
+  // scope via an eager checkpoint; the plan pin lives in
+  // RelationalSpec. Conf scoping is restore-safe.
+  val q35: Q = Q("q35_runtime_filter", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "512MB")
+      spark.conf.set(keys(3), "-1")
+      runtimeFilterJoin(c)
+        // execute while the runtime-filter confs are live: planning is
+        // lazy, and Verify/Bench materialize after this scope restores
+        .localCheckpoint(eager = true)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }, Some(
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.trim))
+
+  /** The q35 join body, shared with RelationalSpec's plan pin. */
+  def runtimeFilterJoin(c: Catalog): DataFrame =
+    c.lineitem
+      .join(
+        c.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        dbl(sum(decQty(col("l_quantity")))).as("total_qty"),
+        dbl(sum(decPrice(col("l_extendedprice")))).as("revenue"))
+      .orderBy("l_returnflag")
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
+    q34, q35)
 }

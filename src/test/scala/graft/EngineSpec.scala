@@ -972,6 +972,80 @@ class EngineSpec extends SparkSpec {
     assert(wh.read("s", "t2").count() == expected)
   }
 
+  test("SQL-text models: dep derivation, is_incremental gating, checksum = text") {
+    val sql =
+      """SELECT a.x FROM {{ ref('stg_a') }} a
+        |JOIN {{ ref('stg_b') }} ON a.x = {{ ref('stg_a') }}.x
+        |{% if is_incremental() %}
+        |WHERE a.x > (SELECT MAX(x) FROM {{ this }})
+        |{% endif %}""".stripMargin
+    // dbt derives the DAG from the raw text — dupes collapse, the
+    // ref inside the conditional block still counts
+    assert(SqlModel.refs(sql) == Seq("stg_a", "stg_b"))
+    assert(SqlModel.sources("SELECT 1 FROM {{ source('raw', 'orders') }}")
+      == Seq("orders"))
+    // editing the SQL flips state:modified — the checksum IS the text
+    val g1 = ModelGraph(Seq(SqlModel("m", "SELECT 1 AS x")))
+    val g2 = ModelGraph(Seq(SqlModel("m", "SELECT 2 AS x")))
+    val st = ManifestState.of(g1)
+    assert(st.diff(g2) == Set("m"))
+    assert(st.diff(g1).isEmpty)
+    // first build: the is_incremental block strips; a bare {{ this }}
+    // with no target fails loudly instead of silently rebuilding
+    import org.apache.spark.sql.DataFrame
+    val ctxNoTarget = new ModelCtx {
+      def source(name: String): DataFrame = spark.range(1).toDF("x")
+      def ref(name: String): DataFrame = spark.range(3).toDF("x")
+      def thisTable: Option[DataFrame] = None
+    }
+    val guarded =
+      """SELECT x FROM {{ ref('up') }}
+        |{% if is_incremental() %}
+        |WHERE x > (SELECT MAX(x) FROM {{ this }})
+        |{% endif %}""".stripMargin
+    assert(SqlModel.run("m", guarded, ctxNoTarget).count() == 3)
+    intercept[IllegalStateException] {
+      SqlModel.run("m", "SELECT x FROM {{ this }}", ctxNoTarget).count()
+    }
+    // incremental run: the block renders and {{ this }} binds
+    val ctxIncr = new ModelCtx {
+      def source(name: String): DataFrame = spark.range(1).toDF("x")
+      def ref(name: String): DataFrame = spark.range(5).toDF("x")
+      def thisTable: Option[DataFrame] = Some(spark.range(3).toDF("x"))
+    }
+    assert(SqlModel.run("m", guarded, ctxIncr)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("time travel: appends share commits, as-of reads survive overwrite") {
+    val c = graft.sources.Catalog(spark, sfDir)
+    val wh = Warehouse.scratch(spark, "ttspec")
+    val a = c.nation.filter(col("n_nationkey") < 10)
+    val b = c.nation.filter(col("n_nationkey") >= 10)
+    assert(TimeTravel.commit(wh, "s", "t", a, "overwrite") == 1)
+    assert(TimeTravel.commit(wh, "s", "t", b, "append") == 2)
+    // the append snapshot REFERENCES v1's commit — shared, not copied
+    val h2 = TimeTravel.history(wh, "s", "t")
+    assert(h2.map(s => s.version -> s.commits) ==
+      Seq(1 -> Seq("c00001"), 2 -> Seq("c00001", "c00002")))
+    // corrective overwrite: current state shrinks to 3 rows...
+    assert(TimeTravel.commit(wh, "s", "t",
+      c.nation.limit(3), "overwrite") == 3)
+    assert(TimeTravel.read(wh, "s", "t").count() == 3)
+    // ...but history still answers exactly
+    assert(TimeTravel.read(wh, "s", "t", version = 1).count() == a.count())
+    assert(TimeTravel.read(wh, "s", "t", version = 2).count() == c.nation.count())
+    // a crashed writer's data-without-manifest residue is INVISIBLE:
+    // only the manifest rename commits (the Delta-log protocol)
+    c.nation.limit(1).write.parquet(wh.path("s", "t") + "/_commits/c00004")
+    assert(TimeTravel.history(wh, "s", "t").map(_.version) == Seq(1, 2, 3))
+    assert(TimeTravel.read(wh, "s", "t").count() == 3)
+    // reading past the end or before v1 fails loudly
+    intercept[IllegalArgumentException] {
+      TimeTravel.read(wh, "s", "t", version = 0)
+    }
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

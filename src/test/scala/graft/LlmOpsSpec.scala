@@ -1015,6 +1015,53 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("cosine") < 0.35).count() == 0L)
   }
 
+  test("BPE merge sequence matches a single-node reference implementation") {
+    import graft.operators.Bpe
+    val cat = Catalog(spark, sfDir)
+    val docs = cat.documents.filter(col("doc_id") < 120)
+    val nMerges = 12
+
+    // independent single-node BPE (Sennrich ACL'16): word-frequency
+    // dict, argmax adjacent pair (count desc, then lexicographic),
+    // greedy left-to-right non-overlapping merge
+    def mergeList(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    var dict: Seq[(List[String], Long)] = texts
+      .flatMap(_.toLowerCase.split("[^a-z]+")).filter(_.nonEmpty)
+      .groupBy(identity).toSeq
+      .map { case (w, g) => (w.map(_.toString).toList :+ Bpe.EndOfWord) -> g.size.toLong }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (expected.size < nMerges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- dict; Seq(a, b) <- syms.sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + cnt
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), n) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        if (n < 2) done = true
+        else {
+          expected += ((a, b, n))
+          dict = dict.map { case (syms, cnt) => mergeList(syms, a, b) -> cnt }
+        }
+      }
+    }
+    assert(expected.size == nMerges, "fixture corpus too small for 12 merges")
+
+    val got = Bpe.train(docs, "text", nMerges)
+    assert(got.map(m => (m.left, m.right, m.pairCount)) == expected.toSeq)
+    assert(got.map(_.rank) == (1 to nMerges))
+    // serve path: replaying the learned merges over the raw word dict
+    // reproduces the trained dict's segmentation exactly
+    val served = Bpe.segmentWords(Bpe.wordDict(docs, "text"), got)
+      .select("syms").collect().map(_.getSeq[String](0).toList).toSet
+    assert(served == dict.map(_._1).toSet)
+  }
+
   for (q <- LlmOps.all ++ graft.queries.Quality.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

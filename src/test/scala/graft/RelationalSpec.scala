@@ -103,6 +103,48 @@ class RelationalSpec extends SparkSpec {
       c.orders.join(c.customer, col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("q34 plan carries a dynamic partition pruning filter") {
+    val df = Relational.q34.run(spark, sfDir)
+    val rows = df.collect()
+    // semantics first: the dim's 'focus' era selects exactly 2000+
+    // (testdata orders span 1995-2001, so 5 of 7 partitions prune)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2000, 2001))
+    // and the mechanism: the fact scan's partition filter is the
+    // RUNTIME pruning subquery, not a static literal — the dim's era
+    // predicate reached the fact's partition listing at execution time
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected DPP in the fact scan's PartitionFilters:\n$plan")
+  }
+
+  test("q35 injects a runtime bloom filter on the fact side") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "512MB")
+      spark.conf.set(keys(3), "-1")
+      val df = Relational.runtimeFilterJoin(graft.sources.Catalog(spark, sfDir))
+      val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"expected an injected bloom runtime filter:\n$plan")
+      // and pruning never changes the answer: same result as the
+      // broadcast-planned run under the session's normal confs
+      val pruned = df.collect().map(_.toSeq).toSeq
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      val plain = Relational.runtimeFilterJoin(
+        graft.sources.Catalog(spark, sfDir)).collect().map(_.toSeq).toSeq
+      assert(pruned == plain)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q17 string_agg is sorted and comma-joined") {
     val r = Relational.q17.run(spark, sfDir).collect()
       .map(row => row.getString(0) -> row.getString(1)).toMap
