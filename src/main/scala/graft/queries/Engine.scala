@@ -1238,7 +1238,59 @@ object Engine {
       .orderBy("c_mktsegment")
   }
 
+  // m31 — MERGE-ON-READ (core/MergeOnRead.scala — Iceberg v2 delete
+  // files / Hudi MOR): the write-cheap complement to m02's
+  // copy-on-write merge. Commits append O(batch) insert/delete logs
+  // and never touch the base; the read pays one key-window over
+  // base ∪ logs; compact() materializes the merged state as the new
+  // base and truncates the logs. The entry drives base load →
+  // upsert commit (post-cutoff inserts + every-10th pre-cutoff
+  // re-priced) → delete commit (every 7th key tombstoned), then
+  // aggregates the SAME state through the logged read AND after
+  // compaction — both rows must agree with each other and the
+  // oracle (compaction is a pure layout change, the m17 contract).
+  val m31: Q = q("m31_merge_on_read",
+    """WITH state AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 0 AND o_orderdate < TIMESTAMP '1996-07-01'
+      |              THEN o_totalprice + 999.0 ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |agg AS (SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS total FROM state)
+      |SELECT 'compacted' AS phase, n_rows, total FROM agg
+      |UNION ALL SELECT 'logged', n_rows, total FROM agg
+      |ORDER BY phase""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m31")
+    val src = ordersSrc(c)
+    MergeOnRead.init(wh, "analytics", "orders_mor",
+      src.filter(col("o_orderdate") < cutoff))
+    // commit 1: post-cutoff inserts + re-priced re-delivery of every
+    // 10th pre-cutoff order (an update the base never sees)
+    MergeOnRead.merge(wh, "analytics", "orders_mor",
+      src.filter(col("o_orderdate") >= cutoff).unionByName(
+        src.filter(col("o_orderdate") < cutoff &&
+            col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 999.0)),
+      "o_orderkey")
+    // commit 2: bare deletes — every 7th key tombstones out
+    MergeOnRead.merge(wh, "analytics", "orders_mor",
+      src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("__del", lit(true)),
+      "o_orderkey", deleteCol = Some("__del"))
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("total"))
+    val logged = agg(
+      MergeOnRead.read(wh, "analytics", "orders_mor", "o_orderkey"), "logged")
+      .localCheckpoint(eager = true) // freeze before compaction swaps the base
+    MergeOnRead.compact(wh, "analytics", "orders_mor", "o_orderkey")
+    agg(MergeOnRead.read(wh, "analytics", "orders_mor", "o_orderkey"),
+        "compacted")
+      .unionAll(logged).orderBy("phase")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30)
+    m25, m26, m27, m28, m29, m30, m31)
 }

@@ -959,9 +959,46 @@ object Relational {
         dbl(sum(decPrice(col("l_extendedprice")))).as("revenue"))
       .orderBy("l_returnflag")
 
+  // q36 — the remaining SET operators with multiset semantics: q20
+  // covers UNION ALL + EXCEPT (distinct); this covers INTERSECT,
+  // INTERSECT ALL, and EXCEPT ALL — the bag forms whose per-key
+  // multiplicity math (min / difference of counts) Catalyst compiles
+  // to a single aggregate + generate instead of a join per
+  // occurrence. Counts over customer multisets on two order-status
+  // slices make the distinct-vs-all distinction visible in the
+  // output (intersect < intersect_all iff shared keys repeat).
+  val q36: Q = q("q36_set_ops",
+    """SELECT * FROM (
+      |  SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL SELECT 'intersect', COUNT(*) FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL SELECT 'intersect_all', COUNT(*) FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT ALL
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |) ORDER BY op""") { c =>
+    val fCust = c.orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val oCust = c.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    Seq(
+      "except_all" -> fCust.exceptAll(oCust),
+      "intersect" -> fCust.intersect(oCust),
+      "intersect_all" -> fCust.intersectAll(oCust))
+      .map { case (op, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      }
+      .reduce(_ unionAll _).orderBy("op")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35)
+    q34, q35, q36)
 }

@@ -1017,6 +1017,33 @@ class EngineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("merge-on-read: logs never touch the base, compact pays the debt") {
+    val wh = freshWh("morspec")
+    def kv(rows: (Long, String)*) =
+      spark.createDataFrame(rows).toDF("k", "v")
+    MergeOnRead.init(wh, "s", "t", kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    val baseP = new java.io.File(wh.path("s", "t") + "/_base")
+    val baseStamp = baseP.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // commit 1: update k=2, insert k=4; commit 2: delete k=1
+    MergeOnRead.merge(wh, "s", "t", kv(2L -> "B", 4L -> "d"), "k")
+    MergeOnRead.merge(wh, "s", "t",
+      kv(1L -> "a").withColumn("__del", lit(true)), "k", Some("__del"))
+    def state() = MergeOnRead.read(wh, "s", "t", "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(state() == Set(2L -> "B", 3L -> "c", 4L -> "d"))
+    // O(batch) writes: the base files were never rewritten
+    assert(baseP.listFiles().map(f => f.getName -> f.lastModified).toMap
+      == baseStamp, "MOR merge must not touch the base")
+    // compact: same state, logs gone, base is now a plain scan
+    MergeOnRead.compact(wh, "s", "t", "k")
+    assert(state() == Set(2L -> "B", 3L -> "c", 4L -> "d"))
+    assert(!new java.io.File(wh.path("s", "t") + "/_log").exists,
+      "compaction must truncate the logs")
+    // a delete-then-reinsert resurrects cleanly in the new log era
+    MergeOnRead.merge(wh, "s", "t", kv(1L -> "back"), "k")
+    assert(state() == Set(1L -> "back", 2L -> "B", 3L -> "c", 4L -> "d"))
+  }
+
   test("time travel: appends share commits, as-of reads survive overwrite") {
     val c = graft.sources.Catalog(spark, sfDir)
     val wh = Warehouse.scratch(spark, "ttspec")
