@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
 
-import graft.core.{IncrementalStrategy, Materialization, Materializer, Model, Scratch, Warehouse}
+import graft.core.{IncrementalStrategy, Materialization, Materializer, MergeOnRead, Model, Scratch, Warehouse}
 import graft.sources.Catalog
 import graft.streaming.{EventStream, IngestDedup}
 
@@ -716,6 +716,74 @@ object Streaming {
       |FROM events WHERE event_id % 3 <> 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim))
 
+  // e16 — streaming CDC ingest into a MERGE-ON-READ table: e12's
+  // op-log semantics through m31's write-cheap table (the Hudi
+  // deployment shape — continuous micro-batch upserts into a 100 TB
+  // mirror where per-batch COW rewrites would be ruinous). Each
+  // micro-batch (3, via the ordered-mtime event-time terciles +
+  // maxFilesPerTrigger=1) reduces to latest-per-user and lands as ONE
+  // O(batch) MOR commit; because landing order follows event time,
+  // newest-commit-wins equals event-time last-write-wins, and the
+  // final logged read must reproduce the batch oracle exactly —
+  // tombstoned users absent, everyone else at their latest value.
+  val e16: Q = Q("e16_stream_mor_ingest", (spark, dir) => {
+    val wh = Warehouse.scratch(spark, "e16")
+    val norm = Catalog(spark, dir).events
+    val srcDir = Scratch.dir("e16_src")
+    val ckpt = Scratch.dir("e16_ckpt")
+    try {
+      // event-time terciles, landed as three files with ascending
+      // mtimes (e11's ordered-mtime discipline → deterministic
+      // micro-batch order that FOLLOWS event time)
+      val em = Catalog.epochMicros(col("ts"))
+      val b = norm
+        .select(expr(
+          "percentile(unix_micros(cast(ts as timestamp)), array(0.34D, 0.67D))"))
+        .first().getSeq[Double](0)
+      def land(slice: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val stage = Scratch.dir(s"e16_$name")
+        slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        require(dst.toFile.setLastModified(mtime),
+          "cannot order e16 landing files")
+        Scratch.remove(stage)
+      }
+      land(norm.filter(em < b(0)), "b1", 1700000000000L)
+      land(norm.filter(em >= b(0) && em < b(1)), "b2", 1700000001000L)
+      land(norm.filter(em >= b(1)), "b3", 1700000002000L)
+      MergeOnRead.init(wh, "analytics", "user_mor",
+        EventStream.latestPerUserCdc(norm.limit(0)).drop("op"))
+      val stream = spark.readStream.schema(norm.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          MergeOnRead.merge(wh, "analytics", "user_mor",
+            EventStream.latestPerUserCdc(batch)
+              .withColumn("__del", col("op") === "D").drop("op"),
+            "user_id", deleteCol = Some("__del"))
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      Scratch.remove(ckpt); Scratch.remove(srcDir)
+    }
+    MergeOnRead.read(wh, "analytics", "user_mor", "user_id")
+      .orderBy("user_id")
+  }, Some(
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15)
+    e12, e13, e14, e15, e16)
 }

@@ -201,4 +201,66 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("2000-2001", "2001-2002"))
   }
+
+  // one row per key per batch (the unique_key contract), ~1/4 deletes
+  private val morBatchGen: Gen[List[(Long, String, Boolean)]] =
+    Gen.listOfN(25, Gen.zip(
+      Gen.choose(0L, 11L),
+      Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(4)),
+      Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))))
+      .map(_.distinctBy(_._1))
+
+  test("merge-on-read == in-memory map fold over random commit sequences") {
+    for (i <- 1 to 5) {
+      val base = sample(morBatchGen, 500 + i).filterNot(_._3)
+      val commits = (1 to 3).map(j => sample(morBatchGen, 600 + 10 * i + j))
+      // reference model: fold upserts/deletes over a map
+      val expected = commits.foldLeft(
+          base.map(r => r._1 -> r._2).toMap) { (m, batch) =>
+        batch.foldLeft(m) { case (acc, (k, v, del)) =>
+          if (del) acc - k else acc + (k -> v)
+        }
+      }
+      val wh = Warehouse.scratch(spark, "prop_mor")
+      def df(rows: List[(Long, String, Boolean)]) =
+        spark.createDataFrame(rows).toDF("k", "v", "__del")
+      MergeOnRead.init(wh, "s", "t", df(base).drop("__del"))
+      commits.zipWithIndex.foreach { case (b, j) =>
+        MergeOnRead.merge(wh, "s", "t", df(b), "k", Some("__del"))
+        // compacting mid-sequence must be invisible to later reads
+        if (j == i % 3) MergeOnRead.compact(wh, "s", "t", "k")
+      }
+      val got = MergeOnRead.read(wh, "s", "t", "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"iteration $i")
+    }
+  }
+
+  test("time travel versions == fold of commit modes on random batches") {
+    val modeGen = Gen.frequency(1 -> Gen.const("overwrite"), 2 -> Gen.const("append"))
+    val rowsGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 999)))
+    for (i <- 1 to 4) {
+      val ops = (1 to 4).map(j => (
+        // v1 must exist before an append can share anything; any mode works
+        sample(modeGen, 700 + 10 * i + j),
+        sample(rowsGen, 800 + 10 * i + j)))
+      // reference model: per version, overwrite replaces, append concats
+      val expected = ops.scanLeft(List.empty[(Long, Int)]) {
+        case (prev, (mode, rows)) =>
+          if (mode == "append") prev ++ rows else rows
+      }.drop(1)
+      val wh = Warehouse.scratch(spark, "prop_tt")
+      def df(rows: List[(Long, Int)]) =
+        spark.createDataFrame(rows).toDF("k", "v")
+      ops.foreach { case (mode, rows) =>
+        TimeTravel.commit(wh, "s", "t", df(rows), mode)
+      }
+      // every historical version still answers its own multiset
+      expected.zipWithIndex.foreach { case (exp, idx) =>
+        val got = TimeTravel.read(wh, "s", "t", version = idx + 1)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+        assert(got.sorted == exp.sorted, s"iteration $i version ${idx + 1}")
+      }
+    }
+  }
 }
