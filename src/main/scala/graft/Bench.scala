@@ -68,10 +68,11 @@ object Bench {
     "d05_embedding_neardup", "d06_dedup_groups", "d09_span_dedup",
     "d10_semdedup", "d11_incremental_dedup", "d12_containment",
     "d13_cdc_chunk_dedup", "e13_funnel",
-    "m02_incremental_merge", "q26_cohort_retention",
-    "q31_window_range_frame",
+    "m02_incremental_merge", "m31_merge_on_read", "q26_cohort_retention",
+    "q31_window_range_frame", "q34_dpp",
     "s05_knn_graph", "s08_range_search", "x08_tfidf",
-    "x18_token_budget_sample", "x20_gopher_rules", "x21_char_entropy")
+    "x18_token_budget_sample", "x20_gopher_rules", "x21_char_entropy",
+    "x22_bpe_train")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

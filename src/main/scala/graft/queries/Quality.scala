@@ -522,10 +522,13 @@ object Quality {
       |      SELECT 1 AS one FROM orders GROUP BY o_custkey, o_orderdate
       |      HAVING COUNT(*) > 1)) AS BIGINT)
       |) ORDER BY check_name""") { c =>
-    // orders' two scalar facts ride ONE aggregate; the frame is 1-row,
-    // so every downstream use is a broadcast-sized reuse
+    // orders' two scalar facts ride ONE aggregate, frozen eagerly so
+    // the three downstream checks consume the 1-row result instead of
+    // re-planning (and re-scanning) the aggregate subtree per use —
+    // without the checkpoint the Explain audit showed 3 orders scans
     val o = c.orders.agg(count(lit(1)).as("n_orders"),
       countDistinct(col("o_orderstatus")).as("nd_status"))
+      .localCheckpoint(true)
     val dupCombos = DataQuality.unique(
         c.orders, Seq("o_custkey", "o_orderdate"))
       .agg(count(lit(1)).as("n_violations"))

@@ -967,6 +967,12 @@ object Relational {
   // occurrence. Counts over customer multisets on two order-status
   // slices make the distinct-vs-all distinction visible in the
   // output (intersect < intersect_all iff shared keys repeat).
+  // Scale note: registering the REAL operators costs one scan pair
+  // per set-op (6 pushed-down single-column scans here); when only
+  // the counts are needed at 100 TB, the one-scan form is a single
+  // groupBy(key) with per-side conditional counts and the multiset
+  // math (Σ min / Σ max(0, a−b) / count(both > 0)) on the grouped
+  // frame — same answers, one shuffle.
   val q36: Q = q("q36_set_ops",
     """SELECT * FROM (
       |  SELECT 'except_all' AS op, COUNT(*) AS n FROM (
