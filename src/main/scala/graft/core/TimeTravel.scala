@@ -106,6 +106,56 @@ object TimeTravel {
     n
   }
 
+  /** CHANGE DATA FEED between two versions (Delta `table_changes` /
+    * Iceberg changelog): the row-level diff of snapshot `fromV` →
+    * snapshot `toV`, keyed on `keyCols`. Emits Delta CDF's four
+    * change types — `insert`, `delete`, `update_preimage`,
+    * `update_postimage` (updates contribute BOTH rows, old and new
+    * values, so a downstream consumer can maintain any derived
+    * state). One full-outer join on the key — the diff costs the two
+    * snapshots' scan plus one shuffle, never a third copy of the
+    * table. This is what lets an incremental consumer subscribe to
+    * "what changed since the version I last saw" instead of
+    * re-reading 100 TB.
+    */
+  def changes(wh: Warehouse, schema: String, table: String,
+      fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(wh, schema, table, fromV)
+    val b = read(wh, schema, table, toV)
+    val valueCols = a.columns.filterNot(keyCols.contains).toSeq
+    require(b.columns.toSeq == a.columns.toSeq,
+      s"CDF requires matching schemas between v$fromV and v$toV")
+    val aP = keyCols.foldLeft(
+      valueCols.foldLeft(a)((df, c) => df.withColumnRenamed(c, s"__a_$c")))(
+      (df, k) => df.withColumnRenamed(k, s"__ka_$k"))
+      .withColumn("__in_a", lit(true))
+    val bP = keyCols.foldLeft(
+      valueCols.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"__b_$c")))(
+      (df, k) => df.withColumnRenamed(k, s"__kb_$k"))
+      .withColumn("__in_b", lit(true))
+    val joined = aP.join(bP,
+      keyCols.map(k => col(s"__ka_$k") <=> col(s"__kb_$k")).reduce(_ && _),
+      "full_outer")
+    val inA = coalesce(col("__in_a"), lit(false))
+    val inB = coalesce(col("__in_b"), lit(false))
+    val changed = valueCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    def emit(side: String, tpe: String) = {
+      val kp = if (side == "a") "__ka_" else "__kb_"
+      val vp = if (side == "a") "__a_" else "__b_"
+      (keyCols.map(k => col(s"$kp$k").as(k)) ++
+        valueCols.map(c => col(s"$vp$c").as(c)) :+
+        lit(tpe).as("change_type"))
+    }
+    joined.filter(!inA && inB).select(emit("b", "insert"): _*)
+      .unionByName(joined.filter(inA && !inB).select(emit("a", "delete"): _*))
+      .unionByName(joined.filter(inA && inB && changed)
+        .select(emit("a", "update_preimage"): _*))
+      .unionByName(joined.filter(inA && inB && changed)
+        .select(emit("b", "update_postimage"): _*))
+  }
+
   /** Read the table AS OF `version` (latest when omitted). */
   def read(wh: Warehouse, schema: String, table: String,
       version: Int = Int.MaxValue): DataFrame = {

@@ -215,16 +215,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Live tables only — staging/backup dirs from an in-flight or
-    * crashed staged swap (`.__tmp`, `.__old`) are never listed, so
-    * schema-wide consumers (e.g. a CI clone of a prod schema) cannot
-    * pick up stale staging data.
+    * crashed staged swap (`.__tmp`/`.__ctmp`, `.__old`) and WAP audit
+    * stages (`.__audit`) are never listed, so schema-wide consumers
+    * (e.g. a CI clone of a prod schema) cannot pick up stale or
+    * unaudited staging data.
     */
   def tables(schema: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$schema")
     val f = fs(p)
     if (!f.exists(p)) Nil
     else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__old"))
+      .filterNot(n => n.endsWith(".__tmp") || n.endsWith(".__ctmp") ||
+        n.endsWith(".__old") || n.endsWith(".__audit"))
       .toSeq.sorted
   }
 
@@ -293,9 +295,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val f = fs(rootP)
     val out = Seq.newBuilder[VacuumAction]
-    def isStaging(n: String) = n.endsWith(".__tmp") || n.endsWith(".__ctmp")
-    def baseName(n: String) =
-      n.stripSuffix(".__tmp").stripSuffix(".__ctmp").stripSuffix(".__old")
+    // `.__audit` is a crashed WAP stage: never promoted (the publish
+    // rename didn't happen), so it sweeps like any abandoned stage
+    def isStaging(n: String) = n.endsWith(".__tmp") ||
+      n.endsWith(".__ctmp") || n.endsWith(".__audit")
+    def baseName(n: String) = n.stripSuffix(".__tmp")
+      .stripSuffix(".__ctmp").stripSuffix(".__audit").stripSuffix(".__old")
     for (schema <- schemas) {
       val sp = new org.apache.hadoop.fs.Path(s"$root/$schema")
       f.listStatus(sp).filter(_.isDirectory).foreach { s =>

@@ -1290,7 +1290,103 @@ object Engine {
       .unionAll(logged).orderBy("phase")
   }
 
+  // m32 — CHANGE DATA FEED (TimeTravel.changes — Delta
+  // `table_changes` / Iceberg changelog): the row-level diff between
+  // two committed snapshots, emitted as Delta CDF's four change
+  // types (insert / delete / update_preimage / update_postimage —
+  // updates carry BOTH rows so any derived state can be maintained).
+  // One full-outer join on the key: the diff costs the two snapshot
+  // scans plus one shuffle — the subscription primitive that lets an
+  // incremental consumer ask "what changed since v1" instead of
+  // re-reading 100 TB. v2 reshapes v1 three ways at once (every 7th
+  // key deleted, every 10th survivor re-priced, every 13th key
+  // copied in under a fresh id) and the oracle derives each change
+  // class straight from the source predicates.
+  val m32: Q = q("m32_change_data_feed",
+    """SELECT * FROM (
+      |  SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL SELECT 'insert', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL SELECT 'update_preimage', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+      |  UNION ALL SELECT 'update_postimage', COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice + 999.0 AS DECIMAL(14,2))) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+      |) ORDER BY change_type""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m32")
+    val src = ordersSrc(c)
+    val v2 = src.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 999.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(src.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    TimeTravel.commit(wh, "analytics", "orders_cdf", src, "overwrite")
+    TimeTravel.commit(wh, "analytics", "orders_cdf", v2, "overwrite")
+    TimeTravel.changes(wh, "analytics", "orders_cdf", 1, 2, Seq("o_orderkey"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+      .orderBy("change_type")
+  }
+
+  // m33 — WRITE-AUDIT-PUBLISH (core/Wap.scala — Iceberg's WAP
+  // pattern): quality checks run against the STAGED bytes and gate
+  // the publish itself; a failing audit aborts with the previous
+  // version untouched. Attempt 1 publishes clean; attempt 2 offers
+  // the same slice with injected corruption (every 3rd price negated,
+  // then every 5th key nulled — in that order, so the two violation
+  // sets are independent) and must abort. The final report row
+  // proves the live table still holds attempt 1's rows — the oracle
+  // reproduces every count from the source predicates.
+  val m33: Q = q("m33_write_audit_publish",
+    """SELECT * FROM (
+      |  SELECT 1 AS attempt, 'not_null_orderkey' AS check_name,
+      |    CAST(0 AS BIGINT) AS n_violations, true AS published
+      |  UNION ALL SELECT 1, 'price_non_negative', 0, true
+      |  UNION ALL SELECT 2, 'not_null_orderkey',
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_orderdate < TIMESTAMP '1996-07-01' AND o_orderkey % 5 = 0),
+      |    false
+      |  UNION ALL SELECT 2, 'price_non_negative',
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_orderdate < TIMESTAMP '1996-07-01' AND o_orderkey % 3 = 0),
+      |    false
+      |  UNION ALL SELECT 99, 'published_rows',
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+      |    true
+      |) ORDER BY attempt, check_name""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m33")
+    val slice = ordersSrc(c).filter(col("o_orderdate") < cutoff)
+    val checks = Seq[(String, DataFrame => DataFrame)](
+      "not_null_orderkey" -> (df => df.filter(col("o_orderkey").isNull)),
+      "price_non_negative" -> (df => df.filter(col("o_totalprice") < 0)))
+    val (ok1, r1) = Wap.publish(wh, "analytics", "orders_wap", slice, checks)
+    val bad = slice
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, -(col("o_totalprice") + 1))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderkey",
+        when(col("o_orderkey") % 5 === 0, lit(null).cast(LongType))
+          .otherwise(col("o_orderkey")))
+    val (ok2, r2) = Wap.publish(wh, "analytics", "orders_wap", bad, checks)
+    val finalRows = wh.read("analytics", "orders_wap").count()
+    spark.createDataFrame(
+        r1.map(a => (1, a.check, a.violations, ok1)) ++
+        r2.map(a => (2, a.check, a.violations, ok2)) :+
+        ((99, "published_rows", finalRows, true)))
+      .toDF("attempt", "check_name", "n_violations", "published")
+      .orderBy("attempt", "check_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30, m31)
+    m25, m26, m27, m28, m29, m30, m31, m32, m33)
 }

@@ -1044,6 +1044,37 @@ class EngineSpec extends SparkSpec {
     assert(state() == Set(1L -> "back", 2L -> "B", 3L -> "c", 4L -> "d"))
   }
 
+  test("WAP: failing audit aborts byte-identically, clean audit promotes") {
+    val wh = freshWh("wapspec")
+    val c = graft.sources.Catalog(spark, sfDir)
+    val good = c.nation.select("n_nationkey", "n_name")
+    val checks = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "not_null_key" -> (df => df.filter(col("n_nationkey").isNull)))
+    val (ok1, r1) = Wap.publish(wh, "s", "t", good, checks)
+    assert(ok1 && r1.map(_.violations) == Seq(0L))
+    val liveDir = new java.io.File(wh.path("s", "t"))
+    val stamp = liveDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // corrupt batch: audit fails, live table untouched (same files,
+    // same mtimes), audit stage cleaned up
+    val bad = good.withColumn("n_nationkey",
+      when(col("n_nationkey") % 2 === 0, lit(null).cast(LongType))
+        .otherwise(col("n_nationkey")))
+    val (ok2, r2) = Wap.publish(wh, "s", "t", bad, checks)
+    assert(!ok2 && r2.head.violations > 0)
+    assert(liveDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      == stamp, "abort must leave the live table byte-identical")
+    assert(!new java.io.File(wh.path("s", "t.__audit")).exists,
+      "abort must drop the audit stage")
+    assert(wh.read("s", "t").count() == good.count())
+    // a crashed WAP stage (died mid-audit) sweeps like any stage
+    wh.write(good.limit(2), "s", "t2.__audit")
+    assert(wh.vacuum().map(a => (a.table, a.kind, a.action))
+      .contains(("t2", "staged_tmp", "deleted")))
+    // and audit stages never leak into schema-wide listings
+    wh.write(good.limit(2), "s", "t3.__audit")
+    assert(wh.tables("s") == Seq("t"))
+  }
+
   test("time travel: appends share commits, as-of reads survive overwrite") {
     val c = graft.sources.Catalog(spark, sfDir)
     val wh = Warehouse.scratch(spark, "ttspec")
