@@ -1386,7 +1386,78 @@ object Engine {
       .orderBy("attempt", "check_name")
   }
 
+  // m34 — INCREMENTAL VIEW MAINTENANCE over the change feed: the
+  // proof that m32's CDF is SUFFICIENT for downstream consumers. A
+  // per-year mart is maintained from v1→v2 purely by applying signed
+  // deltas (+1/+price for insert & update_postimage, −1/−price for
+  // delete & update_preimage, aggregated per group — the
+  // Materialize/DBSP z-set idea in one DataFrame) and must equal the
+  // full recompute from v2 EXACTLY — counts in integers, money in
+  // DECIMAL all the way, so maintained == recomputed is bitwise, not
+  // approximate. At 100 TB this is the difference between touching
+  // O(Δ) rows per refresh and rescanning the table; the oracle emits
+  // the recomputed mart twice and both output halves must match it.
+  val m34: Q = q("m34_incremental_view_maintenance",
+    """WITH v2 AS (
+      |  SELECT o_orderkey, o_orderdate,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 999.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_orderdate, o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |mart AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM v2 GROUP BY 1)
+      |SELECT 'maintained' AS src, order_year, n_orders, total FROM mart
+      |UNION ALL SELECT 'recomputed', order_year, n_orders, total FROM mart
+      |ORDER BY src, order_year""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m34")
+    val src = ordersSrc(c)
+    val v2 = src.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 999.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(src.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    TimeTravel.commit(wh, "analytics", "orders_ivm", src, "overwrite")
+    TimeTravel.commit(wh, "analytics", "orders_ivm", v2, "overwrite")
+    def mart(df: DataFrame): DataFrame =
+      df.groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(decTotal(col("o_totalprice"))).as("total_dec"))
+    val m1 = mart(TimeTravel.read(wh, "analytics", "orders_ivm", 1))
+    val zero = lit(0).cast(DecimalType(14, 2))
+    val delta = TimeTravel
+      .changes(wh, "analytics", "orders_ivm", 1, 2, Seq("o_orderkey"))
+      .withColumn("__sign",
+        when(col("change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(sum(col("__sign")).as("dn"),
+        sum(when(col("__sign") === 1L, decTotal(col("o_totalprice")))
+          .otherwise(-decTotal(col("o_totalprice")))).as("dt"))
+    val maintained = m1.join(delta, Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("total_dec"), zero) + coalesce(col("dt"), zero))
+          .as("total_dec"))
+      .filter(col("n_orders") > 0)
+    val recomputed = mart(TimeTravel.read(wh, "analytics", "orders_ivm", 2))
+    def out(df: DataFrame, name: String): DataFrame =
+      df.select(lit(name).as("src"),
+        col("order_year").cast(IntegerType).as("order_year"),
+        col("n_orders").cast(LongType).as("n_orders"),
+        dbl(col("total_dec")).as("total"))
+    out(maintained, "maintained").unionByName(out(recomputed, "recomputed"))
+      .orderBy("src", "order_year")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30, m31, m32, m33)
+    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34)
 }
