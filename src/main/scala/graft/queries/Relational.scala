@@ -1002,9 +1002,37 @@ object Relational {
       .reduce(_ unionAll _).orderBy("op")
   }
 
+  // q37 — the remaining window DISTRIBUTION functions: cume_dist
+  // (q14's percent_rank sibling — fraction of peers at-or-below,
+  // ties share the value in both engines since it's rank math, so
+  // ROUND(,6) hash-compares) and nth_value with an explicit
+  // full-partition ROWS frame (the default running frame would make
+  // early rows NULL — pinning the frame is the correctness point;
+  // benchmarking marts use exactly this "second-cheapest per group"
+  // shape). Total order inside each partition via the
+  // (totalprice, orderkey) tiebreak keeps every value deterministic.
+  val q37: Q = q("q37_window_distribution",
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(cume_dist() OVER
+      |    (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+      |  nth_value(o_orderkey, 2) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_cheapest
+      |FROM orders ORDER BY o_custkey, o_orderkey""") { c =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36)
+    q34, q35, q36, q37)
 }

@@ -236,6 +236,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("change data feed == in-memory snapshot diff on random tables") {
+    val snapGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0, 5)))
+      .map(_.distinctBy(_._1))
+    for (i <- 1 to 5) {
+      val a = sample(snapGen, 900 + i)
+      val b = sample(snapGen, 950 + i)
+      val (ma, mb) = (a.toMap, b.toMap)
+      val expected =
+        mb.view.filterKeys(k => !ma.contains(k))
+          .map { case (k, v) => (k, v, "insert") }.toSet ++
+        ma.view.filterKeys(k => !mb.contains(k))
+          .map { case (k, v) => (k, v, "delete") }.toSet ++
+        ma.keySet.intersect(mb.keySet).filter(k => ma(k) != mb(k))
+          .flatMap(k => Set((k, ma(k), "update_preimage"),
+            (k, mb(k), "update_postimage")))
+      val wh = Warehouse.scratch(spark, "prop_cdf")
+      def df(rows: List[(Long, Int)]) =
+        spark.createDataFrame(rows).toDF("k", "v")
+      TimeTravel.commit(wh, "s", "t", df(a), "overwrite")
+      TimeTravel.commit(wh, "s", "t", df(b), "overwrite")
+      val got = TimeTravel.changes(wh, "s", "t", 1, 2, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == expected, s"iteration $i")
+    }
+  }
+
   test("time travel versions == fold of commit modes on random batches") {
     val modeGen = Gen.frequency(1 -> Gen.const("overwrite"), 2 -> Gen.const("append"))
     val rowsGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 999)))
