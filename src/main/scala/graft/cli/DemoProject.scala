@@ -39,10 +39,16 @@ object DemoProject {
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         body = body(s"stg_orders_$i", s"select orders slice $i of $nSlices"))
     }
-    val stgCustomer = Model("stg_customer", Seq("customer"), Materialization.View,
-      ctx => ctx.source("customer")
-        .select("c_custkey", "c_nationkey", "c_mktsegment"),
-      body = body("stg_customer", "select customer dims"))
+    // SQL-TEXT models (core/SqlModel.scala) sit in the same DAG as
+    // Scala models — the mixed-authoring shape of a real dbt port,
+    // where most models arrive as .sql files. `changed` edits the
+    // SQL itself (a trailing comment), so CI's checksum diff sees a
+    // SQL model edit exactly as dbt would.
+    val stgCustomer = SqlModel("stg_customer",
+      body("stg_customer",
+        """SELECT c_custkey, c_nationkey, c_mktsegment
+          |FROM {{ source('raw', 'customer') }}""".stripMargin),
+      Materialization.View)
 
     val ints = (0 until nSlices).map { i =>
       Model(s"int_spend_$i", Seq(s"stg_orders_$i"), Materialization.Table,
@@ -72,13 +78,13 @@ object DemoProject {
           sum("n_orders").cast("long").as("n_orders"),
           sum("spend").as("spend")),
       body = body("mart_segment_spend", "spend by market segment"))
-    val martNation = Model("mart_nation_spend",
-      Seq("int_spend_all", "stg_customer"), Materialization.Table,
-      ctx => ctx.ref("stg_customer")
-        .join(ctx.ref("int_spend_all"), col("c_custkey") === col("o_custkey"))
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_buyers"), sum("spend").as("spend")),
-      body = body("mart_nation_spend", "spend by nation"))
+    val martNation = SqlModel("mart_nation_spend",
+      body("mart_nation_spend",
+        """SELECT c_nationkey, COUNT(*) AS n_buyers, SUM(spend) AS spend
+          |FROM {{ ref('stg_customer') }}
+          |JOIN {{ ref('int_spend_all') }} ON c_custkey = o_custkey
+          |GROUP BY c_nationkey""".stripMargin),
+      Materialization.Table)
     val martRecent = Model("mart_recent_buyers", Seq("int_spend_all"),
       Materialization.Incremental(IncrementalStrategy.Append("last_order")),
       ctx => ctx.ref("int_spend_all"),
