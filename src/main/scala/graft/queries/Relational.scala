@@ -1030,9 +1030,51 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // q38 — correlated LATERAL subqueries: the "for each outer row,
+  // run this parameterized subquery" SQL surface. Catalyst
+  // DECORRELATES both forms into joins — the scalar aggregate
+  // becomes a group-by + equi-join, the LIMIT-per-group becomes a
+  // partitioned rank filter — so what reads as a nested loop
+  // executes as two shuffles; that rewrite is exactly why the shape
+  // survives 100 TB (a true row-at-a-time lateral would not). Both
+  // classic forms in one result: each nation's customer count +
+  // account-balance max (scalar agg lateral) and its single
+  // top-balance customer (LIMIT lateral).
+  val q38: Q = Q("q38_lateral", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val nv = s"graft_q38_n_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val cv = s"graft_q38_c_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    c.nation.createOrReplaceTempView(nv)
+    c.customer.createOrReplaceTempView(cv)
+    try {
+      val out = spark.sql(
+        s"""SELECT n.n_name, s.n_cust, s.max_bal, t.top_custkey
+           |FROM $nv n,
+           |LATERAL (SELECT COUNT(*) AS n_cust, MAX(c_acctbal) AS max_bal
+           |         FROM $cv WHERE c_nationkey = n.n_nationkey) s,
+           |LATERAL (SELECT c_custkey AS top_custkey FROM $cv
+           |         WHERE c_nationkey = n.n_nationkey
+           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+           |ORDER BY n.n_name""".stripMargin)
+      out.queryExecution.analyzed
+      out
+    } finally {
+      spark.catalog.dropTempView(nv)
+      spark.catalog.dropTempView(cv); ()
+    }
+  }, Some(
+    """SELECT n.n_name, s.n_cust, s.max_bal, t.top_custkey
+      |FROM nation n,
+      |LATERAL (SELECT COUNT(*) AS n_cust, MAX(c_acctbal) AS max_bal
+      |         FROM customer WHERE c_nationkey = n.n_nationkey) s,
+      |LATERAL (SELECT c_custkey AS top_custkey FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+      |ORDER BY n.n_name""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37)
+    q34, q35, q36, q37, q38)
 }
