@@ -63,10 +63,16 @@ object MergeOnRead {
     val n = commits(wh, schema, table).lastOption.getOrElse(0) + 1
     val cn = f"c$n%05d"
     val ins = deleteCol.fold(batch)(d => batch.filter(!col(d)).drop(d))
-    batch.select(col(keyCol)).write.mode("overwrite")
-      .parquet(s"${logDir(wh, schema, table, "deletes")}/$cn")
+    // write order is the crash-safety protocol: `commits()` derives
+    // the commit list from the DELETES dir, so it must land LAST —
+    // a crash after inserts but before deletes leaves an orphan
+    // insert dir no reader resolves (and the next merge at this slot
+    // overwrites it); the reverse order would publish a commit whose
+    // insert log doesn't exist yet and break every read
     ins.write.mode("overwrite")
       .parquet(s"${logDir(wh, schema, table, "inserts")}/$cn")
+    batch.select(col(keyCol)).write.mode("overwrite")
+      .parquet(s"${logDir(wh, schema, table, "deletes")}/$cn")
     n
   }
 

@@ -1042,6 +1042,15 @@ class EngineSpec extends SparkSpec {
     // a delete-then-reinsert resurrects cleanly in the new log era
     MergeOnRead.merge(wh, "s", "t", kv(1L -> "back"), "k")
     assert(state() == Set(1L -> "back", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // crashed-merge residue: an insert log whose deletes MARKER never
+    // landed is an unpublished commit — invisible to reads, and the
+    // next merge claims the slot cleanly
+    kv(9L -> "ghost").write
+      .parquet(wh.path("s", "t") + "/_log/inserts/c00002")
+    assert(state() == Set(1L -> "back", 2L -> "B", 3L -> "c", 4L -> "d"))
+    MergeOnRead.merge(wh, "s", "t", kv(5L -> "e"), "k")
+    assert(state() ==
+      Set(1L -> "back", 2L -> "B", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
   test("WAP: failing audit aborts byte-identically, clean audit promotes") {
