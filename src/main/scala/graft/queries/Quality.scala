@@ -549,6 +549,37 @@ object Quality {
       .orderBy("check_name")
   }
 
+  // t14 — dbt-utils `sequential_values` over a date series: a daily
+  // pipeline that silently skipped a day is the failure volume
+  // monitors (t07) can't see once counts recover — the GAP itself is
+  // the violation. Deterministic gaps are injected by excluding
+  // day-of-month ≡ 3 (mod 11) on both sides; detection is one lag
+  // window over the DISTINCT-dates series, which is calendar-bounded
+  // (≲366 rows/year — t07's post-aggregate-series rule), so the
+  // global ordering costs nothing at any event volume; the raw scan
+  // is one pushed-down date projection + distinct.
+  val t14: Q = q("t14_sequential_values",
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+      |  WHERE EXTRACT(DAY FROM ts) % 11 <> 3),
+      |gaps AS (SELECT d, LEAD(d) OVER (ORDER BY d) AS next_d FROM days)
+      |SELECT d AS gap_start, next_d AS gap_end,
+      |  CAST(next_d - d AS BIGINT) - 1 AS missing_days
+      |FROM gaps
+      |WHERE next_d IS NOT NULL AND CAST(next_d - d AS BIGINT) > 1
+      |ORDER BY gap_start""") { c =>
+    val days = c.events.filter(dayofmonth(col("ts")) % 11 =!= 3)
+      .select(to_date(col("ts")).as("d")).distinct()
+    val w = Window.orderBy("d")
+    days.withColumn("next_d", lead(col("d"), 1).over(w))
+      .filter(col("next_d").isNotNull &&
+        datediff(col("next_d"), col("d")) > 1)
+      .select(col("d").as("gap_start"), col("next_d").as("gap_end"),
+        (datediff(col("next_d"), col("d")) - 1).cast("long")
+          .as("missing_days"))
+      .orderBy("gap_start")
+  }
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
