@@ -63,16 +63,25 @@ object MergeOnRead {
     val n = commits(wh, schema, table).lastOption.getOrElse(0) + 1
     val cn = f"c$n%05d"
     val ins = deleteCol.fold(batch)(d => batch.filter(!col(d)).drop(d))
-    // write order is the crash-safety protocol: `commits()` derives
-    // the commit list from the DELETES dir, so it must land LAST —
-    // a crash after inserts but before deletes leaves an orphan
-    // insert dir no reader resolves (and the next merge at this slot
-    // overwrites it); the reverse order would publish a commit whose
-    // insert log doesn't exist yet and break every read
+    // crash-safety protocol: `commits()` derives the commit list from
+    // the DELETES dir, so the deletes log is the COMMIT POINT — and
+    // because Spark creates the output directory at job start (a crash
+    // mid-write would otherwise publish a partial delete log that
+    // poisons every later read), the deletes write lands in a hidden
+    // tmp dir and an atomic filesystem RENAME to `c<N>` publishes it.
+    // Order: inserts first (an orphan inserts dir with no published
+    // deletes slot is invisible to readers and overwritten on retry),
+    // then deletes-to-tmp, then rename = commit.
     ins.write.mode("overwrite")
       .parquet(s"${logDir(wh, schema, table, "inserts")}/$cn")
-    batch.select(col(keyCol)).write.mode("overwrite")
-      .parquet(s"${logDir(wh, schema, table, "deletes")}/$cn")
+    val delDir = logDir(wh, schema, table, "deletes")
+    val tmp = new org.apache.hadoop.fs.Path(s"$delDir/.$cn.__tmp")
+    val target = new org.apache.hadoop.fs.Path(s"$delDir/$cn")
+    val f = fs(wh, target)
+    if (f.exists(tmp)) f.delete(tmp, true) // orphan from a crashed try
+    batch.select(col(keyCol)).write.mode("overwrite").parquet(tmp.toString)
+    require(f.rename(tmp, target),
+      s"could not publish MOR commit $cn for $schema.$table")
     n
   }
 

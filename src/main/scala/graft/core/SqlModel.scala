@@ -63,9 +63,15 @@ object SqlModel {
         scala.util.matching.Regex.quoteReplacement(m.group(1)) else " ")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    // temp views are PER-SESSION: the SQL must run on the session that
+    // owns the bound views (each bound frame's own session), not
+    // SparkSession.active — under a cloned runner session the two
+    // differ and the views would not resolve
+    var owner: Option[org.apache.spark.sql.SparkSession] = None
     def bind(df: DataFrame, kind: String, n: String): String = {
       val v = s"graft_sql_${kind}_${n}_$tag"
       df.createOrReplaceTempView(v)
+      if (owner.isEmpty) owner = Some(df.sparkSession)
       views += v
       v
     }
@@ -80,7 +86,7 @@ object SqlModel {
       "this", "target"))
     require(!rendered.contains("{{") && !rendered.contains("{%"),
       s"model $name has unsupported template syntax after rendering:\n$rendered")
-    val session = org.apache.spark.sql.SparkSession.active
+    val session = owner.getOrElse(org.apache.spark.sql.SparkSession.active)
     val out = session.sql(rendered)
     out.queryExecution.analyzed // resolve view refs before dropping them
     views.foreach(session.catalog.dropTempView(_))
@@ -89,14 +95,26 @@ object SqlModel {
 
   /** Build a [[Model]] from SQL text — deps scanned from the text,
     * body = the text (checksum parity with dbt).
+    *
+    * `macros` + `vars` expand FIRST (core/Jinja.scala — `{% macro %}`
+    * calls, `{% if %}` branches, `{{ var() }}`), and the EXPANDED text
+    * becomes the body: a macro or var edit changes every calling
+    * model's checksum, so `state:modified` catches it exactly as
+    * dbt's macro-aware manifest diff does. Inline `{% macro %}` defs
+    * in the model text itself are hoisted and usable too.
     */
   def apply(name: String, sql: String,
       materialization: Materialization = Materialization.View,
       schema: String = "analytics",
       onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
-      tags: Seq[String] = Nil): Model =
-    Model(name, refs(sql) ++ sources(sql), materialization,
-      ctx => run(name, sql, ctx),
+      tags: Seq[String] = Nil,
+      macros: Seq[Jinja.MacroDef] = Nil,
+      vars: Map[String, String] = Map.empty): Model = {
+    val expanded = Jinja.expand(Jinja.stripMacros(sql),
+      macros ++ Jinja.parseMacros(sql), vars)
+    Model(name, refs(expanded) ++ sources(expanded), materialization,
+      ctx => run(name, expanded, ctx),
       schema = schema, onSchemaChange = onSchemaChange,
-      body = sql, tags = tags)
+      body = expanded, tags = tags)
+  }
 }

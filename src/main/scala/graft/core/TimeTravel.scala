@@ -121,6 +121,7 @@ object TimeTravel {
   def changes(wh: Warehouse, schema: String, table: String,
       fromV: Int, toV: Int, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "CDF requires at least one key column")
     val a = read(wh, schema, table, fromV)
     val b = read(wh, schema, table, toV)
     val valueCols = a.columns.filterNot(keyCols.contains).toSeq
@@ -139,8 +140,10 @@ object TimeTravel {
       "full_outer")
     val inA = coalesce(col("__in_a"), lit(false))
     val inB = coalesce(col("__in_b"), lit(false))
+    // fold from FALSE so a key-only table (no value columns) diffs as
+    // pure insert/delete — matched keys are never "updated"
     val changed = valueCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     def emit(side: String, tpe: String) = {
       val kp = if (side == "a") "__ka_" else "__kb_"
       val vp = if (side == "a") "__a_" else "__b_"

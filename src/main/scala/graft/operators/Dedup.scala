@@ -66,11 +66,31 @@ object Dedup {
       digest: org.apache.spark.sql.Column,
       expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
     val newH = newBatch.select(col("doc_id"), digest.as("content_hash"))
-    val bf = newH.stat.bloomFilter("content_hash", expectedItems, fpp)
-    val mightMatch = udf((h: String) => bf.mightContain(h))
+    // The probe runs on the CORPUS-sized digest scan — at 100 TB that
+    // scan IS the job, so it must stay inside whole-stage codegen. A
+    // Scala UDF would pay per-row ser/de there; instead the filter is
+    // built over xxhash64(content_hash) longs and probed through
+    // Catalyst's own codegen'd BloomFilterMightContain (the engine of
+    // q35's runtime-filter injection), fed as a Literal bloom. An
+    // xxhash64 collision only ADDS a sliver row (it matches no batch
+    // digest in the exact anti-join below); equal digests always
+    // collide, so no false negatives — exactness is unchanged.
+    val bf = newH.select(xxhash64(col("content_hash")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val mightMatch = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bfBytes, BinaryType),
+        ColumnBridge.expression(xxhash64(col("content_hash")))))
     val sliver = digests
       .select(col("content_hash"))
-      .filter(mightMatch(col("content_hash")))
+      .filter(mightMatch)
       .distinct()
     newH.join(broadcast(sliver), Seq("content_hash"), "left_anti")
       .groupBy("content_hash")

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Jinja
+
+/** core/Jinja.scala — the parse-time macro/var expansion dbt SQL
+  * projects author with. Pure string tests, no Spark session.
+  */
+class JinjaSpec extends AnyFunSuite {
+
+  private val gpc = Jinja.parseMacros(
+    """{% macro grade_point_calculator(grade_column) %}
+      |case when {{ grade_column }} = 'A' then 4.0
+      |     when {{ grade_column }} in ('F', 'WF') then 0.0
+      |     else null end
+      |{% endmacro %}""".stripMargin)
+
+  test("macro parse: name, params, body") {
+    assert(gpc.size == 1)
+    assert(gpc.head.name == "grade_point_calculator")
+    assert(gpc.head.params == Seq("grade_column" -> None))
+    assert(gpc.head.body.contains("case when"))
+  }
+
+  test("call expansion substitutes the argument text everywhere") {
+    val out = Jinja.expand(
+      "SELECT {{ grade_point_calculator(g.grade) }} AS pts FROM g", gpc)
+    assert(out.contains("g.grade = 'A'"))
+    assert(out.contains("g.grade in ('F', 'WF')"))
+    assert(!out.contains("{{"))
+  }
+
+  private val gpa = Jinja.parseMacros(
+    """{% macro calculate_gpa(points, credits, partition_by=none) %}
+      |{% if partition_by %}
+      |round(sum({{ points }} * {{ credits }}) over (partition by {{ partition_by }}) /
+      |  nullif(sum({{ credits }}) over (partition by {{ partition_by }}), 0), 2)
+      |{% else %}
+      |round(sum({{ points }} * {{ credits }}) / nullif(sum({{ credits }}), 0), 2)
+      |{% endif %}
+      |{% endmacro %}""".stripMargin)
+
+  test("defaulted none param takes the else branch (the reference's calculate_gpa shape)") {
+    val out = Jinja.expand("{{ calculate_gpa(pts, cr) }}", gpa)
+    assert(out.contains("round(sum(pts * cr) / nullif(sum(cr), 0), 2)"))
+    assert(!out.contains("partition by"))
+  }
+
+  test("keyword arg flips the if branch and substitutes into the window") {
+    val out = Jinja.expand("{{ calculate_gpa(pts, cr, partition_by='sid') }}", gpa)
+    assert(out.contains("over (partition by sid)"))
+    assert(!out.contains("{%"))
+  }
+
+  test("nested macro calls expand to a fixpoint") {
+    val macros = gpc ++ Jinja.parseMacros(
+      """{% macro avg_points(g) %}avg({{ grade_point_calculator(g) }}){% endmacro %}""")
+    val out = Jinja.expand("SELECT {{ avg_points(x.grade) }} FROM x", macros)
+    assert(out.contains("avg(case when x.grade = 'A'"))
+  }
+
+  test("recursive macros are rejected, not looped") {
+    // stable self-call: the one-pass fixpoint the growth cap never
+    // trips — caught by the unresolved-call post-check instead
+    val rec = Jinja.parseMacros(
+      "{% macro loop_forever(x) %}{{ loop_forever(x) }}{% endmacro %}")
+    val e = intercept[IllegalArgumentException](
+      Jinja.expand("{{ loop_forever(1) }}", rec))
+    assert(e.getMessage.toLowerCase.contains("recursive"))
+    // growing self-call: trips the depth cap
+    val grow = Jinja.parseMacros(
+      "{% macro f(x) %}{{ x }} + {{ f(x) }}{% endmacro %}")
+    val e2 = intercept[IllegalArgumentException](
+      Jinja.expand("{{ f(1) }}", grow))
+    assert(e2.getMessage.contains("depth") ||
+      e2.getMessage.toLowerCase.contains("recursive"))
+  }
+
+  test("args with nested parens and quoted commas split correctly") {
+    val m = Jinja.parseMacros(
+      "{% macro two(a, b) %}[{{ a }}|{{ b }}]{% endmacro %}")
+    val out = Jinja.expand("{{ two(coalesce(x, y), 'lit,eral') }}", m)
+    assert(out == "[coalesce(x, y)|lit,eral]")
+  }
+
+  test("var(): map value wins, default fills, missing-with-no-default throws") {
+    assert(Jinja.expand("WHERE y >= {{ var('min_year') }}",
+      vars = Map("min_year" -> "1996")) == "WHERE y >= 1996")
+    assert(Jinja.expand("WHERE y >= {{ var('min_year', 1990) }}")
+      == "WHERE y >= 1990")
+    assert(Jinja.expand("seg = {{ var('seg', 'BUILDING') }}")
+      == "seg = BUILDING")
+    val e = intercept[IllegalArgumentException](
+      Jinja.expand("{{ var('nope') }}"))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("stripMacros removes inline defs, leaves the model text") {
+    val text = "SELECT 1\n{% macro m(x) %}{{ x }}{% endmacro %}\nFROM t"
+    assert(Jinja.stripMacros(text).trim == "SELECT 1\n\nFROM t".trim)
+  }
+
+  test("non-macro call-shaped text (source/ref) passes through untouched") {
+    val sql = "SELECT * FROM {{ source('raw', 'orders') }} JOIN {{ ref('m1') }}"
+    assert(Jinja.expand(sql, gpc) == sql)
+  }
+}
