@@ -386,15 +386,32 @@ object Bench {
               }
             val rsD =
               if (stagedD.isDefined)
-                Seq(("d03_dedup_simhash_auto_100x", -1.0,
-                  medians("d03_dedup_simhash"),
-                  Some(s"staging_failed: ${stagedD.get}")))
+                Seq(
+                  ("d03_dedup_simhash_auto_100x", "d03_dedup_simhash"),
+                  ("d06_dedup_groups_100x", "d06_dedup_groups")
+                ).map { case (n, base) => (n, -1.0, medians(base),
+                  Some(s"staging_failed: ${stagedD.get}")) }
               else {
                 val (secs, err) = timed(spark, dir100d, (s, d) =>
                   graft.operators.Dedup.simhashPairsAuto(
                     s.read.parquet(s"$d/documents.parquet"), n = 3, maxDist = 3))
-                Seq(("d03_dedup_simhash_auto_100x", secs,
-                  medians("d03_dedup_simhash"), err))
+                // d06: the one candidate-graph consumer without 100x
+                // evidence (r11 verdict) — min-label propagation with
+                // pointer jumping is O(log d) rounds over the pair
+                // volume, which the banded candidate generation keeps
+                // linear; this probe measures that claim at 500k docs
+                val (secs6, err6) =
+                  if (elapsed > budgetSec) (-1.0, Some("skipped_budget"))
+                  else timed(spark, dir100d, (s, d) =>
+                    graft.operators.DupGroups.groups(
+                      graft.operators.Dedup.ngramJaccardPairs(
+                        s.read.parquet(s"$d/documents.parquet"),
+                        n = 3, threshold = 0.5, maxDf = 1000L)))
+                Seq(
+                  ("d03_dedup_simhash_auto_100x", secs,
+                    medians("d03_dedup_simhash"), err),
+                  ("d06_dedup_groups_100x", secs6,
+                    medians("d06_dedup_groups"), err6))
               }
             try {
               val p = new org.apache.hadoop.fs.Path(dir100d)

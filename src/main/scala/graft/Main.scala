@@ -34,6 +34,7 @@ final case class CliConfig(
     onSuffixed: Boolean = false,
     dryRun: Boolean = false,
     fullRefresh: Boolean = false,
+    storeFailures: Boolean = false,
     verbose: Boolean = false)
 
 /** `graft run|test|clone|ci` — the engine's front door, mirroring the
@@ -79,6 +80,8 @@ object Main {
       |                         IN-DATABASE via dialect CTAS into the
       |                         suffix-mapped CI schema
       |  --on-suffixed          point `test` at the _<suffix> schema
+      |  --store-failures       persist each failing test's violation
+      |                         rows into the dbt_test__audit schema
       |  --dry-run              report what ci/clone WOULD copy
       |  --full-refresh         incremental models rebuild from scratch
       |  --verbose              per-model/table detail lines
@@ -124,6 +127,7 @@ object Main {
         case "--manifest" :: v :: t => loop(t, cfg.copy(manifestPath = Some(v)))
         case "--jdbc-url" :: v :: t => loop(t, cfg.copy(jdbcUrl = Some(v)))
         case "--on-suffixed" :: t => loop(t, cfg.copy(onSuffixed = true))
+        case "--store-failures" :: t => loop(t, cfg.copy(storeFailures = true))
         case "--dry-run" :: t => loop(t, cfg.copy(dryRun = true))
         case "--full-refresh" :: t => loop(t, cfg.copy(fullRefresh = true))
         case "--verbose" :: t => loop(t, cfg.copy(verbose = true))
@@ -143,7 +147,8 @@ object Main {
 
   final case class RunReport(ran: Seq[String], counts: Map[String, Long],
       secs: Map[String, Double] = Map.empty, wallSec: Double = 0.0)
-  final case class TestReport(checks: Seq[(String, Long)]) {
+  final case class TestReport(checks: Seq[(String, Long)],
+      stored: Seq[String] = Nil) {
     def failed: Boolean = checks.exists(_._2 > 0)
   }
   final case class CiReport(
@@ -352,7 +357,20 @@ object Main {
         seg.filter(col("spend") < 0)))
     val rows = DataQuality.summarize(checks).orderBy("check_name").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
-    TestReport(rows)
+    // dbt `--store-failures`: persist each FAILING check's violation
+    // rows into the dbt_test__audit schema so a red test is
+    // debuggable from the stored rows (the checks map carries the
+    // violations frames already — storage is one write per failure)
+    val stored =
+      if (!cfg.storeFailures) Nil
+      else {
+        val failing = rows.filter(_._2 > 0).map(_._1).toSet
+        checks.collect { case (name, violations) if failing(name) =>
+          wh.write(violations, DataQuality.auditSchema, name)
+          name
+        }
+      }
+    TestReport(rows, stored)
   }
 
   /** Standalone clone: every incremental/snapshot model of the DAG,
@@ -500,6 +518,8 @@ object Main {
         println(bar + "\nTEST SUMMARY\n" + bar)
         r.checks.foreach { case (n, v) =>
           println(f"  $n%-32s ${if (v == 0) "PASS" else s"FAIL ($v violations)"}") }
+        r.stored.foreach(n => println(
+          s"  stored failures: ${DataQuality.auditSchema}.$n"))
         if (r.failed) { spark.stop(); sys.exit(1) }
       case "unit" =>
         val rows = unit(spark, cfg)

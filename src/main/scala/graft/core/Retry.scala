@@ -70,9 +70,15 @@ object Retry {
     case _ => false
   }
 
+  /** Journal key for a lifecycle hook — namespaced so a hook can
+    * never collide with a model of the same name.
+    */
+  private def hookKey(h: Hook): String = s"hook:${h.name}"
+
   def run(graph: ModelGraph, mat: Materializer,
       sources: String => DataFrame, wh: Warehouse,
-      fullRefresh: Boolean = false): (Seq[String], Seq[String]) = {
+      fullRefresh: Boolean = false,
+      hooks: RunHooks = RunHooks()): (Seq[String], Seq[String]) = {
     var journal = loadJournal(wh)
     // CUMULATIVE: the failed run's intents must survive this retry's
     // own intent commits — if the retry itself crashes before reaching
@@ -84,6 +90,19 @@ object Retry {
     var acc = Map.empty[String, DataFrame]
     val ran = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
+    // on-run-start hooks precede the first model and journal like
+    // models: a retried run skips a completed hook whose body is
+    // unchanged (its side effect — fixture DDL — already exists) and
+    // re-fires an edited one, dbt's own hook-on-retry behavior
+    for (h <- hooks.onRunStart) {
+      if (journal.get(hookKey(h)).contains(h.checksum)) skipped += h.name
+      else {
+        h.action()
+        journal += hookKey(h) -> h.checksum
+        wh.saveArtifact(artifactName, toJson(journal))
+        ran += h.name
+      }
+    }
     for (name <- graph.topoOrder) {
       val m = graph.byName(name)
       val resolve: String => DataFrame = n => acc.getOrElse(n, sources(n))
@@ -122,6 +141,10 @@ object Retry {
         ran += name
       }
     }
+    // on-run-end hooks fire once the whole DAG has completed — a
+    // failed run never reached them, so the resuming retry runs them
+    // unconditionally (they see the finished warehouse state)
+    for (h <- hooks.onRunEnd) { h.action(); ran += h.name }
     wh.saveArtifact(artifactName, "{}")
     wh.saveArtifact(intentArtifact, "{}")
     (ran.result(), skipped.result())

@@ -32,7 +32,8 @@ import org.apache.spark.sql.DataFrame
 final case class Runner(mat: Materializer, sources: String => DataFrame,
     fullRefresh: Boolean = false, threads: Int = 1,
     onModelDone: (String, Double) => Unit = (_, _) => (),
-    onModelStart: String => Unit = _ => ()) {
+    onModelStart: String => Unit = _ => (),
+    hooks: RunHooks = RunHooks()) {
 
   private def runModel(model: Model,
       resolve: String => DataFrame): DataFrame = {
@@ -49,9 +50,20 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
     out
   }
 
-  /** Run every model in topological order; returns name → output. */
-  def runAll(graph: ModelGraph): Map[String, DataFrame] =
-    runSelected(graph, graph.topoOrder)
+  /** Run every model in topological order; returns name → output.
+    * `on-run-start` hooks fire before the first model, `on-run-end`
+    * hooks after the last completes (dbt_project.yml lifecycle hooks
+    * — the reference bootstraps its `raw_edu` DDL this way). Hooks
+    * attach to FULL runs only: a selected subset (`runSelected`, the
+    * CI closure path) is dbt's `--select`, which still fires hooks in
+    * dbt but here the CI caller owns its own setup.
+    */
+  def runAll(graph: ModelGraph): Map[String, DataFrame] = {
+    hooks.onRunStart.foreach(_.action())
+    val out = runSelected(graph, graph.topoOrder)
+    hooks.onRunEnd.foreach(_.action())
+    out
+  }
 
   /** Run `names` (must already be topologically ordered). */
   def runSelected(graph: ModelGraph, names: Seq[String]): Map[String, DataFrame] =
@@ -101,3 +113,22 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
     } finally { pool.shutdown(); () }
   }
 }
+
+/** A run-lifecycle hook (dbt `on-run-start` / `on-run-end`,
+  * dbt_project.yml — the reference uses on-run-start to bootstrap its
+  * `raw_edu` source DDL before any model runs). `body` stands in for
+  * the hook's SQL text: its hash is the journal checksum, so a
+  * retried run skips completed-and-unchanged hooks exactly as it
+  * skips models ([[Retry.run]]), and an EDITED hook re-fires.
+  */
+final case class Hook(name: String, body: String, action: () => Unit) {
+  def checksum: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update((name + "|" + body).getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+}
+
+/** The declared lifecycle hooks of a project run. */
+final case class RunHooks(onRunStart: Seq[Hook] = Nil,
+    onRunEnd: Seq[Hook] = Nil)

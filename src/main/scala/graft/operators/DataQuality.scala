@@ -81,6 +81,67 @@ object DataQuality {
   def expressionIsTrue(assertion: Column): Column =
     !coalesce(assertion, lit(false))
 
+  /** dbt test config block (severity / warn_if / error_if /
+    * store_failures — the first knobs a dbt user tunes on a test):
+    *
+    *  - `severity: warn` can never fail a run — its worst outcome is
+    *    a warning (dbt's documented contract);
+    *  - `errorIf` / `warnIf` are the `error_if: ">N"` / `warn_if:
+    *    ">N"` thresholds on the failure count (dbt's default for both
+    *    is `>0`): with `severity: error`, error_if is evaluated
+    *    first, then warn_if — a count over neither threshold passes;
+    *  - `storeFailures` persists the violating ROWS as a warehouse
+    *    table in the `dbt_test__audit` schema (dbt
+    *    `store_failures: true`), so a failure is debuggable from the
+    *    stored rows instead of re-running the test query.
+    */
+  final case class TestConfig(severity: String = "error",
+      warnIf: Long = 0, errorIf: Long = 0, storeFailures: Boolean = false) {
+    require(severity == "error" || severity == "warn",
+      s"severity must be error|warn, got '$severity'")
+  }
+
+  /** dbt's status decision for a failure count under a config. */
+  def status(n: Long, cfg: TestConfig): String =
+    if (cfg.severity == "error" && n > cfg.errorIf) "fail"
+    else if (n > cfg.warnIf) "warn"
+    else "pass"
+
+  /** The audit schema store_failures writes into (dbt's
+    * `dbt_test__audit` convention).
+    */
+  val auditSchema = "dbt_test__audit"
+
+  /** Run configured tests: one (check_name, n_violations, severity,
+    * status, stored) row per test. A store_failures test persists its
+    * violating rows FIRST and counts the stored table — one
+    * computation of the violations either way; non-stored tests count
+    * distributed without materializing. Each violations frame is an
+    * arbitrary query (generic or singular), so the counts stay
+    * per-test aggregates like [[summarize]]'s.
+    */
+  def runTests(wh: graft.core.Warehouse,
+      tests: Seq[(String, DataFrame, TestConfig)]): DataFrame =
+    tests.map { case (name, violations, cfg) =>
+      // stored tests count their PERSISTED rows (write once, count
+      // the parquet — the stored table is the single computation of
+      // the violations); everything else stays a lazy aggregate in
+      // the one unioned report plan, like summarize
+      val base =
+        if (cfg.storeFailures) {
+          wh.write(violations, auditSchema, name)
+          wh.read(auditSchema, name)
+        } else violations
+      base.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          lit(cfg.severity).as("severity"),
+          when(lit(cfg.severity) === "error" &&
+              col("n_violations") > cfg.errorIf, "fail")
+            .when(col("n_violations") > cfg.warnIf, "warn")
+            .otherwise("pass").as("status"),
+          lit(cfg.storeFailures).as("stored"))
+    }.reduce(_ unionAll _)
+
   /** Many rules over ONE table in ONE scan: each rule is a violation
     * predicate folded into a conditional sum, then the 1-row wide
     * aggregate explodes into (check_name, n_violations) rows. vs

@@ -334,6 +334,41 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** A fixed fixture of `n` deterministic pseudo-random payloads
+    * (0.2–1.4 KB xorshift byte streams, id-keyed length and media
+    * kind), generated ON the executors. Unlike [[asMedia]] over the
+    * documents corpus (whose bytes change whenever the testdata
+    * regenerates), this table is a pure function of `n` — which is
+    * what lets the mm entries carry LITERAL-matrix oracles: the
+    * expected rows are constants of the code, independent of scale
+    * factor and corpus regeneration.
+    */
+  def stubMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val ds: Dataset[Row] = spark.range(n.toLong).toDF("media_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val len = 200 + ((id * 37) % 1200).toInt
+          val bytes = new Array[Byte](len)
+          var x = id * 0x9e3779b97f4a7c15L + 0x632be59bd9b4e019L
+          var i = 0
+          while (i < len) {
+            x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+            bytes(i) = ((x * 0x2545f4914f6cdd1dL) >>> 56).toByte
+            i += 1
+          }
+          val kind = (id % 3) match {
+            case 0 => "fake/image"
+            case 1 => "fake/audio"
+            case _ => "fake/video"
+          }
+          Row(id, kind, bytes)
+        }
+      }(enc)
+    ds.toDF()
+  }
+
   /** Batched "decode": per partition, walk the payload bytes once and
     * emit typed metadata. STUB — a real build links an image codec
     * here ([[decodeImage]] is exactly that link, over javax.imageio);

@@ -1457,7 +1457,179 @@ object Engine {
       .orderBy("src", "order_year")
   }
 
+  // m35 — JINJA MACROS + var() IN SQL-TEXT MODELS (core/Jinja.scala):
+  // the reference ships four {% macro %} files
+  // (macros/grade_point_calculator.sql:1-19, macros/calculate_gpa.sql:1-15,
+  // macros/academic_year_from_date.sql:1-8) that m30's plain SQL models
+  // couldn't call — the last real dbt authoring gap. Here all three
+  // are ported as SQL-TEXT macros (semantics mapped to TPC-H exactly
+  // as q18/q19's Scala Columns: priority → points, academic-year
+  // labels) and a two-model DAG authors WITH them: the staging model
+  // grades orders through the point-calculator and filters through a
+  // {{ var('min_year') }} bound by the run's vars (dbt --vars), the
+  // mart aggregates through calculate_gpa (defaulted-none keyword
+  // param → the non-windowed branch) + academic_year_from_date.
+  // Expansion is parse-time string work; the rendered SQL reaches
+  // Catalyst as one composed plan (views stay lazy), so the macro
+  // layer costs NOTHING at any scale. The oracle restates the mart
+  // with the macros hand-inlined — proving expansion, var binding,
+  // and branch selection change no values. The macro-edit-trips-
+  // checksum contract (dbt state:modified over macros) is pinned in
+  // EngineSpec.
+  val m35: Q = q("m35_sql_macros",
+    """WITH g AS (
+      |  SELECT CASE WHEN CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) >= 8
+      |      THEN CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS VARCHAR) || '-' ||
+      |           CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) + 1 AS VARCHAR)
+      |      ELSE CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) - 1 AS VARCHAR) || '-' ||
+      |           CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS VARCHAR) END AS academic_year,
+      |    c_mktsegment,
+      |    CASE o_orderpriority WHEN '1-URGENT' THEN CAST('4.0' AS DECIMAL(3,1))
+      |      WHEN '2-HIGH' THEN CAST('3.0' AS DECIMAL(3,1))
+      |      WHEN '3-MEDIUM' THEN CAST('2.0' AS DECIMAL(3,1))
+      |      WHEN '4-NOT SPECIFIED' THEN CAST('1.0' AS DECIMAL(3,1))
+      |      WHEN '5-LOW' THEN CAST('0.0' AS DECIMAL(3,1)) END AS pts,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS w
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) >= 1997)
+      |SELECT academic_year, c_mktsegment,
+      |  CAST(ROUND(CAST(SUM(pts * w) AS DOUBLE) / NULLIF(CAST(SUM(w) AS DOUBLE), 0.0), 2) AS DOUBLE) AS priority_gpa,
+      |  COUNT(*) AS n_orders
+      |FROM g GROUP BY academic_year, c_mktsegment
+      |ORDER BY academic_year, c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m35")
+    val graph = ModelGraph(Seq(
+      SqlModel("stg_graded_orders",
+        """SELECT o_custkey, o_orderdate,
+          |  {{ priority_point_calculator('o_orderpriority') }} AS pts,
+          |  CAST(o_totalprice AS DECIMAL(14,2)) AS w
+          |FROM {{ source('raw', 'orders') }}
+          |WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) >= {{ var('min_year', 1990) }}""".stripMargin,
+        macros = projectMacros, vars = Map("min_year" -> "1997")),
+      SqlModel("mart_priority_gpa",
+        """SELECT {{ academic_year_from_date('o.o_orderdate') }} AS academic_year,
+          |  c.c_mktsegment,
+          |  {{ calculate_gpa('o.pts', 'o.w') }} AS priority_gpa,
+          |  COUNT(*) AS n_orders
+          |FROM {{ ref('stg_graded_orders') }} o
+          |JOIN {{ source('raw', 'customer') }} c ON o.o_custkey = c.c_custkey
+          |GROUP BY 1, 2""".stripMargin,
+        Materialization.Table, macros = projectMacros)))
+    Runner(Materializer(wh), n => c.table(n))
+      .runAll(graph)("mart_priority_gpa")
+      .orderBy("academic_year", "c_mktsegment")
+  }
+
+  /** The reference's macro files, ported as SQL-text macro defs
+    * (Spark SQL dialect: `::text` → CAST AS STRING; value mapping to
+    * TPC-H as in functions/Macros.scala). Shared by m35 and the
+    * EngineSpec macro-checksum tests.
+    */
+  val projectMacros: Seq[Jinja.MacroDef] = Jinja.parseMacros(
+    """{% macro priority_point_calculator(priority_column) %}
+      |case
+      |  when {{ priority_column }} = '1-URGENT' then cast('4.0' as decimal(3,1))
+      |  when {{ priority_column }} = '2-HIGH' then cast('3.0' as decimal(3,1))
+      |  when {{ priority_column }} = '3-MEDIUM' then cast('2.0' as decimal(3,1))
+      |  when {{ priority_column }} = '4-NOT SPECIFIED' then cast('1.0' as decimal(3,1))
+      |  when {{ priority_column }} = '5-LOW' then cast('0.0' as decimal(3,1))
+      |  else null
+      |end
+      |{% endmacro %}
+      |
+      |{% macro calculate_gpa(grade_points_column, credits_column, partition_by=none) %}
+      |{% if partition_by %}
+      |round(
+      |  cast(sum({{ grade_points_column }} * {{ credits_column }}) over (partition by {{ partition_by }}) as double) /
+      |  nullif(cast(sum({{ credits_column }}) over (partition by {{ partition_by }}) as double), 0.0D),
+      |  2)
+      |{% else %}
+      |round(
+      |  cast(sum({{ grade_points_column }} * {{ credits_column }}) as double) /
+      |  nullif(cast(sum({{ credits_column }}) as double), 0.0D),
+      |  2)
+      |{% endif %}
+      |{% endmacro %}
+      |
+      |{% macro academic_year_from_date(date_column) %}
+      |case
+      |  when extract(month from {{ date_column }}) >= 8 then
+      |    cast(cast(extract(year from {{ date_column }}) as int) as string) || '-' ||
+      |    cast(cast(extract(year from {{ date_column }}) as int) + 1 as string)
+      |  else
+      |    cast(cast(extract(year from {{ date_column }}) as int) - 1 as string) || '-' ||
+      |    cast(cast(extract(year from {{ date_column }}) as int) as string)
+      |end
+      |{% endmacro %}""".stripMargin)
+
+  // m36 — RUN LIFECYCLE HOOKS (core/Runner.scala Hook/RunHooks;
+  // reference: DbtEducationalDataProject/dbt_project.yml on-run-start,
+  // which bootstraps the raw_edu source DDL before any model runs):
+  // an on-run-start hook materializes a fixture dim (year → era) into
+  // the warehouse BEFORE the DAG executes, the models then source it
+  // like any raw table — the DDL-bootstrap shape — and an on-run-end
+  // hook audits the finished mart into a warehouse table the entry's
+  // output includes, proving both hooks fired in order. Hooks journal
+  // like models, so a crashed run's retry skips completed-and-
+  // unchanged start hooks (pinned in EngineSpec). Hook actions are
+  // driver-declared Spark jobs — nothing driver-side touches data.
+  val m36: Q = q("m36_run_hooks",
+    """WITH mart AS (
+      |  SELECT CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 2000
+      |           THEN 'focus' ELSE 'archive' END AS era,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT era, n_orders, revenue FROM mart
+      |UNION ALL
+      |SELECT '__audit_rows', (SELECT COUNT(*) FROM mart), CAST(0.0 AS DOUBLE)
+      |ORDER BY era""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m36")
+    val bootstrap = Hook("bootstrap_year_dim",
+      "create year_dim as select distinct years + era from orders", () =>
+      wh.write(
+        c.orders.select(year(col("o_orderdate")).as("d_year")).distinct()
+          .withColumn("era",
+            when(col("d_year") >= 2000, "focus").otherwise("archive")),
+        "raw", "year_dim"))
+    val audit = Hook("audit_mart",
+      "insert run audit row counts", () =>
+      wh.write(
+        wh.read("analytics", "mart_era_revenue")
+          .agg(count(lit(1)).as("n_rows")),
+        "raw", "run_audit"))
+    val graph = ModelGraph(Seq(
+      Model("stg_orders", Seq("orders"), Materialization.View,
+        ctx => ctx.source("orders")
+          .select(col("o_custkey"),
+            year(col("o_orderdate")).as("d_year"),
+            decTotal(col("o_totalprice")).as("price")),
+        body = "orders with order year"),
+      Model("mart_era_revenue", Seq("stg_orders", "year_dim"),
+        Materialization.Table,
+        ctx => ctx.ref("stg_orders")
+          .join(broadcast(ctx.source("year_dim")), Seq("d_year"))
+          .groupBy("era")
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(sum(col("price"))).as("revenue")),
+        body = "revenue by era from the hook-bootstrapped dim")))
+    val sources: String => DataFrame = {
+      case "year_dim" => wh.read("raw", "year_dim") // hook-created
+      case n => c.table(n)
+    }
+    val mart = Runner(Materializer(wh), sources,
+        hooks = RunHooks(onRunStart = Seq(bootstrap), onRunEnd = Seq(audit)))
+      .runAll(graph)("mart_era_revenue")
+    mart.select(col("era"), col("n_orders"), col("revenue"))
+      .unionByName(wh.read("raw", "run_audit")
+        .select(lit("__audit_rows").as("era"), col("n_rows").as("n_orders"),
+          lit(0.0).as("revenue")))
+      .orderBy("era")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34)
+    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36)
 }

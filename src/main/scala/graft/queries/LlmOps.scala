@@ -1733,23 +1733,34 @@ object LlmOps {
       .orderBy("split", "lang")
   }
 
-  // mm01 — multimodal binary plumbing with deterministic decode stub
-  val mm01: Q = rowsOnly("mm01_multimodal") { c =>
-    Multimodal.decode(Multimodal.asMedia(c.documents))
+  // mm01 — multimodal binary plumbing with deterministic decode stub.
+  // The entry decodes the FIXTURE media table (Multimodal.stubMedia —
+  // payloads a pure function of the id, sf- and regen-independent),
+  // so the expected rows are constants and the oracle is a literal
+  // VALUES matrix (the m06/m27/m28 driver-side-matrix recipe): the
+  // hash gate now proves the mapPartitions decode — batching, FNV
+  // checksum, geometry, frame offsets — byte-for-byte, where r11
+  // could only pin it with a named spec. The documents-corpus path
+  // (same operators over asMedia) stays spec-covered in LlmOpsSpec.
+  val mm01: Q = Q("mm01_multimodal", (spark, _) =>
+    Multimodal.decode(Multimodal.stubMedia(spark, 64))
       .select(col("media_id"), col("media_type"), col("n_bytes"),
         col("checksum"), col("width"), col("height"),
         size(col("frame_offsets")).as("n_frames"))
-      .orderBy("media_id")
-  }
+      .orderBy("media_id"),
+    Some(MmOracles.mm01))
 
   // mm02 — frame sampling: every 4th frame per payload with byte-range
   // metadata + per-frame checksum (decode and sample fused into one
-  // executor-side scan; only fixed-width features ship). Rows-only;
-  // determinism + stride/count invariants pinned in LlmOpsSpec.
-  val mm02: Q = rowsOnly("mm02_frame_sample") { c =>
-    Multimodal.frameSample(Multimodal.asMedia(c.documents), stride = 4)
-      .orderBy("media_id", "frame_idx")
-  }
+  // executor-side scan; only fixed-width features ship). Like mm01,
+  // runs on the stubMedia fixture so the stride walk, byte ranges,
+  // and per-frame checksums gate against a literal VALUES oracle;
+  // stride/count invariants over the documents corpus stay in
+  // LlmOpsSpec.
+  val mm02: Q = Q("mm02_frame_sample", (spark, _) =>
+    Multimodal.frameSample(Multimodal.stubMedia(spark, 48), stride = 4)
+      .orderBy("media_id", "frame_idx"),
+    Some(MmOracles.mm02))
 
   // mm03 — perceptual image dedup: REAL javax.imageio decode fused
   // with a 64-bit average-hash in ONE executor-side scan (only
@@ -1759,13 +1770,16 @@ object LlmOps {
   // text SimHash family's candidate contract applied to images. The
   // corpus plants re-encoded +8-brightness copies (different bytes,
   // visually identical); aHash is brightness-invariant by
-  // construction so they land at hamming ~0. Rows-only: planted
-  // recall 1.0 + soundness + determinism pinned in LlmOpsSpec.
-  val mm03: Q = rowsOnly("mm03_image_phash") { c =>
-    val media = Multimodal.noiseMedia(c.spark, n = 300)
+  // construction so they land at hamming ~0. The planted corpus is a
+  // pure function of n (lossless PNG round-trip + integer aHash —
+  // bit-stable across JDKs), so the full pair matrix gates against a
+  // literal VALUES oracle; recall/soundness/determinism remain
+  // pinned in LlmOpsSpec.
+  val mm03: Q = Q("mm03_image_phash", (spark, _) => {
+    val media = Multimodal.noiseMedia(spark, n = 300)
     Multimodal.phashPairs(Multimodal.imagePhash(media), maxHamming = 2)
       .orderBy("id_a", "id_b")
-  }
+  }, Some(MmOracles.mm03))
 
   // x19 — BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75):
   // the retrieval-grade ranking function over the corpus — the

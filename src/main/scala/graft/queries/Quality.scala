@@ -580,6 +580,66 @@ object Quality {
       .orderBy("gap_start")
   }
 
+  // t15 — dbt test SEVERITY + STORE_FAILURES
+  // (operators/DataQuality.scala TestConfig/runTests): the first
+  // config block a dbt user tunes on the t-layer. Five tests exercise
+  // the whole decision space: a clean unique test (pass), a
+  // `severity: warn` test whose nonzero count can only WARN (dbt's
+  // contract — warn severity never fails a run), a default-severity
+  // test that FAILS, an `error_if: >1e6` threshold test whose count
+  // clears warn_if but not error_if (→ warn under severity error),
+  // and a `store_failures` test whose violating ROWS persist into
+  // the dbt_test__audit warehouse schema — the report counts the
+  // STORED table, so the hash gate proves the persisted rows are the
+  // violations. Statuses are computed IN-PLAN from the counts (the
+  // report is one union of per-test aggregates, no driver loop); the
+  // oracle recomputes count AND status per test from the same
+  // predicates, so classification logic is value-gated, not asserted.
+  val t15: Q = Q("t15_test_severity", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val wh = graft.core.Warehouse.scratch(spark, "t15")
+    DataQuality.runTests(wh, Seq(
+      ("error_bigticket_stored",
+        c.orders.filter(col("o_totalprice") > 350000.0),
+        DataQuality.TestConfig(storeFailures = true)),
+      ("error_bigticket_threshold",
+        c.orders.filter(col("o_totalprice") > 300000.0),
+        DataQuality.TestConfig(warnIf = 0, errorIf = 1000000L)),
+      ("error_moderate_discount",
+        c.lineitem.filter(col("l_discount") > 0.02),
+        DataQuality.TestConfig()),
+      ("error_unique_orderkey",
+        DataQuality.unique(c.orders, Seq("o_orderkey")),
+        DataQuality.TestConfig()),
+      ("warn_high_discount",
+        c.lineitem.filter(col("l_discount") > 0.05),
+        DataQuality.TestConfig(severity = "warn"))))
+      .orderBy("check_name")
+  }, Some(
+    """WITH
+      |t1 AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > CAST(350000 AS DOUBLE)),
+      |t2 AS (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > CAST(300000 AS DOUBLE)),
+      |t3 AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_discount > CAST(0.02 AS DOUBLE)),
+      |t4 AS (SELECT COUNT(*) AS n FROM (
+      |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+      |t5 AS (SELECT COUNT(*) AS n FROM lineitem WHERE l_discount > CAST(0.05 AS DOUBLE))
+      |SELECT * FROM (
+      |  SELECT 'error_bigticket_stored' AS check_name, n AS n_violations,
+      |    'error' AS severity,
+      |    CASE WHEN n > 0 THEN 'fail' ELSE 'pass' END AS status, true AS stored
+      |  FROM t1
+      |  UNION ALL SELECT 'error_bigticket_threshold', n, 'error',
+      |    CASE WHEN n > 1000000 THEN 'fail' WHEN n > 0 THEN 'warn' ELSE 'pass' END,
+      |    false FROM t2
+      |  UNION ALL SELECT 'error_moderate_discount', n, 'error',
+      |    CASE WHEN n > 0 THEN 'fail' ELSE 'pass' END, false FROM t3
+      |  UNION ALL SELECT 'error_unique_orderkey', n, 'error',
+      |    CASE WHEN n > 0 THEN 'fail' ELSE 'pass' END, false FROM t4
+      |  UNION ALL SELECT 'warn_high_discount', n, 'warn',
+      |    CASE WHEN n > 0 THEN 'warn' ELSE 'pass' END, false FROM t5
+      |) ORDER BY check_name""".stripMargin.trim))
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14, t15)
 }

@@ -1113,6 +1113,71 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("m35: a macro or var edit changes the calling SQL model's checksum (state:modified over macros)") {
+    val v1 = Jinja.parseMacros(
+      "{% macro pts(c) %}case when {{ c }} = 'A' then 1 else 0 end{% endmacro %}")
+    val v2 = Jinja.parseMacros(
+      "{% macro pts(c) %}case when {{ c }} = 'A' then 2 else 0 end{% endmacro %}")
+    val sql = "SELECT {{ pts('x') }} AS p FROM {{ source('raw', 'orders') }}"
+    val a = SqlModel("m", sql, macros = v1)
+    // same macro → stable checksum (no spurious rebuilds)
+    assert(a.checksum == SqlModel("m", sql, macros = v1).checksum)
+    // edited macro body → different body → different checksum, the
+    // way dbt's macro-aware manifest diff trips state:modified
+    assert(a.checksum != SqlModel("m", sql, macros = v2).checksum)
+    // a re-bound var is a body diff too
+    val vsql = "SELECT * FROM {{ source('raw', 'orders') }} WHERE y >= {{ var('min_year', 1990) }}"
+    assert(SqlModel("m", vsql).checksum !=
+      SqlModel("m", vsql, vars = Map("min_year" -> "1997")).checksum)
+  }
+
+  test("run hooks fire around the DAG: start before the first model, end after the last") {
+    val wh = freshWh("hooks_order")
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val graph = ModelGraph(Seq(
+      Model("t1", Seq("src"), Materialization.Table,
+        ctx => { order.synchronized { order += "model" }; ctx.source("src") },
+        body = "t1")))
+    Runner(Materializer(wh), _ => df(Seq((1L, "a", 1))),
+        hooks = RunHooks(
+          onRunStart = Seq(Hook("boot", "v1", () => order += "start")),
+          onRunEnd = Seq(Hook("audit", "v1", () => order += "end"))))
+      .runAll(graph)
+    assert(order.toSeq == Seq("start", "model", "end"))
+  }
+
+  test("retry skips a completed-and-unchanged start hook, re-fires an edited one") {
+    val wh = freshWh("hooks_retry")
+    var fires = 0
+    def hook(body: String) = Hook("boot", body, () => fires += 1)
+    @volatile var boom = true
+    val graph = ModelGraph(Seq(
+      Model("ok", Seq("src"), Materialization.Table,
+        ctx => ctx.source("src"), body = "ok"),
+      Model("bad", Seq("ok"), Materialization.Table,
+        ctx => { if (boom) sys.error("transient"); ctx.ref("ok") },
+        body = "bad")))
+    val mat = Materializer(wh)
+    val srcs: String => org.apache.spark.sql.DataFrame =
+      _ => df(Seq((1L, "a", 1)))
+    // run 1: hook fires, 'ok' journals, 'bad' dies
+    intercept[RuntimeException] {
+      Retry.run(graph, mat, srcs, wh, hooks = RunHooks(Seq(hook("v1"))))
+    }
+    assert(fires == 1)
+    // retry with the SAME hook body: skipped (its DDL side effect
+    // already exists), models resume past the journal
+    boom = false
+    val (ran, skipped) =
+      Retry.run(graph, mat, srcs, wh, hooks = RunHooks(Seq(hook("v1"))))
+    assert(fires == 1)
+    assert(skipped.contains("boot") && skipped.contains("ok"))
+    assert(ran == Seq("bad"))
+    // a fresh run with an EDITED hook body re-fires it
+    Retry.run(graph, mat, srcs, wh, hooks = RunHooks(Seq(hook("v2"))))
+    assert(fires == 2)
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)
