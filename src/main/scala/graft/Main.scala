@@ -35,6 +35,7 @@ final case class CliConfig(
     dryRun: Boolean = false,
     fullRefresh: Boolean = false,
     storeFailures: Boolean = false,
+    vars: Map[String, String] = Map.empty,
     verbose: Boolean = false)
 
 /** `graft run|test|clone|ci` — the engine's front door, mirroring the
@@ -82,6 +83,9 @@ object Main {
       |  --on-suffixed          point `test` at the _<suffix> schema
       |  --store-failures       persist each failing test's violation
       |                         rows into the dbt_test__audit schema
+      |  --vars <k=v,...>       bind {{ var() }} values in SQL-text
+      |                         models (a rebound var is a body diff
+      |                         ci's state:modified detects)
       |  --dry-run              report what ci/clone WOULD copy
       |  --full-refresh         incremental models rebuild from scratch
       |  --verbose              per-model/table detail lines
@@ -128,6 +132,14 @@ object Main {
         case "--jdbc-url" :: v :: t => loop(t, cfg.copy(jdbcUrl = Some(v)))
         case "--on-suffixed" :: t => loop(t, cfg.copy(onSuffixed = true))
         case "--store-failures" :: t => loop(t, cfg.copy(storeFailures = true))
+        case "--vars" :: v :: t =>
+          val pairs = v.split(",").map(_.trim).filter(_.nonEmpty)
+          if (pairs.exists(!_.contains("=")))
+            Left(s"bad --vars '$v' (want k=v,...)")
+          else loop(t, cfg.copy(vars = pairs.map { kv =>
+            val Array(k, value) = kv.split("=", 2)
+            k.trim -> value.trim
+          }.toMap))
         case "--dry-run" :: t => loop(t, cfg.copy(dryRun = true))
         case "--full-refresh" :: t => loop(t, cfg.copy(fullRefresh = true))
         case "--verbose" :: t => loop(t, cfg.copy(verbose = true))
@@ -229,7 +241,7 @@ object Main {
     */
   def run(spark: SparkSession, cfg: CliConfig): RunReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
-    val graph = DemoProject.graph(cfg.slices, schema = cfg.schema)
+    val graph = DemoProject.graph(cfg.slices, schema = cfg.schema, vars = cfg.vars)
     val order = graph.topoOrder
     val persisted = graph.models
       .filter(_.materialization != Materialization.View)
@@ -302,7 +314,7 @@ object Main {
     // successful run's schema and may differ
     val schema = wh.loadArtifact(runSchemaArtifact)
       .getOrElse(baseSchemaOf(wh, cfg))
-    val graph = DemoProject.graph(cfg.slices, schema = schema)
+    val graph = DemoProject.graph(cfg.slices, schema = schema, vars = cfg.vars)
     val (ran, skipped) =
       Retry.run(graph, Materializer(wh), sources(spark, cfg), wh, cfg.fullRefresh)
     ManifestState.save(wh, ManifestState.of(graph))
@@ -384,7 +396,7 @@ object Main {
   def clone(spark: SparkSession, cfg: CliConfig): Seq[CopyResult] = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
     val base = baseSchemaOf(wh, cfg)
-    val graph = DemoProject.graph(cfg.slices, schema = base)
+    val graph = DemoProject.graph(cfg.slices, schema = base, vars = cfg.vars)
     val targets = graph.models.collect {
       case m if (m.materialization match {
         case Materialization.Incremental(_) | Materialization.Snapshot(_, _) => true
@@ -455,7 +467,7 @@ object Main {
       s"no manifest at ${src.describe} - run `graft.Main run` first " +
         "(or point --manifest at a prod manifest.json)"))
     val base = manifest.baseSchema.getOrElse(cfg.schema)
-    val graph = DemoProject.graph(cfg.slices, changed = cfg.changed, schema = base)
+    val graph = DemoProject.graph(cfg.slices, changed = cfg.changed, schema = base, vars = cfg.vars)
     val copier = TableCopier(wh, cfg.threads)
     val (sel, copies) =
       IncrementalCI.run(graph, manifest, copier, base, cfg.suffix, cfg.dryRun)

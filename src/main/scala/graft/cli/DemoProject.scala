@@ -27,7 +27,8 @@ import graft.core._
 object DemoProject {
 
   def graph(nSlices: Int = 19, changed: Set[String] = Set.empty,
-      schema: String = "analytics"): ModelGraph = {
+      schema: String = "analytics",
+      vars: Map[String, String] = Map.empty): ModelGraph = {
     require(nSlices >= 1)
     def body(name: String, base: String): String =
       if (changed(name)) base + " /* v2 */" else base
@@ -78,13 +79,18 @@ object DemoProject {
           sum("n_orders").cast("long").as("n_orders"),
           sum("spend").as("spend")),
       body = body("mart_segment_spend", "spend by market segment"))
+    // `{{ var('min_spend', 0) }}` binds from the CLI's `--vars` (dbt
+    // --vars): the default keeps semantics unchanged, a rebound value
+    // changes the RENDERED body — so `ci --vars min_spend=N` sees the
+    // model as modified exactly like dbt's state:modified.vars
     val martNation = SqlModel("mart_nation_spend",
       body("mart_nation_spend",
         """SELECT c_nationkey, COUNT(*) AS n_buyers, SUM(spend) AS spend
           |FROM {{ ref('stg_customer') }}
           |JOIN {{ ref('int_spend_all') }} ON c_custkey = o_custkey
-          |GROUP BY c_nationkey""".stripMargin),
-      Materialization.Table)
+          |GROUP BY c_nationkey
+          |HAVING SUM(spend) >= {{ var('min_spend', 0) }}""".stripMargin),
+      Materialization.Table, vars = vars)
     val martRecent = Model("mart_recent_buyers", Seq("int_spend_all"),
       Materialization.Incremental(IncrementalStrategy.Append("last_order")),
       ctx => ctx.ref("int_spend_all"),

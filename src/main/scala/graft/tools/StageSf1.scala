@@ -49,6 +49,31 @@ object StageSf1 {
     // staging — its orderkey/custkey/user_id shift units match the
     // dimension shifts above, keeping every join referentially intact
     graft.Bench.stageScaled(spark, sfDir, outDir, copies)
+    repackEvents(spark, outDir)
+  }
+
+  /** The streaming entries symlink `<dir>/events.parquet` into a
+    * file-stream landing dir, which matches the driver testdata's
+    * SINGLE-FILE layout — a Spark-written DIRECTORY symlinked there
+    * is a nested dir the file stream never lists (zero micro-batches,
+    * then PATH_NOT_FOUND on the never-created sink). Repack the
+    * staged events into one plain parquet FILE to match.
+    */
+  def repackEvents(spark: SparkSession, outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val evP = new org.apache.hadoop.fs.Path(s"$outDir/events.parquet")
+    val fs = evP.getFileSystem(conf)
+    if (fs.getFileStatus(evP).isDirectory) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_events_repack")
+      spark.read.parquet(evP.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.delete(evP, true)
+      require(fs.rename(part, evP), "events repack rename failed")
+      fs.delete(tmp, true)
+      ()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,7 +87,8 @@ object StageSf1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    stage(spark, sfDir, outDir)
+    if (args.contains("--repack-only")) repackEvents(spark, outDir)
+    else stage(spark, sfDir, outDir)
     println(s"staged synthetic sf1 at $outDir")
     spark.stop()
   }

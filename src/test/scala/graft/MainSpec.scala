@@ -136,6 +136,23 @@ class MainSpec extends SparkSpec {
     assert(noop.selection.directlyModified.isEmpty && noop.ran.isEmpty)
   }
 
+  test("Main ci --vars: a rebound var is a body diff state:modified selects") {
+    val whRoot = graft.core.Scratch.dir("main_vars").toString
+    val base = CliConfig(command = "run", sfDir = sfDir,
+      warehouseRoot = whRoot, slices = slices)
+    Main.run(spark, base) // prod manifest built with the DEFAULT var
+    // same graph, min_spend rebound: only the var-consuming SQL model
+    // (and nothing upstream) is modified — dbt state:modified.vars
+    val rep = Main.ci(spark, base.copy(command = "ci",
+      vars = Map("min_spend" -> "1"), dryRun = true))
+    assert(rep.selection.directlyModified == Set("mart_nation_spend"))
+    assert(rep.selection.closure == Set("mart_nation_spend"))
+    // parse wiring: k=v list → map; malformed entries rejected
+    assert(Main.parse(Seq("ci", "--vars", "a=1,b=x y")).toOption.get.vars ==
+      Map("a" -> "1", "b" -> "x y"))
+    assert(Main.parse(Seq("ci", "--vars", "oops")).isLeft)
+  }
+
   test("Main ci --manifest: out-of-band manifest file drives the same selection") {
     val whRoot = graft.core.Scratch.dir("main_mf").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
