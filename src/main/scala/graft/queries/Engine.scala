@@ -1629,7 +1629,72 @@ object Engine {
       .orderBy("era")
   }
 
+  // m37 — SEMANTIC LAYER / METRICS (core/Metrics.scala — dbt
+  // MetricFlow): metrics defined once against a semantic model
+  // (dimensions + time dimension + measures over orders⋈customer)
+  // and COMPILED per query — every MetricFlow metric type in one
+  // request: simple (revenue), filtered simple (big-ticket revenue:
+  // the filter gates input rows inside the shared aggregation),
+  // ratio (AOV = revenue/orders, computed on the grouped row — never
+  // a join of two aggregates), derived (regular = revenue − big),
+  // and cumulative (running revenue per segment over the month
+  // grain). The compilation claim is the scale story: ONE scan + ONE
+  // hash aggregation regardless of metric count (all measures fold
+  // into the same groupBy), plus one window for the cumulative
+  // metric; the oracle reproduces every metric column from scratch,
+  // so definition→compilation→arithmetic is value-gated end to end.
+  val m37: Q = q("m37_semantic_metrics",
+    """WITH g AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS metric_time__month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+      |    SUM(CASE WHEN o_totalprice > CAST(200000 AS DOUBLE)
+      |        THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS bigrev,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_buyers
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT segment, metric_time__month,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(bigrev AS DOUBLE) AS big_revenue,
+      |  n_orders, n_buyers,
+      |  CAST(rev AS DOUBLE) / NULLIF(CAST(n_orders AS DOUBLE), 0.0) AS aov,
+      |  CAST(rev - COALESCE(bigrev, 0) AS DOUBLE) AS regular_revenue,
+      |  CAST(SUM(rev) OVER (PARTITION BY segment ORDER BY metric_time__month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      |FROM g ORDER BY segment, metric_time__month""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val model = Metrics.SemanticModel(
+      table = c.orders.join(c.customer, col("o_custkey") === col("c_custkey")),
+      dimensions = Map("segment" -> col("c_mktsegment")),
+      timeDimension = col("o_orderdate"),
+      measures = Map(
+        "order_total" -> Metrics.Measure("sum", decTotal(col("o_totalprice"))),
+        "orders" -> Metrics.Measure("count", lit(1)),
+        "buyers" -> Metrics.Measure("count_distinct", col("o_custkey"))))
+    val out = Metrics.query(model, Seq(
+        Metrics.Simple("revenue", "order_total"),
+        Metrics.Simple("big_revenue", "order_total",
+          Some(col("o_totalprice") > 200000.0)),
+        Metrics.Simple("n_orders", "orders"),
+        Metrics.Simple("n_buyers", "buyers"),
+        Metrics.Ratio("aov", "revenue", "n_orders"),
+        Metrics.Derived("regular_revenue",
+          m => m("revenue") - coalesce(m("big_revenue"),
+            lit(0).cast(DecimalType(24, 2))),
+          Seq("revenue", "big_revenue")),
+        Metrics.Cumulative("cum_revenue", "revenue")),
+      groupBy = Seq("segment"), grain = "month")
+    out.select(col("segment"), col("metric_time__month"),
+        dbl(col("revenue")).as("revenue"),
+        dbl(col("big_revenue")).as("big_revenue"),
+        col("n_orders"), col("n_buyers"), col("aov"),
+        dbl(col("regular_revenue")).as("regular_revenue"),
+        dbl(col("cum_revenue")).as("cum_revenue"))
+      .orderBy("segment", "metric_time__month")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36)
+    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37)
 }

@@ -1178,6 +1178,74 @@ class EngineSpec extends SparkSpec {
     assert(fires == 2)
   }
 
+  test("semantic metrics: every metric type computes correctly from one definition") {
+    import spark.implicits._
+    val t = Seq(
+      ("A", "2024-01-05", 10.0), ("A", "2024-01-20", 30.0),
+      ("A", "2024-02-10", 60.0), ("B", "2024-01-15", 100.0))
+      .toDF("seg", "d", "amt")
+      .withColumn("d", col("d").cast("timestamp"))
+    val model = Metrics.SemanticModel(
+      table = t,
+      dimensions = Map("seg" -> col("seg")),
+      timeDimension = col("d"),
+      measures = Map(
+        "amt" -> Metrics.Measure("sum", col("amt")),
+        "n" -> Metrics.Measure("count", lit(1))))
+    val out = Metrics.query(model, Seq(
+        Metrics.Simple("rev", "amt"),
+        Metrics.Simple("big", "amt", Some(col("amt") >= 50.0)),
+        Metrics.Simple("n", "n"),
+        Metrics.Ratio("aov", "rev", "n"),
+        Metrics.Derived("reg", m => m("rev") - coalesce(m("big"), lit(0.0)),
+          Seq("rev", "big")),
+        Metrics.Cumulative("cum", "rev")),
+      groupBy = Seq("seg"), grain = "month")
+      .orderBy("seg", "metric_time__month")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      // seg, month, rev, big(filtered: null when no qualifying rows),
+      // n, aov, reg, cum(running per seg)
+      ("A", "2024-01-01", 40.0, None, 2L, 20.0, 40.0, 40.0),
+      ("A", "2024-02-01", 60.0, Some(60.0), 1L, 60.0, 0.0, 100.0),
+      ("B", "2024-01-01", 100.0, Some(100.0), 1L, 100.0, 0.0, 100.0)))
+    // unknown metric/measure/dimension/grain fail loudly
+    intercept[IllegalArgumentException] {
+      Metrics.query(model, Seq(Metrics.Simple("x", "nope")),
+        Seq("seg"), "month").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Metrics.query(model, Seq(Metrics.Simple("rev", "amt")),
+        Seq("seg"), "week").collect()
+    }
+  }
+
+  test("semantic metrics compile to ONE scan however many metrics the query asks") {
+    val c = graft.sources.Catalog(spark, sfDir)
+    val model = Metrics.SemanticModel(
+      table = c.orders,
+      dimensions = Map("status" -> col("o_orderstatus")),
+      timeDimension = col("o_orderdate"),
+      measures = Map(
+        "total" -> Metrics.Measure("sum", col("o_totalprice")),
+        "n" -> Metrics.Measure("count", lit(1)),
+        "mx" -> Metrics.Measure("max", col("o_totalprice"))))
+    val out = Metrics.query(model, Seq(
+        Metrics.Simple("rev", "total"),
+        Metrics.Simple("n", "n"),
+        Metrics.Simple("mx", "mx"),
+        Metrics.Ratio("aov", "rev", "n"),
+        Metrics.Cumulative("cum", "rev")),
+      groupBy = Seq("status"), grain = "year")
+    val scans = out.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.size
+    assert(scans == 1,
+      s"expected one orders scan, plan:\n${out.queryExecution.optimizedPlan}")
+  }
+
   for (q <- Engine.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)
