@@ -213,8 +213,11 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // q34's partitioned-fact layout is a FIXTURE (a 100 TB fact is
     // already date-partitioned on disk) — stage it outside the timed
-    // window so all three passes time the DPP-pruned read
-    graft.queries.Relational.stageQ34(spark, sfDir)
+    // window so all three passes time the DPP-pruned read. Guarded:
+    // a staging failure must degrade to q34's own error line (it
+    // will retry inside its timed run), never abort all 158 medians
+    try graft.queries.Relational.stageQ34(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // INTERLEAVED passes: the same query's samples land ~a full suite
     // apart, so a multi-second host-contention window (observed up to

@@ -205,6 +205,12 @@ object Jinja {
       val Array(k, v) = a.split("=", 2)
       k.trim -> v.trim
     }.toMap
+    // a misspelled keyword would otherwise fall back to the param's
+    // default and SILENTLY select the wrong {% if %} branch — Jinja
+    // errors on unexpected kwargs, so do we
+    val unknown = kw.keySet -- mac.params.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"macro ${mac.name}: unknown keyword argument(s) ${unknown.mkString(", ")}")
     val bound: Map[String, Option[String]] = mac.params.zipWithIndex.map {
       case ((p, dflt), i) =>
         val v = if (i < positional.size) Some(positional(i))
@@ -224,18 +230,26 @@ object Jinja {
     // expansion pass, a plain value renders in place (quotes
     // stripped: Jinja prints the string's value, not its literal).
     val RegionPat = """(?s)\{\{(.*?)\}\}""".r
+    val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
     val substituted = RegionPat.replaceAllIn(branched, rm => {
-      val expr = mac.params.foldLeft(rm.group(1).trim) { case (e, (p, _)) =>
-        e.replaceAll(s"""\\b$p\\b""",
-          scala.util.matching.Regex.quoteReplacement(bound(p).get))
-      }
+      // SIMULTANEOUS substitution (one identifier pass, not a fold):
+      // sequential replacement would let an earlier param's
+      // substituted value be captured by a later param's name — e.g.
+      // m(a, b) called as m(b, 2) must render `b + 2`, never `2 + 2`
+      val expr = Ident.replaceAllIn(rm.group(1).trim, im =>
+        scala.util.matching.Regex.quoteReplacement(
+          bound.get(im.group(0)).flatten.getOrElse(im.group(0))))
       val callName = """^([A-Za-z0-9_]+)\s*\(""".r
         .findFirstMatchIn(expr).map(_.group(1))
       scala.util.matching.Regex.quoteReplacement(
-        // braces survive only for calls the NEXT pass can resolve (a
-        // nested macro or var()); any other call-shaped text is the
-        // arg's own SQL, rendered as-is
-        if (callName.exists(n => macroNames(n) || n == "var"))
+        // braces survive for anything a LATER pass resolves: a nested
+        // macro, var() (substVars below), and the model-render layer's
+        // own calls — ref()/source()/{{ this }} inside a macro body
+        // must reach SqlModel.run braced or the dep scan loses the
+        // DAG edge and the SQL goes out invalid; any other call-
+        // shaped text is the arg's own SQL, rendered as-is
+        if (callName.exists(n => macroNames(n) || n == "var" ||
+            n == "ref" || n == "source") || expr == "this")
           s"{{ $expr }}"
         else unquote(expr))
     })

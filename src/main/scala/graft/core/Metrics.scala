@@ -95,6 +95,9 @@ object Metrics {
       metrics.map(m => m.name -> m).toMap.withDefault(n =>
         throw new IllegalArgumentException(s"metric '$n' not in query"))
     val simples = metrics.flatMap(simpleDeps).distinct
+    require(simples.nonEmpty,
+      "metric query resolves to no measures — at least one simple " +
+        "metric (directly or via ratio/derived/cumulative inputs) is required")
     val aggCols = simples.map { s =>
       val meas = model.measures.getOrElse(s.measure,
         throw new IllegalArgumentException(s"unknown measure '${s.measure}'"))

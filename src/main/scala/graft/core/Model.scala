@@ -154,9 +154,18 @@ final case class Model(
     tags: Seq[String] = Nil) {
   /** Target schema name, dbt-style `<base>_<custom suffix>`. */
   def targetSchema: String = schemaSuffix.fold(schema)(s => s"${schema}_$s")
-  def checksum: String = {
+  def checksum: String =
+    Checksum.md5(name + "|" + deps.mkString(",") + "|" + body)
+}
+
+/** The one manifest-checksum function — models and run hooks journal
+  * through the same digest, so the scheme can never drift between
+  * the two artifact kinds.
+  */
+object Checksum {
+  def md5(identity: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update((name + "|" + deps.mkString(",") + "|" + body).getBytes("UTF-8"))
+    md.update(identity.getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }
 }

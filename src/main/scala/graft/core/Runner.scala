@@ -122,11 +122,7 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
   * skips models ([[Retry.run]]), and an EDITED hook re-fires.
   */
 final case class Hook(name: String, body: String, action: () => Unit) {
-  def checksum: String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update((name + "|" + body).getBytes("UTF-8"))
-    md.digest().map("%02x".format(_)).mkString
-  }
+  def checksum: String = Checksum.md5(name + "|" + body)
 }
 
 /** The declared lifecycle hooks of a project run. */

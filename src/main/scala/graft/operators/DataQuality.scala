@@ -101,12 +101,6 @@ object DataQuality {
       s"severity must be error|warn, got '$severity'")
   }
 
-  /** dbt's status decision for a failure count under a config. */
-  def status(n: Long, cfg: TestConfig): String =
-    if (cfg.severity == "error" && n > cfg.errorIf) "fail"
-    else if (n > cfg.warnIf) "warn"
-    else "pass"
-
   /** The audit schema store_failures writes into (dbt's
     * `dbt_test__audit` convention).
     */
@@ -121,7 +115,8 @@ object DataQuality {
     * per-test aggregates like [[summarize]]'s.
     */
   def runTests(wh: graft.core.Warehouse,
-      tests: Seq[(String, DataFrame, TestConfig)]): DataFrame =
+      tests: Seq[(String, DataFrame, TestConfig)]): DataFrame = {
+    require(tests.nonEmpty, "runTests needs at least one test")
     tests.map { case (name, violations, cfg) =>
       // stored tests count their PERSISTED rows (write once, count
       // the parquet — the stored table is the single computation of
@@ -141,6 +136,7 @@ object DataQuality {
             .otherwise("pass").as("status"),
           lit(cfg.storeFailures).as("stored"))
     }.reduce(_ unionAll _)
+  }
 
   /** Many rules over ONE table in ONE scan: each rule is a violation
     * predicate folded into a conditional sum, then the 1-row wide

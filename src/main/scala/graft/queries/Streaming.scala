@@ -213,8 +213,12 @@ object Streaming {
     String, (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path)]()
   private val e15Dirs = new java.util.concurrent.ConcurrentHashMap[
     String, (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path)]()
+  // e16 memoizes the warehouse ROOT (a path), never the Warehouse
+  // object — a cached Warehouse would pin the first invocation's
+  // SparkSession, and a restart from a later session would run its
+  // merge/read on a stopped context
   private val e16State = new java.util.concurrent.ConcurrentHashMap[
-    String, (Warehouse, java.nio.file.Path, java.nio.file.Path)]()
+    String, (String, java.nio.file.Path, java.nio.file.Path)]()
 
   /** Watermark-flush sentinels for stream-stream joins — one landing
     * file per far-future batch, with ONE ROW PER JOIN LEG. Spark's
@@ -751,7 +755,7 @@ object Streaming {
     // new files, no new merge commits, the logged read unchanged.
     // Re-initializing the MOR table per invocation (the r12-and-
     // earlier shape) paid the full 3-commit ingest every bench pass.
-    val (wh, srcDir, ckpt) = e16State.computeIfAbsent(dir, _ => {
+    val (whRoot, srcDir, ckpt) = e16State.computeIfAbsent(dir, _ => {
       val wh = Warehouse.scratch(spark, "e16")
       val norm = Catalog(spark, dir).events
       val srcDir = Scratch.dir("e16_src")
@@ -780,8 +784,9 @@ object Streaming {
       land(norm.filter(em >= b(1)), "b3", 1700000002000L)
       MergeOnRead.init(wh, "analytics", "user_mor",
         EventStream.latestPerUserCdc(norm.limit(0)).drop("op"))
-      (wh, srcDir, Scratch.dir("e16_ckpt"))
+      (wh.root, srcDir, Scratch.dir("e16_ckpt"))
     })
+    val wh = Warehouse(spark, whRoot)
     locally {
       val norm = Catalog(spark, dir).events
       val stream = spark.readStream.schema(norm.schema)

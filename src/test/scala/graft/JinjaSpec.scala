@@ -105,4 +105,33 @@ class JinjaSpec extends AnyFunSuite {
     val sql = "SELECT * FROM {{ source('raw', 'orders') }} JOIN {{ ref('m1') }}"
     assert(Jinja.expand(sql, gpc) == sql)
   }
+
+  test("ref()/source()/this INSIDE a macro body keep their braces for the model layer") {
+    val m = Jinja.parseMacros(
+      """{% macro latest(t) %}(SELECT * FROM {{ ref(t) }}
+        |WHERE ts = (SELECT MAX(ts) FROM {{ this }})){% endmacro %}""".stripMargin)
+    val out = Jinja.expand("{{ latest('stg_x') }}", m)
+    // the param substituted INTO the braced ref call, braces intact —
+    // SqlModel's dep scan and view binding must still see them
+    assert(out.contains("{{ ref('stg_x') }}"), out)
+    assert(out.contains("{{ this }}"), out)
+    val srcM = Jinja.parseMacros(
+      "{% macro raw(t) %}{{ source('raw', t) }}{% endmacro %}")
+    assert(Jinja.expand("{{ raw('orders') }}", srcM)
+      == "{{ source('raw', 'orders') }}")
+  }
+
+  test("simultaneous param substitution: an arg named like a later param is never re-substituted") {
+    val m = Jinja.parseMacros(
+      "{% macro m(a, b) %}{{ a }} + {{ b }}{% endmacro %}")
+    // arg for `a` is literally the identifier `b`: sequential
+    // substitution would render 2 + 2
+    assert(Jinja.expand("{{ m(b, 2) }}", m) == "b + 2")
+  }
+
+  test("unknown keyword arguments are rejected, not silently defaulted") {
+    val e = intercept[IllegalArgumentException](
+      Jinja.expand("{{ calculate_gpa(p, c, partiton_by='sid') }}", gpa))
+    assert(e.getMessage.contains("partiton_by"))
+  }
 }
