@@ -1863,9 +1863,64 @@ object LlmOps {
       .orderBy("rank")
   }
 
+  // x23 — UNICODE NORMALIZATION (plans/TextExpressions.NfcNormalize,
+  // a native doGenCode Catalyst expression — Spark ships no
+  // normalizer and a UDF would drop the corpus scan out of codegen):
+  // crawled corpora mix composed and decomposed encodings of the
+  // same text, so NFC + zero-width stripping is the mandatory FIRST
+  // stage before any hash-based op (d01's digests, d04's shingles,
+  // x13's decontamination all treat "é" and "e"+U+0301 as different
+  // bytes). The entry plants both corruption classes
+  // deterministically — combining acute after every 'e' on doc_id%7,
+  // zero-width space after every 'o' on doc_id%11 — then cleans:
+  // strip ZWSP/ZWNJ/ZWJ/BOM, NFC-compose. The planted classes prove
+  // the two distinct behaviors: zero-width injection is fully
+  // UNDONE (changed=false — byte-identical to the original), while
+  // decomposition COMPOSES to different-but-canonical bytes
+  // (changed=true). Gate: per-doc md5 of the cleaned text vs
+  // DuckDB's own nfc_normalize — two independent NFC
+  // implementations hash-agreeing on every row.
+  val x23: Q = q("x23_text_normalize",
+    """WITH p AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+      |      ELSE text END AS t1
+      |  FROM documents),
+      |p2 AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN regexp_replace(t1, 'o', 'o' || chr(8203), 'g')
+      |      ELSE t1 END AS t2
+      |  FROM p),
+      |c AS (
+      |  SELECT doc_id, text, nfc_normalize(regexp_replace(t2,
+      |    '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+      |    '', 'g')) AS clean
+      |  FROM p2)
+      |SELECT doc_id, CAST(LENGTH(clean) AS BIGINT) AS n_chars,
+      |  md5(clean) AS content_hash, (clean <> text) AS changed
+      |FROM c ORDER BY doc_id""") { c =>
+    val perturbed = c.documents
+      .withColumn("t", when(col("doc_id") % 7 === 0,
+          regexp_replace(col("text"), "e", "e\u0301"))
+        .otherwise(col("text")))
+      .withColumn("t", when(col("doc_id") % 11 === 0,
+          regexp_replace(col("t"), "o", "o\u200B"))
+        .otherwise(col("t")))
+    val clean = graft.plans.TextExpressions.nfcNormalize(
+      regexp_replace(col("t"), "[\u200B\u200C\u200D\uFEFF]", ""))
+    perturbed.select(col("doc_id"), col("text"), clean.as("clean"))
+      .select(col("doc_id"),
+        length(col("clean")).cast(LongType).as("n_chars"),
+        md5(col("clean").cast(BinaryType)).as("content_hash"),
+        (col("clean") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, p01, p02, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, p01, p02, mm01, mm02, mm03)
 }

@@ -16,6 +16,27 @@ class LlmOpsSpec extends SparkSpec {
 
   private lazy val cat = Catalog(spark, sfDir)
 
+  test("x23: NfcNormalize composes, is idempotent, and stays in whole-stage codegen") {
+    import graft.plans.TextExpressions.nfcNormalize
+    import spark.implicits._
+    val df = Seq("cafe\u0301", "plain", "a\u200Bb").toDF("s")
+    val once = df.select(nfcNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    // decomposed e+COMBINING ACUTE composes; NFC leaves zero-width
+    // chars alone (stripping them is the pipeline's separate regexp)
+    assert(once == Seq("caf\u00e9", "plain", "a\u200Bb"))
+    val twice = df.select(nfcNormalize(nfcNormalize(col("s"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once, "NFC must be idempotent")
+    // the corpus-scan claim: the expression codegens — over a parquet
+    // scan the projection sits inside a WholeStageCodegen span
+    val plan = cat.documents
+      .select(nfcNormalize(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the compact-plan WholeStageCodegen marker
+    assert(plan.contains("*(1) Project [nfc_normalize"), plan.take(800))
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
