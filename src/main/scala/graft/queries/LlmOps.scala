@@ -1918,9 +1918,125 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x24 — TRAINED text classifier (multinomial Naive Bayes over
+  // hashed token buckets), the learned complement to x01's rule
+  // heuristic and the shape of every fastText-style corpus filter
+  // (CCNet's LM filter, FineWeb-Edu's quality classifier): train on
+  // the LABELED slice, broadcast the model, score the unlabeled
+  // corpus in one pass. The split is real — the model trains on
+  // even-doc_id docs only and predicts the held-out odd half — and
+  // because the synthetic corpus draws every lang's text from one
+  // shared vocabulary (no natural signal; a classifier on the raw
+  // text degenerates to the majority class), the entry PLANTS the
+  // signal deterministically (x09/x23's injection discipline): three
+  // per-lang marker tokens appended to every doc, so held-out
+  // accuracy measures genuine generalization of the train/serve
+  // machinery. Features are x17's 256 md5 buckets — the model is
+  // (|classes| × 256) rows BY CONSTRUCTION, bounded by the hash
+  // width, not the vocabulary. Training is two map-side-combined
+  // hash aggs; inference is one broadcast equi-join on the bucket +
+  // a per-(doc, class) sum — each corpus half shuffles once on
+  // (doc, bucket) and never again; argmax per doc is a rank-limit
+  // TopK (q23's pushdown), not a full sort. Cross-engine exactness:
+  // every log-probability is a 2^40-scaled truncated BIGINT (x21's
+  // trick), so scores are pure integer arithmetic — order-free,
+  // tie-broken (score DESC, class ASC) identically everywhere.
+  // Model persistence for serving reuses s09's train/serve split
+  // unchanged (the weights are one small table).
+  val x24: Q = q("x24_nb_classifier",
+    """WITH marked AS (
+      |  SELECT doc_id, lang,
+      |    text || ' ' || repeat('xm' || lang || ' ', 3) AS text
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM marked)
+      |  WHERE tok <> ''),
+      |db AS (SELECT doc_id, lang, b, COUNT(*) AS cnt FROM tk GROUP BY 1, 2, 3),
+      |tot AS (SELECT lang, SUM(cnt) AS tot FROM db WHERE doc_id % 2 = 0 GROUP BY 1),
+      |cb AS (SELECT lang, b, SUM(cnt) AS cb FROM db WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.lang, k.b,
+      |    CAST(trunc(ln((COALESCE(cb.cb, 0) + 1.0) / (t.tot + 256.0))
+      |      * 1099511627776) AS BIGINT) AS lnp
+      |  FROM tot t
+      |  CROSS JOIN (SELECT printf('%02x', i) AS b FROM range(256) r(i)) k
+      |  LEFT JOIN cb ON cb.lang = t.lang AND cb.b = k.b),
+      |pri AS (
+      |  SELECT lang, CAST(trunc(ln(CAST(n_docs AS DOUBLE)
+      |      / (SUM(n_docs) OVER ())) * 1099511627776) AS BIGINT) AS lpr
+      |  FROM (SELECT lang, COUNT(*) AS n_docs FROM documents
+      |        WHERE doc_id % 2 = 0 GROUP BY 1)),
+      |sc AS (
+      |  SELECT db.doc_id, db.lang AS actual, g.lang AS cls,
+      |    SUM(db.cnt * g.lnp) AS s
+      |  FROM db JOIN grid g USING (b)
+      |  WHERE db.doc_id % 2 = 1 GROUP BY 1, 2, 3),
+      |fin AS (
+      |  SELECT doc_id, actual, cls,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY sc.s + pri.lpr DESC, cls) AS rn
+      |  FROM sc JOIN pri ON pri.lang = sc.cls)
+      |SELECT doc_id, cls AS pred_lang, actual AS lang,
+      |  (cls = actual) AS correct
+      |FROM fin WHERE rn = 1 ORDER BY doc_id""") { c =>
+    val scale = 1099511627776L // 2^40
+    val spark = c.documents.sparkSession
+    val marked = c.documents.select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "),
+        repeat(concat(lit("xm"), col("lang"), lit(" ")), 3)).as("text"))
+    val tk = marked
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok").cast(BinaryType)), 1, 2).as("b"))
+    // the one corpus-sized artifact, frozen for its three consumers
+    // (two training aggs over the even half, the odd-half scoring
+    // join) — x17's multi-consumer freeze discipline
+    val db0 = tk.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val train = db0.filter(col("doc_id") % 2 === 0)
+    val tot = train.groupBy("lang").agg(sum("cnt").as("tot"))
+    val cb = train.groupBy("lang", "b").agg(sum("cnt").as("cb"))
+    val buckets = spark.range(256)
+      .select(format_string("%02x", col("id")).as("b"))
+    val grid = tot.crossJoin(buckets)
+      .join(cb, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"),
+        (log((coalesce(col("cb"), lit(0L)) + lit(1.0))
+            / (col("tot") + lit(256.0)))
+          * lit(scale.toDouble)).cast(LongType).as("lnp"))
+    // class priors from labeled doc counts — a column-pruned scan
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pri = c.documents.filter(col("doc_id") % 2 === 0)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        (log(col("n_docs").cast(DoubleType)
+            / sum(col("n_docs")).over(wTot))
+          * lit(scale.toDouble)).cast(LongType).as("lpr"))
+    val scored = db0.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("actual"), col("b"), col("cnt"))
+      .join(broadcast(grid.withColumnRenamed("lang", "cls")), "b")
+      .groupBy("doc_id", "actual", "cls")
+      .agg(sum(col("cnt") * col("lnp")).as("s"))
+      .join(broadcast(pri.withColumnRenamed("lang", "cls")), "cls")
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("s") + col("lpr")).desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_lang"),
+        col("actual").as("lang"), (col("cls") === col("actual")).as("correct"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, p01, p02, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, p01, p02, mm01, mm02, mm03)
 }

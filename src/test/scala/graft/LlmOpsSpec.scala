@@ -37,6 +37,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [nfc_normalize"), plan.take(800))
   }
 
+  test("x24: NB classifier generalizes to the held-out half, non-degenerately") {
+    val out = LlmOps.x24.run(spark, sfDir)
+    val rows = out.collect()
+    // scores only the odd (held-out) half — the model never saw these
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) % 2 == 1))
+    val nOdd = cat.documents.filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length.toLong == nOdd, "one prediction per held-out doc")
+    val acc = rows.count(_.getBoolean(3)).toDouble / rows.length
+    assert(acc >= 0.85, s"held-out accuracy $acc — planted signal not learned")
+    // non-degenerate: a majority-class predictor is what the raw
+    // synthetic corpus induces (shared vocab across langs); the
+    // planted markers must break it
+    val preds = rows.map(_.getString(1)).toSet
+    assert(preds.size > 1, s"degenerate predictor: always $preds")
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
