@@ -1694,7 +1694,70 @@ object Engine {
       .orderBy("segment", "metric_time__month")
   }
 
+  // m38 — dbt MODEL VERSIONS (core/Versioned.scala): fct_orders
+  // ships a BREAKING v2 (column rename revenue→net_revenue + a
+  // semantic filter dropping finalized 'F' orders) next to the still-
+  // published v1. Each version materializes as its own relation
+  // (fct_orders_v1 / fct_orders_v2); mart_legacy PINS v1 with
+  // {{ ref('fct_orders', v=1) }}, mart_current floats on the bare
+  // {{ ref('fct_orders') }} → latest. Resolution happens at text
+  // level before checksumming, so a latest_version bump changes
+  // exactly the floating consumers' checksums (state:modified parity
+  // — pinned in EngineSpec together with the v1 deprecation
+  // warning). The entry returns both marts; the oracle reproduces
+  // each version's semantics independently from source, so a
+  // resolver binding either consumer to the wrong version fails the
+  // hash on sight.
+  val m38: Q = q("m38_model_versions",
+    """WITH v1 AS (
+      |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS revenue
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS net_revenue
+      |  FROM orders WHERE o_orderstatus <> 'F'),
+      |leg AS (
+      |  SELECT 'legacy_v1' AS consumer, c_mktsegment, COUNT(*) AS n_orders,
+      |    CAST(SUM(revenue) AS DOUBLE) AS revenue
+      |  FROM v1 JOIN customer ON o_custkey = c_custkey GROUP BY 2),
+      |cur AS (
+      |  SELECT 'current_latest' AS consumer, c_mktsegment, COUNT(*) AS n_orders,
+      |    CAST(SUM(net_revenue) AS DOUBLE) AS revenue
+      |  FROM v2 JOIN customer ON o_custkey = c_custkey GROUP BY 2)
+      |SELECT * FROM leg UNION ALL SELECT * FROM cur
+      |ORDER BY consumer, c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m38")
+    val fct = VersionedModel("fct_orders",
+      versions = Seq(
+        1 -> SqlModel("fct_orders",
+          """SELECT o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS revenue
+            |FROM {{ source('raw', 'orders') }}""".stripMargin,
+          Materialization.Table),
+        2 -> SqlModel("fct_orders",
+          """SELECT o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS net_revenue
+            |FROM {{ source('raw', 'orders') }}
+            |WHERE o_orderstatus <> 'F'""".stripMargin,
+          Materialization.Table)),
+      latestVersion = 2,
+      deprecationDates = Map(1 -> "2026-06-01"))
+    val specs = Seq(fct)
+    def mart(tag: String, refCall: String, revCol: String): Model =
+      SqlModel(s"mart_$tag", Versioned.rewriteRefs(
+        s"""SELECT '$tag' AS consumer, c.c_mktsegment,
+           |  COUNT(*) AS n_orders, CAST(SUM(o.$revCol) AS DOUBLE) AS revenue
+           |FROM $refCall o
+           |JOIN {{ source('raw', 'customer') }} c ON o.o_custkey = c.c_custkey
+           |GROUP BY 1, 2""".stripMargin, specs),
+        Materialization.Table)
+    val graph = ModelGraph(Versioned.lower(fct) ++ Seq(
+      mart("legacy_v1", "{{ ref('fct_orders', v=1) }}", "revenue"),
+      mart("current_latest", "{{ ref('fct_orders') }}", "net_revenue")))
+    val out = Runner(Materializer(wh), n => c.table(n)).runAll(graph)
+    out("mart_legacy_v1").unionByName(out("mart_current_latest"))
+      .orderBy("consumer", "c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37)
+    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38)
 }

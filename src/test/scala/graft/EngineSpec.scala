@@ -1131,6 +1131,64 @@ class EngineSpec extends SparkSpec {
       SqlModel("m", vsql, vars = Map("min_year" -> "1997")).checksum)
   }
 
+  test("m38: versioned refs resolve (pinned + floating), validate, and float checksums on a latest bump") {
+    def spec(latest: Int) = VersionedModel("fct",
+      versions = Seq(
+        1 -> SqlModel("fct", "SELECT a FROM {{ source('raw', 'orders') }}"),
+        2 -> SqlModel("fct", "SELECT b FROM {{ source('raw', 'orders') }}")),
+      latestVersion = latest)
+    val s2 = Seq(spec(2))
+    // pinned ref → concrete version; bare ref → latest; refs to
+    // non-versioned models pass through untouched
+    assert(Versioned.rewriteRefs("{{ ref('fct', v=1) }}", s2)
+      == "{{ ref('fct_v1') }}")
+    assert(Versioned.rewriteRefs("{{ ref('fct') }}", s2)
+      == "{{ ref('fct_v2') }}")
+    assert(Versioned.rewriteRefs("{{ ref('other') }}", s2)
+      == "{{ ref('other') }}")
+    // compile-time validation, dbt-style: unknown version / model fail
+    intercept[IllegalArgumentException] {
+      Versioned.rewriteRefs("{{ ref('fct', v=9) }}", s2)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.rewriteRefs("{{ ref('nope', v=1) }}", s2)
+    }
+    // a latest_version bump changes exactly the FLOATING consumer's
+    // checksum (state:modified selects it); the pinned one is stable
+    val floatSql = "SELECT * FROM {{ ref('fct') }}"
+    val pinSql = "SELECT * FROM {{ ref('fct', v=1) }}"
+    def model(sql: String, specs: Seq[VersionedModel]) =
+      SqlModel("c", Versioned.rewriteRefs(sql, specs))
+    assert(model(floatSql, Seq(spec(1))).checksum
+      != model(floatSql, Seq(spec(2))).checksum)
+    assert(model(pinSql, Seq(spec(1))).checksum
+      == model(pinSql, Seq(spec(2))).checksum)
+    // lowering: per-version relations, deps intact, DAG edges bind
+    val low = Versioned.lower(spec(2))
+    assert(low.map(_.name) == Seq("fct_v1", "fct_v2"))
+    val g = ModelGraph(low :+ model(pinSql, s2))
+    assert(g.downstream("fct_v1").contains("c"))
+  }
+
+  test("m38: deprecation warnings name pinned consumers of deprecated versions only") {
+    val spec = VersionedModel("fct",
+      versions = Seq(
+        1 -> SqlModel("fct", "SELECT a FROM {{ source('raw', 'orders') }}"),
+        2 -> SqlModel("fct", "SELECT b FROM {{ source('raw', 'orders') }}")),
+      latestVersion = 2,
+      deprecationDates = Map(1 -> "2026-06-01"))
+    val specs = Seq(spec)
+    val g = ModelGraph(Versioned.lower(spec) ++ Seq(
+      SqlModel("old_mart",
+        Versioned.rewriteRefs("SELECT * FROM {{ ref('fct', v=1) }}", specs)),
+      SqlModel("new_mart",
+        Versioned.rewriteRefs("SELECT * FROM {{ ref('fct') }}", specs))))
+    val warns = Versioned.deprecationWarnings(specs, g)
+    assert(warns.size == 1, warns.mkString("\n"))
+    assert(warns.head.contains("old_mart") && warns.head.contains("fct.v1")
+      && warns.head.contains("2026-06-01") && warns.head.contains("fct.v2"))
+  }
+
   test("run hooks fire around the DAG: start before the first model, end after the last") {
     val wh = freshWh("hooks_order")
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
