@@ -76,14 +76,22 @@ object Bpe {
     * escaping.
     */
   def applyMerge(dict: DataFrame, a: String, b: String): DataFrame =
-    dict.withColumn("syms", aggregate(
-      col("syms"),
+    dict.withColumn("syms", mergeFold(col("syms"), a, b))
+
+  /** The merge application as a pure COLUMN expression, so it nests
+    * inside other higher-order functions (x25 folds it per word
+    * inside a per-doc `transform` — corpus tokenization as a single
+    * shuffle-free projection) as well as running dict-level here.
+    */
+  def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
       array().cast("array<string>"),
       (acc: Column, x: Column) =>
         when(size(acc) > 0 &&
             element_at(acc, -1) === lit(a) && x === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x)))))
+        .otherwise(concat(acc, array(x))))
 
   /** Learn up to `nMerges` merges; stops early when the best pair
     * occurs fewer than `minCount` times (nothing left worth fusing).

@@ -1757,7 +1757,51 @@ object Engine {
       .orderBy("consumer", "c_mktsegment")
   }
 
+  // m39 — dbt MODEL GOVERNANCE (core/AccessControl.scala — dbt ≥1.5
+  // `groups` + `access`, the contract layer under dbt Mesh): the
+  // entry emits the full access-decision matrix for a two-group,
+  // two-package mesh — private plumbing ref-able only inside its
+  // group, protected models stopping at the package boundary, public
+  // interfaces crossing it — against a literal-VALUES oracle (the
+  // m06/m27 driver-matrix recipe). Enforcement (violations named at
+  // graph-assembly time, valid graphs running through the Runner
+  // untouched) is pinned in EngineSpec.
+  val m39: Q = q("m39_model_access",
+    """SELECT * FROM (VALUES
+      |  ('ext_dash', 'fct_payments', 'private', false),
+      |  ('ext_dash', 'rpt_finance', 'public', true),
+      |  ('ext_dash', 'rpt_marketing', 'protected', false),
+      |  ('mkt_campaigns', 'stg_fin', 'protected', true),
+      |  ('rpt_finance', 'fct_payments', 'private', true),
+      |  ('rpt_finance', 'stg_fin', 'protected', true),
+      |  ('rpt_marketing', 'fct_payments', 'private', false),
+      |  ('rpt_marketing', 'rpt_finance', 'public', true))
+      |  AS t(consumer, dep, dep_access, allowed)
+      |ORDER BY consumer, dep""") { (spark, _) =>
+    val gov = Map(
+      "stg_fin" -> Governance("finance", Access.Protected),
+      "fct_payments" -> Governance("finance", Access.Private),
+      "rpt_finance" -> Governance("finance", Access.Public),
+      "mkt_campaigns" -> Governance("marketing", Access.Private),
+      "rpt_marketing" -> Governance("marketing", Access.Protected),
+      "ext_dash" -> Governance("partner", Access.Protected, pkg = "partner_pkg"))
+    val candidates = Seq(
+      "rpt_finance" -> "fct_payments", "rpt_finance" -> "stg_fin",
+      "rpt_marketing" -> "fct_payments", "rpt_marketing" -> "rpt_finance",
+      "mkt_campaigns" -> "stg_fin",
+      "ext_dash" -> "rpt_finance", "ext_dash" -> "rpt_marketing",
+      "ext_dash" -> "fct_payments")
+    val rows = candidates.map { case (c, d) =>
+      (c, d, Access.name(gov(d).access),
+        AccessControl.allowed(gov.getOrElse(c, AccessControl.Ungoverned), gov(d)))
+    }
+    spark.createDataFrame(rows)
+      .toDF("consumer", "dep", "dep_access", "allowed")
+      .orderBy("consumer", "dep")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
-    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38)
+    m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
+    m39)
 }

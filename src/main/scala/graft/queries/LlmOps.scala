@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Vectors}
-import graft.operators.{Ann, Dedup, DupGroups, Multimodal, Packing}
+import graft.operators.{Ann, Bpe, Dedup, DupGroups, Multimodal, Packing}
 import graft.sources.Catalog
 
 /** SURVEY.md §2.D — the LLM-training-data-pipeline operator block
@@ -2034,9 +2034,105 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x25 — BPE tokenizer APPLY at corpus scale, the serve-side
+  // complement of x22's training: the actual "tokenize 100 TB before
+  // the training run" step. The tokenizer artifact is FROZEN — in
+  // production a tokenizer is trained once and applied to every
+  // corpus snapshot thereafter, so the merge table here is a pinned
+  // literal list (a well-formed BPE merge sequence over lowercase
+  // chars + Sennrich's </w> sentinel), not something retrained per
+  // run. Encoding is x22's OWN merge fold (Bpe.mergeFold — greedy
+  // left-to-right, per word) nested per doc: transform over words,
+  // one fold per merge in rank order — so serve-time segmentation is
+  // the training code path by construction (LlmOpsSpec additionally
+  // pins the nested form == the dict-level fold word-for-word; a
+  // first-cut sequential string-replace formulation FAILED that spec
+  // on "banana" — replace skips pair occurrences that share a
+  // boundary symbol with the previous match, which is exactly the
+  // divergence the parity spec exists to catch). The shape is the
+  // point at 100 TB: tokenization is a PURE MAP — one projection per
+  // doc, no explode, no shuffle, tokenizer as literals — and the
+  // oracle re-implements the same fold independently in DuckDB
+  // (list_reduce with a delimited-string accumulator: fusing appends
+  // `b` to the accumulator's tail symbol; appending adds a delimited
+  // symbol — last-symbol-equals-`a` iff the string ends with U+001F a),
+  // so two independent BPE encoders must hash-agree on every doc's
+  // full subword stream.
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "e" -> "</w>", "th" -> "e</w>", "i" -> "n", "a" -> "n",
+    "r" -> "e", "o" -> "n", "e" -> "r", "er" -> "</w>", "in" -> "g",
+    "ing" -> "</w>", "a" -> "t", "s" -> "</w>", "o" -> "r", "t" -> "i",
+    "a" -> "l")
+
+  /** Subword stream of `text` under [[bpeMerges]]: lower-cased
+    * whitespace tokens stripped to letters, each split to chars +
+    * `</w>` and folded through the merges in rank order
+    * (Bpe.mergeFold nested inside a per-doc transform), flattened in
+    * word order. Pure per-row expressions — no explode, no shuffle.
+    */
+  def bpeEncodeSubwords(text: Column): Column = {
+    val ws = filter(transform(split(lower(text), " "),
+      t => regexp_replace(t, "[^a-z]", "")), w => w =!= "")
+    flatten(transform(ws, w => bpeMerges.foldLeft(
+      concat(split(w, ""), array(lit(Bpe.EndOfWord))): Column)(
+      (syms, m) => Bpe.mergeFold(syms, m._1, m._2))))
+  }
+
+  /** The DuckDB mirror of the merge fold chain: each merge is one
+    * `list_reduce` over the symbol list with a U+001F-delimited
+    * STRING accumulator (DuckDB's reduce seeds from the first
+    * element, so the accumulator must share the element type) —
+    * `acc = 'a' OR ends_with(acc, sep || 'a')` recognizes the tail
+    * symbol, fusing appends `b` directly (the merged symbol IS
+    * a || b), otherwise the next symbol appends delimited;
+    * `string_split` restores the list between merges.
+    */
+  private val x25Fold: String = {
+    def step(inner: String, a: String, b: String) =
+      s"string_split(list_reduce($inner, (acc, x) -> CASE WHEN " +
+        s"(acc = '$a' OR ends_with(acc, chr(31) || '$a')) AND x = '$b' " +
+        s"THEN acc || '$b' ELSE acc || chr(31) || x END), chr(31))"
+    bpeMerges.foldLeft("syms0")((e, m) => step(e, m._1, m._2))
+  }
+
+  val x25: Q = q("x25_bpe_encode",
+    s"""WITH w AS (
+      |  SELECT doc_id, list_filter(list_transform(
+      |      string_split(lower(text), ' '),
+      |      t -> regexp_replace(t, '[^a-z]', '', 'g')), x -> x <> '') AS ws
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM w),
+      |s AS (
+      |  SELECT doc_id, i, $x25Fold AS subs
+      |  FROM (SELECT doc_id, i,
+      |      list_append(list_transform(range(1, len(ws[i]) + 1),
+      |        j -> substr(ws[i], j, 1)), '</w>') AS syms0
+      |    FROM e)),
+      |a AS (
+      |  SELECT doc_id, SUM(len(subs)) AS n_subwords,
+      |    string_agg(array_to_string(subs, ' '), ' ' ORDER BY i) AS stream
+      |  FROM s GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+      |  md5(COALESCE(a.stream, '')) AS fingerprint
+      |FROM w LEFT JOIN a ON w.doc_id = a.doc_id
+      |ORDER BY w.doc_id""") { c =>
+    val subs = bpeEncodeSubwords(col("text"))
+    val ws = filter(transform(split(lower(col("text")), " "),
+      t => regexp_replace(t, "[^a-z]", "")), w => w =!= "")
+    c.documents.select(col("doc_id"), ws.as("ws"), subs.as("subs"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_words"),
+        size(col("subs")).cast(LongType).as("n_subwords"),
+        md5(array_join(col("subs"), " ").cast(BinaryType)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, p01, p02, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+    p01, p02, mm01, mm02, mm03)
 }

@@ -1189,6 +1189,39 @@ class EngineSpec extends SparkSpec {
       && warns.head.contains("2026-06-01") && warns.head.contains("fct.v2"))
   }
 
+  test("m39: access violations name both models at graph-assembly time; valid graphs run") {
+    def m(name: String, deps: Seq[String]): Model =
+      Model(name, deps, Materialization.View,
+        ctx => deps.headOption.fold(
+          spark.range(1).toDF("id"))(ctx.ref))
+    val gov = Map(
+      "fct" -> Governance("finance", Access.Private),
+      "rpt" -> Governance("finance", Access.Public),
+      "mkt" -> Governance("marketing", Access.Protected))
+    // valid: same-group private ref + cross-group public ref
+    val ok = ModelGraph(Seq(m("fct", Nil), m("rpt", Seq("fct")),
+      m("mkt", Seq("rpt"))))
+    assert(AccessControl.violations(ok, gov).isEmpty)
+    AccessControl.enforce(ok, gov) // must not throw
+    Runner(Materializer(freshWh("m39_ok")), _ => spark.range(1).toDF("id"))
+      .runAll(ok) // governance does not disturb execution
+    // invalid: marketing reaches into finance's private plumbing
+    val bad = ModelGraph(Seq(m("fct", Nil), m("rpt", Seq("fct")),
+      m("mkt", Seq("fct"))))
+    val v = AccessControl.violations(bad, gov)
+    assert(v.size == 1 && v.head.contains("mkt")
+      && v.head.contains("private model fct"), v.mkString("; "))
+    intercept[IllegalArgumentException] { AccessControl.enforce(bad, gov) }
+    // protected stops at the package boundary; public crosses it
+    val extGov = gov + ("ext" -> Governance("partner",
+      Access.Protected, pkg = "other"))
+    val ext = ModelGraph(Seq(m("fct", Nil), m("rpt", Seq("fct")),
+      m("mkt", Seq("rpt")), m("ext", Seq("mkt", "rpt"))))
+    val ev = AccessControl.violations(ext, extGov)
+    assert(ev.size == 1 && ev.head.contains("protected model mkt"),
+      ev.mkString("; "))
+  }
+
   test("run hooks fire around the DAG: start before the first model, end after the last") {
     val wh = freshWh("hooks_order")
     val order = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -53,6 +53,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(preds.size > 1, s"degenerate predictor: always $preds")
   }
 
+  test("x25: nested per-doc encode == Bpe dict-level merge fold, word for word (serve parity)") {
+    import spark.implicits._
+    val words = Seq("the", "thing", "nation", "rather", "morning",
+      "tin", "banana", "final", "er", "a")
+    val merges = LlmOps.bpeMerges.zipWithIndex.map {
+      case ((a, b), i) => graft.operators.Bpe.Merge(i + 1, a, b, 0L)
+    }
+    // the x22 machinery's fold over per-word symbol arrays
+    val dict = words.toDF("w").select(col("w"),
+      concat(split(col("w"), ""),
+        array(lit(graft.operators.Bpe.EndOfWord))).as("syms"),
+      lit(1L).as("cnt"))
+    val hof = graft.operators.Bpe.segmentWords(dict, merges)
+      .select(col("w"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // x25's literal replace chain over the same words
+    val chain = words.toDF("t")
+      .select(col("t"), LlmOps.bpeEncodeSubwords(col("t")).as("subs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    for (w <- words) assert(chain(w) == hof(w), s"word $w")
+    // the merge table actually fuses: a canonical full-word merge…
+    assert(chain("the") == List("the</w>"))
+    // …and an untouched word stays fully split (plus sentinel merges)
+    assert(chain("banana").mkString("") == "banana" + "</w>")
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
