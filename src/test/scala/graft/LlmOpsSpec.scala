@@ -75,8 +75,21 @@ class LlmOpsSpec extends SparkSpec {
     for (w <- words) assert(chain(w) == hof(w), s"word $w")
     // the merge table actually fuses: a canonical full-word merge…
     assert(chain("the") == List("the</w>"))
-    // …and an untouched word stays fully split (plus sentinel merges)
-    assert(chain("banana").mkString("") == "banana" + "</w>")
+    // …and a repeated-pair word exercises greedy left-to-right
+    // non-overlap (the case that killed the string-replace cut:
+    // both (a,n) pairs must merge)
+    assert(chain("banana") == List("b", "an", "an", "a", "</w>"))
+    // the ENTRY's dict-amortized path (fold per distinct word +
+    // join-back) must reproduce the pure-map column form exactly
+    val pure = cat.documents
+      .select(col("doc_id"),
+        md5(array_join(LlmOps.bpeEncodeSubwords(col("text")), " ")
+          .cast("binary")).as("fingerprint"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val entry = LlmOps.x25.run(spark, sfDir)
+      .select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(entry == pure, "dict-amortized path diverges from the pure map")
   }
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
