@@ -72,7 +72,7 @@ object Bench {
     "q31_window_range_frame", "q34_dpp",
     "s05_knn_graph", "s08_range_search", "x08_tfidf",
     "x18_token_budget_sample", "x20_gopher_rules", "x21_char_entropy",
-    "x22_bpe_train")
+    "x22_bpe_train", "x24_nb_classifier", "x25_bpe_encode")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -41,7 +41,12 @@ object Access {
   * default).
   */
 final case class Governance(group: String, access: Access,
-    pkg: String = "main")
+    pkg: String = "main") {
+  // a private model with an empty group would match every ungoverned
+  // consumer's empty group — the opposite of what Private means
+  require(access != Access.Private || group.nonEmpty,
+    "a private model must declare a non-empty group")
+}
 
 object AccessControl {
 
@@ -62,7 +67,10 @@ object AccessControl {
 
   /** Every ref edge in the graph that violates its dep's declared
     * access — deterministically ordered (consumer, dep). Empty means
-    * the graph compiles.
+    * the graph compiles. An UNGOVERNED dep defaults to [[Ungoverned]]
+    * (protected, main package) on the dep side too — dbt's default,
+    * so a cross-package consumer cannot slip through just because the
+    * dep never wrote a governance entry.
     */
   def violations(graph: ModelGraph,
       gov: Map[String, Governance]): Seq[String] =
@@ -70,7 +78,7 @@ object AccessControl {
       consumer <- graph.models.sortBy(_.name)
       dep <- consumer.deps.distinct.sorted
       if graph.byName.contains(dep)
-      dg <- gov.get(dep).toSeq
+      dg = gov.getOrElse(dep, Ungoverned)
       cg = gov.getOrElse(consumer.name, Ungoverned)
       if !allowed(cg, dg)
     } yield s"model ${consumer.name} (group '${cg.group}', package " +

@@ -53,34 +53,43 @@ final case class VersionedModel(
 
 object Versioned {
 
-  private val PinnedRef =
-    """\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'\s*,\s*v\s*=\s*(\d+)\s*\)\s*\}\}""".r
-  private val BareRef =
-    """\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}""".r
+  private val AnyRef =
+    """\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'(?:\s*,\s*v\s*=\s*(\d+))?\s*\)\s*\}\}""".r
 
   /** Resolve version-aware refs in SQL text to concrete lowered
     * names: `ref('m', v=K)` → `ref('m_vK')`, bare `ref('m')` of a
     * versioned model → `ref('m_v<latest>')`; refs to non-versioned
-    * models pass through untouched. Apply BEFORE [[SqlModel.apply]]
-    * so DAG edges and body checksums see the concrete binding.
-    * A pinned ref to an unknown model or undeclared version fails
-    * parse-time — dbt's compile-time ref validation, not a silent
-    * miss at run time.
+    * models pass through untouched. ONE pass over the source text —
+    * emitted replacement text is never re-scanned, so a concrete
+    * `_v<k>` name that happens to equal another spec's model name
+    * cannot be rewritten twice. Apply BEFORE [[SqlModel.apply]] so
+    * DAG edges and body checksums see the concrete binding. A pinned
+    * ref to an unknown model or undeclared version fails parse-time
+    * — dbt's compile-time ref validation, not a silent miss at run
+    * time.
     */
   def rewriteRefs(sql: String, specs: Seq[VersionedModel]): String = {
     val byName = specs.map(s => s.name -> s).toMap
-    val pinned = PinnedRef.replaceAllIn(sql, m => {
-      val spec = byName.getOrElse(m.group(1), throw new IllegalArgumentException(
-        s"ref('${m.group(1)}', v=${m.group(2)}) names no versioned model"))
-      val v = m.group(2).toInt
-      require(spec.versions.exists(_._1 == v),
-        s"ref('${spec.name}', v=$v): no such version (declared: " +
-          s"${spec.versions.map(_._1).mkString(",")})")
-      scala.util.matching.Regex.quoteReplacement(s"{{ ref('${spec.concrete(v)}') }}")
+    AnyRef.replaceAllIn(sql, m => {
+      val pinned = Option(m.group(2))
+      byName.get(m.group(1)) match {
+        case None =>
+          pinned.foreach(v => throw new IllegalArgumentException(
+            s"ref('${m.group(1)}', v=$v) names no versioned model"))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        case Some(spec) =>
+          val target = pinned match {
+            case None => spec.latest
+            case Some(vs) =>
+              val v = vs.toInt
+              require(spec.versions.exists(_._1 == v),
+                s"ref('${spec.name}', v=$v): no such version (declared: " +
+                  s"${spec.versions.map(_._1).mkString(",")})")
+              spec.concrete(v)
+          }
+          scala.util.matching.Regex.quoteReplacement(s"{{ ref('$target') }}")
+      }
     })
-    BareRef.replaceAllIn(pinned, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        byName.get(m.group(1)).fold(m.matched)(s => s"{{ ref('${s.latest}') }}")))
   }
 
   /** Lower a versioned model into plain graph nodes: one [[Model]]
@@ -92,8 +101,12 @@ object Versioned {
     spec.versions.map { case (v, m) => m.copy(name = spec.concrete(v)) }
 
   /** dbt's deprecation warnings: one line per graph edge into a
-    * version carrying a `deprecation_date`. Deterministic order
-    * (spec, version, consumer name).
+    * version carrying a `deprecation_date` (after text-level
+    * rewriting, pinned and floated refs to that version are
+    * indistinguishable — both reference the concrete relation, and
+    * both deserve the warning). Deterministic order (spec, version,
+    * consumer name). Deprecating the LATEST version warns without a
+    * migrate-to target — there is no newer version to point at.
     */
   def deprecationWarnings(specs: Seq[VersionedModel],
       graph: ModelGraph): Seq[String] =
@@ -103,5 +116,7 @@ object Versioned {
       consumer <- graph.models.sortBy(_.name)
       if consumer.deps.contains(spec.concrete(v))
     } yield s"model ${consumer.name} references ${spec.name}.v$v " +
-      s"(deprecated $date) — migrate to ${spec.name}.v${spec.latestVersion}"
+      (if (v == spec.latestVersion)
+        s"(deprecated $date; no newer version declared)"
+      else s"(deprecated $date) — migrate to ${spec.name}.v${spec.latestVersion}")
 }

@@ -2070,13 +2070,26 @@ object LlmOps {
     * (Bpe.mergeFold nested inside a per-doc transform), flattened in
     * word order. Pure per-row expressions — no explode, no shuffle.
     */
-  def bpeEncodeSubwords(text: Column): Column = {
-    val ws = filter(transform(split(lower(text), " "),
+  def bpeEncodeSubwords(text: Column): Column =
+    flatten(transform(bpeWords(text), bpeWordFold(_)))
+
+  /** Lower-cased whitespace tokens of `text` stripped to letters,
+    * empties dropped — the ONE word definition both encode paths and
+    * the oracle share.
+    */
+  private def bpeWords(text: Column): Column =
+    filter(transform(split(lower(text), " "),
       t => regexp_replace(t, "[^a-z]", "")), w => w =!= "")
-    flatten(transform(ws, w => bpeMerges.foldLeft(
+
+  /** One word through the full merge table: chars + `</w>` seed,
+    * then Bpe.mergeFold per merge in rank order — the ONE fold both
+    * the pure-map and dict-amortized paths share (the path-equality
+    * spec pins them equal; a second copy could silently diverge).
+    */
+  private def bpeWordFold(w: Column): Column =
+    bpeMerges.foldLeft(
       concat(split(w, ""), array(lit(Bpe.EndOfWord))): Column)(
-      (syms, m) => Bpe.mergeFold(syms, m._1, m._2))))
-  }
+      (syms, m) => Bpe.mergeFold(syms, m._1, m._2))
 
   /** The DuckDB mirror of the merge fold chain: each merge is one
     * `list_reduce` over the symbol list with a U+001F-delimited
@@ -2131,16 +2144,13 @@ object LlmOps {
     // interpreted fold runs only vocab-many times. The pure-map form
     // stays available as bpeEncodeSubwords; LlmOpsSpec pins the two
     // paths identical.
-    val ws = filter(transform(split(lower(col("text")), " "),
-      t => regexp_replace(t, "[^a-z]", "")), w => w =!= "")
-    val base = c.documents.select(col("doc_id"), ws.as("ws"))
+    val base = c.documents
+      .select(col("doc_id"), bpeWords(col("text")).as("ws"))
       .localCheckpoint(true) // two consumers: token stream + doc base
     val toks = base.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "w")))
     val vocab = toks.select("w").distinct()
-      .withColumn("subs", bpeMerges.foldLeft(
-        concat(split(col("w"), ""), array(lit(Bpe.EndOfWord))): Column)(
-        (syms, m) => Bpe.mergeFold(syms, m._1, m._2)))
+      .withColumn("subs", bpeWordFold(col("w")))
     val agg = toks.join(vocab, "w")
       .groupBy("doc_id")
       .agg(sum(size(col("subs"))).as("n_subwords"),

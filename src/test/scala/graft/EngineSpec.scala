@@ -1168,6 +1168,28 @@ class EngineSpec extends SparkSpec {
     assert(low.map(_.name) == Seq("fct_v1", "fct_v2"))
     val g = ModelGraph(low :+ model(pinSql, s2))
     assert(g.downstream("fct_v1").contains("c"))
+    // single-pass rewrite: emitted text is never re-scanned, so a
+    // spec whose NAME equals another spec's concrete _v1 relation
+    // cannot capture the first spec's pinned output
+    val tricky = s2 :+ VersionedModel("fct_v1",
+      versions = Seq(1 -> SqlModel("fct_v1",
+        "SELECT z FROM {{ source('raw', 'orders') }}")),
+      latestVersion = 1)
+    assert(Versioned.rewriteRefs("{{ ref('fct', v=1) }}", tricky)
+      == "{{ ref('fct_v1') }}")
+  }
+
+  test("m38: deprecating the LATEST version warns without a migrate target") {
+    val spec = VersionedModel("fct",
+      versions = Seq(1 -> SqlModel("fct",
+        "SELECT a FROM {{ source('raw', 'orders') }}")),
+      latestVersion = 1,
+      deprecationDates = Map(1 -> "2026-09-01"))
+    val g = ModelGraph(Versioned.lower(spec) :+ SqlModel("c",
+      Versioned.rewriteRefs("SELECT * FROM {{ ref('fct') }}", Seq(spec))))
+    val w = Versioned.deprecationWarnings(Seq(spec), g)
+    assert(w.size == 1 && w.head.contains("no newer version declared")
+      && !w.head.contains("migrate to"), w.mkString("; "))
   }
 
   test("m38: deprecation warnings name pinned consumers of deprecated versions only") {
@@ -1220,6 +1242,20 @@ class EngineSpec extends SparkSpec {
     val ev = AccessControl.violations(ext, extGov)
     assert(ev.size == 1 && ev.head.contains("protected model mkt"),
       ev.mkString("; "))
+    // an UNGOVERNED dep defaults to protected-in-main on the dep side
+    // too: a cross-package consumer cannot slip through just because
+    // the dep never declared governance
+    val ung = ModelGraph(Seq(m("plain", Nil), m("ext2", Seq("plain"))))
+    val ungGov = Map("ext2" -> Governance("partner",
+      Access.Protected, pkg = "other"))
+    val uv = AccessControl.violations(ung, ungGov)
+    assert(uv.size == 1 && uv.head.contains("protected model plain"),
+      uv.mkString("; "))
+    // a private model with an empty group would match every
+    // ungoverned consumer — rejected at declaration
+    intercept[IllegalArgumentException] {
+      Governance("", Access.Private)
+    }
   }
 
   test("run hooks fire around the DAG: start before the first model, end after the last") {

@@ -92,6 +92,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(entry == pure, "dict-amortized path diverges from the pure map")
   }
 
+  test("x24/x25 plan pins: model and dict joins broadcast; the corpus side never builds a hash table") {
+    // x24: the (doc, bucket) stream joins the (classes x 256)-row
+    // model and the class priors — both must be broadcast (the model
+    // is bounded by the hash width, never by the corpus)
+    val p24 = LlmOps.x24.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p24.contains("BroadcastHashJoin"), p24.take(600))
+    assert(!p24.contains("SortMergeJoin"),
+      "a corpus-side sort-merge join crept into the NB scoring path")
+    // x25: the token stream joins the segmented DISTINCT-word dict —
+    // broadcast at any sf where the vocab fits (Heaps-law sized)
+    val p25 = LlmOps.x25.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p25.contains("BroadcastHashJoin"), p25.take(600))
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
