@@ -1800,8 +1800,47 @@ object Engine {
       .orderBy("consumer", "dep")
   }
 
+  // m40 — dbt EXPOSURES (core/Exposures.scala): declared downstream
+  // consumers (dashboard / ML job / feed) as graph nodes that never
+  // execute — provenance past the warehouse boundary. The entry
+  // emits each exposure's full upstream closure over m27's demo DAG
+  // (the models `--select +exposure:name` must build) against a
+  // literal-VALUES oracle; the CI question — which exposures a
+  // modified model reaches (`state:modified+` extended one hop past
+  // the DAG edge) — is pinned in EngineSpec.
+  val m40: Q = q("m40_exposures",
+    """SELECT * FROM (VALUES
+      |  ('churn_model', 'int_bc'), ('churn_model', 'stg_b'),
+      |  ('churn_model', 'stg_c'),
+      |  ('exec_dash', 'int_ab'), ('exec_dash', 'int_bc'),
+      |  ('exec_dash', 'mart_x'), ('exec_dash', 'mart_y'),
+      |  ('exec_dash', 'stg_a'), ('exec_dash', 'stg_b'),
+      |  ('exec_dash', 'stg_c'),
+      |  ('raw_feed', 'stg_a'))
+      |  AS t(exposure, model_name)
+      |ORDER BY exposure, model_name""") { (spark, _) =>
+    def m(name: String, deps: Seq[String]): Model =
+      Model(name, deps, Materialization.View, _ => spark.emptyDataFrame)
+    val g = ModelGraph(Seq(
+      m("stg_a", Nil), m("stg_b", Nil), m("stg_c", Nil),
+      m("int_ab", Seq("stg_a", "stg_b")),
+      m("int_bc", Seq("stg_b", "stg_c")),
+      m("mart_x", Seq("int_ab")),
+      m("mart_y", Seq("int_ab", "int_bc")),
+      m("audit_y", Seq("mart_y"))))
+    val exposures = Seq(
+      Exposure("exec_dash", "dashboard", "analytics@example.com",
+        Seq("mart_x", "mart_y")),
+      Exposure("churn_model", "ml", "ds@example.com", Seq("int_bc")),
+      Exposure("raw_feed", "application", "eng@example.com", Seq("stg_a")))
+    val rows = exposures.flatMap(e =>
+      Exposures.upstream(g, e).toSeq.sorted.map(e.name -> _))
+    spark.createDataFrame(rows).toDF("exposure", "model_name")
+      .orderBy("exposure", "model_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39)
+    m39, m40)
 }

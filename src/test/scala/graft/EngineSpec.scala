@@ -1258,6 +1258,38 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("m40: impact analysis reaches exposures one hop past the DAG; selection resolves upstream") {
+    def m(name: String, deps: Seq[String]): Model =
+      Model(name, deps, Materialization.View, _ => spark.emptyDataFrame)
+    val g = ModelGraph(Seq(
+      m("stg_a", Nil), m("stg_b", Nil), m("stg_c", Nil),
+      m("int_ab", Seq("stg_a", "stg_b")),
+      m("int_bc", Seq("stg_b", "stg_c")),
+      m("mart_x", Seq("int_ab")),
+      m("mart_y", Seq("int_ab", "int_bc"))))
+    val exposures = Seq(
+      Exposure("exec_dash", "dashboard", "a@x", Seq("mart_x", "mart_y")),
+      Exposure("churn_model", "ml", "b@x", Seq("int_bc")),
+      Exposure("raw_feed", "application", "c@x", Seq("stg_a")))
+    // editing stg_c flows through int_bc and mart_y: it breaks the
+    // dashboard and the ML job, but never the raw feed
+    val hit = Exposures.impacted(g, exposures, Set("stg_c")).map(_.name)
+    assert(hit == Seq("churn_model", "exec_dash"), hit)
+    // editing a leaf feeding only the feed: only the feed
+    assert(Exposures.impacted(g, exposures, Set("stg_a")).map(_.name)
+      == Seq("exec_dash", "raw_feed")) // stg_a also feeds int_ab -> marts
+    // +exposure:churn_model builds exactly the ML job's provenance
+    assert(Exposures.selectUpstream(g, exposures, "churn_model")
+      == Set("int_bc", "stg_b", "stg_c"))
+    intercept[IllegalArgumentException] {
+      Exposures.selectUpstream(g, exposures, "nope")
+    }
+    // docs rows are deterministic and carry the dependency list
+    val rows = Exposures.catalogRows(exposures)
+    assert(rows.map(_._1) == Seq("churn_model", "exec_dash", "raw_feed"))
+    assert(rows.find(_._1 == "exec_dash").get._5 == "mart_x,mart_y")
+  }
+
   test("run hooks fire around the DAG: start before the first model, end after the last") {
     val wh = freshWh("hooks_order")
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
