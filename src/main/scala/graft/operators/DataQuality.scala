@@ -53,6 +53,36 @@ object DataQuality {
   def singular(name: String, violations: DataFrame): (String, DataFrame) =
     name -> violations
 
+  /** dbt-utils `mutually_exclusive_ranges`: per-partition interval
+    * tables (SCD2 validity windows, booking slots) must not overlap.
+    * Returns the standard (check_name, n_violations) summary with the
+    * test's three classifications — `overlapping_ranges` (lo strictly
+    * inside the previous range: touching lo == prev_hi is VALID, the
+    * non-inclusive default), `gaps_between_ranges` (lo strictly past
+    * prev_hi — the `gaps: not_allowed` dial), `zero_length_ranges`
+    * (lo >= hi — `zero_length_range_allowed: false`).
+    *
+    * Scale: ONE lag window per partition over a totally-ordered
+    * (lo, hi, tiebreak*) sort — a single shuffle on the partition
+    * keys — never the naive pairwise-overlap self-join, which is
+    * quadratic per key and unusable at 100 TB; zero-length is a scan
+    * predicate. `tiebreak` must complete a total order so lag is
+    * deterministic across engines.
+    */
+  def mutuallyExclusiveRanges(df: DataFrame, lo: String, hi: String,
+      partitionBy: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionBy.map(col): _*)
+      .orderBy((Seq(lo, hi) ++ tiebreak).map(col): _*)
+    val lagged = df.withColumn("prev_hi", lag(col(hi), 1).over(w))
+    summarize(Seq(
+      "gaps_between_ranges" ->
+        lagged.filter(col("prev_hi").isNotNull && col(lo) > col("prev_hi")),
+      "overlapping_ranges" ->
+        lagged.filter(col("prev_hi").isNotNull && col(lo) < col("prev_hi")),
+      "zero_length_ranges" -> df.filter(col(lo) >= col(hi))))
+  }
+
   /** One (check_name, n_violations) row per named check — the test
     * summary a CI run reports. Stays distributed: each count is an
     * aggregate, the union is a plan over all of them.

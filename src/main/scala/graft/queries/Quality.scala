@@ -639,7 +639,53 @@ object Quality {
       |    CASE WHEN n > 0 THEN 'warn' ELSE 'pass' END, false FROM t5
       |) ORDER BY check_name""".stripMargin.trim))
 
+  // t16 — dbt-utils `mutually_exclusive_ranges`: per-partition
+  // interval tables (SCD2 validity windows, booking slots, session
+  // spans) must not overlap; gaps and zero-length rows are separately
+  // classified (the test's `gaps:` / `zero_length_range_allowed`
+  // dials). Intervals here are [l_shipdate, l_shipdate + quantity
+  // days] per order — a derivation both engines compute identically
+  // that yields real overlaps AND real gaps. Detection is ONE lag
+  // window per partition over a totally-ordered (lo, hi, linenumber)
+  // sort — O(n log n) within each order's handful of lines, no
+  // self-join (the naive pairwise-overlap formulation is quadratic
+  // per key and unusable at 100 TB); zero-length is a scan predicate.
+  // Touching ranges (lo == prev_hi) are valid, dbt-utils's
+  // non-inclusive default.
+  val t16: Q = q("t16_mutually_exclusive_ranges",
+    """WITH r AS (
+      |  SELECT l_orderkey,
+      |         l_shipdate AS lo,
+      |         l_shipdate + INTERVAL (CAST(l_quantity AS INT)) DAY AS hi,
+      |         l_linenumber
+      |  FROM lineitem),
+      |lagged AS (
+      |  SELECT lo, hi,
+      |         LAG(hi) OVER (PARTITION BY l_orderkey
+      |                       ORDER BY lo, hi, l_linenumber) AS prev_hi
+      |  FROM r)
+      |SELECT * FROM (
+      |  SELECT 'gaps_between_ranges' AS check_name,
+      |         (SELECT COUNT(*) FROM lagged
+      |          WHERE prev_hi IS NOT NULL AND lo > prev_hi) AS n_violations
+      |  UNION ALL SELECT 'overlapping_ranges',
+      |         (SELECT COUNT(*) FROM lagged
+      |          WHERE prev_hi IS NOT NULL AND lo < prev_hi)
+      |  UNION ALL SELECT 'zero_length_ranges',
+      |         (SELECT COUNT(*) FROM r WHERE lo >= hi)
+      |) ORDER BY check_name""") { c =>
+    val r = c.lineitem.select(
+      col("l_orderkey"),
+      col("l_shipdate").as("lo"),
+      timestamp_add("DAY", col("l_quantity").cast("int"), col("l_shipdate"))
+        .as("hi"),
+      col("l_linenumber"))
+    DataQuality.mutuallyExclusiveRanges(r, "lo", "hi",
+      partitionBy = Seq("l_orderkey"), tiebreak = Seq("l_linenumber"))
+      .orderBy("check_name")
+  }
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 }

@@ -939,6 +939,34 @@ class EngineSpec extends SparkSpec {
       s"expected exactly one scan:\n$plan")
   }
 
+  test("mutually_exclusive_ranges classifies overlap vs touch vs gap vs zero-length") {
+    import graft.operators.DataQuality
+    import spark.implicits._
+    // key 1: [0,10] then [5,12] overlaps; [12,20] touches (valid);
+    // [25,30] leaves a gap. key 2: a zero-length [3,3] (also counted
+    // as an overlap candidate only if a predecessor covers it — none
+    // does here) and a clean successor.
+    val df = Seq(
+      (1, 0, 10, 1), (1, 5, 12, 2), (1, 12, 20, 3), (1, 25, 30, 4),
+      (2, 3, 3, 1), (2, 4, 9, 2)
+    ).toDF("k", "lo", "hi", "n")
+    val out = DataQuality
+      .mutuallyExclusiveRanges(df, "lo", "hi", Seq("k"), Seq("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "overlapping_ranges" -> 1L, // (5,12) starts inside (0,10)
+      "gaps_between_ranges" -> 2L, // 20->25 on key 1, 3->4 on key 2
+      "zero_length_ranges" -> 1L), out)
+    // an SCD2 snapshot's validity windows are exclusive-and-gapless:
+    // all three checks must read zero on a well-formed history
+    val scd2 = Seq((7, 0, 5, 1), (7, 5, 9, 2), (7, 9, 100, 3))
+      .toDF("k", "lo", "hi", "n")
+    val clean = DataQuality
+      .mutuallyExclusiveRanges(scd2, "lo", "hi", Seq("k"), Seq("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), clean)
+  }
+
   test("vacuum: dry-run touches nothing, heal restores the only copy intact") {
     import graft.core.Warehouse
     val c = graft.sources.Catalog(spark, sfDir)
