@@ -1839,8 +1839,69 @@ object Engine {
       .orderBy("exposure", "model_name")
   }
 
+  // m41 — COLUMN-LEVEL LINEAGE (core/ColumnLineage.scala): each mart
+  // column traced to the source-table columns it derives from, via
+  // Catalyst's own parser over the unresolved plan — the
+  // column-granular refinement of m06's model-level state:modified.
+  // The DAG exercises the walk's whole surface: source() scans with
+  // renames, a CTE whose SELECT * expands through an upstream model,
+  // an aliased join with qualified refs, an expression fanning in
+  // from BOTH sides, and count(*) (depends on nothing → empty-source
+  // row). Transitivity (mart → staging → raw) falls out of walking
+  // models in dependency order. Precision — a source column edit
+  // flags only the marts that READ it — is pinned in EngineSpec.
+  val m41: Q = q("m41_column_lineage",
+    """SELECT * FROM (VALUES
+      |  ('mart_revenue', 'customer_name', 'customer', 'c_name'),
+      |  ('mart_revenue', 'exposure', 'customer', 'c_acctbal'),
+      |  ('mart_revenue', 'exposure', 'orders', 'o_totalprice'),
+      |  ('mart_revenue', 'n_orders', '', ''),
+      |  ('mart_revenue', 'revenue', 'orders', 'o_totalprice'),
+      |  ('stg_customers', 'balance', 'customer', 'c_acctbal'),
+      |  ('stg_customers', 'cust_id', 'customer', 'c_custkey'),
+      |  ('stg_customers', 'name', 'customer', 'c_name'),
+      |  ('stg_orders', 'cust_id', 'orders', 'o_custkey'),
+      |  ('stg_orders', 'order_id', 'orders', 'o_orderkey'),
+      |  ('stg_orders', 'price', 'orders', 'o_totalprice'))
+      |  AS t(model_name, column_name, src_table, src_column)
+      |ORDER BY model_name, column_name, src_table, src_column""") {
+    (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val models = Seq(
+      "stg_orders" ->
+        """SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+          |       o_totalprice AS price
+          |FROM {{ source('raw', 'orders') }}""".stripMargin,
+      "stg_customers" ->
+        """SELECT c_custkey AS cust_id, c_name AS name,
+          |       c_acctbal AS balance
+          |FROM {{ source('raw', 'customer') }}""".stripMargin,
+      "mart_revenue" ->
+        """WITH big AS (
+          |  SELECT * FROM {{ ref('stg_orders') }} WHERE price > 1000)
+          |SELECT c.name AS customer_name,
+          |       count(*) AS n_orders,
+          |       sum(b.price) AS revenue,
+          |       max(b.price + c.balance) AS exposure
+          |FROM big b
+          |JOIN {{ ref('stg_customers') }} c ON b.cust_id = c.cust_id
+          |GROUP BY c.name""".stripMargin)
+    val lineage = ColumnLineage.toSources(spark, models, Map(
+      "orders" -> c.orders.schema.fieldNames.toSeq,
+      "customer" -> c.customer.schema.fieldNames.toSeq))
+    val rows = lineage.toSeq.flatMap { case (model, cols) =>
+      cols.flatMap { col =>
+        if (col.srcs.isEmpty) Seq((model, col.name, "", ""))
+        else col.srcs.toSeq.sorted.map(s => (model, col.name, s._1, s._2))
+      }
+    }.sorted
+    spark.createDataFrame(rows)
+      .toDF("model_name", "column_name", "src_table", "src_column")
+      .orderBy("model_name", "column_name", "src_table", "src_column")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40)
+    m39, m40, m41)
 }

@@ -1318,6 +1318,43 @@ class EngineSpec extends SparkSpec {
     assert(rows.find(_._1 == "exec_dash").get._5 == "mart_x,mart_y")
   }
 
+  test("m41: column lineage is precise, rejects ambiguity, expands qualified stars") {
+    val sources = Map(
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      "customer" -> Seq("c_custkey", "c_name", "c_phone"))
+    // precision: editing customer.c_phone must NOT flag a mart that
+    // only reads c_name — the point of column over model granularity
+    val lineage = ColumnLineage.toSources(spark, Seq(
+      "stg_c" -> "SELECT c_custkey AS id, c_name AS name FROM {{ source('raw','customer') }}",
+      "mart" -> "SELECT name, count(*) AS n FROM {{ ref('stg_c') }} GROUP BY name"),
+      sources)
+    assert(ColumnLineage.impactedColumns(lineage, ("customer", "c_phone")).isEmpty)
+    assert(ColumnLineage.impactedColumns(lineage, ("customer", "c_name"))
+      == Seq(("mart", "name"), ("stg_c", "name")))
+    // a qualified star expands exactly the target relation's columns
+    val star = ColumnLineage.toSources(spark, Seq(
+      "m" -> ("SELECT o.* FROM {{ source('raw','orders') }} o " +
+        "JOIN {{ source('raw','customer') }} c ON o.o_custkey = c.c_custkey")),
+      sources)("m")
+    assert(star.map(_.name) == Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    // an unqualified column visible from both join sides is an error,
+    // exactly as the analyzer would treat it
+    val err = intercept[IllegalArgumentException] {
+      ColumnLineage.toSources(spark, Seq(
+        "dup" -> ("SELECT cust_id FROM {{ ref('a') }} JOIN {{ ref('b') }} ON 1=1"),
+        "a" -> "SELECT o_custkey AS cust_id FROM {{ source('raw','orders') }}",
+        "b" -> "SELECT c_custkey AS cust_id FROM {{ source('raw','customer') }}"),
+        sources)
+    }
+    assert(err.getMessage.contains("ambiguous"))
+    // computed columns must be aliased (dbt contract enforcement)
+    val noAlias = intercept[IllegalArgumentException] {
+      ColumnLineage.ofSql(spark,
+        "SELECT o_totalprice * 2 FROM orders", sources)
+    }
+    assert(noAlias.getMessage.contains("alias required"))
+  }
+
   test("run hooks fire around the DAG: start before the first model, end after the last") {
     val wh = freshWh("hooks_order")
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
