@@ -1900,8 +1900,63 @@ object Engine {
       .orderBy("model_name", "column_name", "src_table", "src_column")
   }
 
+  // m42 — GDPR CASCADING DELETES (core/Erasure.scala): a small
+  // subject-key set erased from every derived table. Keyed tables
+  // purge via broadcast anti-join rewrite (the PB-scale fact never
+  // shuffles); the keyless aggregate REBUILDS from the purged base
+  // (m34's view-maintenance discipline, ordering enforced by the
+  // API); the journal keeps per-table row accounting + a one-way
+  // fingerprint of the key set — compliance-verifiable without
+  // retaining the identifiers it just erased. Atomicity rides
+  // overwriteStaged's rename commit. The oracle reproduces the full
+  // accounting (before/deleted/after per table) with NOT-IN SQL.
+  val m42: Q = q("m42_cascading_deletes",
+    """WITH keys AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 3)
+      |SELECT * FROM (
+      |  SELECT 'core.customers' AS table_name,
+      |         (SELECT COUNT(*) FROM customer) AS rows_before,
+      |         (SELECT COUNT(*) FROM customer
+      |          WHERE c_custkey IN (SELECT k FROM keys)) AS rows_deleted,
+      |         (SELECT COUNT(*) FROM customer
+      |          WHERE c_custkey NOT IN (SELECT k FROM keys)) AS rows_after
+      |  UNION ALL SELECT 'core.orders',
+      |         (SELECT COUNT(*) FROM orders),
+      |         (SELECT COUNT(*) FROM orders
+      |          WHERE o_custkey IN (SELECT k FROM keys)),
+      |         (SELECT COUNT(*) FROM orders
+      |          WHERE o_custkey NOT IN (SELECT k FROM keys))
+      |  UNION ALL SELECT 'core.status_sales',
+      |         (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+      |         (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+      |           - (SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+      |              WHERE o_custkey NOT IN (SELECT k FROM keys)),
+      |         (SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+      |          WHERE o_custkey NOT IN (SELECT k FROM keys))
+      |) ORDER BY table_name""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m42")
+    wh.write(c.customer.select("c_custkey", "c_name", "c_acctbal"),
+      "core", "customers")
+    wh.write(c.orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice"), "core", "orders")
+    val statusSales = (w: Warehouse) =>
+      w.read("core", "orders").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+    wh.write(statusSales(wh), "core", "status_sales")
+    val keys = c.customer.filter(col("c_custkey") % 97 === 3)
+      .select("c_custkey")
+    val reports = Erasure(wh, keys, Erasure.Subject(
+      keyed = Seq(("core", "customers", "c_custkey"),
+        ("core", "orders", "o_custkey")),
+      rebuilds = Seq(("core", "status_sales", statusSales))), "req_m42")
+    spark.createDataFrame(reports.map(r =>
+        (r.table, r.rowsBefore, r.rowsDeleted, r.rowsAfter)))
+      .toDF("table_name", "rows_before", "rows_deleted", "rows_after")
+      .orderBy("table_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41)
+    m39, m40, m41, m42)
 }

@@ -1318,6 +1318,39 @@ class EngineSpec extends SparkSpec {
     assert(rows.find(_._1 == "exec_dash").get._5 == "mart_x,mart_y")
   }
 
+  test("m42: erasure purges every keyed table, rebuilds read purged state, fingerprint retains no keys") {
+    import spark.implicits._
+    val wh = freshWh("erasure")
+    wh.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v"),
+      "core", "subjects")
+    wh.write(Seq((10, 1), (11, 2), (12, 2), (13, 3)).toDF("id", "k"),
+      "core", "facts")
+    val perK = (w: Warehouse) => w.read("core", "facts")
+      .groupBy(lit("all").as("bucket")).agg(count(lit(1)).as("n"))
+    wh.write(perK(wh), "core", "totals")
+    val keys = Seq(2, 4).toDF("k")
+    val reports = Erasure(wh, keys, Erasure.Subject(
+      keyed = Seq(("core", "subjects", "k"), ("core", "facts", "k")),
+      rebuilds = Seq(("core", "totals", perK))), "req1")
+    // keyed tables: the subjects are gone, everything else intact
+    assert(wh.read("core", "subjects").select("k").as[Int].collect().sorted
+      .toSeq == Seq(1, 3))
+    assert(wh.read("core", "facts").select("id").as[Int].collect().sorted
+      .toSeq == Seq(10, 13))
+    // the keyless aggregate was rebuilt FROM the purged base
+    assert(wh.read("core", "totals").select("n").as[Long].head() == 2L)
+    assert(reports.map(r => r.table -> r.rowsDeleted).toMap == Map(
+      "core.subjects" -> 2L, "core.facts" -> 2L, "core.totals" -> 0L))
+    // the journal exists and retains a fingerprint, not the keys
+    val art = wh.loadArtifact("erasure_req1.json").get
+    assert(art.contains("crc32sum:") && !art.contains("\"keys\":"))
+    // fingerprint is order-free and key-sensitive
+    assert(Erasure.requestFp(Seq(4, 2).toDF("k"))
+      == Erasure.requestFp(Seq(2, 4).toDF("k")))
+    assert(Erasure.requestFp(Seq(2, 5).toDF("k"))
+      != Erasure.requestFp(Seq(2, 4).toDF("k")))
+  }
+
   test("m41: column lineage is precise, rejects ambiguity, expands qualified stars") {
     val sources = Map(
       "orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice"),
