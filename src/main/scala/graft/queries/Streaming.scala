@@ -814,6 +814,105 @@ object Streaming {
       |      FROM events)
       |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin.trim))
 
+  // e17 memoizes like e16: warehouse ROOT + landing + checkpoint
+  private val e17State = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, java.nio.file.Path, java.nio.file.Path)]()
+
+  // e17 — STREAMING GDPR ERASURE (streaming/ErasureStream.scala +
+  // core/Erasure.scala): tombstones arrive IN the stream, interleaved
+  // with events — the continuous twin of m42. Per-subject
+  // flatMapGroupsWithState keeps (erased?, count, micros-sum); the
+  // erasure contract is order-free (before / same-batch / after the
+  // tombstone all erase), so the final sink must equal a batch
+  // aggregate with the tombstoned users removed — which is exactly
+  // the oracle. Emissions drive an idempotent sink protocol per
+  // micro-batch: snapshots upsert through the Materializer merge
+  // path, purge commands anti-join their subjects OUT of the sink via
+  // Erasure.purge's broadcast rewrite. Three ordered-mtime landing
+  // files (events ≤ tombstones ≤ more events, maxFilesPerTrigger=1)
+  // exercise all three arrival orders; sums accumulate as
+  // scaled-integer micros so fold order can't perturb the gated
+  // total. Restart discipline per e16: re-invocation restarts the
+  // committed stream, sink provably unchanged.
+  val e17: Q = Q("e17_stream_erasure", (spark, dir) => {
+    val (whRoot, srcDir, ckpt) = e17State.computeIfAbsent(dir, _ => {
+      val wh = Warehouse.scratch(spark, "e17")
+      val norm = Catalog(spark, dir).events
+      val srcDir = Scratch.dir("e17_src")
+      def land(slice: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val stage = Scratch.dir(s"e17_$name")
+        slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        require(dst.toFile.setLastModified(mtime),
+          "cannot order e17 landing files")
+        Scratch.remove(stage)
+      }
+      val rec = norm.select(col("event_id"), col("user_id"),
+        lit("event").as("kind"),
+        coalesce((col("value").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType), lit(0L)).as("vmicros"))
+      val tomb = norm.filter(col("user_id") % 13 === 5)
+        .select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"), col("user_id"),
+          lit("erase").as("kind"), lit(0L).as("vmicros"))
+      land(rec.filter(col("event_id") % 2 === 0).drop("event_id"),
+        "a_events", 1700000000000L)
+      land(tomb.drop("event_id"), "b_tombstones", 1700000001000L)
+      land(rec.filter(col("event_id") % 2 =!= 0).drop("event_id"),
+        "c_events", 1700000002000L)
+      (wh.root, srcDir, Scratch.dir("e17_ckpt"))
+    })
+    val wh = Warehouse(spark, whRoot)
+    val mat = Materializer(wh)
+    val model = Model("user_counts", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("user_id"), None)),
+      ctx => ctx.source("events"))
+    locally {
+      import spark.implicits._
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("kind", StringType),
+          StructField("vmicros", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val out = graft.streaming.ErasureStream(
+        stream.as[graft.streaming.ErasureStream.Rec])
+      val query = out.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.ErasureStream.Out],
+              _: Long) =>
+            val cached = b.persist()
+            try {
+              val ups = cached.filter(!col("erased"))
+                .select("user_id", "n_events", "total_micros")
+              if (!ups.isEmpty) { mat.run(model, _ => ups); () }
+              val purges = cached.filter(col("erased")).select("user_id")
+              if (wh.exists("analytics", "user_counts") && !purges.isEmpty) {
+                graft.core.Erasure.purge(
+                  wh, "analytics", "user_counts", "user_id", purges)
+                ()
+              }
+            } finally { cached.unpersist(); () }
+            ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    wh.read("analytics", "user_counts").orderBy("user_id")
+  }, Some(
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+      |    AS total_micros
+      |FROM events WHERE user_id % 13 <> 5
+      |GROUP BY user_id ORDER BY user_id""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16)
+    e12, e13, e14, e15, e16, e17)
 }

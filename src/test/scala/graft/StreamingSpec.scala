@@ -453,4 +453,52 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 11L, 13L, 22L), s"got $ids")
   }
+
+  test("stream erasure is order-free: before / same-batch / after the tombstone all erase") {
+    import spark.implicits._
+    import graft.streaming.ErasureStream
+    import graft.streaming.ErasureStream.{Out, Rec}
+    implicit val sqlCtx = spark.sqlContext
+
+    // final per-user rows after draining a scripted stream
+    def drive(batches: Seq[Seq[Rec]], name: String): Map[Long, Out] = {
+      val input = MemoryStream[Rec]
+      val query = ErasureStream(input.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      query.stop()
+      // update-mode memory sink keeps every emission: the LAST row
+      // per user is the sink protocol's final word
+      spark.table(name).as[Out].collect().zipWithIndex
+        .groupBy(_._1.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+    }
+    val ev = (u: Long, v: Long) => Rec(u, "event", v)
+    val erase = (u: Long) => Rec(u, "erase", 0L)
+
+    // user 1 erased AFTER events, user 2 erased in the SAME batch as
+    // its events, user 3 erased BEFORE its events, user 4 survives
+    val out = drive(Seq(
+      Seq(ev(1, 10), ev(2, 20), ev(4, 40)),
+      Seq(erase(1), ev(2, 21), erase(2), erase(3)),
+      Seq(ev(1, 11), ev(3, 30), ev(4, 41))), "e17_orders")
+    assert(out(1).erased && out(2).erased && out(3).erased)
+    assert(!out(4).erased && out(4).n_events == 2 &&
+      out(4).total_micros == 81L)
+    // erased users' final emission zeroes the aggregate — state keeps
+    // only the suppression flag, never a forgotten subject's counts
+    assert(Seq(1L, 2L, 3L).forall(u =>
+      out(u).n_events == 0 && out(u).total_micros == 0))
+
+    // order-freeness: tombstone-first arrival converges to the same
+    // surviving snapshot set
+    val out2 = drive(Seq(
+      Seq(erase(1), erase(2), erase(3)),
+      Seq(ev(1, 10), ev(2, 20), ev(4, 40)),
+      Seq(ev(1, 11), ev(2, 21), ev(3, 30), ev(4, 41))), "e17_orders2")
+    assert(out2.filter(!_._2.erased).view.mapValues(o =>
+        (o.n_events, o.total_micros)).toMap
+      == out.filter(!_._2.erased).view.mapValues(o =>
+        (o.n_events, o.total_micros)).toMap)
+  }
 }
