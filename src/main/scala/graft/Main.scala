@@ -33,6 +33,7 @@ final case class CliConfig(
     jdbcUrl: Option[String] = None,
     onSuffixed: Boolean = false,
     dryRun: Boolean = false,
+    empty: Boolean = false,
     fullRefresh: Boolean = false,
     storeFailures: Boolean = false,
     vars: Map[String, String] = Map.empty,
@@ -87,6 +88,11 @@ object Main {
       |                         models (a rebound var is a body diff
       |                         ci's state:modified detects)
       |  --dry-run              report what ci/clone WOULD copy
+      |  --empty                dbt >=1.8 `run --empty`: schema-validating
+      |                         dry run — all sources LIMIT 0, every model
+      |                         materializes empty into the _<suffix> CI
+      |                         schema (never prod), exits 1 on contract
+      |                         violations; no manifest/journal writes
       |  --full-refresh         incremental models rebuild from scratch
       |  --verbose              per-model/table detail lines
       |
@@ -141,6 +147,7 @@ object Main {
             k.trim -> value.trim
           }.toMap))
         case "--dry-run" :: t => loop(t, cfg.copy(dryRun = true))
+        case "--empty" :: t => loop(t, cfg.copy(empty = true))
         case "--full-refresh" :: t => loop(t, cfg.copy(fullRefresh = true))
         case "--verbose" :: t => loop(t, cfg.copy(verbose = true))
         case other :: _ => Left(s"unknown option '$other'\n" + usage)
@@ -239,6 +246,20 @@ object Main {
     * of failure via the `retry` subcommand instead of leaving no
     * trace (the journal is the same artifact [[Retry.run]] reads).
     */
+  /** `run --empty` (dbt ≥1.8): schema-validating dry run — the demo
+    * DAG builds with LIMIT-0 sources into the `_<suffix>` CI schema
+    * (an empty validation must never overwrite prod relations), and
+    * neither the manifest nor the retry journal is touched (an empty
+    * run is not a state a later `ci`/`retry` should diff against).
+    */
+  def emptyValidate(spark: SparkSession, cfg: CliConfig): Seq[EmptyRun.Validation] = {
+    val wh = Warehouse(spark, cfg.warehouseRoot)
+    val graph0 = DemoProject.graph(cfg.slices, schema = cfg.schema, vars = cfg.vars)
+    val graph = ModelGraph(graph0.models.map(m =>
+      m.copy(schemaSuffix = Some(cfg.suffix))))
+    EmptyRun.validate(Materializer(wh), graph, sources(spark, cfg))
+  }
+
   def run(spark: SparkSession, cfg: CliConfig): RunReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
     val graph = DemoProject.graph(cfg.slices, schema = cfg.schema, vars = cfg.vars)
@@ -508,6 +529,15 @@ object Main {
     spark.sparkContext.setLogLevel(if (cfg.verbose) "INFO" else "WARN")
     val bar = "=" * 60
     try cfg.command match {
+      case "run" if cfg.empty =>
+        val rows = emptyValidate(spark, cfg)
+        println(bar + "\nEMPTY RUN (schema validation)\n" + bar)
+        rows.foreach { v =>
+          println(f"  ${v.model}%-24s ${v.nCols}%3d cols  ${v.contractStatus}") }
+        if (rows.exists(v =>
+            v.contractStatus != "ok" && v.contractStatus != "no_contract")) {
+          spark.stop(); sys.exit(1)
+        }
       case "run" =>
         val r = run(spark, cfg)
         println(bar + "\nRUN SUMMARY\n" + bar)

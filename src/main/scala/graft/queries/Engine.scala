@@ -1955,8 +1955,57 @@ object Engine {
       .orderBy("table_name")
   }
 
+  // m43 — dbt ≥1.8 `--empty` (core/EmptyRun.scala): the whole DAG
+  // runs with LIMIT-0 sources — every transform executes, schemas
+  // propagate exactly as a real run's would, contracts check the real
+  // output schema — for metadata-only cost (a limit(0) parquet scan
+  // reads footers, so the validation is as cheap on 100 TB as here).
+  // The DAG covers a view, an incremental first-build (NULL-watermark
+  // branch), a contracted mart that passes, and a mart whose contract
+  // is missing a column — caught by the empty run before any
+  // data-bearing task would have been scheduled. CLI: `run --empty`
+  // builds into the suffixed CI schema and exits 1 on violations.
+  val m43: Q = q("m43_empty_run",
+    """SELECT * FROM (VALUES
+      |  ('fct_orders', CAST(0 AS BIGINT), CAST(3 AS INT), 'no_contract'),
+      |  ('mart_bad', CAST(0 AS BIGINT), CAST(2 AS INT), 'missing:region'),
+      |  ('mart_by_status', CAST(0 AS BIGINT), CAST(3 AS INT), 'ok'),
+      |  ('stg_orders', CAST(0 AS BIGINT), CAST(4 AS INT), 'no_contract'))
+      |  AS t(model_name, n_rows, n_cols, contract_status)
+      |ORDER BY model_name""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m43")
+    val graph = ModelGraph(Seq(
+      Model("stg_orders", Seq("orders"), Materialization.View,
+        ctx => ctx.source("orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))),
+      Model("fct_orders", Seq("stg_orders"),
+        Materialization.Incremental(IncrementalStrategy.Append("o_orderkey")),
+        ctx => ctx.ref("stg_orders").select(col("o_orderkey"),
+          col("o_orderstatus"), (col("o_totalprice") * 0.9).as("net"))),
+      Model("mart_by_status", Seq("fct_orders"), Materialization.Table,
+        ctx => ctx.ref("fct_orders").groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("net")).as("net_total"))),
+      Model("mart_bad", Seq("stg_orders"), Materialization.Table,
+        ctx => ctx.ref("stg_orders").select("o_custkey", "o_totalprice"))))
+    val report = EmptyRun.validate(Materializer(wh), graph,
+      name => if (name == "orders") c.orders
+        else throw new IllegalArgumentException(s"unknown source $name"),
+      contracts = Map(
+        "mart_by_status" -> Contract.of(
+          "o_orderstatus" -> StringType, "n" -> LongType,
+          "net_total" -> DoubleType),
+        "mart_bad" -> Contract.of(
+          "o_custkey" -> LongType, "o_totalprice" -> DoubleType,
+          "region" -> StringType)))
+    spark.createDataFrame(report.map(v =>
+        (v.model, v.nRows, v.nCols, v.contractStatus)))
+      .toDF("model_name", "n_rows", "n_cols", "contract_status")
+      .orderBy("model_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42)
+    m39, m40, m41, m42, m43)
 }

@@ -32,6 +32,25 @@ class MainSpec extends SparkSpec {
     assert(Main.parse(Seq("ci", "--select", "tag:nightly")).isLeft)
   }
 
+  test("run --empty: every model validates at zero rows in the CI schema; prod and manifest untouched") {
+    val whRoot = graft.core.Scratch.dir("mainempty").toString
+    val cfg = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = slices, cutoff = Some(cutoffDate), empty = true)
+    assert(Main.parse(Seq("run", "--empty")).toOption.exists(_.empty))
+    val rows = Main.emptyValidate(spark, cfg)
+    // the whole DAG ran: one validation row per model, all empty,
+    // every schema non-degenerate (columns propagated without data)
+    assert(rows.size == 2 * slices + 5)
+    assert(rows.forall(_.nRows == 0L))
+    assert(rows.forall(_.nCols > 0))
+    assert(rows.forall(_.contractStatus == "no_contract"))
+    val wh = Warehouse(spark, whRoot)
+    // persisted models landed in the CI schema only — prod untouched,
+    // and no manifest/journal artifact was written
+    assert(wh.schemas.forall(_.endsWith("_ci")), wh.schemas)
+    assert(ManifestState.load(wh).isEmpty)
+  }
+
   test("Main docs: catalog over the last run's schema, artifact saved, empty warehouse rejected") {
     val whRoot = graft.core.Scratch.dir("maindocs").toString
     val cfg = CliConfig(command = "docs", sfDir = sfDir, warehouseRoot = whRoot,
