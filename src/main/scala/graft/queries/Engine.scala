@@ -2004,8 +2004,61 @@ object Engine {
       .orderBy("model_name")
   }
 
+  // m44 — `dbt build` (core/Build.scala): models and tests as ONE
+  // gated DAG — each model's tests run the moment it materializes,
+  // a failure skips exactly its descendants (the failed model's
+  // table EXISTS — the test failed after the build), and independent
+  // branches run to completion. The entry's DAG has a mid-graph test
+  // failure: the bad branch skips transitively (two hops), the good
+  // branch completes — the full status matrix is the gated output.
+  // Skip-propagation + no-materialization-of-skipped pinned in
+  // EngineSpec.
+  val m44: Q = q("m44_build_gated",
+    """SELECT * FROM (VALUES
+      |  ('fct_bad', 'test_failed:max_price'),
+      |  ('grand_mart', 'skipped:mart_down'),
+      |  ('mart_down', 'skipped:fct_bad'),
+      |  ('mart_good', 'success'),
+      |  ('stg_customers', 'success'),
+      |  ('stg_orders', 'success'))
+      |  AS t(node, status)
+      |ORDER BY node""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m44")
+    val graph = ModelGraph(Seq(
+      Model("stg_orders", Seq("orders"), Materialization.View,
+        ctx => ctx.source("orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")),
+      Model("stg_customers", Seq("customer"), Materialization.View,
+        ctx => ctx.source("customer").select("c_custkey", "c_name")),
+      Model("fct_bad", Seq("stg_orders"), Materialization.Table,
+        ctx => ctx.ref("stg_orders")),
+      Model("mart_down", Seq("fct_bad"), Materialization.Table,
+        ctx => ctx.ref("fct_bad").groupBy("o_custkey")
+          .agg(sum(col("o_totalprice")).as("total"))),
+      Model("grand_mart", Seq("mart_down"), Materialization.Table,
+        ctx => ctx.ref("mart_down").agg(sum(col("total")).as("grand"))),
+      Model("mart_good", Seq("stg_customers"), Materialization.Table,
+        ctx => ctx.ref("stg_customers").groupBy("c_name")
+          .agg(count(lit(1)).as("n")))))
+    val results = Build.run(Materializer(wh), graph,
+      name => name match {
+        case "orders" => c.orders
+        case "customer" => c.customer
+        case other => throw new IllegalArgumentException(s"source $other")
+      },
+      tests = Map(
+        "stg_customers" -> Seq(
+          "unique_custkey" -> (df => graft.operators.DataQuality
+            .unique(df, Seq("c_custkey")))),
+        "fct_bad" -> Seq(
+          "max_price" -> (df => df.filter(col("o_totalprice") > 1000)))))
+    spark.createDataFrame(results.map(r => (r.name, r.status)))
+      .toDF("node", "status").orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43)
+    m39, m40, m41, m42, m43, m44)
 }

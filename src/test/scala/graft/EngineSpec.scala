@@ -1318,6 +1318,34 @@ class EngineSpec extends SparkSpec {
     assert(rows.find(_._1 == "exec_dash").get._5 == "mart_x,mart_y")
   }
 
+  test("m44: build gates downstream on tests — skipped models never materialize, failed model's table exists") {
+    import spark.implicits._
+    val wh = freshWh("build_gate")
+    val src = Seq((1, 10.0), (2, 2000.0)).toDF("k", "price")
+    val graph = ModelGraph(Seq(
+      Model("stg", Seq("src"), Materialization.Table,
+        ctx => ctx.source("src")),
+      Model("mart", Seq("stg"), Materialization.Table,
+        ctx => ctx.ref("stg").agg(sum(col("price")).as("t"))),
+      Model("side", Seq("src"), Materialization.Table,
+        ctx => ctx.source("src").select("k"))))
+    val rs = Build.run(Materializer(wh), graph, _ => src, tests = Map(
+      "stg" -> Seq("price_cap" -> (df => df.filter(col("price") > 100)))))
+    assert(rs.map(r => r.name -> r.status).toMap == Map(
+      "stg" -> "test_failed:price_cap",
+      "mart" -> "skipped:stg",
+      "side" -> "success"))
+    // dbt semantics: the FAILED model built (its test ran after);
+    // the SKIPPED model never materialized
+    assert(wh.exists("analytics", "stg"))
+    assert(!wh.exists("analytics", "mart"))
+    assert(wh.exists("analytics", "side"))
+    // a clean run gates nothing
+    val ok = Build.run(Materializer(wh), graph, _ => src, tests = Map(
+      "stg" -> Seq("price_cap" -> (df => df.filter(col("price") > 1e9)))))
+    assert(ok.forall(_.status == "success"))
+  }
+
   test("m42: erasure purges every keyed table, rebuilds read purged state, fingerprint retains no keys") {
     import spark.implicits._
     val wh = freshWh("erasure")
