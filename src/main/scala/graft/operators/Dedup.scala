@@ -654,4 +654,65 @@ object Dedup {
       .select("doc_id", "chunk_id", "start_pos", "n_tokens",
         "chunk_hash", "chunk_text")
   }
+
+  /** EXACT-SUBSTRING SCRUB (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", §4 ExactSubstr): remove the
+    * duplicated SPANS from later documents, keep the rest — the
+    * complement of spanPairs, which only REPORTS shared spans.
+    *
+    * Semantics: any `w`-token window that also occurs in an EARLIER
+    * document (cross-doc, keep-first at doc granularity; within-doc
+    * repetition is x12's signal, not scrubbed here) marks its `w`
+    * positions covered; the cleaned text is the uncovered tokens in
+    * original order.
+    *
+    * Scale shape — the property that makes this the 100 TB plan:
+    * coverage needs only each window's MIN doc_id and membership,
+    * never candidate PAIRS. One hash agg on the window digest + one
+    * join back is LINEAR in total windows; a boilerplate window
+    * shared by a million docs costs one aggregate row, the exact
+    * case that forces DF caps and stop-lists in spanPairs /
+    * containmentPairs. Downstream: covered-position DISTINCT,
+    * (doc, pos) anti-join, per-doc regroup — all key-partitioned
+    * shuffles, nothing quadratic.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_hash) where
+    * clean_hash = md5 of the space-joined surviving tokens (md5 of
+    * the empty string when everything was scrubbed).
+    */
+  def exactSubstrScrub(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, "window must cover at least 2 tokens")
+    // frozen: three consumers (window stream, token stream, per-doc
+    // base) — without the freeze each re-splits the corpus
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .localCheckpoint(true)
+    val wins = toks.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (w - 1))).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(w)))
+          .cast(BinaryType)).as("win"))
+    val fw = wins.groupBy("win").agg(min("doc_id").as("first_doc"))
+    val cov = wins.join(fw, "win")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("i"))
+      .distinct()
+    val tok = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("tok"))
+    val cl = tok.join(cov, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+            sort_array(collect_list(struct(col("i"), col("tok")))),
+            s => s.getField("tok")), " ").cast(BinaryType)).as("clean_hash"))
+    toks.select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_removed"),
+        coalesce(col("clean_hash"), md5(lit("").cast(BinaryType)))
+          .as("clean_hash"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Vectors}
-import graft.operators.{Ann, Bpe, Dedup, DupGroups, Multimodal, Packing}
+import graft.operators.{Ann, Bpe, Dedup, DupGroups, Multimodal, Packing, PageRank}
 import graft.sources.Catalog
 
 /** SURVEY.md §2.D — the LLM-training-data-pipeline operator block
@@ -2165,10 +2165,184 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x26 — int8 SCALAR QUANTIZATION of the embedding column: the
+  // serving-side compression step before ANN (4 bytes/dim → 1
+  // byte/dim, the "SQ8" index most vector stores default to —
+  // contrast s04's PRODUCT quantization, which learns centroids;
+  // SQ8 is codebook-free and exact-affine). Two passes: (1) the
+  // per-dimension corpus min/max — a map-side-combinable hash agg
+  // that produces exactly DIM rows (dimension-sized, not
+  // corpus-sized, the Ann.scala codebook-collect discipline); (2)
+  // one scan that codes every component against the DIM (mn, span)
+  // pairs rendered as LITERAL arrays — no broadcast, no second
+  // shuffle, the corpus is read once per pass. Codes are exact
+  // integers in both engines (the affine formula is identical IEEE
+  // double arithmetic, floored), so code_sum/min/max hash-gate
+  // bit-for-bit; the reconstruction error crosses the boundary with
+  // ROUND(,6) over a 64-term sum (the x08/x15 double-sum
+  // discipline). At 100 TB: pass 1 shuffles DIM×partitions partial
+  // rows; pass 2 is shuffle-free — the plan you would deploy.
+  private val x26Dim = 64
+  val x26: Q = q("x26_scalar_quantize",
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cx AS (SELECT vec_id, unnest(range(1, ${x26Dim + 1})) AS i, v FROM e),
+      |c2 AS (SELECT vec_id, i, v[i] AS x FROM cx),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM c2 GROUP BY i),
+      |cd AS (SELECT vec_id, c2.i, x, mn, span,
+      |         CASE WHEN span = 0 THEN 0
+      |              ELSE LEAST(255, GREATEST(0, CAST(floor(((x - mn) * 255.0) / span + 0.5) AS INT))) END AS code
+      |       FROM c2 JOIN st ON c2.i = st.i),
+      |agg AS (SELECT vec_id,
+      |          CAST(SUM(CAST(code AS BIGINT)) AS BIGINT) AS code_sum,
+      |          MIN(code) AS code_min, MAX(code) AS code_max,
+      |          SUM((x - (mn + (code * span) / 255.0)) * (x - (mn + (code * span) / 255.0))) AS se
+      |        FROM cd GROUP BY vec_id)
+      |SELECT vec_id, code_sum, CAST(code_min AS INT) AS code_min,
+      |       CAST(code_max AS INT) AS code_max,
+      |       ROUND(se / $x26Dim.0, 6) AS recon_mse
+      |FROM agg ORDER BY vec_id""") { c =>
+    val e = c.embeddings.select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("v"))
+    // pass 1: per-dim stats — DIM rows, driver-bounded by the vector
+    // width (the same bound Ann's k-sized codebook collects rely on)
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), (max("x") - min("x")).as("span"))
+      .orderBy("i").collect()
+    require(stats.length == x26Dim, s"embedding dim ${stats.length} != $x26Dim")
+    val mnArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val spArr = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    // pass 2: code each component against the literal (mn, span)
+    // pairs — identical expression shape to the oracle's CASE
+    val codes = transform(col("v"), (x, i) => {
+      val mn = element_at(mnArr, i + 1)
+      val span = element_at(spArr, i + 1)
+      when(span === 0.0, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((x - mn) * lit(255.0) / span + lit(0.5)).cast(IntegerType))))
+    })
+    val se = aggregate(sequence(lit(0), lit(x26Dim - 1)), lit(0.0), (acc, i) => {
+      val x = element_at(col("v"), i + 1)
+      val mn = element_at(mnArr, i + 1)
+      val span = element_at(spArr, i + 1)
+      val dq = mn + (element_at(col("codes"), i + 1).cast(DoubleType) * span) / lit(255.0)
+      acc + (x - dq) * (x - dq)
+    })
+    e.withColumn("codes", codes)
+      .select(col("vec_id"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast(LongType)).as("code_sum"),
+        aggregate(col("codes"), lit(255), (a, x) => least(a, x)).as("code_min"),
+        aggregate(col("codes"), lit(0), (a, x) => greatest(a, x)).as("code_max"),
+        round(se / lit(x26Dim.toDouble), 6).as("recon_mse"))
+      .orderBy("vec_id")
+  }
+
+  // x27 — host-graph PAGERANK (link-graph centrality, the standing
+  // web-corpus quality signal: Common-Crawl-style pipelines rank
+  // hosts by centrality before fetching/filtering). The host graph
+  // is synthesized deterministically from doc_id (the x09/x24
+  // injection discipline — the corpus carries no URLs, so both
+  // engines derive the identical edge list: src = doc_id mod H, two
+  // affine out-links per doc, self-loops dropped, DISTINCT). The
+  // iteration itself is operators/PageRank.ranks: SCALED-INTEGER
+  // arithmetic (rank div outdeg per edge, damp with integer div) so
+  // all 10 iterations are bit-for-bit reproducible in any engine —
+  // no float enters the loop, the oracle below unrolls the same 10
+  // iterations as SQL CTEs from the same constants. Workload class:
+  // iterative graph (k joins over a frozen edge list with per-round
+  // lineage truncation), which no other board entry exercises.
+  private val x27Iters = 10
+  private val x27Hosts = 97
+  private val x27Scale = 1000000000000L
+  private def x27Oracle: String = {
+    val jump = 15L * x27Scale / 100L
+    val base =
+      s"""WITH d AS (SELECT doc_id % $x27Hosts AS src,
+         |  (doc_id * 31 + 7) % $x27Hosts AS d1,
+         |  (doc_id * 57 + 13) % $x27Hosts AS d2 FROM documents),
+         |edges AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, d1 AS dst FROM d UNION ALL SELECT src, d2 FROM d)
+         |  WHERE src <> dst),
+         |v AS (SELECT DISTINCT src AS host FROM edges),
+         |e AS (SELECT edges.src, edges.dst FROM edges JOIN v ON edges.dst = v.host),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT host, CAST($x27Scale AS BIGINT) AS rank FROM v)""".stripMargin
+    val its = (1 to x27Iters).map { i =>
+      s"""r$i AS (SELECT v.host,
+         |  CAST($jump + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM v LEFT JOIN
+         |    (SELECT e.dst, CAST(SUM(r${i - 1}.rank // deg.outdeg) AS BIGINT) AS s
+         |     FROM e JOIN r${i - 1} ON e.src = r${i - 1}.host
+         |            JOIN deg ON e.src = deg.src
+         |     GROUP BY e.dst) c ON v.host = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT host, rank AS pr_scaled,
+       |  ROUND(CAST(rank AS DOUBLE) / $x27Scale, 6) AS pagerank
+       |FROM r$x27Iters ORDER BY host""".stripMargin
+  }
+  val x27: Q = q("x27_host_pagerank", x27Oracle) { c =>
+    val d = c.documents.select(
+      (col("doc_id") % x27Hosts).as("src"),
+      ((col("doc_id") * 31 + 7) % x27Hosts).as("d1"),
+      ((col("doc_id") * 57 + 13) % x27Hosts).as("d2"))
+    val edges = d.select(col("src"), col("d1").as("dst"))
+      .unionAll(d.select(col("src"), col("d2").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    PageRank.ranks(edges, iters = x27Iters, scale = x27Scale)
+      .select(col("host"), col("pr_scaled"),
+        round(col("pr_scaled").cast(DoubleType) / lit(x27Scale.toDouble), 6)
+          .as("pagerank"))
+      .orderBy("host")
+  }
+
+  // d14 — EXACT-SUBSTRING SCRUB (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better": remove the
+  // duplicated SPANS, keep the rest of the document — the
+  // complement of d09, which only REPORTS shared spans, and of
+  // d01/d02, which drop whole documents). Semantics: any 8-token
+  // window that also occurs in an earlier document (cross-doc,
+  // keep-first at doc granularity) marks its 8 positions covered;
+  // the cleaned text is the uncovered tokens in order. The key scale
+  // property: UNlike pairwise span reporting, coverage only needs
+  // each window's MIN doc_id and membership — one hash agg on the
+  // window digest + one join back, LINEAR in total windows with NO
+  // candidate-pair explosion (hot boilerplate windows cost one agg
+  // row no matter how many thousands of docs share them — the case
+  // that forces DF caps in d09/d12 is free here). Shuffles: window
+  // digest agg, digest join-back, covered-position distinct,
+  // (doc,pos) anti-join, per-doc regroup — all key-partitioned,
+  // nothing quadratic. Gate: per-doc md5 of the reconstructed
+  // cleaned text must match DuckDB's independent reconstruction.
+  val d14: Q = q("d14_exact_substr_scrub",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |p AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t FROM toks WHERE len(t) >= 8),
+      |w AS (SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS win FROM p),
+      |fw AS (SELECT win, MIN(doc_id) AS first_doc FROM w GROUP BY win),
+      |dup AS (SELECT w.doc_id, w.pos FROM w JOIN fw ON w.win = fw.win AND w.doc_id > fw.first_doc),
+      |cov AS (SELECT DISTINCT doc_id, i FROM
+      |  (SELECT doc_id, pos + unnest(range(0, 8)) AS i FROM dup)),
+      |tk AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+      |tok AS (SELECT doc_id, i, t[i] AS tok FROM tk),
+      |kept AS (SELECT tok.doc_id, tok.i, tok.tok
+      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      |         WHERE cov.i IS NULL),
+      |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+      |       FROM kept GROUP BY doc_id)
+      |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+      |  CAST(len(toks.t) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(cl.clean_hash, md5('')) AS clean_hash
+      |FROM toks LEFT JOIN cl ON toks.doc_id = cl.doc_id
+      |ORDER BY toks.doc_id""") { c =>
+    Dedup.exactSubstrScrub(c.documents, w = 8).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13,
+    d11, d12, d13, d14,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
     p01, p02, mm01, mm02, mm03)
 }

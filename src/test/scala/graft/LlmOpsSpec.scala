@@ -37,6 +37,65 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [nfc_normalize"), plan.take(800))
   }
 
+  test("x26: SQ8 codes stay in [0,255] and recon error respects the affine bound") {
+    val out = LlmOps.x26.run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("code_min") >= 0 &&
+      r.getAs[Int]("code_max") <= 255))
+    // per-component error of round-to-nearest affine SQ8 is ≤
+    // span/255/2, so mse ≤ (maxSpan/510)^2 (+ rounding slack)
+    val maxSpan = cat.embeddings
+      .select(posexplode(graft.functions.Vectors.toDouble(col("embedding"))).as(Seq("i", "x")))
+      .groupBy("i").agg((max("x") - min("x")).as("span"))
+      .agg(max("span")).collect()(0).getDouble(0)
+    val bound = math.pow(maxSpan / 510.0, 2) + 1e-6
+    assert(out.forall(_.getAs[Double]("recon_mse") <= bound),
+      s"recon_mse exceeds the affine bound $bound")
+  }
+
+  test("d14: exactSubstrScrub removes later copies of a shared span, keeps the first owner intact") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"delta $shared epsilon zeta"),
+      (3L, "nothing shared here at all five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrScrub(docs, w = 8).orderBy("doc_id").collect()
+    // doc 1 owns the span (keep-first): nothing removed
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    // doc 2: the 8-token windows over the shared 10-token run cover
+    // exactly those 10 positions — the flanks survive
+    assert(out(1).getAs[Long]("n_removed") == 10L)
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    val expect = Seq("delta epsilon zeta").toDF("s")
+      .select(md5(col("s").cast("binary"))).collect()(0).getString(0)
+    assert(out(1).getAs[String]("clean_hash") == expect,
+      "cleaned text must be the uncovered tokens in original order")
+  }
+
+  test("x27: scaled-integer PageRank matches an independent single-node power iteration") {
+    val out = LlmOps.x27.run(spark, sfDir).collect()
+    val docIds = cat.documents.select("doc_id").collect().map(_.getLong(0))
+    val H = 97L
+    val rawEdges = docIds.flatMap(d =>
+        Seq((d % H, (d * 31 + 7) % H), (d % H, (d * 57 + 13) % H)))
+      .filter { case (s, t) => s != t }.distinct
+    val v = rawEdges.map(_._1).distinct.toSet
+    val edges = rawEdges.filter { case (_, t) => v(t) }
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val S = 1000000000000L
+    var rank: Map[Long, Long] = v.map(_ -> S).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, t) <- edges) contrib(t) += rank(s) / outdeg(s)
+      rank = v.map(h => h -> (15L * S / 100L + 85L * contrib(h) / 100L)).toMap
+    }
+    val got = out.map(r => r.getAs[Long]("host") -> r.getAs[Long]("pr_scaled")).toMap
+    assert(got == rank,
+      "distributed iteration must agree with the reference bit-for-bit")
+  }
+
   test("x24: NB classifier generalizes to the held-out half, non-degenerately") {
     val out = LlmOps.x24.run(spark, sfDir)
     val rows = out.collect()
