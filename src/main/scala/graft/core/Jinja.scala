@@ -68,7 +68,7 @@ object Jinja {
     while (changed) {
       require(depth < MaxDepth,
         s"macro expansion exceeded depth $MaxDepth (recursive macro?)")
-      val next = expandOnce(out, byName, vars)
+      val next = expandFor(expandOnce(out, byName, vars), byName.keySet)
       changed = next != out
       out = next
       depth += 1
@@ -179,6 +179,50 @@ object Jinja {
     else t
   }
 
+  /** `{% for x in ['a', 'b'] %} body {% endfor %}` — the dbt pivot
+    * idiom (generate one aggregate column per list element). The
+    * body's loop variable substitutes through the same region rules
+    * as macro params (a call region keeps its braces for the next
+    * pass, a value renders in place), `{{ loop.index }}` is 1-based,
+    * and `{% if [not] loop.first|last %}` resolves per iteration —
+    * the trailing-comma idiom. Innermost loops expand first (the
+    * body pattern refuses a nested `{% for %}`), and the expand()
+    * fixpoint re-runs until none remain, so macros may emit loops
+    * and loops may nest.
+    */
+  private val ForPat =
+    // the list group refuses `]` so a failed body match (nested for)
+    // cannot backtrack the list across the closing bracket and
+    // swallow the inner loop's header
+    ("""(?s)\{%-?\s*for\s+([A-Za-z_][A-Za-z0-9_]*)\s+in\s+\[([^\]]*)\]\s*-?%\}""" +
+      """((?:(?!\{%-?\s*for\s).)*?)\{%-?\s*endfor\s*-?%\}""").r
+
+  private val LoopIfPat =
+    """(?s)\{%-?\s*if\s+(not\s+)?loop\.(first|last)\s*-?%\}(.*?)(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}""".r
+
+  private def expandFor(sql: String, macroNames: Set[String]): String =
+    ForPat.replaceAllIn(sql, fm => {
+      val ident = fm.group(1)
+      val items = splitTopLevel(fm.group(2))
+      val body = fm.group(3)
+      val rendered = items.zipWithIndex.map { case (raw, idx) =>
+        val first = idx == 0
+        val last = idx == items.size - 1
+        val branched = LoopIfPat.replaceAllIn(body, m => {
+          val v = if (m.group(2) == "last") last else first
+          val take = if (m.group(1) != null) !v else v
+          scala.util.matching.Regex.quoteReplacement(
+            if (take) m.group(3) else Option(m.group(4)).getOrElse(""))
+        })
+        val indexed = branched.replaceAll(
+          """\{\{\s*loop\.index\s*\}\}""", (idx + 1).toString)
+        substRegions(indexed, Map(ident -> Some(raw)), macroNames)
+      }.mkString("")
+      // no trim: iteration boundaries carry meaningful separators
+      // (a nested loop's trailing space/newline is the outer join)
+      scala.util.matching.Regex.quoteReplacement(rendered)
+    })
+
   /** Jinja truthiness for `{% if param %}`: absent, `none`, `false`,
     * and the empty string are false; any other value is true.
     */
@@ -222,37 +266,56 @@ object Jinja {
       scala.util.matching.Regex.quoteReplacement(
         if (truthy(bound.getOrElse(m.group(1), None))) m.group(2)
         else Option(m.group(3)).getOrElse("")))
-    // Params are VARIABLES inside `{{ … }}` expressions (Jinja scope):
-    // `{{ p }}` renders the value, and `{{ other_macro(p) }}` passes
-    // it through a nested call. So substitution works per-region —
-    // bare param identifiers inside each region get the raw arg text;
-    // a region that is then a call keeps its braces for the next
-    // expansion pass, a plain value renders in place (quotes
-    // stripped: Jinja prints the string's value, not its literal).
+    substVars(substRegions(branched, bound, macroNames), vars).trim
+  }
+
+  /** Params (and loop variables) are VARIABLES inside `{{ … }}`
+    * expressions (Jinja scope): `{{ p }}` renders the value, and
+    * `{{ other_macro(p) }}` passes it through a nested call. So
+    * substitution works per-region — bare identifiers inside each
+    * region get the raw bound text; a region that is then a call
+    * keeps its braces for the next expansion pass, a plain value
+    * renders in place (quotes stripped: Jinja prints the string's
+    * value, not its literal).
+    */
+  private def substRegions(text: String,
+      bound: Map[String, Option[String]], macroNames: Set[String]): String = {
     val RegionPat = """(?s)\{\{(.*?)\}\}""".r
     val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
-    val substituted = RegionPat.replaceAllIn(branched, rm => {
-      // SIMULTANEOUS substitution (one identifier pass, not a fold):
-      // sequential replacement would let an earlier param's
-      // substituted value be captured by a later param's name — e.g.
-      // m(a, b) called as m(b, 2) must render `b + 2`, never `2 + 2`
-      val expr = Ident.replaceAllIn(rm.group(1).trim, im =>
+    RegionPat.replaceAllIn(text, rm => {
+      val raw = rm.group(1).trim
+      // a bare identifier that nothing here binds: a LATER pass owns
+      // it (a loop variable inside a macro body expands at expandFor
+      // time; a truly undefined name stays visibly braced for
+      // SqlModel's no-residual-braces require). Decided on the
+      // ORIGINAL region text — a bound param whose VALUE happens to
+      // be identifier-shaped must still render in place.
+      if (raw != "this" && raw.matches("""[A-Za-z_][A-Za-z0-9_]*""") &&
+          !bound.contains(raw))
+        scala.util.matching.Regex.quoteReplacement(s"{{ $raw }}")
+      else {
+        // SIMULTANEOUS substitution (one identifier pass, not a fold):
+        // sequential replacement would let an earlier param's
+        // substituted value be captured by a later param's name — e.g.
+        // m(a, b) called as m(b, 2) must render `b + 2`, never `2 + 2`
+        val expr = Ident.replaceAllIn(raw, im =>
+          scala.util.matching.Regex.quoteReplacement(
+            bound.get(im.group(0)).flatten.getOrElse(im.group(0))))
+        val callName = """^([A-Za-z0-9_]+)\s*\(""".r
+          .findFirstMatchIn(expr).map(_.group(1))
         scala.util.matching.Regex.quoteReplacement(
-          bound.get(im.group(0)).flatten.getOrElse(im.group(0))))
-      val callName = """^([A-Za-z0-9_]+)\s*\(""".r
-        .findFirstMatchIn(expr).map(_.group(1))
-      scala.util.matching.Regex.quoteReplacement(
-        // braces survive for anything a LATER pass resolves: a nested
-        // macro, var() (substVars below), and the model-render layer's
-        // own calls — ref()/source()/{{ this }} inside a macro body
-        // must reach SqlModel.run braced or the dep scan loses the
-        // DAG edge and the SQL goes out invalid; any other call-
-        // shaped text is the arg's own SQL, rendered as-is
-        if (callName.exists(n => macroNames(n) || n == "var" ||
-            n == "ref" || n == "source") || expr == "this")
-          s"{{ $expr }}"
-        else unquote(expr))
+          // braces survive for anything a LATER pass resolves: a
+          // nested macro, var() (substVars), and the model-render
+          // layer's own calls — ref()/source()/{{ this }} inside a
+          // macro body must reach SqlModel.run braced or the dep scan
+          // loses the DAG edge and the SQL goes out invalid; any
+          // other call-shaped text is the arg's own SQL, rendered
+          // as-is
+          if (callName.exists(n => macroNames(n) || n == "var" ||
+              n == "ref" || n == "source") || expr == "this")
+            s"{{ $expr }}"
+          else unquote(expr))
+      }
     })
-    substVars(substituted, vars).trim
   }
 }

@@ -2057,8 +2057,48 @@ object Engine {
       .toDF("node", "status").orderBy("node")
   }
 
+  // m45 — `{% for %}` LOOPS in the Jinja layer (core/Jinja.scala
+  // expandFor): the dbt pivot idiom — generate one aggregate column
+  // per list element, with `{% if not loop.last %},{% endif %}` as
+  // the separator — authored the HARD way round to pin the pass
+  // ordering: the loop lives INSIDE a `{% macro %}` body, so the
+  // macro-call render must leave the loop variable's `{{ st }}`
+  // regions braced (it is not a macro param) for expandFor to bind
+  // one fixpoint pass later. Expansion is parse-time string work;
+  // the rendered SQL is a plain pivot aggregation Catalyst sees
+  // whole. Oracle = the loop hand-unrolled.
+  val m45: Q = q("m45_jinja_for",
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_status_p,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m45")
+    val pivotMacro = Jinja.parseMacros(
+      """{% macro status_pivot(status_column) %}
+        |{% for st in ['o', 'f', 'p'] %}
+        |CAST(SUM(CASE WHEN {{ status_column }} = upper('{{ st }}') THEN 1 ELSE 0 END) AS BIGINT) AS n_status_{{ st }}{% if not loop.last %},{% endif %}
+        |{% endfor %}
+        |{% endmacro %}""".stripMargin)
+    val graph = ModelGraph(Seq(
+      SqlModel("mart_status_pivot",
+        """SELECT c.c_mktsegment,
+          |  {{ status_pivot('o.o_orderstatus') }},
+          |  COUNT(*) AS n_orders
+          |FROM {{ source('raw', 'orders') }} o
+          |JOIN {{ source('raw', 'customer') }} c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment""".stripMargin,
+        Materialization.Table, macros = pivotMacro)))
+    Runner(Materializer(wh), n => c.table(n))
+      .runAll(graph)("mart_status_pivot")
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44)
+    m39, m40, m41, m42, m43, m44, m45)
 }

@@ -134,4 +134,38 @@ class JinjaSpec extends AnyFunSuite {
       Jinja.expand("{{ calculate_gpa(p, c, partiton_by='sid') }}", gpa))
     assert(e.getMessage.contains("partiton_by"))
   }
+
+  test("for: substitutes the loop var, loop.index, and the not-loop.last separator") {
+    val out = Jinja.expand(
+      "{% for s in ['a', 'b', 'c'] %}col_{{ s }} AS c{{ loop.index }}{% if not loop.last %}, {% endif %}{% endfor %}")
+    assert(out == "col_a AS c1, col_b AS c2, col_c AS c3")
+  }
+
+  test("for: loop.first branch and else arm") {
+    val out = Jinja.expand(
+      "{% for s in ['x', 'y'] %}{% if loop.first %}F{% else %}R{% endif %}{{ s }} {% endfor %}")
+    assert(out.trim == "Fx Ry")
+  }
+
+  test("for inside a macro body: the loop var survives render braced, expands one pass later") {
+    val m = Jinja.parseMacros(
+      """{% macro pivot(c) %}{% for v in ['o', 'f'] %}SUM(CASE WHEN {{ c }} = '{{ v }}' THEN 1 END) AS n_{{ v }}{% if not loop.last %}, {% endif %}{% endfor %}{% endmacro %}""")
+    val out = Jinja.expand("SELECT {{ pivot(st) }} FROM t", m)
+    assert(out ==
+      "SELECT SUM(CASE WHEN st = 'o' THEN 1 END) AS n_o, SUM(CASE WHEN st = 'f' THEN 1 END) AS n_f FROM t")
+  }
+
+  test("nested for: innermost expands first, outer var reaches the inner body") {
+    val out = Jinja.expand(
+      "{% for a in ['1', '2'] %}{% for b in ['x', 'y'] %}{{ a }}{{ b }} {% endfor %}{% endfor %}")
+    assert(out.trim == "1x 1y 2x 2y")
+  }
+
+  test("for: a ref() inside the body keeps braces for the model layer") {
+    val out = Jinja.expand(
+      "{% for t in ['u'] %}SELECT * FROM {{ ref(t) }}{% endfor %}")
+    // the item's quotes ride along into the call, exactly as a macro
+    // arg's do (cf. the ref('stg_x') test above)
+    assert(out.trim == "SELECT * FROM {{ ref('u') }}")
+  }
 }
