@@ -1090,9 +1090,57 @@ object Relational {
       |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
       |ORDER BY n.n_name""".stripMargin.trim))
 
+  // q39 — TIME-SERIES GAP FILL + FORWARD FILL (the dbt-utils
+  // date_spine + last_value(IGNORE NULLS) recipe, and the standard
+  // prep before any per-entity time-series model): densify each
+  // user's sparse purchase-day series over its own [min, max] span,
+  // then carry the last observed value across the gaps. Scale shape:
+  // two map-side-combinable hash aggs (daily rollup, per-user
+  // bounds), a spine EXPLODE that is output-sized (Σ user spans, not
+  // users × global span), one (user, day) equi-join, and ONE window
+  // partitioned BY USER — each partition is a ≤31-row span here and
+  // a bounded-cardinality series at any scale, so the sort inside
+  // the window never sees more than one entity's days (q14's
+  // caution: this pattern is safe precisely because the partition
+  // key is the entity, never the whole fact). filled_value is one
+  // row's exact DECIMAL→DOUBLE, so forward fill crosses engines
+  // bit-for-bit.
+  val q39: Q = Q("q39_gap_fill", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val d = c.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("day_value"))
+    val spine = d.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(d, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).cast(LongType).as("n_events"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("is_gap"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "day")
+  }, Some(
+    """WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |spine AS (SELECT user_id,
+      |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1)),
+      |j AS (SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n, d.day_value
+      |      FROM spine s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day, CAST(n AS BIGINT) AS n_events, (n = 0) AS is_gap,
+      |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM j ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38)
+    q34, q35, q36, q37, q38, q39)
 }

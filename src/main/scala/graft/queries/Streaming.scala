@@ -913,6 +913,66 @@ object Streaming {
       |FROM events WHERE user_id % 13 <> 5
       |GROUP BY user_id ORDER BY user_id""".stripMargin.trim))
 
+  // e18 — streaming TRENDING top-k (the continuous dashboard: which
+  // event types are hot in each hour). The stream maintains WINDOWED
+  // COUNTS under a watermark (engine-managed state, update output
+  // mode — each micro-batch re-emits a key's full cumulative count),
+  // foreachBatch MERGEs them into a counts table keyed by
+  // (window_start, event_type) where incoming wins, and the top-k
+  // RANK runs at read over that table — Structured Streaming cannot
+  // rank across an aggregated stream, and the serving layer wants
+  // the counts anyway (the rank is q23's WindowGroupLimit plan, ≤ k
+  // rows per window leave each map task). StreamingSpec drives the
+  // same sink over a two-batch MemoryStream with cross-batch count
+  // updates and pins parity with the batch form.
+  val e18: Q = Q("e18_stream_trending", (spark, dir) => {
+    val wh = Warehouse.scratch(spark, "e18")
+    val mat = Materializer(wh)
+    val model = Model("trending_counts", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("window_start", "event_type"), None)),
+      ctx => ctx.source("events"))
+    val srcDir = Scratch.dir("e18_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val ckpt = Scratch.dir("e18_ckpt")
+    try {
+      // schema probed + ts normalized through the chokepoint (see
+      // e03); the watermark needs LTZ, so the canonical NTZ ts rides
+      // the stream as LTZ (wall-clock identity under the pinned UTC
+      // session) and window_start casts back to NTZ at the sink
+      val stream = Catalog.normalizeEventTs(
+        spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
+          .parquet(srcDir.toString))
+        .withColumn("ts", col("ts").cast(TimestampType))
+      val query = graft.streaming.EventStream.trendingCountsStream(stream)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mat.run(model, _ => batch.withColumn("window_start",
+            col("window_start").cast(TimestampNTZType))); ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally {
+      Scratch.remove(ckpt); Scratch.remove(srcDir)
+    }
+    graft.streaming.EventStream
+      .topK(wh.read("analytics", "trending_counts"), k = 3)
+      .orderBy("window_start", "rnk")
+  }, Some(
+    """WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+      |        ORDER BY n_events DESC, event_type) AS rnk FROM w)
+      |SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(rnk AS INT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17)
+    e12, e13, e14, e15, e16, e17, e18)
 }

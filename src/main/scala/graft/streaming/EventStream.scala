@@ -55,6 +55,48 @@ object EventStream {
         col("n_events"), col("total_value"))
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** e18 batch: per-window event-type counts (the trending feed's
+    * maintained state).
+    */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** e18 streaming: the same counts under a 2-hour watermark. In
+    * UPDATE output mode each micro-batch re-emits a key's full
+    * cumulative count, so a keyed MERGE sink (incoming wins) holds
+    * the correct running state at all times — rank happens at READ,
+    * where it belongs (Structured Streaming cannot rank across an
+    * aggregated stream, and the serving layer wants the counts table
+    * anyway).
+    */
+  def trendingCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Top-k per window over a counts table, deterministic tiebreak on
+    * the type name. Catalyst's rank-limit pushdown (WindowGroupLimit)
+    * bounds every map task at k rows per window — the q23 plan.
+    */
+  def topK(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("window_start"), col("event_type"),
+        col("n_events").cast(LongType).as("n_events"),
+        col("rnk").cast(IntegerType).as("rnk"))
+  }
+
   /** e02 batch: gap-based sessionization — a new session starts when
     * the inter-event gap exceeds 30 minutes. Pure window functions:
     * one shuffle on user_id.

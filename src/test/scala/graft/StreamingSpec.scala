@@ -119,6 +119,67 @@ class StreamingSpec extends SparkSpec {
     assertSameSets(streamed, batch)
   }
 
+  test("e18 streaming trending: cross-batch count updates merge, rank matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Warehouse.scratch(spark, "e18spec")
+    val mat = Materializer(wh)
+    val model = Model("trending_counts", Seq("events"),
+      Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("window_start", "event_type"), None)),
+      ctx => ctx.source("events"))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ckpt = graft.core.Scratch.dir("e18spec_ckpt")
+    val query = EventStream.trendingCountsStream(stream).writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        mat.run(model, _ => batch); ()
+      }
+      .start()
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: hour 1 has view=2, click=1
+    input.addData((1L, at(1, 0), 1L, "view", 1.0), (2L, at(1, 10), 2L, "view", 1.0),
+      (3L, at(1, 20), 3L, "click", 1.0))
+    query.processAllAvailable()
+    // batch 2: the SAME hour-1 window updates (click overtakes view);
+    // the update-mode re-emit must replace, not double-count
+    input.addData((4L, at(1, 30), 1L, "click", 1.0), (5L, at(1, 40), 2L, "click", 1.0),
+      (6L, at(2, 0), 1L, "view", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    try {
+      val got = EventStream.topK(
+          wh.read("analytics", "trending_counts"), k = 2)
+        .orderBy("window_start", "rnk").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+      assert(got == Seq(
+        ("2024-01-01 01:00:00.0", "click", 3L, 1),
+        ("2024-01-01 01:00:00.0", "view", 2L, 2),
+        ("2024-01-01 02:00:00.0", "view", 1L, 1)),
+        s"unexpected trending state: $got")
+      // parity with the batch form over the same rows
+      val batchRows = Seq(
+        (1L, at(1, 0), 1L, "view", 1.0), (2L, at(1, 10), 2L, "view", 1.0),
+        (3L, at(1, 20), 3L, "click", 1.0), (4L, at(1, 30), 1L, "click", 1.0),
+        (5L, at(1, 40), 2L, "click", 1.0), (6L, at(2, 0), 1L, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = EventStream.topK(EventStream.trendingCounts(batchRows), k = 2)
+        .orderBy("window_start", "rnk").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("e09 streaming upsert maintains latest-per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
