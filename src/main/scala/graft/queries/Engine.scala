@@ -2097,8 +2097,48 @@ object Engine {
       .orderBy("c_mktsegment")
   }
 
+  // m46 — dbt `run-operation` (core/RunOperation.scala): invoke a
+  // standalone macro against the warehouse — the maintenance entry
+  // point grants/audits/ad-hoc backfills live in, OUTSIDE the model
+  // DAG. The call is synthesized from keyword args (dbt --args),
+  // expanded through the same Jinja layer models use, and the
+  // rendered SQL resolves ref()/source() through SqlModel.run — so an
+  // operation sees exactly the resolution surface models do (here:
+  // one source table and one materialized model). The result lands
+  // journaled as an ops table (op_<name>), dbt's artifact-trail
+  // shape. Oracle restates the audit with the macro hand-inlined.
+  val m46: Q = q("m46_run_operation",
+    """WITH a AS (
+      |  SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+      |  UNION ALL
+      |  SELECT 'stg_recent_orders', CAST(COUNT(*) AS BIGINT)
+      |  FROM orders WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) >= 1996)
+      |SELECT tbl, n_rows, n_rows >= 10 AS healthy FROM a ORDER BY tbl""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m46")
+    val graph = ModelGraph(Seq(
+      SqlModel("stg_recent_orders",
+        """SELECT * FROM {{ source('raw', 'orders') }}
+          |WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) >= 1996""".stripMargin,
+        Materialization.Table)))
+    Runner(Materializer(wh), n => c.table(n)).runAll(graph)
+    val ops = Jinja.parseMacros(
+      """{% macro audit_row_counts(min_rows) %}
+        |SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  COUNT(*) >= {{ min_rows }} AS healthy
+        |FROM {{ source('raw', 'orders') }}
+        |UNION ALL
+        |SELECT 'stg_recent_orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  COUNT(*) >= {{ min_rows }} AS healthy
+        |FROM {{ ref('stg_recent_orders') }}
+        |{% endmacro %}""".stripMargin)
+    RunOperation.run(wh, "analytics", ops, "audit_row_counts",
+        Map("min_rows" -> "10"), n => c.table(n))
+      .orderBy("tbl")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45)
+    m39, m40, m41, m42, m43, m44, m45, m46)
 }

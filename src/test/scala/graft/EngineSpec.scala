@@ -15,6 +15,22 @@ class EngineSpec extends SparkSpec {
   private def df(rows: Seq[(Long, String, Int)]) =
     spark.createDataFrame(rows).toDF("k", "v", "wm")
 
+  test("m46: run-operation rejects unknown macros, journals the ops artifact") {
+    val wh = freshWh("runop")
+    val macros = Jinja.parseMacros(
+      "{% macro ping(n) %}SELECT {{ n }} AS answer{% endmacro %}")
+    val e = intercept[IllegalArgumentException](
+      RunOperation.run(wh, "analytics", macros, "nope", Map.empty, _ => null))
+    assert(e.getMessage.contains("unknown macro"))
+    assert(e.getMessage.contains("ping"), "error must list the known macros")
+    val out = RunOperation.run(wh, "analytics", macros, "ping",
+      Map("n" -> "42"), _ => null)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(42))
+    // the artifact trail: the result persisted as op_<name>
+    assert(wh.read("analytics", "op_ping").count() == 1)
+    assert(out.schema.fieldNames.toSeq == Seq("answer"))
+  }
+
   test("incremental append: empty target seeds, second batch appends only past watermark") {
     val wh = freshWh("append")
     val mat = Materializer(wh)
