@@ -1161,23 +1161,12 @@ object LlmOps {
       .orderBy("url_key")
   }
 
-  val d07: Q = q("d07_chunk_dedup",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
-      |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
-      |        FROM toks),
-      |keyed AS (SELECT doc_id, pos, seg, doc_id*100000 + pos AS k FROM seg),
-      |keeper AS (SELECT seg, MIN(k) AS keep_k FROM keyed GROUP BY seg),
-      |kept AS (SELECT doc_id, pos, keyed.seg FROM keyed
-      |         JOIN keeper ON keyed.seg = keeper.seg AND keyed.k = keeper.keep_k),
-      |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
-      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
-      |            FROM kept GROUP BY doc_id),
-      |counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM keyed GROUP BY doc_id)
-      |SELECT counts.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
-      |       COALESCE(clean_text, '') AS clean_text
-      |FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id
-      |ORDER BY counts.doc_id""") { c =>
+  /** The d07 chunk-dedup-and-rebuild chain, shared with p03's CCNet
+    * pipeline: 8-token chunks, keep-first by (doc, pos) key, docs
+    * rebuilt from their surviving chunks.
+    * Returns (doc_id, n_chunks, n_kept, clean_text).
+    */
+  private def chunkCleaned(c: Catalog): DataFrame = {
     val docs = c.documents
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
     val segs = docs.select(col("doc_id"),
@@ -1203,7 +1192,26 @@ object LlmOps {
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy("doc_id")
+  }
+
+  val d07: Q = q("d07_chunk_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+      |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
+      |        FROM toks),
+      |keyed AS (SELECT doc_id, pos, seg, doc_id*100000 + pos AS k FROM seg),
+      |keeper AS (SELECT seg, MIN(k) AS keep_k FROM keyed GROUP BY seg),
+      |kept AS (SELECT doc_id, pos, keyed.seg FROM keyed
+      |         JOIN keeper ON keyed.seg = keeper.seg AND keyed.k = keeper.keep_k),
+      |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |            FROM kept GROUP BY doc_id),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM keyed GROUP BY doc_id)
+      |SELECT counts.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+      |       COALESCE(clean_text, '') AS clean_text
+      |FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id
+      |ORDER BY counts.doc_id""") { c =>
+    chunkCleaned(c).orderBy("doc_id")
   }
 
   // d09 — SPAN-level duplicate detection (Lee et al. 2022 substring
@@ -2339,10 +2347,88 @@ object LlmOps {
     Dedup.exactSubstrScrub(c.documents, w = 8).orderBy("doc_id")
   }
 
+  // p03 — the CCNet-SHAPED pipeline (Wenzek et al. 2020: paragraph-
+  // level dedup → language ID → quality bucketing into head/middle/
+  // tail terciles per language), composed from the registered blocks
+  // in ONE dataflow: d07's chunk dedup-and-rebuild (chunkCleaned),
+  // x01's stopword-profile language predictor on the CLEANED text,
+  // and an x02-shaped typicality score (best-language stopword
+  // density + length term; CCNet buckets on LM perplexity — x15 is
+  // the registered LM scorer, the tercile mechanics are identical)
+  // ranked into per-language NTILE(3) buckets. Scale shape: the
+  // dedup is d07's one hash agg + keep join, lang/quality features
+  // are a projection, and the ONLY new shuffle is the tercile
+  // window — per-language partitions, and q15's documented
+  // quantile-cutpoint variant is the approximate scale path when a
+  // language slice outgrows a partition. Exact NTILE kept here
+  // because the oracle demands it (q15's reasoning).
+  val p03: Q = q("p03_ccnet_pipeline",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+      |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
+      |        FROM toks),
+      |keyed AS (SELECT doc_id, pos, seg, doc_id*100000 + pos AS k FROM seg),
+      |keeper AS (SELECT seg, MIN(k) AS keep_k FROM keyed GROUP BY seg),
+      |kept AS (SELECT doc_id, pos, keyed.seg FROM keyed
+      |         JOIN keeper ON keyed.seg = keeper.seg AND keyed.k = keeper.keep_k),
+      |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |            FROM kept GROUP BY doc_id),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM keyed GROUP BY doc_id),
+      |cleaned AS (SELECT counts.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+      |              COALESCE(clean_text, '') AS clean_text
+      |            FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id),
+      |t2 AS (SELECT doc_id, n_chunks, n_kept,
+      |         string_split(clean_text, ' ') AS ct FROM cleaned),
+      |h AS (SELECT doc_id, n_chunks, n_kept, len(ct) AS n_tokens,
+      |        len(list_filter(ct, x -> x IN ${inList(Text.enStops)})) AS en_hits,
+      |        len(list_filter(ct, x -> x IN ${inList(Text.esStops)})) AS es_hits,
+      |        len(list_filter(ct, x -> x IN ${inList(Text.deStops)})) AS de_hits,
+      |        len(list_filter(ct, x -> x IN ${inList(Text.frStops)})) AS fr_hits
+      |      FROM t2),
+      |sc AS (SELECT doc_id, n_chunks, n_kept, n_tokens,
+      |         CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+      |              WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+      |              WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+      |         ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      |           + 0.5 * (CAST(GREATEST(en_hits, es_hits, de_hits, fr_hits) AS DOUBLE) / n_tokens), 6) AS score
+      |       FROM h)
+      |SELECT doc_id, pred_lang, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(n_kept AS BIGINT) AS n_kept, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+      |  CASE NTILE(3) OVER (PARTITION BY pred_lang ORDER BY score DESC, doc_id)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM sc ORDER BY doc_id""") { c =>
+    val ct = split(col("clean_text"), " ")
+    val feat = chunkCleaned(c).select(
+      col("doc_id"), col("n_chunks"), col("n_kept"),
+      size(ct).cast(LongType).as("n_tokens"),
+      Text.hitCount(ct, Text.enStops).as("en_hits"),
+      Text.hitCount(ct, Text.esStops).as("es_hits"),
+      Text.hitCount(ct, Text.deStops).as("de_hits"),
+      Text.hitCount(ct, Text.frStops).as("fr_hits"))
+    val nTok = col("n_tokens").cast(DoubleType)
+    val best = greatest(col("en_hits"), col("es_hits"),
+      col("de_hits"), col("fr_hits")).cast(DoubleType)
+    val scored = feat.select(col("doc_id"),
+      Text.predLang(col("en_hits"), col("es_hits"),
+        col("de_hits"), col("fr_hits")).as("pred_lang"),
+      col("n_chunks"), col("n_kept"), col("n_tokens"),
+      round(lit(0.5) * least(lit(1.0), nTok / 100.0)
+        + lit(0.5) * (best / nTok), 6).as("score"))
+    val w = Window.partitionBy("pred_lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.select(col("doc_id"), col("pred_lang"), col("n_chunks"),
+        col("n_kept"), col("n_tokens"), col("score"),
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
-    p01, p02, mm01, mm02, mm03)
+    p01, p02, p03, mm01, mm02, mm03)
 }
