@@ -1142,9 +1142,59 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
       |FROM j ORDER BY user_id, day""".stripMargin))
 
+  // q40 — POINT-IN-TIME (temporal) dimension join: each fact row
+  // joins the SCD2 dimension version that was valid AT THE FACT'S
+  // DATE — the warehouse classic behind "what segment was this
+  // customer in when they ordered" (m04 BUILDS such dimensions; this
+  // is the query side that consumes them). The dimension history is
+  // synthesized deterministically (two versions per customer around
+  // a 1996 segment migration — the x09 injection discipline, both
+  // engines derive the identical history). The naive rendering is a
+  // RANGE join (key equality + BETWEEN) — O(|matches|) pair
+  // explosion before pruning; the registered plan is the AsOf
+  // composition instead: union + one rows-preceding window per key,
+  // ONE shuffle, zero row multiplication (operators/AsOf.scala) —
+  // correct because SCD2 versions are contiguous and non-overlapping,
+  // so "latest valid_from ≤ fact date" IS the containing version.
+  // The oracle states the BETWEEN form, so the hash gate proves the
+  // as-of rewrite equals the range-join semantics row for row.
+  val q40: Q = Q("q40_temporal_join", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val cust = c.customer.select(col("c_custkey").as("ckey"), col("c_mktsegment"))
+    val dim = cust.select(col("ckey"),
+        lit(java.sql.Date.valueOf("1992-01-01")).as("vdate"),
+        concat(lit("LEGACY_"), col("c_mktsegment")).as("segment_at"),
+        lit(1).as("version"))
+      .unionAll(cust.select(col("ckey"),
+        lit(java.sql.Date.valueOf("1996-01-01")).as("vdate"),
+        col("c_mktsegment").as("segment_at"), lit(2).as("version")))
+    val facts = c.orders.select(col("o_orderkey"),
+      col("o_custkey").as("ckey"), col("o_orderdate").as("vdate"))
+    graft.operators.AsOf.joinAsOf(facts, dim, "ckey", "vdate")
+      .select(col("o_orderkey"), col("ckey").as("o_custkey"),
+        col("vdate").as("o_orderdate"),
+        col("asof.segment_at").as("segment_at"),
+        col("asof.version").cast(IntegerType).as("version"))
+      .orderBy("o_orderkey")
+  }, Some(
+    """WITH dim AS (
+      |  SELECT c_custkey AS ckey, DATE '1992-01-01' AS valid_from,
+      |    DATE '1996-01-01' AS valid_to,
+      |    'LEGACY_' || c_mktsegment AS segment_at, 1 AS version
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, DATE '1996-01-01', DATE '9999-01-01',
+      |    c_mktsegment, 2
+      |  FROM customer)
+      |SELECT o_orderkey, o_custkey, o_orderdate, segment_at,
+      |  CAST(version AS INT) AS version
+      |FROM orders JOIN dim ON o_custkey = dim.ckey
+      |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39)
+    q34, q35, q36, q37, q38, q39, q40)
 }
