@@ -35,19 +35,19 @@ object TimeTravel {
 
   final case class Snapshot(version: Int, commits: Seq[String])
 
-  private def fsOf(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
+  private[core] def fsOf(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
 
-  private def root(wh: Warehouse, schema: String, table: String) =
+  private[core] def root(wh: Warehouse, schema: String, table: String) =
     new org.apache.hadoop.fs.Path(wh.path(schema, table))
 
-  private def manifestDir(r: org.apache.hadoop.fs.Path) =
+  private[core] def manifestDir(r: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(r, "_manifests")
 
-  private def commitDir(r: org.apache.hadoop.fs.Path, name: String) =
+  private[core] def commitDir(r: org.apache.hadoop.fs.Path, name: String) =
     new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(r, "_commits"), name)
 
-  private def commitName(n: Int) = f"c$n%05d"
+  private[core] def commitName(n: Int) = f"c$n%05d"
 
   /** All snapshots, oldest first. Tolerates orphan commit dirs (a
     * crashed writer's residue) — only manifests define versions.
@@ -69,7 +69,9 @@ object TimeTravel {
           new String(bytes.toByteArray, "UTF-8")
         } finally in.close()
         Snapshot(name.stripPrefix("v").stripSuffix(".json").toInt,
-          "\"(c\\d{5})\"".r.findAllMatchIn(content).map(_.group(1)).toSeq)
+          // writer-suffixed names (c00002_wa) are OCC commits — the
+          // suffix keeps racing writers' data dirs disjoint (Occ.scala)
+          "\"(c\\d{5}[A-Za-z0-9_]*)\"".r.findAllMatchIn(content).map(_.group(1)).toSeq)
       }
   }
 

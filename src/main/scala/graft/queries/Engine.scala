@@ -2137,8 +2137,61 @@ object Engine {
       .orderBy("tbl")
   }
 
+  // m47 — OPTIMISTIC CONCURRENCY for racing writers (core/Occ.scala,
+  // the Delta/Iceberg multi-writer protocol over m29's manifest log):
+  // two writers snapshot the SAME version, the second-to-publish must
+  // LOSE the manifest-rename CAS (not silently clobber — the
+  // lost-update anomaly this protocol exists to kill) and retry by
+  // re-reading and re-applying its update on the winner's state. The
+  // entry drives that interleave deterministically: seed v1, A and B
+  // both snapshot v1, B wins v2, A's stale CAS returns false
+  // (require-pinned in the dataflow itself), A's transact retry lands
+  // v3 — and the gate checks BOTH increments survive in the final
+  // state. The CAS is one metadata rename regardless of table size;
+  // the loser's orphan commit dir is vacuum-sweepable residue.
+  val m47: Q = q("m47_occ_writers",
+    """WITH base AS (SELECT c_mktsegment, COUNT(*) AS b FROM customer GROUP BY 1),
+      |a AS (SELECT c_mktsegment, COUNT(*) AS da
+      |      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |bb AS (SELECT c_mktsegment, COUNT(*) AS db
+      |       FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+      |SELECT base.c_mktsegment,
+      |  CAST(b + COALESCE(da, 0) + COALESCE(db, 0) AS BIGINT) AS cnt,
+      |  CAST(3 AS INT) AS final_version
+      |FROM base LEFT JOIN a USING (c_mktsegment)
+      |  LEFT JOIN bb USING (c_mktsegment)
+      |ORDER BY base.c_mktsegment""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m47")
+    val seed = c.customer.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    TimeTravel.commit(wh, "analytics", "seg_counts", seed, "overwrite") // v1
+    def bump(delta: DataFrame)(state: DataFrame): DataFrame =
+      state.join(delta, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"),
+          (col("cnt") + coalesce(col("d"), lit(0L))).as("cnt"))
+    val deltaA = c.orders
+      .join(c.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("d"))
+    val deltaB = c.customer.filter(col("c_acctbal") > 0)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("d"))
+    // the race, interleaved deterministically: both snapshot v1
+    val ra = Occ.snapshot(wh, "analytics", "seg_counts")
+    val rb = Occ.snapshot(wh, "analytics", "seg_counts")
+    require(Occ.tryCommit(wh, "analytics", "seg_counts",
+      bump(deltaB)(rb.df), rb.version, "wb"), "B saw v1 and must win v2")
+    require(!Occ.tryCommit(wh, "analytics", "seg_counts",
+      bump(deltaA)(ra.df), ra.version, "wa"),
+      "A's stale CAS must LOSE, never clobber B")
+    val v = Occ.transact(wh, "analytics", "seg_counts", "wa")(bump(deltaA))
+    TimeTravel.read(wh, "analytics", "seg_counts", v)
+      .select(col("c_mktsegment"), col("cnt").cast(LongType).as("cnt"),
+        lit(v).cast(IntegerType).as("final_version"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47)
 }

@@ -15,6 +15,33 @@ class EngineSpec extends SparkSpec {
   private def df(rows: Seq[(Long, String, Int)]) =
     spark.createDataFrame(rows).toDF("k", "v", "wm")
 
+  test("m47: a lost CAS leaves history intact and its data dir as unreferenced residue") {
+    import spark.implicits._
+    val wh = freshWh("occ")
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    TimeTravel.commit(wh, "analytics", "t", t0, "overwrite") // v1
+    val stale = Occ.snapshot(wh, "analytics", "t")
+    assert(Occ.tryCommit(wh, "analytics", "t",
+      t0.withColumn("v", lit("w1")), stale.version, "winner"))
+    // the loser: same expected version, after the slot is gone
+    assert(!Occ.tryCommit(wh, "analytics", "t",
+      t0.withColumn("v", lit("l1")), stale.version, "loser"))
+    // history names exactly the winner's commit; v2 reads the winner
+    val snaps = TimeTravel.history(wh, "analytics", "t")
+    assert(snaps.map(_.version) == Seq(1, 2))
+    assert(snaps.last.commits == Seq("c00002_winner"))
+    val v2 = TimeTravel.read(wh, "analytics", "t", 2)
+      .select("v").distinct().collect().map(_.getString(0)).toSeq
+    assert(v2 == Seq("w1"))
+    // transact retry on the loser's behalf lands v3 on TOP of v2
+    val v = Occ.transact(wh, "analytics", "t", "loser")(
+      df => df.withColumn("v", concat(col("v"), lit("+l"))))
+    assert(v == 3)
+    val got = TimeTravel.read(wh, "analytics", "t", 3)
+      .select("v").distinct().collect().map(_.getString(0)).toSeq
+    assert(got == Seq("w1+l"), "the retry must build on the winner's state")
+  }
+
   test("m46: run-operation rejects unknown macros, journals the ops artifact") {
     val wh = freshWh("runop")
     val macros = Jinja.parseMacros(
