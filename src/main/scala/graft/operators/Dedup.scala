@@ -680,7 +680,23 @@ object Dedup {
     * clean_hash = md5 of the space-joined surviving tokens (md5 of
     * the empty string when everything was scrubbed).
     */
-  def exactSubstrScrub(docs: DataFrame, w: Int): DataFrame = {
+  def exactSubstrScrub(docs: DataFrame, w: Int): DataFrame =
+    exactSubstrScrubImpl(docs, w, fastHash = false)
+
+  /** The production dial of [[exactSubstrScrub]]: window keys come
+    * from plans/WindowHashes — one codegen'd rolling pass per doc,
+    * 8-byte LongType keys instead of per-position md5 strings, which
+    * shrinks the window-index shuffle ~4× and skips the w-token
+    * string copies. 64-bit-birthday collisions are the trade
+    * (~n²/2⁶⁵ spurious window matches); the md5 form stays the
+    * registered oracle-exact path. LlmOpsSpec pins the two paths
+    * row-identical on the compare corpus.
+    */
+  def exactSubstrScrubFast(docs: DataFrame, w: Int): DataFrame =
+    exactSubstrScrubImpl(docs, w, fastHash = true)
+
+  private def exactSubstrScrubImpl(docs: DataFrame, w: Int,
+      fastHash: Boolean): DataFrame = {
     require(w >= 2, "window must cover at least 2 tokens")
     // frozen: three consumers (window stream, token stream, per-doc
     // base) — without the freeze each re-splits the corpus
@@ -695,12 +711,20 @@ object Dedup {
     // to run twice than to spill a larger-than-input intermediate
     // (measured at sf0.1: recompute 3.95 s vs checkpoint 6.37 s, and
     // at 100 TB the checkpoint write is the worse trade by more)
-    val wins = toks.filter(size(col("t")) >= w)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("t")) - (w - 1))).as("pos"), col("t"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("t"), col("pos"), lit(w)))
-          .cast(BinaryType)).as("win"))
+    val wins =
+      if (fastHash)
+        toks.filter(size(col("t")) >= w)
+          .select(col("doc_id"), posexplode(
+              graft.plans.HashExpressions.windowHashes(col("t"), w))
+            .as(Seq("p0", "win")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("win"))
+      else
+        toks.filter(size(col("t")) >= w)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("t")) - (w - 1))).as("pos"), col("t"))
+          .select(col("doc_id"), col("pos"),
+            md5(concat_ws(" ", slice(col("t"), col("pos"), lit(w)))
+              .cast(BinaryType)).as("win"))
     val fw = wins.groupBy("win").agg(min("doc_id").as("first_doc"))
     val cov = wins.join(fw, "win")
       .filter(col("doc_id") > col("first_doc"))

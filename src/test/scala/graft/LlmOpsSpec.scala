@@ -74,6 +74,30 @@ class LlmOpsSpec extends SparkSpec {
       "cleaned text must be the uncovered tokens in original order")
   }
 
+  test("d14 fast path: WindowHashes keys reproduce the md5 path row for row, in codegen") {
+    val slow = Dedup.exactSubstrScrub(cat.documents, w = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fast = Dedup.exactSubstrScrubFast(cat.documents, w = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fast == slow,
+      "rolling-hash window keys must yield the identical scrub on the compare corpus")
+    // the whole point is staying codegen'd: the window projection
+    // must sit inside a WholeStageCodegen span
+    val plan = cat.documents
+      .select(graft.plans.HashExpressions.windowHashes(
+        split(lower(col("text")), " "), 8).as("wh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    // interpreted and generated paths share one arithmetic
+    import graft.plans.WindowHashes
+    val toks = Array(7L, 11L, 13L, 17L, 19L)
+    assert(WindowHashes.roll(toks, 2).length == 4)
+    assert(WindowHashes.roll(toks, 5).length == 1)
+    assert(WindowHashes.roll(toks, 6).isEmpty)
+    val b = 0x9E3779B97F4A7C15L
+    assert(WindowHashes.roll(toks, 2)(0) == 7L * b + 11L)
+  }
+
   test("x27: scaled-integer PageRank matches an independent single-node power iteration") {
     val out = LlmOps.x27.run(spark, sfDir).collect()
     val docIds = cat.documents.select("doc_id").collect().map(_.getLong(0))
