@@ -308,6 +308,42 @@ object Ann {
     topK(scored, k)
   }
 
+  /** FILTERED ANN (the vector-store "metadata filter" feature): each
+    * query retrieves its top-k among corpus vectors sharing the
+    * query's `filterCol` value — tenant isolation, language-scoped
+    * retrieval, split-scoped search. The predicate is pushed INTO
+    * the candidate equi-join key (cluster AND label), not applied
+    * after scoring: candidate volume shrinks by the label's
+    * selectivity before any cosine is computed, which is the entire
+    * point of filtered search at corpus scale (post-filtering a
+    * top-k both over-scores and under-returns). Same train/serve
+    * shape as [[ivf]]; oracle-gated with the label join mirrored in
+    * SQL over the retrained codebook.
+    */
+  def ivfFiltered(queries: DataFrame, corpus: DataFrame, k: Int,
+      filterCol: String = "label", nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    val cents = ivfCodebook(corpus, nCentroids, kmeansIters)
+    def centScores(v: String) = centScoresFor(cents, v)
+    val corpusA = normed(corpus)
+      .join(corpus.select(col("vec_id"), col(filterCol)), "vec_id")
+      .withColumn("cluster", array_max(centScores("v"))("i"))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+        col("cluster"), col(filterCol))
+    val queriesA = normed(queries)
+      .join(queries.select(col("vec_id"), col(filterCol)), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col(filterCol),
+        explode(transform(
+          slice(reverse(array_sort(centScores("v"))), 1, nProbe),
+          p => p("i"))).as("cluster"))
+    val cands = corpusA.join(queriesA, Seq("cluster", filterCol))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(scored, k)
+  }
+
   /** k-NN GRAPH: every vector's top-k cosine neighbors — the
     * self-query form of [[ivf]] (SemDeDup clustering, curriculum
     * neighborhoods, and graph-based filtering all start here). An

@@ -618,6 +618,37 @@ object LlmOps {
   // 11: the DuckDB oracle RETRAINS the codebook (ivfOracleSql) and
   // the full approximate result hash-compares; recall vs s01 stays
   // pinned in ScalaTest.
+  /** s10's oracle: the s03 skeleton with the label predicate joined
+    * INTO the candidate set (label carried from the raw table; the
+    * codebook retrains identically — same CTEs, same constants).
+    */
+  private def ivfFilteredOracleSql(nCentroids: Int, nProbe: Int, k: Int,
+      iters: Int = 2): String =
+    s"""${ivfTrainSql(nCentroids, iters)},
+       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
+       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
+       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+       |       JOIN embeddings lq ON lq.vec_id = p.vec_id
+       |       JOIN embeddings la ON la.vec_id = a.vec_id AND la.label = lq.label)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
+  // s10 — FILTERED vector search (the vector-store metadata-filter
+  // feature: tenant isolation, language-scoped retrieval): top-k
+  // cosine among corpus vectors sharing the query's label, with the
+  // predicate pushed INTO the candidate equi-join key (cluster AND
+  // label) — candidates shrink by the label's selectivity BEFORE any
+  // cosine is computed; post-filtering a plain top-k both
+  // over-scores and under-returns. Oracle retrains the codebook in
+  // SQL (s03's machinery) and mirrors the label join.
+  val s10: Q = q("s10_ann_filtered",
+    ivfFilteredOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
+    Ann.ivfFiltered(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val s03: Q = q("s03_ann_ivf",
     ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
     Ann.ivf(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
@@ -2427,7 +2458,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14,
-    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09,
+    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
     p01, p02, p03, mm01, mm02, mm03)

