@@ -1192,9 +1192,72 @@ object Relational {
       |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
       |ORDER BY o_orderkey""".stripMargin))
 
+  // q41 — LINEAR INTERPOLATION over the densified series (q39's
+  // spine, the other classic resampling fill): an interior gap day
+  // gets prev + (next − prev) · Δdays/span from its two flanking
+  // observations — four IGNORE-NULLS window scans (prev/next value
+  // and day) over the SAME per-entity partition, so the plan is
+  // q39's plus one mirrored window, still entity-partitioned and
+  // output-sized. The interpolation arithmetic is two exact
+  // DECIMAL→DOUBLE observations and integer day offsets in one
+  // identical expression shape both engines ROUND(,6).
+  val q41: Q = Q("q41_linear_interp", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val d = c.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("day_value"))
+      .localCheckpoint(true) // spine bounds + join (q39's freeze)
+    val spine = d.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_value").isNotNull, col("day"))
+    val j = spine.join(d, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("day_value"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+    j.select(col("user_id"), col("day"),
+        col("day_value").isNotNull.as("observed"),
+        round(when(col("day_value").isNotNull, col("day_value"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * datediff(col("day"), col("pd")).cast(DoubleType)
+            / datediff(col("nd"), col("pd")).cast(DoubleType)), 6)
+          .as("value_interp"))
+      .orderBy("user_id", "day")
+  }, Some(
+    """WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |spine AS (SELECT user_id,
+      |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1)),
+      |j AS (SELECT s.user_id, s.day, d.day_value,
+      |    last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN d.day_value IS NOT NULL THEN s.day END IGNORE NULLS)
+      |      OVER (PARTITION BY s.user_id ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(d.day_value IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN d.day_value IS NOT NULL THEN s.day END IGNORE NULLS)
+      |      OVER (PARTITION BY s.user_id ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM spine s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day, (day_value IS NOT NULL) AS observed,
+      |  ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+      |    ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE) END, 6)
+      |    AS value_interp
+      |FROM j ORDER BY user_id, day""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40)
+    q34, q35, q36, q37, q38, q39, q40, q41)
 }
