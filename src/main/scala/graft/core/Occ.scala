@@ -8,11 +8,17 @@ import org.apache.spark.sql.DataFrame
   * versioned manifest whose RENAME is the commit point).
   *
   * Protocol: a writer snapshots (version, state), computes the new
-  * full state, and publishes it as version+1 with a COMPARE-AND-SWAP:
-  * the manifest rename fails if the slot was taken (Hadoop rename
-  * refuses an existing destination), in which case the writer lost
-  * the race and must RE-READ and RE-APPLY — the blind alternative
-  * silently discards the winner's update (the lost-update anomaly).
+  * full state, and publishes it as version+1 with a COMPARE-AND-SWAP
+  * on the manifest slot: destination-exists check + rename. On HDFS /
+  * object stores with no-overwrite rename the rename itself is the
+  * atomic arbiter; on the local filesystem (where POSIX rename
+  * replaces) the exists check arbitrates — a check-then-rename
+  * window remains between truly simultaneous local commits, so the
+  * deployment note a cluster operator needs is "point the warehouse
+  * at a no-overwrite filesystem" (the same note every Delta-on-posix
+  * deployment carries). A writer that loses must RE-READ
+  * and RE-APPLY — the blind alternative silently discards the
+  * winner's update (the lost-update anomaly).
   * Each writer's data lands in a WRITER-SUFFIXED commit dir
   * (`c00002_wa`) so racing writers never touch each other's files;
   * the loser's orphan dir is unreferenced residue VACUUM sweeps.
