@@ -260,6 +260,68 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // d15 — dedup SURVIVORSHIP: which copy of each near-dup group to
+  // KEEP. d06 answers "which docs group together" with a min-id
+  // canonical; real curation keeps the HIGHEST-QUALITY copy (the
+  // boilerplate-stripped mirror should lose to the clean original
+  // regardless of crawl order), so the survivor is the group's
+  // argmax of x02's quality score with doc_id as the deterministic
+  // tiebreak. Composition: d06's candidate pairs + label
+  // propagation, one broadcast-size score projection joined back,
+  // ONE per-group window (rank-limit shape — groups are dup-cluster
+  // sized, never corpus sized). The oracle re-derives groups with
+  // the recursive CTE, recomputes the identical rounded score, and
+  // must agree on every keep/drop decision.
+  val d15: Q = q("d15_dedup_survivorship",
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |          JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (SELECT u, u FROM edges
+      |                 UNION
+      |                 SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+      |q AS (SELECT doc_id,
+      |        ROUND(0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0)
+      |          + 0.5 * (CAST(len(list_filter(t, x -> x IN ${inList(Text.enStops)})) AS DOUBLE) / len(t)), 6) AS score
+      |      FROM toks),
+      |r AS (SELECT comp.id AS doc_id, comp.canonical_id, q.score,
+      |        ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
+      |          ORDER BY q.score DESC, comp.id) AS rn
+      |      FROM comp JOIN q ON q.doc_id = comp.id),
+      |sv AS (SELECT canonical_id, doc_id AS survivor_id FROM r WHERE rn = 1),
+      |gs AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY canonical_id)
+      |SELECT r.doc_id, r.canonical_id, gs.group_size, r.score,
+      |  sv.survivor_id, (r.doc_id = sv.survivor_id) AS keep
+      |FROM r JOIN sv USING (canonical_id) JOIN gs USING (canonical_id)
+      |ORDER BY r.doc_id""") { c =>
+    val groups = DupGroups.groups(
+      Dedup.ngramJaccardPairs(c.documents, n = 3, threshold = 0.5, maxDf = 1000L))
+    val t = Text.tokens(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val scores = c.documents.select(col("doc_id"),
+      round(lit(0.5) * least(lit(1.0), nTok / 100.0)
+        + lit(0.5) * (Text.hitCount(t, Text.enStops).cast(DoubleType) / nTok), 6)
+        .as("score"))
+    val full = Window.partitionBy("canonical_id")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    groups.join(scores, "doc_id")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"), col("score"),
+        first(col("doc_id")).over(full).as("survivor_id"))
+      .withColumn("keep", col("doc_id") === col("survivor_id"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle for the registered (LSH-bucketed) d05, generated
     * from the SAME seeded hyperplanes the Spark plan uses. Both
     * engines accumulate every dot product in strict ascending-index
@@ -2457,7 +2519,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14,
+    d11, d12, d13, d14, d15,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
