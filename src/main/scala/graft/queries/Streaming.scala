@@ -973,6 +973,49 @@ object Streaming {
       |  CAST(rnk AS INT) AS rnk
       |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin.trim))
 
+  // e19 — as-of join WITH TOLERANCE (pandas merge_asof(tolerance=…),
+  // kdb wj: "the latest prior purchase, but only if it is fresh
+  // enough"): e06's AsOf composition — union + one rows-preceding
+  // window per key, no range explosion — followed by a staleness
+  // gate that NULLs matches older than 30 minutes while KEEPING the
+  // left row (an over-stale quote is missing data, not a dropped
+  // event). Equivalent to "latest within the window, else null"
+  // because the latest prior is the only candidate that could be in
+  // the window. The oracle is DuckDB's native ASOF LEFT JOIN with
+  // the same gate applied after — hash-gating the equivalence.
+  val e19: Q = q("e19_asof_tolerance",
+    """WITH p AS (SELECT event_id, ts, user_id, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id, ts, user_id, event_type FROM events
+      |      WHERE event_type <> 'purchase'),
+      |j AS (SELECT e.event_id, e.ts, e.user_id, e.event_type,
+      |        p.event_id AS p_id, p.value AS p_value, p.ts AS p_ts
+      |      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts)
+      |SELECT event_id, ts, user_id, event_type,
+      |  CASE WHEN p_ts IS NOT NULL AND epoch_us(ts) - epoch_us(p_ts) <= 1800000000
+      |       THEN p_id END AS prior_purchase_id,
+      |  CASE WHEN p_ts IS NOT NULL AND epoch_us(ts) - epoch_us(p_ts) <= 1800000000
+      |       THEN p_value END AS prior_purchase_value,
+      |  CASE WHEN p_ts IS NOT NULL AND epoch_us(ts) - epoch_us(p_ts) <= 1800000000
+      |       THEN CAST(FLOOR((epoch_us(ts) - epoch_us(p_ts)) / 1000000) AS BIGINT) END AS staleness_s
+      |FROM j ORDER BY event_id""") { c =>
+    val tolMicros = 1800000000L
+    val purchases = c.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("ts").as("p_ts"))
+    val others = c.events.filter(col("event_type") =!= "purchase")
+      .select("event_id", "ts", "user_id", "event_type")
+    val age = Catalog.epochMicros(col("ts")) -
+      Catalog.epochMicros(col("asof.p_ts"))
+    val fresh = col("asof.p_ts").isNotNull && age <= tolMicros
+    graft.operators.AsOf.joinAsOf(others, purchases, "user_id", "ts")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(fresh, col("asof.event_id")).as("prior_purchase_id"),
+        when(fresh, col("asof.value")).as("prior_purchase_value"),
+        when(fresh, floor(age / lit(1000000L)).cast(LongType)).as("staleness_s"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18)
+    e12, e13, e14, e15, e16, e17, e18, e19)
 }
