@@ -325,13 +325,17 @@ object Ann {
       kmeansIters: Int = 2): DataFrame = {
     val cents = ivfCodebook(corpus, nCentroids, kmeansIters)
     def centScores(v: String) = centScoresFor(cents, v)
-    val corpusA = normed(corpus)
-      .join(corpus.select(col("vec_id"), col(filterCol)), "vec_id")
+    // label-preserving norm projection: ONE scan per side (a normed +
+    // label re-join reads each parquet twice — Explain audit)
+    def normedWith(emb: DataFrame): DataFrame =
+      emb.select(col("vec_id"),
+          Vectors.toDouble(col("embedding")).as("v"), col(filterCol))
+        .withColumn("nrm", Vectors.norm(col("v")))
+    val corpusA = normedWith(corpus)
       .withColumn("cluster", array_max(centScores("v"))("i"))
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
         col("cluster"), col(filterCol))
-    val queriesA = normed(queries)
-      .join(queries.select(col("vec_id"), col(filterCol)), "vec_id")
+    val queriesA = normedWith(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col(filterCol),
         explode(transform(

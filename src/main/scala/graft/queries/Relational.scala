@@ -1160,14 +1160,18 @@ object Relational {
   // as-of rewrite equals the range-join semantics row for row.
   val q40: Q = Q("q40_temporal_join", (spark, dir) => {
     val c = Catalog(spark, dir)
-    val cust = c.customer.select(col("c_custkey").as("ckey"), col("c_mktsegment"))
-    val dim = cust.select(col("ckey"),
-        lit(java.sql.Date.valueOf("1992-01-01")).as("vdate"),
-        concat(lit("LEGACY_"), col("c_mktsegment")).as("segment_at"),
-        lit(1).as("version"))
-      .unionAll(cust.select(col("ckey"),
-        lit(java.sql.Date.valueOf("1996-01-01")).as("vdate"),
-        col("c_mktsegment").as("segment_at"), lit(2).as("version")))
+    // one customer scan: the two versions explode from an inline
+    // array instead of a self-union (Explain audit: 3 → 2 fileScans)
+    val dim = c.customer.select(col("c_custkey").as("ckey"),
+        explode(array(
+          struct(lit(java.sql.Date.valueOf("1992-01-01")).as("vdate"),
+            concat(lit("LEGACY_"), col("c_mktsegment")).as("segment_at"),
+            lit(1).as("version")),
+          struct(lit(java.sql.Date.valueOf("1996-01-01")).as("vdate"),
+            col("c_mktsegment").as("segment_at"),
+            lit(2).as("version")))).as("x"))
+      .select(col("ckey"), col("x.vdate").as("vdate"),
+        col("x.segment_at").as("segment_at"), col("x.version").as("version"))
     val facts = c.orders.select(col("o_orderkey"),
       col("o_custkey").as("ckey"), col("o_orderdate").as("vdate"))
     graft.operators.AsOf.joinAsOf(facts, dim, "ckey", "vdate")

@@ -289,4 +289,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WindowHashes.roll == direct polynomial evaluation on random token arrays") {
+    import graft.plans.WindowHashes
+    val b = 0x9E3779B97F4A7C15L
+    def direct(tok: Array[Long], w: Int): Array[Long] =
+      (0 to tok.length - w).map { i =>
+        var h = 0L
+        var j = 0
+        while (j < w) { h = h * b + tok(i + j); j += 1 }
+        h
+      }.toArray
+    for (i <- 1 to 30) {
+      val n = sample(Gen.choose(0, 40), 9000 + i)
+      val tok = sample(Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)), 9100 + i).toArray
+      val w = sample(Gen.choose(1, 12), 9200 + i)
+      val exp = if (n < w) Array.emptyLongArray else direct(tok, w)
+      assert(WindowHashes.roll(tok, w).toSeq == exp.toSeq,
+        s"n=$n w=$w: the rolling update must equal the direct polynomial")
+    }
+  }
 }
