@@ -974,4 +974,69 @@ object Ann {
         Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
     topK(scored, k)
   }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein '98)
+    * re-ranking: greedily pick `k` results balancing relevance to the
+    * query against redundancy with what's already picked —
+    * score = λ·rel − (1−λ)·max_sim(selected). THE standard diversity
+    * re-rank in RAG retrieval, where the raw top-k is five paraphrases
+    * of one passage.
+    *
+    * Scale shape: MMR is inherently sequential in k, but everything
+    * sequential is SHORTLIST-bounded — the corpus-sized work is the
+    * one [[brute]] (or IVF) pass producing the shortlist; after that,
+    * the pairwise-sim table is |Q|·shortlist² rows and each of the
+    * k−1 greedy steps is a shortlist-bounded join + per-query argmax
+    * window, fully distributed ACROSS queries (a million queries run
+    * their greedy loops in parallel; only the k trips are serial).
+    * All compare keys are ROUND(,6) scores (the s07 discipline), so
+    * the greedy trajectory is reproducible cross-engine. The step
+    * loop doubles the `selected` lineage per trip — fine at k ≤ ~8;
+    * larger k should checkpoint per step.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      shortlist: Int = 12, lam: Double = 0.7): DataFrame = {
+    val cand = brute(queries, corpus, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+    val n = normed(corpus)
+    val withVec = cand.join(
+      n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+      "neighbor_id")
+    val a = withVec.select(col("query_id"), col("neighbor_id").as("a"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = withVec.select(col("query_id"), col("neighbor_id").as("b"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pair = a.join(b, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(Vectors.cosine(col("av"), col("bv"), col("an"), col("bn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+    val first = cand
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).cast(IntegerType).as("rank"), col("rel").as("score"))
+    var selected = first
+    for (step <- 2 to k) {
+      val selKeys = selected.select(col("query_id"), col("neighbor_id"))
+      val remaining = cand.join(selKeys, Seq("query_id", "neighbor_id"),
+        "left_anti")
+      val maxSim = pair
+        .join(selKeys.withColumnRenamed("neighbor_id", "b"),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("neighbor_id"))
+        .agg(max("sim").as("max_sim"))
+      val pick = remaining.join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("score",
+          round(lit(lam) * col("rel") - lit(1.0 - lam) * col("max_sim"), 6))
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("score").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(step).cast(IntegerType).as("rank"), col("score"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
 }

@@ -711,6 +711,126 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  // s11 — ANN RECALL EVALUATION (index-quality monitoring, the
+  // metric every production vector deployment tracks before turning
+  // a probe dial): recall@5 of the IVF index against brute-force
+  // ground truth, per query plus the corpus roll-up (query_id = -1).
+  // Both rankings run IN the same plan — truth is s01's exact top-k,
+  // approx is s03's probed top-k — and the compare is a left-semi
+  // join on (query_id, neighbor_id), so the eval costs one extra
+  // k-bounded join over what the two searches already cost. The
+  // roll-up divides INTEGER hit/k sums once (no double summation
+  // order to disagree on). Oracle: the retrained-codebook recipe
+  // (ivfTrainSql) re-derives the identical approx ranking in SQL,
+  // brute in SQL, and recomputes the same recall arithmetic.
+  val s11: Q = q("s11_ann_recall_eval",
+    s"""${ivfTrainSql(nCentroids = 16)},
+       |${ivfAssign("pf", "c2", "rn <= 4", " WHERE n.vec_id < 20")},
+       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
+       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+       |ak AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rn FROM sc) WHERE rn <= 5),
+       |bp AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${ivfDot("q.v", "a.v")} / (q.nrm*a.nrm) AS cos
+       |       FROM n q JOIN n a ON q.vec_id < 20 AND a.vec_id <> q.vec_id),
+       |bk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rn FROM bp) WHERE rn <= 5),
+       |per AS (SELECT b.query_id, COUNT(a.neighbor_id) AS hits, COUNT(*) AS k
+       |  FROM bk b LEFT JOIN ak a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  GROUP BY b.query_id)
+       |SELECT query_id, CAST(hits AS INT) AS n_hits,
+       |  ROUND(CAST(hits AS DOUBLE) / k, 6) AS recall FROM per
+       |UNION ALL
+       |SELECT -1 AS query_id, CAST(SUM(hits) AS INT) AS n_hits,
+       |  ROUND(CAST(SUM(hits) AS DOUBLE) / SUM(k), 6) AS recall FROM per
+       |ORDER BY query_id""".stripMargin) { c =>
+    val queries = c.embeddings.filter(col("vec_id") < 20)
+    val truth = Ann.brute(queries, c.embeddings, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Ann.ivf(queries, c.embeddings, k = 5)
+      .select("query_id", "neighbor_id")
+    val per = truth
+      .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"), count(lit(1)).as("k"))
+    per.select(col("query_id"), col("hits").cast("int").as("n_hits"),
+        round(col("hits").cast("double") / col("k"), 6).as("recall"))
+      .unionByName(per.agg(sum("hits").as("h"), sum("k").as("kk"))
+        .select(lit(-1L).as("query_id"), col("h").cast("int").as("n_hits"),
+          round(col("h").cast("double") / col("kk"), 6).as("recall")))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB mirror of [[Ann.mmrRerank]]: the greedy MMR trajectory
+    * unrolled as one CTE chain per trip. The λ and 1−λ literals are
+    * interpolated FROM the Scala doubles (1.0−0.7 is
+    * 0.30000000000000004 in IEEE — writing "0.3" would diverge at
+    * the 17th digit and eventually flip an argmax), and every compare
+    * key is ROUND(,6) so the greedy trajectory is reproducible.
+    */
+  private def mmrOracleSql(k: Int, shortlist: Int, lam: Double): String = {
+    val steps = (2 to k).map { t =>
+      s"""ms$t AS (SELECT p.query_id, p.a AS neighbor_id, MAX(p.sim) AS max_sim
+         |  FROM pair p JOIN sel${t - 1} s
+         |    ON s.query_id = p.query_id AND s.neighbor_id = p.b
+         |  GROUP BY p.query_id, p.a),
+         |c$t AS (SELECT c.query_id, c.neighbor_id,
+         |    ROUND($lam * c.rel - ${1.0 - lam} * m.max_sim, 6) AS score
+         |  FROM cand c JOIN ms$t m
+         |    ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+         |st$t AS (SELECT query_id, neighbor_id, $t AS rank, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rn FROM c$t) WHERE rn = 1),
+         |sel$t AS (SELECT query_id, neighbor_id FROM sel${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM st$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(t => s"SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score FROM st$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
+       |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        ${ivfDot("q.v", "c.v")} / (q.nrm*c.nrm) AS cos
+       |       FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rn FROM bp) WHERE rn <= $shortlist),
+       |pair AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+       |    ROUND(${ivfDot("va.v", "vb.v")} / (va.nrm*vb.nrm), 6) AS sim
+       |  FROM cand x JOIN cand y
+       |    ON y.query_id = x.query_id AND y.neighbor_id <> x.neighbor_id
+       |  JOIN n va ON va.vec_id = x.neighbor_id
+       |  JOIN n vb ON vb.vec_id = y.neighbor_id),
+       |st1 AS (SELECT query_id, neighbor_id, 1 AS rank, rel AS score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM st1),
+       |$steps
+       |$union
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // s12 — MMR DIVERSITY re-ranking (Carbonell & Goldstein '98 —
+  // the standard RAG redundancy fix: the raw top-k is five
+  // paraphrases of one passage; MMR greedily trades relevance
+  // against similarity to what's already picked). Sequential only in
+  // k: the corpus-sized work is the one shortlist retrieval, every
+  // greedy trip is shortlist-bounded and distributed ACROSS queries.
+  // ORACLE-GATED on the full greedy trajectory (ranks AND scores) —
+  // the SQL unrolls the k−1 trips as CTEs from the same constants.
+  val s12: Q = q("s12_mmr_diversify",
+    mmrOracleSql(k = 5, shortlist = 12, lam = 0.7)) { c =>
+    Ann.mmrRerank(c.embeddings.filter(col("vec_id") < 20), c.embeddings,
+        k = 5, shortlist = 12, lam = 0.7)
+      .orderBy("query_id", "rank")
+  }
+
   val s03: Q = q("s03_ann_ivf",
     ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
     Ann.ivf(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
@@ -2518,10 +2638,178 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // p04 — CURATION FUNNEL REPORT (the accounting every corpus
+  // curation run publishes: docs and tokens surviving each stage —
+  // raw → exact dedup → quality filter → decontamination — the
+  // first artifact a data lead asks for and the one that catches a
+  // mis-dialed filter eating 40% of the corpus). Composed from the
+  // registered stages' EXACT predicates (d01 keep-first, x06
+  // lang+score gate, x13 4-gram eval overlap), but computed as ONE
+  // dataflow: every doc gets its stage-survival FLAGS in a single
+  // pipeline (the dedup window and the contamination join are the
+  // only shuffles — both inherent to their stages), then one
+  // aggregate emits all four stage rows via an unpivot of eight
+  // sums — no per-stage re-scan of the corpus. Eval docs
+  // (doc_id < 20) leave at the decontamination stage along with
+  // overlap hits: benchmarks are not training data.
+  val p04: Q = q("p04_funnel_report",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, toks, len(toks) AS n_tok,
+       |    doc_id = keeper AS s2,
+       |    len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS en_hits,
+       |    len(list_filter(toks, x -> x IN ${inList(Text.esStops)})) AS es_hits,
+       |    len(list_filter(toks, x -> x IN ${inList(Text.deStops)})) AS de_hits,
+       |    len(list_filter(toks, x -> x IN ${inList(Text.frStops)})) AS fr_hits
+       |  FROM t),
+       |q3 AS (SELECT *,
+       |    s2 AND (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |         WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END) = lang
+       |      AND 0.5 * LEAST(1.0, CAST(n_tok AS DOUBLE) / 100.0)
+       |        + 0.5 * (CAST(en_hits AS DOUBLE) / n_tok) >= 0.3 AS s3
+       |  FROM h),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-2),
+       |        i -> array_to_string(toks[i:i+3], ' ')))) AS g4
+       |      FROM t WHERE len(toks) >= 4),
+       |ev AS (SELECT DISTINCT g4 FROM g WHERE doc_id < 20),
+       |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (g4) WHERE g.doc_id >= 20),
+       |f AS (SELECT *,
+       |    s3 AND doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont) AS s4
+       |  FROM q3),
+       |a AS (SELECT COUNT(*) AS d1, CAST(SUM(n_tok) AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |    CAST(SUM(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+       |    CAST(SUM(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+       |    CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+       |    CAST(SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+       |  FROM f)
+       |SELECT 1 AS stage_idx, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM a
+       |UNION ALL SELECT 2, 'exact_dedup', d2, t2 FROM a
+       |UNION ALL SELECT 3, 'quality', d3, t3 FROM a
+       |UNION ALL SELECT 4, 'decontam', d4, t4 FROM a
+       |ORDER BY stage_idx""".stripMargin) { c =>
+    val toks = Text.tokens(col("text"))
+    val base = c.documents.select(col("doc_id"), col("lang"),
+      toks.as("toks"),
+      (col("doc_id") === min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")
+          .cast("binary"))))).as("s2"))
+    val h = base.select(col("doc_id"), col("lang"), col("s2"),
+      size(col("toks")).as("n_tok"),
+      Text.hitCount(col("toks"), Text.enStops).as("en_hits"),
+      Text.hitCount(col("toks"), Text.esStops).as("es_hits"),
+      Text.hitCount(col("toks"), Text.deStops).as("de_hits"),
+      Text.hitCount(col("toks"), Text.frStops).as("fr_hits"),
+      col("toks"))
+    val nTok = col("n_tok").cast(DoubleType)
+    val score = lit(0.5) * least(lit(1.0), nTok / 100.0) +
+      lit(0.5) * (col("en_hits").cast(DoubleType) / nTok)
+    val q3 = h.withColumn("s3",
+      col("s2") &&
+        (Text.predLang(col("en_hits"), col("es_hits"),
+          col("de_hits"), col("fr_hits")) === col("lang")) && score >= 0.3)
+    val g = q3.filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 4)).as("g4"))
+      .distinct()
+    val ev = g.filter(col("doc_id") < 20).select("g4").distinct()
+    val cont = g.filter(col("doc_id") >= 20)
+      .join(broadcast(ev), "g4").select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    val f = q3.join(cont, Seq("doc_id"), "left")
+      .withColumn("s4", col("s3") && col("doc_id") >= 20 &&
+        coalesce(col("contaminated"), lit(false)) === false)
+    val a = f.agg(
+      count(lit(1)).as("d1"), sum("n_tok").cast(LongType).as("t1"),
+      sum(when(col("s2"), 1).otherwise(0)).cast(LongType).as("d2"),
+      sum(when(col("s2"), col("n_tok")).otherwise(0)).cast(LongType).as("t2"),
+      sum(when(col("s3"), 1).otherwise(0)).cast(LongType).as("d3"),
+      sum(when(col("s3"), col("n_tok")).otherwise(0)).cast(LongType).as("t3"),
+      sum(when(col("s4"), 1).otherwise(0)).cast(LongType).as("d4"),
+      sum(when(col("s4"), col("n_tok")).otherwise(0)).cast(LongType).as("t4"))
+    a.select(explode(array(
+        struct(lit(1).as("stage_idx"), lit("raw").as("stage"),
+          col("d1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2).as("stage_idx"), lit("exact_dedup").as("stage"),
+          col("d2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit(3).as("stage_idx"), lit("quality").as("stage"),
+          col("d3").as("n_docs"), col("t3").as("n_tokens")),
+        struct(lit(4).as("stage_idx"), lit("decontam").as("stage"),
+          col("d4").as("n_docs"), col("t4").as("n_tokens")))).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage_idx")
+  }
+
+  // ---------------------------------------------------------------
+  // x28 — PMI COLLOCATIONS (pointwise mutual information over
+  // adjacent bigrams — the classic collocation-extraction /
+  // phrase-mining statistic, word2vec-preprocessing's phrase pass):
+  // PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with bigram and
+  // unigram probabilities from the same scan. Scale shape: TWO
+  // map-side-combined hash aggregations (unigrams, bigrams — the
+  // bigram stream is a NARROW transform/explode off one
+  // tokenization, no self-join on token position), then the
+  // vocab²-bounded bigram frame joins the vocab-bounded unigram
+  // counts twice via BROADCAST — nothing after the aggregations is
+  // corpus-sized. Determinism: PMI is one ln of exact-integer
+  // ratios evaluated in the identical parenthesization both
+  // engines, ROUND(,6) before ranking.
+  val x28: Q = q("x28_pmi_collocations",
+    """WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |u AS (SELECT w, COUNT(*) AS c1 FROM uni WHERE w <> '' GROUP BY w),
+      |nt AS (SELECT COUNT(*) AS n FROM uni WHERE w <> ''),
+      |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr
+      |       FROM toks WHERE len(t) >= 2),
+      |nb AS (SELECT COUNT(*) AS n FROM bg),
+      |b AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c12 FROM bg
+      |      WHERE pr[1] <> '' AND pr[2] <> '' GROUP BY 1, 2),
+      |p AS (SELECT w1, w2, c12,
+      |    ROUND(ln((CAST(c12 AS DOUBLE) / nb.n)
+      |      / ((CAST(u1.c1 AS DOUBLE) / nt.n) * (CAST(u2.c1 AS DOUBLE) / nt.n))), 6) AS pmi
+      |  FROM b JOIN u u1 ON u1.w = b.w1 JOIN u u2 ON u2.w = b.w2, nt, nb
+      |  WHERE c12 >= 5)
+      |SELECT w1, w2, c12 AS n_pair, pmi, CAST(rn AS INT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM p)
+      |WHERE rn <= 50 ORDER BY rank""") { c =>
+    val toks = c.documents.select(Text.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w")).filter(col("w") =!= "")
+    val u = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nt = uni.agg(count(lit(1)).as("nt"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(t)-2), i -> array(t[i], t[i+1]))")).as("pr"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    val b = bg
+      .filter(col("pr")(0) =!= "" && col("pr")(1) =!= "")
+      .groupBy(col("pr")(0).as("w1"), col("pr")(1).as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val dbl = (x: Column) => x.cast(DoubleType)
+    val scored = b
+      .join(broadcast(u.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a")), "w1")
+      .join(broadcast(u.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b")), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12").as("n_pair"),
+        round(log((dbl(col("c12")) / col("nb"))
+          / ((dbl(col("c1a")) / col("nt")) * (dbl(col("c1b")) / col("nt")))), 6)
+          .as("pmi"))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pmi").desc, col("w1"), col("w2"))).cast(IntegerType))
+      .filter(col("rank") <= 50)
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d15,
-    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10,
+    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27,
-    p01, p02, p03, mm01, mm02, mm03)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
+    p01, p02, p03, p04, mm01, mm02, mm03)
 }

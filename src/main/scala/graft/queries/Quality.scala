@@ -685,7 +685,52 @@ object Quality {
       .orderBy("check_name")
   }
 
+  // t17 — SEASONAL volume anomaly: t07's trailing z-score is
+  // weekday-blind, so a quiet-Sunday/busy-Monday corpus flags every
+  // Monday. Here each day's count compares against the SAME-WEEKDAY
+  // trailing baseline (up to 4 prior same-weekday observations —
+  // seasonal-naive, the elementary/Prophet-lite default for weekly
+  // seasonality) and flags relative deviations past 50%. Scale
+  // shape: identical to t07 — the seasonal window runs over the
+  // post-aggregate daily series partitioned by weekday (calendar-
+  // bounded, 7 partitions of days), the corpus-sized work is the one
+  // map-side-combined groupBy(day).
+  val t17: Q = q("t17_seasonal_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT day, CAST(isodow(day) AS INT) AS dow, n_events,
+      |  COUNT(*)      OVER sw AS b_n,
+      |  SUM(n_events) OVER sw AS b_sum
+      |  FROM daily
+      |  WINDOW sw AS (PARTITION BY isodow(day) ORDER BY day
+      |                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+      |SELECT day, dow, n_events,
+      |  ROUND(CASE WHEN b_n >= 2 THEN CAST(b_sum AS DOUBLE) / b_n END, 6) AS baseline,
+      |  CASE WHEN b_n < 2 THEN 'insufficient'
+      |       WHEN abs(n_events - CAST(b_sum AS DOUBLE) / b_n)
+      |            > 0.5 * (CAST(b_sum AS DOUBLE) / b_n) THEN 'anomaly'
+      |       ELSE 'ok' END AS status
+      |FROM w ORDER BY day""") { c =>
+    val daily = c.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val sw = Window.partitionBy(weekday(col("day")))
+      .orderBy("day").rowsBetween(-4, -1)
+    val base = col("b_sum").cast(DoubleType) / col("b_n")
+    daily
+      .withColumn("dow", (weekday(col("day")) + 1).cast("int"))
+      .withColumn("b_n", count(lit(1)).over(sw))
+      .withColumn("b_sum", sum("n_events").over(sw))
+      .select(col("day"), col("dow"), col("n_events"),
+        round(when(col("b_n") >= 2, base), 6).as("baseline"),
+        when(col("b_n") < 2, "insufficient")
+          .when(abs(col("n_events") - base) > lit(0.5) * base, "anomaly")
+          .otherwise("ok").as("status"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t17)
 }

@@ -1259,9 +1259,99 @@ object Relational {
       |    AS value_interp
       |FROM j ORDER BY user_id, day""".stripMargin))
 
+  // ---------------------------------------------------------------
+  // q42 — INTERVAL CONCURRENCY via sweep-line: peak simultaneous
+  // sessions per day. The naive plan is an interval self-join
+  // (quadratic in overlap density); the sweep reduces it to ±1
+  // deltas at interval endpoints and ONE running sum — 2n rows,
+  // no join. The running sum itself is computed scale-safely with
+  // the two-phase prefix-sum discipline (x16/x18's): a per-DAY
+  // partitioned running window plus a calendar-sized carry-in of
+  // prior days' net deltas — no corpus-wide single-partition
+  // window anywhere (the oracle's global window is the semantic
+  // statement; days order by time, so carry-in + within-day prefix
+  // ≡ the global prefix). Ties at equal timestamps process starts
+  // before ends (delta DESC: touching closed intervals overlap),
+  // then (user_id, session_seq) for full determinism.
+  val q42: Q = q("q42_interval_concurrency",
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+      |iv AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+      |       FROM t GROUP BY user_id, sid),
+      |d AS (SELECT st AS t, 1 AS delta, user_id, sid FROM iv
+      |      UNION ALL
+      |      SELECT en AS t, -1 AS delta, user_id, sid FROM iv),
+      |r AS (SELECT t, delta,
+      |        SUM(delta) OVER (ORDER BY t, delta DESC, user_id, sid
+      |          ROWS UNBOUNDED PRECEDING) AS conc
+      |      FROM d)
+      |SELECT CAST(t AS DATE) AS day, CAST(MAX(conc) AS INT) AS peak_concurrency,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+      |FROM r GROUP BY 1 ORDER BY day""") { c =>
+    val iv = graft.streaming.EventStream.sessionize(c.events)
+      .select("user_id", "session_seq", "session_start", "session_end")
+    val d = iv.select(col("session_start").as("t"), lit(1).as("delta"),
+        col("user_id"), col("session_seq"))
+      .unionByName(iv.select(col("session_end").as("t"), lit(-1).as("delta"),
+        col("user_id"), col("session_seq")))
+      .withColumn("day", to_date(col("t")))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("t"), col("delta").desc, col("user_id"), col("session_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCal = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = d.groupBy("day").agg(sum("delta").as("net"))
+      .select(col("day"), coalesce(sum("net").over(wCal), lit(0)).as("carry"))
+    d.withColumn("run", sum("delta").over(wDay))
+      .join(broadcast(carry), "day")
+      .withColumn("conc", col("carry") + col("run"))
+      .groupBy("day")
+      .agg(max("conc").cast(IntegerType).as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1).otherwise(0)).as("n_starts"))
+      .orderBy("day")
+  }
+
+  // q43 — APPROXIMATE TOP-K via the MisraGries typed aggregate
+  // (plans/SketchAggregates.scala): heavy hitters without shuffling
+  // one row per distinct item. Each map task folds its partition
+  // into a capacity-bounded buffer; partial buffers merge on the
+  // reducer (mergeable summaries) — only capacity-sized state
+  // crosses the wire, the plan that survives a billion-distinct
+  // item column where groupBy(item) cannot. Oracle-gated in the
+  // EXACT regime (capacity 128 ≥ the corpus vocabulary, so no
+  // decrement fires in any partial and the summary IS the exact
+  // frequency table); the sketch regime's N/(capacity+1) undercount
+  // bound is pinned in RelationalSpec on an undersized buffer.
+  val q43: Q = q("q43_approx_topk",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, COUNT(*) AS cnt FROM tok WHERE word <> '' GROUP BY word)
+      |SELECT word, cnt, CAST(rn AS INT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rn FROM c)
+      |WHERE rn <= 10 ORDER BY rank""") { c =>
+    val words = c.documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    words
+      .agg(graft.plans.Sketches.approxTopItems(col("word"), capacity = 128).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+          .cast(IntegerType))
+      .filter(col("rank") <= 10)
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

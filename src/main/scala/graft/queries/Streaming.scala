@@ -1016,6 +1016,83 @@ object Streaming {
       .orderBy("event_id")
   }
 
+  private val e20State = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, java.nio.file.Path, java.nio.file.Path)]()
+
+  // e20 — KAPPA BACKFILL (the batch→stream migration seam every
+  // production pipeline crosses: Kreps' "Questioning the Lambda
+  // Architecture" shape): ONE unified table fed by a batch backfill
+  // of the history (everything before histEnd, recomputed from the
+  // lake in one distributed write) plus a live stream whose landing
+  // window OVERLAPS the history by three days — the overlap is
+  // deliberate (a gap would lose events if the backfill cut and the
+  // stream start ever disagreed; overlap + reconciliation is the
+  // safe order of operations). Each micro-batch reconciles the seam
+  // EXACTLY-ONCE with a left-anti join against the table's own
+  // event_ids (order-free across micro-batches — unlike a max-ts
+  // watermark append, out-of-order landing files cannot drop new
+  // rows), frozen via localCheckpoint before the append so the write
+  // never scans its own output (IngestDedup's discipline). Landing
+  // files split by event_id stripe so EVERY micro-batch carries both
+  // seam duplicates and novel rows. The oracle states the invariant
+  // declaratively: the unified table is every event exactly once.
+  val e20: Q = Q("e20_stream_backfill", (spark, dir) => {
+    val histEnd = lit("2024-01-25 00:00:00").cast(TimestampNTZType)
+    val streamStart = lit("2024-01-22 00:00:00").cast(TimestampNTZType)
+    val (whRoot, srcDir, ckpt) = e20State.computeIfAbsent(dir, _ => {
+      val wh = Warehouse.scratch(spark, "e20")
+      val norm = Catalog(spark, dir).events
+      wh.write(norm.filter(col("ts") < histEnd), "analytics", "events_unified")
+      val live = norm.filter(col("ts") >= streamStart)
+      val srcDir = Scratch.dir("e20_src")
+      def land(slice: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val stage = Scratch.dir(s"e20_$name")
+        slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        require(dst.toFile.setLastModified(mtime),
+          "cannot order e20 landing files")
+        Scratch.remove(stage)
+      }
+      land(live.filter(col("event_id") % 3 === 0), "a_stripe", 1700000000000L)
+      land(live.filter(col("event_id") % 3 === 1), "b_stripe", 1700000001000L)
+      land(live.filter(col("event_id") % 3 === 2), "c_stripe", 1700000002000L)
+      (wh.root, srcDir, Scratch.dir("e20_ckpt"))
+    })
+    val wh = Warehouse(spark, whRoot)
+    locally {
+      val schema = Catalog(spark, dir).events.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val seen = wh.read("analytics", "events_unified").select("event_id")
+          val fresh = batch.join(seen, Seq("event_id"), "left_anti")
+            .localCheckpoint(true)
+          wh.write(fresh, "analytics", "events_unified", mode = "append")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+    }
+    wh.read("analytics", "events_unified")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .orderBy("event_type")
+  }, Some(
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20)
 }

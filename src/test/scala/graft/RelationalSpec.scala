@@ -155,4 +155,63 @@ class RelationalSpec extends SparkSpec {
       "EUROPE" -> "NATION_13,NATION_18,NATION_23,NATION_3,NATION_8",
       "MIDDLE EAST" -> "NATION_14,NATION_19,NATION_24,NATION_4,NATION_9"))
   }
+
+  test("MisraGries sketch regime: heavy hitter survives, counts never overcount, undercount bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 500 copies of a heavy item + 100 singletons, capacity 8:
+    // N = 600, guarantee = any true frequency > N/(cap+1) ~ 66 survives
+    // with undercount <= N/(cap+1); no count ever exceeds the truth.
+    val items = (Seq.fill(500)("hot") ++ (0 until 100).map(i => s"cold_$i"))
+    val df = items.toDF("w").repartition(7) // force partial-buffer merges
+    val got = df.agg(graft.plans.Sketches.approxTopItems(col("w"), capacity = 8).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bound = 600L / 9 + 1
+    assert(got.contains("hot"), "heavy hitter must survive the sketch")
+    assert(got("hot") <= 500L && got("hot") >= 500L - bound,
+      s"hot count ${got("hot")} outside [${500L - bound}, 500]")
+    got.foreach { case (k, n) =>
+      assert(n <= truth(k), s"$k overcounted: $n > ${truth(k)}")
+    }
+    assert(got.size <= 8, "summary exceeds capacity")
+  }
+
+  test("MisraGries exact regime: capacity above distincts reproduces groupBy counts across merges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val items = (0 until 1000).map(i => s"w${i % 13}")
+    val df = items.toDF("w").repartition(9)
+    val got = df.agg(graft.plans.Sketches.approxTopItems(col("w"), capacity = 64).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == truth)
+  }
+
+  test("q42 sweep-line equals the single-node interval sweep reference") {
+    val got = graft.queries.Relational.q42.run(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    // independent reference: collect sessions, run the sweep in plain Scala
+    val iv = graft.streaming.EventStream.sessionize(
+        graft.sources.Catalog(spark, sfDir).events)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3)))
+    val deltas = iv.flatMap { case (u, sid, st, en) =>
+      Seq((st, 1, u, sid), (en, -1, u, sid)) }
+    val ordered = deltas.sortBy { case (t, d, u, sid) =>
+      (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano, -d, u, sid) }
+    var conc = 0
+    val byDay = scala.collection.mutable.Map.empty[String, (Int, Long)]
+    ordered.foreach { case (t, d, _, _) =>
+      conc += d
+      val day = t.toLocalDate.toString
+      val (pk, st) = byDay.getOrElse(day, (Int.MinValue, 0L))
+      byDay(day) = (math.max(pk, conc), st + (if (d == 1) 1 else 0))
+    }
+    assert(got.toSet == byDay.map { case (d, (p, s)) => (d, p, s) }.toSet)
+  }
 }
