@@ -156,6 +156,19 @@ final case class Model(
   def targetSchema: String = schemaSuffix.fold(schema)(s => s"${schema}_$s")
   def checksum: String =
     Checksum.md5(name + "|" + deps.mkString(",") + "|" + body)
+
+  /** Checksum of the model's CONFIG (materialization, target schema,
+    * schema-change policy, tags, contract presence) — dbt's
+    * `state:modified` covers config edits too (switching a model from
+    * view to incremental IS a modification even with an untouched
+    * body), and `state:modified.configs` selects exactly these.
+    * Materializations/OnSchemaChange are case objects/classes, so
+    * toString is a stable structural rendering.
+    */
+  def configChecksum: String =
+    Checksum.md5(materialization.toString + "|" + targetSchema + "|" +
+      onSchemaChange.toString + "|" + tags.mkString(",") + "|" +
+      contract.isDefined)
 }
 
 /** The one manifest-checksum function — models and run hooks journal

@@ -63,11 +63,31 @@ final case class ModelGraph(models: Seq[Model]) {
   * src/dbt_incremental_ci/dbt_helper.py:18-27, 88-162).
   */
 final case class ManifestState(entries: Map[String, (String, Seq[String])],
-    schemas: Map[String, String] = Map.empty) {
+    schemas: Map[String, String] = Map.empty,
+    configs: Map[String, String] = Map.empty) {
+  /** dbt `state:modified` (the default): body/deps OR config changed.
+    * Pre-config manifests (empty `configs`) degrade to body-only —
+    * a missing stored config can never read as "modified", so old
+    * artifacts keep diffing exactly as they did.
+    */
   def diff(current: ModelGraph): Set[String] =
+    diffBody(current) ++ diffConfigs(current)
+
+  /** dbt `state:modified.body`: checksum changed, node added, or deps
+    * changed — the pre-config diff.
+    */
+  def diffBody(current: ModelGraph): Set[String] =
     current.models.collect {
       case m if !entries.get(m.name).exists { case (cs, deps) =>
         cs == m.checksum && deps == m.deps } => m.name
+    }.toSet
+
+  /** dbt `state:modified.configs`: a KNOWN node whose stored config
+    * checksum no longer matches (new nodes belong to `.body`).
+    */
+  def diffConfigs(current: ModelGraph): Set[String] =
+    current.models.collect {
+      case m if configs.get(m.name).exists(_ != m.configChecksum) => m.name
     }.toSet
 
   /** The warehouse base schema this manifest's models materialize
@@ -89,7 +109,9 @@ final case class ManifestState(entries: Map[String, (String, Seq[String])],
     entries.toSeq.sortBy(_._1).map { case (n, (cs, deps)) =>
       val schemaField =
         schemas.get(n).fold("")(s => s""","schema":"${esc(s)}"""")
-      s""""${esc(n)}":{"checksum":"${esc(cs)}","deps":[${deps.map(d => s""""${esc(d)}"""").mkString(",")}]$schemaField}"""
+      val configField =
+        configs.get(n).fold("")(c => s""","config":"${esc(c)}"""")
+      s""""${esc(n)}":{"checksum":"${esc(cs)}","deps":[${deps.map(d => s""""${esc(d)}"""").mkString(",")}]$schemaField$configField}"""
     }.mkString("{", ",", "}")
   }
 }
@@ -97,7 +119,8 @@ final case class ManifestState(entries: Map[String, (String, Seq[String])],
 object ManifestState {
   def of(graph: ModelGraph): ManifestState =
     ManifestState(graph.models.map(m => m.name -> (m.checksum, m.deps)).toMap,
-      graph.models.map(m => m.name -> m.schema).toMap)
+      graph.models.map(m => m.name -> m.schema).toMap,
+      graph.models.map(m => m.name -> m.configChecksum).toMap)
 
   /** Where a production run leaves its manifest for later CI runs to
     * diff against — the warehouse-artifact analogue of the reference's
@@ -128,7 +151,7 @@ object ManifestState {
     def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
     // the schema field is optional so manifests persisted before it
     // existed still load (their baseSchema is then None -> caller default)
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\](?:\s*,\s*"schema"\s*:\s*"((?:[^"\\]|\\.)*)")?\s*\}""".r
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\{\s*"checksum"\s*:\s*"([0-9a-f]+)"\s*,\s*"deps"\s*:\s*\[([^\]]*)\](?:\s*,\s*"schema"\s*:\s*"((?:[^"\\]|\\.)*)")?(?:\s*,\s*"config"\s*:\s*"([0-9a-f]+)")?\s*\}""".r
     val dep = """"((?:[^"\\]|\\.)*)"""".r
     val matches = entry.findAllMatchIn(json).toSeq
     val parsed = matches.map { m =>
@@ -138,9 +161,12 @@ object ManifestState {
     val schemas = matches.collect {
       case m if m.group(4) != null => unesc(m.group(1)) -> unesc(m.group(4))
     }.toMap
+    val configs = matches.collect {
+      case m if m.group(5) != null => unesc(m.group(1)) -> m.group(5)
+    }.toMap
     val expected = "\"checksum\"".r.findAllMatchIn(json).size
     require(parsed.size == expected,
       s"manifest parse mismatch: matched ${parsed.size} of $expected entries")
-    ManifestState(parsed, schemas)
+    ManifestState(parsed, schemas, configs)
   }
 }

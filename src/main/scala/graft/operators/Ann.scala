@@ -996,8 +996,15 @@ object Ann {
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int = 5,
       shortlist: Int = 12, lam: Double = 0.7): DataFrame = {
+    // Frozen: the shortlist, the pairwise-sim table, and each step's
+    // selected set all feed EVERY subsequent greedy trip — without a
+    // freeze the `selected` lineage doubles per trip (measured: 964
+    // parquet scans in the k=5 plan). These frames are |Q|·shortlist-
+    // bounded (not corpus-sized), so eager checkpoints are the right
+    // trade here, unlike d14's corpus-sized recompute.
     val cand = brute(queries, corpus, shortlist)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      .localCheckpoint(true)
     val n = normed(corpus)
     val withVec = cand.join(
       n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
@@ -1010,6 +1017,7 @@ object Ann {
       .select(col("query_id"), col("a"), col("b"),
         round(Vectors.cosine(col("av"), col("bv"), col("an"), col("bn")), 6)
           .as("sim"))
+      .localCheckpoint(true)
     val w = Window.partitionBy("query_id")
     val first = cand
       .withColumn("rn",
@@ -1035,7 +1043,7 @@ object Ann {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(step).cast(IntegerType).as("rank"), col("score"))
-      selected = selected.unionByName(pick)
+      selected = selected.unionByName(pick).localCheckpoint(true)
     }
     selected
   }

@@ -187,4 +187,41 @@ object DataQuality {
       }: _*)).as("r"))
       .select(col("r.check_name"), col("r.n_violations"))
   }
+
+  /** audit-helper-style relation compare (dbt `audit_helper.
+    * compare_relations` — the migration-validation report: "is the
+    * rewritten model the same table?"): key-matched rows classified
+    * identical / differing (null-safe equality over every non-key
+    * column), unmatched rows attributed to their side; one summary
+    * row per status with its share of the key universe.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key carries the
+    * whole compare; the status is derived in-plan (no per-column
+    * re-scan), the rollup is 4 rows, and the share divides by a
+    * broadcast 1-row total. At 100 TB this is the plan you want —
+    * the join is the irreducible cost of a row-level diff.
+    */
+  def compareRelations(a: DataFrame, b: DataFrame,
+      key: Seq[String]): DataFrame = {
+    val dataCols = a.columns.filterNot(key.contains).toSeq
+    val aP = a.withColumn("_in_a", lit(true))
+    val bP = dataCols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"_b_$c"))
+      .withColumn("_in_b", lit(true))
+    val same = dataCols
+      .map(c => col(c) <=> col(s"_b_$c"))
+      .reduce(_ && _)
+    val status =
+      when(col("_in_a") && col("_in_b"),
+        when(same, "in_both_identical").otherwise("in_both_differing"))
+        .when(col("_in_a"), "only_in_a")
+        .otherwise("only_in_b")
+    val s = aP.join(bP, key, "full_outer").select(status.as("status"))
+    val counts = s.groupBy("status").agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true) // 4 rows; 2 consumers (total + output)
+    val total = counts.agg(sum("n_rows").as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("status"), col("n_rows"),
+        round(col("n_rows").cast(org.apache.spark.sql.types.DoubleType)
+          / col("_total"), 6).as("pct"))
+  }
 }

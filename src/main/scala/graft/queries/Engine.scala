@@ -2190,8 +2190,63 @@ object Engine {
       .orderBy("c_mktsegment")
   }
 
+  // m48 — state:modified GRANULARITY (dbt's `state:modified.body` vs
+  // `state:modified.configs`): a config edit — switching a model's
+  // schema-change policy, materialization, tags — IS a modification
+  // even with an untouched body (dbt's default state:modified covers
+  // both), and the sub-selectors let CI distinguish "SQL changed"
+  // from "deployment changed". The manifest now persists a per-model
+  // config checksum alongside the body checksum; pre-config
+  // manifests degrade to body-only (an absent stored config can
+  // never read as modified). The matrix exercises all four cells —
+  // body-only, config-only, both, neither — and the manifest is
+  // ROUND-TRIPPED through its JSON encoding so the oracle also
+  // gates the parser's optional-field handling. Driver-side graph
+  // math (m06's recipe), so the oracle is the literal matrix.
+  val m48: Q = q("m48_modified_configs",
+    """SELECT * FROM (VALUES
+      |  ('int_ab', false, true,  true),
+      |  ('mart',   false, false, false),
+      |  ('stg_a',  true,  false, true),
+      |  ('stg_b',  true,  true,  true))
+      |  AS t(model_name, modified_body, modified_configs, modified)
+      |ORDER BY model_name""") { (spark, _) =>
+    def graph(aBody: String, bBody: String, bTags: Seq[String],
+        abPolicy: OnSchemaChange): ModelGraph = {
+      def m(name: String, deps: Seq[String], mat: Materialization,
+          body: String, tags: Seq[String] = Nil,
+          osc: OnSchemaChange = OnSchemaChange.Ignore): Model =
+        Model(name, deps, mat, _ => spark.emptyDataFrame, body = body,
+          tags = tags, onSchemaChange = osc)
+      val inc = Materialization.Incremental(
+        IncrementalStrategy.Merge(Seq("k"), None))
+      ModelGraph(Seq(
+        m("stg_a", Nil, Materialization.View, aBody),
+        m("stg_b", Nil, Materialization.View, bBody, tags = bTags),
+        m("int_ab", Seq("stg_a", "stg_b"), inc, "join ab", osc = abPolicy),
+        m("mart", Seq("int_ab"),
+          Materialization.Table, "mart")))
+    }
+    val prod = graph("select 1", "select 2", Nil, OnSchemaChange.Ignore)
+    // round-trip the persisted artifact: the diff below must work off
+    // the PARSED manifest, optional config field included
+    val state = ManifestState.fromJson(ManifestState.of(prod).toJson)
+    val current = graph(
+      "select 1 /* reworked */",           // stg_a: body-only edit
+      "select 2 /* reworked */",           // stg_b: body AND tags edit
+      Seq("nightly"),
+      OnSchemaChange.AppendNewColumns)     // int_ab: config-only edit
+    val rows = current.models.map(m => (m.name,
+      state.diffBody(current).contains(m.name),
+      state.diffConfigs(current).contains(m.name),
+      state.diff(current).contains(m.name))).sortBy(_._1)
+    spark.createDataFrame(rows)
+      .toDF("model_name", "modified_body", "modified_configs", "modified")
+      .orderBy("model_name")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46, m47)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48)
 }

@@ -2761,12 +2761,12 @@ object LlmOps {
     """WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
       |uni AS (SELECT unnest(t) AS w FROM toks),
       |u AS (SELECT w, COUNT(*) AS c1 FROM uni WHERE w <> '' GROUP BY w),
-      |nt AS (SELECT COUNT(*) AS n FROM uni WHERE w <> ''),
+      |nt AS (SELECT SUM(c1) AS n FROM u),
       |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr
       |       FROM toks WHERE len(t) >= 2),
-      |nb AS (SELECT COUNT(*) AS n FROM bg),
       |b AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c12 FROM bg
       |      WHERE pr[1] <> '' AND pr[2] <> '' GROUP BY 1, 2),
+      |nb AS (SELECT SUM(c12) AS n FROM b),
       |p AS (SELECT w1, w2, c12,
       |    ROUND(ln((CAST(c12 AS DOUBLE) / nb.n)
       |      / ((CAST(u1.c1 AS DOUBLE) / nt.n) * (CAST(u2.c1 AS DOUBLE) / nt.n))), 6) AS pmi
@@ -2776,18 +2776,23 @@ object LlmOps {
       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM p)
       |WHERE rn <= 50 ORDER BY rank""") { c =>
     val toks = c.documents.select(Text.tokens(col("text")).as("t"))
+    // Totals derive from the vocab-sized count tables (SUM over u / b),
+    // not separate corpus-wide COUNTs — two corpus scans total (one per
+    // aggregation granularity), audited down from four.
     val uni = toks.select(explode(col("t")).as("w")).filter(col("w") =!= "")
     val u = uni.groupBy("w").agg(count(lit(1)).as("c1"))
-    val nt = uni.agg(count(lit(1)).as("nt"))
+      .localCheckpoint(true) // vocab-sized; 3 consumers (nt, two joins)
+    val nt = u.agg(sum("c1").as("nt"))
     val bg = toks.filter(size(col("t")) >= 2)
       .select(explode(
         expr("transform(sequence(0, size(t)-2), i -> array(t[i], t[i+1]))")).as("pr"))
-    val nb = bg.agg(count(lit(1)).as("nb"))
-    val b = bg
+    val b0 = bg
       .filter(col("pr")(0) =!= "" && col("pr")(1) =!= "")
       .groupBy(col("pr")(0).as("w1"), col("pr")(1).as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= 5)
+      .localCheckpoint(true) // vocab²-bounded; 2 consumers (nb, b)
+    val nb = b0.agg(sum("c12").as("nb"))
+    val b = b0.filter(col("c12") >= 5)
     val dbl = (x: Column) => x.cast(DoubleType)
     val scored = b
       .join(broadcast(u.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a")), "w1")

@@ -730,7 +730,60 @@ object Quality {
       .orderBy("day")
   }
 
+  // t18 — audit-helper RELATION COMPARE (dbt audit_helper.
+  // compare_relations — the migration-validation report: "is the
+  // rewritten model the same table?"): rows classified
+  // identical / differing / only-in-a / only-in-b over the key
+  // universe, with each status's share. Drift is injected
+  // deterministically (x09's discipline): B drops every key
+  // ≡ 7 (mod 101), shifts the price on keys ≡ 3 (mod 97) by an
+  // exact double +1.5, and gains synthetic keys (+10M offset) for
+  // keys ≡ 11 (mod 103) — so every status class is populated and
+  // the oracle can restate the same B. Scale shape: ONE full-outer
+  // join on the key carries the whole compare (the irreducible cost
+  // of a row-level diff); status derives in-plan, the rollup is 4
+  // rows.
+  val t18: Q = q("t18_audit_compare",
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 3 THEN o_totalprice + 1.5
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 <> 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 103 = 11),
+      |j AS (
+      |  SELECT a.o_orderkey IS NOT NULL AS in_a,
+      |    b.o_orderkey IS NOT NULL AS in_b,
+      |    (a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+      |     AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+      |     AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+      |     AND a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate
+      |     AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority) AS same
+      |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+      |s AS (SELECT CASE WHEN in_a AND in_b AND same THEN 'in_both_identical'
+      |                  WHEN in_a AND in_b THEN 'in_both_differing'
+      |                  WHEN in_a THEN 'only_in_a'
+      |                  ELSE 'only_in_b' END AS status FROM j),
+      |c AS (SELECT status, COUNT(*) AS n_rows FROM s GROUP BY status),
+      |t AS (SELECT SUM(n_rows) AS total FROM c)
+      |SELECT status, n_rows,
+      |  ROUND(CAST(n_rows AS DOUBLE) / t.total, 6) AS pct
+      |FROM c, t ORDER BY status""") { c =>
+    val a = c.orders
+    val b = a.filter(col("o_orderkey") % 101 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 3, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")))
+      .unionByName(a.filter(col("o_orderkey") % 103 === 11)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    DataQuality.compareRelations(a, b, key = Seq("o_orderkey"))
+      .orderBy("status")
+  }
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 }

@@ -1295,8 +1295,15 @@ object Relational {
       |SELECT CAST(t AS DATE) AS day, CAST(MAX(conc) AS INT) AS peak_concurrency,
       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
       |FROM r GROUP BY 1 ORDER BY day""") { c =>
+    // Frozen: the session frame feeds both union legs, and the delta
+    // stream they form feeds the within-day window AND the carry-in
+    // aggregate. Unfrozen that recomputes the sessionization (corpus
+    // scan + per-user window) four times — audited at 8 fileScans;
+    // frozen it runs ONCE and the downstream consumers read a
+    // sessions-sized frame (q39's shared-rollup freeze class).
     val iv = graft.streaming.EventStream.sessionize(c.events)
       .select("user_id", "session_seq", "session_start", "session_end")
+      .localCheckpoint(true)
     val d = iv.select(col("session_start").as("t"), lit(1).as("delta"),
         col("user_id"), col("session_seq"))
       .unionByName(iv.select(col("session_end").as("t"), lit(-1).as("delta"),

@@ -1093,6 +1093,28 @@ object Streaming {
       |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.trim))
 
+  // e21 — SLIDING (hopping) windows: the "last 2 hours, refreshed
+  // every 30 minutes" dashboard class — every event belongs to
+  // size/slide = 4 overlapping windows, which tumbling (e01) cannot
+  // express. One map-side-combined hash agg over the hop-exploded
+  // stream (no self-join); the SAME expression runs streamed under a
+  // watermark with per-hop state eviction (StreamingSpec parity).
+  // Oracle: DuckDB derives each event's 4 epoch-aligned hop starts
+  // arithmetically — for ws_k = floor30(ts) − k·30min, ts < ws_k+2h
+  // holds exactly for k = 0..3, so the lateral range(0,4) IS the
+  // window-assignment rule.
+  val e21: Q = q("e21_sliding_windows",
+    """WITH h AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000)
+      |           AS window_start,
+      |         event_type, value
+      |  FROM events, range(0, 4) t(k))
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+    EventStream.sliding(c.events).orderBy("window_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
 }

@@ -42,6 +42,36 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** e21 batch: SLIDING (hopping) windows — every event lands in
+    * size/slide overlapping windows (here 4), the dashboard window
+    * class tumbling can't express (a "last 2 h, refreshed every
+    * 30 min" metric). Spark's `window()` TVF explodes each row into
+    * its hops BEFORE the hash agg, so the whole thing is one
+    * map-side-combined aggregation over a 4× row stream — no
+    * self-join, no per-window re-scan; state (and shuffle) is
+    * windows × event_types, calendar-bounded.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decVal(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** e21 streaming: identical expression under a watermark — the
+    * engine evicts a hop once the watermark passes its END, so state
+    * is the live 4 hops per type, not history.
+    */
+  def slidingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "4 hours")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(decVal(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** e01 streaming: the same aggregation over an unbounded source with
     * a 2-hour watermark bounding state.
     */

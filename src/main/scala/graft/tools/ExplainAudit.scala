@@ -1,10 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** One-off plan audits for PLANS.md — prints the formatted physical
-  * plan of whichever probes the round is inspecting.
+  * plan of whichever entries the session is inspecting (query names
+  * as args; default set = the current session's new entries).
   */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
@@ -16,13 +16,18 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val out = graft.operators.Dedup.incremental(
-      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0))
-    println("=== d11 bloom-probe plan ===")
-    println(out.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q42_interval_concurrency", "q43_approx_topk",
+        "t17_seasonal_anomaly", "x28_pmi_collocations",
+        "s11_ann_recall_eval", "s12_mmr_diversify", "p04_funnel_report")
+    val reg = graft.SparkEntry.queries
+    names.foreach { n =>
+      println(s"=== $n ===")
+      println(reg(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

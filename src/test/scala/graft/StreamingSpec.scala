@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSpec {
     assertSameSets(streamed, batch)
   }
 
+  test("streaming sliding windows equal the batch hop aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = cat.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.slidingStream(stream).writeStream
+      .format("memory").queryName("e21_stream")
+      .outputMode("complete").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("e21_stream").collect()
+      .map(r => (tsMillis(r, 0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStream.sliding(cat.events).collect()
+      .map(r => (tsMillis(r, 0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assertSameSets(streamed, batch)
+    // every event contributes to exactly size/slide = 4 hops
+    val nEvents = rows.size.toLong
+    val hopTotal = EventStream.sliding(cat.events)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(hopTotal == 4 * nEvents,
+      s"hop multiplicity: $hopTotal != 4 * $nEvents")
+  }
+
   /** Epoch millis from either timestamp flavor: the MemoryStream side
     * carries java.sql.Timestamp (LTZ) while the batch side reads the
     * canonical TIMESTAMP_NTZ events; under the pinned UTC session the
