@@ -76,7 +76,15 @@ object Bench {
     "q31_window_range_frame", "q34_dpp",
     "s05_knn_graph", "s08_range_search", "x08_tfidf",
     "x18_token_budget_sample", "x20_gopher_rules", "x21_char_entropy",
-    "x22_bpe_train", "x24_nb_classifier", "x25_bpe_encode")
+    "x22_bpe_train", "x24_nb_classifier", "x25_bpe_encode",
+    // session-6 ring: sweep-line (sessions scale with users), MG
+    // summary agg, hop-exploded window agg, PMI double-agg, funnel
+    // one-pass flags, full-outer diff, MMR (shortlist-bounded greedy
+    // over a linear brute pass). s11 is NOT probed separately — its
+    // cost is s03+s01, both already characterized.
+    "q42_interval_concurrency", "q43_approx_topk", "e21_sliding_windows",
+    "x28_pmi_collocations", "p04_funnel_report", "t18_audit_compare",
+    "s12_mmr_diversify")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -2245,8 +2245,41 @@ object Engine {
       .orderBy("model_name")
   }
 
+  // m49 — SQL-surface CUSTOM FUNCTIONS (graft.GraftExtensions — the
+  // SparkSessionExtensions entry point): the native Catalyst
+  // expressions (dot_product, nfc_normalize, window_hashes,
+  // misra_gries) registered as SQL functions, so the SQL-TEXT
+  // authoring layer (m30's SqlModel) reaches the same codegen'd
+  // implementations the DataFrame operators use. A session built by
+  // graft wires them via withExtensions / spark.sql.extensions; a
+  // LIVE session (the harness's, a notebook's) installs through the
+  // graftbridge function-registry shim — this entry exercises THAT
+  // path end to end: install → author a SQL-text model calling
+  // dot_product → run through the Runner → oracle restates the dot
+  // product as DuckDB's strict list fold.
+  val m49: Q = q("m49_sql_extensions",
+    """SELECT vec_id,
+      |  ROUND(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x), 6)
+      |    AS norm_sq
+      |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    graft.GraftExtensions.install(spark)
+    val wh = Warehouse.scratch(spark, "m49")
+    val graph = ModelGraph(Seq(
+      SqlModel("emb_norms",
+        """SELECT vec_id,
+          |  ROUND(dot_product(transform(embedding, x -> CAST(x AS DOUBLE)),
+          |                    transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+          |    AS norm_sq
+          |FROM {{ source('raw', 'embeddings') }} WHERE vec_id < 50""".stripMargin,
+        Materialization.Table)))
+    Runner(Materializer(wh), n => c.table(n)).runAll(graph)
+    wh.read("analytics", "emb_norms").orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49)
 }

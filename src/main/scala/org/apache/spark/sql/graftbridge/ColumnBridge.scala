@@ -14,3 +14,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Register a Catalyst function builder on a LIVE session's function
+  * registry. `SparkSessionExtensions.injectFunction` only applies at
+  * session BUILD time; a session that already exists (a notebook, a
+  * harness-owned session) needs `sessionState.functionRegistry`,
+  * which Spark gates `private[sql]` — same shim rationale as
+  * [[ColumnBridge]].
+  */
+object FunctionBridge {
+  def register(spark: org.apache.spark.sql.SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      fi: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      b: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, fi, b)
+}

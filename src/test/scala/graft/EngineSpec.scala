@@ -1579,4 +1579,39 @@ class EngineSpec extends SparkSpec {
       assert(q.run(spark, sfDir).count() > 0)
     }
   }
+
+  test("GraftExtensions: custom expressions reach SQL on a live session") {
+    graft.GraftExtensions.install(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
+      .collect()(0).getDouble(0)
+    assert(dot == 32.0)
+    // NFC: e + combining acute composes to the precomposed char
+    val nfc = spark.sql("SELECT nfc_normalize('e\u0301')")
+      .collect()(0).getString(0)
+    assert(nfc == "\u00e9")
+    // misra_gries through SQL is the same summary the typed-column
+    // path produces: exact counts in the no-decrement regime
+    spark.range(0, 100).selectExpr("concat('w', id % 5) AS w")
+      .createOrReplaceTempView("mg_items")
+    val counts = spark.sql(
+      """SELECT s.item, s.cnt FROM (
+        |  SELECT misra_gries(w, 16) AS summary FROM mg_items
+        |) t LATERAL VIEW inline(summary) s AS item, cnt""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == (0 until 5).map(i => s"w$i" -> 20L).toMap)
+    // window_hashes in SQL equals the Column-API expression
+    val viaSql = spark.sql(
+      "SELECT window_hashes(array('a','b','c','d'), 3)")
+      .collect()(0).getSeq[Long](0)
+    val viaCol = spark.range(1)
+      .select(graft.plans.HashExpressions.windowHashes(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("a"),
+          org.apache.spark.sql.functions.lit("b"),
+          org.apache.spark.sql.functions.lit("c"),
+          org.apache.spark.sql.functions.lit("d")), 3))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.size == 2)
+  }
 }
