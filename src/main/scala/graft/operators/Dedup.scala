@@ -352,6 +352,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** MinHash FIDELITY report (d16): for every LSH candidate pair,
+    * the signature-estimated Jaccard (matching slots / k — the
+    * unbiased MinHash estimator) next to the exact set Jaccard, plus
+    * a corpus MAE roll-up — the calibration artifact that justifies
+    * a band/row dial before anyone trusts the estimator at scale
+    * (the s11 eval discipline applied to dedup). Same plan as
+    * [[minhashPairsPortable]] through the candidate join; the only
+    * additions are one k-term indicator sum per pair (candidate-
+    * bounded) and an integer-scaled error roll-up (micro-units sum
+    * exactly, so the mean is one double division — no float
+    * summation order to disagree on).
+    */
+  def minhashFidelity(docs: DataFrame, n: Int,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val params = Hashing.minhashParams(k)
+    val sh = shingledPortable(docs, n).localCheckpoint(true)
+    // frozen like sh: 3 consumers (band buckets + both pair joins),
+    // and at 32 longs/doc the signature frame is far smaller than
+    // the shingle index already being checkpointed
+    val sig = minhashSignatures(sh, params).localCheckpoint(true)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows)
+          .map(j => element_at(col("sig"), j + 1).cast(StringType)): _*)
+          .cast(BinaryType)).as("bucket")) }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val matches = (0 until k).map(j =>
+        when(element_at(col("siga"), j + 1) === element_at(col("sigb"), j + 1), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val exact = inter / (size(col("sa")) + size(col("sb")) - inter)
+    val per = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sigb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(matches.cast(DoubleType) / k, 6).as("est_jaccard"),
+        round(exact, 6).as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .localCheckpoint(true) // pair-bounded; 2 consumers (rows + MAE)
+    val mae = per
+      .select((round(col("abs_err") * 1000000)).cast(LongType).as("err_u"))
+      .agg(round(sum("err_u").cast(DoubleType)
+        / (lit(1000000.0) * count(lit(1))), 6).as("mae"))
+    per.unionByName(mae.select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+      lit(null).cast(DoubleType).as("est_jaccard"),
+      lit(null).cast(DoubleType).as("exact_jaccard"),
+      col("mae").as("abs_err")))
+  }
+
   /** 60-bit SimHash over the PORTABLE shingle hashes
     * ([[shingledPortable]]): bit j of the fingerprint is the sign of
     * Σ_shingles (±1 by bit j of the md5-derived 60-bit value). Same

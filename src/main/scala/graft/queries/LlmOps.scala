@@ -85,6 +85,60 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  private val d16MatchTerms = (0 until 32).map(j =>
+    s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+
+  // d16 — MinHash FIDELITY report (the s11 eval discipline applied to
+  // dedup): for every LSH candidate pair, the signature-estimated
+  // Jaccard (matching slots / 32, the unbiased MinHash estimator)
+  // beside the exact set Jaccard, plus the corpus MAE roll-up
+  // (id -1/-1) — the calibration artifact that justifies a band/row
+  // dial before the estimator is trusted at scale. Same plan as d02
+  // through the candidate join; additions are one 32-term indicator
+  // sum per pair and an integer-scaled (micro-units) error roll-up,
+  // so the mean is one double division with no float summation order
+  // to disagree on. ORACLE-GATED end to end from the same generated
+  // family constants as d02.
+  val d16: Q = q("d16_minhash_fidelity",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
+      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
+      |bk AS ($d02BandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.doc_id < b.doc_id),
+      |m AS (SELECT c.id_a, c.id_b, $d16MatchTerms AS matches
+      |      FROM cand c JOIN sig a ON a.doc_id = c.id_a
+      |                  JOIN sig b ON b.doc_id = c.id_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.id_a
+      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |          GROUP BY 1, 2),
+      |p AS (SELECT m.id_a, m.id_b,
+      |    ROUND(CAST(matches AS DOUBLE) / 32, 6) AS est_jaccard,
+      |    ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
+      |      / (sa.n + sb.n - COALESCE(i, 0)), 6) AS exact_jaccard
+      |  FROM m LEFT JOIN inter ON inter.id_a = m.id_a AND inter.id_b = m.id_b
+      |  JOIN sizes sa ON m.id_a = sa.doc_id JOIN sizes sb ON m.id_b = sb.doc_id),
+      |e AS (SELECT id_a, id_b, est_jaccard, exact_jaccard,
+      |    ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err FROM p)
+      |SELECT id_a, id_b, est_jaccard, exact_jaccard, abs_err FROM e
+      |UNION ALL
+      |SELECT -1, -1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  ROUND(CAST(SUM(CAST(ROUND(abs_err * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / (1000000.0 * COUNT(*)), 6) FROM e
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.minhashFidelity(c.documents, n = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   // d03 — SimHash fingerprint + hamming-banded near-dups. Like d02,
   // the registered family is ENGINE-PORTABLE: 60-bit fingerprints
   // whose bit j is the sign of Σ ±1 over bit j of the md5-derived
@@ -2812,7 +2866,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14, d15,
+    d11, d12, d13, d14, d15, d16,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
