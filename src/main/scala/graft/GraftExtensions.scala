@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.FunctionBridge
 
-import graft.plans.{DotProduct, MisraGries, NfcNormalize, WindowHashes}
+import graft.plans.{DotProduct, KmvDistinct, MisraGries, NfcNormalize, WindowHashes}
 
 /** Spark-extensions entry point: registers graft's native Catalyst
   * expressions as SQL FUNCTIONS, so SQL-TEXT surfaces (m30's SqlModel
@@ -24,9 +24,10 @@ import graft.plans.{DotProduct, MisraGries, NfcNormalize, WindowHashes}
   * }}}
   *
   * Registered: `dot_product(a, b)`, `nfc_normalize(s)`,
-  * `window_hashes(tokens, w)`, `misra_gries(item, capacity)` (an
-  * aggregate — the analyzer wraps a returned AggregateFunction
-  * exactly as it does Spark's own sum/count builders).
+  * `window_hashes(tokens, w)`, and the aggregates
+  * `misra_gries(item, capacity)` / `kmv_distinct(hash64, k)` (the
+  * analyzer wraps a returned AggregateFunction exactly as it does
+  * Spark's own sum/count builders).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -82,5 +83,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "misra_gries(item, capacity) takes 2 arguments")
         MisraGries(args(0), intLit(args(1), "capacity"))
+      }),
+    (FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(hash64, k) - bottom-k mergeable distinct-count sketch"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "kmv_distinct(hash64, k) takes 2 arguments")
+        KmvDistinct(args(0), intLit(args(1), "k"))
       }))
 }

@@ -1047,4 +1047,55 @@ object Ann {
     }
     selected
   }
+
+  /** SQ8 SERVING — top-k by inner product over the int8-quantized
+    * corpus (the scalar-quantized index most vector stores default
+    * to): the corpus side carries ONLY its uint8 codes (1 byte/dim vs
+    * 4 as float / 8 as double — at 100 TB of vectors the 4-8× scan-IO
+    * cut IS the feature), and scoring is ASYMMETRIC: the float query
+    * never quantizes. The per-query algebra makes the hot loop an
+    * integer-weighted dot product:
+    *   ip(q, dequant(c)) = Σ q_i·mn_i  +  Σ (q_i·span_i/255)·code_i
+    * so the first term folds into one per-query constant and the
+    * second streams over codes with a precomputed scaled query — no
+    * reconstruction materializes. Affine stats (mn, span per dim) are
+    * the x26 pass-1 aggregate (DIM rows, driver-bounded); queries
+    * broadcast as in [[brute]]. Exact-math discipline: codes are
+    * exact integers (identical floor/clamp in both engines) and both
+    * dot products are strict left-folds, so ranks hash-gate.
+    */
+  def sq8Serve(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("v"))
+    val stats = c.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), (max("x") - min("x")).as("span"))
+      .orderBy("i").collect()
+    val mnArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val spArr = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    // the stored index: vec_id + codes, nothing else survives the scan
+    val codes = transform(col("v"), (x, i) => {
+      val mn = element_at(mnArr, i + 1)
+      val span = element_at(spArr, i + 1)
+      when(span === 0.0, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((x - mn) * lit(255.0) / span + lit(0.5)).cast(IntegerType))))
+    })
+    val coded = c.select(col("vec_id"), codes.as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        Vectors.toDouble(col("embedding")).as("qv"))
+      .select(col("query_id"),
+        Vectors.dot(col("qv"), mnArr).as("qc"),
+        transform(col("qv"), (x, i) =>
+          x * element_at(spArr, i + 1) / lit(255.0)).as("qs"))
+    val scored = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qc") + Vectors.dot(col("qs"),
+          transform(col("codes"), _.cast(DoubleType)))).as("ip"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), round(col("ip"), 6).as("adc_ip"))
+  }
 }

@@ -810,4 +810,73 @@ object Dedup {
         coalesce(col("clean_hash"), md5(lit("").cast(BinaryType)))
           .as("clean_hash"))
   }
+
+  /** SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo's merge/purge,
+    * SIGMOD'95): sort the corpus by a normalized blocking key and
+    * compare each record only to its `window - 1` successors in sort
+    * order. The candidate volume is n·(window−1) BY CONSTRUCTION —
+    * linear in the corpus with no recall dial to tune — which makes
+    * SNM the classic alternative to LSH when near-dups share long
+    * normalized prefixes (crawl re-fetches, boilerplate-prefixed
+    * mirrors) and the pair budget must be exact, not probabilistic.
+    *
+    * Scale shape: a GLOBAL row_number would collapse to one
+    * partition, so global positions come from the x16 two-phase
+    * prefix-sum discipline instead — rank within a key-prefix bucket
+    * (parallel window, one shuffle on the bucket) plus a broadcast
+    * carry-in of preceding-bucket counts (the bucket-count frame is
+    * alphabet-bounded: ≤ 37 rows at `bucketLen` = 1; lengthen the
+    * prefix at corpus scale for narrower buckets). Neighbor pairing
+    * is ONE equi-join on position after exploding the `window - 1`
+    * deltas — shuffle on an integer key, no range join, no
+    * self-cartesian. Exact word-set Jaccard verifies candidates only.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
+      keyLen: Int = 24, threshold: Double = 0.5): DataFrame = {
+    require(window >= 2, "sorted-neighborhood window must be >= 2")
+    val keyed = docs.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+          1, keyLen).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 1))
+    // bucket offsets: alphabet-bounded frame, so the unpartitioned
+    // running-sum window is ≤ 37 rows by construction
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    // sorting by (bucket, key) == sorting by key: the bucket is a
+    // prefix of the key, and both engines compare [a-z0-9] strings
+    // bytewise, so per-bucket rank + carry-in IS the global position
+    val pos = keyed.join(broadcast(offsets), "bucket")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("bucket").orderBy("key", "doc_id"))
+        .cast(LongType) + col("offset"))
+      .select(col("doc_id"), col("pos"))
+    val cand = pos.select(col("doc_id").as("da"), col("pos"))
+      .withColumn("delta", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("jpos", col("pos") + col("delta"))
+      .join(pos.select(col("doc_id").as("db"), col("pos").as("jpos")),
+        "jpos")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"))
+    val sets = docs.select(col("doc_id"),
+      array_remove(array_distinct(split(lower(col("text")), " ")), "")
+        .as("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta")),
+        "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast(LongType)
+          .as("inter"),
+        (size(col("ta")) + size(col("tb"))).cast(LongType)
+          - size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .toDF("id_a", "id_b", "inter", "uni")
+      .filter(col("uni") > 0 &&
+        col("inter").cast(DoubleType) / col("uni") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast(DoubleType) / col("uni"), 6).as("jaccard"))
+  }
 }

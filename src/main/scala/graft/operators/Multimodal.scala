@@ -394,4 +394,111 @@ object Multimodal {
       }(enc)
     ds.toDF()
   }
+  // ---------------------------------------------------------------
+  // REAL audio decode path: javax.sound.sampled (in-JDK, no external
+  // codec) — the audio analogue of the imageio path above. The
+  // synthesizer emits genuine 16-bit PCM WAV containers, the decoder
+  // parses them through AudioSystem, and the per-frame energy math is
+  // all integer arithmetic, so the feature rows are exact constants
+  // of the code (VALUES-oracle-able like mm01-mm03).
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("rms_sq", LongType, nullable = false),
+    StructField("active", BooleanType, nullable = false)))
+
+  /** Frames-per-clip × samples-per-frame for [[syntheticWav]]. */
+  val WavFrames = 8
+  val WavFrameSamples = 256
+
+  /** Deterministic synthetic speech-ish clip: 8 frames of 256
+    * 16-bit samples at 8 kHz. Frame f is LOUD (square wave, amplitude
+    * 12000) when (id + f) % 3 == 0 and near-silent (amplitude 300)
+    * otherwise — an utterance/pause pattern that is a pure function
+    * of the id, so voice-activity flags are plantable ground truth.
+    * A ±100 LCG dither rides on top (still integers; a pure square
+    * wave would make every loud frame's energy identical). Encoded
+    * as a REAL WAV container via AudioSystem.write.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = WavFrames * WavFrameSamples
+    val pcm = new Array[Byte](n * 2)
+    val half = 8 + (id % 8).toInt
+    var lcg = id * 6364136223846793005L + 1442695040888963407L
+    var t = 0
+    while (t < n) {
+      val f = t / WavFrameSamples
+      val amp = if ((id + f) % 3 == 0) 12000 else 300
+      val base = if ((t / half) % 2 == 0) amp else -amp
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      val noise = (((lcg >>> 33) % 201) - 100).toInt
+      val v = base + noise
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** n synthetic WAV clips as a binary media table. */
+  def wavMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val ds: Dataset[Row] = spark.range(n.toLong).toDF("media_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "audio/wav", syntheticWav(id))
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** REAL audio decode + framed energy/VAD fused in ONE mapPartitions
+    * pass (the mm03 fusion discipline): AudioSystem parses the WAV
+    * container, per-frame mean-square energy accumulates in Longs
+    * (integer division by the frame size — exact), and the
+    * voice-activity flag is a threshold on that energy. Only
+    * (media_id, frame features) leave the payload partition — the
+    * right shape when payloads dwarf metadata.
+    */
+  def audioEnergy(media: DataFrame, frameSamples: Int = WavFrameSamples,
+      threshold: Long = 1000000L): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    val ds: Dataset[Row] = media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+            s"media $id: expected 16-bit mono LE PCM, got $fmt")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          (0 until n / frameSamples).map { f =>
+            var sumSq = 0L
+            var i = f * frameSamples
+            val end = i + frameSamples
+            while (i < end) {
+              val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
+              sumSq += v * v
+              i += 1
+            }
+            val rmsSq = sumSq / frameSamples
+            Row(id, f, frameSamples, rmsSq, rmsSq > threshold)
+          }
+        }
+      }(enc)
+    ds.toDF()
+  }
 }

@@ -102,11 +102,12 @@ case class MisraGries(
 
   private def decrementAll(
       buf: mutable.HashMap[UTF8String, Long], by: Long): Unit = {
-    val dead = mutable.ArrayBuffer.empty[UTF8String]
-    buf.foreach { case (item, n) =>
-      if (n - by <= 0) dead += item else buf.update(item, n - by)
+    // snapshot before mutating: value updates during HashMap
+    // iteration are undefined behavior, and the buffer is
+    // capacity-bounded so the copy is cheap
+    buf.toArray.foreach { case (item, n) =>
+      if (n - by <= 0) buf.remove(item) else buf.update(item, n - by)
     }
-    dead.foreach(buf.remove)
   }
 
   override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
@@ -155,6 +156,115 @@ case class MisraGries(
     copy(child = newChild)
 }
 
+/** KMV (k-minimum-values, a.k.a. bottom-k / theta) DISTINCT-COUNT
+  * sketch as a native typed aggregate (Bar-Yossef et al., RANDOM'02;
+  * Beyer et al., SIGMOD'07).
+  *
+  * Why not `countDistinct`: exact distinct shuffles one row PER
+  * DISTINCT VALUE — at corpus scale (URLs, content digests, user ids)
+  * that is the whole job. The bottom-k of a uniform 64-bit hash is a
+  * MERGEABLE summary: each map task keeps its k smallest distinct
+  * hashes, partials merge by set-union-then-trim, and only k longs
+  * ever cross the wire. Unlike HLL it is also an exact SAMPLE of the
+  * distinct population, so intersections/Jaccard between sketches
+  * stay estimable — and unlike Misra-Gries the result is FULLY
+  * deterministic under any partitioning (the bottom-k of a set does
+  * not depend on arrival order), which is what lets an entry
+  * oracle-gate it.
+  *
+  * The child must already be a 64-bit hash (e.g. `xxhash64(col)`)
+  * — hashing stays explicit and visible in the plan. Estimator:
+  * exact |S| while fewer than k distinct hashes were seen (the
+  * regime the DuckDB oracle gates), else (k−1)/u_k with u_k the
+  * k-th smallest hash as a fraction of the 2^64 space (relative
+  * error ~1/√(k−2); the sketch regime is pinned in PropertySpec).
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_distinct k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct expects a 64-bit hash column (LONG), got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  // hashes compare in UNSIGNED order: offsetting by Long.MinValue
+  // maps unsigned order onto the TreeSet's signed order
+  private def offset(h: Long): Long = h ^ Long.MinValue
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = offset(v.asInstanceOf[Long])
+      if (buf.size < k) buf.add(key)
+      else if (key < buf.last()) { if (buf.add(key)) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val key = it.next()
+      if (buf.size < k) buf.add(key)
+      else if (key < buf.last()) { if (buf.add(key)) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else {
+      // u_k = k-th smallest hash as a fraction of [0, 2^64)
+      val uK = (buf.last().toDouble - Long.MinValue.toDouble) /
+        18446744073709551616.0 // 2^64
+      math.round((k - 1).toDouble / uK)
+    }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
 object Sketches {
   /** `approx_top_items(item, capacity)` — the full Misra-Gries summary
     * as `array<struct<item,count>>`, sorted (count DESC, item ASC).
@@ -162,4 +272,11 @@ object Sketches {
   def approxTopItems(item: Column, capacity: Int): Column =
     ColumnBridge.column(
       MisraGries(ColumnBridge.expression(item), capacity).toAggregateExpression())
+
+  /** `kmv_distinct(hash64, k)` — bottom-k distinct-count estimate;
+    * exact while the group's distinct count stays under k.
+    */
+  def kmvDistinct(hash64: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvDistinct(ColumnBridge.expression(hash64), k).toAggregateExpression())
 }

@@ -885,6 +885,43 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  // s13 — SQ8 SERVING (Ann.sq8Serve): top-k inner product over the
+  // int8-quantized corpus with ASYMMETRIC distance — x26 builds the
+  // SQ8 index, this is the retrieval that runs against it. The
+  // corpus side of the join carries ONLY its uint8 codes (1 byte/dim:
+  // the 4-8× scan-IO cut over float/double IS the serving feature at
+  // 100 TB), and the per-query affine algebra
+  //   ip = Σ q·mn + Σ (q·span/255)·code
+  // folds reconstruction into one broadcast constant + one
+  // integer-weighted strict-fold dot product — no dequantized vector
+  // ever materializes. ORACLE-GATED end to end: the SQL rebuilds the
+  // same per-dim (mn, span), the same exact integer codes, and the
+  // same two left-fold dot products, so every rank hash-compares;
+  // ADC-vs-exact recall is additionally pinned in LlmOpsSpec.
+  val s13: Q = q("s13_ann_sq8",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |c2 AS (SELECT vec_id, unnest(range(1, 65)) AS i, v FROM e),
+      |c3 AS (SELECT vec_id, i, v[i] AS x FROM c2),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM c3 GROUP BY i),
+      |sta AS (SELECT list(mn ORDER BY i) AS mns, list(span ORDER BY i) AS spans FROM st),
+      |cd AS (SELECT vec_id, list_transform(range(1, 65),
+      |         i -> CASE WHEN spans[i] = 0 THEN 0
+      |                   ELSE LEAST(255, GREATEST(0, CAST(floor(((v[i] - mns[i]) * 255.0) / spans[i] + 0.5) AS INT))) END) AS codes
+      |       FROM e, sta),
+      |q AS (SELECT vec_id AS query_id,
+      |        list_reduce(list_transform(range(1, 65), i -> v[i] * mns[i]), (a, x) -> a + x) AS qc,
+      |        list_transform(range(1, 65), i -> (v[i] * spans[i]) / 255.0) AS qs
+      |      FROM e, sta WHERE vec_id < 20),
+      |p AS (SELECT query_id, c.vec_id AS neighbor_id,
+      |        qc + list_reduce(list_transform(range(1, 65), i -> qs[i] * codes[i]), (a, x) -> a + x) AS ip
+      |      FROM q JOIN cd c ON c.vec_id <> query_id)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(ip, 6) AS adc_ip
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM p)
+      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
+    Ann.sq8Serve(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val s03: Q = q("s03_ann_ivf",
     ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
     Ann.ivf(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
@@ -2050,6 +2087,22 @@ object LlmOps {
   // bit-stable across JDKs), so the full pair matrix gates against a
   // literal VALUES oracle; recall/soundness/determinism remain
   // pinned in LlmOpsSpec.
+  // mm04 — AUDIO energy / voice-activity features: REAL
+  // javax.sound.sampled decode (the audio twin of mm03's imageio
+  // path — genuine WAV containers parsed by the JDK codec) fused
+  // with per-frame mean-square energy in ONE mapPartitions pass;
+  // the activity flag thresholds the energy, and the planted
+  // utterance/pause schedule ((id+f) % 3) makes the flags ground
+  // truth. All math is integer (Long sums, exact division), so the
+  // features are constants of the code — VALUES-oracle-gated like
+  // mm01/mm02 (queries/MmOracles.scala, regenerated by
+  // tools/GenMmOracles). Only (media_id, frame features) leave the
+  // payload partition.
+  val mm04: Q = Q("mm04_audio_energy", (spark, _) =>
+    Multimodal.audioEnergy(Multimodal.wavMedia(spark, 24))
+      .orderBy("media_id", "frame_idx"),
+    Some(MmOracles.mm04))
+
   val mm03: Q = Q("mm03_image_phash", (spark, _) => {
     val media = Multimodal.noiseMedia(spark, n = 300)
     Multimodal.phashPairs(Multimodal.imagePhash(media), maxHamming = 2)
@@ -2865,10 +2918,116 @@ object LlmOps {
       .orderBy("rank")
   }
 
+  // d17 — SORTED-NEIGHBORHOOD dedup (merge/purge): the third
+  // candidate-generation family on the board after hashing (d01),
+  // LSH banding (d02/d03), and inverted indexes (d04/d09/d12). Sort
+  // by a normalized key prefix, compare each doc only to its w−1
+  // successors: candidate volume n·(w−1) BY CONSTRUCTION — no recall
+  // dial, no collision distribution to reason about — the right tool
+  // when near-dups share long normalized prefixes (crawl re-fetches,
+  // boilerplate-prefixed mirrors). Scale shape: NO global window —
+  // global positions come from per-bucket ranks + a broadcast
+  // carry-in of preceding-bucket counts (x16's two-phase prefix-sum
+  // discipline; the bucket frame is alphabet-bounded), and neighbor
+  // pairing is one equi-join on position after exploding the w−1
+  // deltas. Exact word-set Jaccard verifies candidates only.
+  val d17: Q = q("d17_sorted_neighborhood",
+    """WITH k AS (SELECT doc_id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS key
+      |  FROM documents),
+      |ord AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS pos FROM k),
+      |cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+      |    GREATEST(a.doc_id, b.doc_id) AS id_b
+      |  FROM ord a JOIN ord b ON b.pos > a.pos AND b.pos <= a.pos + 2),
+      |t AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      |      FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM t WHERE tok <> '' GROUP BY 1),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |  FROM cand c JOIN t x ON x.doc_id = c.id_a AND x.tok <> ''
+      |              JOIN t y ON y.doc_id = c.id_b AND y.tok = x.tok
+      |  GROUP BY 1, 2)
+      |SELECT i.id_a, i.id_b,
+      |  ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+      |FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+      |             JOIN sizes sb ON i.id_b = sb.doc_id
+      |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.sortedNeighborhoodPairs(c.documents, window = 3, keyLen = 24,
+        threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // x29 — KMV bottom-k DISTINCT-COUNT sketch (plans/KmvDistinct, the
+  // board's second custom TypedImperativeAggregate): per-source and
+  // corpus-level distinct-document estimates from k-sized mergeable
+  // summaries — the pre-dedup sizing question ("how many uniques does
+  // each source contribute?") answered WITHOUT shuffling one row per
+  // distinct value. The sketch is deterministic under any
+  // partitioning (bottom-k of a set is arrival-order-free), and with
+  // k=4096 ≫ the gate corpus's distinct count the estimate IS the
+  // exact count — the regime the oracle gates (q43's discipline);
+  // the estimator regime (k ≪ n, ~1/√k relative error) and
+  // partition-invariance are pinned in PropertySpec. xxhash64 stays
+  // explicit in the plan; the oracle counts distinct md5 digests —
+  // both equal distinct texts absent 64/128-bit collisions.
+  val x29: Q = q("x29_kmv_distinct",
+    """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1
+      |UNION ALL
+      |SELECT '__all__' AS source, COUNT(DISTINCT md5(text)), COUNT(*)
+      |FROM documents
+      |ORDER BY source""") { c =>
+    val hashed = c.documents.select(col("source"),
+      xxhash64(col("text")).as("h"))
+    val perSource = hashed.groupBy("source")
+      .agg(graft.plans.Sketches.kmvDistinct(col("h"), 4096).as("n_distinct"),
+        count(lit(1)).as("n_docs"))
+    val overall = hashed
+      .agg(graft.plans.Sketches.kmvDistinct(col("h"), 4096).as("n_distinct"),
+        count(lit(1)).as("n_docs"))
+      .select(lit("__all__").as("source"), col("n_distinct"), col("n_docs"))
+    perSource.unionAll(overall).orderBy("source")
+  }
+
+  // x30 — STRATIFIED proportional sampling with EXACT allocation:
+  // each language stratum contributes ⌊n_s/10⌋ (min 1) docs, chosen
+  // deterministically by md5(doc_id) rank — the reproducible
+  // "10% eval slice, every language represented" cut that x14's
+  // global hash-threshold split cannot promise (a 1% stratum can
+  // vanish from a thresholded sample; exact allocation can't). Scale
+  // shape: stratum sizes are ONE map-side-combined aggregate
+  // broadcast back; selection is a rank window PER STRATUM (parallel
+  // across languages — the sort is the price of exact allocation;
+  // when approximate fractions suffice, the threshold-on-hash x14
+  // shape avoids it).
+  val x30: Q = q("x30_stratified_sample",
+    """WITH a AS (SELECT lang,
+      |    GREATEST(1, CAST(FLOOR(COUNT(*) / 10.0) AS BIGINT)) AS n_take
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT d.doc_id, d.lang, a.n_take,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      |  FROM documents d JOIN a USING (lang))
+      |SELECT doc_id, lang FROM r WHERE rn <= n_take ORDER BY doc_id""") { c =>
+    val alloc = c.documents.groupBy("lang")
+      .agg(greatest(lit(1L),
+        floor(count(lit(1)) / 10.0).cast(LongType)).as("n_take"))
+    c.documents
+      .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
+      .join(broadcast(alloc), "lang")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("rk", "doc_id")))
+      .filter(col("rn") <= col("n_take"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14, d15, d16,
+    d11, d12, d13, d14, d15, d16, d17,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    p01, p02, p03, p04, mm01, mm02, mm03)
+    x29, x30,
+    p01, p02, p03, p04, mm01, mm02, mm03, mm04)
 }

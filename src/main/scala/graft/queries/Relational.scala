@@ -1356,9 +1356,52 @@ object Relational {
       .orderBy("rank")
   }
 
+  // q44 — INTERVAL-WEIGHTED aggregation (time-weighted average): each
+  // order's value is "held" until the same customer's next order, and
+  // the segment-level average weights each value by its holding
+  // period — the TWAP/position-exposure shape (billing proration,
+  // SCD-2 attribute weighting) that a plain AVG silently gets wrong
+  // whenever sampling is irregular. Plan: ONE lead() window per
+  // customer (shuffle on the natural key — parallelism = |customers|,
+  // no global window), durations as exact integer days, money through
+  // the exact-DECIMAL discipline, ONE double division per output row
+  // at the very end. The open last interval per customer carries no
+  // successor and drops — the standard right-open convention.
+  val q44: Q = q("q44_time_weighted_avg",
+    """WITH iv AS (
+      |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey) AS DATE)) AS dur
+      |  FROM orders)
+      |SELECT c_mktsegment,
+      |  COUNT(*) AS n_intervals,
+      |  CAST(SUM(dur) AS BIGINT) AS n_days,
+      |  ROUND(CAST(SUM(price * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+      |    AS tw_avg_value
+      |FROM iv JOIN customer ON o_custkey = c_custkey
+      |WHERE dur IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""") { c =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val iv = c.orders
+      .select(col("o_custkey"), decTotal(col("o_totalprice")).as("price"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+          .as("dur"))
+      .filter(col("dur").isNotNull)
+    iv.join(c.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur").cast(LongType).as("n_days"),
+        round(dbl(sum(col("price") * col("dur")))
+          / dbl(sum("dur")), 6).as("tw_avg_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

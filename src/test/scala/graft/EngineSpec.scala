@@ -1613,5 +1613,11 @@ class EngineSpec extends SparkSpec {
           org.apache.spark.sql.functions.lit("d")), 3))
       .collect()(0).getSeq[Long](0)
     assert(viaSql == viaCol && viaSql.size == 2)
+    // kmv_distinct through SQL: exact regime (k > distinct) == the
+    // true distinct count
+    val kmv = spark.sql(
+      "SELECT kmv_distinct(xxhash64(CAST(id % 37 AS STRING)), 256) FROM range(5000)")
+      .collect()(0).getLong(0)
+    assert(kmv == 37L)
   }
 }

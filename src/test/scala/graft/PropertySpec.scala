@@ -309,4 +309,61 @@ class PropertySpec extends SparkSpec {
         s"n=$n w=$w: the rolling update must equal the direct polynomial")
     }
   }
+  test("MisraGries properties: capacity bound, never-overcount, N/(cap+1) undercount, exact regime") {
+    import spark.implicits._
+    val itemGen: Gen[List[String]] = for {
+      vocab <- Gen.choose(3, 40)
+      n <- Gen.choose(50, 400)
+      // zipf-ish skew: item index drawn as min of two uniforms
+      items <- Gen.listOfN(n, Gen.zip(Gen.choose(0, vocab - 1),
+        Gen.choose(0, vocab - 1)).map { case (a, b) => s"w${math.min(a, b)}" })
+    } yield items
+    for (i <- 1 to 10) {
+      val items = sample(itemGen, 4200 + i)
+      val cap = sample(Gen.choose(4, 64), 9000 + i)
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = items.toDF("w").repartition(5)
+        .agg(graft.plans.Sketches.approxTopItems(col("w"), cap).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.item"), col("e.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= cap, s"iter $i: summary ${got.size} over capacity $cap")
+      got.foreach { case (k, n) =>
+        assert(n <= truth(k), s"iter $i: $k overcounted $n > ${truth(k)}") }
+      // mergeable-summaries guarantee: undercount <= N/(cap+1) per
+      // partial, merges add at most one decrement round each — bound
+      // by N/(cap+1) + merge slack; assert the safe 2N/(cap+1) bound
+      val bound = 2L * items.size / (cap + 1) + 1
+      truth.foreach { case (k, n) =>
+        val rep = got.getOrElse(k, 0L)
+        assert(n - rep <= bound,
+          s"iter $i: $k undercount ${n - rep} > bound $bound (n=$n cap=$cap)")
+      }
+      if (truth.size <= cap) assert(got == truth,
+        s"iter $i: exact regime (distinct=${truth.size} <= cap=$cap) not exact")
+    }
+  }
+
+  test("KmvDistinct properties: exact regime, estimator error, partition invariance") {
+    import spark.implicits._
+    def est(n: Long, mod: Long, k: Int, parts: Int): Long =
+      spark.range(n).select((col("id") % mod).as("v"))
+        .repartition(parts)
+        .agg(graft.plans.Sketches.kmvDistinct(xxhash64(col("v")), k))
+        .collect()(0).getLong(0)
+    // exact regime: k greater than the true distinct count → exact,
+    // regardless of duplication factor or partitioning
+    assert(est(20000, 997, 4096, 7) == 997L)
+    assert(est(500, 500, 512, 3) == 500L)
+    // estimator regime: 200k distincts through k=256 — KMV's relative
+    // standard error is ~1/sqrt(k-2) ≈ 6.3%; assert a generous 4-sigma
+    val e = est(200000, 200000, 256, 11)
+    assert(math.abs(e - 200000.0) / 200000.0 < 0.25,
+      s"kmv estimate $e too far from 200000")
+    // partition invariance: the bottom-k of a SET does not depend on
+    // how rows are distributed — the sketch is deterministic where
+    // order-sensitive summaries (Misra-Gries) are not
+    assert(est(200000, 200000, 256, 1) == e)
+    assert(est(200000, 200000, 256, 32) == e)
+  }
 }
