@@ -289,8 +289,12 @@ object Jinja {
       // time; a truly undefined name stays visibly braced for
       // SqlModel's no-residual-braces require). Decided on the
       // ORIGINAL region text — a bound param whose VALUE happens to
-      // be identifier-shaped must still render in place.
-      if (raw != "this" && raw.matches("""[A-Za-z_][A-Za-z0-9_]*""") &&
+      // be identifier-shaped must still render in place. loop.*
+      // attributes are owned by expandFor the same way: a macro that
+      // EMITS a {% for %} body carries {{ loop.index }} through this
+      // pass braced, or expandFor's textual replacement never fires.
+      if (raw != "this" && (raw.matches("""[A-Za-z_][A-Za-z0-9_]*""") ||
+            raw.matches("""loop\.(index|first|last)""")) &&
           !bound.contains(raw))
         scala.util.matching.Regex.quoteReplacement(s"{{ $raw }}")
       else {

@@ -151,7 +151,13 @@ final case class Model(
     onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
     body: String = "",
     contract: Option[Contract] = None,
-    tags: Seq[String] = Nil) {
+    tags: Seq[String] = Nil,
+    // dbt `config(pre_hook=…, post_hook=…)`: per-model lifecycle hooks
+    // (grants after each table build, a fixture DDL the model reads).
+    // Fired around THIS model's materialization by Runner/Retry —
+    // run-level on-run-start/on-run-end stay on RunHooks.
+    preHooks: Seq[Hook] = Nil,
+    postHooks: Seq[Hook] = Nil) {
   /** Target schema name, dbt-style `<base>_<custom suffix>`. */
   def targetSchema: String = schemaSuffix.fold(schema)(s => s"${schema}_$s")
   def checksum: String =

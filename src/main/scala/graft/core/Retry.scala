@@ -110,10 +110,32 @@ object Retry {
       val completedBefore = !isView &&
         journal.get(name).contains(m.checksum) &&
         wh.exists(m.targetSchema, name)
+      // per-model hooks (dbt pre_hook/post_hook) journal like models,
+      // with each hook's journal identity BOUND to its model's
+      // checksum: editing the model invalidates its hooks' completed
+      // entries automatically (dbt re-runs the full node), while a
+      // pure crash-resume skips hook side effects that already
+      // applied (grants granted, fixture DDL created).
+      def modelHookKey(h: Hook): String = s"hook:$name:${h.name}"
+      def modelHookCs(h: Hook): String =
+        Checksum.md5(h.checksum + "|" + m.checksum)
+      def fireModelHook(h: Hook): Unit =
+        if (journal.get(modelHookKey(h)).contains(modelHookCs(h)))
+          skipped += s"$name.${h.name}"
+        else {
+          h.action()
+          journal += modelHookKey(h) -> modelHookCs(h)
+          wh.saveArtifact(artifactName, toJson(journal))
+          ran += s"$name.${h.name}"
+        }
       if (completedBefore) {
         acc += name -> wh.read(m.targetSchema, name)
         skipped += name
+        // crash window: model journaled, post-hook not yet fired —
+        // a skipped model's remaining post-hooks still run
+        m.postHooks.foreach(fireModelHook)
       } else {
+        m.preHooks.foreach(fireModelHook)
         // the crash window: target written, journal not yet committed.
         // An intent with NO journal entry means this append target may
         // already hold the batch — rebuild it from scratch rather than
@@ -138,6 +160,7 @@ object Retry {
           journal += name -> m.checksum
           wh.saveArtifact(artifactName, toJson(journal))
         }
+        m.postHooks.foreach(fireModelHook)
         ran += name
       }
     }

@@ -43,7 +43,13 @@ final case class Runner(mat: Materializer, sources: String => DataFrame,
     // crash (never the ones the run hadn't reached)
     onModelStart(model.name)
     val t0 = System.nanoTime()
+    // per-model hooks bracket the materialization (dbt pre_hook /
+    // post_hook): the pre-hook's side effects are visible to the
+    // model's own transform (fixture DDL it reads), the post-hook
+    // sees the freshly written target (grants, audit rows)
+    model.preHooks.foreach(_.action())
     val out = mat.run(model, resolve, fullRefresh)
+    model.postHooks.foreach(_.action())
     // dbt-style per-model timing; called from submitter threads under
     // `threads > 1`, so collectors must be thread-safe
     onModelDone(model.name, (System.nanoTime() - t0) / 1e9)

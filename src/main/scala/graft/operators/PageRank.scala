@@ -47,10 +47,14 @@ object PageRank {
     val v = edges.select(col("src").as("host")).distinct()
       .localCheckpoint(true)
     // keep only edges whose dst is itself a vertex, and pre-join the
-    // out-degree: this (src, dst, outdeg) frame is the loop invariant
-    val e = edges
+    // out-degree — counted AFTER the dst filter, so a src whose other
+    // edges were dropped distributes its full rank over the edges
+    // that survive (the documented no-dangling-mass policy; counting
+    // on the unfiltered list would leak the dropped edges' share)
+    val kept = edges
       .join(v.select(col("host").as("dst")), "dst")
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val e = kept
+      .join(kept.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .select("src", "dst", "outdeg")
       .localCheckpoint(true)
     val jump = 15L * scale / 100L

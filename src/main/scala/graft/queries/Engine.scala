@@ -2278,8 +2278,89 @@ object Engine {
     wh.read("analytics", "emb_norms").orderBy("vec_id")
   }
 
+  // m50 — PER-MODEL pre_hook / post_hook (dbt `config(pre_hook=…,
+  // post_hook=…)` — the next thing a dbt user reaches for after m36's
+  // run-level on-run-start/on-run-end: grants or audit rows after EACH
+  // table build, fixture DDL one model needs). Firing order is
+  // oracle-PROVEN, not logged: every hook appends an audit row whose
+  // step comes from one shared counter, so the (label → step) mapping
+  // the oracle states as literals holds only if post(base) fired
+  // before pre(mart) fired before post(mart) — and the mart READS the
+  // table its own pre-hook creates, so a late pre-hook is a crash,
+  // not a wrong number. The post-hook's payload is the mart's row
+  // count read back from the warehouse (it must see the finished
+  // target). Retry-skip of journaled per-model hooks (checksum bound
+  // to the model's, so an edited model re-fires its hooks) is pinned
+  // in EngineSpec.
+  val m50: Q = q("m50_model_hooks",
+    """WITH yr AS (
+      |  SELECT EXTRACT(YEAR FROM o_orderdate) AS d_year,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |mart AS (
+      |  SELECT CASE WHEN d_year >= 1996 THEN 'focus' ELSE 'archive' END AS era,
+      |    CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |    CAST(SUM(rev) AS DOUBLE) AS revenue
+      |  FROM yr GROUP BY 1)
+      |SELECT era, n_orders, revenue FROM mart
+      |UNION ALL
+      |SELECT '__hook:post:base_year_rev', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)
+      |UNION ALL
+      |SELECT '__hook:pre:mart_era_revenue', CAST(2 AS BIGINT), CAST(0.0 AS DOUBLE)
+      |UNION ALL
+      |SELECT '__hook:post:mart_era_revenue', CAST(3 AS BIGINT),
+      |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM mart)
+      |ORDER BY era""") { (spark, dir) =>
+    import spark.implicits._
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m50")
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    def audit(label: String, payload: () => Double = () => 0.0): Unit =
+      wh.write(Seq((label, step.incrementAndGet().toLong, payload()))
+        .toDF("era", "n_orders", "revenue"), "raw", "hook_audit",
+        mode = "append")
+    val graph = ModelGraph(Seq(
+      Model("base_year_rev", Seq("orders"), Materialization.Table,
+        ctx => ctx.source("orders")
+          .groupBy(year(col("o_orderdate")).as("d_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(decTotal(col("o_totalprice"))).as("rev")),
+        body = "orders rolled up per year",
+        postHooks = Seq(Hook("audit_base", "audit base build", () =>
+          audit("__hook:post:base_year_rev")))),
+      Model("mart_era_revenue", Seq("base_year_rev", "year_dim"),
+        Materialization.Table,
+        ctx => ctx.ref("base_year_rev")
+          .join(broadcast(ctx.source("year_dim")), Seq("d_year"))
+          .groupBy("era")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            dbl(sum(col("rev"))).as("revenue")),
+        body = "era rollup over the pre-hook-bootstrapped dim",
+        preHooks = Seq(Hook("bootstrap_year_dim",
+          "create year_dim as distinct years + era", () => {
+            wh.write(
+              c.orders.select(year(col("o_orderdate")).as("d_year")).distinct()
+                .withColumn("era",
+                  when(col("d_year") >= 1996, "focus").otherwise("archive")),
+              "raw", "year_dim")
+            audit("__hook:pre:mart_era_revenue")
+          })),
+        postHooks = Seq(Hook("audit_mart", "audit mart row count", () =>
+          audit("__hook:post:mart_era_revenue", () =>
+            wh.read("analytics", "mart_era_revenue").count().toDouble))))))
+    val sources: String => DataFrame = {
+      case "year_dim" => wh.read("raw", "year_dim") // pre-hook-created
+      case n => c.table(n)
+    }
+    val mart = Runner(Materializer(wh), sources).runAll(graph)("mart_era_revenue")
+    mart.select(col("era"), col("n_orders"), col("revenue"))
+      .unionByName(wh.read("raw", "hook_audit"))
+      .orderBy("era")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50)
 }

@@ -2643,7 +2643,7 @@ object LlmOps {
   // (doc,pos) anti-join, per-doc regroup — all key-partitioned,
   // nothing quadratic. Gate: per-doc md5 of the reconstructed
   // cleaned text must match DuckDB's independent reconstruction.
-  val d14: Q = q("d14_exact_substr_scrub",
+  private val d14Oracle =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |p AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t FROM toks WHERE len(t) >= 8),
       |w AS (SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS win FROM p),
@@ -2663,8 +2663,23 @@ object LlmOps {
       |  CAST(len(toks.t) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
       |  COALESCE(cl.clean_hash, md5('')) AS clean_hash
       |FROM toks LEFT JOIN cl ON toks.doc_id = cl.doc_id
-      |ORDER BY toks.doc_id""") { c =>
+      |ORDER BY toks.doc_id"""
+
+  val d14: Q = q("d14_exact_substr_scrub", d14Oracle) { c =>
     Dedup.exactSubstrScrub(c.documents, w = 8).orderBy("doc_id")
+  }
+
+  // d14_fast — the PRODUCTION DIAL of d14 (plans/HashExpressions.scala
+  // WindowHashes): window keys are codegen'd 64-bit rolling hashes
+  // instead of md5 strings — 8-byte shuffle keys vs 32-char strings on
+  // the windows stream, the dominant shuffle of the operator (measured
+  // 1.89 -> 1.21 s at sf0.1). The OUTPUT CONTRACT is identical — keys
+  // only gate which windows collide, and a 64-bit collision over the
+  // window population is ~n²/2^64 — so the entry hash-gates against
+  // d14's own oracle verbatim: any behavioral drift between the dial
+  // and the reference form is a wrong answer, not a slow one.
+  val d14fast: Q = q("d14_exact_substr_scrub_fast", d14Oracle) { c =>
+    Dedup.exactSubstrScrubFast(c.documents, w = 8).orderBy("doc_id")
   }
 
   // p03 — the CCNet-SHAPED pipeline (Wenzek et al. 2020: paragraph-
@@ -2819,14 +2834,26 @@ object LlmOps {
       col("s2") &&
         (Text.predLang(col("en_hits"), col("es_hits"),
           col("de_hits"), col("fr_hits")) === col("lang")) && score >= 0.3)
-    val g = q3.filter(size(col("toks")) >= 4)
-      .select(col("doc_id"), explode(Text.shingles(col("toks"), 4)).as("g4"))
+    // decontam stage = x13's registered discipline: the eval 4-gram
+    // set comes from its OWN doc_id<20 slice (filter pushed to the
+    // parquet scan — the r12 form derived it from the corpus-wide
+    // stream THROUGH the s2 md5 window), within-doc shingle dedup is
+    // the array_distinct already inside Text.shingles (map-side by
+    // construction — the r12 corpus-wide `.distinct()` re-shuffled
+    // the whole exploded 4-gram stream to deduplicate what was
+    // already distinct, 10x probe ratio 14.26). The corpus side
+    // stays a narrow explode into a broadcast join; the only wide op
+    // left is the per-doc_id distinct AFTER the join, bounded by the
+    // contaminated-overlap volume.
+    val ev = c.documents.filter(col("doc_id") < 20)
+      .select(explode(Text.shingles(Text.tokens(col("text")), 4)).as("g4"))
       .distinct()
-    val ev = g.filter(col("doc_id") < 20).select("g4").distinct()
-    val cont = g.filter(col("doc_id") >= 20)
+    val cont = c.documents.filter(col("doc_id") >= 20)
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 4)).as("g4"))
       .join(broadcast(ev), "g4").select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
-    val f = q3.join(cont, Seq("doc_id"), "left")
+    val f = q3.join(broadcast(cont), Seq("doc_id"), "left")
       .withColumn("s4", col("s3") && col("doc_id") >= 20 &&
         coalesce(col("contaminated"), lit(false)) === false)
     val a = f.agg(
@@ -3024,8 +3051,8 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14, d15, d16, d17,
-    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12,
+    d11, d12, d13, d14, d14fast, d15, d16, d17,
+    s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,

@@ -311,6 +311,62 @@ class EngineSpec extends SparkSpec {
       "journaled append model must keep its history on retry")
   }
 
+  test("per-model hooks: retry skips completed hooks, edited model re-fires, post-hook crash window catches up") {
+    val wh = freshWh("mhooks")
+    val mat = Materializer(wh)
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fail = true
+    var postFail = false
+    def mkModel(body: String) = Model("t", Seq("src"), Materialization.Table,
+      ctx => { log += "model"; if (fail) sys.error("boom"); ctx.source("src") },
+      body = body,
+      preHooks = Seq(Hook("pre_grant", "grant-ish ddl", () => log += "pre")),
+      postHooks = Seq(Hook("post_audit", "audit row", () => {
+        log += "post"; if (postFail) sys.error("post boom") })))
+    val srcs: String => org.apache.spark.sql.DataFrame =
+      _ => df(Seq((1L, "a", 0)))
+
+    // crash IN the model: the pre-hook fired and journaled first
+    intercept[Exception] {
+      Retry.run(ModelGraph(Seq(mkModel("v1"))), mat, srcs, wh)
+    }
+    assert(log == Seq("pre", "model"))
+
+    // retry, model unchanged: the journaled pre-hook is SKIPPED (its
+    // side effect — the grant/DDL — already applied), model + post run
+    fail = false; log.clear()
+    val (ran, skipped) = Retry.run(ModelGraph(Seq(mkModel("v1"))), mat, srcs, wh)
+    assert(log == Seq("model", "post"), s"got $log")
+    assert(skipped.contains("t.pre_grant"))
+    assert(ran.contains("t") && ran.contains("t.post_audit"))
+
+    // edited between crash and retry: hook journal identity is bound
+    // to the MODEL's checksum, so the completed pre-hook re-fires
+    // with the re-run node (dbt re-executes the full node)
+    fail = true; log.clear()
+    intercept[Exception] {
+      Retry.run(ModelGraph(Seq(mkModel("v2"))), mat, srcs, wh)
+    }
+    assert(log == Seq("pre", "model"))
+    fail = false; log.clear()
+    Retry.run(ModelGraph(Seq(mkModel("v3"))), mat, srcs, wh)
+    assert(log == Seq("pre", "model", "post"),
+      s"edited model must re-fire its journaled hooks, got $log")
+
+    // crash BETWEEN the model's journal commit and its post-hook: the
+    // retry skips the model but still fires the missing post-hook
+    fail = false; postFail = true; log.clear()
+    intercept[Exception] {
+      Retry.run(ModelGraph(Seq(mkModel("v4"))), mat, srcs, wh)
+    }
+    assert(log == Seq("pre", "model", "post"))
+    postFail = false; log.clear()
+    val (ran2, skipped2) = Retry.run(ModelGraph(Seq(mkModel("v4"))), mat, srcs, wh)
+    assert(log == Seq("post"),
+      s"skipped model's un-journaled post-hook must catch up, got $log")
+    assert(skipped2.contains("t") && ran2 == Seq("t.post_audit"))
+  }
+
   test("jdbc warehouse: embedded clone with suffix mapping, dry-run, partitioned read-back, parquet landing") {
     val dbDir = graft.core.Scratch.dir("jdbcspec").toString + "/db"
     val jdbc = graft.sources.JdbcWarehouse(spark, s"jdbc:derby:$dbDir;create=true")

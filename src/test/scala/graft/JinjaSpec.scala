@@ -155,6 +155,17 @@ class JinjaSpec extends AnyFunSuite {
       "SELECT SUM(CASE WHEN st = 'o' THEN 1 END) AS n_o, SUM(CASE WHEN st = 'f' THEN 1 END) AS n_f FROM t")
   }
 
+  test("loop.index/loop.first inside a macro body survive render braced, expand with the for") {
+    // regression: substRegions used to unquote 'loop.index' (not a
+    // bare identifier, not a preserved call), stripping the braces
+    // before expandFor could substitute it — silently invalid SQL
+    // that bypassed the no-residual-braces guard
+    val m = Jinja.parseMacros(
+      """{% macro idx(c) %}{% for v in ['a', 'b'] %}{% if loop.first %}/*h*/{% endif %}{{ c }}_{{ v }} AS c{{ loop.index }}{% if not loop.last %}, {% endif %}{% endfor %}{% endmacro %}""")
+    val out = Jinja.expand("SELECT {{ idx(x) }} FROM t", m)
+    assert(out == "SELECT /*h*/x_a AS c1, x_b AS c2 FROM t", out)
+  }
+
   test("nested for: innermost expands first, outer var reaches the inner body") {
     val out = Jinja.expand(
       "{% for a in ['1', '2'] %}{% for b in ['x', 'y'] %}{{ a }}{{ b }} {% endfor %}{% endfor %}")

@@ -450,6 +450,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(groups(21L) == ((20L, 2L, false)))
   }
 
+  test("s13: SQ8 ADC serving recall vs exact MIPS top-k") {
+    // the oracle gate pins s13's ADC ranks bit-exactly; this spec pins
+    // the claim that matters to a USER of the quantized index — the
+    // 1-byte/dim codes still retrieve (almost) the same neighbors as
+    // the exact float scan. 64-dim affine SQ8 keeps per-dim error
+    // <= span/510, so top-5 agreement should be near-total.
+    val queries = cat.embeddings.filter(col("vec_id") < 20)
+    val exact = Ann.bruteMips(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = Ann.sq8Serve(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    assert(exact.size == 100, s"expected 20 queries x 5, got ${exact.size}")
+    assert(recall >= 0.9, s"SQ8 ADC recall $recall vs exact MIPS below 0.9")
+  }
+
   test("nearDupLsh: recall 1.0 vs exact all-pairs on planted near-dups at cosine >= 0.9") {
     // plant near-dups: each base vector gets a copy perturbed by a
     // small deterministic rotation of itself — cosine ~0.9988, firmly

@@ -593,4 +593,18 @@ class StreamingSpec extends SparkSpec {
       == out.filter(!_._2.erased).view.mapValues(o =>
         (o.n_events, o.total_micros)).toMap)
   }
+
+  test("e11/e18 memoized restart: a second invocation is a checkpoint restart with identical results") {
+    // the bench runs each entry 3x in-process; iterations 2..n take
+    // the memoized path (same landing dir, same checkpoint, no new
+    // files) and must read back the SAME committed state the first
+    // pass built — a restart that re-ingested or dropped state would
+    // diverge here before it ever reached the driver's oracle
+    for (q <- Seq(graft.queries.Streaming.e11, graft.queries.Streaming.e18)) {
+      val first = q.run(spark, sfDir).collect().map(_.toString).toSeq
+      val again = q.run(spark, sfDir).collect().map(_.toString).toSeq
+      assert(first.nonEmpty, s"${q.name}: empty first result")
+      assert(again == first, s"${q.name}: restart diverged from first run")
+    }
+  }
 }
