@@ -420,6 +420,23 @@ object Bench {
             Seq(("s05_knn_graph_auto", secs, medians("s05_knn_graph"), err))
           }
         } ++ {
+          // mm05 payload probe: 10× the CLIPS (1200 base + 400 planted
+          // copies, ~52 MB of WAV payload vs ~5 MB registered) through
+          // the same decode→fingerprint→pigeonhole pipeline. Linear
+          // ratio pins the only-features-leave-the-partition claim:
+          // the join and shuffle see 8-byte fingerprints regardless of
+          // payload bytes, so cost scales with clip count only.
+          if (elapsed > budgetSec || !probing("mm05_audio_dedup")) Nil
+          else {
+            val (secs, err) = timed(sp, scaleDir, (s, _) =>
+              graft.operators.Multimodal.phashPairs(
+                graft.operators.Multimodal.audioFingerprint(
+                  graft.operators.Multimodal.wavDupMedia(s, 1200))
+                  .select(col("media_id"), col("afp").as("phash")),
+                maxHamming = 2))
+            Seq(("mm05_audio_dedup_10x", secs, medians("mm05_audio_dedup"), err))
+          }
+        } ++ {
           // 100× embeddings probe: the 10× probe cannot separate the
           // Auto paths' O(n·√k) routed assignment from a quadratic —
           // at 10× the adaptive k is still under RouteThreshold and

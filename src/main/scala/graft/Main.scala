@@ -29,6 +29,8 @@ final case class CliConfig(
     changed: Set[String] = Set.empty,
     cutoff: Option[String] = None,
     select: Option[String] = None,
+    selector: Option[String] = None,
+    selectorsYml: Option[String] = None,
     manifestPath: Option[String] = None,
     jdbcUrl: Option[String] = None,
     onSuffixed: Boolean = false,
@@ -74,6 +76,13 @@ object Main {
       |  --changed <a,b,...>    model names whose bodies a PR edited (ci)
       |  --cutoff <yyyy-mm-dd>  restrict source orders to before this date (run)
       |  --select <sel>         ci selector; only state:modified+ is supported
+      |  --selector <name>      run a NAMED selector from selectors.yml
+      |                         (dbt `--selector`): resolves through the
+      |                         same --select mini-language, builds only
+      |                         the selected subset (refs to unselected
+      |                         persisted models read the warehouse)
+      |  --selectors-yml <path> selectors.yml location (default
+      |                         ./selectors.yml when --selector is used)
       |  --manifest <path>      read the prod manifest from this file instead
       |                         of the warehouse artifact (dbt's --state dir /
       |                         an out-of-band downloaded manifest.json)
@@ -134,6 +143,9 @@ object Main {
           loop(t, cfg.copy(changed = v.split(",").map(_.trim).filter(_.nonEmpty).toSet))
         case "--cutoff" :: v :: t => loop(t, cfg.copy(cutoff = Some(v)))
         case "--select" :: v :: t => loop(t, cfg.copy(select = Some(v)))
+        case "--selector" :: v :: t => loop(t, cfg.copy(selector = Some(v)))
+        case "--selectors-yml" :: v :: t =>
+          loop(t, cfg.copy(selectorsYml = Some(v)))
         case "--manifest" :: v :: t => loop(t, cfg.copy(manifestPath = Some(v)))
         case "--jdbc-url" :: v :: t => loop(t, cfg.copy(jdbcUrl = Some(v)))
         case "--on-suffixed" :: t => loop(t, cfg.copy(onSuffixed = true))
@@ -156,7 +168,10 @@ object Main {
       cfg.select match {
         case Some(s) if s != "state:modified+" =>
           Left(s"unsupported selector '$s' (only state:modified+)")
-        case _ => Right(cfg)
+        case _ =>
+          if (cfg.selector.isDefined && cfg.command != "run")
+            Left("--selector applies to `run` only")
+          else Right(cfg)
       }
     }
   }
@@ -263,9 +278,21 @@ object Main {
   def run(spark: SparkSession, cfg: CliConfig): RunReport = {
     val wh = Warehouse(spark, cfg.warehouseRoot)
     val graph = DemoProject.graph(cfg.slices, schema = cfg.schema, vars = cfg.vars)
-    val order = graph.topoOrder
+    // dbt `run --selector <name>`: resolve the NAMED selector from
+    // selectors.yml through the same mini-language as an inline
+    // --select (Selector.selectNamed IS one select() call), then run
+    // only the selected subset in topological order. Refs to
+    // unselected persisted models read the warehouse (the prior
+    // run's state — dbt's assumption that upstream is already built).
+    val selected: Option[Set[String]] = cfg.selector.map { name =>
+      val path = cfg.selectorsYml.getOrElse("selectors.yml")
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      Selector.selectNamed(graph, Selector.parseSelectorsYaml(text), name)
+    }
+    val order = selected.fold(graph.topoOrder)(s => graph.topoOrder.filter(s))
     val persisted = graph.models
       .filter(_.materialization != Materialization.View)
+      .filter(m => selected.forall(_(m.name)))
     // fresh run: reset journal + intents, and persist the schema this
     // run targets so a bare `retry` resumes the SAME schema (the
     // manifest only saves at run END — after a crash it still
@@ -279,7 +306,25 @@ object Main {
     val t0 = System.nanoTime()
     val secs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val byName = graph.byName
-    val outs = Runner(Materializer(wh), sources(spark, cfg), cfg.fullRefresh,
+    val baseSources = sources(spark, cfg)
+    val runSources: String => DataFrame = selected match {
+      case Some(sel) =>
+        // persisted unselected refs read the warehouse; unselected
+        // VIEWS (never persisted) recompose lazily through the same
+        // resolver — exactly how a full run folds view chains into
+        // downstream plans
+        lazy val deferMat = Materializer(wh)
+        def resolve(n: String): DataFrame =
+          if (byName.contains(n) && !sel(n)) {
+            val m = byName(n)
+            if (m.materialization == Materialization.View)
+              deferMat.run(m, resolve, fullRefresh = false)
+            else wh.read(m.targetSchema, n)
+          } else baseSources(n)
+        resolve
+      case None => baseSources
+    }
+    val outs = Runner(Materializer(wh), runSources, cfg.fullRefresh,
         threads = cfg.threads,
         // intent commits at MODEL START — after a crash it marks
         // exactly the in-flight (possibly written-but-unjournaled)
@@ -303,7 +348,7 @@ object Main {
               Retry.commit(wh, journal)
             }
         })
-      .runAll(graph)
+      .runSelected(graph, order)
     val wall = (System.nanoTime() - t0) / 1e9
     ManifestState.save(wh, ManifestState.of(graph))
     Retry.commit(wh, Map.empty)

@@ -501,4 +501,146 @@ object Multimodal {
       }(enc)
     ds.toDF()
   }
+
+  // ---- mm05: perceptual AUDIO dedup (the cross-media composition:
+  // mm04's framed-energy features packed into a 64-bit fingerprint,
+  // candidate pairs through mm03/d03's block-pigeonhole contract) ----
+
+  /** Frames per clip in the DEDUP fixture — 64, so the framed
+    * activity pattern packs into exactly one 64-bit fingerprint.
+    */
+  val AfpFrames = 64
+
+  /** splitmix64 finalizer — the per-(clip, frame) activity bit must
+    * be pseudorandom across frames or every clip would share one of
+    * a handful of schedules and the fixture's "unrelated clips stay
+    * far apart" property would not hold.
+    */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Loud/quiet schedule of LOGICAL clip `base` at frame f. */
+  private def activityBit(base: Long, f: Int): Boolean =
+    ((mix64(base * 1000003L + f) >>> 40) & 1L) == 1L
+
+  /** A 64-frame WAV following `base`'s activity schedule, XOR-flipped
+    * at `flips` frames (the near-dup knob — each flip is one hamming
+    * bit on the fingerprint). `gain` scales the loud amplitude: any
+    * gain comfortably above the energy threshold yields the SAME
+    * fingerprint — the audio analogue of mm03's brightness-shifted
+    * re-encodes. The dither LCG seeds on the PHYSICAL id, so a copy's
+    * bytes differ from its base everywhere, not only at flipped
+    * frames.
+    */
+  def syntheticWavDup(id: Long, base: Long, flips: Set[Int],
+      gain: Int): Array[Byte] = {
+    val n = AfpFrames * WavFrameSamples
+    val pcm = new Array[Byte](n * 2)
+    val half = 8 + (base % 8).toInt
+    var lcg = id * 6364136223846793005L + 1442695040888963407L
+    var t = 0
+    while (t < n) {
+      val f = t / WavFrameSamples
+      val loud = activityBit(base, f) ^ flips.contains(f)
+      val amp = if (loud) gain else 300
+      val b = if ((t / half) % 2 == 0) amp else -amp
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      val noise = (((lcg >>> 33) % 201) - 100).toInt
+      val v = b + noise
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** `n` base clips (ids 0..n-1) plus a "re-encoded" near-dup copy of
+    * every third base at id 100000+b: one or two frames flipped
+    * (hamming 1-2 by construction), +10% gain, different dither —
+    * different BYTES everywhere, perceptually near-identical. Pure
+    * function of n (integer PCM + WAV container round-trip), so the
+    * full pair matrix freezes into a literal VALUES oracle.
+    */
+  def wavDupMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val ids = spark.range(n.toLong).toDF("media_id")
+      .unionByName(spark.range(0L, n.toLong, 3L).toDF("media_id")
+        .select((col("media_id") + 100000L).as("media_id")))
+    val ds: Dataset[Row] = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (id < 100000L) syntheticWavDup(id, id, Set.empty, 12000)
+          else {
+            val b = id - 100000L
+            val k = (b / 3L).toInt
+            val flips: Set[Int] =
+              if (k % 2 == 0) Set((k * 7) % AfpFrames)
+              else Set((k * 7) % AfpFrames, (k * 13 + 5) % AfpFrames)
+            syntheticWavDup(id, b, flips, 13200)
+          }
+        Row(id, "audio/wav", bytes)
+      }
+    }(enc)
+    ds.toDF()
+  }
+
+  val afpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false)))
+
+  /** Decode + 64-bit audio fingerprint fused in ONE mapPartitions
+    * pass (mm03's fusion discipline applied to mm04's framed energy):
+    * bit f = frame f's voice-activity flag, so the fingerprint is
+    * gain- and dither-invariant by construction. Only (media_id,
+    * fingerprint) ever leaves the payload partition — 8 bytes out
+    * per ~32 KB in, the shape that makes payload-scale dedup viable.
+    */
+  def audioFingerprint(media: DataFrame,
+      frameSamples: Int = WavFrameSamples,
+      threshold: Long = 1000000L): DataFrame = {
+    val enc = RowEncoder.encoderFor(afpSchema)
+    val ds: Dataset[Row] = media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+            s"media $id: expected 16-bit mono LE PCM, got $fmt")
+          val pcm = ais.readAllBytes()
+          val nSamples = pcm.length / 2
+          val frames = math.min(nSamples / frameSamples, 64)
+          var fp = 0L
+          var f = 0
+          while (f < frames) {
+            var sumSq = 0L
+            var i = f * frameSamples
+            val end = i + frameSamples
+            while (i < end) {
+              val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toLong
+              sumSq += v * v
+              i += 1
+            }
+            if (sumSq / frameSamples > threshold) fp |= (1L << f)
+            f += 1
+          }
+          Row(id, fp)
+        }
+      }(enc)
+    ds.toDF()
+  }
 }

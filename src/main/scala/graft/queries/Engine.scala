@@ -1076,7 +1076,20 @@ object Engine {
       |  ('tag:nightly', 'stg_a'),
       |  ('tag:nightly+', 'audit_y'), ('tag:nightly+', 'int_ab'),
       |  ('tag:nightly+', 'int_bc'), ('tag:nightly+', 'mart_x'),
-      |  ('tag:nightly+', 'mart_y'), ('tag:nightly+', 'stg_a'))
+      |  ('tag:nightly+', 'mart_y'), ('tag:nightly+', 'stg_a'),
+      |  ('selector:marts_world', 'audit_y'), ('selector:marts_world', 'int_ab'),
+      |  ('selector:marts_world', 'int_bc'), ('selector:marts_world', 'mart_x'),
+      |  ('selector:marts_world', 'mart_y'), ('selector:marts_world', 'stg_a'),
+      |  ('selector:marts_world', 'stg_b'), ('selector:marts_world', 'stg_c'),
+      |  ('selector:nightly_children', 'audit_y'),
+      |  ('selector:nightly_children', 'int_ab'),
+      |  ('selector:nightly_children', 'int_bc'),
+      |  ('selector:nightly_children', 'mart_x'),
+      |  ('selector:nightly_children', 'mart_y'),
+      |  ('selector:nightly_children', 'stg_a'),
+      |  ('selector:nightly_marts', 'mart_x'), ('selector:nightly_marts', 'mart_y'),
+      |  ('selector:no_staging', 'int_ab'), ('selector:no_staging', 'int_bc'),
+      |  ('selector:no_staging', 'mart_y'))
       |  AS t(selector, model_name)
       |ORDER BY selector, model_name""") { (spark, _) =>
     def m(name: String, deps: Seq[String], tags: Seq[String]): Model =
@@ -1104,7 +1117,34 @@ object Engine {
     val rows = cases.flatMap { case (label, spec, exclude) =>
       Selector.select(g, spec, exclude).toSeq.sorted.map(label -> _)
     }
-    spark.createDataFrame(rows).toDF("selector", "model_name")
+    // NAMED selectors (selectors.yml + dbt --selector): the persisted
+    // definitions resolve through the SAME select() call as the
+    // inline specs above, so their matrix rows extend the same oracle
+    val selectorsYml =
+      """selectors:
+        |  - name: nightly_children
+        |    description: everything downstream of the nightly tag
+        |    definition: "tag:nightly+"
+        |  - name: no_staging
+        |    definition: "+mart_y"
+        |    exclude:
+        |      - "tag:staging"
+        |  - name: marts_world
+        |    definition:
+        |      union:
+        |        - "@mart_x"
+        |        - "stg_c+"
+        |  - name: nightly_marts
+        |    definition:
+        |      intersection:
+        |        - "stg_b+"
+        |        - "tag:mart"
+        |""".stripMargin
+    val named = Selector.parseSelectorsYaml(selectorsYml)
+    val namedRows = named.keys.toSeq.sorted.flatMap(n =>
+      Selector.selectNamed(g, named, n).toSeq.sorted
+        .map(s"selector:$n" -> _))
+    spark.createDataFrame(rows ++ namedRows).toDF("selector", "model_name")
       .orderBy("selector", "model_name")
   }
 

@@ -2109,6 +2109,30 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }, Some(MmOracles.mm03))
 
+  // mm05 — perceptual AUDIO dedup: the cross-media COMPOSITION the
+  // multimodal leg was missing — mm04's framed-energy features packed
+  // into a 64-bit activity fingerprint (bit f = frame f's VAD flag,
+  // gain- and dither-invariant by construction), then near-dup pairs
+  // through the SAME 4×16-bit block-pigeonhole candidate contract
+  // mm03/d03 use: a bounded equi-join on (block, value), never
+  // all-pairs. The fixture plants "re-encoded" copies (+10% gain,
+  // fresh dither, 1-2 flipped frames — different bytes EVERYWHERE)
+  // of every third clip; copies land at hamming 1-2, unrelated clips
+  // ~32 bits apart. Fixture and integer energy math are pure
+  // functions of the code, so the full pair matrix gates against a
+  // literal VALUES oracle (MmOracles recipe). Only (media_id, 8-byte
+  // fingerprint) leaves the payload partition — the 10× payload
+  // probe in Bench pins that the pipeline scales with clip COUNT,
+  // not payload bytes shuffled.
+  val mm05: Q = Q("mm05_audio_dedup", (spark, _) => {
+    val media = Multimodal.wavDupMedia(spark, n = 120)
+    Multimodal.phashPairs(
+      Multimodal.audioFingerprint(media)
+        .select(col("media_id"), col("afp").as("phash")),
+      maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }, Some(MmOracles.mm05))
+
   // x19 — BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75):
   // the retrieval-grade ranking function over the corpus — the
   // quality/curation sibling of x08's TF-IDF (BM25's tf saturation
@@ -3056,5 +3080,5 @@ object LlmOps {
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,
-    p01, p02, p03, p04, mm01, mm02, mm03, mm04)
+    p01, p02, p03, p04, mm01, mm02, mm03, mm04, mm05)
 }

@@ -466,6 +466,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 ADC recall $recall vs exact MIPS below 0.9")
   }
 
+  test("mm05: audio fingerprint is gain- and dither-invariant; flips move exactly their bits") {
+    import spark.implicits._
+    // same logical clip, three renditions: base gain/dither, +10%
+    // gain with fresh dither, and a 2-frame flip — the fingerprint
+    // must be identical across the first two and differ in exactly
+    // the flipped bits on the third
+    val media = Seq(
+      (1L, "audio/wav", Multimodal.syntheticWavDup(1L, 5L, Set.empty[Int], 12000)),
+      (2L, "audio/wav", Multimodal.syntheticWavDup(777L, 5L, Set.empty[Int], 13200)),
+      (3L, "audio/wav", Multimodal.syntheticWavDup(888L, 5L, Set(3, 40), 12000)))
+      .toDF("media_id", "media_type", "payload")
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L),
+      "gain/dither change must not move the fingerprint")
+    assert((fp(1L) ^ fp(3L)) == ((1L << 3) | (1L << 40)),
+      "frame flips must move exactly their fingerprint bits")
+  }
+
   test("nearDupLsh: recall 1.0 vs exact all-pairs on planted near-dups at cosine >= 0.9") {
     // plant near-dups: each base vector gets a copy perturbed by a
     // small deterministic rotation of itself — cosine ~0.9988, firmly

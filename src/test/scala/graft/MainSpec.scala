@@ -71,6 +71,50 @@ class MainSpec extends SparkSpec {
     assert(js.exists(_.contains("\"n_distinct\"")))
   }
 
+  test("run --selector: named selector from selectors.yml equals its inline --select expansion") {
+    val whRoot = graft.core.Scratch.dir("mainsel").toString
+    val ymlPath = graft.core.Scratch.dir("selyml").resolve("selectors.yml")
+    java.nio.file.Files.writeString(ymlPath,
+      """selectors:
+        |  - name: spend_world
+        |    description: the spend subtree and all its ancestors
+        |    definition: "+int_spend_all"
+        |  - name: recent_only
+        |    definition: "mart_recent_buyers"
+        |""".stripMargin)
+    // CLI wiring: --selector parses on run, is rejected elsewhere
+    val parsed = Main.parse(Seq("run", "--selector", "spend_world",
+      "--selectors-yml", ymlPath.toString)).toOption.get
+    assert(parsed.selector.contains("spend_world") &&
+      parsed.selectorsYml.contains(ymlPath.toString))
+    assert(Main.parse(Seq("ci", "--selector", "x")).isLeft)
+
+    val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
+      slices = slices, cutoff = Some(cutoffDate),
+      selector = Some("spend_world"), selectorsYml = Some(ymlPath.toString))
+    val rep = Main.run(spark, base)
+    // the named selector's run set IS the inline expansion, topo-ordered
+    val g = DemoProject.graph(slices)
+    val inline = graft.core.Selector.select(g, "+int_spend_all")
+    assert(rep.ran == g.topoOrder.filter(inline),
+      s"named selector ran ${rep.ran}, inline expansion $inline")
+    val wh = Warehouse(spark, whRoot)
+    assert(wh.exists("analytics", "int_spend_all"))
+    assert(!wh.exists("analytics", "mart_recent_buyers"),
+      "unselected mart must not build")
+
+    // a later selector run of JUST the mart defers its ref to the
+    // warehouse state the first selected run left behind
+    val rep2 = Main.run(spark, base.copy(selector = Some("recent_only")))
+    assert(rep2.ran == Seq("mart_recent_buyers"))
+    assert(wh.exists("analytics", "mart_recent_buyers"))
+
+    // unknown names fail loudly, not silently empty
+    assertThrows[IllegalArgumentException] {
+      Main.run(spark, base.copy(selector = Some("nope")))
+    }
+  }
+
   test("Main ci: manifest diff -> closure -> clone -> deferred run on the demo DAG") {
     val whRoot = graft.core.Scratch.dir("main").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
