@@ -523,6 +523,21 @@ object Bench {
                       graft.operators.Dedup.ngramJaccardPairs(
                         s.read.parquet(s"$d/documents.parquet"),
                         n = 3, threshold = 0.5, maxDf = 1000L)))
+                // d14 family at 100×: the exact-substring scrub's
+                // whole scale claim is LINEAR-in-windows coverage (no
+                // pair volume), and the fast dial is the registered
+                // 100 TB path — so the dial gets the 500k-doc probe
+                // (the md5 form's cost is characterized at 10×; only
+                // the dial needs the big-corpus evidence).
+                val rsD14 =
+                  if (elapsed > budgetSec ||
+                      !probing("d14_exact_substr_scrub_fast")) Nil
+                  else {
+                    val (s14, e14p) = timed(sp, dir100d,
+                      SparkEntry.queries("d14_exact_substr_scrub_fast"))
+                    Seq(("d14_exact_substr_scrub_fast_100x", s14,
+                      medians("d14_exact_substr_scrub_fast"), e14p))
+                  }
                 // SKETCH-REGIME probe (q43 Misra-Gries / x29 KMV):
                 // the oracle gates both only where capacity >= true
                 // distincts; their whole reason to exist is the
@@ -569,7 +584,7 @@ object Bench {
                   ("d03_dedup_simhash_auto_100x", secs,
                     medians("d03_dedup_simhash"), err),
                   ("d06_dedup_groups_100x", secs6,
-                    medians("d06_dedup_groups"), err6))
+                    medians("d06_dedup_groups"), err6)) ++ rsD14
               }
             try {
               val p = new org.apache.hadoop.fs.Path(dir100d)

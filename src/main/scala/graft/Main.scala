@@ -65,7 +65,7 @@ final case class CliConfig(
 object Main {
 
   val usage: String =
-    """usage: graft.Main <run|retry|test|unit|clone|ci|clean|docs> [options]
+    """usage: graft.Main <run|retry|test|unit|clone|ci|clean|docs|ls> [options]
       |  --sf-dir <dir>         source parquet dir (default /root/testdata/sf0.001)
       |  --warehouse <root>     warehouse root (default /tmp/graft_warehouse)
       |  --schema <name>        base warehouse schema for `run` (default "analytics");
@@ -120,6 +120,11 @@ object Main {
       |  temps); half-swaps are healed, never deleted. --dry-run
       |  reports without deleting.
       |
+      |  ls: `dbt ls` — resolve --select (full mini-language) or a
+      |  named --selector against the demo DAG and print the selected
+      |  nodes (name, materialization, tags) in topological order;
+      |  builds nothing, reads nothing but selectors.yml.
+      |
       |  docs: `dbt docs generate` — profile the persisted tables of
       |  the last run's schema (row/null/distinct counts per column)
       |  and save the catalog.json warehouse artifact.""".stripMargin
@@ -127,7 +132,7 @@ object Main {
   def parse(args: Seq[String]): Either[String, CliConfig] = {
     if (args.isEmpty) return Left("missing command\n" + usage)
     val cmd = args.head
-    if (!Set("run", "retry", "test", "unit", "clone", "ci", "clean", "docs").contains(cmd))
+    if (!Set("run", "retry", "test", "unit", "clone", "ci", "clean", "docs", "ls").contains(cmd))
       return Left(s"unknown command '$cmd'\n" + usage)
     @annotation.tailrec
     def loop(rest: List[String], cfg: CliConfig): Either[String, CliConfig] =
@@ -166,11 +171,13 @@ object Main {
       }
     loop(args.tail.toList, CliConfig(command = cmd)).flatMap { cfg =>
       cfg.select match {
-        case Some(s) if s != "state:modified+" =>
-          Left(s"unsupported selector '$s' (only state:modified+)")
+        case Some(s) if cfg.command == "ci" && s != "state:modified+" =>
+          Left(s"unsupported ci selector '$s' (only state:modified+)")
         case _ =>
-          if (cfg.selector.isDefined && cfg.command != "run")
-            Left("--selector applies to `run` only")
+          if (cfg.selector.isDefined && !Set("run", "ls")(cfg.command))
+            Left("--selector applies to `run` and `ls` only")
+          else if (cfg.select.isDefined && !Set("ci", "ls")(cfg.command))
+            Left("--select applies to `ci` and `ls` only")
           else Right(cfg)
       }
     }
@@ -556,6 +563,28 @@ object Main {
 
   // ----------------------------------------------------------------
 
+  /** `dbt ls`: selection without execution — the full --select
+    * mini-language (or a named --selector from selectors.yml)
+    * resolved against the demo DAG, nodes returned in topological
+    * order. Pure driver-side name math (Selector's O(graph) claim);
+    * no Spark job runs.
+    */
+  def ls(cfg: CliConfig): Seq[(String, String, Seq[String])] = {
+    val graph = DemoProject.graph(cfg.slices, schema = cfg.schema, vars = cfg.vars)
+    val sel: Set[String] = (cfg.selector, cfg.select) match {
+      case (Some(name), _) =>
+        val path = cfg.selectorsYml.getOrElse("selectors.yml")
+        val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        Selector.selectNamed(graph, Selector.parseSelectorsYaml(text), name)
+      case (None, Some(spec)) => Selector.select(graph, spec)
+      case (None, None) => graph.byName.keySet
+    }
+    graph.topoOrder.filter(sel).map { n =>
+      val m = graph.byName(n)
+      (n, m.materialization.toString, m.tags)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args.toSeq) match {
       case Left(err) => System.err.println(err); sys.exit(2)
@@ -640,6 +669,11 @@ object Main {
           println(f"  ${r.getString(0)}%-22s ${r.getString(1)}%-16s ${r.getString(2)}%-14s " +
             f"rows=${r.getLong(3)}%-8d nulls=${r.getLong(4)}%-6d distinct=${r.getLong(5)}%d") }
         println("Saved artifact: catalog.json")
+      case "ls" =>
+        val nodes = ls(cfg)
+        println(bar + s"\nLS (${nodes.size} nodes)\n" + bar)
+        nodes.foreach { case (n, mat, tags) =>
+          println(f"  $n%-28s $mat%-32s ${tags.mkString(",")}") }
       case "clean" =>
         val r = clean(spark, cfg)
         val would = if (cfg.dryRun) " (dry run: nothing deleted)" else ""

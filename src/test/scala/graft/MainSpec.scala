@@ -115,6 +115,61 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("ls: selection without execution — inline spec, named selector, full graph") {
+    val g = DemoProject.graph(slices)
+    // full graph, topo order
+    val all = Main.ls(CliConfig(command = "ls", slices = slices))
+    assert(all.map(_._1) == g.topoOrder)
+    // inline --select uses the FULL mini-language (not ci's
+    // state:modified+ restriction)
+    val cfg = Main.parse(Seq("ls", "--select", "+int_spend_all",
+      "--slices", slices.toString)).toOption.get
+    val sel = Main.ls(cfg)
+    assert(sel.map(_._1) ==
+      g.topoOrder.filter(graft.core.Selector.select(g, "+int_spend_all")))
+    // named selector resolves identically
+    val ymlPath = graft.core.Scratch.dir("lsyml").resolve("selectors.yml")
+    java.nio.file.Files.writeString(ymlPath,
+      "selectors:\n  - name: world\n    definition: \"+int_spend_all\"\n")
+    val byName = Main.ls(cfg.copy(select = None, selector = Some("world"),
+      selectorsYml = Some(ymlPath.toString)))
+    assert(byName == sel)
+    // --select rejected on run; --selector rejected on ci
+    assert(Main.parse(Seq("run", "--select", "stg_*")).isLeft)
+    assert(Main.parse(Seq("ci", "--selector", "world")).isLeft)
+  }
+
+  test("parseSelectorsYaml: comments, quotes, and malformed documents") {
+    import graft.core.Selector
+    val parsed = Selector.parseSelectorsYaml(
+      """# project selectors
+        |selectors:
+        |  - name: a   # trailing comment
+        |    definition: 'tag:x+'
+        |  - name: b
+        |    definition:
+        |      union:
+        |        - "m1"
+        |        - m2   # unquoted items parse too
+        |""".stripMargin)
+    assert(parsed("a").definition == "tag:x+")
+    assert(parsed("b").definition == "m1 m2")
+    // duplicates, missing definition, stray items, bad root all fail loudly
+    assertThrows[IllegalArgumentException] {
+      Selector.parseSelectorsYaml(
+        "selectors:\n  - name: a\n    definition: x\n  - name: a\n    definition: y\n")
+    }
+    assertThrows[IllegalArgumentException] {
+      Selector.parseSelectorsYaml("selectors:\n  - name: a\n")
+    }
+    assertThrows[IllegalArgumentException] {
+      Selector.parseSelectorsYaml("selectors:\n  - \"stray\"\n")
+    }
+    assertThrows[IllegalArgumentException] {
+      Selector.parseSelectorsYaml("wrong:\n  - name: a\n")
+    }
+  }
+
   test("Main ci: manifest diff -> closure -> clone -> deferred run on the demo DAG") {
     val whRoot = graft.core.Scratch.dir("main").toString
     val base = CliConfig(command = "run", sfDir = sfDir, warehouseRoot = whRoot,
