@@ -115,7 +115,16 @@ object Bench {
     // cost is s03+s01, both already characterized.
     "q42_interval_concurrency", "q43_approx_topk", "e21_sliding_windows",
     "x28_pmi_collocations", "p04_funnel_report", "t18_audit_compare",
-    "s12_mmr_diversify")
+    "s12_mmr_diversify",
+    // r13 ring: the heaviest medians that still lacked probes —
+    // survivorship (d06's groups + an argmax join), sorted
+    // neighborhood (candidate volume n·(w−1) BY CONSTRUCTION — the
+    // probe checks the constant), IVF-PQ (train + ADC + re-rank),
+    // DSIR importance weights (hashed-ngram double agg), and the
+    // registered mm05 base (its 10x payload sibling stages its own
+    // fixture)
+    "d15_dedup_survivorship", "d17_sorted_neighborhood",
+    "s04_ann_ivfpq", "x17_importance_weights")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

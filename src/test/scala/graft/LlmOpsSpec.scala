@@ -466,6 +466,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 ADC recall $recall vs exact MIPS below 0.9")
   }
 
+  test("s13: serving plan broadcasts the query set; corpus vectors never cross the join") {
+    val q = cat.embeddings.filter(col("vec_id") < 20)
+    val plan = Ann.sq8Serve(q, cat.embeddings, k = 5)
+      .queryExecution.executedPlan.toString
+    // the inequality join must be a BroadcastNestedLoopJoin with the
+    // QUERY side broadcast — a corpus-side broadcast (or a cartesian)
+    // would ship the big side at 100 TB
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // the corpus leg of the join carries codes only: the double
+    // vector `v` is consumed by the code projection BELOW the join,
+    // so no join-side projection references it
+    val joinDown = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(!joinDown.substring(0, math.min(400, joinDown.length))
+        .contains("AS v#"),
+      "corpus doubles must not survive past the code projection")
+  }
+
   test("mm05: audio fingerprint is gain- and dither-invariant; flips move exactly their bits") {
     import spark.implicits._
     // same logical clip, three renditions: base gain/dither, +10%
