@@ -838,6 +838,11 @@ object Dedup {
         substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
           1, keyLen).as("key"))
       .withColumn("bucket", substring(col("key"), 1, 1))
+      // frozen: feeds BOTH the offsets aggregate and the rank window —
+      // without the freeze each consumer re-scans and re-normalizes
+      // the corpus (the Explain --audit read 6 file scans; 2 remain:
+      // this narrow key projection and the token-set projection)
+      .localCheckpoint(true)
     // bucket offsets: alphabet-bounded frame, so the unpartitioned
     // running-sum window is ≤ 37 rows by construction
     val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
@@ -853,6 +858,8 @@ object Dedup {
         Window.partitionBy("bucket").orderBy("key", "doc_id"))
         .cast(LongType) + col("offset"))
       .select(col("doc_id"), col("pos"))
+      // frozen: both sides of the neighbor equi-join read it
+      .localCheckpoint(true)
     val cand = pos.select(col("doc_id").as("da"), col("pos"))
       .withColumn("delta", explode(sequence(lit(1), lit(window - 1))))
       .withColumn("jpos", col("pos") + col("delta"))
@@ -863,6 +870,9 @@ object Dedup {
     val sets = docs.select(col("doc_id"),
       array_remove(array_distinct(split(lower(col("text")), " ")), "")
         .as("toks"))
+      // frozen: the id_a and id_b verify joins both read the token
+      // sets — ONE tokenize scan instead of two corpus passes
+      .localCheckpoint(true)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta")),
         "id_a")
