@@ -124,6 +124,7 @@ object Bench {
     // registered mm05 base (its 10x payload sibling stages its own
     // fixture)
     "d15_dedup_survivorship", "d17_sorted_neighborhood",
+    "d17_sorted_neighborhood_auto",
     "s04_ann_ivfpq", "x17_importance_weights")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
@@ -492,6 +493,7 @@ object Bench {
               ()
             } catch { case _: Throwable => () }
             rs100
+          }
         } ++ {
           // 100× documents probe for the d03 banding dial: at 500k
           // docs the fixed 4×15 pigeonhole's random collisions alone
@@ -547,6 +549,20 @@ object Bench {
                     Seq(("d14_exact_substr_scrub_fast_100x", s14,
                       medians("d14_exact_substr_scrub_fast"), e14p))
                   }
+                // d17 auto dial at 100×: 500k docs is where the
+                // occupancy-held bucketLen actually moves (the dial
+                // picks 2; the fixed form's 37 buckets would each
+                // sort ~14k rows in one task) — probe the dial where
+                // it differs from the registered fixed form.
+                val rsD17 =
+                  if (elapsed > budgetSec ||
+                      !probing("d17_sorted_neighborhood_auto")) Nil
+                  else {
+                    val (s17, e17p) = timed(sp, dir100d,
+                      SparkEntry.queries("d17_sorted_neighborhood_auto"))
+                    Seq(("d17_sorted_neighborhood_auto_100x", s17,
+                      medians("d17_sorted_neighborhood_auto"), e17p))
+                  }
                 // SKETCH-REGIME probe (q43 Misra-Gries / x29 KMV):
                 // the oracle gates both only where capacity >= true
                 // distincts; their whole reason to exist is the
@@ -593,7 +609,7 @@ object Bench {
                   ("d03_dedup_simhash_auto_100x", secs,
                     medians("d03_dedup_simhash"), err),
                   ("d06_dedup_groups_100x", secs6,
-                    medians("d06_dedup_groups"), err6)) ++ rsD14
+                    medians("d06_dedup_groups"), err6)) ++ rsD14 ++ rsD17
               }
             try {
               val p = new org.apache.hadoop.fs.Path(dir100d)
@@ -601,7 +617,6 @@ object Bench {
               ()
             } catch { case _: Throwable => () }
             rsD
-          }
           }
         }
         // best-effort scratch cleanup; the data lives under /tmp anyway

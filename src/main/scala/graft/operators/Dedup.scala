@@ -832,19 +832,22 @@ object Dedup {
     * self-cartesian. Exact word-set Jaccard verifies candidates only.
     */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
-      keyLen: Int = 24, threshold: Double = 0.5): DataFrame = {
+      keyLen: Int = 24, threshold: Double = 0.5,
+      bucketLen: Int = 1): DataFrame = {
     require(window >= 2, "sorted-neighborhood window must be >= 2")
+    require(bucketLen >= 1 && bucketLen <= 8, "bucketLen out of range")
     val keyed = docs.select(col("doc_id"),
         substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
           1, keyLen).as("key"))
-      .withColumn("bucket", substring(col("key"), 1, 1))
+      .withColumn("bucket", substring(col("key"), 1, bucketLen))
       // frozen: feeds BOTH the offsets aggregate and the rank window —
       // without the freeze each consumer re-scans and re-normalizes
       // the corpus (the Explain --audit read 6 file scans; 2 remain:
       // this narrow key projection and the token-set projection)
       .localCheckpoint(true)
-    // bucket offsets: alphabet-bounded frame, so the unpartitioned
-    // running-sum window is ≤ 37 rows by construction
+    // bucket offsets: alphabet-bounded frame (≤ 37^bucketLen rows —
+    // 37 at the default, ~1.4k at bucketLen 2), so the unpartitioned
+    // running-sum window stays driver-trivial by construction
     val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         coalesce(sum("cnt").over(Window.orderBy("bucket")
@@ -889,4 +892,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast(DoubleType) / col("uni"), 6).as("jaccard"))
   }
+
+  /** The occupancy-held dial of [[sortedNeighborhoodPairs]] —
+    * bucketLen grows with the corpus so the per-bucket rank window
+    * (the only sort in the plan, one partition per bucket) stays at
+    * ~5k rows however big the corpus: the same occupancy discipline
+    * as the d03/d05/d10 auto dials. The OUTPUT is bucketing-invariant
+    * by construction (the bucket is a key prefix, so per-bucket rank
+    * + carry-in IS the global position at any bucketLen), which is
+    * why the auto entry hash-gates against d17's own oracle. One
+    * count() scan buys the dial — the same corpus-count pattern the
+    * other auto dials pay.
+    */
+  def sortedNeighborhoodPairsAuto(docs: DataFrame, window: Int = 3,
+      keyLen: Int = 24, threshold: Double = 0.5): DataFrame = {
+    val n = docs.count()
+    val bucketLen = math.min(8, math.max(1,
+      math.ceil(math.log(math.max(1.0, n / 5000.0)) / math.log(36.0)).toInt))
+    sortedNeighborhoodPairs(docs, window, keyLen, threshold, bucketLen)
+  }
+
 }

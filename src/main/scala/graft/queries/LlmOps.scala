@@ -2982,7 +2982,7 @@ object LlmOps {
   // discipline; the bucket frame is alphabet-bounded), and neighbor
   // pairing is one equi-join on position after exploding the w−1
   // deltas. Exact word-set Jaccard verifies candidates only.
-  val d17: Q = q("d17_sorted_neighborhood",
+  private val d17Oracle =
     """WITH k AS (SELECT doc_id,
       |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS key
       |  FROM documents),
@@ -3002,8 +3002,25 @@ object LlmOps {
       |FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
       |             JOIN sizes sb ON i.id_b = sb.doc_id
       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
-      |ORDER BY id_a, id_b""") { c =>
+      |ORDER BY id_a, id_b"""
+
+  val d17: Q = q("d17_sorted_neighborhood", d17Oracle) { c =>
     Dedup.sortedNeighborhoodPairs(c.documents, window = 3, keyLen = 24,
+        threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  // d17_auto — the occupancy-held dial: bucketLen ∝ log36(n/5000), so
+  // the per-bucket rank window (the plan's only sort) holds ~5k rows
+  // at ANY corpus size instead of growing linearly inside 37 fixed
+  // buckets. Output is bucketing-invariant by construction (bucket =
+  // key prefix ⇒ per-bucket rank + carry-in IS the global position),
+  // so the entry hash-gates against d17's OWN oracle — dial drift is
+  // a wrong answer. Probed at 10× and at 100× (500k docs, where the
+  // dial picks bucketLen 2 and the fixed form's buckets would hold
+  // ~14k rows each).
+  val d17auto: Q = q("d17_sorted_neighborhood_auto", d17Oracle) { c =>
+    Dedup.sortedNeighborhoodPairsAuto(c.documents, window = 3, keyLen = 24,
         threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
@@ -3075,7 +3092,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14, d14fast, d15, d16, d17,
+    d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
