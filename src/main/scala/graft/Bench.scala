@@ -125,7 +125,17 @@ object Bench {
     // fixture)
     "d15_dedup_survivorship", "d17_sorted_neighborhood",
     "d17_sorted_neighborhood_auto",
-    "s04_ann_ivfpq", "x17_importance_weights")
+    "s04_ann_ivfpq", "x17_importance_weights",
+    // r13 session-2 ring: the chained stateful pipeline (hourly agg
+    // over events + hours×types rollup, both linear in rows) and
+    // partition evolution (two partitioned commits + a pruned scan —
+    // commit IO is the linear term, pruning keeps the read term a
+    // fixed month slice per year)
+    // d18's linear term is the self-contained index build + the 20%
+    // batch; the probe checks the increment machinery scales with
+    // the corpus copies, matches staying structure-preserved
+    "e22_multi_stateful", "m51_partition_evolution",
+    "d18_incremental_lsh")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -413,6 +413,101 @@ object Dedup {
       lit(null).cast(DoubleType).as("est_jaccard"),
       lit(null).cast(DoubleType).as("exact_jaccard"),
       col("mae").as("abs_err")))
+  }
+
+  /** (band, bucket) rows for a signature frame — the persisted unit
+    * of an LSH index (shared by [[minhashPairsPortable]]'s inline use
+    * and [[incrementalLshPairs]]'s on-disk index).
+    */
+  private def portableBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows)
+          .map(j => element_at(col("sig"), j + 1).cast(StringType)): _*)
+          .cast(BinaryType)).as("bucket")) }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+  }
+
+  /** INCREMENTAL MinHash-LSH (d18): maintain a persisted (band,
+    * bucket) index and dedup each ARRIVING batch against it — the
+    * near-dup sibling of [[incrementalAgainstDigests]]' exact Bloom
+    * path. The corpus is never re-shingled: the increment (1) hashes
+    * and signs ONLY the new batch, (2) finds candidates by probing
+    * the index with a (band, bucket) equi-join — new×old — plus the
+    * batch's self-join — new×new, (3) exact-verifies with shingle
+    * sets computed for the new batch and ONLY the old docs that
+    * actually matched a bucket (a left-semi partner filter: point
+    * reads at 100 TB, not a corpus scan), and (4) appends the batch's
+    * bands to the index. Increment cost is O(batch + matches)
+    * regardless of corpus size — re-running d02 per batch would be
+    * O(corpus) every time, which is exactly what makes corpus-scale
+    * continuous ingest unaffordable without an index.
+    *
+    * Same engine-portable hash family as [[minhashPairsPortable]],
+    * so the candidate set — hence the verified pair set — equals
+    * d02's restricted to pairs with ≥1 new member, and the whole
+    * thing is DuckDB-reproducible (oracle-gated).
+    */
+  def incrementalLshPairs(docs: DataFrame, isNew: Column, indexDir: String,
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val params = Hashing.minhashParams(k)
+    val spark = docs.sparkSession
+    val old = docs.filter(!isNew)
+
+    // one-time index build over the pre-existing corpus (in steady
+    // state this already sits on disk; built here so the entry is
+    // self-contained and the index is genuinely READ BACK from files)
+    portableBands(minhashSignatures(shingledPortable(old, n), params), k, bands)
+      .write.mode("overwrite").parquet(indexDir)
+
+    // ---- the increment: O(new batch + matches) from here on ------
+    val shNew = shingledPortable(docs.filter(isNew), n).localCheckpoint(true)
+    val newBands = portableBands(minhashSignatures(shNew, params), k, bands)
+      .localCheckpoint(true) // consumed by both probes AND the append
+    val index = spark.read.parquet(indexDir)
+
+    val vsOld = newBands.as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+        lit("new_vs_old").as("provenance"))
+    val vsNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit("new_vs_new").as("provenance"))
+    val candidates = vsOld.unionByName(vsNew).distinct().localCheckpoint(true)
+
+    // exact-verify: old side shingled ONLY for candidate partners
+    val partnerIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val shOldPartners =
+      shingledPortable(old.join(partnerIds, Seq("doc_id"), "left_semi"), n)
+    val shAll = shNew.unionByName(shOldPartners)
+    val withSets = candidates
+      .join(shAll.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(shAll.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    val verified = withSets.filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"),
+        col("provenance"))
+
+    // index maintenance: the batch's bands append; next increment
+    // probes old ∪ this batch without touching either again
+    newBands.write.mode("append").parquet(indexDir)
+    val nIndexed = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().count()
+    verified.unionByName(spark.range(1).select(
+      lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+      lit(null).cast(DoubleType).as("jaccard"),
+      lit(s"index_docs:$nIndexed").as("provenance")))
   }
 
   /** 60-bit SimHash over the PORTABLE shingle hashes

@@ -2399,8 +2399,66 @@ object Engine {
       .orderBy("era")
   }
 
+  // m51 — PARTITION-SPEC EVOLUTION (core/PartitionEvolution.scala —
+  // Iceberg ALTER TABLE ADD PARTITION FIELD): the orders table's
+  // history (≤1996) is committed under spec 1 = year(o_orderdate);
+  // the table then evolves and 1997+ commits under spec 2 = (year,
+  // month) — NO existing file is rewritten (the layout change is
+  // metadata-only, which is the only affordable relayout at 100 TB).
+  // The entry scans "March of 1996 and 1997" through the manifest:
+  // inclusive-projection pruning keeps 1997's single m=3 directory
+  // but must keep ALL of 1996's year-file (its spec has no month
+  // field — null never refutes), and the exact row filter finishes
+  // the old era. Per-(year,month) rollup + the owning spec_id is the
+  // gated output; EngineSpec pins the file-level pruning counts and
+  // pruned-scan ≡ full-scan equality.
+  val m51: Q = q("m51_partition_evolution",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+      |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+      |  CASE WHEN EXTRACT(YEAR FROM o_orderdate) <= 1996 THEN 1 ELSE 2 END AS spec_id,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE EXTRACT(MONTH FROM o_orderdate) = 3
+      |  AND EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+      |GROUP BY 1, 2, 3 ORDER BY 1""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val t = evolvedOrders(spark, c)
+    PartitionEvolution.scan(spark, t,
+        Seq("p_y" -> ((y: Column) => y.isin(1996, 1997)),
+          "p_m" -> ((m: Column) => m === 3)),
+        month(col("o_orderdate")) === 3 &&
+          year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      .withColumn("spec_id",
+        when(col("order_year") <= 1996, 1).otherwise(2))
+      .select("order_year", "order_month", "spec_id", "n_orders", "revenue")
+      .orderBy("order_year")
+  }
+
+  /** m51's two-era table: history committed under spec 1 (year), the
+    * current era under spec 2 (year, month) — shared with EngineSpec's
+    * pruning pins.
+    */
+  def evolvedOrders(spark: SparkSession, c: Catalog): PartitionEvolution.Table = {
+    import PartitionEvolution.{Spec, Table => EvoTable}
+    val root = Scratch.dir("m51_evo").toString
+    val src = ordersSrc(c)
+    val specV1 = Spec(1, Seq("p_y" -> year(col("o_orderdate"))))
+    val specV2 = Spec(2, Seq("p_y" -> year(col("o_orderdate")),
+      "p_m" -> month(col("o_orderdate"))))
+    val t0: EvoTable = PartitionEvolution.empty(spark, root, Seq("p_y", "p_m"))
+    val t1 = PartitionEvolution.commit(spark, t0,
+      src.filter(year(col("o_orderdate")) <= 1996), specV1, commitId = 0)
+    PartitionEvolution.commit(spark, t1,
+      src.filter(year(col("o_orderdate")) >= 1997), specV2, commitId = 1)
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51)
 }

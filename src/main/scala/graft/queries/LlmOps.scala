@@ -3025,6 +3025,55 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d18 — INCREMENTAL MinHash-LSH index maintenance
+  // (Dedup.incrementalLshPairs): the arriving batch (doc_id % 5 = 0)
+  // deduplicates against a PERSISTED (band, bucket) index of the
+  // pre-existing corpus — the near-dup sibling of d11's exact Bloom
+  // ingest. The increment hashes only the batch, probes the on-disk
+  // index with one equi-join (new×old) plus the batch self-join
+  // (new×new), exact-verifies with shingles of the batch and ONLY the
+  // matched old partners (left-semi point reads, pinned in
+  // LlmOpsSpec), then appends the batch's bands — O(batch + matches)
+  // per increment at ANY corpus size, where re-running d02 per batch
+  // is O(corpus) every time. Same portable family as d02, so the
+  // verified pairs are EXACTLY d02's restricted to ≥1 new member
+  // (also spec-pinned), and the oracle restates that restriction
+  // declaratively + the post-append index census row.
+  val d18: Q = q("d18_incremental_lsh",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
+      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
+      |bk AS ($d02BandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.doc_id < b.doc_id
+      |         WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.id_a
+      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard,
+      |  CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'new_vs_new'
+      |       ELSE 'new_vs_old' END AS provenance
+      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+      |UNION ALL
+      |SELECT -1, -1, CAST(NULL AS DOUBLE),
+      |  'index_docs:' || CAST((SELECT COUNT(DISTINCT doc_id) FROM sh) AS VARCHAR)
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.incrementalLshPairs(c.documents, col("doc_id") % 5 === 0,
+        graft.core.Scratch.dir("d18_idx").toString + "/index",
+        n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   // x29 — KMV bottom-k DISTINCT-COUNT sketch (plans/KmvDistinct, the
   // board's second custom TypedImperativeAggregate): per-source and
   // corpus-level distinct-document estimates from k-sized mergeable
@@ -3092,7 +3141,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto,
+    d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,

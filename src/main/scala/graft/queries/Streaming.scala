@@ -1140,6 +1140,36 @@ object Streaming {
     EventStream.sliding(c.events).orderBy("window_start", "event_type")
   }
 
+  // e22 — MULTI-STATEFUL streaming pipeline (Spark ≥3.4 chained
+  // stateful operators): at-least-once delivery (every 7th event
+  // redelivered verbatim, e04's plant) → dropDuplicatesWithinWatermark
+  // → watermarked hourly counts → a SECOND aggregation over the
+  // closed hourly windows via window_time() — dedup, agg, and
+  // agg-of-agg run as ONE streaming query with three independently
+  // watermark-bounded state stores, where pre-3.4 engines need three
+  // jobs and two intermediate tables. The registered batch form is
+  // semantically identical (StreamingSpec runs the true chained
+  // streaming form and pins row-for-row parity); the oracle restates
+  // it declaratively: distinct events → hourly counts → 4-hour
+  // (peak, total, active-hours) rollup.
+  val e22: Q = q("e22_multi_stateful",
+    """WITH d AS (SELECT DISTINCT * FROM (
+      |    SELECT * FROM events
+      |    UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)),
+      |h AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+      |        COUNT(*) AS n_events
+      |      FROM d GROUP BY 1, 2)
+      |SELECT make_timestamp((epoch_us(hs) // 14400000000) * 14400000000)
+      |         AS window_start,
+      |  event_type, MAX(n_events) AS peak_hourly,
+      |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+      |  COUNT(*) AS n_active_hours
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+    EventStream.dedupThenRollup(
+        c.events.unionAll(c.events.filter(col("event_id") % 7 === 0)))
+      .orderBy("window_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }

@@ -86,6 +86,51 @@ object EventStream {
 
   // ---------------------------------------------------------------
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** e22 batch: the MULTI-STATEFUL pipeline — at-least-once input →
+    * exact dedup → hourly counts → 4-hour rollup (peak hour, total,
+    * active hours), all one query. Each stage is a separate stateful
+    * operator; the rollup aggregates the hourly AGGREGATE stream, not
+    * raw events, so its state is hours × types, not rows.
+    */
+  def dedupThenRollup(events: DataFrame): DataFrame =
+    rollup4h(events.dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** e22 streaming: the same three stages CHAINED IN ONE streaming
+    * query — Spark ≥3.4's multiple-stateful-operator support.
+    * `dropDuplicatesWithinWatermark` holds each event_id only until
+    * the watermark passes it (at-least-once redeliveries land inside
+    * the delay, so state is bounded without an explicit TTL column);
+    * the hourly aggregate emits a window when the watermark closes
+    * it; `window_time()` re-derives an event-time column FROM the
+    * closed window so the 4-hour aggregate can watermark-chain off
+    * it. One query, three stateful operators, each with
+    * watermark-bounded state — the alternative is three jobs wired
+    * through two intermediate tables.
+    */
+  def dedupThenRollupStream(events: DataFrame): DataFrame =
+    rollup4h(events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** Shared tail of e22's two forms: 4-hour rollup of the hourly
+    * count stream, keyed by the closed window's event time.
+    */
+  private def rollup4h(hourly: DataFrame): DataFrame =
+    hourly
+      .groupBy(window(window_time(col("window")), "4 hours"),
+        col("event_type"))
+      .agg(max(col("n_events")).as("peak_hourly"),
+        sum(col("n_events")).as("total_events"),
+        count(lit(1)).as("n_active_hours"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("peak_hourly"), col("total_events"), col("n_active_hours"))
+
+  // ---------------------------------------------------------------
   /** e18 batch: per-window event-type counts (the trending feed's
     * maintained state).
     */

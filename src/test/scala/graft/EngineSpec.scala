@@ -1676,4 +1676,61 @@ class EngineSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(kmv == 37L)
   }
+
+  test("m51 partition evolution: old-spec files prune at year granularity, new-spec at month; pruned scan is exact") {
+    val c = graft.sources.Catalog(spark, sfDir)
+    val t = Engine.evolvedOrders(spark, c)
+    // manifest invariant: spec-1 files carry year only; spec-2 both
+    val bydSpec = t.manifest.filter(col("file") =!= "")
+      .groupBy("spec_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p_m").isNull, 1).otherwise(0)).as("n_null_m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bydSpec(1)._1 == bydSpec(1)._2, "every spec-1 file must lack p_m")
+    assert(bydSpec(2)._2 == 0L, "every spec-2 file must carry p_m")
+
+    // the m51 query's pruning: March of 1996+1997
+    val (kept, total) = PartitionEvolution.prunedFiles(t,
+      Seq("p_y" -> ((y: org.apache.spark.sql.Column) => y.isin(1996, 1997)),
+        "p_m" -> ((m: org.apache.spark.sql.Column) => m === 3)))
+    val man = t.manifest.filter(col("file") =!= "").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+    val expected = man.collect {
+      // inclusive projection: a 1996 year-file survives WHOLE (its
+      // spec cannot refute month=3); a 1997 file survives iff m=3
+      case (f, _, Some(1996), None) => f
+      case (f, _, Some(1997), Some(3)) => f
+    }.toSeq.sorted
+    assert(kept == expected, s"pruning drift: kept=$kept expected=$expected")
+    assert(kept.nonEmpty && kept.size < total,
+      s"pruning must drop files: kept ${kept.size} of $total")
+    // no other-year file may be read
+    assert(man.filter(e => kept.contains(e._1))
+      .forall(e => e._3.exists(y => y == 1996 || y == 1997)))
+
+    // pruned scan + row filter == full scan + row filter, bit-equal
+    val pred = month(col("o_orderdate")) === 3 &&
+      year(col("o_orderdate")).isin(1996, 1997)
+    val pruned = PartitionEvolution.scan(spark, t,
+        Seq("p_y" -> ((y: org.apache.spark.sql.Column) => y.isin(1996, 1997)),
+          "p_m" -> ((m: org.apache.spark.sql.Column) => m === 3)), pred)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val allFiles = man.map(_._1)
+    val full = spark.read.parquet(allFiles: _*).filter(pred)
+      .orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(pruned == full && pruned.nonEmpty)
+
+    // a month predicate alone (no year bound) still prunes the NEW
+    // era to one month per year while keeping every OLD-era file —
+    // exactly Iceberg's coarser-granularity fallback, never a wrong
+    // answer
+    val (keptM, _) = PartitionEvolution.prunedFiles(t,
+      Seq("p_m" -> ((m: org.apache.spark.sql.Column) => m === 3)))
+    val oldEra = man.filter(_._2 == 1).map(_._1)
+    assert(oldEra.forall(keptM.contains), "old-era files must all survive")
+    assert(man.filter(e => e._2 == 2 && keptM.contains(e._1))
+      .forall(_._4.contains(3)), "new-era files must prune to m=3")
+  }
 }

@@ -1301,6 +1301,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(served == dict.map(_._1).toSet)
   }
 
+  test("d18 incremental LSH: increment pairs == d02's full-corpus pairs restricted to >=1 new member; index appends; verify is partner-bounded") {
+    val isNew = col("doc_id") % 5 === 0
+    val idxDir = graft.core.Scratch.dir("d18spec").toString + "/index"
+    val got = Dedup.incrementalLshPairs(cat.documents, isNew, idxDir,
+      n = 3, threshold = 0.5)
+
+    // parity: the increment must find EXACTLY the full recompute's
+    // pairs that involve a new doc — nothing extra, nothing missed
+    val inc = got.filter(col("id_a") >= 0)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairsPortable(cat.documents, n = 3, threshold = 0.5)
+      .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+    assert(inc.nonEmpty, "fixture must contain cross-batch near-dups")
+
+    // provenance labels both pair classes correctly
+    val prov = got.filter(col("id_a") >= 0)
+      .collect().map(r => ((r.getLong(0) % 5 == 0 && r.getLong(1) % 5 == 0),
+        r.getString(3))).toSet
+    assert(prov.forall { case (bothNew, p) =>
+      p == (if (bothNew) "new_vs_new" else "new_vs_old") })
+
+    // index maintenance: after the run the on-disk index holds bands
+    // for EVERY shingled doc (old build + appended batch), 8 per doc
+    val idx = spark.read.parquet(idxDir)
+    val nShingled = cat.documents
+      .filter(size(Text.tokens(col("text"))) >= 3)
+      .count()
+    assert(idx.select("doc_id").distinct().count() == nShingled)
+    assert(idx.groupBy("doc_id").count().select(max("count"))
+      .collect()(0).getLong(0) == 8L)
+
+    // partner-bounded verify: the old side of the exact-Jaccard join
+    // enters through a LeftSemi partner filter, never a corpus scan
+    val plan = Dedup.incrementalLshPairs(cat.documents, isNew,
+        graft.core.Scratch.dir("d18spec2").toString + "/index",
+        n = 3, threshold = 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "old-side shingling must be semi-join bounded to candidate partners")
+  }
+
   for (q <- LlmOps.all ++ graft.queries.Quality.all) {
     test(s"${q.name} returns rows at sf0.001") {
       assert(q.run(spark, sfDir).count() > 0)

@@ -594,6 +594,58 @@ class StreamingSpec extends SparkSpec {
         (o.n_events, o.total_micros)).toMap)
   }
 
+  test("e22 chained stateful operators: dedup -> hourly agg -> 4h rollup in ONE streaming query equals the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.dedupThenRollupStream(stream).writeStream
+      .format("memory").queryName("e22_stream")
+      .outputMode("append").start()
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def ev(id: Long, h: Int, m: Int, typ: String) =
+      (id, at(h, m), id % 3, typ, 1.0)
+    val b1 = Seq(ev(1, 1, 0, "view"), ev(2, 1, 10, "view"),
+      ev(3, 1, 20, "click"), ev(4, 2, 0, "view"), ev(5, 3, 30, "click"),
+      ev(6, 3, 40, "view"))
+    // batch 2 REDELIVERS 1 and 3 verbatim (inside the 2h dedup
+    // watermark delay) and adds the second 4h-window's events
+    val b2 = Seq(ev(1, 1, 0, "view"), ev(3, 1, 20, "click"),
+      ev(7, 5, 0, "view"), ev(8, 5, 30, "click"), ev(9, 6, 0, "view"),
+      ev(10, 7, 50, "click"))
+    // sentinel far past everything: watermark jumps to 38:00, closing
+    // every real hourly window AND every real 4h rollup window; the
+    // sentinel's own windows stay open and are never emitted
+    val sentinel = Seq((99L, Timestamp.valueOf("2024-01-02 16:00:00"),
+      0L, "view", 0.0))
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    input.addData(sentinel); query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("e22_stream").collect()
+      .map(r => (tsMillis(r, 0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // batch form over the distinct REAL rows only — duplicates
+    // removed by the same operator chain, sentinel excluded because
+    // its windows never closed on the stream side
+    val batch = EventStream.dedupThenRollup(
+        (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => (tsMillis(r, 0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed.nonEmpty, "no rollup windows were emitted")
+    assertSameSets(streamed, batch)
+    // the redelivered ids must not double-count: hour 1's view count
+    // inside the first 4h window is 2 (events 1,2), so peak_hourly for
+    // (00:00, view) is 2, not 3
+    val firstView = streamed.find(t =>
+      t._1 == Timestamp.valueOf("2024-01-01 00:00:00").getTime && t._2 == "view")
+    assert(firstView.exists(_._3 == 2L),
+      s"redelivery leaked into the hourly count: $firstView")
+  }
+
   test("e11/e18 memoized restart: a second invocation is a checkpoint restart with identical results") {
     // the bench runs each entry 3x in-process; iterations 2..n take
     // the memoized path (same landing dir, same checkpoint, no new
