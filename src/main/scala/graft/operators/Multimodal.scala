@@ -307,6 +307,130 @@ object Multimodal {
     ds.toDF()
   }
 
+  // ----- video: length-prefixed PNG frame container (mm06) ---------
+
+  /** Frames per clip in the video fixture. */
+  val VideoFrames: Int = 8
+
+  /** One deterministic clip: `scenes(f)` keys frame f's
+    * [[noisePng]]; container = frame count + per-frame length-
+    * prefixed PNG bytes (the same "real codec behind an opaque
+    * binary column" discipline as the WAV/PNG fixtures).
+    */
+  def videoClip(scenes: Seq[Long], delta: Int = 0): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(scenes.size)
+    scenes.foreach { s =>
+      val png = noisePng(s, delta)
+      dos.writeInt(png.length); dos.write(png)
+    }
+    bos.toByteArray
+  }
+
+  /** A media table of `n` synthetic videos plus planted re-encoded
+    * copies: every `dupEvery`-th clip re-appears as `media_id +
+    * dupOffset` with every frame brightness-shifted (+8: different
+    * bytes in EVERY frame, visually identical), and every second copy
+    * additionally HARD-CUTS frame 6 — a sampled keyframe slot — to a
+    * fresh scene (the partial-overlap case a clip matcher must
+    * tolerate). Scene keys are disjoint across unrelated clips, so
+    * ground truth is exactly the planted copies. Payloads are
+    * generated ON the executors; the driver never holds a clip.
+    */
+  def videoMedia(spark: org.apache.spark.sql.SparkSession, n: Int,
+      dupEvery: Int = 3, dupOffset: Long = 100000L): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val ds: Dataset[Row] = spark.range(n.toLong).toDF("media_id")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val scenes = (0 until VideoFrames).map(f => id * 1024L + f)
+          val base = Row(id, "video/x-graft", videoClip(scenes))
+          if (id % dupEvery == 0) {
+            val cut =
+              if (id % (2 * dupEvery) == 0) scenes.updated(6, id * 1024L + 999L)
+              else scenes
+            Iterator(base,
+              Row(id + dupOffset, "video/x-graft", videoClip(cut, delta = 8)))
+          } else Iterator(base)
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  val videoHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("slot", IntegerType, nullable = false),
+    StructField("khash", LongType, nullable = false)))
+
+  /** Keyframe sampling + decode + perceptual hash fused in ONE
+    * mapPartitions pass (mm02's stride discipline feeding mm03's
+    * aHash): every `stride`-th frame is length-seeked to, decoded,
+    * and hashed; non-sampled frames are SKIPPED without decoding
+    * (the length prefix is the seek table), and only (media_id,
+    * slot, 8-byte hash) ever leaves the payload partition — at 100 TB
+    * of video the shuffle carries ~32 bytes per clip, not pixels.
+    */
+  def videoKeyHashes(media: DataFrame, stride: Int = 2): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoHashSchema)
+    val ds: Dataset[Row] = media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val nFrames = dis.readInt()
+          (0 until nFrames).flatMap { f =>
+            val len = dis.readInt()
+            if (f % stride == 0) {
+              val buf = new Array[Byte](len)
+              dis.readFully(buf)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(buf))
+              require(img != null, s"undecodable frame $f of media $id")
+              Some(Row(id, f / stride, aHash(img)))
+            } else { dis.skipBytes(len); None }
+          }
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** Clip-level near-duplicate pairs: per keyframe SLOT, candidates
+    * come from the same 4×16-bit block pigeonhole equi-join as
+    * [[phashPairs]] (slot-aligned — frame 2 of clip A only ever joins
+    * frame 2 of clip B, so the key space is slots × blocks, bounded);
+    * per-slot exact hamming verifies ≤ `maxHamming`, and a clip pair
+    * survives when ≥ `minSlots` sampled slots match — which is what
+    * makes the matcher robust to a hard cut in one keyframe while
+    * still rejecting unrelated clips (an accidental single-block
+    * collision verifies out or falls below the slot quorum). Nothing
+    * is ever all-pairs, per slot or per clip.
+    */
+  def videoPairs(hashes: DataFrame, minSlots: Int = 3,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole only covers hamming <= 3")
+    val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
+      shiftright(col("khash"), b * 16).bitwiseAND(lit(0xffffL)).as("bval")))
+    val keyed = hashes.select(col("media_id"), col("slot"), col("khash"),
+        explode(array(blocks: _*)).as("k"))
+      .select(col("media_id"), col("slot"), col("khash"),
+        col("k.blk").as("blk"), col("k.bval").as("bval"))
+    val a = keyed.select(col("media_id").as("id_a"), col("slot"),
+      col("khash").as("ha"), col("blk"), col("bval"))
+    val b = keyed.select(col("media_id").as("id_b"), col("slot"),
+      col("khash").as("hb"), col("blk"), col("bval"))
+    a.join(b, Seq("slot", "blk", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "slot", "ha", "hb").distinct()
+      .filter(expr("bit_count(ha ^ hb)") <= maxHamming)
+      .select("id_a", "id_b", "slot").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast(IntegerType).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minSlots)
+  }
+
   /** Near-duplicate image pairs within `maxHamming` bits: 4×16-bit
     * block pigeonhole (any pair within hamming 3 agrees on ≥1 block)
     * generates candidates as a bounded EQUI-JOIN on (block, value) —

@@ -2133,6 +2133,26 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }, Some(MmOracles.mm05))
 
+  // mm06 — VIDEO keyframe dedup: the video composition closing the
+  // multimodal triangle (mm03 = image, mm05 = audio): keyframe
+  // sampling (mm02's stride discipline — non-sampled frames are
+  // length-SKIPPED, never decoded), real PNG decode + aHash fused in
+  // one executor pass (only (clip, slot, 8 bytes) leaves the payload
+  // partition), then clip-level near-dup via SLOT-ALIGNED block
+  // pigeonhole candidates + a ≥3-of-4 matched-keyframe quorum — so a
+  // re-encoded brightness-shifted copy matches on all 4 sampled
+  // slots, a copy with a HARD CUT in one keyframe still matches 3,
+  // and unrelated clips never reach quorum. Fixture (90 clips + 30
+  // planted copies, scene keys disjoint across clips) and integer
+  // hash math are pure functions of the code — VALUES-oracle-gated
+  // like mm01-mm05; quorum/invariance edges pinned in LlmOpsSpec.
+  val mm06: Q = Q("mm06_video_dedup", (spark, _) => {
+    val media = Multimodal.videoMedia(spark, n = 90)
+    Multimodal.videoPairs(Multimodal.videoKeyHashes(media, stride = 2),
+        minSlots = 3, maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }, Some(MmOracles.mm06))
+
   // x19 — BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75):
   // the retrieval-grade ranking function over the corpus — the
   // quality/curation sibling of x08's TF-IDF (BM25's tf saturation
@@ -3146,5 +3166,5 @@ object LlmOps {
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,
-    p01, p02, p03, p04, mm01, mm02, mm03, mm04, mm05)
+    p01, p02, p03, p04, mm01, mm02, mm03, mm04, mm05, mm06)
 }

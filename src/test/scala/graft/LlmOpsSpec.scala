@@ -1301,6 +1301,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(served == dict.map(_._1).toSet)
   }
 
+  test("mm06 video dedup: planted matrix exact; non-sampled frames are length-skipped, never decoded") {
+    import spark.implicits._
+    // full planted matrix: every 3rd clip pairs with its re-encoded
+    // copy — hard-cut copies (every 6th) at quorum 3, pure
+    // brightness-shift copies at 4; NO unrelated pair reaches quorum
+    val pairs = Multimodal.videoPairs(Multimodal.videoKeyHashes(
+        Multimodal.videoMedia(spark, n = 90), stride = 2),
+        minSlots = 3, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (0 until 90 by 3).map(i =>
+      (i.toLong, 100000L + i, if (i % 6 == 0) 3 else 4)).toSet
+    assert(pairs == expected)
+
+    // skip pin: corrupting a NON-sampled frame's bytes must be
+    // invisible — if the operator decoded it, ImageIO would fail or
+    // the hashes would drift; identical hashes prove the stride seek
+    // genuinely skips payload, which is the 100 TB decode budget
+    val scenes = Seq.tabulate(Multimodal.VideoFrames)(f => 7L * 1024 + f)
+    val clip = Multimodal.videoClip(scenes)
+    val bb = java.nio.ByteBuffer.wrap(clip)
+    bb.getInt() // frame count
+    val len0 = bb.getInt()
+    val png1Start = 8 + len0 + 4 // header + frame0 + frame1's length prefix
+    val bad = clip.clone()
+    (20 until 40).foreach(i => bad(png1Start + i) = (~bad(png1Start + i)).toByte)
+    def hashesOf(payload: Array[Byte]) =
+      Multimodal.videoKeyHashes(
+        Seq((7L, "video/x-graft", payload)).toDF("media_id", "media_type", "payload"))
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(hashesOf(bad) == hashesOf(clip),
+      "a corrupted unsampled frame changed the keyframe hashes — the skip is decoding")
+  }
+
   test("d18 incremental LSH: increment pairs == d02's full-corpus pairs restricted to >=1 new member; index appends; verify is partner-bounded") {
     val isNew = col("doc_id") % 5 === 0
     val idxDir = graft.core.Scratch.dir("d18spec").toString + "/index"
