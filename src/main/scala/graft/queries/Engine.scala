@@ -2457,8 +2457,64 @@ object Engine {
       src.filter(year(col("o_orderdate")) >= 1997), specV2, commitId = 1)
   }
 
+  // m52 — MULTI-TABLE ATOMIC TRANSACTIONS (core/MultiTxn.scala — the
+  // Iceberg/Nessie catalog commit): a per-year rollup and its audit
+  // grand-total are maintained as a PAIR whose cross-table invariant
+  // (audit == sum of rollup) must never be observable broken. Txn 1
+  // publishes the ≤1996 history for both tables in ONE catalog CAS;
+  // a writer then CRASHES after staging the full-data version of
+  // both (data dirs on disk, no catalog commit) — the entry reads
+  // through the catalog at that instant and gets the CONSISTENT old
+  // pair, not a torn mix; txn 2 re-stages and commits, and the final
+  // output reads both tables through one snapshot. Two tables, any
+  // number of bytes, exactly one metadata rename per commit.
+  // EngineSpec pins the crash invisibility, the racing-writer
+  // retry, and untouched-pointer carry-forward.
+  val m52: Q = q("m52_multi_table_txn",
+    """SELECT 'orders_by_year' AS tbl,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS d_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 2
+      |UNION ALL
+      |SELECT 'audit_totals', -1, COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |FROM orders
+      |ORDER BY tbl, d_year""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m52")
+    val src = ordersSrc(c)
+    def pair(rows: DataFrame): Map[String, DataFrame] = {
+      val rollup = rows.groupBy(year(col("o_orderdate")).as("d_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      val audit = rows.agg(count(lit(1)).as("n_orders"),
+        dbl(sum(decTotal(col("o_totalprice")))).as("revenue"))
+      Map("orders_by_year" -> rollup, "audit_totals" -> audit)
+    }
+    MultiTxn.transact(wh, "analytics", "w1") { _ =>
+      pair(src.filter(year(col("o_orderdate")) <= 1996)) }
+    // a writer crashes between staging and the catalog CAS: both
+    // tables' new data dirs exist, neither is visible
+    val crashed = MultiTxn.snapshot(wh, "analytics")
+    pair(src).foreach { case (t, df) =>
+      MultiTxn.stage(wh, "analytics", t, df, crashed.version + 1, "crasher") }
+    require(MultiTxn.snapshot(wh, "analytics").version == crashed.version,
+      "staged-but-uncommitted data leaked into the catalog")
+    // the real writer lands the full data atomically
+    MultiTxn.transact(wh, "analytics", "w2")(_ => pair(src))
+    val fin = MultiTxn.snapshot(wh, "analytics")
+    MultiTxn.read(wh, "analytics", fin, "orders_by_year")
+      .select(lit("orders_by_year").as("tbl"), col("d_year"),
+        col("n_orders"), col("revenue"))
+      .unionByName(MultiTxn.read(wh, "analytics", fin, "audit_totals")
+        .select(lit("audit_totals").as("tbl"), lit(-1).as("d_year"),
+          col("n_orders"), col("revenue")))
+      .orderBy("tbl", "d_year")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51, m52)
 }

@@ -1677,6 +1677,46 @@ class EngineSpec extends SparkSpec {
     assert(kmv == 37L)
   }
 
+  test("m52 multi-table txn: crashed staging is invisible, racing writers retry cleanly, untouched pointers carry forward") {
+    import spark.implicits._
+    val wh = Warehouse.scratch(spark, "m52spec")
+    def t1(v: Int) = Seq((v, "a")).toDF("v", "k")
+    def t2(v: Int) = Seq((v, "b")).toDF("v", "k")
+    MultiTxn.transact(wh, "s", "init")(_ =>
+      Map("left" -> t1(1), "right" -> t2(1)))
+
+    // crash between staging and commit: BOTH tables' new dirs exist
+    // on disk, NEITHER is visible; the old pair stays consistent
+    val s1 = MultiTxn.snapshot(wh, "s")
+    MultiTxn.stage(wh, "s", "left", t1(99), s1.version + 1, "crasher")
+    MultiTxn.stage(wh, "s", "right", t2(99), s1.version + 1, "crasher")
+    val after = MultiTxn.snapshot(wh, "s")
+    assert(after.version == s1.version)
+    assert(MultiTxn.read(wh, "s", after, "left").collect()(0).getInt(0) == 1)
+    assert(MultiTxn.read(wh, "s", after, "right").collect()(0).getInt(0) == 1)
+
+    // race: two writers snapshot the same version; the loser's CAS
+    // refuses and a retry from the winner's state lands both effects
+    val base = MultiTxn.snapshot(wh, "s")
+    val aStaged = Map("left" ->
+      MultiTxn.stage(wh, "s", "left", t1(2), base.version + 1, "wa"))
+    val bStaged = Map("right" ->
+      MultiTxn.stage(wh, "s", "right", t2(2), base.version + 1, "wb"))
+    assert(MultiTxn.tryCommit(wh, "s", aStaged, base.version, "wa"))
+    assert(!MultiTxn.tryCommit(wh, "s", bStaged, base.version, "wb"),
+      "a stale snapshot must lose the catalog CAS")
+    MultiTxn.transact(wh, "s", "wb")(_ => Map("right" -> t2(2)))
+    val fin = MultiTxn.snapshot(wh, "s")
+    assert(fin.version == base.version + 2)
+    assert(MultiTxn.read(wh, "s", fin, "left").collect()(0).getInt(0) == 2)
+    assert(MultiTxn.read(wh, "s", fin, "right").collect()(0).getInt(0) == 2)
+
+    // carry-forward: wa's commit touched only `left`, yet `right`
+    // stayed resolvable at every intermediate version
+    val mid = MultiTxn.snapshotAt(wh, "s", fin.version - 1)
+    assert(MultiTxn.read(wh, "s", mid, "right").collect()(0).getInt(0) == 1)
+  }
+
   test("m51 partition evolution: old-spec files prune at year granularity, new-spec at month; pruned scan is exact") {
     val c = graft.sources.Catalog(spark, sfDir)
     val t = Engine.evolvedOrders(spark, c)
