@@ -135,7 +135,7 @@ object Bench {
     // batch; the probe checks the increment machinery scales with
     // the corpus copies, matches staying structure-preserved
     "e22_multi_stateful", "m51_partition_evolution",
-    "d18_incremental_lsh")
+    "d18_incremental_lsh", "m52_multi_table_txn")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

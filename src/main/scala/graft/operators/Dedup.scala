@@ -415,6 +415,42 @@ object Dedup {
       col("mae").as("abs_err")))
   }
 
+  /** Threshold-driven LSH band planning (Mining of Massive Datasets
+    * §3.4.3): with k signature slots split into b bands of r rows,
+    * the capture S-curve 1−(1−j^r)^b has its midpoint at
+    * (1/b)^(1/r) — the similarity where a pair is ~50% likely to
+    * share a bucket. The planner picks the power-of-two r dividing k
+    * whose midpoint lands closest to the verify threshold, so the
+    * candidate budget is SPENT where the threshold is: a 0.25
+    * threshold gets 16×2 (midpoint exactly 0.25), d02's 0.5 gets 8×4
+    * (0.594), a 0.85 near-dup pass gets 4×8 (0.841). Fixing the
+    * banding while the threshold moves — the naive alternative —
+    * either floods the verify join with sub-threshold candidates
+    * (bands too many) or silently loses recall (too few); at corpus
+    * scale both failure modes are invisible without this dial.
+    * Returns (bands, rows).
+    */
+  def bandPlan(k: Int, threshold: Double): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val r = (0 to 30).map(1 << _).filter(r => r <= k && k % r == 0)
+      .minBy(r => math.abs(math.pow(1.0 / (k / r), 1.0 / r) - threshold))
+    (k / r, r)
+  }
+
+  /** MinHash+LSH with the banding CHOSEN from the threshold
+    * ([[bandPlan]]) — the auto dial of the d02 family (d03auto/
+    * d05auto/d10auto's discipline applied to the band/row split).
+    * Any pair sharing an r·2ⁱ-row band also shares its 2-row
+    * refinements, so lowering the threshold only ever ADDS candidate
+    * coverage — planned pairs at a lower threshold are a structural
+    * superset of a coarser dial's verified pairs (spec-pinned).
+    */
+  def minhashPairsPlanned(docs: DataFrame, n: Int, threshold: Double,
+      k: Int = 32): DataFrame = {
+    val (bands, _) = bandPlan(k, threshold)
+    minhashPairsPortable(docs, n, threshold, k, bands)
+  }
+
   /** (band, bucket) rows for a signature frame — the persisted unit
     * of an LSH index (shared by [[minhashPairsPortable]]'s inline use
     * and [[incrementalLshPairs]]'s on-disk index).

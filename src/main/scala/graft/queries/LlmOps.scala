@@ -3045,6 +3045,53 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  // d19 — THRESHOLD-DRIVEN BAND PLANNING (Dedup.bandPlan +
+  // minhashPairsPlanned — the auto dial of the MinHash family,
+  // d03auto's discipline applied to the band/row split): the 0.25
+  // verify threshold plans 16 bands × 2 rows, whose S-curve midpoint
+  // (1/16)^(1/2) is EXACTLY 0.25 — the candidate budget lands where
+  // the threshold is, where d02's fixed 8×4 dial (midpoint 0.594)
+  // would silently lose low-similarity recall. Banding refinement is
+  // structural (a shared 4-row band implies both 2-row halves
+  // match), so the planned run's pairs are a guaranteed superset of
+  // d02's — spec-pinned along with the planner's midpoint table and
+  // bands-monotone-in-threshold. ORACLE-GATED with the 16×2 band SQL
+  // generated from the same family constants.
+  private val d19BandSelects = {
+    val (bands, rows) = Dedup.bandPlan(32, 0.25)
+    (0 until bands).map { b =>
+      val ms = (b * rows until (b + 1) * rows).map(j => s"mh$j")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+  val d19: Q = q("d19_minhash_auto",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
+      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
+      |bk AS ($d19BandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.id_a
+      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.25
+      |ORDER BY id_a, id_b""") { c =>
+    Dedup.minhashPairsPlanned(c.documents, n = 3, threshold = 0.25)
+      .orderBy("id_a", "id_b")
+  }
+
   // d18 — INCREMENTAL MinHash-LSH index maintenance
   // (Dedup.incrementalLshPairs): the arriving batch (doc_id % 5 = 0)
   // deduplicates against a PERSISTED (band, bucket) index of the
@@ -3161,7 +3208,7 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
-    d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18,
+    d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,

@@ -1301,6 +1301,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(served == dict.map(_._1).toSet)
   }
 
+  test("d19 band planner: midpoints drive the dial, bands fall as the threshold rises, planned pairs superset d02's") {
+    // the midpoint table: (1/b)^(1/r) closest to the threshold
+    assert(Dedup.bandPlan(32, 0.5) == (8, 4))   // d02's dial recovered
+    assert(Dedup.bandPlan(32, 0.25) == (16, 2)) // midpoint exactly 0.25
+    assert(Dedup.bandPlan(32, 0.85) == (4, 8))
+    // recall dial: a lower threshold must never get FEWER bands
+    val bands = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(t => Dedup.bandPlan(32, t)._1)
+    assert(bands == bands.sorted.reverse, s"non-monotone dial: $bands")
+    // structural superset: a shared 4-row band implies both 2-row
+    // halves match, and 0.25 <= 0.5, so every d02 pair must appear
+    val lo = Dedup.minhashPairsPlanned(cat.documents, n = 3, threshold = 0.25)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = Dedup.minhashPairsPortable(cat.documents, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(lo), s"missing from planned run: ${(hi -- lo).take(3)}")
+    // whether extra sub-0.5 pairs EXIST is corpus-dependent (none at
+    // sf0.001); the planted fixture below pins the recall gain: a
+    // ~0.44-Jaccard pair the 8×4 dial's verify threshold would drop
+    // is surfaced by the planned 16×2 run
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 13).map(i => s"w$i") ++ (1 to 7).map(i => s"z$i")).mkString(" ")
+    val planted = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val caught = Dedup.minhashPairsPlanned(planted, n = 3, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(caught.exists(p => p._1 == 1L && p._2 == 2L && p._3 < 0.5 && p._3 >= 0.25),
+      s"planted mid-similarity pair not surfaced: ${caught.toSeq}")
+  }
+
   test("mm06 video dedup: planted matrix exact; non-sampled frames are length-skipped, never decoded") {
     import spark.implicits._
     // full planted matrix: every 3rd clip pairs with its re-encoded
