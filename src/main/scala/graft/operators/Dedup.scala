@@ -546,6 +546,74 @@ object Dedup {
       lit(s"index_docs:$nIndexed").as("provenance")))
   }
 
+  /** One CONTINUOUS-INGEST step over a persisted LSH index + doc
+    * store (the repeatable core of [[incrementalLshPairs]], shaped
+    * for a foreachBatch sink): dedupe the arriving batch against
+    * everything ingested so far and RETURN exactly the new pairs —
+    * each pair surfaces once, at the arrival of its LATER member, so
+    * folding batches reconstructs the full-recompute pair set
+    * partitioned by discovery time (spec-pinned). Redelivered docs
+    * (same doc_id re-sent by an at-least-once source) are dropped by
+    * an anti-join against the store's id set BEFORE any hashing —
+    * without it a redelivery would re-emit its pairs and break the
+    * exactly-once contract. Per step: O(batch + matches) hashing and
+    * probing; the store is touched only for candidate partners'
+    * shingles (left-semi point reads) and the id anti-join (at scale
+    * a Bloom digest, IngestDedup's discipline).
+    */
+  def lshIngest(batch: DataFrame, storeDir: String, indexDir: String,
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val params = Hashing.minhashParams(k)
+    val spark = batch.sparkSession
+    def exists(dir: String) = new java.io.File(dir).exists()
+
+    val fresh =
+      if (!exists(storeDir)) batch
+      else batch.join(spark.read.parquet(storeDir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val shNew = shingledPortable(fresh, n).localCheckpoint(true)
+    val newBands = portableBands(minhashSignatures(shNew, params), k, bands)
+      .localCheckpoint(true)
+
+    val vsOld =
+      if (!exists(indexDir)) {
+        val e = newBands.limit(0)
+        e.as("a").join(e.as("b"), Seq("band", "bucket"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      } else newBands.as("a")
+        .join(spark.read.parquet(indexDir).as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val vsNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candidates = vsOld.unionByName(vsNew).distinct().localCheckpoint(true)
+
+    val partnerIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val shOld =
+      if (!exists(storeDir)) shNew.limit(0)
+      else shingledPortable(spark.read.parquet(storeDir)
+        .join(partnerIds, Seq("doc_id"), "left_semi"), n)
+    val shAll = shNew.unionByName(shOld)
+    val withSets = candidates
+      .join(shAll.select(col("doc_id").as("id_a"), col("shingles").as("sa")), "id_a")
+      .join(shAll.select(col("doc_id").as("id_b"), col("shingles").as("sb")), "id_b")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    val out = withSets.filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+      .localCheckpoint(true) // pin results BEFORE the state appends
+
+    newBands.write.mode("append").parquet(indexDir)
+    fresh.select("doc_id", "text").write.mode("append").parquet(storeDir)
+    out
+  }
+
   /** 60-bit SimHash over the PORTABLE shingle hashes
     * ([[shingledPortable]]): bit j of the fingerprint is the sign of
     * Σ_shingles (±1 by bit j of the md5-derived 60-bit value). Same

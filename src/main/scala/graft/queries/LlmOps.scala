@@ -51,10 +51,10 @@ object LlmOps {
   // LlmOpsSpec. The 32 min-aggregates / 8 band branches are generated
   // from the SAME Hashing.minhashParams(32) constants the operator
   // uses — one source of truth for the family.
-  private val d02SigAggs = graft.functions.Hashing.minhashParams(32)
+  private[queries] val d02SigAggs = graft.functions.Hashing.minhashParams(32)
     .zipWithIndex.map { case ((a, b), j) =>
       s"min(($a*h31 + $b) % 2305843009213693951) AS mh$j" }.mkString(", ")
-  private val d02BandSelects = (0 until 8).map { b =>
+  private[queries] val d02BandSelects = (0 until 8).map { b =>
     val ms = (b * 4 until b * 4 + 4).map(j => s"mh$j").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
   }.mkString(" UNION ALL ")

@@ -1170,6 +1170,55 @@ object Streaming {
       .orderBy("window_start", "event_type")
   }
 
+  // e23 — STREAMING NEAR-DUP INGEST (Dedup.lshIngest folded over
+  // arriving batches — e11's exact Bloom ingest upgraded to NEAR-dup,
+  // d18's increment made continuous): each micro-batch anti-joins
+  // away redeliveries, hashes only itself, probes the persisted
+  // (band, bucket) index, exact-verifies against store point-reads,
+  // and appends its bands + docs — so every near-dup pair surfaces
+  // EXACTLY ONCE, at the arrival of its later member, and the union
+  // of all batch outputs reconstructs d02's full-recompute pair set
+  // partitioned by discovery time. That identity is the oracle: d02's
+  // pairs, each labeled with the batch that completed it (batch 1 =
+  // the 80% backfill, batch 2 = the doc_id%5=0 arrivals). The TRUE
+  // foreachBatch streaming form (checkpointed, redelivery-poisoned)
+  // is driven in StreamingSpec and must emit the identical multiset.
+  val e23: Q = q("e23_stream_neardup_ingest",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
+      |sig AS (SELECT doc_id, ${LlmOps.d02SigAggs} FROM hv GROUP BY doc_id),
+      |bk AS (${LlmOps.d02BandSelects}),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.id_a
+      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard,
+      |  CASE WHEN id_a % 5 = 0 OR id_b % 5 = 0 THEN 2 ELSE 1 END AS arrival_batch
+      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""") { c =>
+    val store = Scratch.dir("e23").toString
+    val docs = c.documents.select("doc_id", "text")
+    val batches = Seq(
+      1 -> docs.filter(col("doc_id") % 5 =!= 0),
+      2 -> docs.filter(col("doc_id") % 5 === 0))
+    batches.map { case (i, b) =>
+      graft.operators.Dedup.lshIngest(b, s"$store/docs", s"$store/index",
+          n = 3, threshold = 0.5)
+        .withColumn("arrival_batch", lit(i))
+    }.reduce(_ unionByName _).orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
 }

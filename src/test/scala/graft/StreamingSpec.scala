@@ -646,6 +646,47 @@ class StreamingSpec extends SparkSpec {
       s"redelivery leaked into the hourly count: $firstView")
   }
 
+  test("e23 streaming near-dup ingest: foreachBatch over the LSH index equals the full recompute; redeliveries emit nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = cat.documents.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (oldDocs, newDocs) = docs.partition(_._1 % 5 != 0)
+
+    val store = graft.core.Scratch.dir("e23spec").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation",
+        graft.core.Scratch.dir("e23spec_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pairs = graft.operators.Dedup.lshIngest(batch,
+            s"$store/docs", s"$store/index", n = 3, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), id))
+        emitted.synchronized { emitted ++= pairs }; ()
+      }.start()
+    input.addData(oldDocs); query.processAllAvailable()
+    // batch 2 is POISONED with redeliveries of a third of batch 1
+    input.addData(newDocs ++ oldDocs.filter(_._1 % 3 == 0))
+    query.processAllAvailable()
+    // batch 3 is ALL redelivery — the ingest must emit nothing
+    input.addData(newDocs); query.processAllAvailable()
+    query.stop()
+
+    val full = graft.operators.Dedup
+      .minhashPairsPortable(cat.documents, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.map(p => (p._1, p._2)).toSet == full,
+      "streamed union != full recompute")
+    assert(emitted.size == full.size, "a pair was emitted more than once")
+    assert(!emitted.exists(_._3 >= 2) || emitted.count(_._3 >= 2) ==
+      full.count(p => p._1 % 5 == 0 || p._2 % 5 == 0),
+      "discovery-time partition drifted")
+    assert(emitted.forall(p => p._3 <= 1 ||
+      (p._1 % 5 == 0 || p._2 % 5 == 0)), "a redelivered doc re-emitted pairs")
+  }
+
   test("e11/e18 memoized restart: a second invocation is a checkpoint restart with identical results") {
     // the bench runs each entry 3x in-process; iterations 2..n take
     // the memoized path (same landing dir, same checkpoint, no new
