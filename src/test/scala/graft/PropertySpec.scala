@@ -366,4 +366,97 @@ class PropertySpec extends SparkSpec {
     assert(est(200000, 200000, 256, 1) == e)
     assert(est(200000, 200000, 256, 32) == e)
   }
+
+  test("lshIngest: ANY batch split of the corpus reconstructs the full recompute, each pair exactly once") {
+    import spark.implicits._
+    val docs = graft.sources.Catalog(spark, sfDir).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val full = graft.operators.Dedup
+      .minhashPairsPortable(graft.sources.Catalog(spark, sfDir).documents,
+        n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (seed <- 1L to 3L) {
+      // random 3-way split with random batch order — the ingest
+      // theorem must hold for EVERY arrival schedule
+      val assign = sample(Gen.listOfN(docs.size, Gen.choose(0, 2)), seed)
+      val batches = docs.zip(assign).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val store = graft.core.Scratch.dir(s"lshfuzz$seed").toString
+      val emitted = batches.flatMap { b =>
+        graft.operators.Dedup.lshIngest(b.toDF("doc_id", "text"),
+            s"$store/docs", s"$store/index", n = 3, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      assert(emitted.toSet == full, s"seed $seed: split changed the pair set")
+      assert(emitted.size == full.size, s"seed $seed: a pair emitted twice")
+    }
+  }
+
+  test("PartitionEvolution: pruned scan == full scan for random spec eras and random predicates") {
+    import spark.implicits._
+    import graft.core.PartitionEvolution
+    import graft.core.PartitionEvolution.Spec
+    val rows = sample(Gen.listOfN(300, Gen.zip(
+      Gen.choose(1995, 1998), Gen.choose(1, 12), Gen.choose(0, 1000))), 7L)
+      .zipWithIndex.map { case ((y, m, v), i) =>
+        (i.toLong, java.sql.Date.valueOf(f"$y-$m%02d-15"), v) }
+      .toDF("id", "d", "v")
+    val root = graft.core.Scratch.dir("evofuzz").toString
+    val specY = Spec(1, Seq("p_y" -> year(col("d"))))
+    val specYM = Spec(2, Seq("p_y" -> year(col("d")), "p_m" -> month(col("d"))))
+    // era boundary is arbitrary: id parity splits the commits
+    var t = PartitionEvolution.empty(spark, root, Seq("p_y", "p_m"))
+    t = PartitionEvolution.commit(spark, t, rows.filter(col("id") % 2 === 0),
+      specY, 0)
+    t = PartitionEvolution.commit(spark, t, rows.filter(col("id") % 2 === 1),
+      specYM, 1)
+    for (seed <- 10L to 14L) {
+      val (y, m) = sample(Gen.zip(Gen.choose(1995, 1998), Gen.choose(1, 12)), seed)
+      val pruned = PartitionEvolution.scan(spark, t,
+          Seq("p_y" -> ((c: org.apache.spark.sql.Column) => c === y),
+            "p_m" -> ((c: org.apache.spark.sql.Column) => c === m)),
+          year(col("d")) === y && month(col("d")) === m)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expect = rows.filter(year(col("d")) === y && month(col("d")) === m)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(pruned == expect, s"seed $seed ($y-$m): pruning changed results")
+    }
+  }
+
+  test("MultiTxn: random writer/crash interleavings never expose a torn cross-table pair") {
+    import spark.implicits._
+    import graft.core.MultiTxn
+    val wh = Warehouse.scratch(spark, "txnfuzz")
+    def pair(n: Int) = Map(
+      "data" -> Seq((n, n * 10)).toDF("v", "payload"),
+      "audit" -> Seq((n, n * 10)).toDF("v", "payload"))
+    MultiTxn.transact(wh, "s", "init")(_ => pair(0))
+    val actions = sample(Gen.listOfN(12, Gen.choose(0, 2)), 99L)
+    var committed = 0
+    actions.zipWithIndex.foreach { case (a, i) =>
+      val s = MultiTxn.snapshot(wh, "s")
+      a match {
+        case 0 => // clean transact
+          MultiTxn.transact(wh, "s", s"w$i")(_ => pair(i + 1))
+          committed = i + 1
+        case 1 => // crash after staging BOTH tables
+          pair(900 + i).foreach { case (t, df) =>
+            MultiTxn.stage(wh, "s", t, df, s.version + 1, s"crash$i") }
+        case 2 => // stale CAS: stage + commit against an old version
+          val staged = pair(800 + i).map { case (t, df) =>
+            t -> MultiTxn.stage(wh, "s", t, df, s.version + 1, s"stale$i") }
+          MultiTxn.transact(wh, "s", s"w$i")(_ => pair(i + 1)) // interloper wins
+          committed = i + 1
+          assert(!MultiTxn.tryCommit(wh, "s", staged, s.version, s"stale$i"))
+      }
+      // INVARIANT at every step: both tables resolve through one
+      // snapshot and agree — no torn, crashed, or stale state visible
+      val now = MultiTxn.snapshot(wh, "s")
+      val d = MultiTxn.read(wh, "s", now, "data").collect()(0).getInt(0)
+      val au = MultiTxn.read(wh, "s", now, "audit").collect()(0).getInt(0)
+      assert(d == au && d == committed,
+        s"step $i (action $a): saw data=$d audit=$au expected $committed")
+    }
+  }
 }
