@@ -137,8 +137,9 @@ object Bench {
     "e22_multi_stateful", "m51_partition_evolution",
     "d18_incremental_lsh", "m52_multi_table_txn",
     // d19's 16x2 banding and e23's two-batch ingest fold are both
-    // corpus-proportional through the same signature/band machinery
-    "d19_minhash_auto", "e23_stream_neardup_ingest")
+    // corpus-proportional through the same signature/band machinery;
+    // s14's in-entry base assignment + batch maintenance are linear
+    "d19_minhash_auto", "e23_stream_neardup_ingest", "s14_ann_upsert")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

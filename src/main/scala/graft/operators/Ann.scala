@@ -290,11 +290,19 @@ object Ann {
     * codebook (from this session or [[loadCodebook]]).
     */
   def ivfServe(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Codebook, nProbe: Int = 4): DataFrame =
+    ivfServeIndexed(queries, assigned(corpus, cents), k, cents, nProbe)
+
+  /** Serve against a PRE-ASSIGNED index frame (vec_id, v, nrm,
+    * cluster) — the maintained-index path (s14): the corpus is not
+    * re-normed or re-assigned at query time; whatever upsert/delete
+    * maintenance produced the frame is what serving sees.
+    */
+  def ivfServeIndexed(queries: DataFrame, index: DataFrame, k: Int,
       cents: Codebook, nProbe: Int = 4): DataFrame = {
     def centScores(v: String) = centScoresFor(cents, v)
 
-    val corpusA = normed(corpus)
-      .withColumn("cluster", array_max(centScores("v"))("i"))
+    val corpusA = index
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cluster"))
     val queriesA = normed(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
@@ -307,6 +315,22 @@ object Ann {
       Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
     topK(scored, k)
   }
+
+  /** INDEX MAINTENANCE under upserts + deletes (s14 — merge-on-read
+    * applied to a vector index): `upserts` are (re)assigned against
+    * the FROZEN codebook in O(batch) — production never retrains per
+    * batch — and the live index is base minus (tombstoned ∪
+    * upserted-old) plus upserted-new: newest version wins, and an
+    * upsert after a delete revives the id. The base index is never
+    * rewritten; at 100 TB the maintenance cost is the batch and the
+    * two id anti-joins (broadcast/Bloom-sized), not the corpus.
+    */
+  def ivfIndexApply(base: DataFrame, upserts: DataFrame,
+      tombstones: DataFrame, cents: Codebook): DataFrame =
+    base
+      .join(tombstones.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(upserts.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(assigned(upserts, cents))
 
   /** FILTERED ANN (the vector-store "metadata filter" feature): each
     * query retrieves its top-k among corpus vectors sharing the

@@ -1126,6 +1126,52 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  // s14 — VECTOR INDEX MAINTENANCE under upserts + deletes
+  // (Ann.ivfIndexApply + ivfServeIndexed — merge-on-read applied to
+  // the ANN index, the vector-store "collection update" feature):
+  // every 7th vector is tombstoned, every 10th re-arrives with a NEW
+  // embedding (circular shift — different direction, same id); the
+  // upsert batch is (re)assigned against the FROZEN s09 codebook in
+  // O(batch) — production never retrains per batch — and the live
+  // index is base − (tombstoned ∪ upserted-old) + upserted-new, so
+  // newest wins and an upsert after a delete REVIVES the id
+  // (vec_id % 70 — present with the new vector, spec-pinned). The
+  // base index is never rewritten; maintenance cost is the batch and
+  // two id anti-joins. Serving probes the maintained frame as-is.
+  // ORACLE-GATED: DuckDB retrains the same codebook, applies the
+  // same shift/tombstone/revive algebra, and every rank
+  // hash-compares.
+  val s14: Q = q("s14_ann_upsert",
+    s"""${ivfTrainSql(16)},
+      |up AS (SELECT vec_id, list_concat(v[2:64], [v[1]]) AS v FROM e WHERE vec_id % 10 = 0),
+      |upn AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM up),
+      |ua AS (SELECT * FROM (
+      |  SELECT u.vec_id, u.v, u.nrm, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY u.vec_id
+      |      ORDER BY ${ivfDot("u.v", "c.cv")} / c.ncv DESC, c.cid DESC) AS rn
+      |  FROM upn u CROSS JOIN c2 c) WHERE rn = 1),
+      |live AS (SELECT vec_id, v, nrm, cid FROM af
+      |          WHERE vec_id % 7 <> 0 AND vec_id % 10 <> 0
+      |         UNION ALL SELECT vec_id, v, nrm, cid FROM ua),
+      |${ivfAssign("pf", "c2", "rn <= 4", " WHERE n.vec_id < 20")},
+      |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+      |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
+      |       FROM pf p JOIN live a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
+      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
+    val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
+    val upserts = c.embeddings.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)))
+    val tomb = c.embeddings.filter(col("vec_id") % 7 === 0)
+    val live = Ann.ivfIndexApply(
+      Ann.assigned(c.embeddings, cb), upserts, tomb, cb)
+    Ann.ivfServeIndexed(c.embeddings.filter(col("vec_id") < 20), live,
+        k = 5, cb, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------
   // x01 — heuristic language ID from stopword hit counts
   val x01: Q = q("x01_langid",
@@ -3210,6 +3256,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
+    s14,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,

@@ -1301,6 +1301,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(served == dict.map(_._1).toSet)
   }
 
+  test("s14 index maintenance: tombstones vanish, upserts serve the new vector, a post-delete upsert revives; anti-joins, not rewrites") {
+    val cb = Ann.ivfCodebook(cat.embeddings, nCentroids = 16, kmeansIters = 2)
+    val upserts = cat.embeddings.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)))
+    val tomb = cat.embeddings.filter(col("vec_id") % 7 === 0)
+    val live = Ann.ivfIndexApply(
+      Ann.assigned(cat.embeddings, cb), upserts, tomb, cb)
+
+    // membership algebra: deletes gone, upserts present — including
+    // the REVIVED ids (both %7 and %10: delete then upsert)
+    val ids = live.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = cat.embeddings.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == all.filter(id => id % 10 == 0 || id % 7 != 0))
+    assert(ids.exists(id => id % 70 == 0), "no revived id in the fixture")
+
+    // an upserted id's live vector IS the shifted one (not the base)
+    val upId = ids.find(_ % 10 == 0).get
+    val served = live.filter(col("vec_id") === upId)
+      .select("v").collect()(0).getSeq[Double](0)
+    val raw = cat.embeddings.filter(col("vec_id") === upId)
+      .select(graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    assert(served == raw.drop(1) ++ raw.take(1), "upsert served a stale vector")
+
+    // the maintenance plan is two id anti-joins over the base — the
+    // base index is filtered, never recomputed or rewritten
+    val plan = live.queryExecution.optimizedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 2,
+      "maintenance must be anti-join-shaped")
+
+    // serving never returns a dead id
+    val res = Ann.ivfServeIndexed(cat.embeddings.filter(col("vec_id") < 20),
+      live, k = 5, cb, nProbe = 4).collect()
+    assert(res.nonEmpty &&
+      res.forall(r => { val n = r.getLong(2); n % 10 == 0 || n % 7 != 0 }))
+  }
+
   test("d19 band planner: midpoints drive the dial, bands fall as the threshold rises, planned pairs superset d02's") {
     // the midpoint table: (1/b)^(1/r) closest to the threshold
     assert(Dedup.bandPlan(32, 0.5) == (8, 4))   // d02's dial recovered
