@@ -619,11 +619,44 @@ object Bench {
                   })
                   sketchProbe += (("x29_exact_distinct_100x", edS, edB, edE))
                 }
+                // INCREMENT-ISOLATION probe (d18/e23's core claim):
+                // the SAME constant batch (copy-0 doc_id%5=0) ingests
+                // against a 1×-seeded and a 100×-seeded store+index;
+                // O(batch + matches) means the reported ratio reads
+                // ~1 — corpus growth must not reach the increment.
+                // Seeding the 100× index is untimed: that one-time
+                // build is d02's cost, characterized elsewhere.
+                val rsD18 =
+                  if (elapsed > budgetSec || !probing("d18_incremental_lsh")) Nil
+                  else {
+                    import graft.operators.Dedup
+                    def increment(oldDocs: DataFrame, tag: String) = {
+                      val st = graft.core.Scratch.dir(tag).toString
+                      Dedup.lshIngest(oldDocs, s"$st/docs", s"$st/index",
+                        n = 3, threshold = 0.5).count() // seed, untimed
+                      timed(sp, st, (s, d) =>
+                        Dedup.lshIngest(
+                          s.read.parquet(s"$sfDir/documents.parquet")
+                            .filter(col("doc_id") % 5 === 0)
+                            .select("doc_id", "text"),
+                          s"$d/docs", s"$d/index", n = 3, threshold = 0.5))
+                    }
+                    val olds1 = sp.read.parquet(s"$sfDir/documents.parquet")
+                      .filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+                    val (s1i, e1i) = increment(olds1, "d18p1")
+                    val olds100 = sp.read.parquet(s"$dir100d/documents.parquet")
+                      .filter(col("doc_id") % 5 =!= 0 ||
+                        col("doc_id") >= 10000000L)
+                      .select("doc_id", "text")
+                    val (s100i, e100i) = increment(olds100, "d18p100")
+                    Seq(("d18_increment_100xcorpus", s100i, s1i,
+                      e100i.orElse(e1i)))
+                  }
                 Seq(
                   ("d03_dedup_simhash_auto_100x", secs,
                     medians("d03_dedup_simhash"), err),
                   ("d06_dedup_groups_100x", secs6,
-                    medians("d06_dedup_groups"), err6)) ++ rsD14 ++ rsD17
+                    medians("d06_dedup_groups"), err6)) ++ rsD14 ++ rsD17 ++ rsD18
               }
             try {
               val p = new org.apache.hadoop.fs.Path(dir100d)
