@@ -1140,7 +1140,12 @@ object LlmOps {
   // two id anti-joins. Serving probes the maintained frame as-is.
   // ORACLE-GATED: DuckDB retrains the same codebook, applies the
   // same shift/tombstone/revive algebra, and every rank
-  // hash-compares.
+  // hash-compares. Plan note (Explain --audit reads 5 file scans):
+  // each leg is a DIFFERENT pruned slice of embeddings — two id-only
+  // projections (the anti-join sides), the vec_id<20 query slice
+  // (filter pushed to the scan), the base assignment, and the %10
+  // upsert batch; freezing a shared frame would undo exactly that
+  // pushdown/pruning, so multi-leg is the right shape here.
   val s14: Q = q("s14_ann_upsert",
     s"""${ivfTrainSql(16)},
       |up AS (SELECT vec_id, list_concat(v[2:64], [v[1]]) AS v FROM e WHERE vec_id % 10 = 0),
