@@ -316,6 +316,42 @@ object Ann {
     topK(scored, k)
   }
 
+  /** RATIO-MARGIN bitext mining (s15 — Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix miner): each (src, tgt) cosine is normalized by
+    * the mean of both sides' top-`k` cosines, so hub vectors (close
+    * to everything) see their inflated denominator cancel their
+    * inflated cosines and only MUTUALLY unusual pairs win; the
+    * top-margin target per source is emitted. Cosines quantize to
+    * µ-units before the k-NN sums — integer-exact normalizers, one
+    * double division for the margin (engine-portable, hence the
+    * DuckDB gate). The scored bipartite frame freezes once for its
+    * three consumers; the target pool broadcasts.
+    */
+  def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int = 4): DataFrame = {
+    val xs = normed(src)
+      .select(col("vec_id").as("src_id"), col("v").as("xv"), col("nrm").as("xn"))
+    val ys = normed(tgt)
+      .select(col("vec_id").as("tgt_id"), col("v").as("yv"), col("nrm").as("yn"))
+    val sc = xs.crossJoin(broadcast(ys))
+      .select(col("src_id"), col("tgt_id"),
+        round(Vectors.cosine(col("xv"), col("yv"), col("xn"), col("yn"))
+          * 1000000, 0).cast(LongType).as("cosu"))
+      .localCheckpoint(true) // frozen: 3 consumers (xk, yk, margin)
+    val wx = Window.partitionBy("src_id").orderBy(col("cosu").desc, col("tgt_id"))
+    val xk = sc.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
+      .groupBy("src_id").agg(sum("cosu").as("xs"))
+    val wy = Window.partitionBy("tgt_id").orderBy(col("cosu").desc, col("src_id"))
+    val yk = sc.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
+      .groupBy("tgt_id").agg(sum("cosu").as("ys"))
+    val m = sc.join(broadcast(xk), "src_id").join(broadcast(yk), "tgt_id")
+      .withColumn("margin",
+        round(col("cosu") * lit(2.0 * k) / (col("xs") + col("ys")), 6))
+    val w1 = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))
+    m.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cosu") / 1000000.0, 6).as("cosine"), col("margin"))
+  }
+
   /** INDEX MAINTENANCE under upserts + deletes (s14 — merge-on-read
     * applied to a vector index): `upserts` are (re)assigned against
     * the FROZEN codebook in O(batch) — production never retrains per

@@ -1178,6 +1178,54 @@ object LlmOps {
   }
 
   // ---------------------------------------------------------------
+  // s15 — BITEXT MINING via RATIO MARGIN (Artetxe & Schwenk 2019 —
+  // the LASER/CCMatrix parallel-corpus miner, the curation op that
+  // builds translation pairs from two monolingual embedding pools):
+  // raw cosine over-selects hub vectors (points close to EVERYTHING
+  // score high against everything), so each candidate (x, y) is
+  // scored by cos(x,y) normalized by the mean of both sides' k-NN
+  // cosines — a hub's inflated denominator cancels its inflated
+  // cosines, and only pairs that are MUTUALLY unusual survive. Per
+  // source vector the top-margin target is emitted. Determinism
+  // discipline: cosines quantize to µ-units (round×1e6 → BIGINT)
+  // before the top-4 sums, so the k-NN normalizers are exact integer
+  // sums (no float fold order) and margin = cosµ·8/(xkµ+ykµ) is one
+  // double division both engines compute identically — ORACLE-GATED
+  // end to end. Scale shape: the bipartite product is bounded by
+  // label selectivity (the target pool broadcasts), the k-NN
+  // normalizers are rank-≤4 window sums over that same scored frame
+  // (frozen once, three consumers); at corpus scale both the pair
+  // candidates and the normalizers come from the s03 IVF shortlist —
+  // the ANN-kNN margin CCMatrix runs — with this entry as the
+  // exact-verification form.
+  val s15: Q = q("s15_bitext_margin",
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm, label FROM e),
+      |x AS (SELECT vec_id AS src_id, v, nrm FROM n WHERE label = 0),
+      |y AS (SELECT vec_id AS tgt_id, v, nrm FROM n WHERE label = 1),
+      |sc AS (SELECT src_id, tgt_id,
+      |        CAST(ROUND(${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) * 1000000) AS BIGINT) AS cosu
+      |       FROM x JOIN y ON TRUE),
+      |xk AS (SELECT src_id, SUM(cosu) AS xs FROM (
+      |        SELECT src_id, cosu, ROW_NUMBER() OVER (PARTITION BY src_id
+      |          ORDER BY cosu DESC, tgt_id) AS r FROM sc) t WHERE r <= 4
+      |       GROUP BY src_id),
+      |yk AS (SELECT tgt_id, SUM(cosu) AS ys FROM (
+      |        SELECT tgt_id, cosu, ROW_NUMBER() OVER (PARTITION BY tgt_id
+      |          ORDER BY cosu DESC, src_id) AS r FROM sc) t WHERE r <= 4
+      |       GROUP BY tgt_id),
+      |m AS (SELECT s.src_id, s.tgt_id, s.cosu,
+      |        ROUND(s.cosu * 8.0 / (xk.xs + yk.ys), 6) AS margin
+      |      FROM sc s JOIN xk USING (src_id) JOIN yk USING (tgt_id))
+      |SELECT src_id, tgt_id, ROUND(cosu/1000000.0, 6) AS cosine, margin
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+      |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
+      |WHERE rn = 1 ORDER BY src_id""") { c =>
+    Ann.bitextMargin(c.embeddings.filter(col("label") === 0),
+        c.embeddings.filter(col("label") === 1), k = 4)
+      .orderBy("src_id")
+  }
+
   // x01 — heuristic language ID from stopword hit counts
   val x01: Q = q("x01_langid",
     s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -3261,7 +3309,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
-    s14,
+    s14, s15,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,

@@ -1301,6 +1301,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(served == dict.map(_._1).toSet)
   }
 
+  test("s15 ratio margin: a planted hub loses to each source's true match despite a HIGHER raw cosine") {
+    import spark.implicits._
+    // orthonormal scaffolding: h = e0 is the hub direction, d_i = e_i
+    // the per-source directions. x_i = 0.8 h + 0.6 d_i; the hub
+    // y=100 IS h (cos 0.8 to every source); the true match y=100+i =
+    // 0.25 h + 0.968 d_i (cos ~0.781 to its source — LOWER than the
+    // hub's, ~0.2 to every other). Raw cosine picks the hub for all;
+    // the margin's mutual-kNN denominator must flip every source to
+    // its true match.
+    def unit(pairs: (Int, Double)*): Seq[Float] = {
+      val v = Array.fill(8)(0.0)
+      pairs.foreach { case (i, x) => v(i) = x }
+      v.map(_.toFloat).toSeq
+    }
+    val rows =
+      (1 to 4).map(i => (i.toLong, unit(0 -> 0.8, i -> 0.6), 0)) ++
+      Seq((100L, unit(0 -> 1.0), 1)) ++
+      (1 to 4).map(i => (100L + i, unit(0 -> 0.25, i -> 0.968), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Ann.bitextMargin(emb.filter(col("label") === 0),
+        emb.filter(col("label") === 1), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1 to 4).map(i => i.toLong -> (100L + i)).toMap,
+      s"margin failed to de-hub: $got")
+  }
+
   test("s14 index maintenance: tombstones vanish, upserts serve the new vector, a post-delete upsert revives; anti-joins, not rewrites") {
     val cb = Ann.ivfCodebook(cat.embeddings, nCentroids = 16, kmeansIters = 2)
     val upserts = cat.embeddings.filter(col("vec_id") % 10 === 0)
