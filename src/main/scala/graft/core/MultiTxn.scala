@@ -91,6 +91,12 @@ object MultiTxn {
   def stage(wh: Warehouse, schema: String, table: String, df: DataFrame,
       n: Int, writerId: String): String = {
     require(writerId.matches("[A-Za-z0-9_]+"), "writer id must be a name")
+    // the manifest is parsed by a [A-Za-z0-9_]+ name pattern (parse
+    // above); a table name outside it would serialize into valid JSON
+    // yet vanish from every subsequent snapshot — reject it at the
+    // door instead of losing it silently
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"table name '$table' must match [A-Za-z0-9_]+ (manifest identifier)")
     val rel = f"$table/c$n%05d_$writerId"
     df.write.mode("overwrite").parquet(s"${wh.root}/$schema/$rel")
     rel
@@ -100,6 +106,15 @@ object MultiTxn {
     * staged dir) plus every untouched table carried forward from
     * `expected`'s snapshot. False = lost the race (stale snapshot);
     * the staged dirs become sweepable orphans.
+    *
+    * Arbiter caveat (same as Occ.tryCommit, which this lifts one
+    * level): on HDFS / object stores with no-overwrite rename the
+    * rename IS the atomic arbiter; on the local filesystem POSIX
+    * rename replaces, so the exists check arbitrates and a
+    * check-then-rename window remains between truly simultaneous
+    * local commits — the deployment note is "point the warehouse at
+    * a no-overwrite filesystem", the note every Delta-on-posix
+    * deployment carries.
     */
   def tryCommit(wh: Warehouse, schema: String, staged: Map[String, String],
       expected: Int, writerId: String): Boolean = {

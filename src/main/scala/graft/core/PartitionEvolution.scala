@@ -113,8 +113,19 @@ object PartitionEvolution {
       fieldPreds: Seq[(String, Column => Column)], rowPred: Column): DataFrame = {
     val (kept, _) = prunedFiles(t, fieldPreds)
     val base =
-      if (kept.isEmpty) spark.read.parquet(s"${t.root}/commit=0").limit(0)
-      else spark.read.parquet(kept: _*)
+      if (kept.isEmpty) {
+        // derive the empty frame from a real data file RECORDED IN THE
+        // MANIFEST (not an assumed commit=0 directory — the first
+        // commit can carry any id), and read it as an explicit file
+        // path so no partition discovery runs: empty and non-empty
+        // scans return the SAME schema (data columns only), which any
+        // caller unioning results depends on.
+        val sample = t.manifest.filter(col("file") =!= "")
+          .select("file").limit(1).collect()
+        require(sample.nonEmpty,
+          s"${t.root}: no data files committed — nothing to derive a scan schema from")
+        spark.read.parquet(sample.head.getString(0)).limit(0)
+      } else spark.read.parquet(kept: _*)
     base.filter(rowPred)
   }
 }

@@ -324,19 +324,14 @@ object Dedup {
   def minhashPairsPortable(docs: DataFrame, n: Int, threshold: Double,
       k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val params = Hashing.minhashParams(k)
     // frozen: consumed by the signature pass AND both verify sides
     val sh = shingledPortable(docs, n).localCheckpoint(true)
     val sig = minhashSignatures(sh, params)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (b * rows until (b + 1) * rows)
-          .map(j => element_at(col("sig"), j + 1).cast(StringType)): _*)
-          .cast(BinaryType)).as("bucket")) }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // ONE band/bucket-hash definition ([[portableBands]]) shared with
+    // the persisted-index forms — d18/e23's increment==full-recompute
+    // parity (and the DuckDB oracles) depend on it never drifting
+    val buckets = portableBands(sig, k, bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -367,21 +362,13 @@ object Dedup {
   def minhashFidelity(docs: DataFrame, n: Int,
       k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val params = Hashing.minhashParams(k)
     val sh = shingledPortable(docs, n).localCheckpoint(true)
     // frozen like sh: 3 consumers (band buckets + both pair joins),
     // and at 32 longs/doc the signature frame is far smaller than
     // the shingle index already being checkpointed
     val sig = minhashSignatures(sh, params).localCheckpoint(true)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (b * rows until (b + 1) * rows)
-          .map(j => element_at(col("sig"), j + 1).cast(StringType)): _*)
-          .cast(BinaryType)).as("bucket")) }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val buckets = portableBands(sig, k, bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -451,9 +438,12 @@ object Dedup {
     minhashPairsPortable(docs, n, threshold, k, bands)
   }
 
-  /** (band, bucket) rows for a signature frame — the persisted unit
-    * of an LSH index (shared by [[minhashPairsPortable]]'s inline use
-    * and [[incrementalLshPairs]]'s on-disk index).
+  /** (band, bucket) rows for a signature frame — the ONE band/bucket
+    * hash definition, called by [[minhashPairsPortable]],
+    * [[minhashFidelity]], [[incrementalLshPairs]] and [[lshIngest]]
+    * alike so the in-memory and persisted-index band hashes can never
+    * drift apart (d18/e23's increment==full-recompute parity and the
+    * DuckDB oracles all assume they are byte-identical).
     */
   private def portableBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
@@ -583,7 +573,11 @@ object Dedup {
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       } else newBands.as("a")
         .join(spark.read.parquet(indexDir).as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            // a crashed attempt may have appended this batch's own
+            // bands before dying (see the commit discipline below);
+            // the retry must not pair a doc with itself
+            col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
     val vsNew = newBands.as("a")
@@ -609,6 +603,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
       .localCheckpoint(true) // pin results BEFORE the state appends
 
+    // COMMIT DISCIPLINE: index first, store LAST. The store append is
+    // the commit marker — a doc is in the store iff its batch ran to
+    // completion (pairs returned). A crash between the two appends
+    // leaves the batch fresh on retry, so the retry re-emits its pairs
+    // (the failed attempt never returned them) with its own leftover
+    // bands already in the index: the =!= guard in vsOld drops the
+    // resulting self-matches, least/greatest + distinct() fold the
+    // in-batch pairs seen through BOTH the index and the self-join to
+    // one row, and the duplicate index rows are candidate-level
+    // deduped forever after. The reverse order (store first) would
+    // turn the same crash into silent recall loss: the retry drops the
+    // docs as already-ingested while their bands never reached the
+    // index, so every future pair against them is lost.
     newBands.write.mode("append").parquet(indexDir)
     fresh.select("doc_id", "text").write.mode("append").parquet(storeDir)
     out

@@ -1773,4 +1773,44 @@ class EngineSpec extends SparkSpec {
     assert(man.filter(e => e._2 == 2 && keptM.contains(e._1))
       .forall(_._4.contains(3)), "new-era files must prune to m=3")
   }
+
+  test("m51 guard: an all-pruned scan returns the non-empty scan's schema, even when the first commit id isn't 0") {
+    import spark.implicits._
+    import graft.core.PartitionEvolution
+    import graft.core.PartitionEvolution.Spec
+    val rows = Seq((1L, java.sql.Date.valueOf("1996-03-15"), 10))
+      .toDF("id", "d", "v")
+    val root = graft.core.Scratch.dir("evoEmptyScan").toString
+    var t = PartitionEvolution.empty(spark, root, Seq("p_y", "p_m"))
+    // first commit id deliberately NOT 0 — the fallback must derive
+    // its schema from a manifest-recorded file, not an assumed dir
+    t = PartitionEvolution.commit(spark, t, rows,
+      Spec(1, Seq("p_y" -> year(col("d")))), 7)
+    val hit = PartitionEvolution.scan(spark, t,
+      Seq("p_y" -> ((c: org.apache.spark.sql.Column) => c === 1996)), lit(true))
+    val miss = PartitionEvolution.scan(spark, t,
+      Seq("p_y" -> ((c: org.apache.spark.sql.Column) => c === 1842)), lit(true))
+    assert(miss.count() == 0)
+    assert(miss.schema == hit.schema,
+      s"empty and non-empty scans must agree on schema: ${miss.schema} vs ${hit.schema}")
+    // union-ability is the caller contract the old fallback broke
+    assert(hit.unionByName(miss).count() == 1)
+  }
+
+  test("m52 guard: a table name outside the manifest identifier grammar is rejected at stage time, not silently lost at parse time") {
+    import spark.implicits._
+    val wh = Warehouse.scratch(spark, "m52guard")
+    val df = Seq((1, "a")).toDF("v", "k")
+    MultiTxn.transact(wh, "s", "init")(_ => Map("good_name" -> df))
+    val ex = intercept[IllegalArgumentException] {
+      MultiTxn.stage(wh, "s", "audit-totals", df, 2, "w1")
+    }
+    assert(ex.getMessage.contains("audit-totals"))
+    intercept[IllegalArgumentException] {
+      MultiTxn.transact(wh, "s", "w2")(_ => Map("audit-totals" -> df))
+    }
+    // the catalog stayed intact through both rejections
+    val s = MultiTxn.snapshot(wh, "s")
+    assert(MultiTxn.read(wh, "s", s, "good_name").count() == 1)
+  }
 }

@@ -393,6 +393,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lshIngest: a crash-retried batch (bands in the index, docs absent from the store) emits no self-pairs and completes the exact pair set") {
+    import spark.implicits._
+    val cat = graft.sources.Catalog(spark, sfDir)
+    val docs = cat.documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    val full = graft.operators.Dedup
+      .minhashPairsPortable(cat.documents, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val store = graft.core.Scratch.dir("lshretry").toString
+    val first = graft.operators.Dedup.lshIngest(b1.toDF("doc_id", "text"),
+        s"$store/docs", s"$store/index", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // simulate an attempt that crashed between the two state appends:
+    // batch 2's bands reached the index, but the store append (the
+    // commit marker) did not — run the batch, then roll the store
+    // back to its pre-batch content
+    graft.operators.Dedup.lshIngest(b2.toDF("doc_id", "text"),
+      s"$store/docs", s"$store/index", n = 3, threshold = 0.5).collect()
+    val b1Ids = b1.map(_._1).toSet
+    val preCrash = spark.read.parquet(s"$store/docs")
+      .as[(Long, String)].collect().filter(r => b1Ids.contains(r._1)).toSeq
+    preCrash.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$store/docs")
+    // the retry sees the batch as fresh (exactly-once contract says
+    // its pairs were never delivered) with its own leftover bands in
+    // the index: it must re-emit the batch's pairs once each, with
+    // ZERO degenerate self-pairs
+    val retry = graft.operators.Dedup.lshIngest(b2.toDF("doc_id", "text"),
+        s"$store/docs", s"$store/index", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(retry.forall { case (a, b) => a != b },
+      "retry leaked degenerate self-pairs (id_a == id_b)")
+    assert((first ++ retry).toSet == full,
+      "crash-retry changed the reconstructed pair set")
+    assert(first.size + retry.size == full.size,
+      "a pair was emitted twice across the crash-retry")
+  }
+
   test("PartitionEvolution: pruned scan == full scan for random spec eras and random predicates") {
     import spark.implicits._
     import graft.core.PartitionEvolution
