@@ -139,7 +139,12 @@ object Bench {
     // d19's 16x2 banding and e23's two-batch ingest fold are both
     // corpus-proportional through the same signature/band machinery;
     // s14's in-entry base assignment + batch maintenance are linear
-    "d19_minhash_auto", "e23_stream_neardup_ingest", "s14_ann_upsert")
+    "d19_minhash_auto", "e23_stream_neardup_ingest", "s14_ann_upsert",
+    // r14 ring: the exact bitext margin is the board's one cartesian
+    // (compare-scale dial) — probing it at 10× alongside its IVF-
+    // shortlist auto sibling measures the crossJoin-vs-equi-join
+    // contrast directly
+    "s15_bitext_margin")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -329,7 +334,8 @@ object Bench {
     }
 
     val dialBases = Seq("d05_embedding_neardup", "d03_dedup_simhash",
-      "d10_semdedup", "s05_knn_graph", "d06_dedup_groups")
+      "d10_semdedup", "s05_knn_graph", "d06_dedup_groups",
+      "s15_bitext_margin")
     // (name, sec, shuffle_bytes, err) rows filled by the sketch-regime
     // probe inside the 100x-docs block; reported as "sketch_probe"
     val sketchProbe = scala.collection.mutable.ArrayBuffer
@@ -444,6 +450,22 @@ object Bench {
             Seq(("s05_knn_graph_auto", secs, medians("s05_knn_graph"), err))
           }
         } ++ {
+          // the s15 scale dial: IVF-shortlist bitext margin (per-pool
+          // occupancy-held codebooks, cluster-key equi-joins) vs the
+          // registered exact form, whose |src|·|tgt| crossJoin is the
+          // one cartesian on the board — at 10× the pools are ~500 a
+          // side, so the exact product is 100× the 1× work while the
+          // shortlist probes ~nProbe/k of it.
+          if (elapsed > budgetSec || !probing("s15_bitext_margin")) Nil
+          else {
+            val (secs, err) = timed(sp, scaleDir, (s, d) => {
+              val e = s.read.parquet(s"$d/embeddings.parquet")
+              graft.operators.Ann.bitextMarginAuto(
+                e.filter(col("label") === 0), e.filter(col("label") === 1), k = 4)
+            })
+            Seq(("s15_bitext_margin_auto", secs, medians("s15_bitext_margin"), err))
+          }
+        } ++ {
           // mm05 payload probe: 10× the CLIPS (1200 base + 400 planted
           // copies, ~52 MB of WAV payload vs ~5 MB registered) through
           // the same decode→fingerprint→pigeonhole pipeline. Linear
@@ -481,7 +503,8 @@ object Bench {
               }
             val rs100 =
               if (staged100.isDefined)
-                Seq("d10_semdedup_auto_100x", "s05_knn_graph_auto_100x").map(n =>
+                Seq("d10_semdedup_auto_100x", "s05_knn_graph_auto_100x",
+                    "s15_bitext_margin_auto_100x").map(n =>
                   (n, -1.0, 0.0, Some(s"staging_failed: ${staged100.get}")))
               else Seq(
                 ("d10_semdedup_auto_100x", (s: SparkSession, d: String) =>
@@ -489,13 +512,24 @@ object Bench {
                     s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.4)),
                 ("s05_knn_graph_auto_100x", (s: SparkSession, d: String) =>
                   graft.operators.Ann.knnGraphAuto(
-                    s.read.parquet(s"$d/embeddings.parquet"), k = 3))
+                    s.read.parquet(s"$d/embeddings.parquet"), k = 3)),
+                // shortlist bitext margin at ~5000-vector pools: the
+                // exact crossJoin would be 25M scored pairs; the
+                // shortlist scores ~nProbe/k of that through
+                // cluster-key equi-joins
+                ("s15_bitext_margin_auto_100x", (s: SparkSession, d: String) => {
+                  val e = s.read.parquet(s"$d/embeddings.parquet")
+                  graft.operators.Ann.bitextMarginAuto(
+                    e.filter(col("label") === 0), e.filter(col("label") === 1),
+                    k = 4)
+                })
               ).map { case (n, fn) =>
                 if (elapsed > budgetSec) (n, -1.0, 0.0, Some("skipped_budget"))
                 else {
                   val (secs, err) = timed(sp, dir100, fn)
                   val base = n.stripSuffix("_100x").stripSuffix("_auto") match {
                     case "d10_semdedup" => medians("d10_semdedup")
+                    case "s15_bitext_margin" => medians("s15_bitext_margin")
                     case _ => medians("s05_knn_graph")
                   }
                   (n, secs, base, err)

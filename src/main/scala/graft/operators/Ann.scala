@@ -352,6 +352,104 @@ object Ann {
         round(col("cosu") / 1000000.0, 6).as("cosine"), col("margin"))
   }
 
+  /** [[bitextMargin]] at corpus scale (s15's auto dial — the ANN-kNN
+    * ratio margin CCMatrix actually runs, Schwenk et al. 2021):
+    * candidate pairs AND both k-NN normalizers come from per-pool IVF
+    * shortlists instead of the full |src|·|tgt| product. Each pool
+    * trains its own DataFrame-native codebook with OCCUPANCY-HELD
+    * k = max(16, pool/occupancy) (the d05/d10/s05 dial); the FORWARD
+    * shortlist — src probing its `nProbe` nearest tgt-codebook lists —
+    * yields the candidate pairs and the src-side top-k normalizers,
+    * and the REVERSE shortlist (tgt probing the src codebook) yields
+    * the tgt-side normalizers. The margin arithmetic is UNCHANGED
+    * from the exact form: cosines µ-quantize before the k-NN sums
+    * (integer-exact normalizers), margin = cosu·2k/(xs+ys) is one
+    * double division — so the whole thing stays DuckDB-reproducible
+    * (the registered s15_auto retrains both codebooks in SQL), and on
+    * a corpus whose shortlists COVER the true k-NN the output equals
+    * [[bitextMargin]]'s exactly (spec-pinned with the coverage
+    * asserted, not assumed). Scale shape: per-side work is
+    * O(pool · nProbe · occupancy) through cluster-key equi-joins —
+    * the one cartesian on the 217-board (the exact form's crossJoin)
+    * never appears; the normalizer joins are plain shuffles (xk/yk
+    * are pool-sized, NOT broadcast).
+    */
+  def bitextMarginAuto(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      nProbe: Int = 4, occupancy: Long = 256L,
+      kmeansIters: Int = 2): DataFrame = {
+    val (fwd, rev) = bitextShortlists(src, tgt, nProbe, occupancy, kmeansIters)
+    val wx = Window.partitionBy("src_id").orderBy(col("cosu").desc, col("tgt_id"))
+    val xk = fwd.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
+      .groupBy("src_id").agg(sum("cosu").as("xs"))
+    val wy = Window.partitionBy("tgt_id").orderBy(col("cosu").desc, col("src_id"))
+    val yk = rev.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
+      .groupBy("tgt_id").agg(sum("cosu").as("ys"))
+    val m = fwd.join(xk, "src_id").join(yk, "tgt_id")
+      .withColumn("margin",
+        round(col("cosu") * lit(2.0 * k) / (col("xs") + col("ys")), 6))
+    val w1 = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))
+    m.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cosu") / 1000000.0, 6).as("cosine"), col("margin"))
+  }
+
+  /** The two IVF shortlist frames behind [[bitextMarginAuto]] —
+    * (src_id, tgt_id, cosu µ-units): FORWARD (src probes the
+    * tgt-pool codebook; candidate pairs + src normalizers) and
+    * REVERSE (tgt probes the src-pool codebook; tgt normalizers).
+    * Exposed so the coverage spec can assert — not assume — that the
+    * shortlists contain the true k-NN on the planted corpus.
+    */
+  private[graft] def bitextShortlists(src: DataFrame, tgt: DataFrame,
+      nProbe: Int, occupancy: Long, kmeansIters: Int): (DataFrame, DataFrame) = {
+    // frozen: each pool feeds its codebook training, the member
+    // assignment, AND the other side's probe scoring
+    val nx = normed(src).localCheckpoint(true)
+    val ny = normed(tgt).localCheckpoint(true)
+    val kS = math.max(16L, nx.count() / occupancy)
+    val kT = math.max(16L, ny.count() / occupancy)
+    val cbS = kmeansNormed(nx, kS, kmeansIters)
+    val cbT = kmeansNormed(ny, kT, kmeansIters)
+
+    // query side: top-nProbe centroids by (score desc, cid asc) — the
+    // assignDirect tie-break extended from argmax to arg-top-n. Valid
+    // in the direct regime (k ≤ RouteThreshold per broadcast); past
+    // it, route the probe like assignViaJoin routes the argmax.
+    def probes(n: DataFrame, cents: DataFrame, idAs: String) =
+      n.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+            (-col("cid")).as("negcid"), col("cid")).as("sc"))
+        .groupBy("vec_id")
+        .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+          slice(reverse(array_sort(collect_list(col("sc")))), 1, nProbe).as("top"))
+        .select(col("vec_id").as(idAs), col("v").as("qv"), col("nrm").as("qn"),
+          explode(col("top")).as("sc"))
+        .select(col(idAs), col("qv"), col("qn"), col("sc.cid").as("cid"))
+    def members(n: DataFrame, cents: DataFrame, kk: Long, idAs: String) =
+      assignViaJoin(n, cents, kk)
+        .select(col("vec_id").as(idAs), col("v").as("mv"), col("nrm").as("mn"),
+          col("cid"))
+    // µ-quantized cosine, operand order ALWAYS (src, tgt) — the s15
+    // discipline (per-position products commute and the fold order is
+    // index order, so fwd and rev cosines of the same pair are
+    // bitwise equal anyway)
+    def cosu(a: String, b: String, an: String, bn: String) =
+      round(Vectors.cosine(col(a), col(b), col(an), col(bn)) * 1000000, 0)
+        .cast(LongType)
+
+    val fwd = members(ny, cbT, kT, "tgt_id")
+      .join(probes(nx, cbT, "src_id"), "cid")
+      .select(col("src_id"), col("tgt_id"),
+        cosu("qv", "mv", "qn", "mn").as("cosu"))
+      .localCheckpoint(true) // frozen: xk AND the margin join consume it
+    val rev = members(nx, cbS, kS, "src_id")
+      .join(probes(ny, cbS, "tgt_id"), "cid")
+      .select(col("src_id"), col("tgt_id"),
+        cosu("mv", "qv", "mn", "qn").as("cosu"))
+    (fwd, rev)
+  }
+
   /** INDEX MAINTENANCE under upserts + deletes (s14 — merge-on-read
     * applied to a vector index): `upserts` are (re)assigned against
     * the FROZEN codebook in O(batch) — production never retrains per

@@ -662,6 +662,46 @@ object LlmOps {
        |${assign("kaf", s"kc$iters")}""".stripMargin
   }
 
+  /** Pooled variant of [[kmeansAutoTrainSql]]: trains the adaptive-k
+    * DataFrame-native codebook over ONE label pool of the shared
+    * labeled `n` CTE, every CTE prefixed with `p` so two pools can
+    * train inside one query (s15_auto's per-language codebooks).
+    * Exposes `${p}pn` (the pool), `${p}kc<iters>` (unit centroids)
+    * and `${p}kaf` (the pool's final assignment). Same mirrored
+    * details as the unpooled form: k = GREATEST(16, pool // 256),
+    * rank-seeded cids, exact scaled-integer Lloyd means, ties to the
+    * LOWEST cid.
+    */
+  private def kmeansPoolTrainSql(p: String, label: Int, iters: Int = 2): String = {
+    def assign(out: String, cents: String, rnCond: String) =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
+         |  FROM ${p}pn n CROSS JOIN $cents c) WHERE $rnCond)""".stripMargin
+    def refine(prev: String, a: String, out: String) =
+      s"""${out}m AS (SELECT cid, i AS pos,
+         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
+         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
+         |${out}g AS (SELECT cid, mv, sqrt(list_reduce(list_transform(mv, x -> x*x), (acc, x) -> acc + x)) AS mnrm
+         |  FROM (SELECT cid, list(comp ORDER BY pos) AS mv FROM ${out}m GROUP BY cid)),
+         |$out AS (SELECT w.cid,
+         |    CASE WHEN g.mnrm IS NULL OR g.mnrm = 0 THEN w.cv
+         |         ELSE list_transform(g.mv, x -> x/g.mnrm) END AS cv
+         |  FROM $prev w LEFT JOIN ${out}g g USING (cid))""".stripMargin
+    val lloyd = (1 to iters).map { t =>
+      assign(s"${p}ka$t", s"${p}kc${t - 1}", "rn = 1") + ",\n" +
+        refine(s"${p}kc${t - 1}", s"${p}ka$t", s"${p}kc$t")
+    }.mkString(",\n")
+    s"""${p}pn AS (SELECT vec_id, v, nrm FROM n WHERE label = $label),
+       |${p}kk AS (SELECT GREATEST(16, COUNT(*) // 256) AS k FROM ${p}pn),
+       |${p}kc0 AS (SELECT rnk - 1 AS cid, list_transform(v, x -> x/nrm) AS cv FROM (
+       |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk FROM ${p}pn)
+       |  WHERE rnk <= (SELECT k FROM ${p}kk)),
+       |$lloyd,
+       |${assign(s"${p}kaf", s"${p}kc$iters", "rn = 1")}""".stripMargin
+  }
+
   /** DuckDB mirror of [[Ann.ivfpq]]: the coarse probe CTEs plus the
     * per-subspace PQ training (same exact-scaled-integer Lloyd steps
     * over unit subvectors, argmin ties to the LOWEST code mirroring
@@ -1222,6 +1262,62 @@ object LlmOps {
       |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
       |WHERE rn = 1 ORDER BY src_id""") { c =>
     Ann.bitextMargin(c.embeddings.filter(col("label") === 0),
+        c.embeddings.filter(col("label") === 1), k = 4)
+      .orderBy("src_id")
+  }
+
+  // s15_auto — the PRODUCTION dial of s15 (the ANN-kNN ratio margin
+  // CCMatrix actually runs): candidates AND both k-NN normalizers
+  // come from per-pool IVF shortlists — the source pool probes its 4
+  // nearest lists of a codebook trained on the TARGET pool (forward:
+  // candidate pairs + src normalizers) and vice versa (reverse: tgt
+  // normalizers) — so the |src|·|tgt| crossJoin of the exact form
+  // never appears; every join is an equi-join on the cluster key and
+  // the per-pool codebooks hold occupancy (k = max(16, pool/256), the
+  // d05/d10/s05 dial). Margin math is UNCHANGED (µ-quantized cosines,
+  // integer top-4 sums, one double division), which is what keeps the
+  // whole thing ORACLE-GATED: the SQL retrains BOTH pool codebooks
+  // with the kmeansAutoTrainSql machinery (prefixed CTEs), probes,
+  // scores, and margins identically. Equality with the exact s15 on a
+  // shortlist-covering corpus is spec-pinned with the coverage
+  // ASSERTED (LlmOpsSpec), hub demotion included.
+  val s15auto: Q = q("s15_bitext_margin_auto",
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm, label FROM e),
+      |${kmeansPoolTrainSql("s", label = 0)},
+      |${kmeansPoolTrainSql("t", label = 1)},
+      |xpf AS (SELECT * FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |        ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
+      |    FROM spn n CROSS JOIN tkc2 c) WHERE rn <= 4),
+      |ypf AS (SELECT * FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+      |        ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
+      |    FROM tpn n CROSS JOIN skc2 c) WHERE rn <= 4),
+      |fwd AS (SELECT p.vec_id AS src_id, a.vec_id AS tgt_id,
+      |        CAST(ROUND(${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) * 1000000) AS BIGINT) AS cosu
+      |       FROM xpf p JOIN tkaf a ON a.cid = p.cid),
+      |rev AS (SELECT a.vec_id AS src_id, p.vec_id AS tgt_id,
+      |        CAST(ROUND(${ivfDot("a.v", "p.v")} / (a.nrm*p.nrm) * 1000000) AS BIGINT) AS cosu
+      |       FROM ypf p JOIN skaf a ON a.cid = p.cid),
+      |xk AS (SELECT src_id, SUM(cosu) AS xs FROM (
+      |        SELECT src_id, cosu, ROW_NUMBER() OVER (PARTITION BY src_id
+      |          ORDER BY cosu DESC, tgt_id) AS r FROM fwd) t WHERE r <= 4
+      |       GROUP BY src_id),
+      |yk AS (SELECT tgt_id, SUM(cosu) AS ys FROM (
+      |        SELECT tgt_id, cosu, ROW_NUMBER() OVER (PARTITION BY tgt_id
+      |          ORDER BY cosu DESC, src_id) AS r FROM rev) t WHERE r <= 4
+      |       GROUP BY tgt_id),
+      |m AS (SELECT f.src_id, f.tgt_id, f.cosu,
+      |        ROUND(f.cosu * 8.0 / (xk.xs + yk.ys), 6) AS margin
+      |      FROM fwd f JOIN xk USING (src_id) JOIN yk USING (tgt_id))
+      |SELECT src_id, tgt_id, ROUND(cosu/1000000.0, 6) AS cosine, margin
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+      |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
+      |WHERE rn = 1 ORDER BY src_id""") { c =>
+    Ann.bitextMarginAuto(c.embeddings.filter(col("label") === 0),
         c.embeddings.filter(col("label") === 1), k = 4)
       .orderBy("src_id")
   }
@@ -3309,7 +3405,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
-    s14, s15,
+    s14, s15, s15auto,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,

@@ -1325,6 +1325,85 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1 to 4).map(i => i.toLong -> (100L + i)).toMap,
       s"margin failed to de-hub: $got")
+
+    // the SHORTLIST form survives the same hub: with pool-sized
+    // codebooks the probe ranking IS the cosine ranking, so the hub
+    // (highest probe score everywhere) is always a candidate — and
+    // the margin still demotes it for every source
+    val gotAuto = Ann.bitextMarginAuto(emb.filter(col("label") === 0),
+        emb.filter(col("label") === 1), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotAuto == (1 to 4).map(i => i.toLong -> (100L + i)).toMap,
+      s"shortlist margin failed to de-hub: $gotAuto")
+  }
+
+  test("s15_auto equals exact s15 on a shortlist-covering corpus — coverage ASSERTED, not assumed") {
+    import spark.implicits._
+    // planted topical corpus: 16 topic directions e_0..e_15 in 64
+    // dims, 5 members per topic per pool, each member a unique tilt
+    // e_t + ε·e_(16 + (t·5+j) mod 48). Within-topic cosines ≥ ~0.9,
+    // cross-topic ≤ ~0.09 — so every source's true top-4 targets (and
+    // every target's top-4 sources) live in its OWN topic, whose
+    // cluster the probe ranks first. vec_ids are topic-round-robin so
+    // the 16 rank-seeded centroids start one-per-topic.
+    def vec(topic: Int, j: Int, eps: Double): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(topic) = 1.0f
+      v(16 + (topic * 5 + j) % 48) = eps.toFloat
+      v.toSeq
+    }
+    val srcEps = Seq(0.10, 0.15, 0.20, 0.25, 0.30)
+    val tgtEps = Seq(0.12, 0.17, 0.22, 0.27, 0.32)
+    val rows =
+      (0 until 80).map(i => (i.toLong, vec(i % 16, i / 16, srcEps(i / 16)), 0)) ++
+      (0 until 80).map(i => (1000L + i, vec(i % 16, i / 16, tgtEps(i / 16)), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val src = emb.filter(col("label") === 0)
+    val tgt = emb.filter(col("label") === 1)
+
+    // exact µ-cosines, driver-side (160 vectors — test-sized only)
+    def unitless(r: (Long, Seq[Float], Int)) = r._1 -> r._2.map(_.toDouble).toArray
+    val sv = rows.filter(_._3 == 0).map(unitless).toMap
+    val tv = rows.filter(_._3 == 1).map(unitless).toMap
+    def cosu(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.round(dot / (na * nb) * 1000000)
+    }
+    def top4(of: Long, pool: Map[Long, Array[Double]], me: Array[Double]) =
+      pool.toSeq.map { case (id, v) => (cosu(me, v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(4).map(_._2).toSet
+
+    val (fwd, rev) = Ann.bitextShortlists(src, tgt,
+      nProbe = 4, occupancy = 256L, kmeansIters = 2)
+    val fwdSet = fwd.select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val revSet = rev.select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // COVERAGE: every source's exact top-4 targets are forward
+    // candidates; every target's exact top-4 sources are reverse
+    // candidates — the precondition under which shortlist == exact
+    sv.foreach { case (sid, v) =>
+      val t4 = top4(sid, tv, v)
+      assert(t4.forall(tid => fwdSet((sid, tid))),
+        s"fwd shortlist missed src $sid's true top-4: $t4")
+    }
+    tv.foreach { case (tid, v) =>
+      val t4 = top4(tid, sv, v)
+      assert(t4.forall(sid => revSet((sid, tid))),
+        s"rev shortlist missed tgt $tid's true top-4: $t4")
+    }
+
+    // ...and under that asserted coverage the outputs are IDENTICAL —
+    // ids, µ-cosines, and margins (same integer normalizer sums, same
+    // one double division)
+    val exact = Ann.bitextMargin(src, tgt, k = 4)
+      .orderBy("src_id").collect().map(_.toString).toSeq
+    val auto = Ann.bitextMarginAuto(src, tgt, k = 4)
+      .orderBy("src_id").collect().map(_.toString).toSeq
+    assert(auto == exact, "shortlist margin diverged from the exact form")
+    assert(exact.size == 80)
   }
 
   test("s14 index maintenance: tombstones vanish, upserts serve the new vector, a post-delete upsert revives; anti-joins, not rewrites") {
