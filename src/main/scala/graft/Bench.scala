@@ -335,7 +335,7 @@ object Bench {
 
     val dialBases = Seq("d05_embedding_neardup", "d03_dedup_simhash",
       "d10_semdedup", "s05_knn_graph", "d06_dedup_groups",
-      "s15_bitext_margin")
+      "s15_bitext_margin", "d04_ngram_jaccard")
     // (name, sec, shuffle_bytes, err) rows filled by the sketch-regime
     // probe inside the 100x-docs block; reported as "sketch_probe"
     val sketchProbe = scala.collection.mutable.ArrayBuffer
@@ -425,6 +425,17 @@ object Bench {
               graft.operators.Dedup.simhashPairsAuto(
                 s.read.parquet(s"$d/documents.parquet"), n = 3, maxDist = 3))
             Seq(("d03_dedup_simhash_auto", secs, medians("d03_dedup_simhash"), err))
+          }
+        } ++ {
+          // the d04 occupancy dial: DF cap derived from (rows, docs)
+          // so candidate partners per doc hold at the budget — vs the
+          // registered fixed maxDf=1000, probed on the same 10x corpus
+          if (elapsed > budgetSec || !probing("d04_ngram_jaccard")) Nil
+          else {
+            val (secs, err) = timed(sp, scaleDir, (s, d) =>
+              graft.operators.Dedup.ngramJaccardPairsAuto(
+                s.read.parquet(s"$d/documents.parquet"), n = 3, threshold = 0.5))
+            Seq(("d04_ngram_jaccard_auto", secs, medians("d04_ngram_jaccard"), err))
           }
         } ++ {
           // the d10 scale dial: adaptive k (DataFrame-native k-means)
@@ -582,6 +593,20 @@ object Bench {
                       graft.operators.Dedup.ngramJaccardPairs(
                         s.read.parquet(s"$d/documents.parquet"),
                         n = 3, threshold = 0.5, maxDf = 1000L)))
+                // d04 occupancy dial at 100×: 500k docs is where a
+                // mis-sized cap would show — the derived budget/s̄ cap
+                // holds candidate partners per doc flat while the
+                // corpus grows 100×
+                val rsD04 =
+                  if (elapsed > budgetSec || !probing("d04_ngram_jaccard")) Nil
+                  else {
+                    val (s04a, e04a) = timed(sp, dir100d, (s, d) =>
+                      graft.operators.Dedup.ngramJaccardPairsAuto(
+                        s.read.parquet(s"$d/documents.parquet"),
+                        n = 3, threshold = 0.5))
+                    Seq(("d04_ngram_jaccard_auto_100x", s04a,
+                      medians("d04_ngram_jaccard"), e04a))
+                  }
                 // d14 family at 100×: the exact-substring scrub's
                 // whole scale claim is LINEAR-in-windows coverage (no
                 // pair volume), and the fast dial is the registered
@@ -690,7 +715,7 @@ object Bench {
                   ("d03_dedup_simhash_auto_100x", secs,
                     medians("d03_dedup_simhash"), err),
                   ("d06_dedup_groups_100x", secs6,
-                    medians("d06_dedup_groups"), err6)) ++ rsD14 ++ rsD17 ++ rsD18
+                    medians("d06_dedup_groups"), err6)) ++ rsD04 ++ rsD14 ++ rsD17 ++ rsD18
               }
             try {
               val p = new org.apache.hadoop.fs.Path(dir100d)

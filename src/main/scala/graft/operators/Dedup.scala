@@ -210,6 +210,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** PER-DOC-BUDGET DF cap for the inverted-index family — the
+    * d03_auto/d17_auto occupancy recipe applied to d04/d12's
+    * stop-shingle dial: ONE aggregation over the shingle index
+    * measures (rows, docs), and the cap is budget / s̄ (mean shingles
+    * per doc), so the expected candidate PARTNERS PER DOC
+    * ≈ s̄ · cap = budget holds constant across corpora with different
+    * document lengths — a long-doc corpus gets a proportionally lower
+    * cap where the fixed maxDf=1000 would let per-doc join work grow
+    * with doc length. Under a Zipf(≈1) DF distribution the total
+    * candidate volume Σ_kept DF²/2 ≈ N·cap — linear in corpus size at
+    * any fixed cap (why the registered fixed form's 10× ratios are
+    * already sub-linear); the dial fixes the CONSTANT to a budget
+    * instead of a guess. The floor keeps tiny corpora from capping
+    * legitimate duplicate families.
+    */
+  def jaccardDfCapAuto(docs: DataFrame, n: Int, budget: Long = 65536L,
+      floor: Long = 64L): Long = {
+    val r = shingled(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .agg(count(lit(1)).as("rows"), countDistinct(col("doc_id")).as("docs"))
+      .head
+    val sbar = math.max(1L, r.getLong(0) / math.max(1L, r.getLong(1)))
+    math.max(floor, budget / sbar)
+  }
+
+  /** [[ngramJaccardPairs]] with the DF cap derived from the corpus
+    * ([[jaccardDfCapAuto]]) — the 100 TB default for the
+    * inverted-index family; the registered d04 keeps the fixed cap
+    * for run-to-run comparability. Where the derived cap exceeds the
+    * corpus max DF the output equals the uncapped exact Jaccard
+    * (d04's own oracle), which is how the registered d04_auto is
+    * hash-gated.
+    */
+  def ngramJaccardPairsAuto(docs: DataFrame, n: Int, threshold: Double,
+      budget: Long = 65536L): DataFrame =
+    ngramJaccardPairs(docs, n, threshold, jaccardDfCapAuto(docs, n, budget))
+
   /** Shingle CONTAINMENT pairs: ordered (id_a contained-in id_b) with
     * |S(a)∩S(b)| / |S(a)| ≥ threshold — the asymmetric complement to
     * [[ngramJaccardPairs]]. Jaccard misses doc-in-doc relations (a

@@ -1219,6 +1219,49 @@ object Streaming {
     }.reduce(_ unionByName _).orderBy("id_a", "id_b")
   }
 
+  // e24 — PER-ENTITY ADMISSION QUOTA (streaming/Quota.scala — the
+  // ingestion rate limit a collection pipeline puts in front of a
+  // hot source: at most N admitted events per user per event-time
+  // day, the rest labeled rejected, in deterministic (ts, event_id)
+  // order). The registered batch form is one row_number window per
+  // (user, day) plus the per-window roll-up — both restated
+  // declaratively in the oracle. The TRUE streaming form is Spark 4's
+  // transformWithState (arbitrary stateful v2): per-user MapState of
+  // live windows, one EVENT-TIME TIMER per open window emitting that
+  // window's summary when the watermark closes it (and freeing its
+  // state), RocksDB-backed — StreamingSpec drives it and pins
+  // decision AND summary parity row for row; the TTL-reset sibling
+  // (Quota.RateLimiter) is exercised there too.
+  val e24: Q = q("e24_quota_admission",
+    """WITH d AS (SELECT user_id, date_trunc('day', ts) AS window_start, event_id,
+      |    (ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |       ORDER BY ts, event_id)) <= 2 AS admitted
+      |  FROM events)
+      |SELECT 'decision' AS kind, user_id, window_start, event_id, admitted,
+      |  CAST(-1 AS BIGINT) AS n_admitted, CAST(-1 AS BIGINT) AS n_rejected
+      |FROM d
+      |UNION ALL
+      |SELECT 'summary', user_id, window_start, CAST(-1 AS BIGINT), FALSE,
+      |  CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN NOT admitted THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM d GROUP BY user_id, window_start
+      |ORDER BY kind, user_id, window_start, event_id""") { c =>
+    // frozen: the decision frame feeds the output AND the summary
+    // roll-up (one events scan, not two)
+    val d = graft.streaming.Quota.admissions(c.events, quota = 2)
+      .localCheckpoint(true)
+    d.select(lit("decision").as("kind"), col("user_id"), col("window_start"),
+        col("event_id"), col("admitted"),
+        lit(-1L).as("n_admitted"), lit(-1L).as("n_rejected"))
+      .unionByName(d.groupBy("user_id", "window_start")
+        .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(!col("admitted"), 1L).otherwise(0L)).as("n_rejected"))
+        .select(lit("summary").as("kind"), col("user_id"), col("window_start"),
+          lit(-1L).as("event_id"), lit(false).as("admitted"),
+          col("n_admitted"), col("n_rejected")))
+      .orderBy("kind", "user_id", "window_start", "event_id")
+  }
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }

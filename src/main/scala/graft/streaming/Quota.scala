@@ -1,0 +1,196 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** PER-ENTITY ADMISSION QUOTA (e24 — ingestion rate limiting, the
+  * per-source/per-user cap every large-scale collection pipeline
+  * enforces so one hot entity cannot flood a day's intake): each user
+  * may ADMIT at most `quota` events per event-time day; the rest of
+  * that user-day's events are REJECTED (kept, labeled — auditability
+  * beats silent drops). Admission order is (ts, event_id) — the
+  * deterministic arrival order — so the decision set is a pure
+  * function of the data and both engines agree row for row.
+  *
+  * Two forms with identical decision semantics:
+  *  - BATCH (registered, DuckDB-gated): one row_number window per
+  *    (user, day) — rank ≤ quota admits. One shuffle on the window
+  *    key; WindowGroupLimit does NOT apply (every row is kept, only
+  *    labeled), so the cost is the sort within each user-day.
+  *  - STREAMING ([[quotaStream]]): Spark 4's `transformWithState`
+  *    (arbitrary stateful v2) — the API that replaces
+  *    flatMapGroupsWithState with COMPOSABLE typed state (here a
+  *    MapState of live windows per user, not one monolithic blob),
+  *    NAMED EVENT-TIME TIMERS (one per open window, firing when the
+  *    watermark passes the window end to emit that window's
+  *    admitted/rejected summary and free its entry — bounded state
+  *    without a TTL guess), and declarative state TTL
+  *    ([[RateLimiter]] below demonstrates the TTL-reset idiom).
+  *    Requires the RocksDB state store provider.
+  *
+  * Scale shape: state per user = live (unclosed) windows only —
+  * O(users × watermark horizon / window), never history; each
+  * micro-batch shuffles once on user_id. At 100 TB of events the
+  * batch form is the backfill path and the streaming form the
+  * continuous path, sharing the same decision function
+  * ([[foldDecisions]]) so they cannot drift.
+  */
+object Quota {
+
+  val dayMs: Long = 24L * 3600 * 1000
+
+  /** Batch decisions: every event labeled admitted/rejected. */
+  def admissions(events: DataFrame, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("window_start"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("window_start", date_trunc("day", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("window_start"), col("event_id"),
+        (col("rn") <= quota).as("admitted"))
+  }
+
+  /** Batch per-(user, day) summary — what the streaming form's timers
+    * emit when the watermark closes a window.
+    */
+  def admissionSummary(events: DataFrame, quota: Int): DataFrame =
+    admissions(events, quota)
+      .groupBy("user_id", "window_start")
+      .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(!col("admitted"), 1L).otherwise(0L)).as("n_rejected"))
+
+  // --- streaming form ----------------------------------------------
+
+  final case class QEv(event_id: Long, ts: Timestamp, user_id: Long)
+  /** Union row: kind = "decision" (per event) | "summary" (per closed
+    * window, emitted by the window's event-time timer).
+    */
+  final case class QOut(kind: String, user_id: Long, window_start: Timestamp,
+      event_id: Long, admitted: Boolean, n_admitted: Long, n_rejected: Long)
+  final case class WinCounts(admitted: Long, rejected: Long)
+
+  private def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+  /** The shared decision fold: admit while the window's admitted
+    * count is below quota, in (ts, event_id) order. Both engines'
+    * semantics live HERE; the batch window rank is provably the same
+    * fold because rank order == fold order.
+    */
+  private[streaming] def foldDecisions(quota: Int, userId: Long,
+      sorted: Seq[QEv], get: Long => Option[WinCounts],
+      put: (Long, WinCounts) => Unit): Seq[QOut] =
+    sorted.map { e =>
+      val wStart = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+      val cur = get(wStart).getOrElse(WinCounts(0L, 0L))
+      val admit = cur.admitted < quota
+      put(wStart, if (admit) cur.copy(admitted = cur.admitted + 1)
+                  else cur.copy(rejected = cur.rejected + 1))
+      QOut("decision", userId, new Timestamp(wStart), e.event_id, admit, -1L, -1L)
+    }
+
+  /** transformWithState processor: MapState[windowStart → counts] per
+    * user + one event-time timer per open window. Decisions emit
+    * inline; a window's summary emits exactly once, when the
+    * watermark passes its end (the timer), and its state entry is
+    * freed — the state-cleanup contract timers exist for.
+    */
+  class QuotaProcessor(quota: Int)
+      extends StatefulProcessor[Long, QEv, QOut] {
+    @transient private var counts: MapState[Long, WinCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, WinCounts]("win_counts",
+        Encoders.scalaLong, Encoders.product[WinCounts], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[QEv],
+        timerValues: TimerValues): Iterator[QOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = foldDecisions(quota, userId, sorted,
+        w => if (counts.containsKey(w)) Some(counts.getValue(w)) else None,
+        (w, c) => {
+          if (!counts.containsKey(w))
+            // first event of this user-day: arm the close timer
+            // (re-arming the same (key, ts) would be a set-insert
+            // no-op, but the containsKey guard keeps intent explicit)
+            getHandle.registerTimer(w + dayMs)
+          counts.updateValue(w, c)
+        })
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[QOut] = {
+      val wStart = expiredTimerInfo.getExpiryTimeInMs - dayMs
+      if (!counts.containsKey(wStart)) Iterator.empty
+      else {
+        val c = counts.getValue(wStart)
+        counts.removeKey(wStart) // the window is closed: free its state
+        Iterator.single(QOut("summary", userId, new Timestamp(wStart),
+          -1L, false, c.admitted, c.rejected))
+      }
+    }
+  }
+
+  /** e24 streaming: decisions stream out per micro-batch; summaries
+    * stream out as the watermark closes each user-day. Input must
+    * carry `withWatermark("ts", …)`.
+    */
+  def quotaStream(events: Dataset[QEv], quota: Int): Dataset[QOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(quota),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** The TTL idiom on the same API (wall-clock rate limiting — "at
+    * most `quota` per rolling TTL horizon per key"): the count lives
+    * in a ValueState whose TTL IS the reset mechanism — no timers, no
+    * window bookkeeping; an idle key's state simply expires and the
+    * next event starts fresh. This is the form for wall-clock
+    * admission control (API gateways, crawl politeness); it trades
+    * the deterministic replay of [[QuotaProcessor]] for zero cleanup
+    * logic — which is exactly why the deterministic, oracle-gated e24
+    * uses timers instead. TTL state REQUIRES TimeMode.ProcessingTime
+    * (engine-enforced), and a ProcessingTime-mode TWS operator asks
+    * the engine for another micro-batch unconditionally (its
+    * wall-clock work could always be due) — so drive this query with
+    * Trigger.Once/periodic triggers, never
+    * processAllAvailable/AvailableNow, which would spin on the
+    * operator's standing another-batch request (StreamingSpec pins
+    * the behavior through Trigger.Once restarts).
+    */
+  class RateLimiter(quota: Int, ttl: java.time.Duration)
+      extends StatefulProcessor[Long, QEv, QOut] {
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(userId: Long, rows: Iterator[QEv],
+        timerValues: TimerValues): Iterator[QOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      sorted.iterator.map { e =>
+        val cur = if (n.exists()) n.get() else 0L
+        n.update(cur + 1)
+        QOut("decision", userId, new Timestamp(0L), e.event_id,
+          cur < quota, -1L, -1L)
+      }
+    }
+  }
+
+  def rateLimitStream(events: Dataset[QEv], quota: Int,
+      ttl: java.time.Duration): Dataset[QOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RateLimiter(quota, ttl),
+        TimeMode.ProcessingTime, OutputMode.Append)
+  }
+}

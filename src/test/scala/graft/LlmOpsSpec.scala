@@ -883,6 +883,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d04 occupancy dial: cap derives from corpus stats; non-binding == fixed form, binding drops boilerplate pairs but keeps true dups") {
+    import spark.implicits._
+    // non-binding regime (the registered d04_auto): derived cap
+    // ≫ max DF, so the auto form equals the fixed form exactly
+    val fixed = Dedup.ngramJaccardPairs(cat.documents, n = 3,
+        threshold = 0.5, maxDf = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.ngramJaccardPairsAuto(cat.documents, n = 3,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed, "non-binding cap must reproduce the fixed form")
+
+    // binding regime: 80 docs share an 18-word boilerplate prefix
+    // (16 trigrams at DF=80 — the Zipf head) + unique 2-word tails;
+    // 1000/1001 are TRUE duplicates. Uncapped, boilerplate alone
+    // makes every prefix pair a 0.8-Jaccard "duplicate"; the derived
+    // cap (budget 1024 / s̄≈17 → floor 64 < 80) excises the head, so
+    // only the true duplicate family survives.
+    val boiler = "terms of service apply to all users of this site " +
+      "and are subject to change without prior notice today"
+    val docs = (0 until 80).map(i =>
+        (i.toLong, s"$boiler unique$i tail$i")) ++
+      Seq((1000L, "zeta eta theta iota kappa lambda mu nu xi"),
+        (1001L, "zeta eta theta iota kappa lambda mu nu xi"))
+    val df = docs.toDF("doc_id", "text")
+    assert(Dedup.jaccardDfCapAuto(df, n = 3, budget = 1024L) == 64L)
+    val uncapped = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 1000 && uncapped((1000L, 1001L)),
+      s"plant broken: expected C(80,2)+1 uncapped pairs, got ${uncapped.size}")
+    val capped = Dedup.ngramJaccardPairsAuto(df, n = 3, threshold = 0.5,
+        budget = 1024L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1000L, 1001L)),
+      s"binding cap must keep only the true-dup pair: $capped")
+  }
+
   test("d09 oracle invariant: within-doc window repetition stays far below the 100 cap") {
     // the registered d09 runs maxRep=100 while its DuckDB oracle is
     // uncapped — results agree only while no window repeats 100×

@@ -700,4 +700,165 @@ class StreamingSpec extends SparkSpec {
       assert(again == first, s"${q.name}: restart diverged from first run")
     }
   }
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider to one query and restore the suite default after. Also
+    * pins shuffle partitions to 2 for the query's lifetime: each
+    * micro-batch opens/commits/snapshot-uploads ONE RocksDB instance
+    * per state partition, so the suite's 32 partitions would spend
+    * ~16× the wall on store bookkeeping for a 10-row fixture (the
+    * partition count is frozen into the checkpoint at first start,
+    * which is also why production picks it deliberately).
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val pkey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    val prevP = spark.conf.get(pkey)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(pkey, "2")
+    try body
+    finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      spark.conf.set(pkey, prevP)
+    }
+  }
+
+  test("e24 transformWithState quota: per-user-day admissions match the batch form; each closed window's timer emits its summary exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Quota
+    import graft.streaming.Quota.QEv
+    withRocksDb {
+      val input = MemoryStream[QEv]
+      val query = Quota.quotaStream(
+          input.toDS().withWatermark("ts", "1 hour"), quota = 2)
+        .writeStream.format("memory").queryName("e24_stream")
+        .option("checkpointLocation",
+          graft.core.Scratch.dir("e24spec_ckpt").toString)
+        .outputMode("append").start()
+      def at(d: Int, h: Int, m: Int) =
+        Timestamp.valueOf(f"2024-01-0$d $h%02d:$m%02d:00")
+      // day 1: user 1 fires 4 times (2 admitted, 2 rejected), user 2
+      // twice (all admitted), user 3 once
+      val b1 = Seq(QEv(1, at(1, 9, 0), 1), QEv(2, at(1, 9, 30), 1),
+        QEv(3, at(1, 10, 0), 2), QEv(4, at(1, 10, 30), 1),
+        QEv(5, at(1, 11, 0), 2), QEv(6, at(1, 12, 0), 3),
+        QEv(7, at(1, 13, 0), 1))
+      // day 2: user 2 fires 3 times — the quota RESET at the window
+      // boundary is the point
+      val b2 = Seq(QEv(8, at(2, 8, 0), 2), QEv(9, at(2, 9, 0), 2),
+        QEv(10, at(2, 10, 0), 2), QEv(11, at(2, 11, 0), 1))
+      // sentinels advance the watermark past day 2's end so BOTH
+      // days' window timers fire; the sentinels' own day-3 window
+      // never closes and must emit no summary
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      input.addData(Seq(QEv(99, at(3, 6, 0), 9))); query.processAllAvailable()
+      input.addData(Seq(QEv(98, at(3, 8, 0), 9))); query.processAllAvailable()
+      query.stop()
+
+      val out = spark.table("e24_stream").as[Quota.QOut].collect().toSeq
+      val realIds = (b1 ++ b2).map(_.event_id).toSet
+      val decisions = out
+        .filter(o => o.kind == "decision" && realIds(o.event_id))
+        .map(o => (o.user_id, o.window_start.getTime, o.event_id, o.admitted))
+        .toSet
+      val batchD = Quota.admissions((b1 ++ b2).toDF(), quota = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(decisions == batchD,
+        s"stream decisions drifted from the batch window form")
+      // the quota reset across the day boundary actually happened:
+      // user 2's day-2 events re-admit after day-1 admissions
+      assert(decisions.count(d => d._1 == 2L && d._4) == 4)
+
+      val sumRows = out.filter(_.kind == "summary")
+      val summaries = sumRows
+        .map(o => (o.user_id, o.window_start.getTime, o.n_admitted,
+          o.n_rejected)).toSet
+      val batchS = Quota.admissionSummary((b1 ++ b2).toDF(), quota = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3))).toSet
+      assert(summaries == batchS,
+        s"timer summaries != batch roll-up: $summaries vs $batchS")
+      assert(sumRows.size == batchS.size,
+        "a window summary emitted twice (timer state not freed) or missing")
+      // sentinel users never appear in summaries (their window is
+      // still open when the query stops)
+      assert(!summaries.exists(_._1 == 9L))
+    }
+  }
+
+  test("e24 TTL rate limiter: counts accumulate inside the TTL horizon and reset once the state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Quota
+    import graft.streaming.Quota.QEv
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // A ProcessingTime-mode TWS operator requests another micro-batch
+    // unconditionally (wall-clock work could always be due), so
+    // processAllAvailable/AvailableNow would spin; and MemoryStream
+    // cannot recover a checkpoint across query restarts. Feed a FILE
+    // source instead — the production restart shape: each drain is
+    // one Trigger.Once run over the files that arrived since the
+    // last checkpoint, and the TTL clock keeps running across
+    // restarts because the expiry rides in the RocksDB state.
+    def drain(srcDir: String, ckpt: String,
+        ttl: java.time.Duration): Map[Long, Boolean] = {
+      // foreachBatch sink: the memory sink refuses checkpoint
+      // recovery (not fault-tolerant), and recovery IS this test
+      val got = scala.collection.mutable.Map.empty[Long, Boolean]
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[QEv].schema)
+        .parquet(srcDir).as[QEv]
+      val q = Quota.rateLimitStream(src, quota = 2, ttl)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Quota.QOut], _: Long) =>
+          val rows = batch.collect().map(o => o.event_id -> o.admitted)
+          got.synchronized { got ++= rows }; ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toMap
+    }
+    def feed(dir: String, rows: Seq[QEv]): Unit =
+      rows.toDF().write.mode("append").parquet(dir)
+    withRocksDb {
+      // horizon >> test wall time: the count survives the restart
+      // and the quota still binds
+      val src1 = graft.core.Scratch.dir("e24ttl1_src").toString
+      val ck1 = graft.core.Scratch.dir("e24ttl1_ckpt").toString
+      feed(src1, Seq(QEv(1, t0, 1), QEv(2, t0, 1), QEv(3, t0, 1)))
+      val held1 = drain(src1, ck1,
+        java.time.Duration.ofMinutes(30))
+      feed(src1, Seq(QEv(4, t0, 1))) // still inside the TTL horizon
+      val held = held1 ++ drain(src1, ck1,
+        java.time.Duration.ofMinutes(30))
+      assert(held == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+        s"within-TTL admissions drifted: $held")
+
+      // tiny horizon + a wall-clock pause: the state EXPIRES between
+      // the two runs and the next event starts a fresh count — TTL as
+      // the reset mechanism, no cleanup code anywhere
+      val src2 = graft.core.Scratch.dir("e24ttl2_src").toString
+      val ck2 = graft.core.Scratch.dir("e24ttl2_ckpt").toString
+      feed(src2, Seq(QEv(1, t0, 1), QEv(2, t0, 1), QEv(3, t0, 1)))
+      val reset1 = drain(src2, ck2,
+        java.time.Duration.ofMillis(50))
+      Thread.sleep(2000) // >> 50 ms TTL
+      feed(src2, Seq(QEv(4, t0, 1)))
+      val reset = reset1 ++ drain(src2, ck2,
+        java.time.Duration.ofMillis(50))
+      assert(reset(1L) && reset(2L) && !reset(3L),
+        s"pre-expiry admissions drifted: $reset")
+      assert(reset(4L), "state did not expire: event 4 should re-admit")
+    }
+  }
 }
