@@ -143,8 +143,10 @@ object Bench {
     // r14 ring: the exact bitext margin is the board's one cartesian
     // (compare-scale dial) — probing it at 10× alongside its IVF-
     // shortlist auto sibling measures the crossJoin-vs-equi-join
-    // contrast directly
-    "s15_bitext_margin")
+    // contrast directly; p03 carries the one per-language NTILE
+    // window in the composed pipelines, probed against its
+    // distributed-NTILE dial
+    "s15_bitext_margin", "p03_ccnet_pipeline")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -335,7 +337,7 @@ object Bench {
 
     val dialBases = Seq("d05_embedding_neardup", "d03_dedup_simhash",
       "d10_semdedup", "s05_knn_graph", "d06_dedup_groups",
-      "s15_bitext_margin", "d04_ngram_jaccard")
+      "s15_bitext_margin", "d04_ngram_jaccard", "p03_ccnet_pipeline")
     // (name, sec, shuffle_bytes, err) rows filled by the sketch-regime
     // probe inside the 100x-docs block; reported as "sketch_probe"
     val sketchProbe = scala.collection.mutable.ArrayBuffer
@@ -475,6 +477,18 @@ object Bench {
                 e.filter(col("label") === 0), e.filter(col("label") === 1), k = 4)
             })
             Seq(("s15_bitext_margin_auto", secs, medians("s15_bitext_margin"), err))
+          }
+        } ++ {
+          // the p03 tercile dial: Ntile.exact keeps tercile
+          // parallelism at shuffle partitions where the registered
+          // per-language NTILE window funnels each language through
+          // one task — same assignment, measured on the same corpus
+          if (elapsed > budgetSec || !probing("p03_ccnet_pipeline")) Nil
+          else {
+            val (secs, err) = timed(sp, scaleDir,
+              SparkEntry.queries("p03_ccnet_pipeline_auto"))
+            Seq(("p03_ccnet_pipeline_auto", secs,
+              medians("p03_ccnet_pipeline"), err))
           }
         } ++ {
           // mm05 payload probe: 10× the CLIPS (1200 base + 400 planted

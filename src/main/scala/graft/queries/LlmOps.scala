@@ -2951,7 +2951,7 @@ object LlmOps {
   // quantile-cutpoint variant is the approximate scale path when a
   // language slice outgrows a partition. Exact NTILE kept here
   // because the oracle demands it (q15's reasoning).
-  val p03: Q = q("p03_ccnet_pipeline",
+  private val p03OracleSql =
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
       |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
@@ -2986,7 +2986,12 @@ object LlmOps {
       |  CAST(n_kept AS BIGINT) AS n_kept, CAST(n_tokens AS BIGINT) AS n_tokens, score,
       |  CASE NTILE(3) OVER (PARTITION BY pred_lang ORDER BY score DESC, doc_id)
       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-      |FROM sc ORDER BY doc_id""") { c =>
+      |FROM sc ORDER BY doc_id"""
+
+  /** p03's dedup → langid → typicality stages, shared by both tercile
+    * forms so the scoring can never drift between them.
+    */
+  private def p03Scored(c: Catalog): DataFrame = {
     val ct = split(col("clean_text"), " ")
     val feat = chunkCleaned(c).select(
       col("doc_id"), col("n_chunks"), col("n_kept"),
@@ -2998,18 +3003,49 @@ object LlmOps {
     val nTok = col("n_tokens").cast(DoubleType)
     val best = greatest(col("en_hits"), col("es_hits"),
       col("de_hits"), col("fr_hits")).cast(DoubleType)
-    val scored = feat.select(col("doc_id"),
+    feat.select(col("doc_id"),
       Text.predLang(col("en_hits"), col("es_hits"),
         col("de_hits"), col("fr_hits")).as("pred_lang"),
       col("n_chunks"), col("n_kept"), col("n_tokens"),
       round(lit(0.5) * least(lit(1.0), nTok / 100.0)
         + lit(0.5) * (best / nTok), 6).as("score"))
+  }
+
+  val p03: Q = q("p03_ccnet_pipeline", p03OracleSql) { c =>
     val w = Window.partitionBy("pred_lang")
       .orderBy(col("score").desc, col("doc_id"))
-    scored.select(col("doc_id"), col("pred_lang"), col("n_chunks"),
+    p03Scored(c).select(col("doc_id"), col("pred_lang"), col("n_chunks"),
         col("n_kept"), col("n_tokens"), col("score"),
         when(ntile(3).over(w) === 1, "head")
           .when(ntile(3).over(w) === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // p03_auto — the tercile SCALE path: the NTILE(3) per-language
+  // window above funnels each language slice through ONE task (the
+  // only corpus-sized sort in the composed pipelines); this form
+  // swaps it for Ntile.exact (q15's distributed NTILE: range
+  // partition on the full sort key, slice-local ranks, an
+  // O(partitions × languages) offset table broadcast back), which is
+  // BIT-IDENTICAL to the window under the (score desc, doc_id) total
+  // order and keeps parallelism = shuffle partitions — strictly
+  // better than the approximate-cutpoint variant the round-13 notes
+  // sketched, because it is exact at any scale (no recall dial to
+  // justify). Ordering trick: Ntile.exact sorts ascending, so it
+  // ranges on (−score, doc_id) — negation is order-exact for the
+  // rounded non-negative scores. Same oracle as p03 (the assignment
+  // is identical by construction; PropertySpec fuzzes
+  // Ntile.exact == ntile on skewed frames).
+  val p03auto: Q = q("p03_ccnet_pipeline_auto", p03OracleSql) { c =>
+    val scored = p03Scored(c).withColumn("__negscore", -col("score"))
+    graft.operators.Ntile.exact(scored, k = 3,
+        partCols = Seq("pred_lang"),
+        orderCols = Seq("__negscore", "doc_id"), bucketName = "__tile")
+      .select(col("doc_id"), col("pred_lang"), col("n_chunks"),
+        col("n_kept"), col("n_tokens"), col("score"),
+        when(col("__tile") === 1, "head")
+          .when(col("__tile") === 2, "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
@@ -3424,5 +3460,5 @@ object LlmOps {
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,
-    p01, p02, p03, p04, mm01, mm02, mm03, mm04, mm05, mm06)
+    p01, p02, p03, p03auto, p04, mm01, mm02, mm03, mm04, mm05, mm06)
 }
