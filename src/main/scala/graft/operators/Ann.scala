@@ -466,6 +466,85 @@ object Ann {
       .join(upserts.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(assigned(upserts, cents))
 
+  // ---------------------------------------------------------------
+  // Persisted index lifecycle (s16): the on-disk layout behind s14's
+  // maintenance algebra — an immutable base plus a seq-stamped
+  // mutation log, a merge-on-read live view, and COMPACT (m31/m17's
+  // lakehouse discipline applied to the vector index): materialize
+  // the live view as the new base and truncate the log, so serving
+  // cost stays flat under continuous upserts instead of growing with
+  // log length. The log is maintenance-sized (compaction caps it), so
+  // the live view's anti-join side and per-id latest window are both
+  // log-bounded — never corpus work.
+
+  /** Assign `corpus` against the frozen codebook and write it as the
+    * index base.
+    */
+  def indexInit(corpus: DataFrame, cents: Codebook, dir: String): Unit =
+    assigned(corpus, cents).write.mode("overwrite").parquet(s"$dir/base")
+
+  /** Append an upsert batch to the log: (re)assigned against the
+    * FROZEN codebook in O(batch), stamped with `seq` — the total
+    * order that lets deletes and upserts of the same id interleave
+    * correctly (latest op wins, the e12 CDC rule; s14's one-shot
+    * algebra cannot express an upsert-then-delete).
+    */
+  def indexUpsert(batch: DataFrame, cents: Codebook, dir: String,
+      seq: Long): Unit =
+    assigned(batch, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+        lit(seq).as("seq"), lit("U").as("op"))
+      .write.mode("append").parquet(s"$dir/log")
+
+  /** Append tombstones to the log (same seq ordering as upserts). */
+  def indexDelete(ids: DataFrame, dir: String, seq: Long): Unit =
+    ids.select(col("vec_id"),
+        lit(null).cast("array<double>").as("v"),
+        lit(null).cast(DoubleType).as("nrm"),
+        lit(null).cast(IntegerType).as("cluster"),
+        lit(seq).as("seq"), lit("D").as("op"))
+      .write.mode("append").parquet(s"$dir/log")
+
+  /** The merge-on-read LIVE view: base minus every logged id, plus
+    * the ids whose LATEST log op is an upsert. One log-bounded
+    * anti-join + one log-bounded per-id window; the base is never
+    * rewritten until [[indexCompact]].
+    */
+  def indexLive(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/base")
+    if (!new java.io.File(s"$dir/log").exists()) base
+    else {
+      val log = spark.read.parquet(s"$dir/log")
+      val w = Window.partitionBy("vec_id").orderBy(col("seq").desc)
+      val latest = log.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("op") === "U")
+        .select("vec_id", "v", "nrm", "cluster")
+      base.join(log.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(latest)
+    }
+  }
+
+  /** COMPACT: materialize the live view as the new base and truncate
+    * the log. Post-compaction serving is bit-identical to the
+    * pre-compaction merge-on-read view (spec-pinned and, for the
+    * registered s16, oracle-gated through s14's retrained-codebook
+    * SQL); what changes is the READ shape — back to one base scan,
+    * no anti-join, no window — which is why continuous-upsert
+    * deployments compact on a cadence. Returns the compacted row
+    * count. The live frame is pinned (localCheckpoint) before the
+    * overwrite so the write never reads the files it replaces.
+    */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val live = indexLive(spark, dir).localCheckpoint(true)
+    live.write.mode("overwrite").parquet(s"$dir/base")
+    val logPath = new org.apache.hadoop.fs.Path(s"$dir/log")
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logPath)) fs.delete(logPath, true)
+    live.count()
+  }
+
   /** FILTERED ANN (the vector-store "metadata filter" feature): each
     * query retrieves its top-k among corpus vectors sharing the
     * query's `filterCol` value — tenant isolation, language-scoped

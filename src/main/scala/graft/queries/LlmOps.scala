@@ -1201,7 +1201,7 @@ object LlmOps {
   // (filter pushed to the scan), the base assignment, and the %10
   // upsert batch; freezing a shared frame would undo exactly that
   // pushdown/pruning, so multi-leg is the right shape here.
-  val s14: Q = q("s14_ann_upsert",
+  private val s14OracleSql =
     s"""${ivfTrainSql(16)},
       |up AS (SELECT vec_id, list_concat(v[2:64], [v[1]]) AS v FROM e WHERE vec_id % 10 = 0),
       |upn AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM up),
@@ -1219,7 +1219,9 @@ object LlmOps {
       |       FROM pf p JOIN live a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val s14: Q = q("s14_ann_upsert", s14OracleSql) { c =>
     val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
     val upserts = c.embeddings.filter(col("vec_id") % 10 === 0)
       .withColumn("embedding",
@@ -1229,6 +1231,40 @@ object LlmOps {
       Ann.assigned(c.embeddings, cb), upserts, tomb, cb)
     Ann.ivfServeIndexed(c.embeddings.filter(col("vec_id") < 20), live,
         k = 5, cb, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  // s16 — INDEX COMPACTION (Ann.indexInit/Upsert/Delete/Live/Compact
+  // — the lifecycle step that completes s14: the on-disk index is an
+  // immutable base plus a seq-stamped mutation log; serving reads the
+  // merge-on-read live view whose cost grows with log length, and
+  // COMPACT materializes the live view as the new base and TRUNCATES
+  // the log, so read latency stays flat under continuous upserts —
+  // m31/m17's lakehouse discipline applied to the vector index). The
+  // registered entry runs the FULL lifecycle on disk: init base,
+  // tombstone %7 (seq 1), upsert %10 shifted (seq 2), compact, then
+  // serve from the compacted base alone — and because compaction
+  // preserves the live view bit-for-bit, the result is EXACTLY s14's
+  // maintained-view serving, so the entry shares s14's
+  // retrained-codebook oracle verbatim (post-compaction serving
+  // equality, oracle-enforced). The seq order additionally gives the
+  // log upsert-then-delete semantics s14's one-shot algebra cannot
+  // express (latest op wins — spec-pinned along with log truncation
+  // and cross-compaction increment composition).
+  val s16: Q = q("s16_ann_compact", s14OracleSql) { c =>
+    val dir = graft.core.Scratch.dir("s16idx").toString
+    val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
+    Ann.indexInit(c.embeddings, cb, dir)
+    Ann.indexDelete(
+      c.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      dir, seq = 1L)
+    Ann.indexUpsert(c.embeddings.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding",
+          concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))),
+      cb, dir, seq = 2L)
+    Ann.indexCompact(c.spark, dir)
+    Ann.ivfServeIndexed(c.embeddings.filter(col("vec_id") < 20),
+        c.spark.read.parquet(s"$dir/base"), k = 5, cb, nProbe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -3456,7 +3492,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d03, d03auto, d04, d04auto, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
-    s14, s15, s15auto,
+    s14, s15, s15auto, s16,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30,

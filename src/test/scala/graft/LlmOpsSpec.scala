@@ -1481,6 +1481,59 @@ class LlmOpsSpec extends SparkSpec {
       res.forall(r => { val n = r.getLong(2); n % 10 == 0 || n % 7 != 0 }))
   }
 
+  test("s16 index compaction: live view preserved bit-for-bit, log truncated, increments compose across the compact, latest op wins") {
+    val dir = graft.core.Scratch.dir("s16spec").toString
+    val cb = Ann.ivfCodebook(cat.embeddings, nCentroids = 16, kmeansIters = 2)
+    val shifted = cat.embeddings.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)))
+    Ann.indexInit(cat.embeddings, cb, dir)
+    Ann.indexDelete(
+      cat.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      dir, seq = 1L)
+    Ann.indexUpsert(shifted, cb, dir, seq = 2L)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val queries = cat.embeddings.filter(col("vec_id") < 20)
+    val preLive = rows(Ann.indexLive(spark, dir))
+    val preServe = rows(Ann.ivfServeIndexed(queries,
+      Ann.indexLive(spark, dir), k = 5, cb, nProbe = 4))
+
+    val n = Ann.indexCompact(spark, dir)
+    assert(!new java.io.File(s"$dir/log").exists(), "log must be truncated")
+    val base = spark.read.parquet(s"$dir/base")
+    assert(base.count() == n)
+    // compaction preserves the live view bit-for-bit...
+    assert(rows(Ann.indexLive(spark, dir)) == preLive,
+      "compaction changed the live view")
+    // ...including what serving sees
+    assert(rows(Ann.ivfServeIndexed(queries, base, k = 5, cb, nProbe = 4))
+      == preServe, "post-compaction serving diverged")
+
+    // increments COMPOSE across the compaction: a fresh delete+upsert
+    // round against the compacted base equals s14's one-shot algebra
+    // applied to the pre-compaction live frame
+    val del2 = cat.embeddings.filter(col("vec_id") % 11 === 0).select("vec_id")
+    val up2 = cat.embeddings.filter(col("vec_id") % 13 === 0)
+    Ann.indexDelete(del2, dir, seq = 3L)
+    Ann.indexUpsert(up2, cb, dir, seq = 4L)
+    val expected = rows(Ann.ivfIndexApply(base, up2, del2, cb))
+    assert(rows(Ann.indexLive(spark, dir)) == expected,
+      "post-compaction increments drifted from the one-shot algebra")
+
+    // seq order is REAL: an upsert followed by a delete of the same id
+    // (higher seq) kills it — the interleaving s14's one-shot
+    // tombstones-then-upserts algebra cannot express
+    val victim = cat.embeddings.filter(col("vec_id") % 13 === 0)
+      .select("vec_id").limit(1)
+    Ann.indexDelete(victim, dir, seq = 5L)
+    val victimId = victim.collect()(0).getLong(0)
+    val liveIds = Ann.indexLive(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!liveIds(victimId), "a later delete must win over an earlier upsert")
+  }
+
   test("d19 band planner: midpoints drive the dial, bands fall as the threshold rises, planned pairs superset d02's") {
     // the midpoint table: (1/b)^(1/r) closest to the threshold
     assert(Dedup.bandPlan(32, 0.5) == (8, 4))   // d02's dial recovered
