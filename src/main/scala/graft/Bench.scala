@@ -249,6 +249,35 @@ object Bench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** 200-copy documents corpus (1M docs at sf0.1): copies 0..143 use
+    * the 144 two-alphabet rotation bijections (stageDocuments100x's
+    * family); copies 144..199 COMPOSE a word-level reversal — a
+    * string bijection, so within-copy shingle structure is exactly
+    * preserved — with rotations 0..55. 288 distinct bijections >
+    * 200 copies: no two copies share one, cross-copy overlap stays
+    * collapsed (palindromic words aside), true-pair counts stay
+    * flat, and the probe keeps measuring operator scaling rather
+    * than output explosion one decade past the 500k evidence.
+    */
+  def stageDocuments1m(spark: SparkSession, sfDir: String,
+      outDir: String, copies: Int = 200): Unit = {
+    val a1 = "etaoinshrdlu"; val a2 = "cmfwypvbgkqj"
+    (0 until copies).map { i =>
+      val j = i % 144
+      val r1 = a1.drop(j % 12) + a1.take(j % 12)
+      val r2 = a2.drop(j / 12 % 12) + a2.take(j / 12 % 12)
+      val rotated = translate(translate(col("text"), a1, r1), a2, r2)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text",
+          if (i < 144) rotated
+          else array_join(
+            transform(split(rotated, " "), w => reverse(w)), " "))
+    }.reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   // ----------------------------------------------------------------
 
   private def jstr(s: String): String =
@@ -725,11 +754,92 @@ object Bench {
                     Seq(("d18_increment_100xcorpus", s100i, s1i,
                       e100i.orElse(e1i)))
                   }
+                // 1M-DOC probe (r14): one decade past the 500k
+                // evidence for the flagship dedup path — d02's full
+                // MinHash-LSH, d14_fast's window scrub, and d18's
+                // constant increment against a 1M-seeded index — with
+                // d02's SHUFFLE BYTES metered at every corpus decade
+                // (1x/10x/100x/200x, rows in the sketch_probe block)
+                // so linearity is measured in bytes, not just wall.
+                val rs1m =
+                  if (elapsed > budgetSec ||
+                      !(probing("d02_dedup_minhash") &&
+                        probing("d14_exact_substr_scrub_fast") &&
+                        probing("d18_incremental_lsh"))) Nil
+                  else {
+                    val dir1m = graft.core.Scratch.dir("scale1m").toString
+                    val staged1m =
+                      try { stageDocuments1m(sp, sfDir, dir1m); None }
+                      catch { case e: Throwable =>
+                        Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                          .takeWhile(_ != '\n').take(200))
+                      }
+                    val out =
+                      if (staged1m.isDefined)
+                        Seq("d02_dedup_minhash_1m",
+                          "d14_exact_substr_scrub_fast_1m",
+                          "d18_increment_1mcorpus").map(n =>
+                          (n, -1.0, 0.0, Some(s"staging_failed: ${staged1m.get}")))
+                      else {
+                        var d02at1m = (-1.0, Option("skipped_budget"))
+                        for ((tag, d) <- Seq(("1x", sfDir), ("10x", scaleDir),
+                            ("100x", dir100d), ("200x", dir1m))) {
+                          if (elapsed <= budgetSec) {
+                            val (s, b, e) = timedShuffle(sp, d,
+                              SparkEntry.queries("d02_dedup_minhash"))
+                            sketchProbe += ((s"d02_decade_$tag", s, b, e))
+                            if (tag == "200x") d02at1m = (s, e)
+                          }
+                        }
+                        val (s14m, e14m) =
+                          if (elapsed > budgetSec) (-1.0, Some("skipped_budget"))
+                          else timed(sp, dir1m,
+                            SparkEntry.queries("d14_exact_substr_scrub_fast"))
+                        val (s18m, e18m) =
+                          if (elapsed > budgetSec) (-1.0, Some("skipped_budget"))
+                          else {
+                            import graft.operators.Dedup
+                            val st = graft.core.Scratch.dir("d18p1m").toString
+                            Dedup.lshIngest( // seed, untimed (d02's cost)
+                              sp.read.parquet(s"$dir1m/documents.parquet")
+                                .filter(col("doc_id") % 5 =!= 0 ||
+                                  col("doc_id") >= 10000000L)
+                                .select("doc_id", "text"),
+                              s"$st/docs", s"$st/index",
+                              n = 3, threshold = 0.5).count()
+                            timed(sp, st, (s, d) =>
+                              Dedup.lshIngest(
+                                s.read.parquet(s"$sfDir/documents.parquet")
+                                  .filter(col("doc_id") % 5 === 0)
+                                  .select("doc_id", "text"),
+                                s"$d/docs", s"$d/index",
+                                n = 3, threshold = 0.5))
+                          }
+                        Seq(
+                          ("d02_dedup_minhash_1m", d02at1m._1,
+                            medians("d02_dedup_minhash"), d02at1m._2),
+                          ("d14_exact_substr_scrub_fast_1m", s14m,
+                            medians("d14_exact_substr_scrub_fast"), e14m),
+                          // baseline for the increment row is the 1×
+                          // increment rsD18 just measured; reported
+                          // against the registered median if that probe
+                          // was filtered out
+                          ("d18_increment_1mcorpus", s18m,
+                            medians("d18_incremental_lsh"), e18m))
+                      }
+                    try {
+                      val p = new org.apache.hadoop.fs.Path(dir1m)
+                      p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+                        .delete(p, true)
+                      ()
+                    } catch { case _: Throwable => () }
+                    out
+                  }
                 Seq(
                   ("d03_dedup_simhash_auto_100x", secs,
                     medians("d03_dedup_simhash"), err),
                   ("d06_dedup_groups_100x", secs6,
-                    medians("d06_dedup_groups"), err6)) ++ rsD04 ++ rsD14 ++ rsD17 ++ rsD18
+                    medians("d06_dedup_groups"), err6)) ++ rsD04 ++ rsD14 ++ rsD17 ++ rsD18 ++ rs1m
               }
             try {
               val p = new org.apache.hadoop.fs.Path(dir100d)
