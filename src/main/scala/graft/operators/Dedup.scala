@@ -210,6 +210,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** FUZZY DECONTAMINATION (x31 — the GPT-3/LLaMA-style near-dup
+    * check against evaluation sets): x13's exact n-gram overlap
+    * catches VERBATIM benchmark leakage; this catches the
+    * paraphrased/partially-edited leakage exact matching misses, by
+    * running the portable MinHash-LSH family BIPARTITE between the
+    * training corpus and the eval set. Scale shape: the eval side is
+    * KB-to-MB at any corpus scale, so its (band, bucket) rows
+    * BROADCAST — the corpus pays one shingle+signature pass (d02's
+    * map-side cost) and only bucket collisions reach the exact-verify
+    * join; nothing is corpus × corpus. Same engine-portable hash
+    * family as d02, so candidates — hence the verified pair set — are
+    * DuckDB-reproducible (oracle-gated).
+    */
+  def fuzzyContamination(corpus: DataFrame, evalSet: DataFrame, n: Int,
+      threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val params = Hashing.minhashParams(k)
+    // frozen: each side's shingle index feeds its signature pass AND
+    // its exact-verify leg
+    val shC = shingledPortable(corpus, n).localCheckpoint(true)
+    val shE = shingledPortable(evalSet, n).localCheckpoint(true)
+    val bC = portableBands(minhashSignatures(shC, params), k, bands)
+    val bE = portableBands(minhashSignatures(shE, params), k, bands)
+    val cands = bC.as("a")
+      .join(broadcast(bE).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("eval_id"))
+      .distinct()
+    val withSets = cands
+      .join(shC.select(col("doc_id"), col("shingles").as("sa")), "doc_id")
+      .join(shE.select(col("doc_id").as("eval_id"), col("shingles").as("sb")),
+        "eval_id")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val j = inter / (size(col("sa")) + size(col("sb")) - inter)
+    withSets.filter(j >= threshold)
+      .select(col("doc_id"), col("eval_id"), round(j, 6).as("jaccard"))
+  }
+
   /** PER-DOC-BUDGET DF cap for the inverted-index family — the
     * d03_auto/d17_auto occupancy recipe applied to d04/d12's
     * stop-shingle dial: ONE aggregation over the shingle index

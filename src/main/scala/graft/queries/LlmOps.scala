@@ -1961,6 +1961,47 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x31 — FUZZY DECONTAMINATION (Dedup.fuzzyContamination — the
+  // GPT-3/LLaMA-style near-dup check against eval sets): x13 flags
+  // VERBATIM 4-gram leakage; this flags the paraphrased / partially
+  // edited leakage exact matching misses, via the portable
+  // MinHash-LSH family run BIPARTITE corpus × eval — the eval side's
+  // band rows broadcast (eval sets are KB-to-MB at any corpus
+  // scale), the corpus pays d02's one map-side shingle+signature
+  // pass, and only bucket collisions reach the exact-Jaccard verify.
+  // Same md5-portable family as d02, so the oracle reproduces the
+  // EXACT candidate set and every (doc, eval, jaccard) row
+  // hash-compares.
+  val x31: Q = q("x31_fuzzy_decontam",
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
+      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
+      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
+      |bk AS ($d02BandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |          AND a.doc_id >= 20 AND b.doc_id < 20),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.doc_id, c.eval_id, COUNT(*) AS i
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.doc_id
+      |          JOIN sh b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+      |          GROUP BY 1, 2)
+      |SELECT i.doc_id, i.eval_id, ROUND(CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i), 6) AS jaccard
+      |FROM inter i JOIN sizes sa ON i.doc_id = sa.doc_id
+      |JOIN sizes sb ON i.eval_id = sb.doc_id
+      |WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= 0.5
+      |ORDER BY i.doc_id, i.eval_id""") { c =>
+    Dedup.fuzzyContamination(
+        c.documents.filter(col("doc_id") >= 20),
+        c.documents.filter(col("doc_id") < 20), n = 3, threshold = 0.5)
+      .orderBy("doc_id", "eval_id")
+  }
+
   // x14 — deterministic TRAIN/VAL holdout split: a document's split is
   // a pure function of its id (first two hex chars of md5(doc_id) —
   // 256 buckets, the 26 below '1a' ≈ 10.2% become 'val'), so the
@@ -3495,6 +3536,6 @@ object LlmOps {
     s14, s15, s15auto, s16,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30,
+    x29, x30, x31,
     p01, p02, p03, p03auto, p04, mm01, mm02, mm03, mm04, mm05, mm06)
 }

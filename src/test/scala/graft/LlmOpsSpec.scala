@@ -883,6 +883,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("x31 fuzzy decontamination: a lightly-edited eval doc is flagged at its exact jaccard; unrelated docs are not; output is strictly bipartite") {
+    import spark.implicits._
+    val evalDoc = (1 to 40).map(i => s"w$i").mkString(" ")
+    // one substituted word — the paraphrase-shaped leak x13's exact
+    // 4-gram counter still sees, but whose SEVERITY (the jaccard)
+    // only the fuzzy form reports
+    val nearDup = (1 to 40).map(i => s"w$i").updated(20, "edited").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((5L, evalDoc), (100L, nearDup), (101L, unrelated),
+      (102L, evalDoc)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the verbatim copy and the edit are flagged; the unrelated doc is
+    // not; nothing corpus-side pairs with anything corpus-side
+    assert(got.map(t => (t._1, t._2)).toSet == Set((100L, 5L), (102L, 5L)),
+      s"wrong contamination set: ${got.toSeq}")
+    assert(got.find(_._1 == 102L).get._3 == 1.0)
+    // one edited word kills exactly 3 of 38 trigram shingles:
+    // j = 35 / (38 + 38 - 35)
+    val j = got.find(_._1 == 100L).get._3
+    assert(math.abs(j - 35.0 / 41.0) < 1e-6, s"jaccard $j != 35/41")
+  }
+
   test("d04 occupancy dial: cap derives from corpus stats; non-binding == fixed form, binding drops boilerplate pairs but keeps true dups") {
     import spark.implicits._
     // non-binding regime (the registered d04_auto): derived cap
