@@ -134,6 +134,15 @@ object Quota {
           -1L, false, c.admitted, c.rejected))
       }
     }
+
+    /** Load one window's counts (the initial-state handoff at
+      * batch→streaming cutover) and arm its close timer — the same
+      * state entry and timer the live path would have built.
+      */
+    private[streaming] def seed(wStart: Long, c: WinCounts): Unit = {
+      if (!counts.containsKey(wStart)) getHandle.registerTimer(wStart + dayMs)
+      counts.updateValue(wStart, c)
+    }
   }
 
   /** e24 streaming: decisions stream out per micro-batch; summaries
@@ -146,6 +155,54 @@ object Quota {
       .groupByKey(_.user_id)
       .transformWithState(new QuotaProcessor(quota),
         TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** One (user, window) count carried INTO the stream at cutover. */
+  final case class SeedCounts(user_id: Long, window_start: Timestamp,
+      n_admitted: Long, n_rejected: Long)
+
+  /** [[QuotaProcessor]] with INITIAL STATE — the batch→streaming
+    * cutover path (StatefulProcessorWithInitialState): a mid-day
+    * cutover must not reset anyone's quota, so the streaming query
+    * starts from the backfill's per-(user, window) counts. Each
+    * seed lands in the same MapState the live path maintains and
+    * arms the same window-close timer, so a seeded window summarizes
+    * exactly once with backfill + streamed counts combined.
+    */
+  class QuotaProcessorSeeded(quota: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, QEv, QOut, SeedCounts] {
+    private val inner = new QuotaProcessor(quota)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      inner.setHandle(getHandle)
+      inner.init(outputMode, timeMode)
+    }
+
+    override def handleInitialState(userId: Long, seed: SeedCounts,
+        timerValues: TimerValues): Unit =
+      inner.seed(seed.window_start.getTime,
+        WinCounts(seed.n_admitted, seed.n_rejected))
+
+    override def handleInputRows(userId: Long, rows: Iterator[QEv],
+        timerValues: TimerValues): Iterator[QOut] =
+      inner.handleInputRows(userId, rows, timerValues)
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[QOut] =
+      inner.handleExpiredTimer(userId, timerValues, expiredTimerInfo)
+  }
+
+  /** [[quotaStream]] seeded with a batch backfill's counts
+    * ([[admissionSummary]]'s shape) — the cutover form. */
+  def quotaStreamSeeded(events: Dataset[QEv], seeds: Dataset[SeedCounts],
+      quota: Int): Dataset[QOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessorSeeded(quota),
+        TimeMode.EventTime, OutputMode.Append,
+        seeds.groupByKey(_.user_id))
   }
 
   /** The TTL idiom on the same API (wall-clock rate limiting — "at

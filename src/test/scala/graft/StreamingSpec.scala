@@ -793,6 +793,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("e24 initial state: a mid-day batch-to-streaming cutover carries quota counts — no quota resets, summaries combine both halves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Quota
+    import graft.streaming.Quota.QEv
+    withRocksDb {
+      def at(d: Int, h: Int, m: Int) =
+        Timestamp.valueOf(f"2024-01-0$d $h%02d:$m%02d:00")
+      // BATCH half (pre-cutover): user 1 burns its whole day-1 quota,
+      // user 2 burns half
+      val morning = Seq(QEv(1, at(1, 8, 0), 1), QEv(2, at(1, 9, 0), 1),
+        QEv(3, at(1, 9, 30), 2))
+      // STREAMED half: user 1's first streamed event must REJECT
+      // (quota carried in), user 2 has exactly one admission left,
+      // user 3 is unseen by the backfill
+      val afternoon = Seq(QEv(4, at(1, 14, 0), 1), QEv(5, at(1, 15, 0), 2),
+        QEv(6, at(1, 16, 0), 2), QEv(7, at(1, 17, 0), 3))
+      val seeds = Quota.admissionSummary(morning.toDF(), quota = 2)
+        .as[Quota.SeedCounts]
+      val input = MemoryStream[QEv]
+      val query = Quota.quotaStreamSeeded(
+          input.toDS().withWatermark("ts", "1 hour"), seeds, quota = 2)
+        .writeStream.format("memory").queryName("e24_seeded")
+        .option("checkpointLocation",
+          graft.core.Scratch.dir("e24seed_ckpt").toString)
+        .outputMode("append").start()
+      input.addData(afternoon); query.processAllAvailable()
+      input.addData(Seq(QEv(99, at(2, 6, 0), 9))); query.processAllAvailable()
+      input.addData(Seq(QEv(98, at(2, 8, 0), 9))); query.processAllAvailable()
+      query.stop()
+
+      val out = spark.table("e24_seeded").as[Quota.QOut].collect().toSeq
+      val decisions = out
+        .filter(o => o.kind == "decision" && o.event_id >= 4 && o.event_id <= 7)
+        .map(o => o.event_id -> o.admitted).toMap
+      // truth: the batch form over the UNION, restricted to the
+      // streamed half — cutover must be invisible in the decisions
+      val batchAll = Quota.admissions((morning ++ afternoon).toDF(), quota = 2)
+        .collect().map(r => (r.getLong(2), r.getBoolean(3))).toMap
+      assert(decisions == batchAll.filter { case (k, _) => k >= 4L },
+        s"cutover changed decisions: $decisions")
+      assert(!decisions(4L), "user 1's carried-in quota must reject event 4")
+      assert(decisions(5L) && !decisions(6L) && decisions(7L))
+
+      // the seeded windows' timers fire once, with COMBINED counts
+      val sums = out.filter(_.kind == "summary")
+        .map(o => (o.user_id, o.n_admitted, o.n_rejected)).toSet
+      val batchSums = Quota
+        .admissionSummary((morning ++ afternoon).toDF(), quota = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(sums == batchSums,
+        s"seeded summaries != batch roll-up: $sums vs $batchSums")
+    }
+  }
+
   test("e24 TTL rate limiter: counts accumulate inside the TTL horizon and reset once the state expires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
