@@ -557,27 +557,33 @@ object Bench {
               }
             val rs100 =
               if (staged100.isDefined)
-                Seq("d10_semdedup_auto_100x", "s05_knn_graph_auto_100x",
-                    "s15_bitext_margin_auto_100x").map(n =>
+                (Seq("d10_semdedup_auto_100x", "s05_knn_graph_auto_100x") ++
+                    (if (probing("s15_bitext_margin"))
+                       Seq("s15_bitext_margin_auto_100x") else Nil)).map(n =>
                   (n, -1.0, 0.0, Some(s"staging_failed: ${staged100.get}")))
-              else Seq(
+              else (Seq(
                 ("d10_semdedup_auto_100x", (s: SparkSession, d: String) =>
                   graft.operators.Ann.semDedupAuto(
                     s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.4)),
                 ("s05_knn_graph_auto_100x", (s: SparkSession, d: String) =>
                   graft.operators.Ann.knnGraphAuto(
-                    s.read.parquet(s"$d/embeddings.parquet"), k = 3)),
+                    s.read.parquet(s"$d/embeddings.parquet"), k = 3))
+              ) ++ (
                 // shortlist bitext margin at ~5000-vector pools: the
                 // exact crossJoin would be 25M scored pairs; the
                 // shortlist scores ~nProbe/k of that through
-                // cluster-key equi-joins
-                ("s15_bitext_margin_auto_100x", (s: SparkSession, d: String) => {
-                  val e = s.read.parquet(s"$d/embeddings.parquet")
-                  graft.operators.Ann.bitextMarginAuto(
-                    e.filter(col("label") === 0), e.filter(col("label") === 1),
-                    k = 4)
-                })
-              ).map { case (n, fn) =>
+                // cluster-key equi-joins. Guarded on ITS base being in
+                // the filter — the medians lookup below would throw on
+                // a filtered run that never benched s15.
+                if (!probing("s15_bitext_margin")) Nil
+                else Seq(
+                  ("s15_bitext_margin_auto_100x", (s: SparkSession, d: String) => {
+                    val e = s.read.parquet(s"$d/embeddings.parquet")
+                    graft.operators.Ann.bitextMarginAuto(
+                      e.filter(col("label") === 0), e.filter(col("label") === 1),
+                      k = 4)
+                  }))
+              )).map { case (n, fn) =>
                 if (elapsed > budgetSec) (n, -1.0, 0.0, Some("skipped_budget"))
                 else {
                   val (secs, err) = timed(sp, dir100, fn)
@@ -761,6 +767,11 @@ object Bench {
                 // d02's SHUFFLE BYTES metered at every corpus decade
                 // (1x/10x/100x/200x, rows in the sketch_probe block)
                 // so linearity is measured in bytes, not just wall.
+                // NOTE: lives inside the 100x-docs block (the decade
+                // table's 100x leg reads dir100d), so a FILTERED local
+                // run must also name d03_dedup_simhash and
+                // d06_dedup_groups to reach it; the driver's
+                // unfiltered run always does.
                 val rs1m =
                   if (elapsed > budgetSec ||
                       !(probing("d02_dedup_minhash") &&
@@ -820,10 +831,12 @@ object Bench {
                             medians("d02_dedup_minhash"), d02at1m._2),
                           ("d14_exact_substr_scrub_fast_1m", s14m,
                             medians("d14_exact_substr_scrub_fast"), e14m),
-                          // baseline for the increment row is the 1×
-                          // increment rsD18 just measured; reported
-                          // against the registered median if that probe
-                          // was filtered out
+                          // baseline: the REGISTERED d18 median (what
+                          // medians carries here); for the strict
+                          // increment-vs-increment ratio read this row
+                          // against d18_increment_100xcorpus's
+                          // sec1x_median, the freshly measured 1×
+                          // increment in the same JSON
                           ("d18_increment_1mcorpus", s18m,
                             medians("d18_incremental_lsh"), e18m))
                       }

@@ -368,7 +368,15 @@ object Ann {
     * (the registered s15_auto retrains both codebooks in SQL), and on
     * a corpus whose shortlists COVER the true k-NN the output equals
     * [[bitextMargin]]'s exactly (spec-pinned with the coverage
-    * asserted, not assumed). Scale shape: per-side work is
+    * asserted, not assumed). Emission contract (mirrored by the
+    * oracle's inner joins): a src emits iff it has ≥1 forward
+    * candidate whose tgt also has ≥1 reverse candidate — a pair whose
+    * tgt drew an empty reverse shortlist cannot be margin-scored (no
+    * y-side normalizer exists; CCMatrix has the same requirement), so
+    * it drops rather than scoring against a fabricated denominator;
+    * on covering corpora every shortlist is nonempty and the exact
+    * form's one-row-per-src contract holds (the coverage spec's
+    * 80/80 assertion pins exactly this). Scale shape: per-side work is
     * O(pool · nProbe · occupancy) through cluster-key equi-joins —
     * the one cartesian on the 217-board (the exact form's crossJoin)
     * never appears; the normalizer joins are plain shuffles (xk/yk
@@ -513,7 +521,13 @@ object Ann {
   def indexLive(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/base")
-    if (!new java.io.File(s"$dir/log").exists()) base
+    // Hadoop-FS existence check, NOT java.io.File: the index dir can
+    // live on any warehouse filesystem — a local-only check would
+    // silently serve the raw base (deleted vectors alive, upserts
+    // gone) the moment the dir is remote
+    val logPath = new org.apache.hadoop.fs.Path(s"$dir/log")
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logPath)) base
     else {
       val log = spark.read.parquet(s"$dir/log")
       val w = Window.partitionBy("vec_id").orderBy(col("seq").desc)

@@ -190,6 +190,15 @@ object Dedup {
     // (doc, shingle) index once, read it four times".
     val all = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .localCheckpoint(true)
+    ngramJaccardFromIndex(all, threshold, maxDf)
+  }
+
+  /** The post-index core of [[ngramJaccardPairs]], shared with the
+    * auto dial so the dial's stats pass can read the SAME frozen
+    * index instead of re-tokenizing the corpus.
+    */
+  private def ngramJaccardFromIndex(all: DataFrame, threshold: Double,
+      maxDf: Long): DataFrame = {
     // hot-shingle stop list: tiny by construction (only keys with
     // DF > maxDf), so the anti-join broadcasts
     val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -273,17 +282,28 @@ object Dedup {
     math.max(floor, budget / sbar)
   }
 
-  /** [[ngramJaccardPairs]] with the DF cap derived from the corpus
-    * ([[jaccardDfCapAuto]]) — the 100 TB default for the
-    * inverted-index family; the registered d04 keeps the fixed cap
-    * for run-to-run comparability. Where the derived cap exceeds the
-    * corpus max DF the output equals the uncapped exact Jaccard
-    * (d04's own oracle), which is how the registered d04_auto is
-    * hash-gated.
+  /** [[ngramJaccardPairs]] with the DF cap derived from the corpus —
+    * the 100 TB default for the inverted-index family; the registered
+    * d04 keeps the fixed cap for run-to-run comparability. ONE
+    * tokenize pass: the stats aggregate and the pair machinery read
+    * the same frozen shingle index (re-deriving the cap from a second
+    * [[jaccardDfCapAuto]] scan would re-tokenize the corpus — the
+    * exact duplicated-scan cost the index freeze exists to avoid).
+    * Where the derived cap exceeds the corpus max DF the output
+    * equals the uncapped exact Jaccard (d04's own oracle), which is
+    * how the registered d04_auto is hash-gated.
     */
   def ngramJaccardPairsAuto(docs: DataFrame, n: Int, threshold: Double,
-      budget: Long = 65536L): DataFrame =
-    ngramJaccardPairs(docs, n, threshold, jaccardDfCapAuto(docs, n, budget))
+      budget: Long = 65536L, floor: Long = 64L): DataFrame = {
+    val all = shingled(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint(true)
+    val r = all
+      .agg(count(lit(1)).as("rows"), countDistinct(col("doc_id")).as("docs"))
+      .head
+    val sbar = math.max(1L, r.getLong(0) / math.max(1L, r.getLong(1)))
+    ngramJaccardFromIndex(all, threshold, math.max(floor, budget / sbar))
+  }
 
   /** Shingle CONTAINMENT pairs: ordered (id_a contained-in id_b) with
     * |S(a)∩S(b)| / |S(a)| ≥ threshold — the asymmetric complement to
@@ -631,7 +651,14 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val params = Hashing.minhashParams(k)
     val spark = batch.sparkSession
-    def exists(dir: String) = new java.io.File(dir).exists()
+    // Hadoop-FS existence, not java.io.File: the store/index dirs
+    // live on whatever warehouse filesystem the deployment uses — a
+    // local-only check would treat a remote store as absent and
+    // re-ingest everything as fresh
+    def exists(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
 
     val fresh =
       if (!exists(storeDir)) batch

@@ -1222,8 +1222,11 @@ object Streaming {
   // e24 — PER-ENTITY ADMISSION QUOTA (streaming/Quota.scala — the
   // ingestion rate limit a collection pipeline puts in front of a
   // hot source: at most N admitted events per user per event-time
-  // day, the rest labeled rejected, in deterministic (ts, event_id)
-  // order). The registered batch form is one row_number window per
+  // day, the rest labeled rejected — the batch form replays in the
+  // deterministic (ts, event_id) order; the streaming form admits in
+  // arrival order and equals it under event-time-ordered delivery,
+  // Quota.foldDecisions' documented contract). The registered batch
+  // form is one row_number window per
   // (user, day) plus the per-window roll-up — both restated
   // declaratively in the oracle. The TRUE streaming form is Spark 4's
   // transformWithState (arbitrary stateful v2): per-user MapState of

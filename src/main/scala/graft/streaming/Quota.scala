@@ -12,9 +12,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, S
   * enforces so one hot entity cannot flood a day's intake): each user
   * may ADMIT at most `quota` events per event-time day; the rest of
   * that user-day's events are REJECTED (kept, labeled — auditability
-  * beats silent drops). Admission order is (ts, event_id) — the
-  * deterministic arrival order — so the decision set is a pure
-  * function of the data and both engines agree row for row.
+  * beats silent drops). The BATCH form replays admission in the
+  * (ts, event_id) total order — a deterministic pure function of the
+  * data, which is what the DuckDB oracle gates; the STREAMING form
+  * admits in ARRIVAL order (sorted within each micro-batch, FIFO
+  * across batches — what "first N" means to a live admission
+  * controller), and the two agree row for row exactly when delivery
+  * is event-time-ordered (the parity spec's feed; an out-of-order
+  * straggler competes for whatever quota remains on arrival).
   *
   * Two forms with identical decision semantics:
   *  - BATCH (registered, DuckDB-gated): one row_number window per
@@ -36,8 +41,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, S
   * O(users × watermark horizon / window), never history; each
   * micro-batch shuffles once on user_id. At 100 TB of events the
   * batch form is the backfill path and the streaming form the
-  * continuous path, sharing the same decision function
-  * ([[foldDecisions]]) so they cannot drift.
+  * continuous path, sharing one decision function
+  * ([[foldDecisions]]) — same fold, differing only in the order
+  * contract documented there.
   */
 object Quota {
 
@@ -76,16 +82,37 @@ object Quota {
   private def micros(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
+  /** WALL-CLOCK day start for a timestamp — LocalDate truncation, the
+    * same calendar day `date_trunc('day', ts)` assigns on the batch
+    * side (events ts is canonical TIMESTAMP_NTZ, so date_trunc is
+    * wall-clock too): a raw floorDiv(epoch, 86400000) would truncate
+    * in UTC and put evening events in a different window than the
+    * batch form under any non-UTC JVM/session zone. (DST-shifted
+    * midnights move the timer's firing point by the offset delta —
+    * the key recovery in handleExpiredTimer is self-consistent either
+    * way; pin UTC, as this repo does, to avoid even that.)
+    */
+  private[streaming] def windowStartMs(ts: Timestamp): Long =
+    Timestamp.valueOf(ts.toLocalDateTime.toLocalDate.atStartOfDay).getTime
+
   /** The shared decision fold: admit while the window's admitted
-    * count is below quota, in (ts, event_id) order. Both engines'
-    * semantics live HERE; the batch window rank is provably the same
-    * fold because rank order == fold order.
+    * count is below quota. ORDER CONTRACT: the fold admits in the
+    * order given — the batch form replays the corpus in the
+    * (ts, event_id) total order (deterministic, oracle-gated); the
+    * streaming form sorts within each micro-batch but across batches
+    * admission is ARRIVAL order, which is what a live rate limiter
+    * means by "first N" (an out-of-order straggler competes for
+    * whatever quota is left when it arrives, exactly like every
+    * production admission controller). The two forms agree row for
+    * row whenever delivery is event-time-ordered — the condition the
+    * parity spec feeds and the condition under which "replay the
+    * batch form" reproduces the stream's decisions.
     */
   private[streaming] def foldDecisions(quota: Int, userId: Long,
       sorted: Seq[QEv], get: Long => Option[WinCounts],
       put: (Long, WinCounts) => Unit): Seq[QOut] =
     sorted.map { e =>
-      val wStart = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+      val wStart = windowStartMs(e.ts)
       val cur = get(wStart).getOrElse(WinCounts(0L, 0L))
       val admit = cur.admitted < quota
       put(wStart, if (admit) cur.copy(admitted = cur.admitted + 1)
