@@ -145,8 +145,13 @@ object Bench {
     // shortlist auto sibling measures the crossJoin-vs-equi-join
     // contrast directly; p03 carries the one per-language NTILE
     // window in the composed pipelines, probed against its
-    // distributed-NTILE dial
-    "s15_bitext_margin", "p03_ccnet_pipeline")
+    // distributed-NTILE dial; e24 is one window + roll-up (user
+    // cardinality scales with the staged copies), x31 is d02's
+    // map-side pass with a broadcast eval side (corpus-linear by
+    // construction), s16's init+compact are the two corpus-sized
+    // writes its docstring prices (linear is the claim)
+    "s15_bitext_margin", "p03_ccnet_pipeline",
+    "e24_quota_admission", "x31_fuzzy_decontam", "s16_ann_compact")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
