@@ -92,7 +92,7 @@ object Quota {
     * the key recovery in handleExpiredTimer is self-consistent either
     * way; pin UTC, as this repo does, to avoid even that.)
     */
-  private[streaming] def windowStartMs(ts: Timestamp): Long =
+  private[graft] def windowStartMs(ts: Timestamp): Long =
     Timestamp.valueOf(ts.toLocalDateTime.toLocalDate.atStartOfDay).getTime
 
   /** The shared decision fold: admit while the window's admitted
@@ -108,7 +108,7 @@ object Quota {
     * parity spec feeds and the condition under which "replay the
     * batch form" reproduces the stream's decisions.
     */
-  private[streaming] def foldDecisions(quota: Int, userId: Long,
+  private[graft] def foldDecisions(quota: Int, userId: Long,
       sorted: Seq[QEv], get: Long => Option[WinCounts],
       put: (Long, WinCounts) => Unit): Seq[QOut] =
     sorted.map { e =>

@@ -433,6 +433,69 @@ class PropertySpec extends SparkSpec {
       "a pair was emitted twice across the crash-retry")
   }
 
+  test("Quota.foldDecisions: ANY ts-ordered split of a random event set folds to the batch window form, chunk by chunk") {
+    import spark.implicits._
+    import graft.streaming.Quota
+    import graft.streaming.Quota.{QEv, WinCounts}
+    val evGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0L, 4L),    // user
+      Gen.choose(0, 3),      // day
+      Gen.choose(0, 23)))    // hour
+    for (seed <- 1L to 4L) {
+      val rows = sample(evGen, 700 + seed).zipWithIndex.map {
+        case ((u, d, h), i) =>
+          QEv(i.toLong, java.sql.Timestamp.valueOf(
+            f"2024-01-${d + 1}%02d $h%02d:00:00"), u)
+      }
+      val batch = Quota.admissions(rows.toDF(), quota = 2).collect()
+        .map(r => (r.getLong(2), (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getBoolean(3)))).toMap
+      // arrival order = the batch's (ts, event_id) total order, split
+      // into random chunks (micro-batches); per user, fold each chunk
+      // through the SAME mutable state the streaming processor keeps
+      val ordered = rows.sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = sample(Gen.listOfN(5, Gen.choose(0, ordered.size)), 900 + seed)
+      val chunks = (0 +: cuts.sorted :+ ordered.size).distinct.sliding(2)
+        .map { case Seq(a, b) => ordered.slice(a, b) }.filter(_.nonEmpty)
+      val state = scala.collection.mutable.Map.empty[(Long, Long), WinCounts]
+      val folded = chunks.flatMap { chunk =>
+        chunk.groupBy(_.user_id).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+          Quota.foldDecisions(2, u,
+            es.sortBy(e => (e.ts.getTime, e.event_id)),
+            w => state.get((u, w)), (w, c) => state((u, w)) = c)
+        }
+      }.map(o => (o.event_id, (o.user_id, o.window_start.getTime,
+        o.admitted))).toMap
+      assert(folded == batch,
+        s"seed $seed: chunked fold drifted from the batch window form")
+    }
+  }
+
+  test("bitextMarginAuto == bitextMargin on RANDOM pools when nProbe covers every cluster (structural full coverage)") {
+    import spark.implicits._
+    // with nProbe >= k every query probes ALL clusters, so the
+    // shortlists are the full bipartite product and the margin
+    // arithmetic path must reproduce the exact form on ARBITRARY
+    // data — not just the planted covering corpus
+    val vecGen = Gen.listOfN(8, Gen.choose(1, 100))
+    for (seed <- 1L to 3L) {
+      val src = (0 until 24).map(i => (i.toLong,
+        sample(vecGen, seed * 1000 + i).map(_.toFloat / 100f), 0))
+      val tgt = (0 until 20).map(i => (500L + i,
+        sample(vecGen, seed * 2000 + i).map(_.toFloat / 100f), 1))
+      val emb = (src ++ tgt).toDF("vec_id", "embedding", "label")
+      val s = emb.filter(col("label") === 0)
+      val t = emb.filter(col("label") === 1)
+      val exact = graft.operators.Ann.bitextMargin(s, t, k = 4)
+        .orderBy("src_id").collect().map(_.toString).toSeq
+      val auto = graft.operators.Ann.bitextMarginAuto(s, t, k = 4,
+          nProbe = 16)
+        .orderBy("src_id").collect().map(_.toString).toSeq
+      assert(auto == exact && exact.size == 24,
+        s"seed $seed: full-coverage shortlist diverged from exact margin")
+    }
+  }
+
   test("PartitionEvolution: pruned scan == full scan for random spec eras and random predicates") {
     import spark.implicits._
     import graft.core.PartitionEvolution
