@@ -365,10 +365,18 @@ object Ann {
     * from the exact form: cosines µ-quantize before the k-NN sums
     * (integer-exact normalizers), margin = cosu·2k/(xs+ys) is one
     * double division — so the whole thing stays DuckDB-reproducible
-    * (the registered s15_auto retrains both codebooks in SQL), and on
-    * a corpus whose shortlists COVER the true k-NN the output equals
-    * [[bitextMargin]]'s exactly (spec-pinned with the coverage
-    * asserted, not assumed). Emission contract (mirrored by the
+    * (the registered s15_auto retrains both codebooks in SQL). Top-k
+    * coverage of the shortlists makes the NORMALIZERS exact but does
+    * not by itself imply output equality with [[bitextMargin]] — the
+    * exact form's per-src argmax runs over margin, and a low-cosine
+    * target outside the forward shortlist can still win the ratio on
+    * a small ys denominator — so the equality spec asserts BOTH
+    * preconditions on its planted corpus: top-k coverage AND that
+    * each src's exact argmax-margin target is a forward candidate
+    * (asserted, not assumed; equality is pinned under exactly those
+    * conditions, and CCMatrix-style mining accepts shortlist-scoped
+    * margins as the production semantics). Emission contract
+    * (mirrored by the
     * oracle's inner joins): a src emits iff it has ≥1 forward
     * candidate whose tgt also has ≥1 reverse candidate — a pair whose
     * tgt drew an empty reverse shortlist cannot be margin-scored (no
@@ -420,17 +428,12 @@ object Ann {
     val cbT = kmeansNormed(ny, kT, kmeansIters)
 
     // query side: top-nProbe centroids by (score desc, cid asc) — the
-    // assignDirect tie-break extended from argmax to arg-top-n. Valid
-    // in the direct regime (k ≤ RouteThreshold per broadcast); past
-    // it, route the probe like assignViaJoin routes the argmax.
-    def probes(n: DataFrame, cents: DataFrame, idAs: String) =
-      n.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
-            (-col("cid")).as("negcid"), col("cid")).as("sc"))
-        .groupBy("vec_id")
-        .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
-          slice(reverse(array_sort(collect_list(col("sc")))), 1, nProbe).as("top"))
+    // assignDirect tie-break extended from argmax to arg-top-n.
+    // probeTopN picks the form: direct below RouteThreshold, two-level
+    // ROUTED above it (probeRouted) — so with occupancy-held k ∝ pool,
+    // no stage of the miner is O(n·k) at any pool size.
+    def probes(n: DataFrame, cents: DataFrame, kk: Long, idAs: String) =
+      probeTopN(n, cents, kk, nProbe)
         .select(col("vec_id").as(idAs), col("v").as("qv"), col("nrm").as("qn"),
           explode(col("top")).as("sc"))
         .select(col(idAs), col("qv"), col("qn"), col("sc.cid").as("cid"))
@@ -447,12 +450,12 @@ object Ann {
         .cast(LongType)
 
     val fwd = members(ny, cbT, kT, "tgt_id")
-      .join(probes(nx, cbT, "src_id"), "cid")
+      .join(probes(nx, cbT, kT, "src_id"), "cid")
       .select(col("src_id"), col("tgt_id"),
         cosu("qv", "mv", "qn", "mn").as("cosu"))
       .localCheckpoint(true) // frozen: xk AND the margin join consume it
     val rev = members(nx, cbS, kS, "src_id")
-      .join(probes(ny, cbS, "tgt_id"), "cid")
+      .join(probes(ny, cbS, kS, "tgt_id"), "cid")
       .select(col("src_id"), col("tgt_id"),
         cosu("mv", "qv", "mn", "qn").as("cosu"))
     (fwd, rev)
@@ -479,30 +482,121 @@ object Ann {
   // maintenance algebra — an immutable base plus a seq-stamped
   // mutation log, a merge-on-read live view, and COMPACT (m31/m17's
   // lakehouse discipline applied to the vector index): materialize
-  // the live view as the new base and truncate the log, so serving
-  // cost stays flat under continuous upserts instead of growing with
-  // log length. The log is maintenance-sized (compaction caps it), so
-  // the live view's anti-join side and per-id latest window are both
-  // log-bounded — never corpus work.
+  // the live view as the new base GENERATION and fold the log into
+  // it, so serving cost stays flat under continuous upserts instead
+  // of growing with log length. The log is maintenance-sized
+  // (compaction caps the unfolded tail), so the live view's anti-join
+  // side and per-id latest window are both log-bounded — never
+  // corpus work.
+  //
+  // Durability is the TimeTravel/Delta-log protocol (the r14 verdict's
+  // named weakness — the old form overwrote base/ IN PLACE, the one
+  // materialization outside the repo's staged-swap discipline):
+  //   $dir/_manifests/v%05d.json  {"version":N,"base":"base_%05d","logFrom":S}
+  //   $dir/base_%05d/             immutable base generations
+  //   $dir/log/s%08d/             one immutable segment dir per seq
+  // Every compaction writes a FRESH generation dir and commits it via
+  // an atomic manifest rename — nothing a live reader resolved is ever
+  // touched, so (1) a crash mid-compaction leaves an orphan generation
+  // no manifest references (invisible; [[indexVacuum]] sweeps it, the
+  // m28 rule), and (2) a reader opened before compact() completes
+  // keeps serving its pinned (generation, segments) snapshot
+  // bit-identically (spec-pinned). The manifest's logFrom is the fold
+  // point: segments ≤ logFrom are already IN the committed base, so
+  // the live view reads only the tail — no delete is needed at commit
+  // time, which is exactly what makes the commit a single rename.
 
-  /** Assign `corpus` against the frozen codebook and write it as the
-    * index base.
+  private[graft] final case class IndexManifest(
+    version: Int, base: String, logFrom: Long)
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** Latest committed manifest, or None for an uninitialized dir.
+    * Only manifests define versions — orphan base generations and
+    * unfolded log segments are a crashed writer's residue, never
+    * consulted here (the TimeTravel.history rule).
     */
-  def indexInit(corpus: DataFrame, cents: Codebook, dir: String): Unit =
-    assigned(corpus, cents).write.mode("overwrite").parquet(s"$dir/base")
+  private[graft] def indexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[IndexManifest] = {
+    val (fs, md) = hfs(spark, s"$dir/_manifests")
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.json")).sorted.lastOption.map { name =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(md, name))
+        val content = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+          new String(bytes.toByteArray, "UTF-8")
+        } finally in.close()
+        IndexManifest(
+          name.stripPrefix("v").stripSuffix(".json").toInt,
+          "\"base\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(content).get.group(1),
+          "\"logFrom\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).get.group(1).toLong)
+      }
+  }
+
+  /** Commit a manifest: write-tmp + atomic rename (the Delta-log
+    * protocol; same as TimeTravel.commit). The rename IS the commit
+    * point — before it, readers resolve the previous version.
+    */
+  private def commitIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: IndexManifest): Unit = {
+    val (fs, md) = hfs(spark, s"$dir/_manifests")
+    fs.mkdirs(md)
+    val json =
+      s"""{"version":${m.version},"base":"${m.base}","logFrom":${m.logFrom}}"""
+    val target = new org.apache.hadoop.fs.Path(md, f"v${m.version}%05d.json")
+    val tmp = new org.apache.hadoop.fs.Path(md, f".v${m.version}%05d.json.__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, target),
+      s"could not commit index manifest v${m.version} at $dir")
+  }
+
+  private def genName(v: Int) = f"base_$v%05d"
+  private def segName(seq: Long) = f"s$seq%08d"
+
+  /** Unfolded log segment seqs (> logFrom), ascending. A directory
+    * listing — O(segments) metadata, and compaction keeps that
+    * bounded.
+    */
+  private def logSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, logFrom: Long): Seq[Long] = {
+    val (fs, lp) = hfs(spark, s"$dir/log")
+    if (!fs.exists(lp)) Seq.empty
+    else fs.listStatus(lp).toSeq.map(_.getPath.getName)
+      .filter(_.matches("s\\d{8}")).map(_.stripPrefix("s").toLong)
+      .filter(_ > logFrom).sorted
+  }
+
+  /** Assign `corpus` against the frozen codebook and commit it as
+    * generation 1 of a fresh index.
+    */
+  def indexInit(corpus: DataFrame, cents: Codebook, dir: String): Unit = {
+    assigned(corpus, cents).write.mode("overwrite")
+      .parquet(s"$dir/${genName(1)}")
+    commitIndexManifest(corpus.sparkSession, dir,
+      IndexManifest(1, genName(1), 0L))
+  }
 
   /** Append an upsert batch to the log: (re)assigned against the
     * FROZEN codebook in O(batch), stamped with `seq` — the total
     * order that lets deletes and upserts of the same id interleave
     * correctly (latest op wins, the e12 CDC rule; s14's one-shot
-    * algebra cannot express an upsert-then-delete).
+    * algebra cannot express an upsert-then-delete). Each seq is its
+    * own immutable segment dir, so (a) a retried batch overwrites its
+    * own segment idempotently and (b) folding a segment into a base
+    * generation is a metadata fact (manifest logFrom), not a rewrite.
     */
   def indexUpsert(batch: DataFrame, cents: Codebook, dir: String,
       seq: Long): Unit =
     assigned(batch, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
         lit(seq).as("seq"), lit("U").as("op"))
-      .write.mode("append").parquet(s"$dir/log")
+      .write.mode("overwrite").parquet(s"$dir/log/${segName(seq)}")
 
   /** Append tombstones to the log (same seq ordering as upserts). */
   def indexDelete(ids: DataFrame, dir: String, seq: Long): Unit =
@@ -511,25 +605,38 @@ object Ann {
         lit(null).cast(DoubleType).as("nrm"),
         lit(null).cast(IntegerType).as("cluster"),
         lit(seq).as("seq"), lit("D").as("op"))
-      .write.mode("append").parquet(s"$dir/log")
+      .write.mode("overwrite").parquet(s"$dir/log/${segName(seq)}")
 
-  /** The merge-on-read LIVE view: base minus every logged id, plus
-    * the ids whose LATEST log op is an upsert. One log-bounded
-    * anti-join + one log-bounded per-id window; the base is never
-    * rewritten until [[indexCompact]].
+  /** The committed base generation alone — what serving reads after a
+    * compaction has folded the whole log (s16's registered form).
+    */
+  def indexBase(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val m = indexManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir"))
+    spark.read.parquet(s"$dir/${m.base}")
+  }
+
+  /** The merge-on-read LIVE view: the committed base generation minus
+    * every id in the UNFOLDED log tail, plus the ids whose latest
+    * tail op is an upsert. One log-bounded anti-join + one log-bounded
+    * per-id window; the base is never rewritten. The (generation,
+    * segment-set) pair is resolved HERE, eagerly, against the current
+    * manifest — the returned frame is a pinned snapshot that stays
+    * bit-identical under concurrent compaction (segments already
+    * folded by a later generation are still on disk until
+    * [[indexVacuum]]).
     */
   def indexLive(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/base")
-    // Hadoop-FS existence check, NOT java.io.File: the index dir can
-    // live on any warehouse filesystem — a local-only check would
-    // silently serve the raw base (deleted vectors alive, upserts
-    // gone) the moment the dir is remote
-    val logPath = new org.apache.hadoop.fs.Path(s"$dir/log")
-    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(logPath)) base
+    val m = indexManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir"))
+    val base = spark.read.parquet(s"$dir/${m.base}")
+    val segs = logSegments(spark, dir, m.logFrom)
+    if (segs.isEmpty) base
     else {
-      val log = spark.read.parquet(s"$dir/log")
+      val log = spark.read.parquet(
+        segs.map(s => s"$dir/log/${segName(s)}"): _*)
       val w = Window.partitionBy("vec_id").orderBy(col("seq").desc)
       val latest = log.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("op") === "U")
@@ -539,24 +646,69 @@ object Ann {
     }
   }
 
-  /** COMPACT: materialize the live view as the new base and truncate
-    * the log. Post-compaction serving is bit-identical to the
-    * pre-compaction merge-on-read view (spec-pinned and, for the
-    * registered s16, oracle-gated through s14's retrained-codebook
-    * SQL); what changes is the READ shape — back to one base scan,
-    * no anti-join, no window — which is why continuous-upsert
-    * deployments compact on a cadence. Returns the compacted row
-    * count. The live frame is pinned (localCheckpoint) before the
-    * overwrite so the write never reads the files it replaces.
+  /** COMPACT: materialize the live view as the NEXT base generation
+    * and commit it with logFrom advanced past every folded segment.
+    * Post-compaction serving is bit-identical to the pre-compaction
+    * merge-on-read view (spec-pinned and, for the registered s16,
+    * oracle-gated through s14's retrained-codebook SQL); what changes
+    * is the READ shape — back to one base scan, no anti-join, no
+    * window. Crash-safe at every point: the generation write goes to
+    * a fresh dir (a dir already at the next slot is a crashed
+    * compaction's residue — no manifest references it, so overwriting
+    * is safe, the TimeTravel.commit rule), the manifest rename is the
+    * atomic commit, and no pre-existing file is deleted — folded
+    * segments and superseded generations stay until [[indexVacuum]],
+    * which is what keeps racing readers on their pinned snapshot.
+    * Returns the compacted row count.
     */
   def indexCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long = {
-    val live = indexLive(spark, dir).localCheckpoint(true)
-    live.write.mode("overwrite").parquet(s"$dir/base")
-    val logPath = new org.apache.hadoop.fs.Path(s"$dir/log")
-    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(logPath)) fs.delete(logPath, true)
-    live.count()
+    val m = indexManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir"))
+    val segs = logSegments(spark, dir, m.logFrom)
+    if (segs.isEmpty) return spark.read.parquet(s"$dir/${m.base}").count()
+    val next = genName(m.version + 1)
+    // fully distributed, never reads what it replaces (fresh dir) —
+    // no driver pinning needed, a lost executor just re-runs its task
+    indexLive(spark, dir).write.mode("overwrite").parquet(s"$dir/$next")
+    commitIndexManifest(spark, dir,
+      IndexManifest(m.version + 1, next, segs.max))
+    spark.read.parquet(s"$dir/$next").count()
+  }
+
+  /** VACUUM (m28's machinery applied to the index dir): delete base
+    * generations no retained manifest references — superseded
+    * generations AND crashed-compaction orphans — plus log segments
+    * the committed base already folds (seq ≤ logFrom) and superseded
+    * manifests. Pure metadata-driven FS deletes; never touches the
+    * committed generation or the unfolded tail. Run it on a cadence
+    * with a retention window in production — anything inside the
+    * window keeps racing readers' pinned snapshots servable. Returns
+    * (sweptBases, sweptSegments).
+    */
+  def indexVacuum(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val m = indexManifest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed index at $dir"))
+    val (fs, root) = hfs(spark, dir)
+    val deadBases = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.matches("base_\\d{5}") && n != m.base)
+    deadBases.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
+    val (lfs, lp) = hfs(spark, s"$dir/log")
+    val deadSegs = if (!lfs.exists(lp)) Seq.empty[Long]
+      else lfs.listStatus(lp).toSeq.map(_.getPath.getName)
+        .filter(_.matches("s\\d{8}")).map(_.stripPrefix("s").toLong)
+        .filter(_ <= m.logFrom)
+    deadSegs.foreach(s =>
+      lfs.delete(new org.apache.hadoop.fs.Path(s"$dir/log/${segName(s)}"), true))
+    val (mfs, md) = hfs(spark, s"$dir/_manifests")
+    mfs.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(n => n.matches("v\\d{5}\\.json") &&
+        n.stripPrefix("v").stripSuffix(".json").toInt < m.version)
+      .foreach(n =>
+        mfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifests/$n"), false))
+    (deadBases.size, deadSegs.size)
   }
 
   /** FILTERED ANN (the vector-store "metadata filter" feature): each
@@ -1005,6 +1157,32 @@ object Ann {
     */
   private[graft] def routedSides(n: DataFrame, cents: DataFrame,
       k: Long, nProbe: Int): (DataFrame, DataFrame) = {
+    val (live, centCell) = registeredCells(cents, k, nProbe)
+    // vector -> its single best LIVE cell (cells with no registered
+    // centroid are excluded up front, so the cell equi-join below can
+    // never drop a vector). One bounded √k broadcast + a map-side
+    // max with an O(1) buffer — the corpus side never windows,
+    // collects, or sees anything k-sized.
+    val vCell = n.join(broadcast(live))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+          (-col("cid")).as("negcell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+        max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.negcell")).as("cell"))
+    (vCell, centCell)
+  }
+
+  /** The coarse-cell registration stage shared by argmax routing
+    * ([[routedSides]]) and top-n probe routing ([[probeRouted]]):
+    * the LIVE coarse codebook (cells holding ≥1 registered centroid)
+    * and the centroid→cell registration under each centroid's
+    * `nProbe` nearest cells.
+    */
+  private[graft] def registeredCells(cents: DataFrame, k: Long,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val kc = math.max(4L, math.round(math.sqrt(k.toDouble)))
     // coarse codebook over the CENTROID frame itself: k rows — corpus-
     // independent cost — and kc ≈ √k cells keep both routed stages at
@@ -1030,24 +1208,78 @@ object Ann {
       // frozen: consumed by the live-cell filter AND the scoring
       // equi-join (k·nProbe rows — centroid-sized, never corpus-sized)
       .localCheckpoint(true)
-    // vector -> its single best LIVE cell (cells with no registered
-    // centroid are excluded up front, so the cell equi-join below can
-    // never drop a vector). One bounded √k broadcast + a map-side
-    // max with an O(1) buffer — the corpus side never windows,
-    // collects, or sees anything k-sized.
     val live = coarse.join(
       centCell.select(col("cell").as("cid")).distinct(), Seq("cid"), "left_semi")
-    val vCell = n.join(broadcast(live))
+    (live, centCell)
+  }
+
+  /** Query-side ARG-TOP-nProbe centroids, two-level ROUTED — the
+    * probe stage of every IVF consumer, lifted past [[RouteThreshold]]
+    * the way [[assignViaJoin]] lifts the argmax (the r14 verdict's
+    * named scale-killer: a direct probe is O(n·k) with a broadcast
+    * that grows with the pool — O(n²/occupancy) once the Auto dials
+    * tie k to n). Each query keeps its `cellProbes` best coarse cells
+    * (the argmax router keeps one — top-n needs the n winners' cells
+    * covered, not just the winner's) and scores only the centroids
+    * registered there: per-query work ≈ cellProbes²·√k, O(√k), and
+    * both joins are bounded broadcasts (√k cells; √k·cellProbes
+    * registered centroids per cell). A centroid reachable through two
+    * cells is deduped (array_distinct on bitwise-identical structs —
+    * the dot product is deterministic) before the top-n slice, so the
+    * tie-break matches [[probeDirect]] exactly. Routed == direct
+    * whenever each query's true top-nProbe centroids register within
+    * its probed cells — spec-pinned on a >RouteThreshold pool, with
+    * the coverage asserted, not assumed.
+    * Returns (vec_id, v, nrm, top: array<struct(s, negcid, cid)>).
+    */
+  private[graft] def probeRouted(n: DataFrame, cents: DataFrame, k: Long,
+      nProbe: Int, cellProbes: Int = 4): DataFrame = {
+    val (live, centCell) = registeredCells(cents, k, cellProbes)
+    val qCells = n.join(broadcast(live))
       .select(col("vec_id"), col("v"), col("nrm"),
         struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
           (-col("cid")).as("negcell")).as("sc"))
       .groupBy("vec_id")
       .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
-        max(col("sc")).as("best"))
+        slice(reverse(array_sort(collect_list(col("sc")))), 1, cellProbes)
+          .as("cells"))
       .select(col("vec_id"), col("v"), col("nrm"),
-        (-col("best.negcell")).as("cell"))
-    (vCell, centCell)
+        explode(col("cells")).as("c"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("c.negcell")).as("cell"))
+    qCells.join(centCell, "cell")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+          (-col("cid")).as("negcid"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+        slice(reverse(array_sort(array_distinct(collect_list(col("sc"))))),
+          1, nProbe).as("top"))
   }
+
+  /** Query-side arg-top-nProbe centroids, DIRECT: every query scores
+    * every centroid through one bounded broadcast — exact, affordable
+    * only below [[RouteThreshold]]; [[probeTopN]] picks the form.
+    * Tie-break (score desc, cid asc) = [[assignDirect]] extended from
+    * argmax to arg-top-n.
+    */
+  private[graft] def probeDirect(n: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame =
+    n.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct((Vectors.dot(col("v"), col("cv")) / col("nrm")).as("s"),
+          (-col("cid")).as("negcid"), col("cid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+        slice(reverse(array_sort(collect_list(col("sc")))), 1, nProbe).as("top"))
+
+  /** Arg-top-nProbe with the form picked by centroid count — the
+    * probe-side sibling of [[assignViaJoin]].
+    */
+  private[graft] def probeTopN(n: DataFrame, cents: DataFrame, k: Long,
+      nProbe: Int): DataFrame =
+    if (k <= RouteThreshold) probeDirect(n, cents, nProbe)
+    else probeRouted(n, cents, k, nProbe)
 
   /** The routed candidate stage: vectors equi-joined to the
     * centroids registered in their best cell — per-row work ≈

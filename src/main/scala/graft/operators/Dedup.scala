@@ -571,9 +571,22 @@ object Dedup {
     * so the candidate set — hence the verified pair set — equals
     * d02's restricted to pairs with ≥1 new member, and the whole
     * thing is DuckDB-reproducible (oracle-gated).
+    *
+    * `bands = 0` (the default) derives the banding from the verify
+    * threshold via [[bandPlan]] — the d19 planner as the family's
+    * default dial, so the index's candidate budget lands where the
+    * threshold is without a hand-picked split (at the registered 0.5
+    * the plan is 8×4, d02's dial recovered).
     */
   def incrementalLshPairs(docs: DataFrame, isNew: Column, indexDir: String,
-      n: Int, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 0): DataFrame = {
+    val b = if (bands == 0) bandPlan(k, threshold)._1 else bands
+    incrementalLshPairsBanded(docs, isNew, indexDir, n, threshold, k, b)
+  }
+
+  private def incrementalLshPairsBanded(docs: DataFrame, isNew: Column,
+      indexDir: String, n: Int, threshold: Double, k: Int,
+      bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val params = Hashing.minhashParams(k)
     val spark = docs.sparkSession
@@ -647,8 +660,14 @@ object Dedup {
     * a Bloom digest, IngestDedup's discipline).
     */
   def lshIngest(batch: DataFrame, storeDir: String, indexDir: String,
-      n: Int, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
+      n: Int, threshold: Double, k: Int = 32, bands: Int = 0): DataFrame = {
+    // bands = 0 derives the split from the threshold (bandPlan, the
+    // d19 planner as the default dial — incrementalLshPairs' rule).
+    // NOTE for persisted indexes: the banding is an INDEX property —
+    // every ingest step against the same indexDir must use the same
+    // effective split, which holds as long as the threshold is fixed.
+    val b = if (bands == 0) bandPlan(k, threshold)._1 else bands
+    require(k % b == 0, "bands must divide k")
     val params = Hashing.minhashParams(k)
     val spark = batch.sparkSession
     // Hadoop-FS existence, not java.io.File: the store/index dirs
@@ -665,7 +684,7 @@ object Dedup {
       else batch.join(spark.read.parquet(storeDir).select("doc_id"),
         Seq("doc_id"), "left_anti")
     val shNew = shingledPortable(fresh, n).localCheckpoint(true)
-    val newBands = portableBands(minhashSignatures(shNew, params), k, bands)
+    val newBands = portableBands(minhashSignatures(shNew, params), k, b)
       .localCheckpoint(true)
 
     val vsOld =

@@ -125,6 +125,24 @@ object Quota {
     * inline; a window's summary emits exactly once, when the
     * watermark passes its end (the timer), and its state entry is
     * freed — the state-cleanup contract timers exist for.
+    *
+    * CLOSED-WINDOW stragglers: an event for a window the watermark
+    * already closed would re-create the freed MapState entry, re-arm
+    * a timer at the already-past close, and emit a SECOND summary
+    * with a reset count (the r14 ADVICE finding). handleInputRows
+    * therefore diverts such events up front — windowStart + dayMs ≤
+    * current watermark — as `kind = "late"` rows (auditability beats
+    * silent drops, the e24 rule) that never touch state. This is
+    * DEFENSE IN DEPTH: Spark 4's TWS operator also runs its own
+    * late-record filter on the previous micro-batch's watermark
+    * (spec-observed: a sub-watermark straggler usually never reaches
+    * the processor at all), but the exactly-once summary contract is
+    * this class's documented invariant and must not depend on an
+    * upstream filter whose watermark (previous-batch) lags the one
+    * timers fire on — the guard closes that seam, and the spec pins
+    * the contract whichever layer enforces it. Within-horizon
+    * stragglers still compete for whatever quota remains, the
+    * live-admission contract.
     */
   class QuotaProcessor(quota: Int)
       extends StatefulProcessor[Long, QEv, QOut] {
@@ -136,8 +154,11 @@ object Quota {
 
     override def handleInputRows(userId: Long, rows: Iterator[QEv],
         timerValues: TimerValues): Iterator[QOut] = {
-      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      val out = foldDecisions(quota, userId, sorted,
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (live, closed) = rows.toSeq
+        .sortBy(e => (micros(e.ts), e.event_id))
+        .partition(e => windowStartMs(e.ts) + dayMs > wm)
+      val out = foldDecisions(quota, userId, live,
         w => if (counts.containsKey(w)) Some(counts.getValue(w)) else None,
         (w, c) => {
           if (!counts.containsKey(w))
@@ -147,7 +168,9 @@ object Quota {
             getHandle.registerTimer(w + dayMs)
           counts.updateValue(w, c)
         })
-      out.iterator
+      (out ++ closed.map(e => QOut("late", userId,
+        new Timestamp(windowStartMs(e.ts)), e.event_id, false, -1L, -1L)))
+        .iterator
     }
 
     override def handleExpiredTimer(userId: Long, timerValues: TimerValues,

@@ -1457,15 +1457,71 @@ class LlmOpsSpec extends SparkSpec {
         s"rev shortlist missed tgt $tid's true top-4: $t4")
     }
 
-    // ...and under that asserted coverage the outputs are IDENTICAL —
-    // ids, µ-cosines, and margins (same integer normalizer sums, same
-    // one double division)
     val exact = Ann.bitextMargin(src, tgt, k = 4)
-      .orderBy("src_id").collect().map(_.toString).toSeq
+      .orderBy("src_id").collect()
+    // top-k coverage alone does NOT imply output equality (r14 ADVICE:
+    // the exact argmax runs over MARGIN, and a low-cosine target with
+    // a small ys normalizer outside the shortlist can win the ratio),
+    // so the second precondition is asserted too: each src's exact
+    // argmax-margin target is itself a forward candidate
+    exact.foreach { r =>
+      assert(fwdSet((r.getLong(0), r.getLong(1))),
+        s"src ${r.getLong(0)}'s exact argmax-margin target " +
+          s"${r.getLong(1)} is not a forward candidate")
+    }
+
+    // ...and under those two asserted preconditions the outputs are
+    // IDENTICAL — ids, µ-cosines, and margins (same integer
+    // normalizer sums, same one double division)
+    val exactRows = exact.map(_.toString).toSeq
     val auto = Ann.bitextMarginAuto(src, tgt, k = 4)
       .orderBy("src_id").collect().map(_.toString).toSeq
-    assert(auto == exact, "shortlist margin diverged from the exact form")
-    assert(exact.size == 80)
+    assert(auto == exactRows, "shortlist margin diverged from the exact form")
+    assert(exactRows.size == 80)
+  }
+
+  test("probe routing: routed arg-top-nProbe equals direct on a >RouteThreshold codebook") {
+    import spark.implicits._
+    // 512 planted centroids (> RouteThreshold=256) in 16 topical
+    // groups of 32: unit primary direction e_g plus a per-centroid
+    // tilt whose magnitude orders the within-group cosines (smaller
+    // tilt → higher cosine against an on-topic query). Cross-group
+    // cosines ≈ 0.01 vs within-group ≈ 0.99, so each query's true
+    // top-4 lives in its own group — the regime where coarse cells
+    // align with groups and routing must recover the direct answer.
+    // cids round-robin across groups (the rank-seeded coarse k-means
+    // starts one-per-group, the s15 spec discipline).
+    def planted(g: Int, tilt: Int, eps: Double): Array[Double] = {
+      val v = Array.fill(64)(0.0)
+      v(g) = 1.0
+      v(16 + tilt % 48) = eps
+      v
+    }
+    val cents = (0 until 512).map { c =>
+      val g = c % 16
+      val j = c / 16
+      val v = planted(g, g * 32 + j, 0.10 + j * 0.01)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (c.toLong, v.map(_ / nrm).toSeq)
+    }.toDF("cid", "cv")
+    val queries = (0 until 64).map { i =>
+      val g = i % 16
+      val j = i / 16
+      val v = planted(g, g * 32 + j + 7, 0.05 + j * 0.013)
+      (i.toLong, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("vec_id", "v", "nrm")
+
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(_.toString).toSeq
+    val direct = tops(Ann.probeDirect(queries, cents, nProbe = 4))
+    val routed = tops(Ann.probeRouted(queries, cents, k = 512L, nProbe = 4))
+    // scores, tie-breaks, and order all bitwise-equal: the two forms
+    // compute the same dot-product expression on the same rows
+    assert(routed == direct,
+      "routed top-nProbe diverged from the direct probe")
+    assert(direct.size == 64)
+    // and the dispatcher picks the routed form past the threshold
+    assert(tops(Ann.probeTopN(queries, cents, k = 512L, nProbe = 4)) == direct)
   }
 
   test("s14 index maintenance: tombstones vanish, upserts serve the new vector, a post-delete upsert revives; anti-joins, not rewrites") {
@@ -1526,8 +1582,18 @@ class LlmOpsSpec extends SparkSpec {
       Ann.indexLive(spark, dir), k = 5, cb, nProbe = 4))
 
     val n = Ann.indexCompact(spark, dir)
-    assert(!new java.io.File(s"$dir/log").exists(), "log must be truncated")
-    val base = spark.read.parquet(s"$dir/base")
+    // commit is a manifest advance, NOT a delete: folded segments stay
+    // on disk (racing readers' pinned snapshots) until vacuum sweeps
+    // them along with the superseded generation
+    assert(new java.io.File(s"$dir/log/s00000001").exists(),
+      "compaction must not delete folded segments at commit time")
+    val (sweptBases, sweptSegs) = Ann.indexVacuum(spark, dir)
+    assert(sweptBases == 1 && sweptSegs == 2,
+      s"vacuum must sweep gen 1 + both folded segments, got ($sweptBases, $sweptSegs)")
+    assert(!new java.io.File(s"$dir/log/s00000001").exists() &&
+      !new java.io.File(s"$dir/base_00001").exists(),
+      "vacuum must remove folded segments and the superseded generation")
+    val base = Ann.indexBase(spark, dir)
     assert(base.count() == n)
     // compaction preserves the live view bit-for-bit...
     assert(rows(Ann.indexLive(spark, dir)) == preLive,
@@ -1557,6 +1623,69 @@ class LlmOpsSpec extends SparkSpec {
     val liveIds = Ann.indexLive(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(!liveIds(victimId), "a later delete must win over an earlier upsert")
+  }
+
+  test("s16 compaction is crash-safe: orphan generation invisible, racing reader pinned, committed fold never reapplies") {
+    val dir = graft.core.Scratch.dir("s16crash").toString
+    val cb = Ann.ivfCodebook(cat.embeddings, nCentroids = 16, kmeansIters = 2)
+    Ann.indexInit(cat.embeddings, cb, dir)
+    Ann.indexDelete(
+      cat.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      dir, seq = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val preLive = rows(Ann.indexLive(spark, dir))
+
+    // CRASH 1: killed between the generation write and the manifest
+    // rename — exactly what indexCompact does first, with the commit
+    // withheld. The orphan is invisible: no manifest references it.
+    Ann.indexLive(spark, dir).write.mode("overwrite")
+      .parquet(s"$dir/base_00002")
+    assert(rows(Ann.indexLive(spark, dir)) == preLive,
+      "an uncommitted generation must not change the served view")
+    assert(rows(Ann.indexBase(spark, dir)) ==
+      rows(spark.read.parquet(s"$dir/base_00001")),
+      "the committed base must still be generation 1")
+
+    // a reader OPENED BEFORE the retried compaction completes serves
+    // its pinned snapshot bit-identically (commit deletes nothing)
+    val pinned = Ann.indexLive(spark, dir)
+
+    // the retried compaction replaces the orphan at its own slot (no
+    // manifest ever referenced it — the TimeTravel.commit rule) and
+    // commits; the pinned reader is unaffected
+    val n = Ann.indexCompact(spark, dir)
+    assert(rows(pinned) == preLive,
+      "a reader racing the compaction must keep its pinned snapshot")
+    assert(rows(Ann.indexBase(spark, dir)) == preLive &&
+      Ann.indexBase(spark, dir).count() == n,
+      "the committed generation must equal the pre-compact live view")
+
+    // CRASH 2: killed after the manifest commit, before any sweep —
+    // there IS no truncate step to lose: the folded segment still on
+    // disk is metadata-dead (seq <= logFrom), so the live view never
+    // reapplies it. Strictly stronger than idempotent reapply.
+    assert(new java.io.File(s"$dir/log/s00000001").exists())
+    assert(rows(Ann.indexLive(spark, dir)) == preLive,
+      "a folded segment must never reapply after the manifest commit")
+
+    // the crash residue is vacuum-sweepable, and a post-vacuum
+    // increment composes as usual
+    Ann.indexVacuum(spark, dir)
+    Ann.indexDelete(cat.embeddings.filter(col("vec_id") % 11 === 0)
+      .select("vec_id"), dir, seq = 2L)
+    val liveIds = Ann.indexLive(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(liveIds.nonEmpty && !liveIds.exists(i => i % 11 == 0 || i % 7 == 0))
+  }
+
+  test("d02_auto: the planner at d02's own threshold reproduces d02 byte-for-byte (8×4 recovered, not asserted)") {
+    val fixed = Dedup.minhashPairsPortable(cat.documents, n = 3,
+      threshold = 0.5).collect().map(_.toString).toSet
+    val planned = Dedup.minhashPairsPlanned(cat.documents, n = 3,
+      threshold = 0.5).collect().map(_.toString).toSet
+    assert(fixed.nonEmpty && planned == fixed,
+      "the derived dial must reproduce the fixed 8×4 family exactly")
   }
 
   test("d19 band planner: midpoints drive the dial, bands fall as the threshold rises, planned pairs superset d02's") {
