@@ -154,7 +154,10 @@ object Bench {
     // construction), s16's init+compact are the two corpus-sized
     // writes its docstring prices (linear is the claim)
     "s15_bitext_margin", "p03_ccnet_pipeline",
-    "e24_quota_admission", "x31_fuzzy_decontam", "s16_ann_compact")
+    "e24_quota_admission", "x31_fuzzy_decontam", "s16_ann_compact",
+    // r15: s17 = s16's lifecycle + two committed-snapshot serves —
+    // corpus-linear in the same two writes plus two probe joins
+    "s17_index_asof")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content
@@ -330,15 +333,23 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       s
     }
-    val spark = mkSession()
+    var spark = mkSession()
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    def sweepScratch(): Unit = locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(graft.core.Scratch.root).iterator()
+        .asScala.toSeq.foreach(graft.core.Scratch.remove)
+    }
     // absorb JVM/codegen/filesystem warmup outside the timings (the
     // alphabetically-first query otherwise pays ~5s of it)
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .write.format("noop").mode("overwrite").save()
-    spark.range(1000000).selectExpr("sum(id * 2)")
-      .write.format("noop").mode("overwrite").save()
+    def warmup(): Unit = {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("noop").mode("overwrite").save()
+      spark.range(1000000).selectExpr("sum(id * 2)")
+        .write.format("noop").mode("overwrite").save()
+    }
+    warmup()
     // q34's partitioned-fact layout is a FIXTURE (a 100 TB fact is
     // already date-partitioned on disk) — stage it outside the timed
     // window so all three passes time the DPP-pruned read. Guarded:
@@ -352,7 +363,34 @@ object Bench {
     // 12x on this sandbox) pollutes at most one of the three samples
     // and the median discards it. Back-to-back repeats would put all
     // samples inside the same window.
-    val passes = (1 to iters).map(_ => runAll(spark, sfDir, keep(SparkEntry.queries)))
+    //
+    // HERMETIC passes (r15 — the r14 "+46 s on untouched entries"
+    // inflation): the r14 artifact's own min-vs-median fingerprint
+    // showed pass 1 at r13 speed and passes 2-3 ~1 s slower on every
+    // multi-job sub-second entry (t11/t13/t14/t15/t16 medians 2× their
+    // own mins) — per-PASS session debt (ContextCleaner/listener
+    // backlog, shuffle+broadcast residue, codegen/catalog growth from
+    // ~670 prior runs), not host contention, which the median would
+    // have discarded. So passes 2+ recycle the SparkSession (the probe
+    // tail's discipline) with warmup + the q34 fixture restaged
+    // outside the timed window. Scratch is deliberately NOT swept
+    // between passes — the streaming entries memoize their
+    // source/checkpoint fixture dirs across passes (e08/e11/e14/e15/
+    // e16) and q34 its layout; only the tail, which re-keys
+    // everything, sweeps it. Samples stay interleaved; what they time
+    // is the operator, not the previous pass's JVM residue.
+    val passes = (1 to iters).map { p =>
+      if (p > 1) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = mkSession()
+        warmup()
+        try graft.queries.Relational.stageQ34(spark, sfDir)
+        catch { case _: Throwable => () }
+      }
+      runAll(spark, sfDir, keep(SparkEntry.queries))
+    }
     val names = passes.head.map(_._1)
     // Median over SUCCESSFUL samples only: a query that crashes in
     // some passes would otherwise feed its time-to-crash into the
@@ -402,11 +440,7 @@ object Bench {
         // The tail therefore runs on a FRESH SparkSession over an
         // emptied scratch root — the same isolation an uncontended
         // ProbeAudit run has, so the artifact grades the operators.
-        locally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(graft.core.Scratch.root).iterator()
-            .asScala.toSeq.foreach(graft.core.Scratch.remove)
-        }
+        sweepScratch()
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()

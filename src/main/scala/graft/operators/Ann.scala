@@ -514,17 +514,17 @@ object Ann {
     (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
   }
 
-  /** Latest committed manifest, or None for an uninitialized dir.
-    * Only manifests define versions — orphan base generations and
-    * unfolded log segments are a crashed writer's residue, never
-    * consulted here (the TimeTravel.history rule).
+  /** All committed manifests, oldest first. Only manifests define
+    * versions — orphan base generations and unfolded log segments are
+    * a crashed writer's residue, never consulted here (the
+    * TimeTravel.history rule).
     */
-  private[graft] def indexManifest(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[IndexManifest] = {
+  private[graft] def indexManifests(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[IndexManifest] = {
     val (fs, md) = hfs(spark, s"$dir/_manifests")
-    if (!fs.exists(md)) None
+    if (!fs.exists(md)) Seq.empty
     else fs.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.json")).sorted.lastOption.map { name =>
+      .filter(_.matches("v\\d{5}\\.json")).sorted.map { name =>
         val in = fs.open(new org.apache.hadoop.fs.Path(md, name))
         val content = try {
           val bytes = new java.io.ByteArrayOutputStream()
@@ -537,6 +537,11 @@ object Ann {
           "\"logFrom\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).get.group(1).toLong)
       }
   }
+
+  /** Latest committed manifest, or None for an uninitialized dir. */
+  private[graft] def indexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[IndexManifest] =
+    indexManifests(spark, dir).lastOption
 
   /** Commit a manifest: write-tmp + atomic rename (the Delta-log
     * protocol; same as TimeTravel.commit). The rename IS the commit
@@ -614,6 +619,27 @@ object Ann {
       dir: String): DataFrame = {
     val m = indexManifest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed index at $dir"))
+    spark.read.parquet(s"$dir/${m.base}")
+  }
+
+  /** TIME TRAVEL over the index (s17 — m29's AS-OF read applied to
+    * the vector index, which the versioned manifest makes a metadata
+    * pin, not a restore): the committed snapshot at `version` — the
+    * latest manifest with version ≤ the request, exactly
+    * TimeTravel.read's resolution rule. A snapshot is the COMMITTED
+    * base generation; the unfolded log tail is part of no version
+    * (the m29 contract: only commits have version numbers). Serving
+    * "the index as it was before yesterday's compaction folded the
+    * deletes" is an O(manifest) resolution + that generation's scan —
+    * retention caveat: [[indexVacuum]] keeps only the latest version,
+    * so AS-OF reads reach exactly as far back as the vacuum cadence
+    * allows (spec-pinned: readable before the sweep, refused after).
+    */
+  def indexBaseAsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: Int): DataFrame = {
+    val m = indexManifests(spark, dir).filter(_.version <= version)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no committed index version <= $version at $dir"))
     spark.read.parquet(s"$dir/${m.base}")
   }
 

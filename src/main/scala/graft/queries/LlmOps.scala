@@ -1218,7 +1218,7 @@ object LlmOps {
   // (filter pushed to the scan), the base assignment, and the %10
   // upsert batch; freezing a shared frame would undo exactly that
   // pushdown/pruning, so multi-leg is the right shape here.
-  private val s14OracleSql =
+  private val s14Ctes =
     s"""${ivfTrainSql(16)},
       |up AS (SELECT vec_id, list_concat(v[2:64], [v[1]]) AS v FROM e WHERE vec_id % 10 = 0),
       |upn AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM up),
@@ -1233,7 +1233,10 @@ object LlmOps {
       |${ivfAssign("pf", "c2", "rn <= 4", " WHERE n.vec_id < 20")},
       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-      |       FROM pf p JOIN live a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
+      |       FROM pf p JOIN live a ON a.cid = p.cid AND a.vec_id <> p.vec_id)""".stripMargin
+
+  private val s14OracleSql =
+    s"""$s14Ctes
       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
@@ -1289,6 +1292,55 @@ object LlmOps {
     Ann.ivfServeIndexed(c.embeddings.filter(col("vec_id") < 20),
         Ann.indexBase(c.spark, dir), k = 5, cb, nProbe = 4)
       .orderBy("query_id", "rank")
+  }
+
+  // s17 — INDEX TIME TRAVEL (Ann.indexBaseAsOf — m29's AS-OF read
+  // applied to the vector index, which the s16 versioned manifest
+  // makes a metadata pin, not a restore): version 1 is the initial
+  // corpus assignment, version 2 the post-(delete seq1, upsert seq2)
+  // compaction; the entry serves the SAME queries against BOTH
+  // committed snapshots and emits the union tagged by version —
+  // "what did retrieval return before yesterday's index update"
+  // answered from one dir with no second copy of the index. Version
+  // resolution is TimeTravel.read's rule (latest manifest ≤ request,
+  // O(manifest) metadata). ORACLE-GATED end to end by EXTENDING s14's
+  // retrained-codebook chain: v1 serves from the raw full assignment
+  // (af — the s03/s09 index), v2 from the maintained live view (sc —
+  // s14's), both through the same probe CTE, so every rank of both
+  // snapshots hash-compares. Retention contract (vacuum keeps latest
+  // only → AS-OF reaches as far as the sweep cadence) is spec-pinned.
+  private val s17OracleSql =
+    s"""$s14Ctes,
+      |sc1 AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+      |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
+      |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+      |r1 AS (SELECT 1 AS version, query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+      |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc1)
+      |       WHERE rn <= 5),
+      |r2 AS (SELECT 2 AS version, query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+      |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+      |       WHERE rn <= 5)
+      |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |ORDER BY version, query_id, rank""".stripMargin
+  val s17: Q = q("s17_index_asof", s17OracleSql) { c =>
+    val dir = graft.core.Scratch.dir("s17idx").toString
+    val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
+    Ann.indexInit(c.embeddings, cb, dir)
+    Ann.indexDelete(
+      c.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      dir, seq = 1L)
+    Ann.indexUpsert(c.embeddings.filter(col("vec_id") % 10 === 0)
+        .withColumn("embedding",
+          concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))),
+      cb, dir, seq = 2L)
+    Ann.indexCompact(c.spark, dir)
+    val q20 = c.embeddings.filter(col("vec_id") < 20)
+    def serve(v: Int) =
+      Ann.ivfServeIndexed(q20, Ann.indexBaseAsOf(c.spark, dir, v),
+          k = 5, cb, nProbe = 4)
+        .select(lit(v).as("version"), col("query_id"), col("rank"),
+          col("neighbor_id"), col("cosine"))
+    serve(1).unionByName(serve(2)).orderBy("version", "query_id", "rank")
   }
 
   // ---------------------------------------------------------------
@@ -3567,7 +3619,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d02auto, d03, d03auto, d04, d04auto, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
-    s14, s15, s15auto, s16,
+    s14, s15, s15auto, s16, s17,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31,

@@ -885,7 +885,17 @@ object Relational {
   private val q34Layouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def stageQ34(spark: SparkSession, dir: String): String =
-    q34Layouts.computeIfAbsent(dir, _ => {
+    // compute, not computeIfAbsent: the memoized layout lives in
+    // Scratch, which the bench now sweeps BETWEEN passes (session-debt
+    // hygiene) — a stale memo entry pointing at a swept dir must
+    // restage, not serve a dangling path
+    q34Layouts.compute(dir, (_, prev) => {
+      if (prev != null &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev
+      else stageQ34Fresh(spark, dir)
+    })
+
+  private def stageQ34Fresh(spark: SparkSession, dir: String): String = locally {
       val c = Catalog(spark, dir)
       val base = graft.core.Scratch.dir("q34_dpp_").toString
       c.orders
@@ -901,7 +911,7 @@ object Relational {
           when(col("d_year") >= 2000, "focus").otherwise("archive"))
         .write.mode("overwrite").parquet(s"$base/year_dim")
       base
-    })
+    }
 
   val q34: Q = Q("q34_dpp", (spark, dir) => {
     val base = stageQ34(spark, dir)

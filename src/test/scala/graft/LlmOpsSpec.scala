@@ -1625,6 +1625,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(!liveIds(victimId), "a later delete must win over an earlier upsert")
   }
 
+  test("s17 index time travel: AS-OF resolves the committed snapshot, survives later increments, reaches exactly as far as vacuum retention") {
+    val dir = graft.core.Scratch.dir("s17spec").toString
+    val cb = Ann.ivfCodebook(cat.embeddings, nCentroids = 16, kmeansIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    Ann.indexInit(cat.embeddings, cb, dir)
+    val v1 = rows(Ann.indexBase(spark, dir))
+    Ann.indexDelete(
+      cat.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      dir, seq = 1L)
+    Ann.indexCompact(spark, dir) // v2
+    Ann.indexUpsert(cat.embeddings.filter(col("vec_id") % 13 === 0),
+      cb, dir, seq = 2L)
+    Ann.indexCompact(spark, dir) // v3
+
+    // AS-OF v1 is bit-identical to the original init, two compactions
+    // and an upsert later — no version was ever rewritten
+    assert(rows(Ann.indexBaseAsOf(spark, dir, 1)) == v1)
+    // the m29 resolution rule: a request between commits resolves to
+    // the latest version <= it; a pre-history request refuses
+    assert(rows(Ann.indexBaseAsOf(spark, dir, 99)) ==
+      rows(Ann.indexBase(spark, dir)))
+    intercept[IllegalArgumentException] {
+      Ann.indexBaseAsOf(spark, dir, 0)
+    }
+    // a version is a COMMITTED snapshot: v2 (delete folded) does not
+    // contain the tombstoned ids, v3 re-adds the %13 upserts
+    val v2Ids = Ann.indexBaseAsOf(spark, dir, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(v2Ids.nonEmpty && !v2Ids.exists(_ % 7 == 0))
+    assert(Ann.indexBaseAsOf(spark, dir, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      .exists(i => i % 13 == 0 && i % 7 == 0), "v3 must revive %91 ids")
+
+    // retention: vacuum keeps the latest version only — history
+    // reaches exactly as far as the sweep cadence allows
+    Ann.indexVacuum(spark, dir)
+    intercept[IllegalArgumentException] {
+      Ann.indexBaseAsOf(spark, dir, 1)
+    }
+    assert(rows(Ann.indexBaseAsOf(spark, dir, 3)) ==
+      rows(Ann.indexBase(spark, dir)))
+  }
+
   test("s16 compaction is crash-safe: orphan generation invisible, racing reader pinned, committed fold never reapplies") {
     val dir = graft.core.Scratch.dir("s16crash").toString
     val cb = Ann.ivfCodebook(cat.embeddings, nCentroids = 16, kmeansIters = 2)
