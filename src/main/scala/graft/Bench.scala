@@ -156,8 +156,10 @@ object Bench {
     "s15_bitext_margin", "p03_ccnet_pipeline",
     "e24_quota_admission", "x31_fuzzy_decontam", "s16_ann_compact",
     // r15: s17 = s16's lifecycle + two committed-snapshot serves —
-    // corpus-linear in the same two writes plus two probe joins
-    "s17_index_asof")
+    // corpus-linear in the same two writes plus two probe joins;
+    // m53 = four manifest commits + two reference-counted sweeps —
+    // commit IO is the linear term, the sweeps are pure metadata
+    "s17_index_asof", "m53_snapshot_expire")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -161,6 +161,46 @@ object TimeTravel {
         .select(emit("b", "update_postimage"): _*))
   }
 
+  /** EXPIRE SNAPSHOTS (Iceberg `expire_snapshots` / Delta log
+    * retention — the op that completes the manifest design: history
+    * is cheap BECAUSE commits are shared, so reclaiming space needs
+    * reference counting, not age): drop all but the last `keepLast`
+    * versions' manifests, then delete every commit directory no
+    * RETAINED manifest references. Files shared with a retained
+    * snapshot — the append-chain case, where v1's commit underlies
+    * every later append — survive any number of expiry sweeps
+    * (spec-pinned: the oldest retained version reads bit-identically
+    * after the sweep); a commit referenced by NO manifest at all (a
+    * crashed writer's residue) sweeps too, the remove_orphan_files
+    * half of the contract. O(#versions + #commit dirs) metadata ops,
+    * zero data IO beyond the deletes. Retention is the reader
+    * contract: a reader pinned to a version older than `keepLast`
+    * loses its files — run expiry on a cadence longer than the
+    * longest query, exactly like Iceberg's. Returns
+    * (droppedManifests, droppedCommitDirs).
+    */
+  def expire(wh: Warehouse, schema: String, table: String,
+      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "retention must keep at least the latest version")
+    val r = root(wh, schema, table)
+    val f = fsOf(wh, r)
+    val snaps = history(wh, schema, table)
+    require(snaps.nonEmpty, s"$schema.$table has no committed versions")
+    val dropped = snaps.dropRight(keepLast)
+    val keep = snaps.takeRight(keepLast).flatMap(_.commits).toSet
+    val md = manifestDir(r)
+    dropped.foreach { s =>
+      f.delete(new org.apache.hadoop.fs.Path(md, f"v${s.version}%05d.json"),
+        false)
+    }
+    val cd = new org.apache.hadoop.fs.Path(r, "_commits")
+    val dead =
+      if (!f.exists(cd)) Seq.empty
+      else f.listStatus(cd).toSeq.map(_.getPath).filterNot(p => keep(p.getName))
+    dead.foreach(p => f.delete(p, true))
+    (dropped.size, dead.size)
+  }
+
   /** Read the table AS OF `version` (latest when omitted). */
   def read(wh: Warehouse, schema: String, table: String,
       version: Int = Int.MaxValue): DataFrame = {

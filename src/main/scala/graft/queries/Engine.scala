@@ -2513,8 +2513,70 @@ object Engine {
       .orderBy("tbl", "d_year")
   }
 
+  // m53 — EXPIRE SNAPSHOTS (TimeTravel.expire — Iceberg
+  // expire_snapshots / Delta log retention, the op that completes
+  // m29's manifest design: history is cheap BECAUSE commits are
+  // shared, so reclaiming space needs REFERENCE COUNTING, not age):
+  // four commits build v1 overwrite → v2 append → v3 append → v4
+  // corrective overwrite; phase 1 expires to the last TWO versions —
+  // 2 manifests drop but ZERO commit dirs, because v3's append chain
+  // still references v1/v2's files (the shared-file proof: the oldest
+  // retained version re-aggregates bit-identically from those very
+  // files); phase 2 expires to the latest alone — v3's manifest drops
+  // and its three now-unreferenced commits sweep. Each phase emits
+  // (dropped manifests, dropped commit dirs, oldest retained version,
+  // that version's count + DECIMAL-exact revenue), all oracle-
+  // reproduced from source predicates + the deterministic commit
+  // topology. Retention is the reader contract (a reader past
+  // keepLast loses its files — cadence > longest query, Iceberg's
+  // rule); phase 1's aggregate is pinned before phase 2 sweeps the
+  // files it read, modeling exactly that.
+  val m53: Q = q("m53_snapshot_expire",
+    """WITH v3 AS (SELECT o_totalprice FROM orders
+      |           UNION ALL
+      |           SELECT o_totalprice FROM orders WHERE o_orderkey % 1000 = 0),
+      |v4 AS (SELECT o_totalprice FROM orders
+      |       WHERE o_totalprice <= CAST(300000 AS DOUBLE))
+      |SELECT 1 AS phase, CAST(2 AS INT) AS dropped_manifests,
+      |  CAST(0 AS INT) AS dropped_commits, CAST(3 AS INT) AS oldest_version,
+      |  (SELECT COUNT(*) FROM v3) AS n_rows,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM v3) AS total
+      |UNION ALL
+      |SELECT 2, CAST(1 AS INT), CAST(3 AS INT), CAST(4 AS INT),
+      |  (SELECT COUNT(*) FROM v4),
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM v4)
+      |ORDER BY phase""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m53")
+    val src = ordersSrc(c)
+    TimeTravel.commit(wh, "analytics", "orders_exp",
+      src.filter(col("o_orderdate") < cutoff), "overwrite")
+    TimeTravel.commit(wh, "analytics", "orders_exp",
+      src.filter(col("o_orderdate") >= cutoff), "append")
+    TimeTravel.commit(wh, "analytics", "orders_exp",
+      src.filter(col("o_orderkey") % 1000 === 0), "append")
+    TimeTravel.commit(wh, "analytics", "orders_exp",
+      src.filter(col("o_totalprice") <= 300000.0), "overwrite")
+    def phaseRow(phase: Int, keepLast: Int) = {
+      val (dm, dc) = TimeTravel.expire(wh, "analytics", "orders_exp", keepLast)
+      val oldest = TimeTravel.history(wh, "analytics", "orders_exp")
+        .head.version
+      TimeTravel.read(wh, "analytics", "orders_exp", oldest)
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+        .select(lit(phase).as("phase"), lit(dm).as("dropped_manifests"),
+          lit(dc).as("dropped_commits"), lit(oldest).as("oldest_version"),
+          col("n_rows"), col("total"))
+        // pinned BEFORE the next phase's sweep deletes the very files
+        // this aggregate reads — the retention contract in miniature
+        .localCheckpoint(true)
+    }
+    phaseRow(1, 2).unionAll(phaseRow(2, 1)).orderBy("phase")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
-    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51, m52)
+    m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51, m52,
+    m53)
 }

@@ -15,6 +15,40 @@ class EngineSpec extends SparkSpec {
   private def df(rows: Seq[(Long, String, Int)]) =
     spark.createDataFrame(rows).toDF("k", "v", "wm")
 
+  test("m53: expire reference-counts — shared commits survive, exclusive ones sweep, orphans sweep, expired reads refuse") {
+    import spark.implicits._
+    val wh = freshWh("expire")
+    def rows(v: Int) = TimeTravel.read(wh, "s", "t", v)
+      .collect().map(_.toString).toSet
+    TimeTravel.commit(wh, "s", "t", Seq((1L, "a")).toDF("k", "v"), "overwrite")
+    TimeTravel.commit(wh, "s", "t", Seq((2L, "b")).toDF("k", "v"), "append")
+    TimeTravel.commit(wh, "s", "t", Seq((3L, "c")).toDF("k", "v"), "append")
+    val v3 = rows(3)
+    // a crashed writer's residue: a commit dir no manifest references
+    Seq((9L, "x")).toDF("k", "v").write.parquet(
+      wh.path("s", "t") + "/_commits/c00099")
+
+    // keepLast=2: v1's manifest drops, but its COMMIT survives — v2
+    // and v3 still reference it (the append chain); the orphan sweeps
+    val (dm1, dc1) = TimeTravel.expire(wh, "s", "t", keepLast = 2)
+    assert((dm1, dc1) == (1, 1),
+      s"expected 1 manifest + the orphan dir swept, got ($dm1, $dc1)")
+    assert(rows(3) == v3, "shared files must survive the sweep bit-identically")
+    assert(TimeTravel.history(wh, "s", "t").map(_.version) == Seq(2, 3))
+    intercept[IllegalArgumentException] { rows(1) }
+
+    // keepLast=1: v2's manifest drops; every commit is still shared
+    // with v3, so zero data dirs sweep
+    assert(TimeTravel.expire(wh, "s", "t", keepLast = 1) == (1, 0))
+    assert(rows(3) == v3)
+
+    // an overwrite orphans the whole old chain: the next sweep
+    // reclaims all three old commits
+    TimeTravel.commit(wh, "s", "t", Seq((4L, "d")).toDF("k", "v"), "overwrite")
+    assert(TimeTravel.expire(wh, "s", "t", keepLast = 1) == (1, 3))
+    assert(rows(4).nonEmpty)
+  }
+
   test("m47: a lost CAS leaves history intact and its data dir as unreferenced residue") {
     import spark.implicits._
     val wh = freshWh("occ")
