@@ -159,7 +159,16 @@ object Bench {
     // corpus-linear in the same two writes plus two probe joins;
     // m53 = four manifest commits + two reference-counted sweeps —
     // commit IO is the linear term, the sweeps are pure metadata
-    "s17_index_asof", "m53_snapshot_expire")
+    "s17_index_asof", "m53_snapshot_expire",
+    // r15 session 2: m54 = three branch commits + ref renames (commit
+    // IO linear, every ref op pure metadata); x32 = two metadata-sized
+    // aggs + one map-side decision pass; x33 = one narrow
+    // tokenize→explode→slice projection (its only super-linear risk
+    // is the oracle orderBy — the x20 watch item); s18 = s04's probe
+    // shape + a second (residual) training pass and per-probe ADC
+    // tables — same cluster-key join bounds, linear is the claim
+    "m54_table_branches", "x32_temperature_mix", "x33_sliding_chunks",
+    "s18_ann_ivfpq_residual")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -81,11 +81,29 @@ object TimeTravel {
     * SHARED, never rewritten). Returns the committed version number.
     */
   def commit(wh: Warehouse, schema: String, table: String, df: DataFrame,
-      mode: String): Int = {
+      mode: String): Int =
+    commitFrom(wh, schema, table, df, mode, Int.MaxValue)
+
+  /** [[commit]] with an EXPLICIT parent snapshot — the primitive that
+    * makes branching possible (Branches.scala): an `append` composes
+    * against the parent's commit set instead of the global latest, so
+    * two refs can grow divergent histories over the same linear
+    * version-number space (version numbers are allocation slots,
+    * lineage lives in the refs — the Iceberg snapshot-DAG shape).
+    * `parentVersion = Int.MaxValue` means "latest", which is exactly
+    * [[commit]].
+    */
+  def commitFrom(wh: Warehouse, schema: String, table: String, df: DataFrame,
+      mode: String, parentVersion: Int): Int = {
     require(mode == "overwrite" || mode == "append", s"unknown commit mode $mode")
     val r = root(wh, schema, table)
     val f = fsOf(wh, r)
     val prior = history(wh, schema, table)
+    val parent =
+      if (parentVersion == Int.MaxValue) prior.lastOption
+      else Some(prior.find(_.version == parentVersion).getOrElse(
+        throw new IllegalArgumentException(
+          s"$schema.$table has no committed version $parentVersion to commit from")))
     val n = prior.lastOption.map(_.version).getOrElse(0) + 1
     val cn = commitName(n)
     // data first — readers still resolve the previous manifest. A dir
@@ -94,7 +112,7 @@ object TimeTravel {
     // it is safe — this is also what unblocks commits after a crash.
     df.write.mode("overwrite").parquet(commitDir(r, cn).toString)
     val commits =
-      if (mode == "append") prior.lastOption.map(_.commits).getOrElse(Nil) :+ cn
+      if (mode == "append") parent.map(_.commits).getOrElse(Nil) :+ cn
       else Seq(cn)
     val json = s"""{"version":$n,"commits":[${commits.map("\"" + _ + "\"").mkString(",")}]}"""
     // manifest rename is the atomic commit point (Delta-log protocol)
@@ -180,14 +198,19 @@ object TimeTravel {
     * (droppedManifests, droppedCommitDirs).
     */
   def expire(wh: Warehouse, schema: String, table: String,
-      keepLast: Int): (Int, Int) = {
+      keepLast: Int, protect: Set[Int] = Set.empty): (Int, Int) = {
     require(keepLast >= 1, "retention must keep at least the latest version")
     val r = root(wh, schema, table)
     val f = fsOf(wh, r)
     val snaps = history(wh, schema, table)
     require(snaps.nonEmpty, s"$schema.$table has no committed versions")
-    val dropped = snaps.dropRight(keepLast)
-    val keep = snaps.takeRight(keepLast).flatMap(_.commits).toSet
+    // `protect` pins versions OUTSIDE the keepLast window — ref heads
+    // (Branches.expire passes every branch/tag head, Iceberg's
+    // expire-respects-refs rule): their manifests survive, and
+    // therefore so does every commit they reference
+    val dropped = snaps.dropRight(keepLast).filterNot(s => protect(s.version))
+    val keep = (snaps.takeRight(keepLast) ++
+      snaps.filter(s => protect(s.version))).flatMap(_.commits).toSet
     val md = manifestDir(r)
     dropped.foreach { s =>
       f.delete(new org.apache.hadoop.fs.Path(md, f"v${s.version}%05d.json"),

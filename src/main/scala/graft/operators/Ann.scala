@@ -855,10 +855,19 @@ object Ann {
     * centroid.
     */
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
-      kmeansIters: Int = 2, dim: Int = 64): PqCodebook = {
+      kmeansIters: Int = 2, dim: Int = 64): PqCodebook =
+    pqCodebooksOn(
+      normed(corpus).select(col("vec_id"), unit("v", "nrm").as("u")),
+      m, k, kmeansIters, dim)
+
+  /** [[pqCodebooks]] over an ALREADY-PREPARED vector frame
+    * (vec_id, u) — the seam that lets the residual form (s18) train
+    * the same Lloyd machinery on residuals instead of unit vectors.
+    */
+  private[graft] def pqCodebooksOn(u: DataFrame, m: Int, k: Int,
+      kmeansIters: Int, dim: Int): PqCodebook = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
-    val u = normed(corpus).select(col("vec_id"), unit("v", "nrm").as("u"))
     val seedRows = u.filter(col("vec_id") < k)
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
@@ -956,6 +965,96 @@ object Ann {
       Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
     topK(rescored, k)
   }
+
+  /** RESIDUAL-encoded IVF-PQ (s18 — the full FAISS IVFPQ shape,
+    * closing the trade [[ivfpq]]'s docstring prices): PQ codes
+    * quantize each vector's RESIDUAL against its coarse centroid,
+    * u − ĉ(cluster), instead of the unit vector itself. Residuals of
+    * a cluster's members are centered near zero with a spread of one
+    * CLUSTER radius instead of the whole sphere, so the same m×k code
+    * budget spends its resolution on the only part of the vector the
+    * coarse index hasn't already explained — the classic ~1 extra bit
+    * of effective precision per dimension WHERE THE COARSE QUANTIZER
+    * EXPLAINS VARIANCE (clustered corpora — real embedding spaces; on
+    * a structureless uniform sphere |u − ĉ|² ≈ 2 and the win inverts,
+    * which is why the dominance spec plants clusters and why the
+    * exact re-rank below makes the choice a recall dial, never a
+    * correctness one). The price is that ADC
+    * tables become per-(query, probed cluster): the query re-centers
+    * against EACH probed centroid (nProbe table builds instead of
+    * one, each m·k·(dim/m) work — config-sized, never corpus-sized).
+    * Candidate generation, shortlist, and the exact-cosine re-rank
+    * are [[ivfpq]] verbatim, so reported scores stay exact whichever
+    * coding generated the shortlist (recon-error dominance on a
+    * planted clustered corpus is spec-pinned, and the registered
+    * entry hash-gates against a DuckDB oracle that retrains coarse +
+    * residual-PQ codebooks in SQL).
+    */
+  def ivfpqResidual(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, pqK: Int = 16,
+      shortlist: Int = 64, kmeansIters: Int = 2, dim: Int = 64): DataFrame = {
+    val coarse = ivfCodebook(corpus, nCentroids, kmeansIters)
+    val cuLit = unitCentroidsLit(coarse)
+    val subDim = dim / m
+    // member residual: u − ĉ(own cluster); one frame feeds PQ
+    // training AND encoding (frozen — two consumers)
+    val nc = normed(corpus)
+      .withColumn("cluster", array_max(centScoresFor(coarse, "v"))("i"))
+      .withColumn("u", unit("v", "nrm"))
+      .withColumn("res", residual(col("u"), col("cluster"), cuLit))
+      .localCheckpoint(true)
+    val pq = pqCodebooksOn(nc.select(col("vec_id"), col("res").as("u")),
+      m, pqK, kmeansIters, dim)
+    val cbLit = pqLit(pq)
+    val enc = nc
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)),
+        j => nearestCode(slice(col("res"), j * subDim + 1, lit(subDim)), j, cbLit)))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+        col("cluster"), col("codes"))
+    // query side: residual (and therefore the ADC table) is PER
+    // PROBED CLUSTER — computed after the probe explode
+    val qs = normed(queries)
+      .withColumn("u", unit("v", "nrm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("u"),
+        explode(transform(
+          slice(reverse(array_sort(centScoresFor(coarse, "v"))), 1, nProbe),
+          p => p("i"))).as("cluster"))
+      .withColumn("qres", residual(col("u"), col("cluster"), cuLit))
+      .withColumn("dtab", transform(sequence(lit(0), lit(m - 1)),
+        j => transform(element_at(cbLit, j + 1),
+          c => l2sq(slice(col("qres"), j * subDim + 1, lit(subDim)), c))))
+    val adc = enc.join(qs, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        col("v"), col("nrm"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)).as("adc"))
+    val wsl = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = adc.withColumn("r", row_number().over(wsl))
+      .filter(col("r") <= shortlist)
+    val rescored = short.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(rescored, k)
+  }
+
+  /** Unit coarse centroids as a cid-indexed literal (ids are
+    * 0..k−1 by the seeding rule; asserted). Config-sized.
+    */
+  private[graft] def unitCentroidsLit(cs: Codebook): Column = {
+    val sorted = cs.sortBy(_._1)
+    require(sorted.map(_._1).toSeq == (0 until cs.length),
+      "coarse centroid ids must be the dense 0..k-1 seed range")
+    typedLit(sorted.map { case (_, cv, ncv) => cv.map(_ / ncv).toSeq }.toSeq)
+  }
+
+  /** u − ĉ(cluster): per-component subtraction against the
+    * cid-indexed unit-centroid literal.
+    */
+  private def residual(u: Column, cluster: Column, cuLit: Column): Column =
+    zip_with(u, element_at(cuLit, cluster + 1), (a, b) => a - b)
 
   /** Near-dup pairs via sign-random-projection buckets + exact
     * verify — the REGISTERED scale path for d05. Candidate pairs come

@@ -2574,9 +2574,69 @@ object Engine {
     phaseRow(1, 2).unionAll(phaseRow(2, 1)).orderBy("phase")
   }
 
+  // m54 — BRANCHES + TAGS over the versioned warehouse (Iceberg
+  // CREATE BRANCH / fast_forward, Nessie's git-for-data;
+  // core/Branches.scala): a staging branch takes N commits in full
+  // isolation — `main` readers keep resolving their own head, pinned
+  // here BEFORE the publish (phase 1) — then `main` fast-forwards to
+  // the branch head in ONE ref-file rename (phases 2/3: dev and the
+  // published main read identically). A tag freezes the release
+  // version immutably. This is m33's write-audit-publish generalized
+  // from one staged table to a whole commit HISTORY, and the
+  // reference's CI-schema isolation (copier.py:110-284) at the cost
+  // of a JSON file instead of a table copy. Divergence refusal, tag
+  // immutability, crash residue, and ref-protected expiry are
+  // EngineSpec-pinned; the oracle reproduces each phase's snapshot
+  // from source predicates + the deterministic commit topology
+  // (version numbers are global allocation slots: v1 trunk, v2/v3
+  // dev — exactly the literals below).
+  val m54: Q = q("m54_table_branches",
+    """WITH v1 AS (SELECT o_totalprice FROM orders
+      |           WHERE o_orderdate < TIMESTAMP '1996-07-01'),
+      |v3 AS (SELECT o_totalprice FROM orders
+      |       WHERE o_totalprice <= CAST(300000 AS DOUBLE))
+      |SELECT 1 AS phase, 'main' AS ref, CAST(1 AS INT) AS version,
+      |  (SELECT COUNT(*) FROM v1) AS n_rows,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM v1) AS total
+      |UNION ALL
+      |SELECT 2, 'dev', CAST(3 AS INT), (SELECT COUNT(*) FROM v3),
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM v3)
+      |UNION ALL
+      |SELECT 3, 'main', CAST(3 AS INT), (SELECT COUNT(*) FROM v3),
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM v3)
+      |ORDER BY phase""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m54")
+    val src = ordersSrc(c)
+    TimeTravel.commit(wh, "analytics", "orders_br",
+      src.filter(col("o_orderdate") < cutoff), "overwrite") // v1 (trunk)
+    Branches.create(wh, "analytics", "orders_br", "dev")
+    Branches.commitTo(wh, "analytics", "orders_br", "dev",
+      src.filter(col("o_orderdate") >= cutoff), "append") // v2, dev=[1,2]
+    Branches.commitTo(wh, "analytics", "orders_br", "dev",
+      src.filter(col("o_totalprice") <= 300000.0), "overwrite") // v3
+    Branches.create(wh, "analytics", "orders_br", "release",
+      from = "dev", tag = true) // frozen at the audit point
+    def phaseRow(phase: Int, refName: String) = {
+      val v = Branches.resolve(wh, "analytics", "orders_br", refName).head
+      Branches.read(wh, "analytics", "orders_br", refName)
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(decTotal(col("o_totalprice")))).as("total"))
+        .select(lit(phase).as("phase"), lit(refName).as("ref"),
+          lit(v).as("version"), col("n_rows"), col("total"))
+    }
+    // pinned BEFORE the fast-forward — isolation is the claim: main
+    // still serves v1 while dev sits at v3
+    val isolated = phaseRow(1, "main").localCheckpoint(true)
+    Branches.fastForward(wh, "analytics", "orders_br",
+      to = "main", from = "dev")
+    isolated.unionAll(phaseRow(2, "dev")).unionAll(phaseRow(3, "main"))
+      .orderBy("phase")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
     m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51, m52,
-    m53)
+    m53, m54)
 }

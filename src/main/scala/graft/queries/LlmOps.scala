@@ -791,6 +791,73 @@ object LlmOps {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of [[Ann.ivfpqResidual]]: [[ivfpqOracleSql]] with
+    * the PQ trained and applied on RESIDUALS — members re-center
+    * against their OWN assigned centroid (af ⋈ unit centroids `cu`),
+    * the query against EACH probed centroid (qsubs keyed by (vec_id,
+    * cid) — the per-probe ADC table the residual form pays for). All
+    * other details verbatim from the s04 oracle: exact scaled-integer
+    * Lloyd means (trunc == Spark's double→long cast, valid on the
+    * negative components residuals introduce), argmin ties to the
+    * LOWEST code, ADC as an ORDERED list fold, shortlist by (adc ASC,
+    * neighbor_id), exact-cosine re-rank.
+    */
+  private def ivfpqResidualOracleSql(nCentroids: Int, nProbe: Int, k: Int,
+      m: Int = 8, pqK: Int = 16, shortlist: Int = 64,
+      iters: Int = 2): String = {
+    val subDim = 64 / m
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc, x) -> acc + x)"
+    def pqAssign(out: String, cb: String) =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT s.vec_id, s.j, s.sub, p.c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${l2("s.sub", "p.pv")} ASC, p.c ASC) AS rn
+         |  FROM subs s JOIN $cb p ON p.j = s.j) WHERE rn = 1)""".stripMargin
+    val pqLloyd = (1 to iters).map { t =>
+      s"""${pqAssign(s"pa$t", s"p${t - 1}")},
+         |pm$t AS (SELECT j, c, i AS pos,
+         |    CAST(SUM(CAST(trunc(sub[i]*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
+         |  FROM pa$t, range(1, ${subDim + 1}) t(i) GROUP BY j, c, i),
+         |pg$t AS (SELECT j, c, list(comp ORDER BY pos) AS pv FROM pm$t GROUP BY j, c),
+         |p$t AS (SELECT p.j, p.c, COALESCE(g.pv, p.pv) AS pv
+         |  FROM p${t - 1} p LEFT JOIN pg$t g ON g.j = p.j AND g.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""${ivfTrainSql(nCentroids, iters)},
+       |cu AS (SELECT cid, list_transform(range(1, 65), i -> cv[i]/ncv) AS cuv FROM c$iters),
+       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
+       |u AS (SELECT vec_id, list_transform(range(1, 65), i -> v[i]/nrm) AS uv FROM n),
+       |res AS (SELECT u.vec_id, list_transform(range(1, 65), i -> u.uv[i] - c.cuv[i]) AS rv
+       |  FROM u JOIN af a ON a.vec_id = u.vec_id JOIN cu c ON c.cid = a.cid),
+       |subs AS (SELECT vec_id, j, list_slice(rv, j*$subDim+1, j*$subDim+$subDim) AS sub
+       |  FROM res, range(0, $m) t(j)),
+       |p0 AS (SELECT j, vec_id AS c, sub AS pv FROM subs WHERE vec_id < $pqK),
+       |$pqLloyd,
+       |${pqAssign("codes", s"p$iters")},
+       |qres AS (SELECT q.vec_id, q.cid, list_transform(range(1, 65), i -> u.uv[i] - c.cuv[i]) AS qrv
+       |  FROM pf q JOIN u ON u.vec_id = q.vec_id JOIN cu c ON c.cid = q.cid),
+       |qsubs AS (SELECT vec_id, cid, j, list_slice(qrv, j*$subDim+1, j*$subDim+$subDim) AS sub
+       |  FROM qres, range(0, $m) t(j)),
+       |perj AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, nc.j,
+       |    ${l2("qs.sub", "p.pv")} AS dist
+       |  FROM pf q
+       |  JOIN af a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+       |  JOIN codes nc ON nc.vec_id = a.vec_id
+       |  JOIN qsubs qs ON qs.vec_id = q.vec_id AND qs.cid = q.cid AND qs.j = nc.j
+       |  JOIN p$iters p ON p.j = nc.j AND p.c = nc.c),
+       |adc AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list(dist ORDER BY j), (acc, x) -> acc + x) AS adc
+       |  FROM perj GROUP BY query_id, neighbor_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS r FROM adc) WHERE r <= $shortlist),
+       |sc AS (SELECT query_id, neighbor_id, ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) AS cos
+       |  FROM short JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
       iters: Int = 2): String =
     s"""${ivfTrainSql(nCentroids, iters)},
@@ -1009,6 +1076,21 @@ object LlmOps {
   val s04: Q = q("s04_ann_ivfpq",
     ivfpqOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
     Ann.ivfpq(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // s18 — RESIDUAL IVF-PQ (the full FAISS IVFPQ shape — closes the
+  // trade s04's docstring prices: codes spend their resolution on the
+  // residual the coarse index hasn't explained, ~1 extra effective
+  // bit/dim; ADC tables become per-(query, probed cluster), nProbe
+  // config-sized builds instead of one). Same probe bound, shortlist,
+  // and exact re-rank as s04; oracle retrains coarse + residual-PQ
+  // codebooks in SQL (ivfpqResidualOracleSql) and hash-compares every
+  // rank. Recon-error dominance over direct coding is spec-pinned.
+  val s18: Q = q("s18_ann_ivfpq_residual",
+    ivfpqResidualOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
+    Ann.ivfpqResidual(c.embeddings.filter(col("vec_id") < 20),
+        c.embeddings, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -3616,12 +3698,126 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // x32 — TEMPERATURE-RESAMPLED corpus mix (the mT5 §3.1 / XLM-R
+  // alpha-sampling that x10's FIXED per-source rates cannot express):
+  // per-source sampling weights are DERIVED from the corpus itself —
+  // q_i ∝ p_i^α with p_i the source's token share and α = 0.5 (sqrt:
+  // IEEE-exact in every engine, unlike pow) — then each source's
+  // per-doc rate r_i = T·q_i/tokens_i rebalances the SAME total token
+  // budget toward low-resource sources: r_i > 1 means UPSAMPLE
+  // (every doc repeats ⌊r⌋ times plus a deterministic fractional
+  // copy), r_i < 1 means downsample. All arithmetic is engine-
+  // portable by construction: token counts are exact longs, weights
+  // go through a µ-quantized fixed point (w_i = ⌊√(p_i)·10⁹⌋ summed
+  // as longs — order-free), rates live in INTEGER ppm, and the
+  // fractional keep is a multiplicative-hash residue test — no
+  // pow(), no float sums, so the DuckDB oracle reproduces every
+  // decision bit-for-bit. Scale shape: two metadata-sized aggregates
+  // (per-source counts, corpus total) broadcast back over ONE
+  // corpus pass — the decision is map-side; the upsample explode
+  // happens only in the consumer that materializes epochs.
+  val x32: Q = q("x32_temperature_mix",
+    """WITH tok AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+      |per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS toks
+      |        FROM tok GROUP BY source),
+      |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM per),
+      |w AS (SELECT source, n_docs, toks,
+      |    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE) / T) * 1000000000) AS BIGINT) AS wi
+      |  FROM per, tot),
+      |ws AS (SELECT CAST(SUM(wi) AS BIGINT) AS W FROM w),
+      |r AS (SELECT source, n_docs, toks, CAST(wi AS DOUBLE) / W AS qi,
+      |    CAST(FLOOR((SELECT T FROM tot) * (CAST(wi AS DOUBLE) / W) / toks * 1000000) AS BIGINT) AS rate_ppm
+      |  FROM w, ws),
+      |kept AS (SELECT tok.source, t,
+      |    rate_ppm // 1000000 + CASE
+      |      WHEN (doc_id * 2654435761) % 1000000 < rate_ppm % 1000000
+      |      THEN 1 ELSE 0 END AS rep
+      |  FROM tok JOIN r USING (source))
+      |SELECT r.source, n_docs, toks AS orig_tokens, ROUND(qi, 6) AS weight,
+      |  rate_ppm, CAST(SUM(rep) AS BIGINT) AS n_kept,
+      |  CAST(SUM(rep * t) AS BIGINT) AS kept_tokens
+      |FROM kept JOIN r ON kept.source = r.source
+      |GROUP BY r.source, n_docs, toks, qi, rate_ppm
+      |ORDER BY r.source""") { c =>
+    val tok = c.documents.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("t"))
+    val per = tok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").cast(LongType).as("toks"))
+    val tot = per.agg(sum("toks").cast(LongType).as("T"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("wi",
+        floor(sqrt(col("toks").cast(DoubleType) / col("T")) * 1000000000L)
+          .cast(LongType))
+    val ws = w.agg(sum("wi").cast(LongType).as("W"))
+    val r = w.crossJoin(broadcast(ws))
+      .withColumn("qi", col("wi").cast(DoubleType) / col("W"))
+      .withColumn("rate_ppm",
+        floor(col("T") * col("qi") / col("toks") * 1000000).cast(LongType))
+    val kept = tok.join(broadcast(r.select("source", "rate_ppm")), "source")
+      // fractional keep: a golden-ratio multiplicative hash spreads
+      // even small sequential doc_ids across the ppm grid (a small
+      // multiplier would map ids < 1e6/mult onto a tiny prefix)
+      .withColumn("rep", expr("rate_ppm DIV 1000000") +
+        when(pmod(col("doc_id") * 2654435761L, lit(1000000L)) <
+          pmod(col("rate_ppm"), lit(1000000L)), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(sum("rep").cast(LongType).as("n_kept"),
+        sum(col("rep") * col("t")).cast(LongType).as("kept_tokens"))
+    r.select(col("source"), col("n_docs"), col("toks").as("orig_tokens"),
+        round(col("qi"), 6).as("weight"), col("rate_ppm"))
+      .join(kept, "source")
+      .orderBy("source")
+  }
+
+  // x33 — SLIDING-WINDOW chunking with overlap (the RAG/embedding
+  // chunker; d07's fixed segments are the DEDUP view of a document,
+  // this is the RETRIEVAL view): 12-token windows every 8 tokens, so
+  // consecutive chunks share a 4-token overlap and no span longer
+  // than the stride is ever split across a chunk boundary without
+  // also appearing whole in one. Each chunk carries its PROVENANCE —
+  // (doc_id, chunk_id, start_tok) — which is what lets retrieval
+  // hits map back to exact source spans (and what d09's span-level
+  // dedup consumes). Chunk count per doc is pure integer arithmetic
+  // (⌈(n−12)/8⌉+1, one chunk for short docs), so the oracle agrees
+  // on every boundary. Scale shape: ONE narrow projection pass —
+  // tokenize, per-row explode of a computed range, slice; no
+  // shuffle anywhere in the operator (the orderBy is the oracle
+  // harness's determinism, dropped in production — the x20 rule).
+  val x33: Q = q("x33_sliding_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |              FROM documents),
+      |base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+      |ids AS (SELECT doc_id, t, unnest(range(0,
+      |      CASE WHEN n <= 12 THEN 1 ELSE (n - 12 + 7) // 8 + 1 END)) AS chunk_id
+      |  FROM base)
+      |SELECT doc_id, chunk_id, chunk_id * 8 AS start_tok,
+      |  CAST(len(t[chunk_id*8+1 : chunk_id*8+12]) AS BIGINT) AS n_toks,
+      |  array_to_string(t[chunk_id*8+1 : chunk_id*8+12], ' ') AS chunk_text
+      |FROM ids ORDER BY doc_id, chunk_id""") { c =>
+    val win = 12L
+    val stride = 8L
+    c.documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        when(col("n") <= win, lit(0L))
+          .otherwise(expr(s"(n - $win + ${stride - 1}) DIV $stride")))))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk",
+        slice(col("t"), (col("start_tok") + 1).cast(IntegerType), lit(win.toInt)))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast(LongType).as("n_toks"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[Q] = Seq(d01, d02, d02auto, d03, d03auto, d04, d04auto, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
-    s14, s15, s15auto, s16, s17,
+    s14, s15, s15auto, s16, s17, s18,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31,
+    x29, x30, x31, x32, x33,
     p01, p02, p03, p03auto, p04, mm01, mm02, mm03, mm04, mm05, mm06)
 }

@@ -49,6 +49,91 @@ class EngineSpec extends SparkSpec {
     assert(rows(4).nonEmpty)
   }
 
+  test("m54 branches: isolation, at-ancestor creation, divergence refusal, tag immutability") {
+    import spark.implicits._
+    val wh = freshWh("branches")
+    def rowsOf(name: String) = Branches.read(wh, "s", "t", name)
+      .collect().map(_.toString).toSet
+    TimeTravel.commit(wh, "s", "t", Seq((1L, "a")).toDF("k", "v"), "overwrite") // v1
+    TimeTravel.commit(wh, "s", "t", Seq((2L, "b")).toDF("k", "v"), "append") // v2
+    // dev branches at trunk head, takes an isolated commit
+    Branches.create(wh, "s", "t", "dev")
+    Branches.commitTo(wh, "s", "t", "dev",
+      Seq((3L, "c")).toDF("k", "v"), "append") // v3, dev=[1,2,3]
+    assert(rowsOf("main").size == 2, "main must not see dev's commit")
+    assert(rowsOf("dev").size == 3)
+    // branch at an ANCESTOR version: lineage is the prefix through it
+    val hotfix = Branches.create(wh, "s", "t", "hotfix", at = 1)
+    assert(hotfix.versions == Seq(1))
+    assert(rowsOf("hotfix") == Set("[1,a]"))
+    // a tag freezes dev's audit point and refuses every mutation
+    Branches.create(wh, "s", "t", "rel", from = "dev", tag = true)
+    intercept[IllegalArgumentException] {
+      Branches.commitTo(wh, "s", "t", "rel",
+        Seq((9L, "z")).toDF("k", "v"), "append")
+    }
+    intercept[IllegalArgumentException] {
+      Branches.fastForward(wh, "s", "t", to = "rel", from = "dev")
+    }
+    // hotfix diverges (v4 on top of v1) — fast-forwarding main onto it
+    // would lose v2, so the ancestry check refuses, in BOTH directions
+    Branches.commitTo(wh, "s", "t", "hotfix",
+      Seq((8L, "h")).toDF("k", "v"), "append") // v4, hotfix=[1,4]
+    intercept[IllegalArgumentException] {
+      Branches.fastForward(wh, "s", "t", to = "main", from = "hotfix")
+    }
+    intercept[IllegalArgumentException] {
+      Branches.fastForward(wh, "s", "t", to = "hotfix", from = "dev")
+    }
+    // the publish: main fast-forwards to dev's head — pure ancestry,
+    // one ref rename, reads become bit-identical
+    val dev = rowsOf("dev")
+    Branches.fastForward(wh, "s", "t", to = "main", from = "dev")
+    assert(rowsOf("main") == dev)
+    // a crashed FIRST save (tmp written, rename never happened) is no
+    // ref: its dir holds no committed seq file, so listing skips it
+    val ghost = new org.apache.hadoop.fs.Path(
+      wh.path("s", "t"), "_refs/ghost/.r00001.json.__tmp")
+    val fs = ghost.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(ghost, true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    assert(Branches.list(wh, "s", "t").map(_.name) ==
+      Seq("dev", "hotfix", "main", "rel"))
+  }
+
+  test("m54 branches: ref-protected expiry keeps every head servable; unreferenced versions sweep") {
+    import spark.implicits._
+    val wh = freshWh("brexpire")
+    def rowsOf(name: String) = Branches.read(wh, "s", "t", name)
+      .collect().map(_.toString).toSet
+    TimeTravel.commit(wh, "s", "t", Seq((1L, "a")).toDF("k", "v"), "overwrite") // v1
+    Branches.create(wh, "s", "t", "dev")
+    Branches.commitTo(wh, "s", "t", "dev",
+      Seq((2L, "b")).toDF("k", "v"), "append") // v2, dev=[1,2]
+    // an OVERWRITE on main makes main=[1,3] — dev's v2 chain now
+    // shares nothing with main's head beyond v1
+    Branches.commitTo(wh, "s", "t", "main",
+      Seq((7L, "m")).toDF("k", "v"), "overwrite") // v3, main=[1,3]
+    // a crashed branch commit: manifest committed, ref never advanced
+    // — the version exists but no ref references it
+    TimeTravel.commitFrom(wh, "s", "t",
+      Seq((9L, "x")).toDF("k", "v"), "append", 2) // v4, orphan
+    val dev = rowsOf("dev")
+    val main = rowsOf("main")
+    assert(main == Set("[7,m]"), "overwrite must reset main's content")
+    // keepLast=1 retains v4 by window; heads v2 (dev) and v3 (main)
+    // survive ONLY through protection — and v1's manifest drops while
+    // its commit survives (dev's head still references it)
+    val (dm, dc) = Branches.expire(wh, "s", "t", keepLast = 1)
+    assert(dm == 1, s"only v1's manifest should drop, got $dm")
+    assert(dc == 0, "every commit is still referenced by a retained manifest")
+    assert(rowsOf("dev") == dev, "a branch head must survive expiry bit-identically")
+    assert(rowsOf("main") == main)
+    intercept[IllegalArgumentException] {
+      TimeTravel.read(wh, "s", "t", 1) // pre-retention trunk read refuses
+    }
+  }
+
   test("m47: a lost CAS leaves history intact and its data dir as unreferenced residue") {
     import spark.implicits._
     val wh = freshWh("occ")

@@ -1280,6 +1280,151 @@ class LlmOpsSpec extends SparkSpec {
     assert(e3 > 2.0 && e3 < 4.0 && !f3, s"prose entropy $e3")
   }
 
+  test("x32 temperature mix: sqrt-flattening, upsampling, and budget conservation on a skewed corpus") {
+    // planted skew: srcA 8 docs x 100 tokens (97.6% of the corpus),
+    // srcB 2 docs x 10 tokens — the low-resource source alpha-sampling
+    // exists to rescue
+    val docs = spark.createDataFrame(
+      (0L until 8L).map(i => (i, "srcA", Seq.fill(100)("a").mkString(" "))) ++
+        Seq((8L, "srcB", Seq.fill(10)("b").mkString(" ")),
+          (9L, "srcB", Seq.fill(10)("b").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("x32spec")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = LlmOps.all.find(_.name == "x32_temperature_mix").get
+      .run(spark, tmp.toString).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (a, b) = (out("srcA"), out("srcB"))
+    val T = a.getAs[Long]("orig_tokens") + b.getAs[Long]("orig_tokens")
+    assert(T == 820L)
+    // alpha = 0.5 flattens TOWARD uniform, never past it: the small
+    // source's weight rises above its raw share, the big one's falls
+    assert(b.getAs[Double]("weight") > 20.0 / 820.0)
+    assert(a.getAs[Double]("weight") < 800.0 / 820.0)
+    assert(b.getAs[Double]("weight") < a.getAs[Double]("weight"),
+      "flattening must not invert the order")
+    // rate > 1 on the small source = UPSAMPLING (every doc repeats),
+    // rate < 1 on the big one
+    assert(b.getAs[Long]("rate_ppm") > 1000000L)
+    assert(a.getAs[Long]("rate_ppm") < 1000000L)
+    val floorReps = b.getAs[Long]("rate_ppm") / 1000000L
+    assert(b.getAs[Long]("n_kept") >= 2 * floorReps &&
+      b.getAs[Long]("n_kept") <= 2 * (floorReps + 1),
+      "each doc repeats floor(rate) or floor(rate)+1 times")
+    // the resample REBALANCES the same token budget: total kept
+    // tokens stay near T (fractional-residue noise only)
+    val kept = a.getAs[Long]("kept_tokens") + b.getAs[Long]("kept_tokens")
+    assert(math.abs(kept - T).toDouble / T < 0.15, s"kept $kept vs budget $T")
+  }
+
+  test("x32 on the real corpus: weights sum to 1 and the token budget holds tight") {
+    val out = LlmOps.all.find(_.name == "x32_temperature_mix").get
+      .run(spark, sfDir).collect()
+    val T = out.map(_.getAs[Long]("orig_tokens")).sum
+    val kept = out.map(_.getAs[Long]("kept_tokens")).sum
+    assert(math.abs(kept - T).toDouble / T < 0.05,
+      s"budget drift ${math.abs(kept - T).toDouble / T}")
+    val wsum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+  }
+
+  test("x33 sliding chunks: boundaries, overlap, provenance, and stride reconstruction") {
+    val toks30 = (1 to 30).map(i => s"w$i")
+    val docs = spark.createDataFrame(Seq(
+      (1L, toks30.mkString(" ")), // 4 chunks: starts 0,8,16,24
+      (2L, (1 to 5).map(i => s"s$i").mkString(" ")), // short: 1 chunk
+      (3L, (1 to 12).map(i => s"t$i").mkString(" ")), // exactly one window
+      (4L, (1 to 13).map(i => s"u$i").mkString(" ")) // one past: 2 chunks
+    )).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("x33spec")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = LlmOps.all.find(_.name == "x33_sliding_chunks").get
+      .run(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(c => (c._3, c._4)).toSeq ==
+      Seq((0L, 12L), (8L, 12L), (16L, 12L), (24L, 6L)))
+    assert(byDoc(2L).map(c => (c._3, c._4)).toSeq == Seq((0L, 5L)))
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq == Seq((0L, 12L)))
+    assert(byDoc(4L).map(c => (c._3, c._4)).toSeq == Seq((0L, 12L), (8L, 5L)))
+    // consecutive chunks share exactly windowSize - stride = 4 tokens
+    val c1 = byDoc(1L).map(_._5.split(" ").toSeq)
+    assert(c1(0).takeRight(4) == c1(1).take(4), "4-token overlap")
+    // stride reconstruction: first `stride` tokens of every non-final
+    // chunk + the final chunk = the original token stream, in order
+    val rebuilt = (c1.init.flatMap(_.take(8)) ++ c1.last).toSeq
+    assert(rebuilt == toks30.toSeq, "chunks must tile the document")
+    // provenance: the chunk text IS the slice the offsets claim
+    for ((_, _, start, n, text) <- byDoc(1L))
+      assert(text.split(" ").toSeq ==
+        toks30.slice(start.toInt, start.toInt + n.toInt))
+  }
+
+  test("s18 residual PQ: tighter reconstruction than direct PQ at the same code budget; reported cosines are exact") {
+    // the residual-coding win exists where the coarse quantizer
+    // EXPLAINS variance — members near their centroid, residuals a
+    // small shared blob the code budget resolves finely. (On a
+    // structureless uniform sphere residuals SPREAD — |u − ĉ|² =
+    // 2 − 2cos ≈ 2 — and the win inverts; the synthetic bench
+    // embeddings are that corpus, so the dominance claim is pinned on
+    // a PLANTED clustered corpus: 32 tight clusters vs an 8-code
+    // budget, where direct coding cannot give each cluster a code but
+    // residual coding only has to cover the noise blob.)
+    val rnd = new scala.util.Random(77)
+    val centers = Array.fill(32, 64)(rnd.nextGaussian())
+    val planted = (0 until 32).map(i =>
+      (i.toLong, centers(i).map(_.toFloat).toSeq)) ++
+      (32 until 400).map { i =>
+        val c = centers(i % 32)
+        (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    val emb = spark.createDataFrame(planted).toDF("vec_id", "embedding")
+    val coarse = Ann.ivfCodebook(emb, nCentroids = 32, kmeansIters = 2)
+    val withU = Ann.assigned(emb, coarse)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+    val cu = coarse.sortBy(_._1).map { case (_, cv, nc) => cv.map(_ / nc) }
+    val rows = withU.select("vec_id", "u", "cluster").collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getInt(2)))
+    // both codebooks trained through the same Lloyd machinery, same
+    // m x k budget — only the input differs (unit vs residual)
+    val cbD = Ann.pqCodebooksOn(withU.select(col("vec_id"), col("u")),
+      8, 8, 2, 64)
+    val cbR = Ann.pqCodebooksOn(withU.select(col("vec_id"),
+      zip_with(col("u"),
+        element_at(Ann.unitCentroidsLit(coarse), col("cluster") + 1),
+        (a, b) => a - b).as("u")), 8, 8, 2, 64)
+    def reconErr(x: Array[Double], cb: Ann.PqCodebook): Double =
+      (0 until 8).map { j =>
+        val sub = x.slice(j * 8, j * 8 + 8)
+        cb(j).map(code =>
+          sub.zip(code).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    val (dSum, rSum) = rows.foldLeft((0.0, 0.0)) { case ((d, r0), (u, cl)) =>
+      // reconstructing u as c + decode(res) leaves error |res - dec|
+      val res = u.zip(cu(cl)).map { case (a, b) => a - b }
+      (d + reconErr(u, cbD), r0 + reconErr(res, cbR))
+    }
+    assert(rSum < dSum,
+      s"residual recon error $rSum must beat direct coding's $dSum")
+    // the re-rank claim (on the REAL corpus entry): every reported
+    // cosine is the EXACT pair cosine (quantization bounds
+    // candidates, never scores)
+    val vm = Ann.normed(cat.embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2))))
+      .toMap
+    val out = LlmOps.all.find(_.name == "s18_ann_ivfpq_residual").get
+      .run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qv, qn) = vm(r.getAs[Long]("query_id"))
+      val (nv, nn) = vm(r.getAs[Long]("neighbor_id"))
+      val cos = qv.zip(nv).map { case (a, b) => a * b }.sum / (qn * nn)
+      assert(math.abs(cos - r.getAs[Double]("cosine")) < 1.01e-6,
+        s"reported cosine must be the exact pair cosine, off at $r")
+    }
+  }
+
   test("codebook train/serve: the reloaded codebook probes bit-identically") {
     import graft.core.Warehouse
     val wh = Warehouse.scratch(spark, "cbspec")

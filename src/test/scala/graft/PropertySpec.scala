@@ -236,6 +236,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("branches == in-memory lineage model over random ref-op interleavings") {
+    // m54's algebra fuzzed: a random interleaving of branch commits,
+    // ref creations (branch or tag, at head or at an ancestor), and
+    // fast-forwards must keep every ref's read equal to a model that
+    // tracks (lineage, per-version content) as plain Scala data —
+    // including which operations REFUSE (tag mutation, divergent ff)
+    import spark.implicits._
+    for (iter <- 1 to 2) {
+      val rnd = new scala.util.Random(4000 + iter)
+      val wh = Warehouse.scratch(spark, s"prop_br$iter")
+      TimeTravel.commit(wh, "s", "t",
+        Seq((0L, "seed")).toDF("k", "v"), "overwrite")
+      var lineage = Map("main" -> Vector(1))
+      var tags = Set.empty[String]
+      var content = Map(1 -> Set(0L -> "seed"))
+      var nextV = 2
+      var nextRef = 0
+      def check(step: Int): Unit =
+        for (r <- lineage.keys) {
+          val got = Branches.read(wh, "s", "t", r).collect()
+            .map(x => x.getLong(0) -> x.getString(1)).toSet
+          assert(got == content(lineage(r).last),
+            s"iter $iter step $step ref $r")
+        }
+      for (step <- 1 to 10) {
+        val refs = lineage.keys.toVector.sorted
+        rnd.nextInt(3) match {
+          case 0 =>
+            val r = refs(rnd.nextInt(refs.size))
+            val row = (nextV.toLong, s"b$nextV")
+            val mode = if (rnd.nextBoolean()) "append" else "overwrite"
+            val df = Seq(row).toDF("k", "v")
+            if (tags(r))
+              intercept[IllegalArgumentException] {
+                Branches.commitTo(wh, "s", "t", r, df, mode)
+              }
+            else {
+              val v = Branches.commitTo(wh, "s", "t", r, df, mode)
+              assert(v == nextV, "version slots are allocated globally")
+              val parent = content(lineage(r).last)
+              content += nextV ->
+                (if (mode == "append") parent + row else Set(row))
+              lineage += r -> (lineage(r) :+ nextV)
+              nextV += 1
+            }
+          case 1 =>
+            val from = refs(rnd.nextInt(refs.size))
+            val name = s"r$nextRef"; nextRef += 1
+            val lin = lineage(from)
+            val at = lin(rnd.nextInt(lin.size))
+            val tag = rnd.nextBoolean()
+            Branches.create(wh, "s", "t", name, from = from, tag = tag, at = at)
+            lineage += name -> (lin.takeWhile(_ < at) :+ at)
+            if (tag) tags += name
+          case 2 =>
+            val to = refs(rnd.nextInt(refs.size))
+            val from = refs(rnd.nextInt(refs.size))
+            if (!tags(to) && lineage(from).startsWith(lineage(to))) {
+              Branches.fastForward(wh, "s", "t", to = to, from = from)
+              lineage += to -> lineage(from)
+            } else
+              intercept[IllegalArgumentException] {
+                Branches.fastForward(wh, "s", "t", to = to, from = from)
+              }
+        }
+        if (step % 3 == 0) check(step)
+      }
+      check(99)
+    }
+  }
+
   test("change data feed == in-memory snapshot diff on random tables") {
     val snapGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0, 5)))
       .map(_.distinctBy(_._1))
