@@ -168,7 +168,13 @@ object Bench {
     // shape + a second (residual) training pass and per-probe ADC
     // tables — same cluster-key join bounds, linear is the claim
     "m54_table_branches", "x32_temperature_mix", "x33_sliding_chunks",
-    "s18_ann_ivfpq_residual")
+    // s18 = s04's probe shape + the residual training/encoding pass;
+    // m55 = three commit writes + per-era mapped reads (commit IO is
+    // the linear term, every mapping op pure metadata)
+    // p05 = x32's two aggregates + the copy explode + one range
+    // shuffle + the two-phase pack scan — linear in resampled tokens
+    "s18_ann_ivfpq_residual", "m55_column_mapping",
+    "p05_epoch_materializer")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -40,10 +40,24 @@ object Packing {
     * [[Text.tokens]], the corpus-wide tokenization every operator
     * shares.
     */
-  def offsets(docs: DataFrame, numParts: Int = 32): DataFrame = {
-    val sized = docs
-      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tok"))
-      .repartitionByRange(numParts, col("doc_id"))
+  def offsets(docs: DataFrame, numParts: Int = 32): DataFrame =
+    offsetsKeyed(
+      docs.select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tok")),
+      "doc_id", numParts)
+      .select(col("doc_id"), col("n_tok"), col("start"))
+
+  /** The two-phase scan over an ARBITRARY pre-sized stream: `rows`
+    * carries a sortable `keyCol` plus `n_tok` (and any passthrough
+    * columns); `start` = total n_tok of all lower-key rows. This is
+    * the seam p05's epoch materializer packs through — the stream
+    * there is doc COPIES in shuffle-key order, not docs in id order.
+    * Keys must be unique (equal keys would make the within-partition
+    * order, and therefore the offsets, ambiguous).
+    */
+  def offsetsKeyed(rows: DataFrame, keyCol: String,
+      numParts: Int = 32): DataFrame = {
+    val sized = rows
+      .repartitionByRange(numParts, col(keyCol))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     val wRun = Window.orderBy("pid")
@@ -51,12 +65,12 @@ object Packing {
     val offs = sized.groupBy("pid").agg(sum("n_tok").as("total"))
       .select(col("pid"),
         coalesce(sum("total").over(wRun), lit(0L)).as("part_offset"))
-    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+    val wLocal = Window.partitionBy("pid").orderBy(keyCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     sized.join(broadcast(offs), "pid")
       .withColumn("start",
         col("part_offset") + coalesce(sum("n_tok").over(wLocal), lit(0L)))
-      .select(col("doc_id"), col("n_tok"), col("start"))
+      .drop("pid", "part_offset")
   }
 
   /** Pack into `seqLen`-token sequences: one row per sequence with

@@ -2634,9 +2634,64 @@ object Engine {
       .orderBy("phase")
   }
 
+  // m55 — COLUMN MAPPING (core/ColumnMapping.scala — Iceberg field-id
+  // schema evolution / Delta columnMapping: rename and drop as
+  // METADATA, the other half of m05's append_new_columns): a column's
+  // identity is its field id, so v1-era files serve a renamed column
+  // through the (id → physical name) binding of the schema they were
+  // WRITTEN under — zero rewrites at any table size — and a dropped
+  // field's bytes are never scanned again (the logical read's select
+  // prunes them out of every era). Phase 1 reads the renamed `price`
+  // across both eras; phase 2, after DROP o_orderdate + re-ADD of a
+  // NEW field with the same name, proves the field-id guarantee: the
+  // old eras' physical date bytes do NOT resurrect under the recycled
+  // name (dated_rows counts only the post-add commit — a name-based
+  // reader would count every row). Name-reuse, pruning, and collision
+  // refusals are EngineSpec-pinned.
+  val m55: Q = q("m55_column_mapping",
+    """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |x AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 1000 = 0)
+      |SELECT 1 AS phase, (SELECT COUNT(*) FROM t) AS n_rows,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM t) AS total,
+      |  (SELECT COUNT(*) FROM t) AS dated_rows
+      |UNION ALL
+      |SELECT 2, (SELECT COUNT(*) FROM t) + (SELECT COUNT(*) FROM x),
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) FROM
+      |     (SELECT o_totalprice FROM t UNION ALL SELECT o_totalprice FROM x)),
+      |  (SELECT COUNT(*) FROM x)
+      |ORDER BY phase""") { (spark, dir) =>
+    val c = Catalog(spark, dir)
+    val wh = Warehouse.scratch(spark, "m55")
+    val root = wh.path("analytics", "orders_cm")
+    val src = ordersSrc(c)
+    val t0 = ColumnMapping.create(
+      src.filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_orderdate", "o_totalprice"), root)
+    val t1 = ColumnMapping.rename(t0, "o_totalprice", "price")
+    val t2 = ColumnMapping.append(t1,
+      src.filter(col("o_orderdate") >= cutoff)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").as("price")))
+    def phaseRow(phase: Int, t: ColumnMapping.Table) =
+      ColumnMapping.read(spark, t)
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(decTotal(col("price")))).as("total"),
+          count(col("o_orderdate")).as("dated_rows"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("total"),
+          col("dated_rows"))
+    val p1 = phaseRow(1, t2) // t2's commit list is immutable — no pin needed
+    val t3 = ColumnMapping.addColumn(
+      ColumnMapping.drop(t2, "o_orderdate"), "o_orderdate", "TIMESTAMP")
+    val t4 = ColumnMapping.append(t3,
+      src.filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderdate")))
+    p1.unionAll(phaseRow(2, t4)).orderBy("phase")
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
     m11, m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24,
     m25, m26, m27, m28, m29, m30, m31, m32, m33, m34, m35, m36, m37, m38,
     m39, m40, m41, m42, m43, m44, m45, m46, m47, m48, m49, m50, m51, m52,
-    m53, m54)
+    m53, m54, m55)
 }

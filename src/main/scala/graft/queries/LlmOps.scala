@@ -3716,8 +3716,13 @@ object LlmOps {
   // (per-source counts, corpus total) broadcast back over ONE
   // corpus pass — the decision is map-side; the upsample explode
   // happens only in the consumer that materializes epochs.
-  val x32: Q = q("x32_temperature_mix",
-    """WITH tok AS (SELECT source, doc_id,
+  /** The shared rate-derivation SQL (tok → per-source → total →
+    * µ-quantized weights → ppm rates) — ONE source of truth for x32's
+    * accounting oracle and p05's epoch-materializer oracle, exactly
+    * as [[temperatureRates]] is for their Spark plans.
+    */
+  private val tempRateCtes =
+    """tok AS (SELECT source, doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
       |per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS toks
       |        FROM tok GROUP BY source),
@@ -3728,18 +3733,21 @@ object LlmOps {
       |ws AS (SELECT CAST(SUM(wi) AS BIGINT) AS W FROM w),
       |r AS (SELECT source, n_docs, toks, CAST(wi AS DOUBLE) / W AS qi,
       |    CAST(FLOOR((SELECT T FROM tot) * (CAST(wi AS DOUBLE) / W) / toks * 1000000) AS BIGINT) AS rate_ppm
-      |  FROM w, ws),
-      |kept AS (SELECT tok.source, t,
-      |    rate_ppm // 1000000 + CASE
+      |  FROM w, ws)""".stripMargin
+
+  /** SQL for a doc's repeat count under the derived rates: ⌊rate⌋
+    * plus the golden-ratio-hash fractional keep.
+    */
+  private val repSql =
+    """rate_ppm // 1000000 + CASE
       |      WHEN (doc_id * 2654435761) % 1000000 < rate_ppm % 1000000
-      |      THEN 1 ELSE 0 END AS rep
-      |  FROM tok JOIN r USING (source))
-      |SELECT r.source, n_docs, toks AS orig_tokens, ROUND(qi, 6) AS weight,
-      |  rate_ppm, CAST(SUM(rep) AS BIGINT) AS n_kept,
-      |  CAST(SUM(rep * t) AS BIGINT) AS kept_tokens
-      |FROM kept JOIN r ON kept.source = r.source
-      |GROUP BY r.source, n_docs, toks, qi, rate_ppm
-      |ORDER BY r.source""") { c =>
+      |      THEN 1 ELSE 0 END""".stripMargin
+
+  /** Spark side of [[tempRateCtes]]: (tok = per-doc token counts,
+    * r = per-source derived rates). Two metadata-sized aggregates
+    * broadcast back; the corpus is scanned once.
+    */
+  private def temperatureRates(c: Catalog): (DataFrame, DataFrame) = {
     val tok = c.documents.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("t"))
     val per = tok.groupBy("source")
@@ -3754,13 +3762,31 @@ object LlmOps {
       .withColumn("qi", col("wi").cast(DoubleType) / col("W"))
       .withColumn("rate_ppm",
         floor(col("T") * col("qi") / col("toks") * 1000000).cast(LongType))
+    (tok, r)
+  }
+
+  /** Per-doc repeat count (Spark side of [[repSql]]): a golden-ratio
+    * multiplicative hash spreads even small sequential doc_ids across
+    * the ppm grid (a small multiplier would map ids < 1e6/mult onto a
+    * tiny prefix).
+    */
+  private def repCol: Column = expr("rate_ppm DIV 1000000") +
+    when(pmod(col("doc_id") * 2654435761L, lit(1000000L)) <
+      pmod(col("rate_ppm"), lit(1000000L)), 1L).otherwise(0L)
+
+  val x32: Q = q("x32_temperature_mix",
+    s"""WITH $tempRateCtes,
+      |kept AS (SELECT tok.source, t, $repSql AS rep
+      |  FROM tok JOIN r USING (source))
+      |SELECT r.source, n_docs, toks AS orig_tokens, ROUND(qi, 6) AS weight,
+      |  rate_ppm, CAST(SUM(rep) AS BIGINT) AS n_kept,
+      |  CAST(SUM(rep * t) AS BIGINT) AS kept_tokens
+      |FROM kept JOIN r ON kept.source = r.source
+      |GROUP BY r.source, n_docs, toks, qi, rate_ppm
+      |ORDER BY r.source""") { c =>
+    val (tok, r) = temperatureRates(c)
     val kept = tok.join(broadcast(r.select("source", "rate_ppm")), "source")
-      // fractional keep: a golden-ratio multiplicative hash spreads
-      // even small sequential doc_ids across the ppm grid (a small
-      // multiplier would map ids < 1e6/mult onto a tiny prefix)
-      .withColumn("rep", expr("rate_ppm DIV 1000000") +
-        when(pmod(col("doc_id") * 2654435761L, lit(1000000L)) <
-          pmod(col("rate_ppm"), lit(1000000L)), 1L).otherwise(0L))
+      .withColumn("rep", repCol)
       .groupBy("source")
       .agg(sum("rep").cast(LongType).as("n_kept"),
         sum(col("rep") * col("t")).cast(LongType).as("kept_tokens"))
@@ -3768,6 +3794,61 @@ object LlmOps {
         round(col("qi"), 6).as("weight"), col("rate_ppm"))
       .join(kept, "source")
       .orderBy("source")
+  }
+
+  // p05 — the EPOCH MATERIALIZER: x32 derives the rates, this entry
+  // BUILDS the epoch — every doc explodes into its ⌊r⌋/⌊r⌋+1 copies
+  // (upsampled sources really repeat), each copy gets a deterministic
+  // shuffle key (md5 of doc:copy — the epoch-stable global shuffle
+  // training wants), and the resampled stream packs into 1024-token
+  // sequences via the x16 two-phase prefix scan ordered by that key
+  // (Packing.offsetsKeyed — no data-sized single-partition window).
+  // Per-sequence accounting reports docs spanned and EXACT token
+  // fill (clip arithmetic, all integer): every sequence but the last
+  // holds exactly 1024 tokens — spec-pinned, as is total-fill ==
+  // x32's kept_tokens (the two entries must account identically).
+  // At 100 TB: the explode multiplies only upsampled rows, the
+  // shuffle is one range partition on the key, and the packing scan
+  // is the parallel two-phase form — nothing is corpus² anywhere.
+  val p05: Q = q("p05_epoch_materializer",
+    s"""WITH $tempRateCtes,
+      |st0 AS (SELECT tok.doc_id, t AS n_tok, $repSql AS rep
+      |  FROM tok JOIN r USING (source)),
+      |stream AS (SELECT doc_id, n_tok,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS key
+      |  FROM (SELECT doc_id, n_tok, unnest(range(1, rep + 1)) AS copy
+      |        FROM st0 WHERE rep > 0 AND n_tok > 0)),
+      |o AS (SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM stream),
+      |e AS (SELECT doc_id, n_tok, start,
+      |    unnest(range(start // 1024, (start + n_tok - 1) // 1024 + 1)) AS seq_id
+      |  FROM o)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(LEAST(start + n_tok, (seq_id + 1) * 1024) -
+      |           GREATEST(start, seq_id * 1024)) AS BIGINT) AS n_tokens
+      |FROM e GROUP BY 1 ORDER BY seq_id""") { c =>
+    val (tok, r) = temperatureRates(c)
+    val stream = tok.join(broadcast(r.select("source", "rate_ppm")), "source")
+      .withColumn("rep", repCol)
+      .filter(col("rep") > 0 && col("t") > 0)
+      .select(col("doc_id"), col("t").as("n_tok"),
+        explode(sequence(lit(1L), col("rep"))).as("copy"))
+      .withColumn("key",
+        md5(concat_ws(":", col("doc_id"), col("copy")).cast("binary")))
+    val offs = graft.operators.Packing.offsetsKeyed(
+      stream.select("key", "n_tok", "doc_id"), "key")
+    offs.select(col("doc_id"), col("n_tok"), col("start"),
+        explode(sequence(expr("start div 1024"),
+          expr("(start + n_tok - 1) div 1024"))).as("seq_id"))
+      .withColumn("contrib",
+        least(col("start") + col("n_tok"), (col("seq_id") + 1) * 1024) -
+          greatest(col("start"), col("seq_id") * 1024))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("contrib").cast(LongType).as("n_tokens"))
+      .orderBy("seq_id")
   }
 
   // x33 — SLIDING-WINDOW chunking with overlap (the RAG/embedding
@@ -3819,5 +3900,5 @@ object LlmOps {
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33,
-    p01, p02, p03, p03auto, p04, mm01, mm02, mm03, mm04, mm05, mm06)
+    p01, p02, p03, p03auto, p04, p05, mm01, mm02, mm03, mm04, mm05, mm06)
 }

@@ -134,6 +134,45 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("m55 column mapping: rename spans eras, drop+re-add never resurrects, pruning and refusals hold") {
+    import spark.implicits._
+    val wh = freshWh("colmap")
+    val root = wh.path("s", "t")
+    val t0 = ColumnMapping.create(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"), root)
+    // rename is metadata-only and spans eras: the v1-era files still
+    // store physical `x`, the logical read serves `score`
+    val t1 = ColumnMapping.rename(t0, "x", "score")
+    val t2 = ColumnMapping.append(t1,
+      Seq((3L, "c", 30)).toDF("k", "v", "score"))
+    val r2 = ColumnMapping.read(spark, t2).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(r2 == Seq(Seq(1L, "a", 10), Seq(2L, "b", 20), Seq(3L, "c", 30)))
+    // the field-id guarantee: DROP score, re-ADD a new `score` — the
+    // old physical bytes must never serve the recycled name
+    val t3 = ColumnMapping.addColumn(
+      ColumnMapping.drop(t2, "score"), "score", "INT")
+    val t4 = ColumnMapping.append(t3,
+      Seq((4L, "d", 99)).toDF("k", "v", "score"))
+    val r4 = ColumnMapping.read(spark, t4).orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(r4 == Seq((1L, None), (2L, None), (3L, None), (4L, Some(99))),
+      "old physical bytes must NOT resurrect under the recycled name")
+    // pruning: no era's scan reads the dropped physical columns — the
+    // v1/v2 files hold `x`/`score` ints, but no ReadSchema mentions
+    // them (only the post-add era's physical score is scanned)
+    val plan = ColumnMapping.read(spark, t4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("x:int"),
+      s"dropped-era physical column leaked into a scan: ${plan.take(600)}")
+    // refusals: rename onto a live name, drop of an unknown name
+    intercept[IllegalArgumentException] {
+      ColumnMapping.rename(t4, "v", "score")
+    }
+    intercept[IllegalArgumentException] { ColumnMapping.drop(t4, "ghost") }
+  }
+
   test("m47: a lost CAS leaves history intact and its data dir as unreferenced residue") {
     import spark.implicits._
     val wh = freshWh("occ")

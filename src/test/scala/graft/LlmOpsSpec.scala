@@ -1425,6 +1425,24 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("p05 epoch materializer: every sequence but the last fills exactly 1024 tokens; total fill equals x32's kept_tokens") {
+    val p = LlmOps.all.find(_.name == "p05_epoch_materializer").get
+      .run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    assert(p.nonEmpty)
+    // contiguous ids from 0, exact fill everywhere but the tail
+    assert(p.map(_._1).toSeq == (0L until p.length).toSeq)
+    assert(p.init.forall(_._2 == 1024L),
+      s"non-final sequence underfilled: ${p.init.filter(_._2 != 1024L).take(3).toSeq}")
+    assert(p.last._2 >= 1 && p.last._2 <= 1024)
+    // the materialized epoch accounts for exactly what x32 budgeted
+    val kept = LlmOps.all.find(_.name == "x32_temperature_mix").get
+      .run(spark, sfDir).collect().map(_.getAs[Long]("kept_tokens")).sum
+    assert(p.map(_._2).sum == kept,
+      "epoch token fill must equal the mix accounting")
+  }
+
   test("codebook train/serve: the reloaded codebook probes bit-identically") {
     import graft.core.Warehouse
     val wh = Warehouse.scratch(spark, "cbspec")
