@@ -3744,14 +3744,20 @@ object LlmOps {
       |      THEN 1 ELSE 0 END""".stripMargin
 
   /** Spark side of [[tempRateCtes]]: (tok = per-doc token counts,
-    * r = per-source derived rates). Two metadata-sized aggregates
-    * broadcast back; the corpus is scanned once.
+    * r = per-source derived rates). The whole rate chain (total →
+    * weights → normalizer → rates) re-references the per-source
+    * aggregate four times, so `per` is FROZEN once it's computed —
+    * it is n_sources rows, and without the freeze every re-reference
+    * re-runs the corpus scan underneath it (Explain audit: 8 scans
+    * of documents collapse to the honest 2 — one for the rates pass,
+    * one for the per-doc decision pass in the consumer).
     */
   private def temperatureRates(c: Catalog): (DataFrame, DataFrame) = {
     val tok = c.documents.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast(LongType).as("t"))
     val per = tok.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("t").cast(LongType).as("toks"))
+      .localCheckpoint(true)
     val tot = per.agg(sum("toks").cast(LongType).as("T"))
     val w = per.crossJoin(broadcast(tot))
       .withColumn("wi",

@@ -307,6 +307,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("column mapping == in-memory field-id model over random evolution sequences") {
+    // m55's algebra fuzzed: a random interleaving of rename / drop /
+    // add / append must keep the logical read equal to a model that
+    // tracks fields as (id, name) and rows as id-keyed maps — the
+    // field-id semantics (no resurrection, renames span eras) fall
+    // out of the model by construction
+    import spark.implicits._
+    for (iter <- 1 to 2) {
+      val rnd = new scala.util.Random(6000 + iter)
+      val root = Warehouse.scratch(spark, s"prop_cm$iter").path("s", "t")
+      // model: live fields (id, name); rows as Map[fieldId -> value]
+      var live = Vector(0 -> "k", 1 -> "a", 2 -> "b")
+      var nextId = 3
+      var nextName = 0
+      var rows = Vector.tabulate(3)(i =>
+        Map(0 -> i.toLong, 1 -> (i + 10).toLong, 2 -> (i + 20).toLong))
+      var nextK = 3L
+      def df(vs: Seq[Map[Int, Long]]) = {
+        val names = live.map(_._2)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(vs.map(m =>
+            org.apache.spark.sql.Row.fromSeq(live.map(f => m(f._1))))),
+          org.apache.spark.sql.types.StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType))))
+      }
+      var t = ColumnMapping.create(df(rows), root)
+      for (step <- 1 to 8) {
+        rnd.nextInt(4) match {
+          case 0 if live.size > 1 => // rename a random non-key field
+            val (id, old) = live(1 + rnd.nextInt(live.size - 1))
+            val nn = s"c$nextName"; nextName += 1
+            t = ColumnMapping.rename(t, old, nn)
+            live = live.map { case (i, n) => if (i == id) (i, nn) else (i, n) }
+          case 1 if live.size > 2 => // drop a random non-key field
+            val (id, name) = live(1 + rnd.nextInt(live.size - 1))
+            t = ColumnMapping.drop(t, name)
+            live = live.filterNot(_._1 == id)
+          case 2 => // add a fresh field (sometimes recycling a name)
+            val nn = if (rnd.nextBoolean() && !live.exists(_._2 == "a")) "a"
+              else { val s = s"c$nextName"; nextName += 1; s }
+            if (!live.exists(_._2 == nn)) {
+              t = ColumnMapping.addColumn(t, nn, "BIGINT")
+              live = live :+ (nextId -> nn); nextId += 1
+            }
+          case _ => // append a batch carrying the current live fields
+            val batch = Vector.tabulate(2) { i =>
+              live.map(f => f._1 -> (nextK * 100 + i * 10 + f._1)).toMap
+                .updated(0, nextK + i)
+            }
+            nextK += 2
+            t = ColumnMapping.append(t, df(batch))
+            rows ++= batch
+        }
+        val got = ColumnMapping.read(spark, t).orderBy("k").collect()
+          .map(r => live.indices.map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))).toVector).toVector
+        val want = rows.sortBy(_(0)).map(m =>
+          live.map(f => m.get(f._1)).toVector)
+        assert(got == want, s"iter $iter step $step live=$live")
+      }
+    }
+  }
+
   test("change data feed == in-memory snapshot diff on random tables") {
     val snapGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 24L), Gen.choose(0, 5)))
       .map(_.distinctBy(_._1))
