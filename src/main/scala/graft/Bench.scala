@@ -427,9 +427,13 @@ object Bench {
       es.headOption.map(e => (n, e, es.size))
     }
 
+    // x20 lives here (not in scaleOps) since its probe runs the
+    // PRODUCTION form in a dedicated block — listing it keeps the
+    // "naming a probed op runs ITS probe" contract for filtered runs
     val dialBases = Seq("d05_embedding_neardup", "d03_dedup_simhash",
       "d10_semdedup", "s05_knn_graph", "d06_dedup_groups",
-      "s15_bitext_margin", "d04_ngram_jaccard", "p03_ccnet_pipeline")
+      "s15_bitext_margin", "d04_ngram_jaccard", "p03_ccnet_pipeline",
+      "x20_gopher_rules")
     // (name, sec, shuffle_bytes, err) rows filled by the sketch-regime
     // probe inside the 100x-docs block; reported as "sketch_probe"
     val sketchProbe = scala.collection.mutable.ArrayBuffer

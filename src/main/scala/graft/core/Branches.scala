@@ -62,9 +62,11 @@ object Branches {
     * protocol applied to refs: an advance only ever CREATES a file
     * (write-tmp + atomic rename to a fresh slot), never rewrites or
     * deletes the live one, so a crash at any point leaves the
-    * previous state resolvable. Superseded seq files are swept
-    * best-effort after a successful advance (pure residue — never
-    * the resolution source).
+    * previous state resolvable. Each advance sweeps seq files OLDER
+    * than the immediately-previous state (which is retained so a
+    * reader racing one advance never opens a deleted file — the
+    * keepLast-style retention window; readers pinned across more
+    * than one advance should pin a tag).
     */
   private def refDir(wh: Warehouse, schema: String, table: String,
       name: String) =
@@ -77,7 +79,7 @@ object Branches {
       d: org.apache.hadoop.fs.Path): Seq[String] =
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(_.matches("r\\d{5}\\.json")).sorted
+      .filter(_.matches("r\\d{5,}\\.json")).sorted
 
   private def save(wh: Warehouse, schema: String, table: String,
       ref: Ref): Unit = {
@@ -90,17 +92,17 @@ object Branches {
       .map(_.stripPrefix("r").stripSuffix(".json").toInt).getOrElse(0) + 1
     val json = s"""{"name":"${ref.name}","tag":${ref.tag},""" +
       s""""versions":[${ref.versions.mkString(",")}]}"""
-    val target = new org.apache.hadoop.fs.Path(d, f"r$seq%05d.json")
-    val tmp = new org.apache.hadoop.fs.Path(d, f".r$seq%05d.json.__tmp")
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    // the rename IS the advance — until it lands, readers resolve the
-    // previous seq file; after it, they resolve this one. Nothing the
-    // previous state needs is ever touched.
-    require(f.rename(tmp, target),
+    // the rename inside writeAtomic IS the advance — until it lands,
+    // readers resolve the previous seq file; after it, this one
+    MetaFile.writeAtomic(f, d, f"r$seq%05d.json", json,
       s"could not advance ref ${ref.name} on $schema.$table")
-    // superseded states are residue now — sweep best-effort
-    prior.foreach(n =>
+    // sweep superseded states best-effort, RETAINING the immediately
+    // previous one: a reader that listed the dir just before this
+    // advance may still be about to open it (the one-advance race a
+    // zero-retention sweep would turn into FileNotFound); a reader
+    // pinned across MORE than one advance wants a tag, not a branch
+    // head — same retention contract as TimeTravel.expire's keepLast
+    prior.dropRight(1).foreach(n =>
       f.delete(new org.apache.hadoop.fs.Path(d, n), false))
   }
 
@@ -115,13 +117,8 @@ object Branches {
     val d = refDir(wh, schema, table, name)
     val f = fs(wh, d)
     seqFiles(f, d).lastOption.map { latest =>
-      val in = f.open(new org.apache.hadoop.fs.Path(d, latest))
-      val content = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-        new String(bytes.toByteArray, "UTF-8")
-      } finally in.close()
-      parse(name, content)
+      parse(name,
+        MetaFile.read(f, new org.apache.hadoop.fs.Path(d, latest)))
     }
   }
 
@@ -229,9 +226,10 @@ object Branches {
     * retention contract).
     */
   def expire(wh: Warehouse, schema: String, table: String,
-      keepLast: Int): (Int, Int) = {
+      keepLast: Int, orphanGraceMs: Long = 0L): (Int, Int) = {
     ensureMain(wh, schema, table)
     TimeTravel.expire(wh, schema, table, keepLast,
-      protect = list(wh, schema, table).map(_.head).toSet)
+      protect = list(wh, schema, table).map(_.head).toSet,
+      orphanGraceMs = orphanGraceMs)
   }
 }

@@ -53,9 +53,16 @@ object ColumnMapping {
   private def commitDir(root: String, n: Int) = f"$root/c$n%05d"
 
   /** Create the table from `df`'s columns (ids assigned by position)
-    * and write commit 1 under schema v1.
+    * and write commit 1 under schema v1. Clears any residue at
+    * `root` first — create means a FRESH table, and a stale c00002
+    * from a previous incarnation would otherwise block (or worse,
+    * satisfy) the first append's collision check.
     */
   def create(df: DataFrame, root: String): Table = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       Field(i, f.name, f.dataType.sql)
     }.toSeq
@@ -65,14 +72,27 @@ object ColumnMapping {
   }
 
   /** Append a batch carrying the CURRENT live columns; the commit is
-    * bound to the current schema version.
+    * bound to the current schema version. REFUSES a commit slot that
+    * already holds data: the slot number derives from this handle's
+    * commit count, so two appends branched from the same immutable
+    * handle would otherwise silently share one directory — the first
+    * handle would then serve the second append's rows (handles are
+    * linear, like any single-writer table; the check turns the misuse
+    * into an error instead of corrupted reads).
     */
   def append(t: Table, df: DataFrame): Table = {
     val expect = t.current.fields.map(_.name)
     require(df.columns.toSeq == expect,
       s"append must carry the current live columns $expect, got ${df.columns.toSeq}")
     val dir = commitDir(t.root, t.commits.size + 1)
-    df.write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"commit slot $dir already holds data — append through the LATEST " +
+        "table handle (handles are linear; an append from a stale handle " +
+        "would overwrite another append's commit)")
+    df.write.mode("errorifexists").parquet(dir)
     t.copy(commits = t.commits :+ (dir -> t.current))
   }
 

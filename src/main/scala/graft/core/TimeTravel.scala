@@ -59,15 +59,10 @@ object TimeTravel {
     if (!f.exists(md)) Seq.empty
     else f.listStatus(md).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.matches("v\\d{5}\\.json"))
+      .filter(n => n.matches("v\\d{5,}\\.json"))
       .sorted
       .map { name =>
-        val in = f.open(new org.apache.hadoop.fs.Path(md, name))
-        val content = try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-          new String(bytes.toByteArray, "UTF-8")
-        } finally in.close()
+        val content = MetaFile.read(f, new org.apache.hadoop.fs.Path(md, name))
         Snapshot(name.stripPrefix("v").stripSuffix(".json").toInt,
           // writer-suffixed names (c00002_wa) are OCC commits — the
           // suffix keeps racing writers' data dirs disjoint (Occ.scala)
@@ -116,13 +111,8 @@ object TimeTravel {
       else Seq(cn)
     val json = s"""{"version":$n,"commits":[${commits.map("\"" + _ + "\"").mkString(",")}]}"""
     // manifest rename is the atomic commit point (Delta-log protocol)
-    val md = manifestDir(r)
-    f.mkdirs(md)
-    val target = new org.apache.hadoop.fs.Path(md, f"v$n%05d.json")
-    val tmp = new org.apache.hadoop.fs.Path(md, f".v$n%05d.json.__tmp")
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    require(f.rename(tmp, target), s"could not commit $schema.$table v$n")
+    MetaFile.writeAtomic(f, manifestDir(r), f"v$n%05d.json", json,
+      s"could not commit $schema.$table v$n")
     n
   }
 
@@ -190,7 +180,15 @@ object TimeTravel {
     * (spec-pinned: the oldest retained version reads bit-identically
     * after the sweep); a commit referenced by NO manifest at all (a
     * crashed writer's residue) sweeps too, the remove_orphan_files
-    * half of the contract. O(#versions + #commit dirs) metadata ops,
+    * half of the contract — GATED on `orphanGraceMs`: an unreferenced
+    * dir younger than the grace window is spared, because "no
+    * manifest references it" is also the state of a commit MID-FLIGHT
+    * (data written, manifest rename pending) and a zero-grace sweep
+    * racing that writer would delete the files its about-to-land
+    * version needs (Iceberg's remove_orphan_files requires an
+    * older_than age for exactly this; when a janitor cadence can race
+    * writers, set the grace ≥ the longest in-flight commit —
+    * spec-pinned). O(#versions + #commit dirs) metadata ops,
     * zero data IO beyond the deletes. Retention is the reader
     * contract: a reader pinned to a version older than `keepLast`
     * loses its files — run expiry on a cadence longer than the
@@ -198,7 +196,8 @@ object TimeTravel {
     * (droppedManifests, droppedCommitDirs).
     */
   def expire(wh: Warehouse, schema: String, table: String,
-      keepLast: Int, protect: Set[Int] = Set.empty): (Int, Int) = {
+      keepLast: Int, protect: Set[Int] = Set.empty,
+      orphanGraceMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "retention must keep at least the latest version")
     val r = root(wh, schema, table)
     val f = fsOf(wh, r)
@@ -217,9 +216,16 @@ object TimeTravel {
         false)
     }
     val cd = new org.apache.hadoop.fs.Path(r, "_commits")
+    val now = System.currentTimeMillis()
     val dead =
       if (!f.exists(cd)) Seq.empty
-      else f.listStatus(cd).toSeq.map(_.getPath).filterNot(p => keep(p.getName))
+      else f.listStatus(cd).toSeq
+        // unreferenced AND older than the grace window — a young
+        // unreferenced dir may be a commit whose manifest rename is
+        // about to land (see docstring)
+        .filter(s => !keep(s.getPath.getName) &&
+          now - s.getModificationTime >= orphanGraceMs)
+        .map(_.getPath)
     dead.foreach(p => f.delete(p, true))
     (dropped.size, dead.size)
   }

@@ -524,13 +524,9 @@ object Ann {
     val (fs, md) = hfs(spark, s"$dir/_manifests")
     if (!fs.exists(md)) Seq.empty
     else fs.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.json")).sorted.map { name =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(md, name))
-        val content = try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-          new String(bytes.toByteArray, "UTF-8")
-        } finally in.close()
+      .filter(_.matches("v\\d{5,}\\.json")).sorted.map { name =>
+        val content = graft.core.MetaFile.read(fs,
+          new org.apache.hadoop.fs.Path(md, name))
         IndexManifest(
           name.stripPrefix("v").stripSuffix(".json").toInt,
           "\"base\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(content).get.group(1),
@@ -550,14 +546,9 @@ object Ann {
   private def commitIndexManifest(spark: org.apache.spark.sql.SparkSession,
       dir: String, m: IndexManifest): Unit = {
     val (fs, md) = hfs(spark, s"$dir/_manifests")
-    fs.mkdirs(md)
     val json =
       s"""{"version":${m.version},"base":"${m.base}","logFrom":${m.logFrom}}"""
-    val target = new org.apache.hadoop.fs.Path(md, f"v${m.version}%05d.json")
-    val tmp = new org.apache.hadoop.fs.Path(md, f".v${m.version}%05d.json.__tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, target),
+    graft.core.MetaFile.writeAtomic(fs, md, f"v${m.version}%05d.json", json,
       s"could not commit index manifest v${m.version} at $dir")
   }
 
@@ -573,7 +564,7 @@ object Ann {
     val (fs, lp) = hfs(spark, s"$dir/log")
     if (!fs.exists(lp)) Seq.empty
     else fs.listStatus(lp).toSeq.map(_.getPath.getName)
-      .filter(_.matches("s\\d{8}")).map(_.stripPrefix("s").toLong)
+      .filter(_.matches("s\\d{8,}")).map(_.stripPrefix("s").toLong)
       .filter(_ > logFrom).sorted
   }
 
@@ -718,19 +709,19 @@ object Ann {
       throw new IllegalArgumentException(s"no committed index at $dir"))
     val (fs, root) = hfs(spark, dir)
     val deadBases = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.matches("base_\\d{5}") && n != m.base)
+      .filter(n => n.matches("base_\\d{5,}") && n != m.base)
     deadBases.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$n"), true))
     val (lfs, lp) = hfs(spark, s"$dir/log")
     val deadSegs = if (!lfs.exists(lp)) Seq.empty[Long]
       else lfs.listStatus(lp).toSeq.map(_.getPath.getName)
-        .filter(_.matches("s\\d{8}")).map(_.stripPrefix("s").toLong)
+        .filter(_.matches("s\\d{8,}")).map(_.stripPrefix("s").toLong)
         .filter(_ <= m.logFrom)
     deadSegs.foreach(s =>
       lfs.delete(new org.apache.hadoop.fs.Path(s"$dir/log/${segName(s)}"), true))
     val (mfs, md) = hfs(spark, s"$dir/_manifests")
     mfs.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(n => n.matches("v\\d{5}\\.json") &&
+      .filter(n => n.matches("v\\d{5,}\\.json") &&
         n.stripPrefix("v").stripSuffix(".json").toInt < m.version)
       .foreach(n =>
         mfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifests/$n"), false))

@@ -3736,11 +3736,17 @@ object LlmOps {
       |  FROM w, ws)""".stripMargin
 
   /** SQL for a doc's repeat count under the derived rates: ⌊rate⌋
-    * plus the golden-ratio-hash fractional keep.
+    * plus the golden-ratio-hash fractional keep. The id reduces mod
+    * 10⁶ BEFORE the multiply — same residue ((a·m) mod n ≡
+    * ((a mod n)·m) mod n), but the product stays ≤ 10⁶·m ≈ 2.7e15,
+    * so neither engine can overflow a 64-bit long at any doc_id
+    * (a raw doc_id·m overflows past id ≈ 3.5e9 — ANSI Spark throws,
+    * DuckDB errors, and the claimed bit-for-bit portability dies
+    * exactly at corpus scale).
     */
   private val repSql =
     """rate_ppm // 1000000 + CASE
-      |      WHEN (doc_id * 2654435761) % 1000000 < rate_ppm % 1000000
+      |      WHEN ((doc_id % 1000000) * 2654435761) % 1000000 < rate_ppm % 1000000
       |      THEN 1 ELSE 0 END""".stripMargin
 
   /** Spark side of [[tempRateCtes]]: (tok = per-doc token counts,
@@ -3777,7 +3783,8 @@ object LlmOps {
     * tiny prefix).
     */
   private def repCol: Column = expr("rate_ppm DIV 1000000") +
-    when(pmod(col("doc_id") * 2654435761L, lit(1000000L)) <
+    when(pmod(pmod(col("doc_id"), lit(1000000L)) * 2654435761L,
+        lit(1000000L)) <
       pmod(col("rate_ppm"), lit(1000000L)), 1L).otherwise(0L)
 
   val x32: Q = q("x32_temperature_mix",

@@ -886,9 +886,10 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def stageQ34(spark: SparkSession, dir: String): String =
     // compute, not computeIfAbsent: the memoized layout lives in
-    // Scratch, which the bench now sweeps BETWEEN passes (session-debt
-    // hygiene) — a stale memo entry pointing at a swept dir must
-    // restage, not serve a dangling path
+    // Scratch, which the bench's PROBE TAIL sweeps once before the
+    // scale probes (passes 2+ deliberately do NOT sweep — the
+    // streaming fixtures memoize across passes) — a stale memo entry
+    // pointing at a swept dir must restage, not serve a dangling path
     q34Layouts.compute(dir, (_, prev) => {
       if (prev != null &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(prev))) prev

@@ -49,6 +49,32 @@ class EngineSpec extends SparkSpec {
     assert(rows(4).nonEmpty)
   }
 
+  test("expire orphan grace: a mid-flight commit's young dir survives the graced sweep; stale residue goes") {
+    import spark.implicits._
+    val wh = freshWh("grace")
+    TimeTravel.commit(wh, "s", "t",
+      Seq((1L, "a")).toDF("k", "v"), "overwrite")
+    val commits = new org.apache.hadoop.fs.Path(wh.path("s", "t"), "_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stale residue: a writer that crashed long ago
+    val stale = new org.apache.hadoop.fs.Path(commits, "c00090")
+    Seq((9L, "x")).toDF("k", "v").write.parquet(stale.toString)
+    fs.setTimes(stale, System.currentTimeMillis() - 3600L * 1000, -1)
+    // mid-flight: data written seconds ago, manifest rename pending
+    val inflight = new org.apache.hadoop.fs.Path(commits, "c00091")
+    Seq((8L, "y")).toDF("k", "v").write.parquet(inflight.toString)
+    // a graced janitor sweeps only what is older than the window —
+    // the racing writer's files survive to be committed
+    val (_, dc) = TimeTravel.expire(wh, "s", "t", keepLast = 1,
+      orphanGraceMs = 10L * 60 * 1000)
+    assert(dc == 1, s"only the stale orphan should sweep, got $dc")
+    assert(fs.exists(inflight), "a graced sweep must spare a young commit dir")
+    assert(!fs.exists(stale))
+    // grace 0 (the deterministic in-entry mode) sweeps it too
+    assert(TimeTravel.expire(wh, "s", "t", keepLast = 1) == (0, 1))
+    assert(!fs.exists(inflight))
+  }
+
   test("m54 branches: isolation, at-ancestor creation, divergence refusal, tag immutability") {
     import spark.implicits._
     val wh = freshWh("branches")
