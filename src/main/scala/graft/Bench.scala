@@ -583,7 +583,7 @@ object Bench {
               medians("p03_ccnet_pipeline"), err))
           }
         } ++ {
-          // x20 probed in its PRODUCTION form (LlmOps.gopherRules, no
+          // x20 probed in its PRODUCTION form (TextQueries.gopherRules, no
           // global sort): the registered entry's orderBy exists only
           // for the oracle diff — the battery itself is one codegen'd
           // projection pass whose 10× cost should be the scan. The 1×
@@ -592,7 +592,7 @@ object Bench {
           if (elapsed > budgetSec || !probing("x20_gopher_rules")) Nil
           else {
             val (secs, err) = timed(sp, scaleDir, (s, d) =>
-              graft.queries.LlmOps.gopherRules(
+              graft.queries.TextQueries.gopherRules(
                 s.read.parquet(s"$d/documents.parquet")))
             Seq(("x20_gopher_rules", secs, medians("x20_gopher_rules"), err))
           }

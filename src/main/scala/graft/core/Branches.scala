@@ -79,7 +79,10 @@ object Branches {
       d: org.apache.hadoop.fs.Path): Seq[String] =
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(_.matches("r\\d{5,}\\.json")).sorted
+      .filter(_.matches("r\\d{5,}\\.json"))
+      // numeric: past slot 99999 (r100000.json) string order would
+      // resolve a stale latest and allocate a colliding next seq
+      .sortBy(_.stripPrefix("r").stripSuffix(".json").toInt)
 
   private def save(wh: Warehouse, schema: String, table: String,
       ref: Ref): Unit = {
@@ -122,28 +125,42 @@ object Branches {
     }
   }
 
+  /** The implicit `main` view of a never-adopted table: lineage = the
+    * full trunk history. NOT persisted — reads must never write
+    * (concurrent first readers would race the ref-file create, and a
+    * read of an unadopted table on read-only storage must work).
+    */
+  private def trunkMain(wh: Warehouse, schema: String, table: String): Ref = {
+    val trunk = TimeTravel.history(wh, schema, table).map(_.version)
+    require(trunk.nonEmpty,
+      s"$schema.$table has no committed versions to view as main")
+    Ref("main", tag = false, trunk)
+  }
+
   /** Adopt a plain TimeTravel table into the ref world: if `main` has
     * no ref file yet, snapshot the table's full history as its
     * lineage (every pre-adoption commit was trunk by construction).
+    * Called ONLY from mutating ops — the read path resolves the same
+    * view via [[trunkMain]] without touching storage.
     */
   private def ensureMain(wh: Warehouse, schema: String, table: String): Ref =
     loadFile(wh, schema, table, "main").getOrElse {
-      val trunk = TimeTravel.history(wh, schema, table).map(_.version)
-      require(trunk.nonEmpty,
-        s"$schema.$table has no committed versions to adopt as main")
-      val m = Ref("main", tag = false, trunk)
+      val m = trunkMain(wh, schema, table)
       save(wh, schema, table, m)
       m
     }
 
-  /** Resolve a ref by name (adopting `main` on first touch). */
+  /** Resolve a ref by name. A missing `main` resolves as the implicit
+    * trunk view (full history) WITHOUT persisting anything — the read
+    * path never mutates storage.
+    */
   def resolve(wh: Warehouse, schema: String, table: String,
-      name: String): Ref = {
-    ensureMain(wh, schema, table)
-    loadFile(wh, schema, table, name).getOrElse(
-      throw new IllegalArgumentException(
-        s"$schema.$table has no ref named $name"))
-  }
+      name: String): Ref =
+    loadFile(wh, schema, table, name).getOrElse {
+      if (name == "main") trunkMain(wh, schema, table)
+      else throw new IllegalArgumentException(
+        s"$schema.$table has no ref named $name")
+    }
 
   /** All refs on the table, name-sorted. A ref dir with no committed
     * seq file (a crashed first save's residue — only `.__tmp` inside)
@@ -152,10 +169,16 @@ object Branches {
   def list(wh: Warehouse, schema: String, table: String): Seq[Ref] = {
     val d = refsDir(wh, schema, table)
     val f = fs(wh, d)
-    if (!f.exists(d)) Seq.empty
-    else f.listStatus(d).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
-      .flatMap(loadFile(wh, schema, table, _))
+    val onDisk =
+      if (!f.exists(d)) Seq.empty[Ref]
+      else f.listStatus(d).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
+        .flatMap(loadFile(wh, schema, table, _))
+    // a never-adopted table with history still lists its implicit
+    // main (read-only trunk view), matching what resolve would return
+    if (onDisk.exists(_.name == "main") ||
+        TimeTravel.history(wh, schema, table).isEmpty) onDisk
+    else (onDisk :+ trunkMain(wh, schema, table)).sortBy(_.name)
   }
 
   /** Create a branch (or, with `tag = true`, an immutable tag) from
@@ -166,6 +189,7 @@ object Branches {
   def create(wh: Warehouse, schema: String, table: String, name: String,
       from: String = "main", tag: Boolean = false,
       at: Int = Int.MaxValue): Ref = {
+    ensureMain(wh, schema, table) // mutating op — adopt on first touch
     val src = resolve(wh, schema, table, from)
     require(loadFile(wh, schema, table, name).isEmpty,
       s"$schema.$table already has a ref named $name")
@@ -174,6 +198,14 @@ object Branches {
       else {
         require(src.versions.contains(at),
           s"version $at is not in $from's lineage ${src.versions.mkString(",")}")
+        // lineage membership is necessary but not sufficient: expire
+        // ages out non-head lineage manifests, and a branch minted at
+        // an expired ancestor would have an unreadable head — refuse
+        // NOW with the real reason, not later with TimeTravel.read's
+        // confusing "no committed version"
+        require(TimeTravel.history(wh, schema, table).exists(_.version == at),
+          s"version $at of $schema.$table has expired — its manifest " +
+            "no longer exists, so a ref created there could not be read")
         src.versions.takeWhile(_ < at) :+ at
       }
     val ref = Ref(name, tag, lineage)
@@ -187,6 +219,7 @@ object Branches {
     */
   def commitTo(wh: Warehouse, schema: String, table: String, name: String,
       df: DataFrame, mode: String): Int = {
+    ensureMain(wh, schema, table) // mutating op — adopt on first touch
     val ref = resolve(wh, schema, table, name)
     require(!ref.tag, s"$name is a tag — tags are immutable")
     val v = TimeTravel.commitFrom(wh, schema, table, df, mode, ref.head)
@@ -207,6 +240,7 @@ object Branches {
     */
   def fastForward(wh: Warehouse, schema: String, table: String,
       to: String, from: String): Int = {
+    ensureMain(wh, schema, table) // mutating op — adopt on first touch
     val dst = resolve(wh, schema, table, to)
     require(!dst.tag, s"$to is a tag — tags are immutable")
     val src = resolve(wh, schema, table, from)

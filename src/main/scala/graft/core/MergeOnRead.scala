@@ -50,7 +50,9 @@ object MergeOnRead {
     val f = fs(wh, d)
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(_.matches("c\\d{5}")).map(_.stripPrefix("c").toInt).sorted
+      // {5,}: past slot 99999 the names widen (c100000) — an exact-5
+      // regex would hide them; sort is already numeric (parsed ints)
+      .filter(_.matches("c\\d{5,}")).map(_.stripPrefix("c").toInt).sorted
   }
 
   /** Upsert `batch` into the table: one O(batch) append per log, the

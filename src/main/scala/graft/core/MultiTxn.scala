@@ -48,7 +48,11 @@ object MultiTxn {
     val f = fsOf(wh, cd)
     if (!f.exists(cd)) return Snap(0, Map.empty)
     val names = f.listStatus(cd).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.json")).sorted
+      // {5,} + numeric sort: past slot 99999 the names widen
+      // (v100000.json), which a 5-exact regex would hide and a
+      // lexicographic sort would order before v99999
+      .filter(_.matches("v\\d{5,}\\.json"))
+      .sortBy(_.stripPrefix("v").stripSuffix(".json").toInt)
     if (names.isEmpty) return Snap(0, Map.empty)
     parse(wh, cd, names.last)
   }

@@ -60,7 +60,11 @@ object TimeTravel {
     else f.listStatus(md).toSeq
       .map(_.getPath.getName)
       .filter(n => n.matches("v\\d{5,}\\.json"))
-      .sorted
+      // numeric, not lexicographic: past slot 99999 the names widen
+      // (v100000.json) and string order would put them BEFORE v99999,
+      // making lastOption resolve a stale latest and expire's
+      // dropRight sweep the true newest manifest
+      .sortBy(_.stripPrefix("v").stripSuffix(".json").toInt)
       .map { name =>
         val content = MetaFile.read(f, new org.apache.hadoop.fs.Path(md, name))
         Snapshot(name.stripPrefix("v").stripSuffix(".json").toInt,

@@ -328,6 +328,13 @@ object Ann {
     * three consumers; the target pool broadcasts.
     */
   def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int = 4): DataFrame = {
+    // EXACT all-pairs scoring (|src|×|tgt| candidates, target pool
+    // broadcast) — the compare-scale dial; the routed form holds
+    // shortlists sub-linear at any scale
+    Gate.check(src.count(), 32768L,
+      "Ann.bitextMargin (exact all-pairs, src pool)", "Ann.bitextMarginAuto")
+    Gate.check(tgt.count(), 32768L,
+      "Ann.bitextMargin (exact all-pairs, tgt pool)", "Ann.bitextMarginAuto")
     val xs = normed(src)
       .select(col("vec_id").as("src_id"), col("v").as("xv"), col("nrm").as("xn"))
     val ys = normed(tgt)
@@ -524,7 +531,10 @@ object Ann {
     val (fs, md) = hfs(spark, s"$dir/_manifests")
     if (!fs.exists(md)) Seq.empty
     else fs.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5,}\\.json")).sorted.map { name =>
+      .filter(_.matches("v\\d{5,}\\.json"))
+      // numeric: v100000.json sorts before v99999 lexicographically,
+      // which would serve a stale latest past slot 99999
+      .sortBy(_.stripPrefix("v").stripSuffix(".json").toInt).map { name =>
         val content = graft.core.MetaFile.read(fs,
           new org.apache.hadoop.fs.Path(md, name))
         IndexManifest(
@@ -786,6 +796,11 @@ object Ann {
       nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     val cents = ivfCodebook(emb, nCentroids, kmeansIters)
     val n = normed(emb).localCheckpoint(true)
+    // FIXED centroid count ⇒ candidate volume ∝ n²/nCentroids (the
+    // board's one by-construction super-linear form, measured 16.8×
+    // on 10× data at sf1) — refuse once probed lists pass ~1k rows
+    Gate.check(n.count(), nCentroids * 1000L,
+      "Ann.knnGraph (fixed nCentroids)", "Ann.knnGraphAuto")
     val members = n
       .withColumn("cluster", array_max(centScoresFor(cents, "v"))("i"))
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cluster"))
@@ -1068,6 +1083,11 @@ object Ann {
     // frozen: the normed view feeds bucketing AND both verify sides —
     // 4 embedding scans pre-freeze (Explain --execute audit)
     val n = normed(emb).localCheckpoint(true)
+    // FIXED bit-width ⇒ bucket occupancy n/2^bits grows with the
+    // corpus and per-bucket verify work grows with its square —
+    // refuse past occupancy ~1k (the auto form re-derives bits)
+    Gate.check(n.count(), (1L << bits) * 1024L,
+      "Ann.nearDupLsh (fixed bits)", "Ann.nearDupLshAuto")
     val cands = lshCandidatePairs(n, tables, bits, dim, seed)
     val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))
     cands

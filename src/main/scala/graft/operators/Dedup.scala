@@ -778,6 +778,11 @@ object Dedup {
     // frozen: both sides of the chunk self-join (same discipline and
     // cost bound as simhashPairs)
     val fp = simhashesPortable(shingledPortable(docs, n)).localCheckpoint(true)
+    // same fixed single-block dial as simhashPairs — random 15-bit
+    // collisions n²/2¹⁵; the banded auto form is the corpus path
+    Gate.check(fp.count(), 65536L,
+      "Dedup.simhashPairsPortable (single-block pigeonhole)",
+      "Dedup.simhashPairsAuto / simhashPairsBlocked")
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"),
@@ -886,6 +891,11 @@ object Dedup {
     // fingerprints (2 corpus scans pre-freeze); (doc_id, simhash) is
     // two columns per doc — the cheapest possible materialization
     val fp = simhashes(shingled(docs, n)).localCheckpoint(true)
+    // FIXED single-block 15-bit table keys ⇒ random collisions
+    // n²/2¹⁵ — refuse corpus-sized input (the auto form re-bands to
+    // Manku (b−3)-block keys from one corpus count)
+    Gate.check(fp.count(), 65536L,
+      "Dedup.simhashPairs (single-block pigeonhole)", "Dedup.simhashPairsAuto")
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"),

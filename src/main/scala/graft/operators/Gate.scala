@@ -1,0 +1,28 @@
+package graft.operators
+
+/** Size gate for the COMPARE-SCALE calibration dials (the exact
+  * fixed-parameter forms whose candidate volume is super-linear by
+  * construction — s05's fixed-centroid kNN graph, d05/d03/s15's fixed
+  * bucket widths). Each has an occupancy-held `_auto` sibling that is
+  * the production path; the exact forms exist to calibrate those
+  * dials against a known corpus size, and REFUSING oversized input —
+  * loudly, with a pointer at the production operator — is the correct
+  * behavior at 100 TB, where running them would not fail fast but
+  * melt a cluster slowly.
+  */
+object Gate {
+
+  /** Thrown when a calibration dial refuses corpus-sized input.
+    * Distinct type so harnesses (the sf1 sweep, Bench) can record
+    * "gated by design" instead of an operator error.
+    */
+  final class SizeGatedException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  def check(n: Long, limit: Long, op: String, productionOp: String): Unit =
+    if (n > limit) throw new SizeGatedException(
+      s"$op is a compare-scale calibration dial and refuses inputs over " +
+        s"$limit rows (got $n): its fixed parameters make candidate volume " +
+        s"super-linear at corpus scale. Use $productionOp instead — same " +
+        "verified output contract, occupancy-held candidates at any scale.")
+}

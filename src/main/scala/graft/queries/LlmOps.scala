@@ -1,17 +1,14 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-
-import graft.functions.{Text, Vectors}
-import graft.operators.{Ann, Bpe, Dedup, DupGroups, Multimodal, Packing, PageRank}
-import graft.sources.Catalog
-
 /** SURVEY.md §2.D — the LLM-training-data-pipeline operator block
   * over `documents` (doc_id, text, lang, source, n_chars) and
-  * `embeddings` (vec_id, embedding float[64], label).
+  * `embeddings` (vec_id, embedding float[64], label), split along the
+  * family seams: [[DedupQueries]] (d01–d20), [[AnnQueries]]
+  * (s01–s19), [[TextQueries]] (x01–x37), [[MmQueries]]
+  * (mm01–mm06), [[PipelineQueries]] (p01–p05), [[WebQueries]] (the
+  * crawl front door — w01 WARC ingestion, x34 HTML extraction). This
+  * object owns the registry — same names, same order as before the
+  * split.
   *
   * Oracle notes: every float formula is written so DuckDB reproduces
   * it bit-for-bit — strict left folds for vector math (Spark
@@ -25,3886 +22,11 @@ import graft.sources.Catalog
   * (exactness of the verify step + recall vs the exact operators).
   */
 object LlmOps {
-
-  private def q(name: String, oracle: String)(f: Catalog => DataFrame): Q =
-    Q(name, (s, dir) => f(Catalog(s, dir)), Some(oracle.stripMargin.trim))
-
-  private def rowsOnly(name: String)(f: Catalog => DataFrame): Q =
-    Q(name, (s, dir) => f(Catalog(s, dir)), None)
-
-  // ---------------------------------------------------------------
-  // d01 — exact dedup via content hash, keep-first
-  val d01: Q = q("d01_dedup_exact",
-    """SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
-      |FROM documents GROUP BY md5(text) ORDER BY doc_id""") { c =>
-    Dedup.exact(c.documents).orderBy("doc_id")
-  }
-
-  // d02 — MinHash+LSH candidates verified with exact Jaccard. The
-  // registered family is ENGINE-PORTABLE (shingle hash = 15 hex chars
-  // of md5 decoded to a 60-bit BIGINT, slots = the seeded affine
-  // family on h mod 2^31 — every term < 2^63 so plain BIGINT
-  // arithmetic reproduces it, band bucket = md5 of the '|'-joined
-  // mins), so the oracle below reproduces signatures, buckets, and
-  // therefore the EXACT candidate set; the xxhash64 throughput family
-  // (same plan, same slot aggregates) keeps its recall spec in
-  // LlmOpsSpec. The 32 min-aggregates / 8 band branches are generated
-  // from the SAME Hashing.minhashParams(32) constants the operator
-  // uses — one source of truth for the family.
-  private[queries] val d02SigAggs = graft.functions.Hashing.minhashParams(32)
-    .zipWithIndex.map { case ((a, b), j) =>
-      s"min(($a*h31 + $b) % 2305843009213693951) AS mh$j" }.mkString(", ")
-  private[queries] val d02BandSelects = (0 until 8).map { b =>
-    val ms = (b * 4 until b * 4 + 4).map(j => s"mh$j").mkString(" || '|' || ")
-    s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
-  }.mkString(" UNION ALL ")
-  private[queries] val d02OracleSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
-      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
-      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
-      |bk AS ($d02BandSelects),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-      |          AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.id_a
-      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard
-      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
-      |ORDER BY id_a, id_b"""
-  val d02: Q = q("d02_dedup_minhash", d02OracleSql) { c =>
-    Dedup.minhashPairsPortable(c.documents, n = 3, threshold = 0.5)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d02_auto — the d19 band planner as the family's DEFAULT dial
-  // (r14 verdict item: bandPlan was a standalone entry; here it
-  // derives d02's banding from d02's own verify threshold).
-  // bandPlan(32, 0.5) = 8×4 — the midpoint table RECOVERS the dial
-  // d02 hand-picked — so the auto form's signatures, buckets,
-  // candidates, and verified pairs are byte-identical to d02's and
-  // the entry hash-gates d02's oracle VERBATIM (one SQL, two paths:
-  // fixed and derived; the spec pins the same identity in-engine).
-  // d18/e23's persisted indexes take the same default (bands=0 →
-  // planned), so a threshold change re-plans the whole family at
-  // once instead of drifting per-operator.
-  val d02auto: Q = q("d02_dedup_minhash_auto", d02OracleSql) { c =>
-    Dedup.minhashPairsPlanned(c.documents, n = 3, threshold = 0.5)
-      .orderBy("id_a", "id_b")
-  }
-
-  private val d16MatchTerms = (0 until 32).map(j =>
-    s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
-
-  // d16 — MinHash FIDELITY report (the s11 eval discipline applied to
-  // dedup): for every LSH candidate pair, the signature-estimated
-  // Jaccard (matching slots / 32, the unbiased MinHash estimator)
-  // beside the exact set Jaccard, plus the corpus MAE roll-up
-  // (id -1/-1) — the calibration artifact that justifies a band/row
-  // dial before the estimator is trusted at scale. Same plan as d02
-  // through the candidate join; additions are one 32-term indicator
-  // sum per pair and an integer-scaled (micro-units) error roll-up,
-  // so the mean is one double division with no float summation order
-  // to disagree on. ORACLE-GATED end to end from the same generated
-  // family constants as d02.
-  val d16: Q = q("d16_minhash_fidelity",
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
-      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
-      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
-      |bk AS ($d02BandSelects),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-      |          AND a.doc_id < b.doc_id),
-      |m AS (SELECT c.id_a, c.id_b, $d16MatchTerms AS matches
-      |      FROM cand c JOIN sig a ON a.doc_id = c.id_a
-      |                  JOIN sig b ON b.doc_id = c.id_b),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.id_a
-      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      |          GROUP BY 1, 2),
-      |p AS (SELECT m.id_a, m.id_b,
-      |    ROUND(CAST(matches AS DOUBLE) / 32, 6) AS est_jaccard,
-      |    ROUND(CAST(COALESCE(i, 0) AS DOUBLE)
-      |      / (sa.n + sb.n - COALESCE(i, 0)), 6) AS exact_jaccard
-      |  FROM m LEFT JOIN inter ON inter.id_a = m.id_a AND inter.id_b = m.id_b
-      |  JOIN sizes sa ON m.id_a = sa.doc_id JOIN sizes sb ON m.id_b = sb.doc_id),
-      |e AS (SELECT id_a, id_b, est_jaccard, exact_jaccard,
-      |    ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err FROM p)
-      |SELECT id_a, id_b, est_jaccard, exact_jaccard, abs_err FROM e
-      |UNION ALL
-      |SELECT -1, -1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-      |  ROUND(CAST(SUM(CAST(ROUND(abs_err * 1000000) AS BIGINT)) AS DOUBLE)
-      |    / (1000000.0 * COUNT(*)), 6) FROM e
-      |ORDER BY id_a, id_b""") { c =>
-    Dedup.minhashFidelity(c.documents, n = 3)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d03 — SimHash fingerprint + hamming-banded near-dups. Like d02,
-  // the registered family is ENGINE-PORTABLE: 60-bit fingerprints
-  // whose bit j is the sign of Σ ±1 over bit j of the md5-derived
-  // shingle hashes, 4×15-bit chunk pigeonhole for candidates, exact
-  // hamming = bit_count(xor) — every step BIGINT arithmetic DuckDB
-  // reproduces, so d03 is oracle-gated; the xxhash64 64-bit family
-  // keeps its soundness/recall specs. The 60 bit-sum aggregates /
-  // fingerprint assembly / 4 chunk branches are generated below.
-  private val d03BitSums = (0 until 60).map(j =>
-    s"SUM(CASE WHEN (shingle >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-    .mkString(", ")
-  private val d03FpTerms = (0 until 60).map(j =>
-    s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-  private val d03Chunks = (0 until 4).map(i =>
-    s"SELECT doc_id, f, $i AS ci, (f >> ${i * 15}) & 32767 AS cv FROM fp")
-    .mkString(" UNION ALL ")
-  private val d03OracleSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
-      |bits AS (SELECT doc_id, $d03BitSums FROM sh GROUP BY doc_id),
-      |fp AS (SELECT doc_id, $d03FpTerms AS f FROM bits),
-      |ch AS ($d03Chunks),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-      |           a.f AS fa, b.f AS fb
-      |         FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv
-      |          AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
-      |ORDER BY id_a, id_b"""
-
-  val d03: Q = q("d03_dedup_simhash", d03OracleSql) { c =>
-    Dedup.simhashPairsPortable(c.documents, n = 3, maxDist = 3)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d03 AUTO — the banding dial: the 4×15-bit chunk pigeonhole's
-  // random (birthday) collisions grow n²/2¹⁵ (measured 78× candidate
-  // volume at the 10× corpus), so past ~8k docs the dial re-bands to
-  // Manku-style (b−3)-block subset keys (Dedup.simhashBlocks — wider
-  // keys, C(b,3) tables, collisions n²/2³⁰⁺). The reported pairs are
-  // IDENTICAL to d03's (candidate superset + the same exact hamming
-  // filter), so the auto dial shares d03's DuckDB oracle — hash-gated,
-  // not recall-tested, like d05_auto.
-  val d03auto: Q = q("d03_dedup_simhash_auto", d03OracleSql) { c =>
-    Dedup.simhashPairsAuto(c.documents, n = 3, maxDist = 3)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d04 — exact n-gram Jaccard pairs via inverted shingle index
-  private val d04OracleSql =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter), 6) AS jaccard
-      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
-      |ORDER BY id_a, id_b"""
-  val d04: Q = q("d04_ngram_jaccard", d04OracleSql) { c =>
-    // maxDf = 1000 ≫ this corpus's max shingle DF (25 at sf0.1), so
-    // the oracle output is the uncapped exact result while the
-    // REGISTERED plan carries the stop-shingle DF filter that bounds
-    // the self-join at corpus scale (VERDICT r2 "What's wrong" #2)
-    Dedup.ngramJaccardPairs(c.documents, n = 3, threshold = 0.5, maxDf = 1000L)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d04_auto — the OCCUPANCY dial for the inverted-index family
-  // (Dedup.jaccardDfCapAuto): one shingle-index aggregation measures
-  // (rows, docs) and sets the stop-shingle cap to budget / s̄ — the
-  // expected candidate partners PER DOC hold at the budget across
-  // corpora with different doc lengths, the d03_auto/d17_auto recipe
-  // applied to the last fixed dial on the dedup board. On this corpus
-  // the derived cap (≈ budget/52 ≫ max DF 7) doesn't bind, so the
-  // entry hash-gates against d04's own uncapped oracle; the 10×/100×
-  // probes carry the scale evidence where the cap DOES work.
-  val d04auto: Q = q("d04_ngram_jaccard_auto", d04OracleSql) { c =>
-    Dedup.ngramJaccardPairsAuto(c.documents, n = 3, threshold = 0.5)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d12 — shingle CONTAINMENT (id_a ⊆ id_b): normalizes the
-  // intersection by the SMALLER side only, catching quote/boilerplate
-  // doc-in-doc families that Jaccard's union denominator drowns.
-  // Same inverted-index + stop-list scale shape as d04; same
-  // maxDf=1000 ≫ corpus-max reasoning for oracle equivalence.
-  val d12: Q = q("d12_containment",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE)/sa.n, 6) AS containment
-      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
-      |WHERE sa.n >= 10 AND CAST(inter AS DOUBLE)/sa.n >= 0.9
-      |ORDER BY id_a, id_b""") { c =>
-    Dedup.containmentPairs(c.documents, n = 3, threshold = 0.9, maxDf = 1000L)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d13 — CONTENT-DEFINED chunk dedup (LBFS Rabin chunking at token
-  // granularity): boundaries fall where the rolling-context hash ≡ 0
-  // mod the divisor, so an edit near a doc's head re-aligns within
-  // ~one chunk instead of shifting every fixed-width chunk after it —
-  // the property d07 lacks on edited near-dups, and why dedup STORES
-  // chunk this way. Keep-first per chunk hash; per-doc rollup of
-  // chunks vs survivors. ORACLE-GATED since r11: the registered
-  // family cuts on the md5-60-bit context hash (the d02/d03 portable
-  // idiom), so DuckDB re-derives the IDENTICAL boundaries — trailing
-  // 3-token context per position, running-sum chunk ids, md5 chunk
-  // hashes, global keep-first — and the per-doc rollup hash-compares.
-  // The xxhash64 family keeps the insertion-robustness spec.
-  val d13: Q = q("d13_cdc_chunk_dedup",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |flat AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM toks),
-      |cut AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok,
-      |          CASE WHEN i >= 3 AND
-      |            CAST('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 15) AS BIGINT) % 8 = 0
-      |          THEN 1 ELSE 0 END AS c
-      |        FROM flat),
-      |ck AS (SELECT doc_id, pos, tok,
-      |         COALESCE(SUM(c) OVER (PARTITION BY doc_id ORDER BY pos
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-      |       FROM cut),
-      |chunks AS (SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
-      |           FROM ck GROUP BY doc_id, chunk_id),
-      |kept AS (SELECT doc_id, n_tokens,
-      |           CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk_hash
-      |                  ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS k
-      |         FROM chunks)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-      |  CAST(SUM(k) AS BIGINT) AS n_kept,
-      |  CAST(SUM(n_tokens * (1 - k)) AS BIGINT) AS dup_tokens
-      |FROM kept GROUP BY doc_id ORDER BY doc_id""") { c =>
-    val chunks = Dedup.cdcChunks(c.documents, portableHash = true)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")
-      .orderBy("doc_id", "chunk_id")
-    val kept = chunks
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__kept", when(col("__rn") === 1, 1L).otherwise(0L))
-    kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"), sum(col("__kept")).as("n_kept"),
-        sum(col("n_tokens") * (lit(1L) - col("__kept"))).as("dup_tokens"))
-      .orderBy("doc_id")
-  }
-
-  // d06 — dedup GROUPS: transitive closure over the exact n-gram
-  // Jaccard pairs (d04's graph) via iterative min-label connected
-  // components, with a canonical doc per group. The oracle reproduces
-  // the closure with a recursive CTE (reachability -> min reachable
-  // id), so the full pair->group->canonical pipeline is hash-compared.
-  val d06: Q = q("d06_dedup_groups",
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b FROM inter
-      |          JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5),
-      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-      |          UNION ALL SELECT id_b, id_a FROM pairs),
-      |reach(id, r) AS (SELECT u, u FROM edges
-      |                 UNION
-      |                 SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-      |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
-      |gs AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY canonical_id)
-      |SELECT id AS doc_id, comp.canonical_id, gs.group_size,
-      |       (id = comp.canonical_id) AS is_canonical
-      |FROM comp JOIN gs USING (canonical_id) ORDER BY doc_id""") { c =>
-    DupGroups.groups(
-        Dedup.ngramJaccardPairs(c.documents, n = 3, threshold = 0.5, maxDf = 1000L))
-      .orderBy("doc_id")
-  }
-
-  // d15 — dedup SURVIVORSHIP: which copy of each near-dup group to
-  // KEEP. d06 answers "which docs group together" with a min-id
-  // canonical; real curation keeps the HIGHEST-QUALITY copy (the
-  // boilerplate-stripped mirror should lose to the clean original
-  // regardless of crawl order), so the survivor is the group's
-  // argmax of x02's quality score with doc_id as the deterministic
-  // tiebreak. Composition: d06's candidate pairs + label
-  // propagation, one broadcast-size score projection joined back,
-  // ONE per-group window (rank-limit shape — groups are dup-cluster
-  // sized, never corpus sized). The oracle re-derives groups with
-  // the recursive CTE, recomputes the identical rounded score, and
-  // must agree on every keep/drop decision.
-  val d15: Q = q("d15_dedup_survivorship",
-    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT id_a, id_b FROM inter
-      |          JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5),
-      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-      |          UNION ALL SELECT id_b, id_a FROM pairs),
-      |reach(id, r) AS (SELECT u, u FROM edges
-      |                 UNION
-      |                 SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
-      |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
-      |q AS (SELECT doc_id,
-      |        ROUND(0.5 * LEAST(1.0, CAST(len(t) AS DOUBLE) / 100.0)
-      |          + 0.5 * (CAST(len(list_filter(t, x -> x IN ${inList(Text.enStops)})) AS DOUBLE) / len(t)), 6) AS score
-      |      FROM toks),
-      |r AS (SELECT comp.id AS doc_id, comp.canonical_id, q.score,
-      |        ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
-      |          ORDER BY q.score DESC, comp.id) AS rn
-      |      FROM comp JOIN q ON q.doc_id = comp.id),
-      |sv AS (SELECT canonical_id, doc_id AS survivor_id FROM r WHERE rn = 1),
-      |gs AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY canonical_id)
-      |SELECT r.doc_id, r.canonical_id, gs.group_size, r.score,
-      |  sv.survivor_id, (r.doc_id = sv.survivor_id) AS keep
-      |FROM r JOIN sv USING (canonical_id) JOIN gs USING (canonical_id)
-      |ORDER BY r.doc_id""") { c =>
-    val groups = DupGroups.groups(
-      Dedup.ngramJaccardPairs(c.documents, n = 3, threshold = 0.5, maxDf = 1000L))
-    val t = Text.tokens(col("text"))
-    val nTok = size(t).cast(DoubleType)
-    val scores = c.documents.select(col("doc_id"),
-      round(lit(0.5) * least(lit(1.0), nTok / 100.0)
-        + lit(0.5) * (Text.hitCount(t, Text.enStops).cast(DoubleType) / nTok), 6)
-        .as("score"))
-    val full = Window.partitionBy("canonical_id")
-      .orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    groups.join(scores, "doc_id")
-      .select(col("doc_id"), col("canonical_id"), col("group_size"), col("score"),
-        first(col("doc_id")).over(full).as("survivor_id"))
-      .withColumn("keep", col("doc_id") === col("survivor_id"))
-      .orderBy("doc_id")
-  }
-
-  /** DuckDB oracle for the registered (LSH-bucketed) d05, generated
-    * from the SAME seeded hyperplanes the Spark plan uses. Both
-    * engines accumulate every dot product in strict ascending-index
-    * order (DotProduct's codegen loop ≙ left-assoc `+` chain /
-    * list_reduce), so the sign bits — and therefore the candidate
-    * set and the final exact-verified pairs — are bit-identical.
-    * This pins the full deterministic operator, not just "rows > 0";
-    * recall vs the exact all-pairs baseline is pinned separately in
-    * LlmOpsSpec (planted near-dups at cosine ≥ 0.9 → recall 1.0).
-    */
-  /** The SRP bucket branches shared by the d05 and s02 oracles: the
-    * SAME seeded planes the operators hash with, rendered as literal
-    * weights — both engines then compute identical sign bits.
-    */
-  private def srpBucketBranches(tables: Int, bits: Int, dim: Int,
-      seed: Long): String = {
-    val hp = Ann.srpPlanes(tables, bits, dim, seed)
-    def dot(plane: Array[Double]): String =
-      plane.zipWithIndex.map { case (w, i) => s"v[${i + 1}]*($w)" }.mkString(" + ")
-    def bucket(t: Int): String =
-      (0 until bits).map { j =>
-        s"(CASE WHEN (${dot(hp(t)(j))}) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-    (0 until tables).map { t =>
-      s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM n" }
-      .mkString(" UNION ALL ")
-  }
-
-  private def d05OracleSql(threshold: Double, tables: Int, bits: Int,
-      dim: Int, seed: Long): String = {
-    val branches = srpBucketBranches(tables, bits, dim, seed)
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-       |b AS ($branches),
-       |cand AS (SELECT DISTINCT a.vec_id AS ia, bb.vec_id AS ib
-       |         FROM b a JOIN b bb ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
-       |SELECT ia AS id_a, ib AS id_b,
-       |  ROUND(list_reduce(list_transform(range(1, ${dim + 1}), i -> x.v[i]*y.v[i]), (acc, t) -> acc + t)
-       |        / (x.nrm*y.nrm), 6) AS cosine
-       |FROM cand JOIN n x ON x.vec_id = ia JOIN n y ON y.vec_id = ib
-       |WHERE list_reduce(list_transform(range(1, ${dim + 1}), i -> x.v[i]*y.v[i]), (acc, t) -> acc + t)
-       |      / (x.nrm*y.nrm) >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
-  }
-
-  // d05 — embedding near-dup pairs, REGISTERED as the bucketed scale
-  // path (VERDICT r2 "What's wrong" #1): seeded-SRP equi-join
-  // candidates + exact cosine verify. The exact all-pairs block join
-  // (Ann.nearDupPairs) is demoted to the spec-only recall oracle.
-  // COMPARE-SCALE DIAL: bits are fixed at 6 so the oracle can mirror
-  // the constant; occupancy grows with n, so at warehouse scale use
-  // d05_auto / Ann.nearDupLshAuto (README "Scale dials").
-  val d05: Q = q("d05_embedding_neardup",
-    d05OracleSql(threshold = 0.4, tables = 8, bits = 6, dim = 64, seed = 7L)) { c =>
-    Ann.nearDupLsh(c.embeddings, threshold = 0.4,
-        tables = 8, bits = 6, dim = 64, seed = 7L)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** The driver's oracle-compare corpus size (sf0.01 embeddings) —
-    * the AUTO d05's oracle must know the SRP bit-width before the data
-    * is read, so the count is pinned here and guarded by an
-    * LlmOpsSpec invariant (a regenerated test corpus that changes it
-    * fails the pin, not the hash).
-    */
-  private[graft] val oracleEmbCount = 500L
-
-  // d05 AUTO — the production-default dial (Ann.adaptiveBits: bits
-  // derived from one corpus count() so bucket occupancy stays ~16 at
-  // any scale) promoted into the hash-gated registry: the REGISTERED
-  // plan runs the real runtime derivation (count → bits → seeded
-  // planes), and the oracle mirrors the same derived constant from
-  // the pinned compare-scale count. At sf0.01 both sides resolve to
-  // adaptiveBits(500)=6; at bench scale (sf0.1, n=2000) the same code
-  // path widens to 7 bits — the dial the fixed-bits d05 cannot turn.
-  val d05auto: Q = q("d05_embedding_neardup_auto",
-    d05OracleSql(threshold = 0.4, tables = 8,
-      bits = Ann.adaptiveBits(oracleEmbCount), dim = 64, seed = 7L)) { c =>
-    Ann.nearDupLshAuto(c.embeddings, threshold = 0.4,
-        tables = 8, dim = 64, seed = 7L)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d10 — SemDeDup: semantic (embedding-space) dedup with k-means-
-  // cluster-bounded candidates — the data-adaptive third candidate
-  // strategy next to d05's LSH and d04's inverted index; reported
-  // pairs are exact cosine. Oracle-gated since round 11: the DuckDB
-  // oracle retrains the codebook (ivfTrainSql — bit-identical
-  // centroids) and hash-compares the full pair set; planted-dup
-  // recall stays pinned in LlmOpsSpec.
-  val d10: Q = q("d10_semdedup",
-    s"""${ivfTrainSql(nCentroids = 16)}
-       |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       |  ROUND(${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm), 6) AS cosine
-       |FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
-       |WHERE ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin) { c =>
-    // registered at the same 0.4 threshold regime as d05 (the
-    // synthetic corpus is near-orthogonal gaussian noise; the paper's
-    // >=0.9 regime is what the planted-dup spec pins)
-    Ann.semDedup(c.embeddings, threshold = 0.4)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d10 AUTO — the corpus-adaptive dial: k = max(16, n/occupancy)
-  // holds cluster occupancy constant (candidate volume ~linear in n
-  // where fixed k accrues n²/2k), and past Ann.RouteThreshold
-  // centroids the assignment itself goes two-level — vectors route
-  // through ~√k coarse cells and equi-join on the cell id, so no
-  // stage ever scores all k centroids (with k ∝ n the direct form
-  // would be the engine's one remaining quadratic). Rows-only like
-  // d10; routing totality/determinism/recall pinned in LlmOpsSpec,
-  // the 100× probe in Bench runs this dial with routing live.
-  // Oracle-gated since round 11 (kmeansAutoTrainSql — the adaptive-k,
-  // rank-seeded, unit-centroid mirror); the routed k > RouteThreshold
-  // regime stays pinned by the routing-contracts spec.
-  val d10auto: Q = q("d10_semdedup_auto",
-    s"""${kmeansAutoTrainSql()}
-       |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       |  ROUND(${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm), 6) AS cosine
-       |FROM kaf x JOIN kaf y ON x.cid = y.cid AND x.vec_id < y.vec_id
-       |WHERE ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin) { c =>
-    Ann.semDedupAuto(c.embeddings, threshold = 0.4)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d11 — incremental ingest dedup: the new batch (md5 doc_id bucket
-  // >= 'c', ~25%) dedups against the accumulated corpus (the other
-  // ~75%) via a Bloom filter built over the BATCH digests — the
-  // corpus side is scanned once, never shuffled, and only the
-  // fpp-sized sliver broadcasts into the exact anti-join (see
-  // Dedup.incremental). Result is exact despite the approximate
-  // prefilter, so it is oracle-gated like d01. Digest = 64-char
-  // prefix hash (the crawl-pipeline canonicalization: near-exact dup
-  // families share head content), which on this corpus drops real
-  // cross-batch dups AND collapses within-batch groups.
-  val d11: Q = q("d11_incremental_dedup",
-    """WITH h AS (SELECT doc_id, md5(substr(text, 1, 64)) AS content_hash,
-      |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_new
-      |           FROM documents),
-      |ex AS (SELECT DISTINCT content_hash FROM h WHERE NOT is_new)
-      |SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_copies
-      |FROM h WHERE is_new AND content_hash NOT IN (SELECT content_hash FROM ex)
-      |GROUP BY content_hash ORDER BY doc_id""") { c =>
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-    Dedup.incremental(
-        c.documents.filter(bucket >= "c"),
-        c.documents.filter(bucket < "c"),
-        digest = md5(substring(col("text"), 1, 64).cast("binary")))
-      .orderBy("doc_id")
-  }
-
-  // s01 — brute-force cosine top-5 for query vectors vec_id < 20
-  val s01: Q = q("s01_ann_brute",
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |        list_reduce(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), (acc, x) -> acc + x)
-      |          / (q.nrm*c.nrm) AS cos
-      |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
-      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM p)
-      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
-    Ann.brute(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // s02 — LSH-bucketed approximate top-5. Oracle-gated since round
-  // 10: the candidate set comes from the SAME seeded SRP planes the
-  // d05 oracle already mirrors as literal weights (identical sign
-  // bits in both engines), and the top-k ranking reuses s01's proven
-  // deterministic (cos DESC, neighbor_id) idiom — so the full
-  // approximate RESULT hash-compares, not just its recall.
-  val s02: Q = q("s02_ann_lsh",
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-      |b AS (${srpBucketBranches(tables = 8, bits = 6, dim = 64, seed = 7L)}),
-      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      |         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
-      |          AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
-      |p AS (SELECT query_id, neighbor_id,
-      |        list_reduce(list_transform(range(1, 65), i -> x.v[i]*y.v[i]), (acc, t) -> acc + t)
-      |          / (x.nrm*y.nrm) AS cos
-      |      FROM cand JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
-      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM p)
-      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
-    Ann.lsh(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** DuckDB mirror of [[Ann.ivfCodebook]]'s seeded spherical k-means,
-    * unrolled to `iters` Lloyd iterations — the s02 recipe extended
-    * from "mirror the seeded planes" to "mirror the TRAINING":
-    * the codebook is a deterministic function of the corpus (seeds =
-    * vec_id < nCentroids; per-component means accumulate 2^40-scaled
-    * integers exactly, so fold order cannot matter; every dot product
-    * is the same strict left-to-right fold both engines run), so the
-    * oracle retrains it in SQL and must land on bit-identical
-    * centroids, probe sets, and ranks.
-    */
-  private def ivfDot(a: String, b: String) =
-    s"list_reduce(list_transform(range(1, 65), i -> $a[i]*$b[i]), (acc, x) -> acc + x)"
-
-  // nearest-centroid assignment (ties: highest cid, mirroring the
-  // struct array_max tie-break)
-  private def ivfAssign(out: String, cents: String, rnCond: String,
-      filt: String = "") =
-    s"""$out AS (SELECT * FROM (
-       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-       |      ORDER BY ${ivfDot("n.v", "c.cv")} / c.ncv DESC, c.cid DESC) AS rn
-       |  FROM n CROSS JOIN $cents c$filt) WHERE $rnCond)""".stripMargin
-
-  /** The shared training CTEs: normed corpus `n`, seeds `c0`, `iters`
-    * unrolled Lloyd steps to `c<iters>`, and the final full-corpus
-    * assignment `af`. Each Lloyd step takes the element-wise mean of
-    * unit members per cluster via exact scaled-integer sums (trunc ==
-    * Spark's double->long cast); an empty or degenerate cluster keeps
-    * its previous centroid.
-    */
-  private def ivfTrainSql(nCentroids: Int, iters: Int = 2): String = {
-    def refine(prev: String, a: String, out: String) =
-      s"""${out}m AS (SELECT cid, i AS pos,
-         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
-         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
-         |${out}g AS (SELECT cid, cv, sqrt(list_reduce(list_transform(cv, x -> x*x), (acc, x) -> acc + x)) AS ncv
-         |  FROM (SELECT cid, list(comp ORDER BY pos) AS cv FROM ${out}m GROUP BY cid)),
-         |$out AS (SELECT p.cid,
-         |    CASE WHEN g.ncv IS NULL OR g.ncv = 0 THEN p.cv ELSE g.cv END AS cv,
-         |    CASE WHEN g.ncv IS NULL OR g.ncv = 0 THEN p.ncv ELSE g.ncv END AS ncv
-         |  FROM $prev p LEFT JOIN ${out}g g USING (cid))""".stripMargin
-    val lloyd = (1 to iters).map { t =>
-      ivfAssign(s"a$t", s"c${t - 1}", "rn = 1") + ",\n" +
-        refine(s"c${t - 1}", s"a$t", s"c$t")
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS ncv FROM n WHERE vec_id < $nCentroids),
-       |$lloyd,
-       |${ivfAssign("af", s"c$iters", "rn = 1")}""".stripMargin
-  }
-
-  /** DuckDB mirror of [[Ann.kmeansDf]] (the DataFrame-native codebook
-    * behind the Auto dials) + final assignment `kaf`. Differs from
-    * [[ivfTrainSql]] exactly where the implementations differ: k is
-    * CORPUS-ADAPTIVE (GREATEST(16, n//256), computed in SQL), seeds
-    * are the k lowest vec_ids BY RANK with rank as the cid, centroids
-    * are UNIT-normalized each step (so assignment scores divide by
-    * the row norm only), and ties resolve to the LOWEST cid (the
-    * struct-negcid max). Valid while k stays ≤ RouteThreshold — the
-    * direct-assignment regime every oracle-scale corpus is in; the
-    * routed form (k > 256) keeps its rows-only spec.
-    */
-  private def kmeansAutoTrainSql(iters: Int = 2): String = {
-    def assign(out: String, cents: String) =
-      s"""$out AS (SELECT * FROM (
-         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |      ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
-         |  FROM n CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-    def refine(prev: String, a: String, out: String) =
-      s"""${out}m AS (SELECT cid, i AS pos,
-         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
-         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
-         |${out}g AS (SELECT cid, mv, sqrt(list_reduce(list_transform(mv, x -> x*x), (acc, x) -> acc + x)) AS mnrm
-         |  FROM (SELECT cid, list(comp ORDER BY pos) AS mv FROM ${out}m GROUP BY cid)),
-         |$out AS (SELECT p.cid,
-         |    CASE WHEN g.mnrm IS NULL OR g.mnrm = 0 THEN p.cv
-         |         ELSE list_transform(g.mv, x -> x/g.mnrm) END AS cv
-         |  FROM $prev p LEFT JOIN ${out}g g USING (cid))""".stripMargin
-    val lloyd = (1 to iters).map { t =>
-      assign(s"ka$t", s"kc${t - 1}") + ",\n" +
-        refine(s"kc${t - 1}", s"ka$t", s"kc$t")
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-       |kk AS (SELECT GREATEST(16, COUNT(*) // 256) AS k FROM n),
-       |kc0 AS (SELECT rnk - 1 AS cid, list_transform(v, x -> x/nrm) AS cv FROM (
-       |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk FROM n)
-       |  WHERE rnk <= (SELECT k FROM kk)),
-       |$lloyd,
-       |${assign("kaf", s"kc$iters")}""".stripMargin
-  }
-
-  /** Pooled variant of [[kmeansAutoTrainSql]]: trains the adaptive-k
-    * DataFrame-native codebook over ONE label pool of the shared
-    * labeled `n` CTE, every CTE prefixed with `p` so two pools can
-    * train inside one query (s15_auto's per-language codebooks).
-    * Exposes `${p}pn` (the pool), `${p}kc<iters>` (unit centroids)
-    * and `${p}kaf` (the pool's final assignment). Same mirrored
-    * details as the unpooled form: k = GREATEST(16, pool // 256),
-    * rank-seeded cids, exact scaled-integer Lloyd means, ties to the
-    * LOWEST cid.
-    */
-  private def kmeansPoolTrainSql(p: String, label: Int, iters: Int = 2): String = {
-    def assign(out: String, cents: String, rnCond: String) =
-      s"""$out AS (SELECT * FROM (
-         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |      ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
-         |  FROM ${p}pn n CROSS JOIN $cents c) WHERE $rnCond)""".stripMargin
-    def refine(prev: String, a: String, out: String) =
-      s"""${out}m AS (SELECT cid, i AS pos,
-         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
-         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
-         |${out}g AS (SELECT cid, mv, sqrt(list_reduce(list_transform(mv, x -> x*x), (acc, x) -> acc + x)) AS mnrm
-         |  FROM (SELECT cid, list(comp ORDER BY pos) AS mv FROM ${out}m GROUP BY cid)),
-         |$out AS (SELECT w.cid,
-         |    CASE WHEN g.mnrm IS NULL OR g.mnrm = 0 THEN w.cv
-         |         ELSE list_transform(g.mv, x -> x/g.mnrm) END AS cv
-         |  FROM $prev w LEFT JOIN ${out}g g USING (cid))""".stripMargin
-    val lloyd = (1 to iters).map { t =>
-      assign(s"${p}ka$t", s"${p}kc${t - 1}", "rn = 1") + ",\n" +
-        refine(s"${p}kc${t - 1}", s"${p}ka$t", s"${p}kc$t")
-    }.mkString(",\n")
-    s"""${p}pn AS (SELECT vec_id, v, nrm FROM n WHERE label = $label),
-       |${p}kk AS (SELECT GREATEST(16, COUNT(*) // 256) AS k FROM ${p}pn),
-       |${p}kc0 AS (SELECT rnk - 1 AS cid, list_transform(v, x -> x/nrm) AS cv FROM (
-       |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk FROM ${p}pn)
-       |  WHERE rnk <= (SELECT k FROM ${p}kk)),
-       |$lloyd,
-       |${assign(s"${p}kaf", s"${p}kc$iters", "rn = 1")}""".stripMargin
-  }
-
-  /** DuckDB mirror of [[Ann.ivfpq]]: the coarse probe CTEs plus the
-    * per-subspace PQ training (same exact-scaled-integer Lloyd steps
-    * over unit subvectors, argmin ties to the LOWEST code mirroring
-    * array_position-of-min), ADC accumulated as an ORDERED list fold
-    * (SQL SUM over doubles is order-free and could flip the shortlist
-    * boundary by a last bit), shortlist by (adc ASC, neighbor_id),
-    * then the exact-cosine re-rank. m=8 subspaces of 8 dims, 16 codes.
-    */
-  private def ivfpqOracleSql(nCentroids: Int, nProbe: Int, k: Int,
-      m: Int = 8, pqK: Int = 16, shortlist: Int = 64,
-      iters: Int = 2): String = {
-    val subDim = 64 / m
-    def l2(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc, x) -> acc + x)"
-    def pqAssign(out: String, cb: String) =
-      s"""$out AS (SELECT * FROM (
-         |  SELECT s.vec_id, s.j, s.sub, p.c,
-         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
-         |      ORDER BY ${l2("s.sub", "p.pv")} ASC, p.c ASC) AS rn
-         |  FROM subs s JOIN $cb p ON p.j = s.j) WHERE rn = 1)""".stripMargin
-    val pqLloyd = (1 to iters).map { t =>
-      s"""${pqAssign(s"pa$t", s"p${t - 1}")},
-         |pm$t AS (SELECT j, c, i AS pos,
-         |    CAST(SUM(CAST(trunc(sub[i]*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
-         |  FROM pa$t, range(1, ${subDim + 1}) t(i) GROUP BY j, c, i),
-         |pg$t AS (SELECT j, c, list(comp ORDER BY pos) AS pv FROM pm$t GROUP BY j, c),
-         |p$t AS (SELECT p.j, p.c, COALESCE(g.pv, p.pv) AS pv
-         |  FROM p${t - 1} p LEFT JOIN pg$t g ON g.j = p.j AND g.c = p.c)""".stripMargin
-    }.mkString(",\n")
-    s"""${ivfTrainSql(nCentroids, iters)},
-       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
-       |u AS (SELECT vec_id, list_transform(range(1, 65), i -> v[i]/nrm) AS uv FROM n),
-       |subs AS (SELECT vec_id, j, list_slice(uv, j*$subDim+1, j*$subDim+$subDim) AS sub
-       |  FROM u, range(0, $m) t(j)),
-       |p0 AS (SELECT j, vec_id AS c, sub AS pv FROM subs WHERE vec_id < $pqK),
-       |$pqLloyd,
-       |${pqAssign("codes", s"p$iters")},
-       |perj AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, nc.j,
-       |    ${l2("qs.sub", "p.pv")} AS dist
-       |  FROM pf q
-       |  JOIN af a ON a.cid = q.cid AND a.vec_id <> q.vec_id
-       |  JOIN codes nc ON nc.vec_id = a.vec_id
-       |  JOIN subs qs ON qs.vec_id = q.vec_id AND qs.j = nc.j
-       |  JOIN p$iters p ON p.j = nc.j AND p.c = nc.c),
-       |adc AS (SELECT query_id, neighbor_id,
-       |    list_reduce(list(dist ORDER BY j), (acc, x) -> acc + x) AS adc
-       |  FROM perj GROUP BY query_id, neighbor_id),
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY adc ASC, neighbor_id ASC) AS r FROM adc) WHERE r <= $shortlist),
-       |sc AS (SELECT query_id, neighbor_id, ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) AS cos
-       |  FROM short JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
-       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** DuckDB mirror of [[Ann.ivfpqResidual]]: [[ivfpqOracleSql]] with
-    * the PQ trained and applied on RESIDUALS — members re-center
-    * against their OWN assigned centroid (af ⋈ unit centroids `cu`),
-    * the query against EACH probed centroid (qsubs keyed by (vec_id,
-    * cid) — the per-probe ADC table the residual form pays for). All
-    * other details verbatim from the s04 oracle: exact scaled-integer
-    * Lloyd means (trunc == Spark's double→long cast, valid on the
-    * negative components residuals introduce), argmin ties to the
-    * LOWEST code, ADC as an ORDERED list fold, shortlist by (adc ASC,
-    * neighbor_id), exact-cosine re-rank.
-    */
-  private def ivfpqResidualOracleSql(nCentroids: Int, nProbe: Int, k: Int,
-      m: Int = 8, pqK: Int = 16, shortlist: Int = 64,
-      iters: Int = 2): String = {
-    val subDim = 64 / m
-    def l2(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc, x) -> acc + x)"
-    def pqAssign(out: String, cb: String) =
-      s"""$out AS (SELECT * FROM (
-         |  SELECT s.vec_id, s.j, s.sub, p.c,
-         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
-         |      ORDER BY ${l2("s.sub", "p.pv")} ASC, p.c ASC) AS rn
-         |  FROM subs s JOIN $cb p ON p.j = s.j) WHERE rn = 1)""".stripMargin
-    val pqLloyd = (1 to iters).map { t =>
-      s"""${pqAssign(s"pa$t", s"p${t - 1}")},
-         |pm$t AS (SELECT j, c, i AS pos,
-         |    CAST(SUM(CAST(trunc(sub[i]*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
-         |  FROM pa$t, range(1, ${subDim + 1}) t(i) GROUP BY j, c, i),
-         |pg$t AS (SELECT j, c, list(comp ORDER BY pos) AS pv FROM pm$t GROUP BY j, c),
-         |p$t AS (SELECT p.j, p.c, COALESCE(g.pv, p.pv) AS pv
-         |  FROM p${t - 1} p LEFT JOIN pg$t g ON g.j = p.j AND g.c = p.c)""".stripMargin
-    }.mkString(",\n")
-    s"""${ivfTrainSql(nCentroids, iters)},
-       |cu AS (SELECT cid, list_transform(range(1, 65), i -> cv[i]/ncv) AS cuv FROM c$iters),
-       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
-       |u AS (SELECT vec_id, list_transform(range(1, 65), i -> v[i]/nrm) AS uv FROM n),
-       |res AS (SELECT u.vec_id, list_transform(range(1, 65), i -> u.uv[i] - c.cuv[i]) AS rv
-       |  FROM u JOIN af a ON a.vec_id = u.vec_id JOIN cu c ON c.cid = a.cid),
-       |subs AS (SELECT vec_id, j, list_slice(rv, j*$subDim+1, j*$subDim+$subDim) AS sub
-       |  FROM res, range(0, $m) t(j)),
-       |p0 AS (SELECT j, vec_id AS c, sub AS pv FROM subs WHERE vec_id < $pqK),
-       |$pqLloyd,
-       |${pqAssign("codes", s"p$iters")},
-       |qres AS (SELECT q.vec_id, q.cid, list_transform(range(1, 65), i -> u.uv[i] - c.cuv[i]) AS qrv
-       |  FROM pf q JOIN u ON u.vec_id = q.vec_id JOIN cu c ON c.cid = q.cid),
-       |qsubs AS (SELECT vec_id, cid, j, list_slice(qrv, j*$subDim+1, j*$subDim+$subDim) AS sub
-       |  FROM qres, range(0, $m) t(j)),
-       |perj AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, nc.j,
-       |    ${l2("qs.sub", "p.pv")} AS dist
-       |  FROM pf q
-       |  JOIN af a ON a.cid = q.cid AND a.vec_id <> q.vec_id
-       |  JOIN codes nc ON nc.vec_id = a.vec_id
-       |  JOIN qsubs qs ON qs.vec_id = q.vec_id AND qs.cid = q.cid AND qs.j = nc.j
-       |  JOIN p$iters p ON p.j = nc.j AND p.c = nc.c),
-       |adc AS (SELECT query_id, neighbor_id,
-       |    list_reduce(list(dist ORDER BY j), (acc, x) -> acc + x) AS adc
-       |  FROM perj GROUP BY query_id, neighbor_id),
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY adc ASC, neighbor_id ASC) AS r FROM adc) WHERE r <= $shortlist),
-       |sc AS (SELECT query_id, neighbor_id, ${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) AS cos
-       |  FROM short JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
-       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
-  }
-
-  private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
-      iters: Int = 2): String =
-    s"""${ivfTrainSql(nCentroids, iters)},
-       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
-       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
-       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
-
-  // s03 — IVF-bucketed approximate top-5. Oracle-gated since round
-  // 11: the DuckDB oracle RETRAINS the codebook (ivfOracleSql) and
-  // the full approximate result hash-compares; recall vs s01 stays
-  // pinned in ScalaTest.
-  /** s10's oracle: the s03 skeleton with the label predicate joined
-    * INTO the candidate set (label carried from the raw table; the
-    * codebook retrains identically — same CTEs, same constants).
-    */
-  private def ivfFilteredOracleSql(nCentroids: Int, nProbe: Int, k: Int,
-      iters: Int = 2): String =
-    s"""${ivfTrainSql(nCentroids, iters)},
-       |${ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
-       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id
-       |       JOIN embeddings lq ON lq.vec_id = p.vec_id
-       |       JOIN embeddings la ON la.vec_id = a.vec_id AND la.label = lq.label)
-       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
-
-  // s10 — FILTERED vector search (the vector-store metadata-filter
-  // feature: tenant isolation, language-scoped retrieval): top-k
-  // cosine among corpus vectors sharing the query's label, with the
-  // predicate pushed INTO the candidate equi-join key (cluster AND
-  // label) — candidates shrink by the label's selectivity BEFORE any
-  // cosine is computed; post-filtering a plain top-k both
-  // over-scores and under-returns. Oracle retrains the codebook in
-  // SQL (s03's machinery) and mirrors the label join.
-  val s10: Q = q("s10_ann_filtered",
-    ivfFilteredOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
-    Ann.ivfFiltered(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // s11 — ANN RECALL EVALUATION (index-quality monitoring, the
-  // metric every production vector deployment tracks before turning
-  // a probe dial): recall@5 of the IVF index against brute-force
-  // ground truth, per query plus the corpus roll-up (query_id = -1).
-  // Both rankings run IN the same plan — truth is s01's exact top-k,
-  // approx is s03's probed top-k — and the compare is a left-semi
-  // join on (query_id, neighbor_id), so the eval costs one extra
-  // k-bounded join over what the two searches already cost. The
-  // roll-up divides INTEGER hit/k sums once (no double summation
-  // order to disagree on). Oracle: the retrained-codebook recipe
-  // (ivfTrainSql) re-derives the identical approx ranking in SQL,
-  // brute in SQL, and recomputes the same recall arithmetic.
-  val s11: Q = q("s11_ann_recall_eval",
-    s"""${ivfTrainSql(nCentroids = 16)},
-       |${ivfAssign("pf", "c2", "rn <= 4", " WHERE n.vec_id < 20")},
-       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
-       |ak AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, neighbor_id) AS rn FROM sc) WHERE rn <= 5),
-       |bp AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |        ${ivfDot("q.v", "a.v")} / (q.nrm*a.nrm) AS cos
-       |       FROM n q JOIN n a ON q.vec_id < 20 AND a.vec_id <> q.vec_id),
-       |bk AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, neighbor_id) AS rn FROM bp) WHERE rn <= 5),
-       |per AS (SELECT b.query_id, COUNT(a.neighbor_id) AS hits, COUNT(*) AS k
-       |  FROM bk b LEFT JOIN ak a
-       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-       |  GROUP BY b.query_id)
-       |SELECT query_id, CAST(hits AS INT) AS n_hits,
-       |  ROUND(CAST(hits AS DOUBLE) / k, 6) AS recall FROM per
-       |UNION ALL
-       |SELECT -1 AS query_id, CAST(SUM(hits) AS INT) AS n_hits,
-       |  ROUND(CAST(SUM(hits) AS DOUBLE) / SUM(k), 6) AS recall FROM per
-       |ORDER BY query_id""".stripMargin) { c =>
-    val queries = c.embeddings.filter(col("vec_id") < 20)
-    val truth = Ann.brute(queries, c.embeddings, k = 5)
-      .select("query_id", "neighbor_id")
-    val approx = Ann.ivf(queries, c.embeddings, k = 5)
-      .select("query_id", "neighbor_id")
-    val per = truth
-      .join(approx.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"), count(lit(1)).as("k"))
-    per.select(col("query_id"), col("hits").cast("int").as("n_hits"),
-        round(col("hits").cast("double") / col("k"), 6).as("recall"))
-      .unionByName(per.agg(sum("hits").as("h"), sum("k").as("kk"))
-        .select(lit(-1L).as("query_id"), col("h").cast("int").as("n_hits"),
-          round(col("h").cast("double") / col("kk"), 6).as("recall")))
-      .orderBy("query_id")
-  }
-
-  /** DuckDB mirror of [[Ann.mmrRerank]]: the greedy MMR trajectory
-    * unrolled as one CTE chain per trip. The λ and 1−λ literals are
-    * interpolated FROM the Scala doubles (1.0−0.7 is
-    * 0.30000000000000004 in IEEE — writing "0.3" would diverge at
-    * the 17th digit and eventually flip an argmax), and every compare
-    * key is ROUND(,6) so the greedy trajectory is reproducible.
-    */
-  private def mmrOracleSql(k: Int, shortlist: Int, lam: Double): String = {
-    val steps = (2 to k).map { t =>
-      s"""ms$t AS (SELECT p.query_id, p.a AS neighbor_id, MAX(p.sim) AS max_sim
-         |  FROM pair p JOIN sel${t - 1} s
-         |    ON s.query_id = p.query_id AND s.neighbor_id = p.b
-         |  GROUP BY p.query_id, p.a),
-         |c$t AS (SELECT c.query_id, c.neighbor_id,
-         |    ROUND($lam * c.rel - ${1.0 - lam} * m.max_sim, 6) AS score
-         |  FROM cand c JOIN ms$t m
-         |    ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
-         |    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
-         |st$t AS (SELECT query_id, neighbor_id, $t AS rank, score FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, neighbor_id) AS rn FROM c$t) WHERE rn = 1),
-         |sel$t AS (SELECT query_id, neighbor_id FROM sel${t - 1}
-         |  UNION ALL SELECT query_id, neighbor_id FROM st$t)""".stripMargin
-    }.mkString(",\n")
-    val union = (1 to k)
-      .map(t => s"SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score FROM st$t")
-      .mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-       |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |        ${ivfDot("q.v", "c.v")} / (q.nrm*c.nrm) AS cos
-       |       FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
-       |cand AS (SELECT query_id, neighbor_id, ROUND(cos, 6) AS rel FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, neighbor_id) AS rn FROM bp) WHERE rn <= $shortlist),
-       |pair AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
-       |    ROUND(${ivfDot("va.v", "vb.v")} / (va.nrm*vb.nrm), 6) AS sim
-       |  FROM cand x JOIN cand y
-       |    ON y.query_id = x.query_id AND y.neighbor_id <> x.neighbor_id
-       |  JOIN n va ON va.vec_id = x.neighbor_id
-       |  JOIN n vb ON vb.vec_id = y.neighbor_id),
-       |st1 AS (SELECT query_id, neighbor_id, 1 AS rank, rel AS score FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY rel DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
-       |sel1 AS (SELECT query_id, neighbor_id FROM st1),
-       |$steps
-       |$union
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  // s12 — MMR DIVERSITY re-ranking (Carbonell & Goldstein '98 —
-  // the standard RAG redundancy fix: the raw top-k is five
-  // paraphrases of one passage; MMR greedily trades relevance
-  // against similarity to what's already picked). Sequential only in
-  // k: the corpus-sized work is the one shortlist retrieval, every
-  // greedy trip is shortlist-bounded and distributed ACROSS queries.
-  // ORACLE-GATED on the full greedy trajectory (ranks AND scores) —
-  // the SQL unrolls the k−1 trips as CTEs from the same constants.
-  val s12: Q = q("s12_mmr_diversify",
-    mmrOracleSql(k = 5, shortlist = 12, lam = 0.7)) { c =>
-    Ann.mmrRerank(c.embeddings.filter(col("vec_id") < 20), c.embeddings,
-        k = 5, shortlist = 12, lam = 0.7)
-      .orderBy("query_id", "rank")
-  }
-
-  // s13 — SQ8 SERVING (Ann.sq8Serve): top-k inner product over the
-  // int8-quantized corpus with ASYMMETRIC distance — x26 builds the
-  // SQ8 index, this is the retrieval that runs against it. The
-  // corpus side of the join carries ONLY its uint8 codes (1 byte/dim:
-  // the 4-8× scan-IO cut over float/double IS the serving feature at
-  // 100 TB), and the per-query affine algebra
-  //   ip = Σ q·mn + Σ (q·span/255)·code
-  // folds reconstruction into one broadcast constant + one
-  // integer-weighted strict-fold dot product — no dequantized vector
-  // ever materializes. ORACLE-GATED end to end: the SQL rebuilds the
-  // same per-dim (mn, span), the same exact integer codes, and the
-  // same two left-fold dot products, so every rank hash-compares;
-  // ADC-vs-exact recall is additionally pinned in LlmOpsSpec.
-  val s13: Q = q("s13_ann_sq8",
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |c2 AS (SELECT vec_id, unnest(range(1, 65)) AS i, v FROM e),
-      |c3 AS (SELECT vec_id, i, v[i] AS x FROM c2),
-      |st AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM c3 GROUP BY i),
-      |sta AS (SELECT list(mn ORDER BY i) AS mns, list(span ORDER BY i) AS spans FROM st),
-      |cd AS (SELECT vec_id, list_transform(range(1, 65),
-      |         i -> CASE WHEN spans[i] = 0 THEN 0
-      |                   ELSE LEAST(255, GREATEST(0, CAST(floor(((v[i] - mns[i]) * 255.0) / spans[i] + 0.5) AS INT))) END) AS codes
-      |       FROM e, sta),
-      |q AS (SELECT vec_id AS query_id,
-      |        list_reduce(list_transform(range(1, 65), i -> v[i] * mns[i]), (a, x) -> a + x) AS qc,
-      |        list_transform(range(1, 65), i -> (v[i] * spans[i]) / 255.0) AS qs
-      |      FROM e, sta WHERE vec_id < 20),
-      |p AS (SELECT query_id, c.vec_id AS neighbor_id,
-      |        qc + list_reduce(list_transform(range(1, 65), i -> qs[i] * codes[i]), (a, x) -> a + x) AS ip
-      |      FROM q JOIN cd c ON c.vec_id <> query_id)
-      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(ip, 6) AS adc_ip
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM p)
-      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
-    Ann.sq8Serve(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  val s03: Q = q("s03_ann_ivf",
-    ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
-    Ann.ivf(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // s04 — IVF-PQ: coarse probe bounds WHICH rows, product-quantized
-  // asymmetric distance (m table lookups/row over dim/m-times smaller
-  // codes) bounds WORK PER ROW; exact cosine re-ranks the ADC
-  // shortlist. Oracle-gated since round 11: the oracle retrains BOTH
-  // codebooks in SQL (ivfpqOracleSql) and hash-compares the full
-  // result; recall + determinism vs brute stay in ScalaTest.
-  val s04: Q = q("s04_ann_ivfpq",
-    ivfpqOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
-    Ann.ivfpq(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // s18 — RESIDUAL IVF-PQ (the full FAISS IVFPQ shape — closes the
-  // trade s04's docstring prices: codes spend their resolution on the
-  // residual the coarse index hasn't explained, ~1 extra effective
-  // bit/dim; ADC tables become per-(query, probed cluster), nProbe
-  // config-sized builds instead of one). Same probe bound, shortlist,
-  // and exact re-rank as s04; oracle retrains coarse + residual-PQ
-  // codebooks in SQL (ivfpqResidualOracleSql) and hash-compares every
-  // rank. Recon-error dominance over direct coding is spec-pinned.
-  val s18: Q = q("s18_ann_ivfpq_residual",
-    ivfpqResidualOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
-    Ann.ivfpqResidual(c.embeddings.filter(col("vec_id") < 20),
-        c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // s05 — k-NN GRAPH: every vector's top-3 neighbors with IVF-bounded
-  // candidates (the self-query form of s03 — an exact graph is
-  // all-pairs by definition, so the probe bound IS the operator).
-  // Oracle-gated since round 11 via the retrained-codebook recipe
-  // (every vector probes its 4 nearest lists); recall vs the brute
-  // graph + cosine exactness stay pinned in LlmOpsSpec.
-  // COMPARE-SCALE DIAL: 16 fixed centroids — quadratic within-cluster
-  // as n grows; at warehouse scale use s05_auto / Ann.knnGraphAuto
-  // (README "Scale dials").
-  val s05: Q = q("s05_knn_graph",
-    s"""${ivfTrainSql(nCentroids = 16)},
-       |${ivfAssign("pf", "c2", "rn <= 4")},
-       |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-       |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id)
-       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-       |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { c =>
-    Ann.knnGraph(c.embeddings, k = 3)
-      .orderBy("query_id", "rank")
-  }
-
-  // s06 — exact MIPS top-5: raw inner-product retrieval for
-  // unnormalized embedding stores (magnitude carries signal — cosine
-  // is the wrong order there). Oracle-gated like s01: DuckDB computes
-  // the same strict left-to-right dot products. The scale path is
-  // Ann.mipsIvf — the order-exact [x, sqrt(M²−|x|²)] augmentation
-  // reduces MIPS to cosine so the IVF machinery applies unchanged
-  // (full-probe set-equality with this entry pinned in LlmOpsSpec).
-  val s06: Q = q("s06_ann_mips",
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |        list_reduce(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), (acc, x) -> acc + x) AS ip
-      |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
-      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(ip, 6) AS inner_product
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rn FROM p)
-      |WHERE rn <= 5 ORDER BY query_id, rank""") { c =>
-    Ann.bruteMips(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // s05 AUTO — occupancy-held k-NN graph (k ∝ n via the DataFrame-
-  // native k-means, routed assignment past RouteThreshold): the
-  // fixed-16-centroid graph's within-cluster work is quadratic at
-  // fixed k (10× probe ratio ~9-16); this dial keeps candidate
-  // volume ~n·occupancy. Oracle-gated since round 11 via the
-  // adaptive-k retrained codebook (single-probe: each vector scores
-  // only its own cluster); planted-neighbor recall and the routed
-  // k > RouteThreshold contracts stay pinned in LlmOpsSpec.
-  val s05auto: Q = q("s05_knn_graph_auto",
-    s"""${kmeansAutoTrainSql()},
-       |sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |        ${ivfDot("q.v", "a.v")} / (q.nrm*a.nrm) AS cos
-       |       FROM kaf q JOIN kaf a ON a.cid = q.cid AND a.vec_id <> q.vec_id)
-       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-       |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin) { c =>
-    Ann.knnGraphAuto(c.embeddings, k = 3)
-      .orderBy("query_id", "rank")
-  }
-
-  private def inList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("(", ",", ")")
-
-  // s07 — HYBRID retrieval: BM25 (x19's leg, same dials) fused with
-  // dense cosine (query = vec_id 0's embedding) by Reciprocal Rank
-  // Fusion (Cormack et al., SIGIR'09; k=60) — the modern default for
-  // combining lexical and vector search without score calibration.
-  // Each leg keeps only its top-100 (TakeOrderedAndProject — no full
-  // sort shuffle), so the fusion join and the rank windows run over
-  // driver-bounded shortlists: the same rerank-a-shortlist shape as
-  // IVF-PQ. RRF works on ranks alone, so both engines compute
-  // IDENTICAL integers, the fused doubles agree exactly, and the
-  // whole hybrid result hash-compares.
-  val s07: Q = q("s07_hybrid_rrf",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-      |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
-      |tf AS (SELECT doc_id, w, COUNT(*) AS tf
-      |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-      |       WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
-      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT doc_id,
-      |         ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
-      |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
-      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
-      |lex AS (SELECT doc_id, SUM(s) AS bm25 FROM sc GROUP BY doc_id),
-      |lext AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id) AS lrank
-      |         FROM lex QUALIFY lrank <= 100),
-      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |nv AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-      |qv AS (SELECT v, nrm FROM nv WHERE vec_id = 0),
-      |vec AS (SELECT c.vec_id AS doc_id,
-      |          list_reduce(list_transform(range(1, 65), i -> qv.v[i]*c.v[i]), (a, x) -> a + x)
-      |            / (qv.nrm*c.nrm) AS cos
-      |        FROM nv c CROSS JOIN qv WHERE c.vec_id <> 0),
-      |vect AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, doc_id) AS vrank
-      |         FROM vec QUALIFY vrank <= 100),
-      |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-      |            CAST(l.lrank AS INT) AS lrank, CAST(v.vrank AS INT) AS vrank,
-      |            COALESCE(1.0/(60 + l.lrank), 0) + COALESCE(1.0/(60 + v.vrank), 0) AS raw
-      |          FROM lext l FULL JOIN vect v ON l.doc_id = v.doc_id)
-      |SELECT doc_id, lrank, vrank, ROUND(raw, 6) AS rrf FROM fused
-      |ORDER BY raw DESC, doc_id LIMIT 50""") { c =>
-    import org.apache.spark.sql.expressions.{Window => W}
-    // ranks order on the ROUNDED score (then doc_id): the raw doubles
-    // are parallel sums whose last bits depend on summation order, so
-    // a sub-1e-6 cross-engine divergence would flip a rank and break
-    // the hash gate — ROUND(,6) absorbs it (same rule as x19)
-    val lexTop = bm25Frame(c, Seq("spark", "vector", "merge"))
-      .withColumn("bm25r", round(col("bm25"), 6))
-      .orderBy(col("bm25r").desc, col("doc_id")).limit(100)
-    // rank windows run over the ALREADY-limited 100-row shortlists —
-    // the single-partition window is driver-bounded by construction
-    val lext = lexTop
-      .withColumn("lrank",
-        row_number().over(W.orderBy(col("bm25r").desc, col("doc_id")))
-          .cast(IntegerType))
-      .select("doc_id", "lrank")
-    val e = c.embeddings.select(col("vec_id"),
-        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
-    val qv = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), col("nrm").as("qn"))
-    val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-      .select(col("vec_id").as("doc_id"),
-        graft.functions.Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
-          .as("cos"))
-      .withColumn("cosr", round(col("cos"), 6))
-      .orderBy(col("cosr").desc, col("doc_id")).limit(100)
-    val vect = vecTop
-      .withColumn("vrank",
-        row_number().over(W.orderBy(col("cosr").desc, col("doc_id")))
-          .cast(IntegerType))
-      .select("doc_id", "vrank")
-    val raw = coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
-      coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0))
-    lext.join(vect, Seq("doc_id"), "full")
-      .withColumn("raw", raw)
-      .orderBy(col("raw").desc, col("doc_id")).limit(50)
-      .select(col("doc_id"), col("lrank"), col("vrank"),
-        round(col("raw"), 6).as("rrf"))
-  }
-
-  // s08 — exact RADIUS (threshold) retrieval: every corpus vector
-  // with cosine >= 0.35 of each query (vec_id < 8) — the recall-
-  // complete mode where a top-k cutoff would silently truncate a
-  // data-dependent answer set. One corpus pass scores all queries
-  // (broadcast query side), the threshold filter is map-side, and —
-  // unlike s01 — NO rank window runs at all. The filter lands on the
-  // ROUNDED cosine so both engines decide boundary pairs identically
-  // (the s07 ordering lesson applied to a predicate).
-  val s08: Q = q("s08_range_search",
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM e),
-      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |        ROUND(list_reduce(list_transform(range(1, 65), i -> q.v[i]*c.v[i]), (acc, x) -> acc + x)
-      |          / (q.nrm*c.nrm), 6) AS cosine
-      |      FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
-      |SELECT query_id, neighbor_id, cosine FROM p WHERE cosine >= 0.35
-      |ORDER BY query_id, neighbor_id""") { c =>
-    Ann.rangeSearch(c.embeddings.filter(col("vec_id") < 8), c.embeddings, 0.35)
-      .orderBy("query_id", "neighbor_id")
-  }
-
-  // s09 — IVF TRAIN/SERVE split: the codebook is trained once (the
-  // expensive corpus pass), persisted as a warehouse TABLE like any
-  // other relation, and the probe runs against the RELOADED copy —
-  // the deployment shape every production ANN system uses (you do
-  // not retrain per query batch at 100 TB; you version the model).
-  // Stored doubles round-trip parquet bit-exactly, so the served
-  // probe must equal s03's train-session probe bitwise — which is
-  // why it shares s03's retrained-codebook oracle verbatim: a serve
-  // path that drifted from its training artifact is a wrong answer,
-  // not a slow one.
-  val s09: Q = q("s09_ann_ivf_served",
-    ivfOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
-    val wh = graft.core.Warehouse.scratch(c.spark, "s09")
-    Ann.saveCodebook(wh, "models", "ivf16",
-      Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2))
-    val served = Ann.loadCodebook(wh, "models", "ivf16")
-    Ann.ivfServe(c.embeddings.filter(col("vec_id") < 20), c.embeddings,
-        k = 5, served, nProbe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  // s14 — VECTOR INDEX MAINTENANCE under upserts + deletes
-  // (Ann.ivfIndexApply + ivfServeIndexed — merge-on-read applied to
-  // the ANN index, the vector-store "collection update" feature):
-  // every 7th vector is tombstoned, every 10th re-arrives with a NEW
-  // embedding (circular shift — different direction, same id); the
-  // upsert batch is (re)assigned against the FROZEN s09 codebook in
-  // O(batch) — production never retrains per batch — and the live
-  // index is base − (tombstoned ∪ upserted-old) + upserted-new, so
-  // newest wins and an upsert after a delete REVIVES the id
-  // (vec_id % 70 — present with the new vector, spec-pinned). The
-  // base index is never rewritten; maintenance cost is the batch and
-  // two id anti-joins. Serving probes the maintained frame as-is.
-  // ORACLE-GATED: DuckDB retrains the same codebook, applies the
-  // same shift/tombstone/revive algebra, and every rank
-  // hash-compares. Plan note (Explain --audit reads 5 file scans):
-  // each leg is a DIFFERENT pruned slice of embeddings — two id-only
-  // projections (the anti-join sides), the vec_id<20 query slice
-  // (filter pushed to the scan), the base assignment, and the %10
-  // upsert batch; freezing a shared frame would undo exactly that
-  // pushdown/pruning, so multi-leg is the right shape here.
-  private val s14Ctes =
-    s"""${ivfTrainSql(16)},
-      |up AS (SELECT vec_id, list_concat(v[2:64], [v[1]]) AS v FROM e WHERE vec_id % 10 = 0),
-      |upn AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm FROM up),
-      |ua AS (SELECT * FROM (
-      |  SELECT u.vec_id, u.v, u.nrm, c.cid,
-      |    ROW_NUMBER() OVER (PARTITION BY u.vec_id
-      |      ORDER BY ${ivfDot("u.v", "c.cv")} / c.ncv DESC, c.cid DESC) AS rn
-      |  FROM upn u CROSS JOIN c2 c) WHERE rn = 1),
-      |live AS (SELECT vec_id, v, nrm, cid FROM af
-      |          WHERE vec_id % 7 <> 0 AND vec_id % 10 <> 0
-      |         UNION ALL SELECT vec_id, v, nrm, cid FROM ua),
-      |${ivfAssign("pf", "c2", "rn <= 4", " WHERE n.vec_id < 20")},
-      |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-      |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-      |       FROM pf p JOIN live a ON a.cid = p.cid AND a.vec_id <> p.vec_id)""".stripMargin
-
-  private val s14OracleSql =
-    s"""$s14Ctes
-      |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
-
-  val s14: Q = q("s14_ann_upsert", s14OracleSql) { c =>
-    val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
-    val upserts = c.embeddings.filter(col("vec_id") % 10 === 0)
-      .withColumn("embedding",
-        concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1)))
-    val tomb = c.embeddings.filter(col("vec_id") % 7 === 0)
-    val live = Ann.ivfIndexApply(
-      Ann.assigned(c.embeddings, cb), upserts, tomb, cb)
-    Ann.ivfServeIndexed(c.embeddings.filter(col("vec_id") < 20), live,
-        k = 5, cb, nProbe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  // s16 — INDEX COMPACTION (Ann.indexInit/Upsert/Delete/Live/Compact/
-  // Vacuum — the lifecycle step that completes s14: the on-disk index
-  // is an immutable base GENERATION plus seq-stamped log segments
-  // under a versioned manifest; serving reads the merge-on-read live
-  // view whose cost grows with the unfolded log tail, and COMPACT
-  // materializes the live view as the NEXT generation and commits it
-  // with one atomic manifest rename — m31/m17/m29's lakehouse
-  // discipline applied to the vector index: crash at any point leaves
-  // either the old committed view or the new one, never a truncated
-  // base, and folded segments/superseded generations are swept by
-  // indexVacuum (the m28 rule), not at commit time — which is what
-  // keeps a reader racing the compaction on its pinned snapshot). The
-  // registered entry runs the FULL lifecycle on disk: init gen 1,
-  // tombstone %7 (seq 1), upsert %10 shifted (seq 2), compact to gen
-  // 2, vacuum, then serve from the committed base alone — and because
-  // compaction preserves the live view bit-for-bit, the result is
-  // EXACTLY s14's maintained-view serving, so the entry shares s14's
-  // retrained-codebook oracle verbatim (post-compaction serving
-  // equality, oracle-enforced). The seq order additionally gives the
-  // log upsert-then-delete semantics s14's one-shot algebra cannot
-  // express (latest op wins — spec-pinned along with crash injection
-  // at both commit stages and cross-compaction increment composition).
-  val s16: Q = q("s16_ann_compact", s14OracleSql) { c =>
-    val dir = graft.core.Scratch.dir("s16idx").toString
-    val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
-    Ann.indexInit(c.embeddings, cb, dir)
-    Ann.indexDelete(
-      c.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
-      dir, seq = 1L)
-    Ann.indexUpsert(c.embeddings.filter(col("vec_id") % 10 === 0)
-        .withColumn("embedding",
-          concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))),
-      cb, dir, seq = 2L)
-    Ann.indexCompact(c.spark, dir)
-    Ann.indexVacuum(c.spark, dir)
-    Ann.ivfServeIndexed(c.embeddings.filter(col("vec_id") < 20),
-        Ann.indexBase(c.spark, dir), k = 5, cb, nProbe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  // s17 — INDEX TIME TRAVEL (Ann.indexBaseAsOf — m29's AS-OF read
-  // applied to the vector index, which the s16 versioned manifest
-  // makes a metadata pin, not a restore): version 1 is the initial
-  // corpus assignment, version 2 the post-(delete seq1, upsert seq2)
-  // compaction; the entry serves the SAME queries against BOTH
-  // committed snapshots and emits the union tagged by version —
-  // "what did retrieval return before yesterday's index update"
-  // answered from one dir with no second copy of the index. Version
-  // resolution is TimeTravel.read's rule (latest manifest ≤ request,
-  // O(manifest) metadata). ORACLE-GATED end to end by EXTENDING s14's
-  // retrained-codebook chain: v1 serves from the raw full assignment
-  // (af — the s03/s09 index), v2 from the maintained live view (sc —
-  // s14's), both through the same probe CTE, so every rank of both
-  // snapshots hash-compares. Retention contract (vacuum keeps latest
-  // only → AS-OF reaches as far as the sweep cadence) is spec-pinned.
-  private val s17OracleSql =
-    s"""$s14Ctes,
-      |sc1 AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-      |        ${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) AS cos
-      |       FROM pf p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
-      |r1 AS (SELECT 1 AS version, query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-      |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc1)
-      |       WHERE rn <= 5),
-      |r2 AS (SELECT 2 AS version, query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
-      |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
-      |       WHERE rn <= 5)
-      |SELECT * FROM r1 UNION ALL SELECT * FROM r2
-      |ORDER BY version, query_id, rank""".stripMargin
-  val s17: Q = q("s17_index_asof", s17OracleSql) { c =>
-    val dir = graft.core.Scratch.dir("s17idx").toString
-    val cb = Ann.ivfCodebook(c.embeddings, nCentroids = 16, kmeansIters = 2)
-    Ann.indexInit(c.embeddings, cb, dir)
-    Ann.indexDelete(
-      c.embeddings.filter(col("vec_id") % 7 === 0).select("vec_id"),
-      dir, seq = 1L)
-    Ann.indexUpsert(c.embeddings.filter(col("vec_id") % 10 === 0)
-        .withColumn("embedding",
-          concat(slice(col("embedding"), 2, 63), slice(col("embedding"), 1, 1))),
-      cb, dir, seq = 2L)
-    Ann.indexCompact(c.spark, dir)
-    val q20 = c.embeddings.filter(col("vec_id") < 20)
-    def serve(v: Int) =
-      Ann.ivfServeIndexed(q20, Ann.indexBaseAsOf(c.spark, dir, v),
-          k = 5, cb, nProbe = 4)
-        .select(lit(v).as("version"), col("query_id"), col("rank"),
-          col("neighbor_id"), col("cosine"))
-    serve(1).unionByName(serve(2)).orderBy("version", "query_id", "rank")
-  }
-
-  // ---------------------------------------------------------------
-  // s15 — BITEXT MINING via RATIO MARGIN (Artetxe & Schwenk 2019 —
-  // the LASER/CCMatrix parallel-corpus miner, the curation op that
-  // builds translation pairs from two monolingual embedding pools):
-  // raw cosine over-selects hub vectors (points close to EVERYTHING
-  // score high against everything), so each candidate (x, y) is
-  // scored by cos(x,y) normalized by the mean of both sides' k-NN
-  // cosines — a hub's inflated denominator cancels its inflated
-  // cosines, and only pairs that are MUTUALLY unusual survive. Per
-  // source vector the top-margin target is emitted. Determinism
-  // discipline: cosines quantize to µ-units (round×1e6 → BIGINT)
-  // before the top-4 sums, so the k-NN normalizers are exact integer
-  // sums (no float fold order) and margin = cosµ·8/(xkµ+ykµ) is one
-  // double division both engines compute identically — ORACLE-GATED
-  // end to end. Scale shape: the bipartite product is bounded by
-  // label selectivity (the target pool broadcasts), the k-NN
-  // normalizers are rank-≤4 window sums over that same scored frame
-  // (frozen once, three consumers); at corpus scale both the pair
-  // candidates and the normalizers come from the s03 IVF shortlist —
-  // the ANN-kNN margin CCMatrix runs — with this entry as the
-  // exact-verification form.
-  val s15: Q = q("s15_bitext_margin",
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm, label FROM e),
-      |x AS (SELECT vec_id AS src_id, v, nrm FROM n WHERE label = 0),
-      |y AS (SELECT vec_id AS tgt_id, v, nrm FROM n WHERE label = 1),
-      |sc AS (SELECT src_id, tgt_id,
-      |        CAST(ROUND(${ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) * 1000000) AS BIGINT) AS cosu
-      |       FROM x JOIN y ON TRUE),
-      |xk AS (SELECT src_id, SUM(cosu) AS xs FROM (
-      |        SELECT src_id, cosu, ROW_NUMBER() OVER (PARTITION BY src_id
-      |          ORDER BY cosu DESC, tgt_id) AS r FROM sc) t WHERE r <= 4
-      |       GROUP BY src_id),
-      |yk AS (SELECT tgt_id, SUM(cosu) AS ys FROM (
-      |        SELECT tgt_id, cosu, ROW_NUMBER() OVER (PARTITION BY tgt_id
-      |          ORDER BY cosu DESC, src_id) AS r FROM sc) t WHERE r <= 4
-      |       GROUP BY tgt_id),
-      |m AS (SELECT s.src_id, s.tgt_id, s.cosu,
-      |        ROUND(s.cosu * 8.0 / (xk.xs + yk.ys), 6) AS margin
-      |      FROM sc s JOIN xk USING (src_id) JOIN yk USING (tgt_id))
-      |SELECT src_id, tgt_id, ROUND(cosu/1000000.0, 6) AS cosine, margin
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-      |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
-      |WHERE rn = 1 ORDER BY src_id""") { c =>
-    Ann.bitextMargin(c.embeddings.filter(col("label") === 0),
-        c.embeddings.filter(col("label") === 1), k = 4)
-      .orderBy("src_id")
-  }
-
-  // s15_auto — the PRODUCTION dial of s15 (the ANN-kNN ratio margin
-  // CCMatrix actually runs): candidates AND both k-NN normalizers
-  // come from per-pool IVF shortlists — the source pool probes its 4
-  // nearest lists of a codebook trained on the TARGET pool (forward:
-  // candidate pairs + src normalizers) and vice versa (reverse: tgt
-  // normalizers) — so the |src|·|tgt| crossJoin of the exact form
-  // never appears; every join is an equi-join on the cluster key and
-  // the per-pool codebooks hold occupancy (k = max(16, pool/256), the
-  // d05/d10/s05 dial). Margin math is UNCHANGED (µ-quantized cosines,
-  // integer top-4 sums, one double division), which is what keeps the
-  // whole thing ORACLE-GATED: the SQL retrains BOTH pool codebooks
-  // with the kmeansAutoTrainSql machinery (prefixed CTEs), probes,
-  // scores, and margins identically. Equality with the exact s15 on a
-  // shortlist-covering corpus is spec-pinned with the coverage
-  // ASSERTED (LlmOpsSpec), hub demotion included.
-  val s15auto: Q = q("s15_bitext_margin_auto",
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (a, x) -> a + x)) AS nrm, label FROM e),
-      |${kmeansPoolTrainSql("s", label = 0)},
-      |${kmeansPoolTrainSql("t", label = 1)},
-      |xpf AS (SELECT * FROM (
-      |    SELECT n.vec_id, n.v, n.nrm, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-      |        ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
-      |    FROM spn n CROSS JOIN tkc2 c) WHERE rn <= 4),
-      |ypf AS (SELECT * FROM (
-      |    SELECT n.vec_id, n.v, n.nrm, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-      |        ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
-      |    FROM tpn n CROSS JOIN skc2 c) WHERE rn <= 4),
-      |fwd AS (SELECT p.vec_id AS src_id, a.vec_id AS tgt_id,
-      |        CAST(ROUND(${ivfDot("p.v", "a.v")} / (p.nrm*a.nrm) * 1000000) AS BIGINT) AS cosu
-      |       FROM xpf p JOIN tkaf a ON a.cid = p.cid),
-      |rev AS (SELECT a.vec_id AS src_id, p.vec_id AS tgt_id,
-      |        CAST(ROUND(${ivfDot("a.v", "p.v")} / (a.nrm*p.nrm) * 1000000) AS BIGINT) AS cosu
-      |       FROM ypf p JOIN skaf a ON a.cid = p.cid),
-      |xk AS (SELECT src_id, SUM(cosu) AS xs FROM (
-      |        SELECT src_id, cosu, ROW_NUMBER() OVER (PARTITION BY src_id
-      |          ORDER BY cosu DESC, tgt_id) AS r FROM fwd) t WHERE r <= 4
-      |       GROUP BY src_id),
-      |yk AS (SELECT tgt_id, SUM(cosu) AS ys FROM (
-      |        SELECT tgt_id, cosu, ROW_NUMBER() OVER (PARTITION BY tgt_id
-      |          ORDER BY cosu DESC, src_id) AS r FROM rev) t WHERE r <= 4
-      |       GROUP BY tgt_id),
-      |m AS (SELECT f.src_id, f.tgt_id, f.cosu,
-      |        ROUND(f.cosu * 8.0 / (xk.xs + yk.ys), 6) AS margin
-      |      FROM fwd f JOIN xk USING (src_id) JOIN yk USING (tgt_id))
-      |SELECT src_id, tgt_id, ROUND(cosu/1000000.0, 6) AS cosine, margin
-      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-      |        ORDER BY margin DESC, tgt_id) AS rn FROM m)
-      |WHERE rn = 1 ORDER BY src_id""") { c =>
-    Ann.bitextMarginAuto(c.embeddings.filter(col("label") === 0),
-        c.embeddings.filter(col("label") === 1), k = 4)
-      .orderBy("src_id")
-  }
-
-  // x01 — heuristic language ID from stopword hit counts
-  val x01: Q = q("x01_langid",
-    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-       |h AS (SELECT doc_id,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS en_hits,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.esStops)})) AS es_hits,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.deStops)})) AS de_hits,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.frStops)})) AS fr_hits
-       |FROM t)
-       |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
-       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-       |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
-       |FROM h ORDER BY doc_id""") { c =>
-    val toks = Text.tokens(col("text"))
-    c.documents
-      .select(col("doc_id"),
-        Text.hitCount(toks, Text.enStops).as("en_hits"),
-        Text.hitCount(toks, Text.esStops).as("es_hits"),
-        Text.hitCount(toks, Text.deStops).as("de_hits"),
-        Text.hitCount(toks, Text.frStops).as("fr_hits"))
-      .withColumn("pred_lang", Text.predLang(
-        col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")))
-      .orderBy("doc_id")
-  }
-
-  // x02 — text quality scoring (length / stopword-density features)
-  val x02: Q = q("x02_quality_score",
-    s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, string_split(lower(text), ' ') AS toks FROM documents),
-       |f AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
-       |        len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS stop_hits
-       |      FROM t)
-       |SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
-       |  ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-       |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       |  ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-       |        + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens), 6) AS quality_score
-       |FROM f ORDER BY doc_id""") { c =>
-    val toks = Text.tokens(col("text"))
-    val base = c.documents.select(col("doc_id"),
-      length(col("text")).cast(IntegerType).as("n_chars"),
-      size(toks).as("n_tokens"),
-      Text.hitCount(toks, Text.enStops).as("stop_hits"))
-    val nTok = col("n_tokens").cast(DoubleType)
-    val ratio = col("stop_hits").cast(DoubleType) / nTok
-    base.select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        round((col("n_chars").cast(DoubleType) - nTok + 1.0) / nTok, 6)
-          .as("avg_token_len"),
-        round(ratio, 6).as("stopword_ratio"),
-        round(lit(0.5) * least(lit(1.0), nTok / 100.0) + lit(0.5) * ratio, 6)
-          .as("quality_score"))
-      .orderBy("doc_id")
-  }
-
-  // x03 — token counting: whitespace + a BPE-ish regex segmentation
-  val x03: Q = q("x03_token_count",
-    """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
-      |FROM documents ORDER BY doc_id""") { c =>
-    c.documents.select(col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
-      .orderBy("doc_id")
-  }
-
-  // x05 — corpus n-gram statistics: document frequency of bigrams
-  // (the inverted-index building block; top-k by DF with a total
-  // tiebreak). Explode → two hash aggregations; the final top-20 is
-  // driver-bounded output, not driver-side compute.
-  val x05: Q = q("x05_ngram_stats",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
-      |         i -> t[i] || ' ' || t[i+1]))) AS bigram
-      |       FROM toks WHERE len(t) >= 2),
-      |df AS (SELECT bigram, COUNT(*) AS doc_freq FROM bg GROUP BY bigram)
-      |SELECT bigram, doc_freq FROM df
-      |ORDER BY doc_freq DESC, bigram LIMIT 20""") { c =>
-    val sh = c.documents
-      .select(col("doc_id"),
-        explode(array(Text.tokens(col("text")))).as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(Text.shingles(col("toks"), 2))).as("bigram"))
-    sh.groupBy("bigram")
-      .agg(count(lit(1)).as("doc_freq"))
-      .orderBy(col("doc_freq").desc, col("bigram"))
-      .limit(20)
-  }
-
-  // x20 — the Gopher quality rule set (Rae et al. 2021, appendix A —
-  // the canonical pre-training document filter): word-count bounds,
-  // mean-word-length band, alphabetic-word fraction floor, and the
-  // ≥2-stopwords presence rule, each reported per doc plus the
-  // conjunction. One projection scan; every rule is a higher-order
-  // array expression over ONE tokenization (no per-rule re-split), so
-  // the whole battery is a single codegen'd pass — at 100 TB quality
-  // filtering is scan-bound and this shape keeps it that way.
-  // Dial note: the registered stopword list swaps Gopher's 'be' for
-  // 'a' so the presence rule stays live on the synthetic corpus; the
-  // bounds are Gopher's.
-  /** The x20 battery in its PRODUCTION form: one codegen'd projection
-    * pass, NO global sort (the registered entry's orderBy exists only
-    * so the oracle diff is deterministic — at 10× the sort was the
-    * superlinear term in the r14 probe; quality filtering at 100 TB
-    * is scan-bound and emits in scan order).
-    */
-  def gopherRules(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    val nWords = size(t)
-    val sumLen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
-    val meanLen = sumLen.cast(DoubleType) / nWords
-    val alphaFrac = size(filter(t, w => w.rlike("^[a-z]+$"))).cast(DoubleType) / nWords
-    val stops = array(Seq("the", "a", "to", "of", "and", "that", "have", "with")
-      .map(lit): _*)
-    val hits = size(array_intersect(array_distinct(t), stops))
-    docs.select(col("doc_id"),
-      nWords.cast(LongType).as("n_words"),
-      round(meanLen, 4).as("mean_word_len"),
-      round(alphaFrac, 4).as("alpha_frac"),
-      hits.cast(IntegerType).as("stopword_hits"),
-      (nWords.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-        alphaFrac >= 0.8 && hits >= 2).as("pass"))
-  }
-
-  val x20: Q = q("x20_gopher_rules",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |SELECT doc_id,
-      |  CAST(len(t) AS BIGINT) AS n_words,
-      |  ROUND(CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t), 4) AS mean_word_len,
-      |  ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE) / len(t), 4) AS alpha_frac,
-      |  CAST(len(list_intersect(list_distinct(t), ['the','a','to','of','and','that','have','with'])) AS INT) AS stopword_hits,
-      |  (len(t) BETWEEN 50 AND 100000
-      |   AND CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t) BETWEEN 3 AND 10
-      |   AND CAST(len(list_filter(t, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE) / len(t) >= 0.8
-      |   AND len(list_intersect(list_distinct(t), ['the','a','to','of','and','that','have','with'])) >= 2) AS pass
-      |FROM toks ORDER BY doc_id""") { c =>
-    // the orderBy is the ORACLE HARNESS's determinism, not the
-    // operator's — gopherRules is the production form
-    gopherRules(c.documents).orderBy("doc_id")
-  }
-
-  // x21 — character-entropy quality signal (the C4/MassiveText
-  // gibberish screen): per-doc Shannon entropy of the character
-  // unigram distribution, in nats — encoding junk, key-mash, and
-  // repeated-char padding score far below real prose (~2.9), and the
-  // signal is tokenizer-free so it runs before any tokenization
-  // stage. Plan: one explode scan + two map-side-combined hash aggs
-  // (the x12 shape), nothing corpus-wide. Cross-engine determinism:
-  // Σ cnt·ln(cnt) is a double sum whose value depends on group
-  // order, so both engines sum the 2^40-SCALED TRUNCATED INTEGER
-  // terms (the s04 codebook trick) — order-free exact longs — and
-  // convert to double once at the end. (Long headroom caps docs at
-  // ~500 KB of text; shard larger docs before profiling.)
-  val x21: Q = q("x21_char_entropy",
-    """WITH ch AS (SELECT doc_id,
-      |         unnest(list_transform(range(1, len(lower(text))+1),
-      |           i -> substr(lower(text), i, 1))) AS ch FROM documents),
-      |cnt AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY doc_id, ch),
-      |agg AS (SELECT doc_id,
-      |    CAST(SUM(cnt) AS BIGINT) AS n_chars,
-      |    CAST(COUNT(*) AS INT) AS n_distinct,
-      |    CAST(SUM(CAST(trunc(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1099511627776) AS BIGINT)) AS BIGINT) AS s
-      |  FROM cnt GROUP BY doc_id)
-      |SELECT doc_id, n_chars, n_distinct,
-      |  ROUND(ln(CAST(n_chars AS DOUBLE)) - (CAST(s AS DOUBLE)/1099511627776)/n_chars, 6) AS entropy,
-      |  (ROUND(ln(CAST(n_chars AS DOUBLE)) - (CAST(s AS DOUBLE)/1099511627776)/n_chars, 6) < 2.0) AS low_entropy
-      |FROM agg ORDER BY doc_id""") { c =>
-    val scale = 1099511627776L // 2^40
-    val chars = c.documents.select(col("doc_id"),
-        explode(split(lower(col("text")), "")).as("ch"))
-      .filter(col("ch") =!= "")
-    val cd = col("cnt").cast(DoubleType)
-    val term = (cd * log(cd) * lit(scale.toDouble)).cast(LongType)
-    val agg = chars.groupBy("doc_id", "ch")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").cast(LongType).as("n_chars"),
-        count(lit(1)).cast(IntegerType).as("n_distinct"),
-        sum(term).as("s"))
-    val ent = round(log(col("n_chars").cast(DoubleType)) -
-      (col("s").cast(DoubleType) / scale.toDouble) / col("n_chars"), 6)
-    agg.select(col("doc_id"), col("n_chars"), col("n_distinct"),
-        ent.as("entropy"), (ent < 2.0).as("low_entropy"))
-      .orderBy("doc_id")
-  }
-
-  // x06 — the FILTER stage of a training-data pipeline: combine the
-  // lang-ID and quality signals into a per-doc keep/drop decision
-  // (predicted language must match the labeled one AND the quality
-  // score must clear a floor), reported as per-(lang, source) keep
-  // rates — the dashboard a data-curation run actually reads. Both
-  // engines compute the score with identical double arithmetic, so
-  // the >= threshold compare is deterministic.
-  val x06: Q = q("x06_quality_filter",
-    s"""WITH t AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
-       |h AS (SELECT doc_id, lang, source,
-       |  len(toks) AS n_tokens,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS en_hits,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.esStops)})) AS es_hits,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.deStops)})) AS de_hits,
-       |  len(list_filter(toks, x -> x IN ${inList(Text.frStops)})) AS fr_hits
-       |FROM t),
-       |d AS (SELECT lang, source,
-       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-       |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
-       |  0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-       |    + 0.5 * (CAST(en_hits AS DOUBLE) / n_tokens) AS score
-       |FROM h)
-       |SELECT lang, source, COUNT(*) AS n_docs,
-       |  CAST(SUM(CASE WHEN pred_lang = lang AND score >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-       |  ROUND(CAST(SUM(CASE WHEN pred_lang = lang AND score >= 0.3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
-       |FROM d GROUP BY lang, source ORDER BY lang, source""") { c =>
-    val toks = Text.tokens(col("text"))
-    val h = c.documents.select(col("doc_id"), col("lang"), col("source"),
-      size(toks).as("n_tokens"),
-      Text.hitCount(toks, Text.enStops).as("en_hits"),
-      Text.hitCount(toks, Text.esStops).as("es_hits"),
-      Text.hitCount(toks, Text.deStops).as("de_hits"),
-      Text.hitCount(toks, Text.frStops).as("fr_hits"))
-    val nTok = col("n_tokens").cast(DoubleType)
-    val score = lit(0.5) * least(lit(1.0), nTok / 100.0) +
-      lit(0.5) * (col("en_hits").cast(DoubleType) / nTok)
-    val keep = (Text.predLang(col("en_hits"), col("es_hits"),
-      col("de_hits"), col("fr_hits")) === col("lang")) && score >= 0.3
-    val kept = sum(when(keep, 1).otherwise(0)).cast(LongType)
-    h.groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), kept.as("n_keep"),
-        round(kept.cast(DoubleType) / count(lit(1)), 6).as("keep_rate"))
-      .orderBy("lang", "source")
-  }
-
-  // x07 — per-language corpus profile: doc counts, token volume, char
-  // length distribution (exact median — percentile() in Spark is the
-  // exact interpolated quantile, = DuckDB quantile_cont), source
-  // diversity. The profiling pass a curation run uses to weight
-  // language mixes.
-  val x07: Q = q("x07_corpus_stats",
-    """WITH t AS (SELECT lang, source, length(text) AS n_chars,
-      |             len(string_split(text, ' ')) AS n_tokens FROM documents)
-      |SELECT lang, COUNT(*) AS n_docs,
-      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-      |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
-      |  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_chars,
-      |  CAST(MIN(n_chars) AS INT) AS min_chars, CAST(MAX(n_chars) AS INT) AS max_chars,
-      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-      |FROM t GROUP BY lang ORDER BY lang""") { c =>
-    c.documents
-      .select(col("lang"), col("source"),
-        length(col("text")).cast(IntegerType).as("n_chars"),
-        size(split(col("text"), " ")).as("n_tokens"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").cast(LongType).as("total_tokens"),
-        round(avg(col("n_chars").cast(DoubleType)), 6).as("avg_chars"),
-        round(expr("percentile(cast(n_chars as double), 0.5)"), 6).as("median_chars"),
-        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
-        countDistinct("source").as("n_sources"))
-      .orderBy("lang")
-  }
-
-  // x08 — TF-IDF top terms per document: term frequency × smoothed
-  // inverse document frequency (the classic corpus-weighting step a
-  // curation/retrieval pipeline runs before keyword filters or sparse
-  // retrieval). Two hash aggregations + one broadcast of the 1-row
-  // corpus count; the rank<=3 filter sits directly above one window,
-  // so Spark's rank-limit pushdown (WindowGroupLimit) bounds it
-  // map-side. Ordering ties break on the term, and both engines
-  // compute the same double `tf * ln((n+1)/(df+1))`, so the top-3 cut
-  // is deterministic.
-  val x08: Q = q("x08_tfidf",
-    """WITH toks AS (SELECT doc_id, t AS term FROM
-      |         (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
-      |       WHERE t <> ''),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-      |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
-      |        tf.tf * LN((n.n_docs + 1.0) / (dfr.df + 1.0)) AS raw
-      |      FROM tf JOIN dfr USING (term), n),
-      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rank FROM s)
-      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, ROUND(raw, 6) AS tfidf
-      |FROM r WHERE rank <= 3 AND doc_id < 100 ORDER BY doc_id, rank""") { c =>
-    val toks = c.documents
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(col("term") =!= "")
-    // frozen: the DF table and the scoring join both consume the term
-    // frequencies — 2 corpus re-tokenizations pre-freeze
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = c.documents.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-      .withColumn("raw",
-        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
-    val w = Window.partitionBy("doc_id").orderBy(col("raw").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3 && col("doc_id") < 100)
-      .select(col("doc_id"), col("rank").cast(IntegerType).as("rank"),
-        col("term"), col("tf"), col("df"), round(col("raw"), 6).as("tfidf"))
-      .orderBy("doc_id", "rank")
-  }
-
-  // d07 — chunk-level dedup (the line-level dedup of C4/RefinedWeb-
-  // style curation, over a corpus whose docs are unpunctuated token
-  // streams): each doc splits into non-overlapping 8-token chunks;
-  // a chunk occurrence survives only if it is the corpus-wide FIRST
-  // (min (doc_id, pos), encoded as one long so the keep-first rule is
-  // a plain min aggregation — one shuffle on the chunk text); docs
-  // reassemble from their surviving chunks in position order. Docs
-  // whose every chunk is a duplicate stay in the output with empty
-  // clean_text (left join), so the row count is the doc count.
-  // d08 — URL-canonicalization dedup (the very first pass of a web
-  // curation run: the same page arrives under scheme/case/tracking/
-  // trailing-slash variants). The corpus has no URL column, so each
-  // doc gets a deterministic doc_id-derived URL with planted variants
-  // (upper-cased WWW host, utm query string, trailing slash) — both
-  // engines compute the identical injection, then the identical
-  // normalization, so the canonicalization logic itself is hash-gated.
-  // One hash aggregation on the canonical key (min doc_id = keep
-  // first, count = cluster size); shuffles only on the URL key.
-  val d08: Q = q("d08_url_dedup",
-    """WITH u AS (SELECT doc_id,
-      |  'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM/page/' ||
-      |    CAST(doc_id % 50 AS VARCHAR) ||
-      |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END ||
-      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS url
-      |  FROM documents),
-      |n AS (SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(lower(url),
-      |    '\?.*$', ''), '/$', ''), '://www\.', '://') AS url_key
-      |  FROM u)
-      |SELECT url_key, CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
-      |  COUNT(*) AS n_docs
-      |FROM n GROUP BY url_key ORDER BY url_key""") { c =>
-    val url = concat(
-      lit("https://WWW.Example"), (col("doc_id") % 7).cast("string"),
-      lit(".COM/page/"), (col("doc_id") % 50).cast("string"),
-      when(col("doc_id") % 3 === 0, "?utm_source=feed").otherwise(""),
-      when(col("doc_id") % 2 === 0, "/").otherwise(""))
-    val urlKey = regexp_replace(regexp_replace(regexp_replace(lower(url),
-      "\\?.*$", ""), "/$", ""), "://www\\.", "://")
-    c.documents.select(col("doc_id"), urlKey.as("url_key"))
-      .groupBy("url_key")
-      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_docs"))
-      .orderBy("url_key")
-  }
-
-  /** The d07 chunk-dedup-and-rebuild chain, shared with p03's CCNet
-    * pipeline: 8-token chunks, keep-first by (doc, pos) key, docs
-    * rebuilt from their surviving chunks.
-    * Returns (doc_id, n_chunks, n_kept, clean_text).
-    */
-  private def chunkCleaned(c: Catalog): DataFrame = {
-    val docs = c.documents
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-    val segs = docs.select(col("doc_id"),
-      posexplode(expr(
-        """transform(sequence(0, cast(ceil(size(toks)/8.0) as int) - 1),
-          |  i -> array_join(slice(toks, i*8+1, 8), ' '))""".stripMargin))
-        .as(Seq("pos", "seg")))
-    // frozen: keeper, the keep join, and the per-doc chunk counts all
-    // consume the chunk frame — 3 corpus re-tokenizations pre-freeze
-    // (Explain --execute audit)
-    val keyed = segs
-      .withColumn("k", col("doc_id") * lit(100000L) + col("pos"))
-      .localCheckpoint(true)
-    val keeper = keyed.groupBy("seg").agg(min("k").as("keep_k"))
-    val kept = keyed.join(keeper, "seg").filter(col("k") === col("keep_k"))
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("seg")))),
-        x => x("seg")), " ").as("clean_text"))
-    keyed.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
-  }
-
-  val d07: Q = q("d07_chunk_dedup",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
-      |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
-      |        FROM toks),
-      |keyed AS (SELECT doc_id, pos, seg, doc_id*100000 + pos AS k FROM seg),
-      |keeper AS (SELECT seg, MIN(k) AS keep_k FROM keyed GROUP BY seg),
-      |kept AS (SELECT doc_id, pos, keyed.seg FROM keyed
-      |         JOIN keeper ON keyed.seg = keeper.seg AND keyed.k = keeper.keep_k),
-      |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
-      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
-      |            FROM kept GROUP BY doc_id),
-      |counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM keyed GROUP BY doc_id)
-      |SELECT counts.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
-      |       COALESCE(clean_text, '') AS clean_text
-      |FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id
-      |ORDER BY counts.doc_id""") { c =>
-    chunkCleaned(c).orderBy("doc_id")
-  }
-
-  // d09 — SPAN-level duplicate detection (Lee et al. 2022 substring
-  // dedup, relationally): pairs sharing a contiguous run of >= 12
-  // tokens, via an inverted 8-token-window index + the
-  // pos - row_number() run-grouping trick (operators/Dedup.spanPairs).
-  // maxDf = 1000 >> the corpus max window DF, so the oracle output is
-  // the uncapped exact result while the REGISTERED plan carries the
-  // hot-window DF cap that bounds the self-join at corpus scale (the
-  // d04 stop-shingle contract).
-  val d09: Q = q("d09_span_dedup",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |p AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
-      |      FROM toks WHERE len(t) >= 8),
-      |w AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS win FROM p),
-      |dw AS (SELECT DISTINCT doc_id, win FROM w),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.win
-      |          FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id),
-      |pa AS (SELECT DISTINCT id_a, id_b, wa.pos AS pos_a, wb.pos AS pos_b
-      |       FROM pairs JOIN w wa ON wa.doc_id = pairs.id_a AND wa.win = pairs.win
-      |                  JOIN w wb ON wb.doc_id = pairs.id_b AND wb.win = pairs.win),
-      |runs AS (SELECT id_a, id_b, pos_a - ROW_NUMBER() OVER (
-      |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp,
-      |           pos_a - pos_b AS diag
-      |         FROM pa),
-      |rl AS (SELECT id_a, id_b, diag, grp, COUNT(*) AS runlen FROM runs GROUP BY 1, 2, 3, 4),
-      |sp AS (SELECT id_a, id_b, CAST(MAX(runlen) + 7 AS BIGINT) AS longest_span
-      |       FROM rl GROUP BY 1, 2),
-      |sh AS (SELECT id_a, id_b, CAST(COUNT(DISTINCT pos_a) AS BIGINT) AS n_shared_windows
-      |       FROM pa GROUP BY 1, 2)
-      |SELECT sh.id_a, sh.id_b, n_shared_windows, longest_span
-      |FROM sh JOIN sp USING (id_a, id_b) WHERE longest_span >= 12
-      |ORDER BY id_a, id_b""") { c =>
-    Dedup.spanPairs(c.documents, w = 8, minSpan = 12, maxDf = 1000L,
-      maxRep = 100L)
-      .orderBy("id_a", "id_b")
-  }
-
-  // x09 — PII scrubbing: email/phone/IPv4 redaction with per-doc
-  // counts. The corpus carries no PII, so each doc gets a
-  // deterministic doc_id-derived payload appended FIRST — both engines
-  // compute the identical injection, then the identical scrub, so the
-  // replacement logic itself (not just a no-op pass) is hash-gated.
-  // Patterns stay in the Java-regex ∩ RE2 common subset.
-  private val emailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
-  private val phonePat = """\b\d{3}-\d{4}\b"""
-  private val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-  val x09: Q = q("x09_pii_scrub",
-    s"""WITH inj AS (SELECT doc_id,
-       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-       |  '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-       |  ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
-       |  FROM documents)
-       |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phones,
-       |  CAST(len(regexp_extract_all(regexp_replace(t, '$emailPat', '<EMAIL>', 'g'), '$ipPat')) AS BIGINT) AS n_ips,
-       |  regexp_replace(regexp_replace(regexp_replace(t,
-       |    '$emailPat', '<EMAIL>', 'g'), '$phonePat', '<PHONE>', 'g'),
-       |    '$ipPat', '<IP>', 'g') AS scrubbed
-       |FROM inj ORDER BY doc_id""") { c =>
-    val inj = c.documents.select(col("doc_id"),
-      concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or 555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
-        lit(".0."), (col("doc_id") % 100).cast("string")).as("t"))
-    val noEmail = regexp_replace(col("t"), emailPat, "<EMAIL>")
-    inj.select(col("doc_id"),
-        regexp_count(col("t"), lit(emailPat)).cast("long").as("n_emails"),
-        regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
-        // count IPs after the email scrub: 'user10.0.0.7@…' digit runs
-        // must not double-count (the scrub order the replace chain uses)
-        regexp_count(noEmail, lit(ipPat)).cast("long").as("n_ips"),
-        regexp_replace(regexp_replace(noEmail,
-          phonePat, "<PHONE>"), ipPat, "<IP>").as("scrubbed"))
-      .orderBy("doc_id")
-  }
-
-  // x10 — corpus mixing: per-source sampling rates (the data-mixing
-  // step before pretraining: upweight rare sources, downsample
-  // dominant ones). The keep rule is pure integer arithmetic on
-  // (doc_id, source), so the sample is reproducible on any engine and
-  // any cluster size — no RNG state, no per-partition seeds.
-  val x10: Q = q("x10_corpus_mix",
-    """WITH rated AS (SELECT source, doc_id, text,
-      |  20 + (CAST(substr(source, 4) AS INT) * 7) % 80 AS rate FROM documents)
-      |SELECT source, MAX(rate) AS rate, COUNT(*) AS n_docs,
-      |  CAST(SUM(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  CAST(SUM(CASE WHEN doc_id % 100 < rate THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
-      |FROM rated GROUP BY source ORDER BY source""") { c =>
-    val rated = c.documents
-      .withColumn("rate",
-        lit(20) + (expr("cast(substring(source, 4, 10) as int)") * 7) % 80)
-      .withColumn("keep", pmod(col("doc_id"), lit(100)) < col("rate"))
-    rated.groupBy("source").agg(
-        max("rate").as("rate"),
-        count(lit(1)).as("n_docs"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), size(split(col("text"), " ")).cast("long"))
-          .otherwise(0L)).as("kept_tokens"))
-      .orderBy("source")
-  }
-
-  // x11 — sketch-based corpus profile: HyperLogLog++ distinct counts
-  // and GK approximate quantiles per source. THE scale substitution
-  // for x07's exact profile: exact COUNT(DISTINCT) shuffles every
-  // distinct value and exact percentile sorts whole groups, while
-  // both sketches are fixed-size mergeable state (~KB per group) with
-  // map-side partial merge — at 100 TB this is the only viable
-  // per-corpus cardinality/quantile profile. Rows-only: sketch
-  // estimates are engine-specific by nature; LlmOpsSpec pins the
-  // HLL estimate within rsd bounds of the exact distinct count and
-  // the approximate quantiles within rank tolerance of exact
-  // percentiles.
-  val x11: Q = rowsOnly("x11_sketch_profile") { c =>
-    val toks = c.documents.select(col("source"), col("n_chars"),
-      explode(split(lower(col("text")), " ")).as("tok"))
-    toks.groupBy("source")
-      .agg(
-        approx_count_distinct(col("tok"), rsd = 0.02).as("approx_vocab"),
-        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)),
-          lit(1000)).as("chars_p50_p90"),
-        count(lit(1)).as("n_tokens"))
-      .select(col("source"), col("approx_vocab"),
-        col("chars_p50_p90")(0).cast("long").as("chars_p50"),
-        col("chars_p50_p90")(1).cast("long").as("chars_p90"),
-        col("n_tokens"))
-      .orderBy("source")
-  }
-
-  // x12 — repetition signals (the Gopher/RefinedWeb quality rules
-  // that catch boilerplate and degenerate generations): per doc, the
-  // fraction of bigram occurrences taken by the single most frequent
-  // bigram, and the fraction that are repeats of an earlier bigram.
-  // Two hash aggregations after one explode — (doc_id, bigram) then
-  // doc_id, both map-side combined; no windows, no distinct-explode,
-  // so the plan is the same two-shuffle shape at any corpus size.
-  val x12: Q = q("x12_repetition",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-      |         i -> t[i] || ' ' || t[i+1])) AS bigram
-      |       FROM toks WHERE len(t) >= 2),
-      |cnt AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
-      |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-      |          MAX(n) AS mx, COUNT(*) AS n_distinct FROM cnt GROUP BY 1)
-      |SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
-      |  ROUND(CAST(mx AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
-      |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
-      |FROM agg ORDER BY doc_id""") { c =>
-    val bg = c.documents
-      .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(Text.ngrams(col("toks"), 2)).as("bigram"))
-    bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("mx"),
-        count(lit(1)).as("n_distinct"))
-      .select(col("doc_id"), col("n_bigrams").cast(IntegerType).as("n_bigrams"),
-        round(col("mx").cast(DoubleType) / col("n_bigrams"), 6)
-          .as("top_bigram_frac"),
-        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_bigrams"), 6)
-          .as("dup_bigram_frac"))
-      .orderBy("doc_id")
-  }
-
-  // x13 — benchmark DECONTAMINATION: flag training documents that
-  // share word n-grams with a held-out evaluation set (the standard
-  // n-gram-overlap contamination check run before any LLM training
-  // job; real corpora use 8-13-gram windows — this synthetic token
-  // soup needs 4-grams for the planted near-dups to register, the
-  // machinery is identical). Scale shape: the eval side is always
-  // benchmark-sized, so its distinct-shingle set BROADCASTS and the
-  // train-side shingle stream never shuffles — one broadcast hash
-  // join plus a doc_id hash agg, no matter how large the corpus.
-  val x13: Q = q("x13_decontamination",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-2),
-      |        i -> array_to_string(t[i:i+3], ' ')))) AS g4
-      |      FROM toks WHERE len(t) >= 4),
-      |ev AS (SELECT DISTINCT g4 FROM g WHERE doc_id < 20)
-      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-      |FROM g JOIN ev USING (g4) WHERE g.doc_id >= 20
-      |GROUP BY g.doc_id ORDER BY g.doc_id""") { c =>
-    val g = c.documents
-      .select(col("doc_id"),
-        explode(array(Text.tokens(col("text")))).as("toks"))
-      .filter(size(col("toks")) >= 4)
-      .select(col("doc_id"),
-        explode(Text.shingles(col("toks"), 4)).as("g4"))
-    val ev = g.filter(col("doc_id") < 20).select("g4").distinct()
-    g.filter(col("doc_id") >= 20)
-      .join(broadcast(ev), "g4")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
-  }
-
-  // x31 — FUZZY DECONTAMINATION (Dedup.fuzzyContamination — the
-  // GPT-3/LLaMA-style near-dup check against eval sets): x13 flags
-  // VERBATIM 4-gram leakage; this flags the paraphrased / partially
-  // edited leakage exact matching misses, via the portable
-  // MinHash-LSH family run BIPARTITE corpus × eval — the eval side's
-  // band rows broadcast (eval sets are KB-to-MB at any corpus
-  // scale), the corpus pays d02's one map-side shingle+signature
-  // pass, and only bucket collisions reach the exact-Jaccard verify.
-  // Same md5-portable family as d02, so the oracle reproduces the
-  // EXACT candidate set and every (doc, eval, jaccard) row
-  // hash-compares.
-  val x31: Q = q("x31_fuzzy_decontam",
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
-      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
-      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
-      |bk AS ($d02BandSelects),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-      |          AND a.doc_id >= 20 AND b.doc_id < 20),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.doc_id, c.eval_id, COUNT(*) AS i
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.doc_id
-      |          JOIN sh b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
-      |          GROUP BY 1, 2)
-      |SELECT i.doc_id, i.eval_id, ROUND(CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i), 6) AS jaccard
-      |FROM inter i JOIN sizes sa ON i.doc_id = sa.doc_id
-      |JOIN sizes sb ON i.eval_id = sb.doc_id
-      |WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= 0.5
-      |ORDER BY i.doc_id, i.eval_id""") { c =>
-    Dedup.fuzzyContamination(
-        c.documents.filter(col("doc_id") >= 20),
-        c.documents.filter(col("doc_id") < 20), n = 3, threshold = 0.5)
-      .orderBy("doc_id", "eval_id")
-  }
-
-  // x14 — deterministic TRAIN/VAL holdout split: a document's split is
-  // a pure function of its id (first two hex chars of md5(doc_id) —
-  // 256 buckets, the 26 below '1a' ≈ 10.2% become 'val'), so the
-  // assignment survives reshards, reruns, and engine swaps where an
-  // RNG-based split leaks val docs into train. This is the standard
-  // leakage-safe holdout mechanism for corpus pipelines. Scale shape:
-  // one projection + one map-side-combined hash agg over the doc
-  // scan; no shuffle larger than the (split × lang) grid.
-  val x14: Q = q("x14_hash_split",
-    """WITH s AS (
-      |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-      |              THEN 'val' ELSE 'train' END AS split,
-      |         lang, n_chars
-      |  FROM documents)
-      |SELECT split, lang, COUNT(*) AS n_docs,
-      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
-      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
-    c.documents
-      .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string").cast("binary")),
-            1, 2) < "1a", "val")
-          .otherwise("train"))
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-      .orderBy("split", "lang")
-  }
-
-  // x15 — PERPLEXITY-proxy quality scoring (the CCNet filter: docs
-  // are ranked by language-model perplexity; docs the model finds
-  // improbable are noise, boilerplate, or wrong-language). Here the
-  // bigram LM is trained on the corpus ITSELF in the same job —
-  // add-one smoothed P(w2|w1) from corpus counts — so the score is a
-  // self-contained "how typical of this corpus is this document"
-  // signal; swapping in an external pre-trained model only changes
-  // where the count table comes from. log_ppl = mean −ln P ( =
-  // ln(perplexity) ), lower is better. Scale shape: two map-side-
-  // combined hash aggs build the model, the scoring pass is ONE
-  // equi-join of the bigram stream against the model (shuffle on the
-  // bigram key), vocab is a 1-row broadcast, no windows. LN crosses
-  // the engine boundary per-row with ROUND(,6) on the per-doc mean —
-  // the x08 idf discipline.
-  val x15: Q = q("x15_perplexity",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |bg AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
-      |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1 FROM bg),
-      |cb AS (SELECT bigram, COUNT(*) AS cb FROM b GROUP BY 1),
-      |cu AS (SELECT w1, COUNT(*) AS cu FROM b GROUP BY 1),
-      |v AS (SELECT COUNT(DISTINCT tk) AS v FROM
-      |        (SELECT unnest(t) AS tk FROM toks) WHERE tk <> ''),
-      |s AS (SELECT b.doc_id, LN((cb.cb + 1.0) / (cu.cu + v.v)) AS logp
-      |      FROM b JOIN cb USING (bigram) JOIN cu USING (w1), v)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  ROUND(-SUM(logp) / COUNT(*), 6) AS log_ppl
-      |FROM s GROUP BY 1 ORDER BY doc_id""") { c =>
-    val toksD = c.documents
-      .select(col("doc_id"), explode(array(Text.tokens(col("text")))).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    // frozen: the bigram stream trains BOTH model tables and is then
-    // scored against them — 3 corpus re-tokenizations pre-freeze
-    // (Explain --execute audit). Kept at occurrence level (not
-    // pre-counted) so the per-doc -Σ logp is term-for-term the
-    // oracle's sum, not a cnt·logp reweighting with different
-    // floating-point association.
-    val bg = toksD.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(
-            concat_ws(" ", slice(col("toks"), i, lit(2))).as("bigram"),
-            element_at(col("toks"), i).as("w1")))).as("b"))
-      .select(col("doc_id"), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
-      .localCheckpoint(true)
-    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vocab = c.documents
-      .select(explode(Text.tokens(col("text"))).as("tk"))
-      .filter(col("tk") =!= "")
-      .agg(countDistinct(col("tk")).as("v"))
-    bg.join(cb, "bigram").join(cu, "w1").crossJoin(broadcast(vocab))
-      .withColumn("logp", log((col("cb") + 1.0) / (col("cu") + col("v"))))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("logp")) / count(lit(1)), 6).as("log_ppl"))
-      .orderBy("doc_id")
-  }
-
-  // x04 — document fingerprint: md5 of the canonicalized text
-  val x04: Q = q("x04_fingerprint",
-    """SELECT doc_id,
-      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-      |FROM documents ORDER BY doc_id""") { c =>
-    c.documents.select(col("doc_id"),
-        Text.fingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
-  }
-
-  // x16 — sequence PACKING (GPT-style concat-and-chunk): documents
-  // laid end-to-end in doc_id order, sliced into fixed 1024-token
-  // training sequences, reported per sequence. The global token
-  // offset is a corpus-wide prefix sum — computed with the TWO-PHASE
-  // parallel scan (range partition → config-sized partition totals →
-  // broadcast offsets → per-partition windows), NOT the naive global
-  // window that would serialize onto one partition
-  // (operators/Packing.scala).
-  val x16: Q = q("x16_sequence_packing",
-    """WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok FROM documents),
-      |o AS (SELECT doc_id, n_tok,
-      |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-      |      FROM t),
-      |e AS (SELECT doc_id, unnest(range(tok_start // 1024,
-      |               (tok_start + n_tok - 1) // 1024 + 1)) AS seq_id
-      |      FROM o WHERE n_tok > 0)
-      |SELECT seq_id, COUNT(*) AS n_docs,
-      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-      |FROM e GROUP BY 1 ORDER BY seq_id""") { c =>
-    Packing.pack(c.documents, seqLen = 1024)
-  }
-
-  // p02 — the INCREMENTAL curation pipeline: what p01 is for a
-  // from-scratch build, this is for the daily-ingest run — new batch
-  // dedups against the accumulated corpus (d11's Bloom prefilter +
-  // exact anti-join: the corpus side never shuffles), survivors flow
-  // through the same quality-feature filter and leakage-safe hash
-  // split, ending in per-(split, lang) accounting. ONE dataflow, no
-  // driver glue; at 100 TB the only full-corpus work is the single
-  // digest scan the Bloom filter prunes.
-  val p02: Q = q("p02_incremental_pipeline",
-    s"""WITH h AS (SELECT doc_id, lang, n_chars, text,
-       |            md5(substr(text, 1, 64)) AS ch,
-       |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS is_new
-       |           FROM documents),
-       |ex AS (SELECT DISTINCT ch FROM h WHERE NOT is_new),
-       |surv AS (SELECT MIN(doc_id) AS doc_id FROM h
-       |         WHERE is_new AND ch NOT IN (SELECT ch FROM ex) GROUP BY ch),
-       |d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS toks
-       |      FROM h JOIN surv USING (doc_id)),
-       |f AS (SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
-       |        len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS stop_hits
-       |      FROM d),
-       |g AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-       |               THEN 'val' ELSE 'train' END AS split,
-       |        lang, n_tokens, n_chars
-       |      FROM f WHERE n_tokens >= 50 AND stop_hits >= 1)
-       |SELECT split, lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
-       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-    val surv = Dedup.incremental(
-        c.documents.filter(bucket >= "c"),
-        c.documents.filter(bucket < "c"),
-        digest = md5(substring(col("text"), 1, 64).cast("binary")))
-      .select("doc_id")
-    val toks = Text.tokens(col("text"))
-    val feats = c.documents.join(surv, "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        size(toks).as("n_tokens"),
-        Text.hitCount(toks, Text.enStops).as("stop_hits"))
-    feats.filter(col("n_tokens") >= 50 && col("stop_hits") >= 1)
-      .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string").cast("binary")),
-          1, 2) < "1a", "val").otherwise("train"))
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
-      .orderBy("split", "lang")
-  }
-
-  // x18 — token-budget sampling: build a training mix by taking each
-  // source's docs in deterministic hash order until a per-source
-  // token budget fills (how a mix spec "N tokens of web, M of code"
-  // is actually materialized; the hash order IS the reproducible
-  // shuffle). Semantically a per-source running-sum cutoff — but a
-  // global per-source window would sort a whole source (50 TB of web)
-  // on one key, so it runs as a TWO-PHASE prefix sum like x16's
-  // packing: (1) one hash agg computes token sums for 256 md5-prefix
-  // buckets, a 256-row-per-source window turns them into bucket start
-  // offsets, and buckets starting past the budget are PRUNED before
-  // any sort; (2) the within-bucket running sum (window over ~n/256
-  // rows) is offset by the broadcast bucket starts. Identical output
-  // to the one-window form the oracle states, at 1/256th the sort.
-  val x18: Q = q("x18_token_budget_sample",
-    """WITH t AS (SELECT source, doc_id,
-      |             len(string_split(text, ' ')) AS n_tok,
-      |             md5(CAST(doc_id AS VARCHAR)) AS hk
-      |           FROM documents),
-      |c AS (SELECT source, doc_id, n_tok,
-      |        SUM(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-      |      FROM t)
-      |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
-      |FROM c WHERE cum_tokens <= 800 ORDER BY source, doc_id""") { c =>
-    val budget = 800L
-    // frozen: the bucket-sum pass and the main join both consume the
-    // tokenized frame — without the freeze each re-tokenizes the
-    // corpus (Explain --audit: 2 fileScans). Only 4 narrow columns
-    // materialize; the text never leaves the first scan.
-    val toks = c.documents.select(col("source"), col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"),
-      md5(col("doc_id").cast("string").cast("binary")).as("hk"))
-      .withColumn("bucket", substring(col("hk"), 1, 2))
-      .localCheckpoint(true)
-    val wB = Window.partitionBy("source").orderBy("bucket")
-    val starts = toks.groupBy("source", "bucket")
-      .agg(sum("n_tok").as("btok"))
-      .withColumn("bstart", sum("btok").over(wB) - col("btok"))
-      .filter(col("bstart") < budget)
-      .select("source", "bucket", "bstart")
-    val wIn = Window.partitionBy("source", "bucket")
-      .orderBy("hk", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(broadcast(starts), Seq("source", "bucket"))
-      .withColumn("cum_tokens", col("bstart") + sum("n_tok").over(wIn))
-      .filter(col("cum_tokens") <= budget)
-      .select("source", "doc_id", "n_tok", "cum_tokens")
-      .orderBy("source", "doc_id")
-  }
-
-  // p01 — the curation PIPELINE end-to-end: exact dedup → quality
-  // filter → leakage-safe holdout split → per-(split, lang) corpus
-  // accounting, composed from the registered operators' own building
-  // blocks (d01 keep-first, x02 token/stopword features, x14 hash
-  // split) in ONE dataflow — the shape an actual pre-training data
-  // run has, and the proof the operator blocks compose without
-  // driver-side glue. Scale shape: dedup is one hash agg on the
-  // content digest; the feature filter is a projection; the survivor
-  // join is an equi-join on doc_id; the report is one map-side hash
-  // agg. Nothing materializes between stages.
-  // x17 — DSIR-style importance weighting (Xie et al. 2023, "Data
-  // Selection for Language Models via Importance Resampling"): score
-  // each document by how much more likely its hashed-bigram features
-  // are under a TARGET distribution (here the 'en' slice) than under
-  // the raw corpus — importance = Σ_b cnt_doc[b]·(ln p_tgt[b] −
-  // ln p_raw[b]) with add-one smoothing over B=256 md5 buckets (the
-  // same first-two-hex-chars bucket rule as x14, identical in both
-  // engines). Selection then resamples by weight; the weight table is
-  // the operator. Scale shape: one shuffle on (doc, bucket), then the
-  // ≤256-row bucket model BROADCASTS to both the totals and the
-  // per-doc scoring join — the corpus is never shuffled again, the
-  // model never leaves the plan. ROUND(,6) absorbs double-sum
-  // association differences (x08/x15 discipline; ≤256 terms/doc).
-  val x17: Q = q("x17_importance_weights",
-    """WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
-      |bg AS (SELECT doc_id, lang,
-      |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
-      |       FROM toks WHERE len(t) >= 2),
-      |bk AS (SELECT doc_id, lang, substr(md5(bigram), 1, 2) AS b FROM bg),
-      |db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
-      |raw AS (SELECT b, COUNT(*) AS rc FROM bk GROUP BY 1),
-      |tgt AS (SELECT b, COUNT(*) AS tc FROM bk WHERE lang = 'en' GROUP BY 1),
-      |tot AS (SELECT (SELECT COUNT(*) FROM bk) AS tr,
-      |               (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS tt),
-      |w AS (SELECT raw.b,
-      |        ln((COALESCE(tc, 0) + 1.0) / (tt + 256.0))
-      |          - ln((rc + 1.0) / (tr + 256.0)) AS lnw
-      |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot)
-      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-      |       ROUND(SUM(cnt * lnw), 6) AS importance
-      |FROM db JOIN w USING (b) GROUP BY doc_id ORDER BY doc_id""") { c =>
-    val bk = c.documents
-      .select(col("doc_id"), col("lang"),
-        explode(Text.ngrams(Text.tokens(col("text")), 2)).as("bigram"))
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("bigram").cast("binary")), 1, 2).as("b"))
-    // ONE corpus explode + ONE (doc, bucket) shuffle feeds everything.
-    // The per-doc aggregate is frozen (eager localCheckpoint — the
-    // Packing/Ntile multi-consumer discipline) because its two
-    // consumers (scoring join, bucket model) otherwise each re-derive
-    // the full tokenize+explode: ReuseExchange does NOT unify them —
-    // the scoring branch carries a join-key null filter the model
-    // branch lacks, so the exchanges are not canonically equal
-    // (verified on the executed plan, which showed three corpus
-    // scans pre-freeze). At warehouse scale this materialization is
-    // "write the (doc, bucket) count table once, aggregate it twice".
-    // lang rides along — functionally dependent on doc_id, the group
-    // count is unchanged.
-    val db0 = bk.groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    // corpus/target totals via an unpartitioned window over the bucket
-    // model — 256 rows by construction (bounded by the hash width, not
-    // the data), so the single partition is safe; this replaces a
-    // third corpus-scanning totals branch
-    val wTot = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val w = db0.groupBy("b").agg(
-        sum("cnt").as("rc"),
-        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tc"))
-      .select(col("b"),
-        (log((col("tc") + 1.0) / (sum("tc").over(wTot) + 256.0))
-          - log((col("rc") + 1.0) / (sum("rc").over(wTot) + 256.0))).as("lnw"))
-    db0.join(broadcast(w), "b")
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_bigrams"),
-        round(sum(col("cnt") * col("lnw")), 6).as("importance"))
-      .orderBy("doc_id")
-  }
-
-  val p01: Q = q("p01_curation_pipeline",
-    s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |d AS (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS toks
-       |      FROM documents JOIN surv USING (doc_id)),
-       |f AS (SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
-       |        len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS stop_hits
-       |      FROM d),
-       |g AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-       |               THEN 'val' ELSE 'train' END AS split,
-       |        lang, n_tokens, n_chars
-       |      FROM f WHERE n_tokens >= 50 AND stop_hits >= 1)
-       |SELECT split, lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
-       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
-    val surv = Dedup.exact(c.documents).select("doc_id")
-    val toks = Text.tokens(col("text"))
-    val feats = c.documents.join(surv, "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        size(toks).as("n_tokens"),
-        Text.hitCount(toks, Text.enStops).as("stop_hits"))
-    feats.filter(col("n_tokens") >= 50 && col("stop_hits") >= 1)
-      .withColumn("split",
-        when(substring(md5(col("doc_id").cast("string").cast("binary")),
-          1, 2) < "1a", "val").otherwise("train"))
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
-      .orderBy("split", "lang")
-  }
-
-  // mm01 — multimodal binary plumbing with deterministic decode stub.
-  // The entry decodes the FIXTURE media table (Multimodal.stubMedia —
-  // payloads a pure function of the id, sf- and regen-independent),
-  // so the expected rows are constants and the oracle is a literal
-  // VALUES matrix (the m06/m27/m28 driver-side-matrix recipe): the
-  // hash gate now proves the mapPartitions decode — batching, FNV
-  // checksum, geometry, frame offsets — byte-for-byte, where r11
-  // could only pin it with a named spec. The documents-corpus path
-  // (same operators over asMedia) stays spec-covered in LlmOpsSpec.
-  val mm01: Q = Q("mm01_multimodal", (spark, _) =>
-    Multimodal.decode(Multimodal.stubMedia(spark, 64))
-      .select(col("media_id"), col("media_type"), col("n_bytes"),
-        col("checksum"), col("width"), col("height"),
-        size(col("frame_offsets")).as("n_frames"))
-      .orderBy("media_id"),
-    Some(MmOracles.mm01))
-
-  // mm02 — frame sampling: every 4th frame per payload with byte-range
-  // metadata + per-frame checksum (decode and sample fused into one
-  // executor-side scan; only fixed-width features ship). Like mm01,
-  // runs on the stubMedia fixture so the stride walk, byte ranges,
-  // and per-frame checksums gate against a literal VALUES oracle;
-  // stride/count invariants over the documents corpus stay in
-  // LlmOpsSpec.
-  val mm02: Q = Q("mm02_frame_sample", (spark, _) =>
-    Multimodal.frameSample(Multimodal.stubMedia(spark, 48), stride = 4)
-      .orderBy("media_id", "frame_idx"),
-    Some(MmOracles.mm02))
-
-  // mm03 — perceptual image dedup: REAL javax.imageio decode fused
-  // with a 64-bit average-hash in ONE executor-side scan (only
-  // (media_id, hash) leaves the payload partition), then near-dup
-  // pairs within hamming 2 via the 4×16-bit block pigeonhole — a
-  // bounded equi-join on (block, value), never all-pairs, exactly the
-  // text SimHash family's candidate contract applied to images. The
-  // corpus plants re-encoded +8-brightness copies (different bytes,
-  // visually identical); aHash is brightness-invariant by
-  // construction so they land at hamming ~0. The planted corpus is a
-  // pure function of n (lossless PNG round-trip + integer aHash —
-  // bit-stable across JDKs), so the full pair matrix gates against a
-  // literal VALUES oracle; recall/soundness/determinism remain
-  // pinned in LlmOpsSpec.
-  // mm04 — AUDIO energy / voice-activity features: REAL
-  // javax.sound.sampled decode (the audio twin of mm03's imageio
-  // path — genuine WAV containers parsed by the JDK codec) fused
-  // with per-frame mean-square energy in ONE mapPartitions pass;
-  // the activity flag thresholds the energy, and the planted
-  // utterance/pause schedule ((id+f) % 3) makes the flags ground
-  // truth. All math is integer (Long sums, exact division), so the
-  // features are constants of the code — VALUES-oracle-gated like
-  // mm01/mm02 (queries/MmOracles.scala, regenerated by
-  // tools/GenMmOracles). Only (media_id, frame features) leave the
-  // payload partition.
-  val mm04: Q = Q("mm04_audio_energy", (spark, _) =>
-    Multimodal.audioEnergy(Multimodal.wavMedia(spark, 24))
-      .orderBy("media_id", "frame_idx"),
-    Some(MmOracles.mm04))
-
-  val mm03: Q = Q("mm03_image_phash", (spark, _) => {
-    val media = Multimodal.noiseMedia(spark, n = 300)
-    Multimodal.phashPairs(Multimodal.imagePhash(media), maxHamming = 2)
-      .orderBy("id_a", "id_b")
-  }, Some(MmOracles.mm03))
-
-  // mm05 — perceptual AUDIO dedup: the cross-media COMPOSITION the
-  // multimodal leg was missing — mm04's framed-energy features packed
-  // into a 64-bit activity fingerprint (bit f = frame f's VAD flag,
-  // gain- and dither-invariant by construction), then near-dup pairs
-  // through the SAME 4×16-bit block-pigeonhole candidate contract
-  // mm03/d03 use: a bounded equi-join on (block, value), never
-  // all-pairs. The fixture plants "re-encoded" copies (+10% gain,
-  // fresh dither, 1-2 flipped frames — different bytes EVERYWHERE)
-  // of every third clip; copies land at hamming 1-2, unrelated clips
-  // ~32 bits apart. Fixture and integer energy math are pure
-  // functions of the code, so the full pair matrix gates against a
-  // literal VALUES oracle (MmOracles recipe). Only (media_id, 8-byte
-  // fingerprint) leaves the payload partition — the 10× payload
-  // probe in Bench pins that the pipeline scales with clip COUNT,
-  // not payload bytes shuffled.
-  val mm05: Q = Q("mm05_audio_dedup", (spark, _) => {
-    val media = Multimodal.wavDupMedia(spark, n = 120)
-    Multimodal.phashPairs(
-      Multimodal.audioFingerprint(media)
-        .select(col("media_id"), col("afp").as("phash")),
-      maxHamming = 2)
-      .orderBy("id_a", "id_b")
-  }, Some(MmOracles.mm05))
-
-  // mm06 — VIDEO keyframe dedup: the video composition closing the
-  // multimodal triangle (mm03 = image, mm05 = audio): keyframe
-  // sampling (mm02's stride discipline — non-sampled frames are
-  // length-SKIPPED, never decoded), real PNG decode + aHash fused in
-  // one executor pass (only (clip, slot, 8 bytes) leaves the payload
-  // partition), then clip-level near-dup via SLOT-ALIGNED block
-  // pigeonhole candidates + a ≥3-of-4 matched-keyframe quorum — so a
-  // re-encoded brightness-shifted copy matches on all 4 sampled
-  // slots, a copy with a HARD CUT in one keyframe still matches 3,
-  // and unrelated clips never reach quorum. Fixture (90 clips + 30
-  // planted copies, scene keys disjoint across clips) and integer
-  // hash math are pure functions of the code — VALUES-oracle-gated
-  // like mm01-mm05; quorum/invariance edges pinned in LlmOpsSpec.
-  val mm06: Q = Q("mm06_video_dedup", (spark, _) => {
-    val media = Multimodal.videoMedia(spark, n = 90)
-    Multimodal.videoPairs(Multimodal.videoKeyHashes(media, stride = 2),
-        minSlots = 3, maxHamming = 2)
-      .orderBy("id_a", "id_b")
-  }, Some(MmOracles.mm06))
-
-  // x19 — BM25 relevance scoring (Robertson et al.; k1=1.2, b=0.75):
-  // the retrieval-grade ranking function over the corpus — the
-  // quality/curation sibling of x08's TF-IDF (BM25's tf saturation
-  // and length normalization are what make it the default lexical
-  // ranker). Plan shape: one projection scan for doc lengths (N and
-  // avgdl fold to a 1-row broadcast), one explode scan filtered to
-  // the query terms BEFORE any shuffle (the filter reaches the
-  // Generate, so the per-token stream is query-terms-only however
-  // wide the corpus), df is a ≤|terms|-row broadcast. The corpus
-  // shuffles once, on (doc, term). idf uses the +1 form
-  // ln(1 + (N−df+0.5)/(df+0.5)) — strictly positive, so stop-like
-  // terms cannot flip sign (Lucene's choice). ROUND(,6) absorbs the
-  // ≤3-element double-sum association (x08/x15 discipline).
-  /** Raw BM25 leg shared by x19 and s07: per-doc (n_terms, bm25 sum)
-    * for the given query terms — k1=1.2, b=0.75, the x19 dials.
-    */
-  private def bm25Frame(c: Catalog, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val dl = c.documents.select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast(LongType).as("dl"))
-      .localCheckpoint(true)
-    val corpus = dl.agg(count(lit(1)).as("n"),
-      (sum("dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val tf = c.documents
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
-      .filter(col("w").isin(terms: _*))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val s = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-      (col("tf") * 2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
-    tf.join(broadcast(dfT), "w")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .select(col("doc_id"), s.as("s"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("s").as("bm25"))
-  }
-
-  val x19: Q = q("x19_bm25",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-      |corpus AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
-      |tf AS (SELECT doc_id, w, COUNT(*) AS tf
-      |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-      |       WHERE w IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
-      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-      |sc AS (SELECT doc_id,
-      |         ln(1.0 + (n - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
-      |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS s
-      |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 6) AS bm25
-      |FROM sc GROUP BY doc_id ORDER BY doc_id""") { c =>
-    // both derived frames inside bm25Frame feed TWO consumers (dl:
-    // the scoring join + the (N, avgdl) fold; tf: the df branch + the
-    // scoring join) — frozen once each (the d04/x17 multi-scan
-    // discipline), so the corpus tokenizes exactly twice (one
-    // projection pass, one term-filtered explode), never per consumer
-    bm25Frame(c, Seq("spark", "vector", "merge"))
-      .select(col("doc_id"), col("n_terms"), round(col("bm25"), 6).as("bm25"))
-      .orderBy("doc_id")
-  }
-
-  // x22 — BPE tokenizer TRAINING (operators/Bpe.scala — Sennrich
-  // ACL 2016): the corpus is read ONCE into a word-frequency dict,
-  // then every merge iteration is a vocab-sized pair-count agg + a
-  // 1-row argmax collect + a shuffle-free HOF fold — 100 TB of corpus
-  // costs one tokenize pass, the 24 iterations cost the same as at
-  // 1 GB. Output = the learned merge table (the tokenizer artifact a
-  // training run ships). Rows-only: the iterative data-dependent
-  // argmax is not SQL-expressible; LlmOpsSpec pins the merge sequence
-  // against an independent single-node reference implementation and
-  // train/serve segmentation agreement.
-  val x22: Q = rowsOnly("x22_bpe_train") { c =>
-    val merges = graft.operators.Bpe.train(c.documents, "text", nMerges = 24)
-    c.spark.createDataFrame(merges)
-      .select(col("rank"), col("left"), col("right"),
-        concat(col("left"), col("right")).as("merged"),
-        col("pairCount").as("pair_count"))
-      .orderBy("rank")
-  }
-
-  // x23 — UNICODE NORMALIZATION (plans/TextExpressions.NfcNormalize,
-  // a native doGenCode Catalyst expression — Spark ships no
-  // normalizer and a UDF would drop the corpus scan out of codegen):
-  // crawled corpora mix composed and decomposed encodings of the
-  // same text, so NFC + zero-width stripping is the mandatory FIRST
-  // stage before any hash-based op (d01's digests, d04's shingles,
-  // x13's decontamination all treat "é" and "e"+U+0301 as different
-  // bytes). The entry plants both corruption classes
-  // deterministically — combining acute after every 'e' on doc_id%7,
-  // zero-width space after every 'o' on doc_id%11 — then cleans:
-  // strip ZWSP/ZWNJ/ZWJ/BOM, NFC-compose. The planted classes prove
-  // the two distinct behaviors: zero-width injection is fully
-  // UNDONE (changed=false — byte-identical to the original), while
-  // decomposition COMPOSES to different-but-canonical bytes
-  // (changed=true). Gate: per-doc md5 of the cleaned text vs
-  // DuckDB's own nfc_normalize — two independent NFC
-  // implementations hash-agreeing on every row.
-  val x23: Q = q("x23_text_normalize",
-    """WITH p AS (
-      |  SELECT doc_id, text,
-      |    CASE WHEN doc_id % 7 = 0
-      |      THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
-      |      ELSE text END AS t1
-      |  FROM documents),
-      |p2 AS (
-      |  SELECT doc_id, text,
-      |    CASE WHEN doc_id % 11 = 0
-      |      THEN regexp_replace(t1, 'o', 'o' || chr(8203), 'g')
-      |      ELSE t1 END AS t2
-      |  FROM p),
-      |c AS (
-      |  SELECT doc_id, text, nfc_normalize(regexp_replace(t2,
-      |    '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
-      |    '', 'g')) AS clean
-      |  FROM p2)
-      |SELECT doc_id, CAST(LENGTH(clean) AS BIGINT) AS n_chars,
-      |  md5(clean) AS content_hash, (clean <> text) AS changed
-      |FROM c ORDER BY doc_id""") { c =>
-    val perturbed = c.documents
-      .withColumn("t", when(col("doc_id") % 7 === 0,
-          regexp_replace(col("text"), "e", "e\u0301"))
-        .otherwise(col("text")))
-      .withColumn("t", when(col("doc_id") % 11 === 0,
-          regexp_replace(col("t"), "o", "o\u200B"))
-        .otherwise(col("t")))
-    val clean = graft.plans.TextExpressions.nfcNormalize(
-      regexp_replace(col("t"), "[\u200B\u200C\u200D\uFEFF]", ""))
-    perturbed.select(col("doc_id"), col("text"), clean.as("clean"))
-      .select(col("doc_id"),
-        length(col("clean")).cast(LongType).as("n_chars"),
-        md5(col("clean").cast(BinaryType)).as("content_hash"),
-        (col("clean") =!= col("text")).as("changed"))
-      .orderBy("doc_id")
-  }
-
-  // x24 — TRAINED text classifier (multinomial Naive Bayes over
-  // hashed token buckets), the learned complement to x01's rule
-  // heuristic and the shape of every fastText-style corpus filter
-  // (CCNet's LM filter, FineWeb-Edu's quality classifier): train on
-  // the LABELED slice, broadcast the model, score the unlabeled
-  // corpus in one pass. The split is real — the model trains on
-  // even-doc_id docs only and predicts the held-out odd half — and
-  // because the synthetic corpus draws every lang's text from one
-  // shared vocabulary (no natural signal; a classifier on the raw
-  // text degenerates to the majority class), the entry PLANTS the
-  // signal deterministically (x09/x23's injection discipline): three
-  // per-lang marker tokens appended to every doc, so held-out
-  // accuracy measures genuine generalization of the train/serve
-  // machinery. Features are x17's 256 md5 buckets — the model is
-  // (|classes| × 256) rows BY CONSTRUCTION, bounded by the hash
-  // width, not the vocabulary. Training is two map-side-combined
-  // hash aggs; inference is one broadcast equi-join on the bucket +
-  // a per-(doc, class) sum — each corpus half shuffles once on
-  // (doc, bucket) and never again; argmax per doc is a rank-limit
-  // TopK (q23's pushdown), not a full sort. Cross-engine exactness:
-  // every log-probability is a 2^40-scaled truncated BIGINT (x21's
-  // trick), so scores are pure integer arithmetic — order-free,
-  // tie-broken (score DESC, class ASC) identically everywhere.
-  // Model persistence for serving reuses s09's train/serve split
-  // unchanged (the weights are one small table).
-  val x24: Q = q("x24_nb_classifier",
-    """WITH marked AS (
-      |  SELECT doc_id, lang,
-      |    text || ' ' || repeat('xm' || lang || ' ', 3) AS text
-      |  FROM documents),
-      |tk AS (
-      |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b
-      |  FROM (SELECT doc_id, lang,
-      |          unnest(string_split(lower(text), ' ')) AS tok
-      |        FROM marked)
-      |  WHERE tok <> ''),
-      |db AS (SELECT doc_id, lang, b, COUNT(*) AS cnt FROM tk GROUP BY 1, 2, 3),
-      |tot AS (SELECT lang, SUM(cnt) AS tot FROM db WHERE doc_id % 2 = 0 GROUP BY 1),
-      |cb AS (SELECT lang, b, SUM(cnt) AS cb FROM db WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-      |grid AS (
-      |  SELECT t.lang, k.b,
-      |    CAST(trunc(ln((COALESCE(cb.cb, 0) + 1.0) / (t.tot + 256.0))
-      |      * 1099511627776) AS BIGINT) AS lnp
-      |  FROM tot t
-      |  CROSS JOIN (SELECT printf('%02x', i) AS b FROM range(256) r(i)) k
-      |  LEFT JOIN cb ON cb.lang = t.lang AND cb.b = k.b),
-      |pri AS (
-      |  SELECT lang, CAST(trunc(ln(CAST(n_docs AS DOUBLE)
-      |      / (SUM(n_docs) OVER ())) * 1099511627776) AS BIGINT) AS lpr
-      |  FROM (SELECT lang, COUNT(*) AS n_docs FROM documents
-      |        WHERE doc_id % 2 = 0 GROUP BY 1)),
-      |sc AS (
-      |  SELECT db.doc_id, db.lang AS actual, g.lang AS cls,
-      |    SUM(db.cnt * g.lnp) AS s
-      |  FROM db JOIN grid g USING (b)
-      |  WHERE db.doc_id % 2 = 1 GROUP BY 1, 2, 3),
-      |fin AS (
-      |  SELECT doc_id, actual, cls,
-      |    ROW_NUMBER() OVER (PARTITION BY doc_id
-      |      ORDER BY sc.s + pri.lpr DESC, cls) AS rn
-      |  FROM sc JOIN pri ON pri.lang = sc.cls)
-      |SELECT doc_id, cls AS pred_lang, actual AS lang,
-      |  (cls = actual) AS correct
-      |FROM fin WHERE rn = 1 ORDER BY doc_id""") { c =>
-    val scale = 1099511627776L // 2^40
-    val spark = c.documents.sparkSession
-    val marked = c.documents.select(col("doc_id"), col("lang"),
-      concat(col("text"), lit(" "),
-        repeat(concat(lit("xm"), col("lang"), lit(" ")), 3)).as("text"))
-    val tk = marked
-      .select(col("doc_id"), col("lang"),
-        explode(Text.tokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("tok").cast(BinaryType)), 1, 2).as("b"))
-    // the one corpus-sized artifact, frozen for its three consumers
-    // (two training aggs over the even half, the odd-half scoring
-    // join) — x17's multi-consumer freeze discipline
-    val db0 = tk.groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val train = db0.filter(col("doc_id") % 2 === 0)
-    val tot = train.groupBy("lang").agg(sum("cnt").as("tot"))
-    val cb = train.groupBy("lang", "b").agg(sum("cnt").as("cb"))
-    val buckets = spark.range(256)
-      .select(format_string("%02x", col("id")).as("b"))
-    val grid = tot.crossJoin(buckets)
-      .join(cb, Seq("lang", "b"), "left")
-      .select(col("lang"), col("b"),
-        (log((coalesce(col("cb"), lit(0L)) + lit(1.0))
-            / (col("tot") + lit(256.0)))
-          * lit(scale.toDouble)).cast(LongType).as("lnp"))
-    // class priors from labeled doc counts — a column-pruned scan
-    val wTot = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val pri = c.documents.filter(col("doc_id") % 2 === 0)
-      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .select(col("lang"),
-        (log(col("n_docs").cast(DoubleType)
-            / sum(col("n_docs")).over(wTot))
-          * lit(scale.toDouble)).cast(LongType).as("lpr"))
-    val scored = db0.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang").as("actual"), col("b"), col("cnt"))
-      .join(broadcast(grid.withColumnRenamed("lang", "cls")), "b")
-      .groupBy("doc_id", "actual", "cls")
-      .agg(sum(col("cnt") * col("lnp")).as("s"))
-      .join(broadcast(pri.withColumnRenamed("lang", "cls")), "cls")
-    val w = Window.partitionBy("doc_id")
-      .orderBy((col("s") + col("lpr")).desc, col("cls"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cls").as("pred_lang"),
-        col("actual").as("lang"), (col("cls") === col("actual")).as("correct"))
-      .orderBy("doc_id")
-  }
-
-  // x25 — BPE tokenizer APPLY at corpus scale, the serve-side
-  // complement of x22's training: the actual "tokenize 100 TB before
-  // the training run" step. The tokenizer artifact is FROZEN — in
-  // production a tokenizer is trained once and applied to every
-  // corpus snapshot thereafter, so the merge table here is a pinned
-  // literal list (a well-formed BPE merge sequence over lowercase
-  // chars + Sennrich's </w> sentinel), not something retrained per
-  // run. Encoding is x22's OWN merge fold (Bpe.mergeFold — greedy
-  // left-to-right, per word) nested per doc: transform over words,
-  // one fold per merge in rank order — so serve-time segmentation is
-  // the training code path by construction (LlmOpsSpec additionally
-  // pins the nested form == the dict-level fold word-for-word; a
-  // first-cut sequential string-replace formulation FAILED that spec
-  // on "banana" — replace skips pair occurrences that share a
-  // boundary symbol with the previous match, which is exactly the
-  // divergence the parity spec exists to catch). The shape is the
-  // point at 100 TB: tokenization is a PURE MAP — one projection per
-  // doc, no explode, no shuffle, tokenizer as literals — and the
-  // oracle re-implements the same fold independently in DuckDB
-  // (list_reduce with a delimited-string accumulator: fusing appends
-  // `b` to the accumulator's tail symbol; appending adds a delimited
-  // symbol — last-symbol-equals-`a` iff the string ends with U+001F a),
-  // so two independent BPE encoders must hash-agree on every doc's
-  // full subword stream.
-  val bpeMerges: Seq[(String, String)] = Seq(
-    "t" -> "h", "e" -> "</w>", "th" -> "e</w>", "i" -> "n", "a" -> "n",
-    "r" -> "e", "o" -> "n", "e" -> "r", "er" -> "</w>", "in" -> "g",
-    "ing" -> "</w>", "a" -> "t", "s" -> "</w>", "o" -> "r", "t" -> "i",
-    "a" -> "l")
-
-  /** Subword stream of `text` under [[bpeMerges]]: lower-cased
-    * whitespace tokens stripped to letters, each split to chars +
-    * `</w>` and folded through the merges in rank order
-    * (Bpe.mergeFold nested inside a per-doc transform), flattened in
-    * word order. Pure per-row expressions — no explode, no shuffle.
-    */
-  def bpeEncodeSubwords(text: Column): Column =
-    flatten(transform(bpeWords(text), bpeWordFold(_)))
-
-  /** Lower-cased whitespace tokens of `text` stripped to letters,
-    * empties dropped — the ONE word definition both encode paths and
-    * the oracle share.
-    */
-  private def bpeWords(text: Column): Column =
-    filter(transform(split(lower(text), " "),
-      t => regexp_replace(t, "[^a-z]", "")), w => w =!= "")
-
-  /** One word through the full merge table: chars + `</w>` seed,
-    * then Bpe.mergeFold per merge in rank order — the ONE fold both
-    * the pure-map and dict-amortized paths share (the path-equality
-    * spec pins them equal; a second copy could silently diverge).
-    */
-  private def bpeWordFold(w: Column): Column =
-    bpeMerges.foldLeft(
-      concat(split(w, ""), array(lit(Bpe.EndOfWord))): Column)(
-      (syms, m) => Bpe.mergeFold(syms, m._1, m._2))
-
-  /** The DuckDB mirror of the merge fold chain: each merge is one
-    * `list_reduce` over the symbol list with a U+001F-delimited
-    * STRING accumulator (DuckDB's reduce seeds from the first
-    * element, so the accumulator must share the element type) —
-    * `acc = 'a' OR ends_with(acc, sep || 'a')` recognizes the tail
-    * symbol, fusing appends `b` directly (the merged symbol IS
-    * a || b), otherwise the next symbol appends delimited;
-    * `string_split` restores the list between merges.
-    */
-  private val x25Fold: String = {
-    def step(inner: String, a: String, b: String) =
-      s"string_split(list_reduce($inner, (acc, x) -> CASE WHEN " +
-        s"(acc = '$a' OR ends_with(acc, chr(31) || '$a')) AND x = '$b' " +
-        s"THEN acc || '$b' ELSE acc || chr(31) || x END), chr(31))"
-    bpeMerges.foldLeft("syms0")((e, m) => step(e, m._1, m._2))
-  }
-
-  val x25: Q = q("x25_bpe_encode",
-    s"""WITH w AS (
-      |  SELECT doc_id, list_filter(list_transform(
-      |      string_split(lower(text), ' '),
-      |      t -> regexp_replace(t, '[^a-z]', '', 'g')), x -> x <> '') AS ws
-      |  FROM documents),
-      |e AS (
-      |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM w),
-      |s AS (
-      |  SELECT doc_id, i, $x25Fold AS subs
-      |  FROM (SELECT doc_id, i,
-      |      list_append(list_transform(range(1, len(ws[i]) + 1),
-      |        j -> substr(ws[i], j, 1)), '</w>') AS syms0
-      |    FROM e)),
-      |a AS (
-      |  SELECT doc_id, SUM(len(subs)) AS n_subwords,
-      |    string_agg(array_to_string(subs, ' '), ' ' ORDER BY i) AS stream
-      |  FROM s GROUP BY doc_id)
-      |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
-      |  CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords,
-      |  md5(COALESCE(a.stream, '')) AS fingerprint
-      |FROM w LEFT JOIN a ON w.doc_id = a.doc_id
-      |ORDER BY w.doc_id""") { c =>
-    // The corpus path amortizes the fold over the DICT, not the
-    // stream (the first-cut per-occurrence nested fold measured
-    // 56.8 s at sf0.1 — 14x the next-slowest entry — because HOF
-    // folds evaluate interpreted, per word occurrence): segment each
-    // DISTINCT word once (Heaps-law vocab, the same sub-linear
-    // artifact x22 trains on), then join the segmented dict back to
-    // the (doc, pos, word) stream and regroup per doc. This is the
-    // production tokenizer-cache shape — at 100 TB the corpus pays
-    // one explode + one dict equi-join (broadcast while the vocab
-    // fits, sort-merge beyond) + one per-doc regroup, and the
-    // interpreted fold runs only vocab-many times. The pure-map form
-    // stays available as bpeEncodeSubwords; LlmOpsSpec pins the two
-    // paths identical.
-    val base = c.documents
-      .select(col("doc_id"), bpeWords(col("text")).as("ws"))
-      .localCheckpoint(true) // two consumers: token stream + doc base
-    val toks = base.select(col("doc_id"),
-      posexplode(col("ws")).as(Seq("pos", "w")))
-    val vocab = toks.select("w").distinct()
-      .withColumn("subs", bpeWordFold(col("w")))
-    val agg = toks.join(vocab, "w")
-      .groupBy("doc_id")
-      .agg(sum(size(col("subs"))).as("n_subwords"),
-        md5(array_join(flatten(transform(
-            sort_array(collect_list(struct(col("pos"), col("subs")))),
-            s => s.getField("subs"))), " ").cast(BinaryType)).as("fp"))
-    base.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
-        coalesce(col("fp"), md5(lit("").cast(BinaryType))).as("fingerprint"))
-      .orderBy("doc_id")
-  }
-
-  // x26 — int8 SCALAR QUANTIZATION of the embedding column: the
-  // serving-side compression step before ANN (4 bytes/dim → 1
-  // byte/dim, the "SQ8" index most vector stores default to —
-  // contrast s04's PRODUCT quantization, which learns centroids;
-  // SQ8 is codebook-free and exact-affine). Two passes: (1) the
-  // per-dimension corpus min/max — a map-side-combinable hash agg
-  // that produces exactly DIM rows (dimension-sized, not
-  // corpus-sized, the Ann.scala codebook-collect discipline); (2)
-  // one scan that codes every component against the DIM (mn, span)
-  // pairs rendered as LITERAL arrays — no broadcast, no second
-  // shuffle, the corpus is read once per pass. Codes are exact
-  // integers in both engines (the affine formula is identical IEEE
-  // double arithmetic, floored), so code_sum/min/max hash-gate
-  // bit-for-bit; the reconstruction error crosses the boundary with
-  // ROUND(,6) over a 64-term sum (the x08/x15 double-sum
-  // discipline). At 100 TB: pass 1 shuffles DIM×partitions partial
-  // rows; pass 2 is shuffle-free — the plan you would deploy.
-  private val x26Dim = 64
-  val x26: Q = q("x26_scalar_quantize",
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |cx AS (SELECT vec_id, unnest(range(1, ${x26Dim + 1})) AS i, v FROM e),
-      |c2 AS (SELECT vec_id, i, v[i] AS x FROM cx),
-      |st AS (SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM c2 GROUP BY i),
-      |cd AS (SELECT vec_id, c2.i, x, mn, span,
-      |         CASE WHEN span = 0 THEN 0
-      |              ELSE LEAST(255, GREATEST(0, CAST(floor(((x - mn) * 255.0) / span + 0.5) AS INT))) END AS code
-      |       FROM c2 JOIN st ON c2.i = st.i),
-      |agg AS (SELECT vec_id,
-      |          CAST(SUM(CAST(code AS BIGINT)) AS BIGINT) AS code_sum,
-      |          MIN(code) AS code_min, MAX(code) AS code_max,
-      |          SUM((x - (mn + (code * span) / 255.0)) * (x - (mn + (code * span) / 255.0))) AS se
-      |        FROM cd GROUP BY vec_id)
-      |SELECT vec_id, code_sum, CAST(code_min AS INT) AS code_min,
-      |       CAST(code_max AS INT) AS code_max,
-      |       ROUND(se / $x26Dim.0, 6) AS recon_mse
-      |FROM agg ORDER BY vec_id""") { c =>
-    val e = c.embeddings.select(col("vec_id"),
-      Vectors.toDouble(col("embedding")).as("v"))
-    // pass 1: per-dim stats — DIM rows, driver-bounded by the vector
-    // width (the same bound Ann's k-sized codebook collects rely on)
-    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i").agg(min("x").as("mn"), (max("x") - min("x")).as("span"))
-      .orderBy("i").collect()
-    require(stats.length == x26Dim, s"embedding dim ${stats.length} != $x26Dim")
-    val mnArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val spArr = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
-    // pass 2: code each component against the literal (mn, span)
-    // pairs — identical expression shape to the oracle's CASE
-    val codes = transform(col("v"), (x, i) => {
-      val mn = element_at(mnArr, i + 1)
-      val span = element_at(spArr, i + 1)
-      when(span === 0.0, lit(0)).otherwise(
-        least(lit(255), greatest(lit(0),
-          floor((x - mn) * lit(255.0) / span + lit(0.5)).cast(IntegerType))))
-    })
-    val se = aggregate(sequence(lit(0), lit(x26Dim - 1)), lit(0.0), (acc, i) => {
-      val x = element_at(col("v"), i + 1)
-      val mn = element_at(mnArr, i + 1)
-      val span = element_at(spArr, i + 1)
-      val dq = mn + (element_at(col("codes"), i + 1).cast(DoubleType) * span) / lit(255.0)
-      acc + (x - dq) * (x - dq)
-    })
-    e.withColumn("codes", codes)
-      .select(col("vec_id"),
-        aggregate(col("codes"), lit(0L), (a, x) => a + x.cast(LongType)).as("code_sum"),
-        aggregate(col("codes"), lit(255), (a, x) => least(a, x)).as("code_min"),
-        aggregate(col("codes"), lit(0), (a, x) => greatest(a, x)).as("code_max"),
-        round(se / lit(x26Dim.toDouble), 6).as("recon_mse"))
-      .orderBy("vec_id")
-  }
-
-  // x27 — host-graph PAGERANK (link-graph centrality, the standing
-  // web-corpus quality signal: Common-Crawl-style pipelines rank
-  // hosts by centrality before fetching/filtering). The host graph
-  // is synthesized deterministically from doc_id (the x09/x24
-  // injection discipline — the corpus carries no URLs, so both
-  // engines derive the identical edge list: src = doc_id mod H, two
-  // affine out-links per doc, self-loops dropped, DISTINCT). The
-  // iteration itself is operators/PageRank.ranks: SCALED-INTEGER
-  // arithmetic (rank div outdeg per edge, damp with integer div) so
-  // all 10 iterations are bit-for-bit reproducible in any engine —
-  // no float enters the loop, the oracle below unrolls the same 10
-  // iterations as SQL CTEs from the same constants. Workload class:
-  // iterative graph (k joins over a frozen edge list with per-round
-  // lineage truncation), which no other board entry exercises.
-  private val x27Iters = 10
-  private val x27Hosts = 97
-  private val x27Scale = 1000000000000L
-  private def x27Oracle: String = {
-    val jump = 15L * x27Scale / 100L
-    val base =
-      s"""WITH d AS (SELECT doc_id % $x27Hosts AS src,
-         |  (doc_id * 31 + 7) % $x27Hosts AS d1,
-         |  (doc_id * 57 + 13) % $x27Hosts AS d2 FROM documents),
-         |edges AS (SELECT DISTINCT src, dst FROM
-         |  (SELECT src, d1 AS dst FROM d UNION ALL SELECT src, d2 FROM d)
-         |  WHERE src <> dst),
-         |v AS (SELECT DISTINCT src AS host FROM edges),
-         |e AS (SELECT edges.src, edges.dst FROM edges JOIN v ON edges.dst = v.host),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-         |r0 AS (SELECT host, CAST($x27Scale AS BIGINT) AS rank FROM v)""".stripMargin
-    val its = (1 to x27Iters).map { i =>
-      s"""r$i AS (SELECT v.host,
-         |  CAST($jump + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
-         |  FROM v LEFT JOIN
-         |    (SELECT e.dst, CAST(SUM(r${i - 1}.rank // deg.outdeg) AS BIGINT) AS s
-         |     FROM e JOIN r${i - 1} ON e.src = r${i - 1}.host
-         |            JOIN deg ON e.src = deg.src
-         |     GROUP BY e.dst) c ON v.host = c.dst)""".stripMargin
-    }.mkString(",\n")
-    s"""$base,
-       |$its
-       |SELECT host, rank AS pr_scaled,
-       |  ROUND(CAST(rank AS DOUBLE) / $x27Scale, 6) AS pagerank
-       |FROM r$x27Iters ORDER BY host""".stripMargin
-  }
-  val x27: Q = q("x27_host_pagerank", x27Oracle) { c =>
-    val d = c.documents.select(
-      (col("doc_id") % x27Hosts).as("src"),
-      ((col("doc_id") * 31 + 7) % x27Hosts).as("d1"),
-      ((col("doc_id") * 57 + 13) % x27Hosts).as("d2"))
-    val edges = d.select(col("src"), col("d1").as("dst"))
-      .unionAll(d.select(col("src"), col("d2").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    PageRank.ranks(edges, iters = x27Iters, scale = x27Scale)
-      .select(col("host"), col("pr_scaled"),
-        round(col("pr_scaled").cast(DoubleType) / lit(x27Scale.toDouble), 6)
-          .as("pagerank"))
-      .orderBy("host")
-  }
-
-  // d14 — EXACT-SUBSTRING SCRUB (Lee et al. 2022, "Deduplicating
-  // Training Data Makes Language Models Better": remove the
-  // duplicated SPANS, keep the rest of the document — the
-  // complement of d09, which only REPORTS shared spans, and of
-  // d01/d02, which drop whole documents). Semantics: any 8-token
-  // window that also occurs in an earlier document (cross-doc,
-  // keep-first at doc granularity) marks its 8 positions covered;
-  // the cleaned text is the uncovered tokens in order. The key scale
-  // property: UNlike pairwise span reporting, coverage only needs
-  // each window's MIN doc_id and membership — one hash agg on the
-  // window digest + one join back, LINEAR in total windows with NO
-  // candidate-pair explosion (hot boilerplate windows cost one agg
-  // row no matter how many thousands of docs share them — the case
-  // that forces DF caps in d09/d12 is free here). Shuffles: window
-  // digest agg, digest join-back, covered-position distinct,
-  // (doc,pos) anti-join, per-doc regroup — all key-partitioned,
-  // nothing quadratic. Gate: per-doc md5 of the reconstructed
-  // cleaned text must match DuckDB's independent reconstruction.
-  private val d14Oracle =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |p AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t FROM toks WHERE len(t) >= 8),
-      |w AS (SELECT doc_id, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS win FROM p),
-      |fw AS (SELECT win, MIN(doc_id) AS first_doc FROM w GROUP BY win),
-      |dup AS (SELECT w.doc_id, w.pos FROM w JOIN fw ON w.win = fw.win AND w.doc_id > fw.first_doc),
-      |cov AS (SELECT DISTINCT doc_id, i FROM
-      |  (SELECT doc_id, pos + unnest(range(0, 8)) AS i FROM dup)),
-      |tk AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
-      |tok AS (SELECT doc_id, i, t[i] AS tok FROM tk),
-      |kept AS (SELECT tok.doc_id, tok.i, tok.tok
-      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
-      |         WHERE cov.i IS NULL),
-      |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-      |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
-      |       FROM kept GROUP BY doc_id)
-      |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
-      |  CAST(len(toks.t) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
-      |  COALESCE(cl.clean_hash, md5('')) AS clean_hash
-      |FROM toks LEFT JOIN cl ON toks.doc_id = cl.doc_id
-      |ORDER BY toks.doc_id"""
-
-  val d14: Q = q("d14_exact_substr_scrub", d14Oracle) { c =>
-    Dedup.exactSubstrScrub(c.documents, w = 8).orderBy("doc_id")
-  }
-
-  // d14_fast — the PRODUCTION DIAL of d14 (plans/HashExpressions.scala
-  // WindowHashes): window keys are codegen'd 64-bit rolling hashes
-  // instead of md5 strings — 8-byte shuffle keys vs 32-char strings on
-  // the windows stream, the dominant shuffle of the operator (measured
-  // 1.89 -> 1.21 s at sf0.1). The OUTPUT CONTRACT is identical — keys
-  // only gate which windows collide, and a 64-bit collision over the
-  // window population is ~n²/2^64 — so the entry hash-gates against
-  // d14's own oracle verbatim: any behavioral drift between the dial
-  // and the reference form is a wrong answer, not a slow one.
-  val d14fast: Q = q("d14_exact_substr_scrub_fast", d14Oracle) { c =>
-    Dedup.exactSubstrScrubFast(c.documents, w = 8).orderBy("doc_id")
-  }
-
-  // p03 — the CCNet-SHAPED pipeline (Wenzek et al. 2020: paragraph-
-  // level dedup → language ID → quality bucketing into head/middle/
-  // tail terciles per language), composed from the registered blocks
-  // in ONE dataflow: d07's chunk dedup-and-rebuild (chunkCleaned),
-  // x01's stopword-profile language predictor on the CLEANED text,
-  // and an x02-shaped typicality score (best-language stopword
-  // density + length term; CCNet buckets on LM perplexity — x15 is
-  // the registered LM scorer, the tercile mechanics are identical)
-  // ranked into per-language NTILE(3) buckets. Scale shape: the
-  // dedup is d07's one hash agg + keep join, lang/quality features
-  // are a projection, and the ONLY new shuffle is the tercile
-  // window — per-language partitions, and q15's documented
-  // quantile-cutpoint variant is the approximate scale path when a
-  // language slice outgrows a partition. Exact NTILE kept here
-  // because the oracle demands it (q15's reasoning).
-  private val p03OracleSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |seg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
-      |          i -> {'pos': i, 'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}), recursive := true)
-      |        FROM toks),
-      |keyed AS (SELECT doc_id, pos, seg, doc_id*100000 + pos AS k FROM seg),
-      |keeper AS (SELECT seg, MIN(k) AS keep_k FROM keyed GROUP BY seg),
-      |kept AS (SELECT doc_id, pos, keyed.seg FROM keyed
-      |         JOIN keeper ON keyed.seg = keeper.seg AND keyed.k = keeper.keep_k),
-      |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
-      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
-      |            FROM kept GROUP BY doc_id),
-      |counts AS (SELECT doc_id, COUNT(*) AS n_chunks FROM keyed GROUP BY doc_id),
-      |cleaned AS (SELECT counts.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
-      |              COALESCE(clean_text, '') AS clean_text
-      |            FROM counts LEFT JOIN rebuilt ON counts.doc_id = rebuilt.doc_id),
-      |t2 AS (SELECT doc_id, n_chunks, n_kept,
-      |         string_split(clean_text, ' ') AS ct FROM cleaned),
-      |h AS (SELECT doc_id, n_chunks, n_kept, len(ct) AS n_tokens,
-      |        len(list_filter(ct, x -> x IN ${inList(Text.enStops)})) AS en_hits,
-      |        len(list_filter(ct, x -> x IN ${inList(Text.esStops)})) AS es_hits,
-      |        len(list_filter(ct, x -> x IN ${inList(Text.deStops)})) AS de_hits,
-      |        len(list_filter(ct, x -> x IN ${inList(Text.frStops)})) AS fr_hits
-      |      FROM t2),
-      |sc AS (SELECT doc_id, n_chunks, n_kept, n_tokens,
-      |         CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-      |              WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-      |              WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
-      |         ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-      |           + 0.5 * (CAST(GREATEST(en_hits, es_hits, de_hits, fr_hits) AS DOUBLE) / n_tokens), 6) AS score
-      |       FROM h)
-      |SELECT doc_id, pred_lang, CAST(n_chunks AS BIGINT) AS n_chunks,
-      |  CAST(n_kept AS BIGINT) AS n_kept, CAST(n_tokens AS BIGINT) AS n_tokens, score,
-      |  CASE NTILE(3) OVER (PARTITION BY pred_lang ORDER BY score DESC, doc_id)
-      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-      |FROM sc ORDER BY doc_id"""
-
-  /** p03's dedup → langid → typicality stages, shared by both tercile
-    * forms so the scoring can never drift between them.
-    */
-  private def p03Scored(c: Catalog): DataFrame = {
-    val ct = split(col("clean_text"), " ")
-    val feat = chunkCleaned(c).select(
-      col("doc_id"), col("n_chunks"), col("n_kept"),
-      size(ct).cast(LongType).as("n_tokens"),
-      Text.hitCount(ct, Text.enStops).as("en_hits"),
-      Text.hitCount(ct, Text.esStops).as("es_hits"),
-      Text.hitCount(ct, Text.deStops).as("de_hits"),
-      Text.hitCount(ct, Text.frStops).as("fr_hits"))
-    val nTok = col("n_tokens").cast(DoubleType)
-    val best = greatest(col("en_hits"), col("es_hits"),
-      col("de_hits"), col("fr_hits")).cast(DoubleType)
-    feat.select(col("doc_id"),
-      Text.predLang(col("en_hits"), col("es_hits"),
-        col("de_hits"), col("fr_hits")).as("pred_lang"),
-      col("n_chunks"), col("n_kept"), col("n_tokens"),
-      round(lit(0.5) * least(lit(1.0), nTok / 100.0)
-        + lit(0.5) * (best / nTok), 6).as("score"))
-  }
-
-  val p03: Q = q("p03_ccnet_pipeline", p03OracleSql) { c =>
-    val w = Window.partitionBy("pred_lang")
-      .orderBy(col("score").desc, col("doc_id"))
-    p03Scored(c).select(col("doc_id"), col("pred_lang"), col("n_chunks"),
-        col("n_kept"), col("n_tokens"), col("score"),
-        when(ntile(3).over(w) === 1, "head")
-          .when(ntile(3).over(w) === 2, "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
-  }
-
-  // p03_auto — the tercile SCALE path: the NTILE(3) per-language
-  // window above funnels each language slice through ONE task (the
-  // only corpus-sized sort in the composed pipelines); this form
-  // swaps it for Ntile.exact (q15's distributed NTILE: range
-  // partition on the full sort key, slice-local ranks, an
-  // O(partitions × languages) offset table broadcast back), which is
-  // BIT-IDENTICAL to the window under the (score desc, doc_id) total
-  // order and keeps parallelism = shuffle partitions — strictly
-  // better than the approximate-cutpoint variant the round-13 notes
-  // sketched, because it is exact at any scale (no recall dial to
-  // justify). Ordering trick: Ntile.exact sorts ascending, so it
-  // ranges on (−score, doc_id) — negation is order-exact for the
-  // rounded non-negative scores. Same oracle as p03 (the assignment
-  // is identical by construction; PropertySpec fuzzes
-  // Ntile.exact == ntile on skewed frames).
-  val p03auto: Q = q("p03_ccnet_pipeline_auto", p03OracleSql) { c =>
-    val scored = p03Scored(c).withColumn("__negscore", -col("score"))
-    graft.operators.Ntile.exact(scored, k = 3,
-        partCols = Seq("pred_lang"),
-        orderCols = Seq("__negscore", "doc_id"), bucketName = "__tile")
-      .select(col("doc_id"), col("pred_lang"), col("n_chunks"),
-        col("n_kept"), col("n_tokens"), col("score"),
-        when(col("__tile") === 1, "head")
-          .when(col("__tile") === 2, "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
-  }
-
-  // ---------------------------------------------------------------
-  // p04 — CURATION FUNNEL REPORT (the accounting every corpus
-  // curation run publishes: docs and tokens surviving each stage —
-  // raw → exact dedup → quality filter → decontamination — the
-  // first artifact a data lead asks for and the one that catches a
-  // mis-dialed filter eating 40% of the corpus). Composed from the
-  // registered stages' EXACT predicates (d01 keep-first, x06
-  // lang+score gate, x13 4-gram eval overlap), but computed as ONE
-  // dataflow: every doc gets its stage-survival FLAGS in a single
-  // pipeline (the dedup window and the contamination join are the
-  // only shuffles — both inherent to their stages), then one
-  // aggregate emits all four stage rows via an unpivot of eight
-  // sums — no per-stage re-scan of the corpus. Eval docs
-  // (doc_id < 20) leave at the decontamination stage along with
-  // overlap hits: benchmarks are not training data.
-  val p04: Q = q("p04_funnel_report",
-    s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
-       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-       |  FROM documents),
-       |h AS (SELECT doc_id, lang, toks, len(toks) AS n_tok,
-       |    doc_id = keeper AS s2,
-       |    len(list_filter(toks, x -> x IN ${inList(Text.enStops)})) AS en_hits,
-       |    len(list_filter(toks, x -> x IN ${inList(Text.esStops)})) AS es_hits,
-       |    len(list_filter(toks, x -> x IN ${inList(Text.deStops)})) AS de_hits,
-       |    len(list_filter(toks, x -> x IN ${inList(Text.frStops)})) AS fr_hits
-       |  FROM t),
-       |q3 AS (SELECT *,
-       |    s2 AND (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-       |         WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
-       |         WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END) = lang
-       |      AND 0.5 * LEAST(1.0, CAST(n_tok AS DOUBLE) / 100.0)
-       |        + 0.5 * (CAST(en_hits AS DOUBLE) / n_tok) >= 0.3 AS s3
-       |  FROM h),
-       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-2),
-       |        i -> array_to_string(toks[i:i+3], ' ')))) AS g4
-       |      FROM t WHERE len(toks) >= 4),
-       |ev AS (SELECT DISTINCT g4 FROM g WHERE doc_id < 20),
-       |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (g4) WHERE g.doc_id >= 20),
-       |f AS (SELECT *,
-       |    s3 AND doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont) AS s4
-       |  FROM q3),
-       |a AS (SELECT COUNT(*) AS d1, CAST(SUM(n_tok) AS BIGINT) AS t1,
-       |    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
-       |    CAST(SUM(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
-       |    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
-       |    CAST(SUM(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
-       |    CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
-       |    CAST(SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
-       |  FROM f)
-       |SELECT 1 AS stage_idx, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM a
-       |UNION ALL SELECT 2, 'exact_dedup', d2, t2 FROM a
-       |UNION ALL SELECT 3, 'quality', d3, t3 FROM a
-       |UNION ALL SELECT 4, 'decontam', d4, t4 FROM a
-       |ORDER BY stage_idx""".stripMargin) { c =>
-    val toks = Text.tokens(col("text"))
-    val base = c.documents.select(col("doc_id"), col("lang"),
-      toks.as("toks"),
-      (col("doc_id") === min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")
-          .cast("binary"))))).as("s2"))
-    val h = base.select(col("doc_id"), col("lang"), col("s2"),
-      size(col("toks")).as("n_tok"),
-      Text.hitCount(col("toks"), Text.enStops).as("en_hits"),
-      Text.hitCount(col("toks"), Text.esStops).as("es_hits"),
-      Text.hitCount(col("toks"), Text.deStops).as("de_hits"),
-      Text.hitCount(col("toks"), Text.frStops).as("fr_hits"),
-      col("toks"))
-    val nTok = col("n_tok").cast(DoubleType)
-    val score = lit(0.5) * least(lit(1.0), nTok / 100.0) +
-      lit(0.5) * (col("en_hits").cast(DoubleType) / nTok)
-    val q3 = h.withColumn("s3",
-      col("s2") &&
-        (Text.predLang(col("en_hits"), col("es_hits"),
-          col("de_hits"), col("fr_hits")) === col("lang")) && score >= 0.3)
-    // decontam stage = x13's registered discipline: the eval 4-gram
-    // set comes from its OWN doc_id<20 slice (filter pushed to the
-    // parquet scan — the r12 form derived it from the corpus-wide
-    // stream THROUGH the s2 md5 window), within-doc shingle dedup is
-    // the array_distinct already inside Text.shingles (map-side by
-    // construction — the r12 corpus-wide `.distinct()` re-shuffled
-    // the whole exploded 4-gram stream to deduplicate what was
-    // already distinct, 10x probe ratio 14.26). The corpus side
-    // stays a narrow explode into a broadcast join; the only wide op
-    // left is the per-doc_id distinct AFTER the join, bounded by the
-    // contaminated-overlap volume.
-    val ev = c.documents.filter(col("doc_id") < 20)
-      .select(explode(Text.shingles(Text.tokens(col("text")), 4)).as("g4"))
-      .distinct()
-    val cont = c.documents.filter(col("doc_id") >= 20)
-      .select(col("doc_id"),
-        explode(Text.shingles(Text.tokens(col("text")), 4)).as("g4"))
-      .join(broadcast(ev), "g4").select("doc_id").distinct()
-      .withColumn("contaminated", lit(true))
-    val f = q3.join(broadcast(cont), Seq("doc_id"), "left")
-      .withColumn("s4", col("s3") && col("doc_id") >= 20 &&
-        coalesce(col("contaminated"), lit(false)) === false)
-    val a = f.agg(
-      count(lit(1)).as("d1"), sum("n_tok").cast(LongType).as("t1"),
-      sum(when(col("s2"), 1).otherwise(0)).cast(LongType).as("d2"),
-      sum(when(col("s2"), col("n_tok")).otherwise(0)).cast(LongType).as("t2"),
-      sum(when(col("s3"), 1).otherwise(0)).cast(LongType).as("d3"),
-      sum(when(col("s3"), col("n_tok")).otherwise(0)).cast(LongType).as("t3"),
-      sum(when(col("s4"), 1).otherwise(0)).cast(LongType).as("d4"),
-      sum(when(col("s4"), col("n_tok")).otherwise(0)).cast(LongType).as("t4"))
-    a.select(explode(array(
-        struct(lit(1).as("stage_idx"), lit("raw").as("stage"),
-          col("d1").as("n_docs"), col("t1").as("n_tokens")),
-        struct(lit(2).as("stage_idx"), lit("exact_dedup").as("stage"),
-          col("d2").as("n_docs"), col("t2").as("n_tokens")),
-        struct(lit(3).as("stage_idx"), lit("quality").as("stage"),
-          col("d3").as("n_docs"), col("t3").as("n_tokens")),
-        struct(lit(4).as("stage_idx"), lit("decontam").as("stage"),
-          col("d4").as("n_docs"), col("t4").as("n_tokens")))).as("r"))
-      .select(col("r.*"))
-      .orderBy("stage_idx")
-  }
-
-  // ---------------------------------------------------------------
-  // x28 — PMI COLLOCATIONS (pointwise mutual information over
-  // adjacent bigrams — the classic collocation-extraction /
-  // phrase-mining statistic, word2vec-preprocessing's phrase pass):
-  // PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with bigram and
-  // unigram probabilities from the same scan. Scale shape: TWO
-  // map-side-combined hash aggregations (unigrams, bigrams — the
-  // bigram stream is a NARROW transform/explode off one
-  // tokenization, no self-join on token position), then the
-  // vocab²-bounded bigram frame joins the vocab-bounded unigram
-  // counts twice via BROADCAST — nothing after the aggregations is
-  // corpus-sized. Determinism: PMI is one ln of exact-integer
-  // ratios evaluated in the identical parenthesization both
-  // engines, ROUND(,6) before ranking.
-  val x28: Q = q("x28_pmi_collocations",
-    """WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
-      |uni AS (SELECT unnest(t) AS w FROM toks),
-      |u AS (SELECT w, COUNT(*) AS c1 FROM uni WHERE w <> '' GROUP BY w),
-      |nt AS (SELECT SUM(c1) AS n FROM u),
-      |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr
-      |       FROM toks WHERE len(t) >= 2),
-      |b AS (SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS c12 FROM bg
-      |      WHERE pr[1] <> '' AND pr[2] <> '' GROUP BY 1, 2),
-      |nb AS (SELECT SUM(c12) AS n FROM b),
-      |p AS (SELECT w1, w2, c12,
-      |    ROUND(ln((CAST(c12 AS DOUBLE) / nb.n)
-      |      / ((CAST(u1.c1 AS DOUBLE) / nt.n) * (CAST(u2.c1 AS DOUBLE) / nt.n))), 6) AS pmi
-      |  FROM b JOIN u u1 ON u1.w = b.w1 JOIN u u2 ON u2.w = b.w2, nt, nb
-      |  WHERE c12 >= 5)
-      |SELECT w1, w2, c12 AS n_pair, pmi, CAST(rn AS INT) AS rank
-      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM p)
-      |WHERE rn <= 50 ORDER BY rank""") { c =>
-    val toks = c.documents.select(Text.tokens(col("text")).as("t"))
-    // Totals derive from the vocab-sized count tables (SUM over u / b),
-    // not separate corpus-wide COUNTs — two corpus scans total (one per
-    // aggregation granularity), audited down from four.
-    val uni = toks.select(explode(col("t")).as("w")).filter(col("w") =!= "")
-    val u = uni.groupBy("w").agg(count(lit(1)).as("c1"))
-      .localCheckpoint(true) // vocab-sized; 3 consumers (nt, two joins)
-    val nt = u.agg(sum("c1").as("nt"))
-    val bg = toks.filter(size(col("t")) >= 2)
-      .select(explode(
-        expr("transform(sequence(0, size(t)-2), i -> array(t[i], t[i+1]))")).as("pr"))
-    val b0 = bg
-      .filter(col("pr")(0) =!= "" && col("pr")(1) =!= "")
-      .groupBy(col("pr")(0).as("w1"), col("pr")(1).as("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true) // vocab²-bounded; 2 consumers (nb, b)
-    val nb = b0.agg(sum("c12").as("nb"))
-    val b = b0.filter(col("c12") >= 5)
-    val dbl = (x: Column) => x.cast(DoubleType)
-    val scored = b
-      .join(broadcast(u.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a")), "w1")
-      .join(broadcast(u.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b")), "w2")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
-      .select(col("w1"), col("w2"), col("c12").as("n_pair"),
-        round(log((dbl(col("c12")) / col("nb"))
-          / ((dbl(col("c1a")) / col("nt")) * (dbl(col("c1b")) / col("nt")))), 6)
-          .as("pmi"))
-    scored
-      .withColumn("rank",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("pmi").desc, col("w1"), col("w2"))).cast(IntegerType))
-      .filter(col("rank") <= 50)
-      .orderBy("rank")
-  }
-
-  // d17 — SORTED-NEIGHBORHOOD dedup (merge/purge): the third
-  // candidate-generation family on the board after hashing (d01),
-  // LSH banding (d02/d03), and inverted indexes (d04/d09/d12). Sort
-  // by a normalized key prefix, compare each doc only to its w−1
-  // successors: candidate volume n·(w−1) BY CONSTRUCTION — no recall
-  // dial, no collision distribution to reason about — the right tool
-  // when near-dups share long normalized prefixes (crawl re-fetches,
-  // boilerplate-prefixed mirrors). Scale shape: NO global window —
-  // global positions come from per-bucket ranks + a broadcast
-  // carry-in of preceding-bucket counts (x16's two-phase prefix-sum
-  // discipline; the bucket frame is alphabet-bounded), and neighbor
-  // pairing is one equi-join on position after exploding the w−1
-  // deltas. Exact word-set Jaccard verifies candidates only.
-  private val d17Oracle =
-    """WITH k AS (SELECT doc_id,
-      |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS key
-      |  FROM documents),
-      |ord AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS pos FROM k),
-      |cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
-      |    GREATEST(a.doc_id, b.doc_id) AS id_b
-      |  FROM ord a JOIN ord b ON b.pos > a.pos AND b.pos <= a.pos + 2),
-      |t AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-      |      FROM documents),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM t WHERE tok <> '' GROUP BY 1),
-      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-      |  FROM cand c JOIN t x ON x.doc_id = c.id_a AND x.tok <> ''
-      |              JOIN t y ON y.doc_id = c.id_b AND y.tok = x.tok
-      |  GROUP BY 1, 2)
-      |SELECT i.id_a, i.id_b,
-      |  ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
-      |FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-      |             JOIN sizes sb ON i.id_b = sb.doc_id
-      |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
-      |ORDER BY id_a, id_b"""
-
-  val d17: Q = q("d17_sorted_neighborhood", d17Oracle) { c =>
-    Dedup.sortedNeighborhoodPairs(c.documents, window = 3, keyLen = 24,
-        threshold = 0.5)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d17_auto — the occupancy-held dial: bucketLen ∝ log36(n/5000), so
-  // the per-bucket rank window (the plan's only sort) holds ~5k rows
-  // at ANY corpus size instead of growing linearly inside 37 fixed
-  // buckets. Output is bucketing-invariant by construction (bucket =
-  // key prefix ⇒ per-bucket rank + carry-in IS the global position),
-  // so the entry hash-gates against d17's OWN oracle — dial drift is
-  // a wrong answer. Probed at 10× and at 100× (500k docs, where the
-  // dial picks bucketLen 2 and the fixed form's buckets would hold
-  // ~14k rows each).
-  val d17auto: Q = q("d17_sorted_neighborhood_auto", d17Oracle) { c =>
-    Dedup.sortedNeighborhoodPairsAuto(c.documents, window = 3, keyLen = 24,
-        threshold = 0.5)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d19 — THRESHOLD-DRIVEN BAND PLANNING (Dedup.bandPlan +
-  // minhashPairsPlanned — the auto dial of the MinHash family,
-  // d03auto's discipline applied to the band/row split): the 0.25
-  // verify threshold plans 16 bands × 2 rows, whose S-curve midpoint
-  // (1/16)^(1/2) is EXACTLY 0.25 — the candidate budget lands where
-  // the threshold is, where d02's fixed 8×4 dial (midpoint 0.594)
-  // would silently lose low-similarity recall. Banding refinement is
-  // structural (a shared 4-row band implies both 2-row halves
-  // match), so the planned run's pairs are a guaranteed superset of
-  // d02's — spec-pinned along with the planner's midpoint table and
-  // bands-monotone-in-threshold. ORACLE-GATED with the 16×2 band SQL
-  // generated from the same family constants.
-  private val d19BandSelects = {
-    val (bands, rows) = Dedup.bandPlan(32, 0.25)
-    (0 until bands).map { b =>
-      val ms = (b * rows until (b + 1) * rows).map(j => s"mh$j")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
-    }.mkString(" UNION ALL ")
-  }
-  val d19: Q = q("d19_minhash_auto",
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
-      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
-      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
-      |bk AS ($d19BandSelects),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-      |          AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.id_a
-      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard
-      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.25
-      |ORDER BY id_a, id_b""") { c =>
-    Dedup.minhashPairsPlanned(c.documents, n = 3, threshold = 0.25)
-      .orderBy("id_a", "id_b")
-  }
-
-  // d18 — INCREMENTAL MinHash-LSH index maintenance
-  // (Dedup.incrementalLshPairs): the arriving batch (doc_id % 5 = 0)
-  // deduplicates against a PERSISTED (band, bucket) index of the
-  // pre-existing corpus — the near-dup sibling of d11's exact Bloom
-  // ingest. The increment hashes only the batch, probes the on-disk
-  // index with one equi-join (new×old) plus the batch self-join
-  // (new×new), exact-verifies with shingles of the batch and ONLY the
-  // matched old partners (left-semi point reads, pinned in
-  // LlmOpsSpec), then appends the batch's bands — O(batch + matches)
-  // per increment at ANY corpus size, where re-running d02 per batch
-  // is O(corpus) every time. Same portable family as d02, so the
-  // verified pairs are EXACTLY d02's restricted to ≥1 new member
-  // (also spec-pinned), and the oracle restates that restriction
-  // declaratively + the post-append index census row.
-  val d18: Q = q("d18_incremental_lsh",
-    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-      |       FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
-      |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
-      |sig AS (SELECT doc_id, $d02SigAggs FROM hv GROUP BY doc_id),
-      |bk AS ($d02BandSelects),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-      |          AND a.doc_id < b.doc_id
-      |         WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-      |          FROM cand c
-      |          JOIN sh a ON a.doc_id = c.id_a
-      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      |          GROUP BY 1, 2)
-      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 6) AS jaccard,
-      |  CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'new_vs_new'
-      |       ELSE 'new_vs_old' END AS provenance
-      |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
-      |UNION ALL
-      |SELECT -1, -1, CAST(NULL AS DOUBLE),
-      |  'index_docs:' || CAST((SELECT COUNT(DISTINCT doc_id) FROM sh) AS VARCHAR)
-      |ORDER BY id_a, id_b""") { c =>
-    Dedup.incrementalLshPairs(c.documents, col("doc_id") % 5 === 0,
-        graft.core.Scratch.dir("d18_idx").toString + "/index",
-        n = 3, threshold = 0.5)
-      .orderBy("id_a", "id_b")
-  }
-
-  // x29 — KMV bottom-k DISTINCT-COUNT sketch (plans/KmvDistinct, the
-  // board's second custom TypedImperativeAggregate): per-source and
-  // corpus-level distinct-document estimates from k-sized mergeable
-  // summaries — the pre-dedup sizing question ("how many uniques does
-  // each source contribute?") answered WITHOUT shuffling one row per
-  // distinct value. The sketch is deterministic under any
-  // partitioning (bottom-k of a set is arrival-order-free), and with
-  // k=4096 ≫ the gate corpus's distinct count the estimate IS the
-  // exact count — the regime the oracle gates (q43's discipline);
-  // the estimator regime (k ≪ n, ~1/√k relative error) and
-  // partition-invariance are pinned in PropertySpec. xxhash64 stays
-  // explicit in the plan; the oracle counts distinct md5 digests —
-  // both equal distinct texts absent 64/128-bit collisions.
-  val x29: Q = q("x29_kmv_distinct",
-    """SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct, COUNT(*) AS n_docs
-      |FROM documents GROUP BY 1
-      |UNION ALL
-      |SELECT '__all__' AS source, COUNT(DISTINCT md5(text)), COUNT(*)
-      |FROM documents
-      |ORDER BY source""") { c =>
-    val hashed = c.documents.select(col("source"),
-      xxhash64(col("text")).as("h"))
-    val perSource = hashed.groupBy("source")
-      .agg(graft.plans.Sketches.kmvDistinct(col("h"), 4096).as("n_distinct"),
-        count(lit(1)).as("n_docs"))
-    val overall = hashed
-      .agg(graft.plans.Sketches.kmvDistinct(col("h"), 4096).as("n_distinct"),
-        count(lit(1)).as("n_docs"))
-      .select(lit("__all__").as("source"), col("n_distinct"), col("n_docs"))
-    perSource.unionAll(overall).orderBy("source")
-  }
-
-  // x30 — STRATIFIED proportional sampling with EXACT allocation:
-  // each language stratum contributes ⌊n_s/10⌋ (min 1) docs, chosen
-  // deterministically by md5(doc_id) rank — the reproducible
-  // "10% eval slice, every language represented" cut that x14's
-  // global hash-threshold split cannot promise (a 1% stratum can
-  // vanish from a thresholded sample; exact allocation can't). Scale
-  // shape: stratum sizes are ONE map-side-combined aggregate
-  // broadcast back; selection is a rank window PER STRATUM (parallel
-  // across languages — the sort is the price of exact allocation;
-  // when approximate fractions suffice, the threshold-on-hash x14
-  // shape avoids it).
-  val x30: Q = q("x30_stratified_sample",
-    """WITH a AS (SELECT lang,
-      |    GREATEST(1, CAST(FLOOR(COUNT(*) / 10.0) AS BIGINT)) AS n_take
-      |  FROM documents GROUP BY 1),
-      |r AS (SELECT d.doc_id, d.lang, a.n_take,
-      |    row_number() OVER (PARTITION BY d.lang
-      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
-      |  FROM documents d JOIN a USING (lang))
-      |SELECT doc_id, lang FROM r WHERE rn <= n_take ORDER BY doc_id""") { c =>
-    val alloc = c.documents.groupBy("lang")
-      .agg(greatest(lit(1L),
-        floor(count(lit(1)) / 10.0).cast(LongType)).as("n_take"))
-    c.documents
-      .withColumn("rk", md5(col("doc_id").cast("string").cast("binary")))
-      .join(broadcast(alloc), "lang")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("rk", "doc_id")))
-      .filter(col("rn") <= col("n_take"))
-      .select("doc_id", "lang")
-      .orderBy("doc_id")
-  }
-
-  // x32 — TEMPERATURE-RESAMPLED corpus mix (the mT5 §3.1 / XLM-R
-  // alpha-sampling that x10's FIXED per-source rates cannot express):
-  // per-source sampling weights are DERIVED from the corpus itself —
-  // q_i ∝ p_i^α with p_i the source's token share and α = 0.5 (sqrt:
-  // IEEE-exact in every engine, unlike pow) — then each source's
-  // per-doc rate r_i = T·q_i/tokens_i rebalances the SAME total token
-  // budget toward low-resource sources: r_i > 1 means UPSAMPLE
-  // (every doc repeats ⌊r⌋ times plus a deterministic fractional
-  // copy), r_i < 1 means downsample. All arithmetic is engine-
-  // portable by construction: token counts are exact longs, weights
-  // go through a µ-quantized fixed point (w_i = ⌊√(p_i)·10⁹⌋ summed
-  // as longs — order-free), rates live in INTEGER ppm, and the
-  // fractional keep is a multiplicative-hash residue test — no
-  // pow(), no float sums, so the DuckDB oracle reproduces every
-  // decision bit-for-bit. Scale shape: two metadata-sized aggregates
-  // (per-source counts, corpus total) broadcast back over ONE
-  // corpus pass — the decision is map-side; the upsample explode
-  // happens only in the consumer that materializes epochs.
-  /** The shared rate-derivation SQL (tok → per-source → total →
-    * µ-quantized weights → ppm rates) — ONE source of truth for x32's
-    * accounting oracle and p05's epoch-materializer oracle, exactly
-    * as [[temperatureRates]] is for their Spark plans.
-    */
-  private val tempRateCtes =
-    """tok AS (SELECT source, doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
-      |per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS toks
-      |        FROM tok GROUP BY source),
-      |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS T FROM per),
-      |w AS (SELECT source, n_docs, toks,
-      |    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE) / T) * 1000000000) AS BIGINT) AS wi
-      |  FROM per, tot),
-      |ws AS (SELECT CAST(SUM(wi) AS BIGINT) AS W FROM w),
-      |r AS (SELECT source, n_docs, toks, CAST(wi AS DOUBLE) / W AS qi,
-      |    CAST(FLOOR((SELECT T FROM tot) * (CAST(wi AS DOUBLE) / W) / toks * 1000000) AS BIGINT) AS rate_ppm
-      |  FROM w, ws)""".stripMargin
-
-  /** SQL for a doc's repeat count under the derived rates: ⌊rate⌋
-    * plus the golden-ratio-hash fractional keep. The id reduces mod
-    * 10⁶ BEFORE the multiply — same residue ((a·m) mod n ≡
-    * ((a mod n)·m) mod n), but the product stays ≤ 10⁶·m ≈ 2.7e15,
-    * so neither engine can overflow a 64-bit long at any doc_id
-    * (a raw doc_id·m overflows past id ≈ 3.5e9 — ANSI Spark throws,
-    * DuckDB errors, and the claimed bit-for-bit portability dies
-    * exactly at corpus scale).
-    */
-  private val repSql =
-    """rate_ppm // 1000000 + CASE
-      |      WHEN ((doc_id % 1000000) * 2654435761) % 1000000 < rate_ppm % 1000000
-      |      THEN 1 ELSE 0 END""".stripMargin
-
-  /** Spark side of [[tempRateCtes]]: (tok = per-doc token counts,
-    * r = per-source derived rates). The whole rate chain (total →
-    * weights → normalizer → rates) re-references the per-source
-    * aggregate four times, so `per` is FROZEN once it's computed —
-    * it is n_sources rows, and without the freeze every re-reference
-    * re-runs the corpus scan underneath it (Explain audit: 8 scans
-    * of documents collapse to the honest 2 — one for the rates pass,
-    * one for the per-doc decision pass in the consumer).
-    */
-  private def temperatureRates(c: Catalog): (DataFrame, DataFrame) = {
-    val tok = c.documents.select(col("source"), col("doc_id"),
-      size(split(col("text"), " ")).cast(LongType).as("t"))
-    val per = tok.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("t").cast(LongType).as("toks"))
-      .localCheckpoint(true)
-    val tot = per.agg(sum("toks").cast(LongType).as("T"))
-    val w = per.crossJoin(broadcast(tot))
-      .withColumn("wi",
-        floor(sqrt(col("toks").cast(DoubleType) / col("T")) * 1000000000L)
-          .cast(LongType))
-    val ws = w.agg(sum("wi").cast(LongType).as("W"))
-    val r = w.crossJoin(broadcast(ws))
-      .withColumn("qi", col("wi").cast(DoubleType) / col("W"))
-      .withColumn("rate_ppm",
-        floor(col("T") * col("qi") / col("toks") * 1000000).cast(LongType))
-    (tok, r)
-  }
-
-  /** Per-doc repeat count (Spark side of [[repSql]]): a golden-ratio
-    * multiplicative hash spreads even small sequential doc_ids across
-    * the ppm grid (a small multiplier would map ids < 1e6/mult onto a
-    * tiny prefix).
-    */
-  private def repCol: Column = expr("rate_ppm DIV 1000000") +
-    when(pmod(pmod(col("doc_id"), lit(1000000L)) * 2654435761L,
-        lit(1000000L)) <
-      pmod(col("rate_ppm"), lit(1000000L)), 1L).otherwise(0L)
-
-  val x32: Q = q("x32_temperature_mix",
-    s"""WITH $tempRateCtes,
-      |kept AS (SELECT tok.source, t, $repSql AS rep
-      |  FROM tok JOIN r USING (source))
-      |SELECT r.source, n_docs, toks AS orig_tokens, ROUND(qi, 6) AS weight,
-      |  rate_ppm, CAST(SUM(rep) AS BIGINT) AS n_kept,
-      |  CAST(SUM(rep * t) AS BIGINT) AS kept_tokens
-      |FROM kept JOIN r ON kept.source = r.source
-      |GROUP BY r.source, n_docs, toks, qi, rate_ppm
-      |ORDER BY r.source""") { c =>
-    val (tok, r) = temperatureRates(c)
-    val kept = tok.join(broadcast(r.select("source", "rate_ppm")), "source")
-      .withColumn("rep", repCol)
-      .groupBy("source")
-      .agg(sum("rep").cast(LongType).as("n_kept"),
-        sum(col("rep") * col("t")).cast(LongType).as("kept_tokens"))
-    r.select(col("source"), col("n_docs"), col("toks").as("orig_tokens"),
-        round(col("qi"), 6).as("weight"), col("rate_ppm"))
-      .join(kept, "source")
-      .orderBy("source")
-  }
-
-  // p05 — the EPOCH MATERIALIZER: x32 derives the rates, this entry
-  // BUILDS the epoch — every doc explodes into its ⌊r⌋/⌊r⌋+1 copies
-  // (upsampled sources really repeat), each copy gets a deterministic
-  // shuffle key (md5 of doc:copy — the epoch-stable global shuffle
-  // training wants), and the resampled stream packs into 1024-token
-  // sequences via the x16 two-phase prefix scan ordered by that key
-  // (Packing.offsetsKeyed — no data-sized single-partition window).
-  // Per-sequence accounting reports docs spanned and EXACT token
-  // fill (clip arithmetic, all integer): every sequence but the last
-  // holds exactly 1024 tokens — spec-pinned, as is total-fill ==
-  // x32's kept_tokens (the two entries must account identically).
-  // At 100 TB: the explode multiplies only upsampled rows, the
-  // shuffle is one range partition on the key, and the packing scan
-  // is the parallel two-phase form — nothing is corpus² anywhere.
-  val p05: Q = q("p05_epoch_materializer",
-    s"""WITH $tempRateCtes,
-      |st0 AS (SELECT tok.doc_id, t AS n_tok, $repSql AS rep
-      |  FROM tok JOIN r USING (source)),
-      |stream AS (SELECT doc_id, n_tok,
-      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS key
-      |  FROM (SELECT doc_id, n_tok, unnest(range(1, rep + 1)) AS copy
-      |        FROM st0 WHERE rep > 0 AND n_tok > 0)),
-      |o AS (SELECT doc_id, n_tok,
-      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY key
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-      |  FROM stream),
-      |e AS (SELECT doc_id, n_tok, start,
-      |    unnest(range(start // 1024, (start + n_tok - 1) // 1024 + 1)) AS seq_id
-      |  FROM o)
-      |SELECT seq_id, COUNT(*) AS n_docs,
-      |  CAST(SUM(LEAST(start + n_tok, (seq_id + 1) * 1024) -
-      |           GREATEST(start, seq_id * 1024)) AS BIGINT) AS n_tokens
-      |FROM e GROUP BY 1 ORDER BY seq_id""") { c =>
-    val (tok, r) = temperatureRates(c)
-    val stream = tok.join(broadcast(r.select("source", "rate_ppm")), "source")
-      .withColumn("rep", repCol)
-      .filter(col("rep") > 0 && col("t") > 0)
-      .select(col("doc_id"), col("t").as("n_tok"),
-        explode(sequence(lit(1L), col("rep"))).as("copy"))
-      .withColumn("key",
-        md5(concat_ws(":", col("doc_id"), col("copy")).cast("binary")))
-    val offs = graft.operators.Packing.offsetsKeyed(
-      stream.select("key", "n_tok", "doc_id"), "key")
-    offs.select(col("doc_id"), col("n_tok"), col("start"),
-        explode(sequence(expr("start div 1024"),
-          expr("(start + n_tok - 1) div 1024"))).as("seq_id"))
-      .withColumn("contrib",
-        least(col("start") + col("n_tok"), (col("seq_id") + 1) * 1024) -
-          greatest(col("start"), col("seq_id") * 1024))
-      .groupBy("seq_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("contrib").cast(LongType).as("n_tokens"))
-      .orderBy("seq_id")
-  }
-
-  // x33 — SLIDING-WINDOW chunking with overlap (the RAG/embedding
-  // chunker; d07's fixed segments are the DEDUP view of a document,
-  // this is the RETRIEVAL view): 12-token windows every 8 tokens, so
-  // consecutive chunks share a 4-token overlap and no span longer
-  // than the stride is ever split across a chunk boundary without
-  // also appearing whole in one. Each chunk carries its PROVENANCE —
-  // (doc_id, chunk_id, start_tok) — which is what lets retrieval
-  // hits map back to exact source spans (and what d09's span-level
-  // dedup consumes). Chunk count per doc is pure integer arithmetic
-  // (⌈(n−12)/8⌉+1, one chunk for short docs), so the oracle agrees
-  // on every boundary. Scale shape: ONE narrow projection pass —
-  // tokenize, per-row explode of a computed range, slice; no
-  // shuffle anywhere in the operator (the orderBy is the oracle
-  // harness's determinism, dropped in production — the x20 rule).
-  val x33: Q = q("x33_sliding_chunks",
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
-      |              FROM documents),
-      |base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
-      |ids AS (SELECT doc_id, t, unnest(range(0,
-      |      CASE WHEN n <= 12 THEN 1 ELSE (n - 12 + 7) // 8 + 1 END)) AS chunk_id
-      |  FROM base)
-      |SELECT doc_id, chunk_id, chunk_id * 8 AS start_tok,
-      |  CAST(len(t[chunk_id*8+1 : chunk_id*8+12]) AS BIGINT) AS n_toks,
-      |  array_to_string(t[chunk_id*8+1 : chunk_id*8+12], ' ') AS chunk_text
-      |FROM ids ORDER BY doc_id, chunk_id""") { c =>
-    val win = 12L
-    val stride = 8L
-    c.documents
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .withColumn("n", size(col("t")).cast(LongType))
-      .withColumn("chunk_id", explode(sequence(lit(0L),
-        when(col("n") <= win, lit(0L))
-          .otherwise(expr(s"(n - $win + ${stride - 1}) DIV $stride")))))
-      .withColumn("start_tok", col("chunk_id") * stride)
-      .withColumn("chunk",
-        slice(col("t"), (col("start_tok") + 1).cast(IntegerType), lit(win.toInt)))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("chunk")).cast(LongType).as("n_toks"),
-        array_join(col("chunk"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
-  }
+  import DedupQueries._
+  import AnnQueries._
+  import TextQueries._
+  import MmQueries._
+  import PipelineQueries._
 
   val all: Seq[Q] = Seq(d01, d02, d02auto, d03, d03auto, d04, d04auto, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19,
@@ -3912,6 +34,7 @@ object LlmOps {
     s14, s15, s15auto, s16, s17, s18,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31, x32, x33,
-    p01, p02, p03, p03auto, p04, p05, mm01, mm02, mm03, mm04, mm05, mm06)
+    x29, x30, x31, x32, x33, WebQueries.x34, x35,
+    p01, p02, p03, p03auto, p04, p05, mm01, mm02, mm03, mm04, mm05, mm06,
+    WebQueries.w01)
 }

@@ -1191,8 +1191,8 @@ object Streaming {
       |sh AS (SELECT DISTINCT doc_id,
       |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS shingle FROM shs),
       |hv AS (SELECT doc_id, shingle % 2147483647 AS h31 FROM sh),
-      |sig AS (SELECT doc_id, ${LlmOps.d02SigAggs} FROM hv GROUP BY doc_id),
-      |bk AS (${LlmOps.d02BandSelects}),
+      |sig AS (SELECT doc_id, ${DedupQueries.d02SigAggs} FROM hv GROUP BY doc_id),
+      |bk AS (${DedupQueries.d02BandSelects}),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
       |          AND a.doc_id < b.doc_id),

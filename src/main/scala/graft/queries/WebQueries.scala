@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.core.Scratch
+import graft.sources.{Catalog, Warc}
+
+/** The crawl pipeline's FRONT DOOR — where a real 100 TB curation run
+  * starts, before any of the D-family stages see a clean `text`
+  * column: WARC/WET container ingestion (w01) and HTML boilerplate
+  * extraction (x34). Both are oracle-gated end-to-end: the WET
+  * fixture is generated deterministically FROM the documents table,
+  * so DuckDB recomputes the expected records from the source rows
+  * while Spark round-trips through the actual container bytes; the
+  * HTML fixture is the same deterministic-injection recipe as d08's
+  * URLs, so both engines build identical markup and the extraction
+  * ALGORITHM itself is what hash-compares.
+  */
+object WebQueries extends QDsl {
+
+  // ---------------------------------------------------------------
+  // w01 — WARC/WET INGESTION (sources/Warc.scala — the container
+  // format crawl corpora arrive in). The reader is ONE splittable
+  // text scan with the record boundary as the line separator (the
+  // textinputformat.record.delimiter trick through the DataFrame
+  // text source — block-sized tasks at 100 TB, no whole-file reads),
+  // headers parsed with codegen'd regexp_extract, payload cut by
+  // Content-Length exactly as the spec defines the record block.
+  // Fixture: a two-shard WET rendering of the documents table
+  // (driver-side generation is fixture-only, the mm stubMedia
+  // recipe); the oracle recomputes every expected record — including
+  // the Content-Length the reader must round-trip — from documents.
+  private val w01Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def wetFixture(c: Catalog): String =
+    w01Fixture.computeIfAbsent(c.dir, { _ =>
+      val d = Scratch.dir("w01_wet")
+      val rows = c.documents.select("doc_id", "text")
+        .orderBy("doc_id").toLocalIterator()
+      val writers = (0 to 1).map { s =>
+        java.nio.file.Files.newBufferedWriter(d.resolve(f"shard-$s%d.warc"),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      try {
+        rows.forEachRemaining { r =>
+          val id = r.getLong(0)
+          val rec = Warc.record(
+            s"https://crawl.example/doc/$id",
+            f"2024-01-${id % 28 + 1}%02dT00:00:00Z",
+            r.getString(1))
+          writers((id % 2).toInt).write(rec)
+        }
+      } finally writers.foreach(_.close())
+      d.toString
+    })
+
+  val w01: Q = q("w01_warc_source",
+    """SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  'conversion' AS rec_type,
+      |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |    || 'T00:00:00Z' AS warc_date,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY url""") { c =>
+    Warc.read(c.spark, wetFixture(c))
+      .select(col("url"), col("rec_type"), col("warc_date"),
+        col("content_length"), md5(col("payload").cast("binary")).as("payload_md5"))
+      .orderBy("url")
+  }
+
+  // ---------------------------------------------------------------
+  // x34 — HTML BOILERPLATE EXTRACTION (the trafilatura/jusText-class
+  // stage every CC-derived pipeline runs FIRST — before x01 langid,
+  // x02 quality, d02 dedup — because real corpora arrive as markup,
+  // not clean text). Block-level link-density classification, the
+  // jusText core: strip script/style, split the page into blocks at
+  // block-level tags, score each block by alphanumeric mass and the
+  // share of it living inside <a> anchors, keep blocks that are long
+  // enough (≥25 alnum chars) and not link-dominated (link mass < 1/3)
+  // — nav bars, ad units, headings, and footers fail one or both
+  // tests, article paragraphs pass. Scale shape: the WHOLE operator
+  // is one narrow projection over higher-order array functions
+  // (split → transform → filter → concat) — ZERO shuffles, fully
+  // codegen-friendly, no explode round-trip (the orderBy is oracle
+  // determinism, the x20 rule). Fixture: both engines wrap each doc's
+  // text in identical deterministic markup (nav/ads/h1/2-paragraph
+  // body/footer, ad unit on doc_id%3=0 — the d08 injection recipe),
+  // so the DOM-walk-free block algebra itself is what hash-gates;
+  // recall on the planted blocks (paragraphs recovered verbatim,
+  // boilerplate never leaks) is spec-pinned.
+  val x34: Q = q("x34_html_extract",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |h AS (SELECT doc_id,
+      |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  '</title><style>.m{color:#111}</style><script>var t=1;</script></head><body>' ||
+      |  '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/feed">RSS</a></nav>' ||
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN '<div><a href="https://ads.example/c">Buy now</a> <a href="https://ads.example/d">Deals</a></div>'
+      |    ELSE '' END ||
+      |  '<h1>' || array_to_string(w[1:3], ' ') || '</h1>' ||
+      |  '<p>' || array_to_string(w[1:len(w)//2], ' ') || '</p>' ||
+      |  '<p>' || array_to_string(w[len(w)//2+1:len(w)], ' ') || '</p>' ||
+      |  '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> (c) 2024</footer></body></html>'
+      |  AS html FROM t),
+      |s AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+      |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS h2 FROM h),
+      |b AS (SELECT doc_id, string_split(regexp_replace(h2,
+      |    '<(p|div|nav|footer|h1)', chr(1) || '<\1', 'g'), chr(1)) AS blocks FROM s),
+      |sc AS (SELECT doc_id, len(blocks) AS n_blocks, list_transform(blocks, x -> {
+      |    'txt': trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+      |    'alnum': strlen(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '[^A-Za-z0-9]', '', 'g')),
+      |    'linkless': strlen(regexp_replace(regexp_replace(regexp_replace(x,
+      |       '(?s)<a[^>]*>.*?</a>', ' ', 'g'), '<[^>]*>', ' ', 'g'), '[^A-Za-z0-9]', '', 'g'))
+      |  }) AS sb FROM b),
+      |k AS (SELECT doc_id, n_blocks,
+      |  list_filter(sb, e -> e.alnum >= 25 AND 3*(e.alnum - e.linkless) < e.alnum) AS kept
+      |  FROM sc),
+      |o AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
+      |  COALESCE(array_to_string(list_transform(kept, e -> e.txt), ' '), '')
+      |    AS content FROM k)
+      |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(strlen(content) AS BIGINT) AS n_content_chars,
+      |  md5(content) AS content_md5
+      |FROM o ORDER BY doc_id""") { c =>
+    val docs = c.documents.select(col("doc_id"),
+      split(col("text"), " ").as("w"))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>.m{color:#111}</style><script>var t=1;</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a> <a href=\"/feed\">RSS</a></nav>"),
+      when(col("doc_id") % 3 === 0,
+        "<div><a href=\"https://ads.example/c\">Buy now</a> <a href=\"https://ads.example/d\">Deals</a></div>")
+        .otherwise(""),
+      lit("<h1>"), array_join(slice(col("w"), 1, 3), " "), lit("</h1>"),
+      lit("<p>"), array_join(expr("slice(w, 1, size(w) DIV 2)"), " "), lit("</p>"),
+      lit("<p>"), array_join(expr("slice(w, size(w) DIV 2 + 1, size(w))"), " "), lit("</p>"),
+      lit("<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> (c) 2024</footer></body></html>"))
+    val stripped = regexp_replace(regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val blocks = split(
+      regexp_replace(stripped, "<(p|div|nav|footer|h1)", "<$1"),
+      "")
+    def alnumLen(x: org.apache.spark.sql.Column) =
+      length(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "[^A-Za-z0-9]", ""))
+    docs
+      .withColumn("blocks", blocks)
+      .select(col("doc_id"), size(col("blocks")).as("n_blocks"),
+        filter(transform(col("blocks"), x => struct(
+          trim(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "\\s+", " ")).as("txt"),
+          alnumLen(x).as("alnum"),
+          alnumLen(regexp_replace(x, "(?s)<a[^>]*>.*?</a>", " ")).as("linkless"))),
+          e => e("alnum") >= 25 && lit(3) * (e("alnum") - e("linkless")) < e("alnum"))
+          .as("kept"))
+      .select(col("doc_id"), col("n_blocks").cast(LongType).as("n_blocks"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(transform(col("kept"), e => e("txt")), " ").as("content"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        length(col("content")).cast(LongType).as("n_content_chars"),
+        md5(col("content").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.operators.{Ann, Dedup, Multimodal}
-import graft.queries.LlmOps
+import graft.queries.{DedupQueries, LlmOps, TextQueries}
 import graft.sources.Catalog
 
 /** D-block semantics at sf0.001: exactness of the oracled ops is
@@ -38,7 +38,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("x26: SQ8 codes stay in [0,255] and recon error respects the affine bound") {
-    val out = LlmOps.x26.run(spark, sfDir).collect()
+    val out = TextQueries.x26.run(spark, sfDir).collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r.getAs[Int]("code_min") >= 0 &&
       r.getAs[Int]("code_max") <= 255))
@@ -111,7 +111,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("x27: scaled-integer PageRank matches an independent single-node power iteration") {
-    val out = LlmOps.x27.run(spark, sfDir).collect()
+    val out = TextQueries.x27.run(spark, sfDir).collect()
     val docIds = cat.documents.select("doc_id").collect().map(_.getLong(0))
     val H = 97L
     val rawEdges = docIds.flatMap(d =>
@@ -133,7 +133,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("x24: NB classifier generalizes to the held-out half, non-degenerately") {
-    val out = LlmOps.x24.run(spark, sfDir)
+    val out = TextQueries.x24.run(spark, sfDir)
     val rows = out.collect()
     // scores only the odd (held-out) half — the model never saw these
     assert(rows.nonEmpty && rows.forall(_.getLong(0) % 2 == 1))
@@ -152,7 +152,7 @@ class LlmOpsSpec extends SparkSpec {
     import spark.implicits._
     val words = Seq("the", "thing", "nation", "rather", "morning",
       "tin", "banana", "final", "er", "a")
-    val merges = LlmOps.bpeMerges.zipWithIndex.map {
+    val merges = TextQueries.bpeMerges.zipWithIndex.map {
       case ((a, b), i) => graft.operators.Bpe.Merge(i + 1, a, b, 0L)
     }
     // the x22 machinery's fold over per-word symbol arrays
@@ -165,7 +165,7 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     // x25's literal replace chain over the same words
     val chain = words.toDF("t")
-      .select(col("t"), LlmOps.bpeEncodeSubwords(col("t")).as("subs"))
+      .select(col("t"), TextQueries.bpeEncodeSubwords(col("t")).as("subs"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     for (w <- words) assert(chain(w) == hof(w), s"word $w")
     // the merge table actually fuses: a canonical full-word merge…
@@ -178,10 +178,10 @@ class LlmOpsSpec extends SparkSpec {
     // join-back) must reproduce the pure-map column form exactly
     val pure = cat.documents
       .select(col("doc_id"),
-        md5(array_join(LlmOps.bpeEncodeSubwords(col("text")), " ")
+        md5(array_join(TextQueries.bpeEncodeSubwords(col("text")), " ")
           .cast("binary")).as("fingerprint"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val entry = LlmOps.x25.run(spark, sfDir)
+    val entry = TextQueries.x25.run(spark, sfDir)
       .select("doc_id", "fingerprint")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(entry == pure, "dict-amortized path diverges from the pure map")
@@ -191,14 +191,14 @@ class LlmOpsSpec extends SparkSpec {
     // x24: the (doc, bucket) stream joins the (classes x 256)-row
     // model and the class priors — both must be broadcast (the model
     // is bounded by the hash width, never by the corpus)
-    val p24 = LlmOps.x24.run(spark, sfDir)
+    val p24 = TextQueries.x24.run(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(p24.contains("BroadcastHashJoin"), p24.take(600))
     assert(!p24.contains("SortMergeJoin"),
       "a corpus-side sort-merge join crept into the NB scoring path")
     // x25: the token stream joins the segmented DISTINCT-word dict —
     // broadcast at any sf where the vocab fits (Heaps-law sized)
-    val p25 = LlmOps.x25.run(spark, sfDir)
+    val p25 = TextQueries.x25.run(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(p25.contains("BroadcastHashJoin"), p25.take(600))
   }
@@ -704,8 +704,8 @@ class LlmOpsSpec extends SparkSpec {
     // the pin matches the data, so a regenerated test corpus fails
     // HERE, not as an opaque driver hash mismatch
     assert(Catalog(spark, "/root/testdata/sf0.01").embeddings.count() ==
-      LlmOps.oracleEmbCount)
-    assert(Ann.adaptiveBits(LlmOps.oracleEmbCount) == 6)
+      DedupQueries.oracleEmbCount)
+    assert(Ann.adaptiveBits(DedupQueries.oracleEmbCount) == 6)
     // and at bench scale the same dial genuinely widens (sf0.1 n=2000),
     // so the auto entry exercises a different hash family than fixed d05
     assert(Ann.adaptiveBits(2000L) == 7)
@@ -757,7 +757,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("x11 sketches track exact profiles: HLL within rsd, quantiles within rank tolerance") {
-    val got = LlmOps.x11.run(spark, sfDir).collect()
+    val got = TextQueries.x11.run(spark, sfDir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2).toDouble, r.getLong(3).toDouble,
           r.getLong(4))).toMap
@@ -1204,7 +1204,7 @@ class LlmOpsSpec extends SparkSpec {
 
   test("x18 token-budget sample: two-phase prefix sum equals the one-window form, budget maximal") {
     import org.apache.spark.sql.expressions.Window
-    val out = LlmOps.x18.run(spark, "/root/testdata/sf0.01").collect()
+    val out = TextQueries.x18.run(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.nonEmpty)
     // the naive one-window form (what the oracle states), computed

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Gate}
+import graft.queries.WebQueries
+import graft.sources.Catalog
+
+/** Crawl front-door semantics (w01 WARC ingestion, x34 HTML
+  * extraction) plus the compare-scale size gates: exactness of the
+  * oracled outputs is the DuckDB gate's job; these specs pin the
+  * properties the oracle cannot see — the reader's round-trip against
+  * the container bytes, planted-block recall/leakage for the
+  * extractor, and the gates' refuse-vs-allow boundary.
+  */
+class WebSpec extends SparkSpec {
+
+  private def cat = Catalog(spark, sfDir)
+
+  test("w01 WARC round-trip: every doc comes back, Content-Length matches the payload octets") {
+    val out = WebQueries.w01.run(spark, sfDir)
+      .select("url", "content_length", "payload_md5").collect()
+    val docs = cat.documents
+      .select(concat(lit("https://crawl.example/doc/"), col("doc_id")).as("url"),
+        octet_length(col("text")).cast("long").as("cl"),
+        md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.length == docs.size, "one record per document")
+    out.foreach { r =>
+      val (cl, m) = docs(r.getString(0))
+      assert(r.getLong(1) == cl, s"Content-Length round-trip for ${r.getString(0)}")
+      assert(r.getString(2) == m, s"payload bytes round-trip for ${r.getString(0)}")
+    }
+  }
+
+  test("w01 reader: a record per document from the sharded directory, no empties, conversion type") {
+    val out = WebQueries.w01.run(spark, sfDir)
+    assert(out.count() == cat.documents.count())
+    assert(out.filter(col("rec_type") =!= "conversion").count() == 0)
+    assert(out.filter(col("url") === "" || col("content_length").isNull)
+      .count() == 0)
+  }
+
+  test("x34 planted recall: kept paragraphs reconstruct the source text; boilerplate never leaks") {
+    import spark.implicits._
+    val out = WebQueries.x34.run(spark, sfDir)
+    // recompute content inline (same plan, pre-md5) to inspect text
+    val docs = cat.documents.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val contentOf = {
+      // recover content by re-running the registered plan minus the md5
+      // projection: extract from the entry's own fixture algebra via a
+      // reference implementation over the raw text
+      docs.map { case (id, text) =>
+        val w = text.split(" ")
+        val h = w.length / 2
+        val p1 = w.slice(0, h).mkString(" ")
+        val p2 = w.slice(h, w.length).mkString(" ")
+        def norm(s: String) = s.replaceAll("\\s+", " ").trim
+        def alnum(s: String) = s.count(_.isLetterOrDigit)
+        val kept = Seq(p1, p2).filter(b => alnum(b) >= 25)
+        id -> norm(kept.mkString(" "))
+      }.toMap
+    }
+    val got = out.select("doc_id", "content_md5").as[(Long, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var paraMatches = 0
+    got.foreach { case (id, m) =>
+      val expected = contentOf(id)
+      // boilerplate tokens can never appear: the expected content is
+      // built from the doc text alone — if the entry's md5 equals the
+      // expectation's md5, no nav/ad/footer text leaked in
+      if (m == md5hex(expected)) paraMatches += 1
+    }
+    // the heading block (first 3 words) crosses the 25-alnum line for
+    // docs with long words, in which case content = h1 + paragraphs;
+    // require the pure-paragraph reconstruction for the vast majority
+    // and full-block agreement for every doc
+    assert(paraMatches >= (got.length * 9) / 10,
+      s"paragraph reconstruction matched only $paraMatches/${got.length}")
+    got.foreach { case (id, m) =>
+      val w = docs.toMap.apply(id).split(" ")
+      val h = w.length / 2
+      def norm(s: String) = s.replaceAll("\\s+", " ").trim
+      def alnum(s: String) = s.count(_.isLetterOrDigit)
+      val head = norm(w.slice(0, 3).mkString(" "))
+      val p1 = norm(w.slice(0, h).mkString(" "))
+      val p2 = norm(w.slice(h, w.length).mkString(" "))
+      val candidates = Seq(
+        Seq(p1, p2), Seq(head, p1, p2), Seq(p1), Seq(p2), Seq(head), Seq.empty)
+        .map(bs => md5hex(bs.filter(b => alnum(b) >= 25).mkString(" ")))
+      assert(candidates.contains(m),
+        s"doc $id content is not a subset-of-planted-blocks reconstruction")
+    }
+  }
+
+  test("x34 boilerplate rejection: nav/ads/footer blocks fail the length-or-link-density test") {
+    // the planted boilerplate blocks, scored exactly as the operator
+    // scores them (alnum mass + anchor share)
+    def alnum(s: String) = s.count(_.isLetterOrDigit)
+    val nav = "Home Tags RSS"          // 11 alnum — fails length
+    val ads = "Buy now Deals"          // 11 alnum — fails length
+    val footer = "Privacy Terms c 2024" // 17 alnum — fails length
+    Seq(nav, ads, footer).foreach(b => assert(alnum(b) < 25))
+    // and even if they were longer, their text is 100% anchor text in
+    // the planted markup (nav/ads) — the density test catches that
+    // independently: link mass == total mass fails 3*link < total
+    assert(!(3 * alnum("Home Tags RSS") < alnum("Home Tags RSS")))
+  }
+
+  test("size gates: the exact compare-scale dials refuse corpus-sized input and point at the auto form") {
+    val c = cat
+    // under the limit: runs (the whole correctness board is the proof,
+    // but pin the boundary here too)
+    assert(Ann.knnGraph(c.embeddings, k = 2).count() > 0)
+    // over the limit: a synthetic frame bigger than the gate — built
+    // lazily, the gate must fire on the count BEFORE any candidate
+    // work materializes
+    val big = spark.range(17000).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast(i + id % 7 as float))").as("embedding"))
+    val e = intercept[Gate.SizeGatedException] {
+      Ann.knnGraph(big, k = 2).count()
+    }
+    assert(e.getMessage.contains("knnGraphAuto"))
+
+    val bigDocs = spark.range(70000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha"), col("id").cast("string"), lit("beta gamma")).as("text"))
+    val e2 = intercept[Gate.SizeGatedException] {
+      Dedup.simhashPairsPortable(bigDocs, n = 3).count()
+    }
+    assert(e2.getMessage.contains("simhashPairsAuto"))
+
+    val e3 = intercept[Gate.SizeGatedException] {
+      Ann.bitextMargin(
+        big.unionAll(big).unionAll(big),
+        big.limit(10), k = 2).count()
+    }
+    assert(e3.getMessage.contains("bitextMarginAuto"))
+  }
+}
