@@ -972,6 +972,134 @@ object Ann {
     topK(rescored, k)
   }
 
+  /** OPQ DIMENSION ALLOCATION (s19 — the eigenvalue-allocation step
+    * of Ge et al., "Optimized Product Quantization", CVPR 2013 §4,
+    * restricted to the COORDINATE basis): order dimensions by
+    * variance and deal them snake-wise (boustrophedon) across the `m`
+    * subspaces, so each subquantizer models a balanced share of the
+    * corpus variance instead of whatever contiguous slice the storage
+    * order happened to put together. The allocation IS an orthonormal
+    * rotation (a permutation matrix), so L2 distances — and therefore
+    * ADC ranking — are preserved exactly; what changes is how the
+    * fixed m×k code budget is SPENT. The full OPQ rotation adds a PCA
+    * basis in front of the allocation; an eigendecomposition is
+    * iterative float linear algebra no SQL oracle can reproduce
+    * bit-for-bit, so the registered form keeps the allocation (the
+    * step that fixes the pathological contiguous-slice case) and
+    * documents the basis restriction.
+    *
+    * Determinism discipline: per-dimension variance is compared as
+    * the EXACT integer n·Σq² − (Σq)² over 2²⁰-scaled components
+    * (order-free integer sums — the codebook discipline), ties break
+    * on dimension index, so both engines derive the identical
+    * permutation. Returns the 1-based source index for each permuted
+    * position (group j occupies positions j·subDim+1 … (j+1)·subDim).
+    */
+  def opqAllocation(corpus: DataFrame, m: Int = 8, dim: Int = 64): Seq[Int] = {
+    val scale = 1L << 20
+    val stats = normed(corpus)
+      .withColumn("u", unit("v", "nrm"))
+      .select(posexplode(transform(col("u"),
+        x => (x * scale).cast(LongType))).as(Seq("i", "q")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sm"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sq"))
+      .collect()
+    require(stats.length == dim, s"expected $dim dimension rows")
+    val varInt = stats.map { r =>
+      val n = BigInt(r.getLong(1))
+      val sm = BigInt(r.getDecimal(2).toBigInteger)
+      val sq = BigInt(r.getDecimal(3).toBigInteger)
+      (r.getInt(0), n * sq - sm * sm) // exact integer n·Var·n
+    }
+    val ranked = varInt.sortBy { case (i, v) => (-v, i) }.zipWithIndex
+    val subDim = dim / m
+    // snake deal: rank r → group (r%m) on even passes, mirrored on odd
+    val groups = ranked.map { case ((i, _), r) =>
+      val pos = r % m
+      val grp = if ((r / m) % 2 == 0) pos else m - 1 - pos
+      (grp, r, i)
+    }
+    val perm = groups.sortBy { case (grp, r, _) => (grp, r) }.map(_._3 + 1)
+    require(perm.length == m * subDim)
+    perm.toSeq
+  }
+
+  /** [[ivfpq]] with the OPQ dimension allocation applied before PQ:
+    * members and queries permute their unit vectors through
+    * [[opqAllocation]]'s variance-balancing permutation, then train/
+    * encode/ADC exactly as [[ivfpq]] does — candidate generation,
+    * shortlist, and the exact-cosine re-rank (over the ORIGINAL
+    * vectors; the permutation is orthonormal so it would not change
+    * them anyway) are verbatim. One extra DIM-row aggregate per
+    * build; zero extra per-row work at query time.
+    */
+  def ivfpqOpq(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, pqK: Int = 16,
+      shortlist: Int = 64, kmeansIters: Int = 2, dim: Int = 64): DataFrame = {
+    val perm = opqAllocation(corpus, m, dim)
+    val permLit = typedLit(perm)
+    def permuted(u: Column): Column =
+      transform(sequence(lit(1), lit(dim)),
+        i => element_at(u, element_at(permLit, i).cast("int")))
+    val coarse = ivfCodebook(corpus, nCentroids, kmeansIters)
+    val subDim = dim / m
+    val nc = normed(corpus)
+      .withColumn("cluster", array_max(centScoresFor(coarse, "v"))("i"))
+      .withColumn("up", permuted(unit("v", "nrm")))
+      .localCheckpoint(true) // frozen: PQ training AND encoding
+    val pq = pqCodebooksOn(nc.select(col("vec_id"), col("up").as("u")),
+      m, pqK, kmeansIters, dim)
+    val cbLit = pqLit(pq)
+    val enc = nc
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)),
+        j => nearestCode(slice(col("up"), j * subDim + 1, lit(subDim)), j, cbLit)))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+        col("cluster"), col("codes"))
+    val qs = normed(queries)
+      .withColumn("up", permuted(unit("v", "nrm")))
+      .withColumn("dtab", transform(sequence(lit(0), lit(m - 1)),
+        j => transform(element_at(cbLit, j + 1),
+          c => l2sq(slice(col("up"), j * subDim + 1, lit(subDim)), c))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("dtab"),
+        explode(transform(
+          slice(reverse(array_sort(centScoresFor(coarse, "v"))), 1, nProbe),
+          p => p("i"))).as("cluster"))
+    val adc = enc.join(qs, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        col("v"), col("nrm"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)).as("adc"))
+    val wsl = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = adc.withColumn("r", row_number().over(wsl))
+      .filter(col("r") <= shortlist)
+    val rescored = short.select(col("query_id"), col("neighbor_id"),
+      Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    topK(rescored, k)
+  }
+
+  /** Mean PQ reconstruction L2² of `u`-frame rows against codebook
+    * `cb` — the codebook-quality metric the OPQ dominance spec pins
+    * (lower = the code budget explains more of the corpus).
+    */
+  private[graft] def pqReconError(u: DataFrame, cb: PqCodebook,
+      m: Int, dim: Int): Double = {
+    val subDim = dim / m
+    val cbLit = pqLit(cb)
+    u.select(
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
+        val sub = slice(col("u"), j * subDim + 1, lit(subDim))
+        acc + l2sq(sub, element_at(element_at(cbLit, j + 1),
+          nearestCode(sub, j, cbLit) + 1))
+      }).as("e"))
+      .agg(avg(col("e"))).collect()(0).getDouble(0)
+  }
+
   /** RESIDUAL-encoded IVF-PQ (s18 — the full FAISS IVFPQ shape,
     * closing the trade [[ivfpq]]'s docstring prices): PQ codes
     * quantize each vector's RESIDUAL against its coarse centroid,

@@ -176,6 +176,95 @@ object AnnQueries extends QDsl {
        |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of [[Ann.ivfpqOpq]]: [[ivfpqOracleSql]] with the
+    * OPQ variance-balancing dimension allocation applied before PQ —
+    * per-dimension variance as the EXACT integer n·Σq² − (Σq)² over
+    * 2²⁰-scaled components (trunc == Spark's double→long cast),
+    * ranked DESC with index tiebreak, snake-dealt across the m
+    * subspaces, and the resulting 1-based permutation applied to
+    * every unit vector before the subspace slicing. Everything
+    * downstream (seeds, Lloyd, codes, ADC, shortlist, exact re-rank)
+    * is the s04 oracle verbatim over the permuted frame.
+    */
+  private def ivfpqOpqOracleSql(nCentroids: Int, nProbe: Int, k: Int,
+      m: Int = 8, pqK: Int = 16, shortlist: Int = 64,
+      iters: Int = 2): String = {
+    val subDim = 64 / m
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc, x) -> acc + x)"
+    def pqAssign(out: String, cb: String) =
+      s"""$out AS (SELECT * FROM (
+         |  SELECT s.vec_id, s.j, s.sub, p.c,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${l2("s.sub", "p.pv")} ASC, p.c ASC) AS rn
+         |  FROM subs s JOIN $cb p ON p.j = s.j) WHERE rn = 1)""".stripMargin
+    val pqLloyd = (1 to iters).map { t =>
+      s"""${pqAssign(s"pa$t", s"p${t - 1}")},
+         |pm$t AS (SELECT j, c, i AS pos,
+         |    CAST(SUM(CAST(trunc(sub[i]*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
+         |  FROM pa$t, range(1, ${subDim + 1}) t(i) GROUP BY j, c, i),
+         |pg$t AS (SELECT j, c, list(comp ORDER BY pos) AS pv FROM pm$t GROUP BY j, c),
+         |p$t AS (SELECT p.j, p.c, COALESCE(g.pv, p.pv) AS pv
+         |  FROM p${t - 1} p LEFT JOIN pg$t g ON g.j = p.j AND g.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""${SharedSql.ivfTrainSql(nCentroids, iters)},
+       |${SharedSql.ivfAssign("pf", s"c$iters", s"rn <= $nProbe", " WHERE n.vec_id < 20")},
+       |u0 AS (SELECT vec_id, list_transform(range(1, 65), i -> v[i]/nrm) AS uv FROM n),
+       |qz AS (SELECT vec_id, list_transform(uv, x -> CAST(trunc(x*1048576) AS BIGINT)) AS qv FROM u0),
+       |vs AS (SELECT i, COUNT(*) AS cnt, SUM(CAST(qv[i] AS HUGEINT)) AS sm,
+       |    SUM(CAST(qv[i] AS HUGEINT)*qv[i]) AS sq
+       |  FROM qz, range(1, 65) t(i) GROUP BY i),
+       |alloc AS (SELECT i, ROW_NUMBER() OVER (ORDER BY (cnt*sq - sm*sm) DESC, i ASC) - 1 AS r FROM vs),
+       |ga AS (SELECT i, CASE WHEN ((r // $m) % 2) = 0 THEN r % $m ELSE $m - 1 - (r % $m) END AS grp, r FROM alloc),
+       |perm AS (SELECT list(i ORDER BY grp, r) AS p FROM ga),
+       |u AS (SELECT vec_id, list_transform(range(1, 65), i -> uv[p[i]]) AS uv FROM u0 CROSS JOIN perm),
+       |subs AS (SELECT vec_id, j, list_slice(uv, j*$subDim+1, j*$subDim+$subDim) AS sub
+       |  FROM u, range(0, $m) t(j)),
+       |p0 AS (SELECT j, vec_id AS c, sub AS pv FROM subs WHERE vec_id < $pqK),
+       |$pqLloyd,
+       |${pqAssign("codes", s"p$iters")},
+       |perj AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, nc.j,
+       |    ${l2("qs.sub", "p.pv")} AS dist
+       |  FROM pf q
+       |  JOIN af a ON a.cid = q.cid AND a.vec_id <> q.vec_id
+       |  JOIN codes nc ON nc.vec_id = a.vec_id
+       |  JOIN subs qs ON qs.vec_id = q.vec_id AND qs.j = nc.j
+       |  JOIN p$iters p ON p.j = nc.j AND p.c = nc.c),
+       |adc AS (SELECT query_id, neighbor_id,
+       |    list_reduce(list(dist ORDER BY j), (acc, x) -> acc + x) AS adc
+       |  FROM perj GROUP BY query_id, neighbor_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS r FROM adc) WHERE r <= $shortlist),
+       |sc AS (SELECT query_id, neighbor_id, ${SharedSql.ivfDot("x.v", "y.v")} / (x.nrm*y.nrm) AS cos
+       |  FROM short JOIN n x ON x.vec_id = query_id JOIN n y ON y.vec_id = neighbor_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // s19 — OPQ-allocated IVF-PQ (Ge et al. CVPR'13 eigenvalue
+  // allocation restricted to the coordinate basis — the rotation is
+  // the variance-balancing permutation; the PCA basis in front of it
+  // is iterative float linear algebra no SQL oracle reproduces
+  // bit-for-bit, and the restriction is documented in the operator):
+  // the fixed m×k code budget stops being spent on whatever
+  // CONTIGUOUS dimension slices the storage order happened to create
+  // — the pathological case (all high-variance dims in one subspace,
+  // one subquantizer drowning while seven idle) is exactly what the
+  // snake deal dismantles. Permutations are orthonormal, so ADC
+  // ranking semantics are unchanged and the exact-cosine re-rank
+  // keeps reported scores exact either way; recon-error dominance on
+  // a planted anisotropic corpus is spec-pinned. ORACLE-GATED end to
+  // end: the SQL derives the identical permutation from exact integer
+  // variance ranks, then retrains both codebooks over the permuted
+  // frame (the s04/s18 recipe).
+  val s19: Q = q("s19_ann_opq",
+    ivfpqOpqOracleSql(nCentroids = 16, nProbe = 4, k = 5)) { c =>
+    Ann.ivfpqOpq(c.embeddings.filter(col("vec_id") < 20), c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
       iters: Int = 2): String =
     s"""${SharedSql.ivfTrainSql(nCentroids, iters)},

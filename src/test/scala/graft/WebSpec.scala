@@ -108,6 +108,43 @@ class WebSpec extends SparkSpec {
     assert(!(3 * alnum("Home Tags RSS") < alnum("Home Tags RSS")))
   }
 
+  test("s19 OPQ allocation: spreads planted hot dimensions one per subspace; recon error beats contiguous slicing at the same budget") {
+    // anisotropic plant: dims 1..8 (1-based) carry all the variance
+    // and live in ONE contiguous subspace under identity slicing —
+    // the pathological case the allocation exists to dismantle (one
+    // subquantizer models 8 hot dims with 16 codes while seven model
+    // noise). After the snake deal each subspace gets exactly one hot
+    // dim.
+    val rnd = new scala.util.Random(41)
+    val planted = (0 until 200).map { i =>
+      val hot = Array.fill(8)(rnd.nextGaussian() * 2.0)
+      val cold = Array.fill(56)(0.7 + 0.01 * rnd.nextGaussian())
+      (i.toLong, (hot ++ cold).map(_.toFloat).toSeq)
+    }
+    val emb = spark.createDataFrame(planted).toDF("vec_id", "embedding")
+    val perm = Ann.opqAllocation(emb, m = 8, dim = 64)
+    assert(perm.sorted == (1 to 64), "a permutation of 1..64")
+    val groups = perm.grouped(8).toSeq
+    groups.zipWithIndex.foreach { case (g, j) =>
+      assert(g.count(_ <= 8) == 1,
+        s"subspace $j must hold exactly one hot dim, got $g")
+    }
+    // dominance: same Lloyd machinery, same m×k budget, only the
+    // dimension-to-subspace assignment differs
+    val u = Ann.normed(emb)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val permLit = typedLit(perm)
+    val up = u.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => element_at(col("u"), element_at(permLit, i).cast("int"))).as("u"))
+    val cbPlain = Ann.pqCodebooksOn(u, 8, 16, 2, 64)
+    val cbOpq = Ann.pqCodebooksOn(up, 8, 16, 2, 64)
+    val ePlain = Ann.pqReconError(u, cbPlain, 8, 64)
+    val eOpq = Ann.pqReconError(up, cbOpq, 8, 64)
+    assert(eOpq < ePlain,
+      s"allocated recon error $eOpq must beat contiguous slicing's $ePlain")
+  }
+
   test("size gates: the exact compare-scale dials refuse corpus-sized input and point at the auto form") {
     val c = cat
     // under the limit: runs (the whole correctness board is the proof,
