@@ -1148,6 +1148,107 @@ object Dedup {
           .as("clean_hash"))
   }
 
+  /** SUFFIX-ARRAY-STYLE EXACT-SUBSTRING SCRUB (d20 — Lee et al. 2022
+    * ExactSubstr's actual construction, via DISTRIBUTED PREFIX
+    * DOUBLING): remove from later documents every token span of
+    * length ≥ `minSpan` that also occurs earlier, EXACTLY —
+    * [[exactSubstrScrub]]'s window hashes admit ~n²/2⁶⁴ false
+    * coverage from digest collisions; here window equality is decided
+    * by EQUALITY CLASSES built with the suffix-array doubling
+    * recurrence, so two positions share a class iff their token
+    * sequences are IDENTICAL. No hashing anywhere in the decision
+    * path, no hash-width dial to reason about at 100 TB.
+    *
+    * Construction: rank_h(d,p) identifies the h-token sequence at
+    * position p — rank_1 classes tokens, and rank_2h(d,p) classes the
+    * pair (rank_h(d,p), rank_h(d,p+h)) — the Manber-Myers doubling
+    * step, except no ORDER is ever needed (only equality), so each
+    * level's class code is simply the class's minimum (doc,pos)
+    * address: injective, deterministic, and computed with ONE window
+    * min per level instead of a global dense-rank. A length-W window
+    * equality test then composes ranks along W's binary decomposition
+    * (50 = 32+16+2 ⇒ the triple (r32(p), r16(p+32), r2(p+48)) is
+    * equal iff the 50-token windows are equal — exact, by
+    * construction). Keep-first coverage and the cleaned-text rebuild
+    * mirror [[exactSubstrScrub]]: a window occurrence in a doc later
+    * than its class's first doc covers its positions; coverage
+    * propagates per doc with ONE running-max window (start+W−1
+    * reach), never a W-times position explode.
+    *
+    * Scale shape: log₂(minSpan) doubling levels, each a (doc,pos)
+    * equi-join plus a class-window min — linearithmic total shuffle
+    * volume in corpus tokens (metered in the bench ring), nothing
+    * super-linear, no corpus-sized collect. Positions never cross
+    * documents (the join key is (doc_id, pos)), so no separator
+    * machinery and no global offsets are needed.
+    */
+  def suffixSpanScrub(docs: DataFrame, minSpan: Int = 50): DataFrame = {
+    require(minSpan >= 2 && minSpan < (1 << 20), "span must be >= 2 tokens")
+    val posCap = 1L << 20 // docs are token-addressable below 2^20
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .localCheckpoint(true)
+    val tok = toks.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("pos", "tok")))
+    // class code = min (doc,pos) address over the equality class —
+    // injective across classes (each address lives in one class)
+    def coded(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+      df.withColumn("r",
+          min(col("doc_id") * posCap + col("pos")).over(w))
+        .select(col("doc_id"), col("pos"), col("r"))
+    }
+    def doubleUp(r: DataFrame, h: Int): DataFrame = {
+      val shifted = r.select(col("doc_id"), (col("pos") - h).as("pos"),
+        col("r").as("rb"))
+      coded(r.join(shifted, Seq("doc_id", "pos"))
+        .withColumnRenamed("r", "ra"), Seq("ra", "rb"))
+    }
+    // rank frames at every power of two up to the highest bit of W
+    val topBit = 63 - java.lang.Long.numberOfLeadingZeros(minSpan.toLong)
+    val levels = scala.collection.mutable.Map[Int, DataFrame](
+      0 -> coded(tok, Seq("tok")))
+    (1 to topBit.toInt).foreach { b =>
+      levels(b) = doubleUp(levels(b - 1), 1 << (b - 1))
+    }
+    // compose W's binary decomposition into one equality key
+    val parts = (topBit.to(0, -1)).filter(b => (minSpan & (1 << b)) != 0)
+    val (composed, _) = parts.zipWithIndex.drop(1)
+      .foldLeft((levels(parts.head).withColumnRenamed("r", "k0"), 1 << parts.head)) {
+        case ((acc, off), (b, i)) =>
+          val s = levels(b).select(col("doc_id"),
+            (col("pos") - off).as("pos"), col("r").as(s"k$i"))
+          (acc.join(s, Seq("doc_id", "pos")), off + (1 << b))
+      }
+    val keyCols = parts.indices.map(i => s"k$i")
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val dupStarts = composed
+      .withColumn("first_doc", min(col("doc_id")).over(wk))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + (minSpan - 1)).as("reach"))
+    // per-doc running max of covered reach — linear coverage, no
+    // minSpan-times explode
+    val wcov = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = tok.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("covered",
+        max(col("reach")).over(wcov) >= col("pos"))
+      .filter(!coalesce(col("covered"), lit(false)))
+    val cl = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").cast(BinaryType)).as("clean_hash"))
+    toks.select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_removed"),
+        coalesce(col("clean_hash"), md5(lit("").cast(BinaryType)))
+          .as("clean_hash"))
+  }
+
   /** SORTED-NEIGHBORHOOD dedup (Hernández & Stolfo's merge/purge,
     * SIGMOD'95): sort the corpus by a normalized blocking key and
     * compare each record only to its `window - 1` successors in sort

@@ -864,4 +864,71 @@ object DedupQueries extends QDsl {
         n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
+
+  // ---------------------------------------------------------------
+  // d20 — SUFFIX-ARRAY exact-substring scrub at Lee et al.'s actual
+  // span length (≥50 tokens) via distributed prefix doubling
+  // (Dedup.suffixSpanScrub): window equality decided by EQUALITY
+  // CLASSES from the Manber-Myers doubling recurrence — two positions
+  // share the composed (r32, r16(+32), r2(+48)) key iff their
+  // 50-token sequences are IDENTICAL, no hash anywhere in the
+  // decision path (d14's rolling digests admit ~n²/2⁶⁴ false
+  // coverage; this is the collision-free form). Corpus docs run
+  // 10–99 tokens, so the ≥50-token regime is exercised with PLANTED
+  // long-span fixtures both engines inject identically: each doc
+  // under id 30 with ≥55 tokens spawns a copy (+1,000,000 id) whose
+  // first 55 tokens repeat verbatim before a fresh tail — the copy's
+  // span scrubs (keep-first), the original and the tail survive.
+  // The ORACLE certifies the same semantics through the d14 window
+  // formulation at W=50 (coverage by duplicated 50-windows ≡ coverage
+  // by ≥50-token duplicated spans — the documented equivalence; md5
+  // window keys are exact at oracle scale). Scale shape: log₂(50)
+  // doubling levels, each one (doc,pos) equi-join + one class-window
+  // min — linearithmic shuffle volume, metered in the bench ring.
+  private val d20Oracle =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(string_split(lower(text), ' ')[1:55], ' ')
+      |      || ' fresh' || CAST(doc_id AS VARCHAR)
+      |      || ' unique' || CAST(doc_id AS VARCHAR)
+      |      || ' tail' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id < 30 AND len(string_split(text, ' ')) >= 55),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
+      |p AS (SELECT doc_id, unnest(range(1, len(t) - 48)) AS pos, t FROM toks WHERE len(t) >= 50),
+      |w AS (SELECT doc_id, pos, md5(array_to_string(t[pos:pos+49], ' ')) AS win FROM p),
+      |fw AS (SELECT win, MIN(doc_id) AS first_doc FROM w GROUP BY win),
+      |dup AS (SELECT w.doc_id, w.pos FROM w JOIN fw ON w.win = fw.win AND w.doc_id > fw.first_doc),
+      |cov AS (SELECT DISTINCT doc_id, i FROM
+      |  (SELECT doc_id, pos + unnest(range(0, 50)) AS i FROM dup)),
+      |tk AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks),
+      |tok AS (SELECT doc_id, i, t[i] AS tok FROM tk),
+      |kept AS (SELECT tok.doc_id, tok.i, tok.tok
+      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      |         WHERE cov.i IS NULL),
+      |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+      |       FROM kept GROUP BY doc_id)
+      |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+      |  CAST(len(toks.t) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(cl.clean_hash, md5('')) AS clean_hash
+      |FROM toks LEFT JOIN cl ON toks.doc_id = cl.doc_id
+      |ORDER BY toks.doc_id"""
+
+  val d20: Q = q("d20_suffix_span", d20Oracle) { c =>
+    val planted = c.documents
+      .filter(col("doc_id") < 30 &&
+        size(split(lower(col("text")), " ")) >= 55)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(
+          array_join(slice(split(lower(col("text")), " "), 1, 55), " "),
+          lit(" fresh"), col("doc_id"),
+          lit(" unique"), col("doc_id"),
+          lit(" tail"), col("doc_id")).as("text"))
+    Dedup.suffixSpanScrub(
+        c.documents.select(col("doc_id"), col("text")).unionByName(planted),
+        minSpan = 50)
+      .orderBy("doc_id")
+  }
 }

@@ -145,6 +145,52 @@ class WebSpec extends SparkSpec {
       s"allocated recon error $eOpq must beat contiguous slicing's $ePlain")
   }
 
+  test("d20 prefix doubling == window-hash scrub at W=50; planted long spans scrub keep-first, short docs untouched") {
+    import spark.implicits._
+    val base = cat.documents.select(col("doc_id"), col("text"))
+    val planted = cat.documents
+      .filter(col("doc_id") < 30 && size(split(lower(col("text")), " ")) >= 55)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(array_join(slice(split(lower(col("text")), " "), 1, 55), " "),
+          lit(" fresh"), col("doc_id"), lit(" unique"), col("doc_id"),
+          lit(" tail"), col("doc_id")).as("text"))
+    val aug = base.unionByName(planted)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "n_removed", "clean_hash")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // THE equivalence claim: the collision-free doubling path and the
+    // digest path certify identical coverage (any divergence would be
+    // a digest collision or a doubling bug)
+    val sa = rows(Dedup.suffixSpanScrub(aug, minSpan = 50))
+    val wh = rows(Dedup.exactSubstrScrub(aug, w = 50))
+    assert(sa.sameElements(wh), "doubling vs window-hash scrub diverged")
+    val nPlanted = planted.count()
+    assert(nPlanted > 0, "fixture must plant at least one long-span copy")
+    // every planted copy loses exactly its 55 copied tokens and keeps
+    // its 3-token fresh tail; originals keep everything they kept
+    // before the plant existed
+    sa.filter(_._1 >= 1000000L).foreach { case (id, nt, nr, _) =>
+      assert(nt == 58 && nr == 55, s"planted doc $id: n_tokens=$nt n_removed=$nr")
+    }
+    val before = rows(Dedup.suffixSpanScrub(base, minSpan = 50)).toMap2
+    sa.filter(_._1 < 1000000L).foreach { case (id, _, nr, h) =>
+      val (nrB, hB) = before(id)
+      assert(nr == nrB && h == hB, s"original doc $id changed by the plant")
+    }
+    // short docs (< 50 tokens) can never be covered
+    val shortIds = cat.documents
+      .filter(size(split(lower(col("text")), " ")) < 50)
+      .select("doc_id").as[Long].collect().toSet
+    sa.filter(r => shortIds(r._1)).foreach { case (id, _, nr, _) =>
+      assert(nr == 0L, s"short doc $id cannot contain a 50-token span")
+    }
+  }
+
+  private implicit class Map2Ops(rows: Array[(Long, Long, Long, String)]) {
+    def toMap2: Map[Long, (Long, String)] =
+      rows.map(r => r._1 -> (r._3, r._4)).toMap
+  }
+
   test("size gates: the exact compare-scale dials refuse corpus-sized input and point at the auto form") {
     val c = cat
     // under the limit: runs (the whole correctness board is the proof,
