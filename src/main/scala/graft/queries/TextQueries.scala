@@ -1612,4 +1612,150 @@ object TextQueries extends QDsl {
         col("block_category").isNull.as("kept"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------
+  // x36/x37 — UNIGRAM-LM SUBWORD TOKENIZER (Kudo 2018, the
+  // SentencePiece unigram model — the tokenizer family next to
+  // x22/x25's BPE; operators/Unigram.scala). x36 TRAINS: seed vocab
+  // from count-weighted substrings, EM rounds whose E-step Viterbi-
+  // segments the DISTINCT-WORD frame (vocab-bounded, one higher-
+  // order-function expression, no UDFs) and whose usage counts are
+  // piece-keyed vocab-sized aggregates, then prunes to the budget —
+  // rows-only by the x22 contract (data-dependent iterative argmax),
+  // pinned against an independent single-node reference in the spec.
+  // x37 APPLIES the FROZEN artifact below (trained once by
+  // tools/GenUnigramVocab at compare scale, then pinned — the
+  // bpeMerges recipe): scores are integer MICRO-NATS, Viterbi
+  // minimizes their exact integer sum with (fewer pieces, lexico-
+  // graphically smallest path) struct tie-breaks, so the DuckDB
+  // oracle reproduces every segmentation bit-for-bit by unrolling
+  // the same DP (30 generated CTE steps — the ivfTrainSql recipe)
+  // over the same vocabulary rendered as literal lists. Scale shape:
+  // Viterbi touches only DISTINCT words; the corpus pass is one
+  // tokenize + join + per-doc aggregate.
+  private[graft] val uniPieces: Seq[graft.operators.Unigram.Piece] = {
+    import graft.operators.Unigram.Piece
+    Seq(
+    Piece("r", 2873427L, 1845L),
+    Piece("join", 3522570L, 964L),
+    Piece("hash", 3540362L, 947L),
+    Piece("row", 3544595L, 943L),
+    Piece("batch", 3550978L, 937L),
+    Piece("scan", 3552046L, 936L),
+    Piece("c", 3554185L, 934L),
+    Piece("custo", 3554185L, 934L),
+    Piece("mer", 3554185L, 934L),
+    Piece("olumn", 3554185L, 934L),
+    Piece("filte", 3555256L, 933L),
+    Piece("small", 3560630L, 928L),
+    Piece("merge", 3571464L, 918L),
+    Piece("slow", 3571464L, 918L),
+    Piece("order", 3578021L, 912L),
+    Piece("vecto", 3578021L, 912L),
+    Piece("line", 3580217L, 910L),
+    Piece("data", 3582417L, 908L),
+    Piece("table", 3582417L, 908L),
+    Piece("agg", 3590156L, 901L),
+    Piece("value", 3594606L, 897L),
+    Piece("key", 3595721L, 896L),
+    Piece("s", 3604690L, 888L),
+    Piece("tream", 3604690L, 888L),
+    Piece("indow", 3606944L, 886L),
+    Piece("w", 3606944L, 886L),
+    Piece("a", 3613739L, 880L),
+    Piece("spark", 3613739L, 880L),
+    Piece("group", 3616015L, 878L),
+    Piece("part", 3616015L, 878L),
+    Piece("big", 3618295L, 876L),
+    Piece("sort", 3622872L, 872L),
+    Piece("query", 3624019L, 871L),
+    Piece("fast", 3643730L, 854L),
+    Piece("the", 3660259L, 840L),
+    Piece("dup", 7135565L, 26L),
+    Piece("b", 10393661L, 0L),
+    Piece("d", 10393661L, 0L),
+    Piece("e", 10393661L, 0L),
+    Piece("f", 10393661L, 0L),
+    Piece("g", 10393661L, 0L),
+    Piece("h", 10393661L, 0L),
+    Piece("i", 10393661L, 0L),
+    Piece("j", 10393661L, 0L),
+    Piece("k", 10393661L, 0L),
+    Piece("l", 10393661L, 0L),
+    Piece("m", 10393661L, 0L),
+    Piece("n", 10393661L, 0L),
+    Piece("o", 10393661L, 0L),
+    Piece("p", 10393661L, 0L),
+    Piece("q", 10393661L, 0L),
+    Piece("t", 10393661L, 0L),
+    Piece("u", 10393661L, 0L),
+    Piece("v", 10393661L, 0L),
+    Piece("y", 10393661L, 0L),
+    Piece("x", 10393661L, 0L),
+    Piece("z", 10393661L, 0L),
+    )
+  }
+
+  val x36: Q = rowsOnly("x36_unigram_train") { c =>
+    val vocab = graft.operators.Unigram.train(c.documents, "text",
+      vocabSize = 64, iters = 2)
+    c.spark.createDataFrame(vocab.zipWithIndex.map { case (p, i) =>
+      (i + 1, p.piece, p.scoreMu, p.usage)
+    }).toDF("rank", "piece", "score_mu", "usage")
+      .orderBy("rank")
+  }
+
+  private[queries] val x37Oracle: String = {
+    val maxP = graft.operators.Unigram.MaxPieceLen
+    val maxW = graft.operators.Unigram.MaxWordChars
+    val pl = uniPieces.map(p => s"'${p.piece}'").mkString("[", ", ", "]")
+    val sl = uniPieces.map(p => s"CAST(${p.scoreMu} AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def best(t: Int) =
+      s"list_sort(list_filter(list_transform(range(greatest(1, $t - ${maxP - 1}), $t + 1), " +
+        s"i -> {'s': struct_extract(acc[i], 's') + sc[list_position(pc, substring(w, i, $t - i + 1))], " +
+        s"'n': struct_extract(acc[i], 'n') + 1, " +
+        s"'p': struct_extract(acc[i], 'p') || ' ' || substring(w, i, $t - i + 1)}), " +
+        s"c -> struct_extract(c, 's') IS NOT NULL))[1]"
+    val steps = (1 to maxW).map(t =>
+      s"v$t AS (SELECT w, len, pc, sc, CASE WHEN $t > len THEN acc ELSE list_append(acc, ${best(t)}) END AS acc FROM v${t - 1})")
+      .mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS t FROM documents),
+       |wp0 AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM toks),
+       |wpos AS (SELECT doc_id, i, substring(t[i], 1, $maxW) AS w FROM wp0 WHERE strlen(t[i]) > 0),
+       |dw AS (SELECT DISTINCT w FROM wpos),
+       |vl AS (SELECT $pl AS pc, $sl AS sc),
+       |v0 AS (SELECT w, strlen(w) AS len, pc, sc, [{'s': CAST(0 AS BIGINT), 'n': 0, 'p': ''}] AS acc FROM dw CROSS JOIN vl),
+       |$steps,
+       |vfin AS (SELECT w, acc[len(acc)] AS b FROM v$maxW),
+       |seg AS (SELECT w, ltrim(struct_extract(b, 'p')) AS pieces,
+       |  struct_extract(b, 'n') AS n_pieces, struct_extract(b, 's') AS score_mu FROM vfin),
+       |j AS (SELECT doc_id, i, pieces, n_pieces, score_mu FROM wpos JOIN seg USING (w))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(score_mu) AS BIGINT) AS score_mu,
+       |  md5(string_agg(pieces, ' | ' ORDER BY i)) AS piece_hash
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val x37: Q = q("x37_unigram_encode", x37Oracle) { c =>
+    val maxW = graft.operators.Unigram.MaxWordChars
+    val words = c.documents
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("i", "w0")))
+      .filter(length(col("w0")) > 0)
+      .select(col("doc_id"), col("i"),
+        col("w0").substr(lit(1), lit(maxW)).as("w"))
+    val seg = graft.operators.Unigram.segment(
+      words.select("w").distinct(), uniPieces)
+    words.join(broadcast(seg), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast(LongType).as("n_pieces"),
+        sum(col("score_mu")).cast(LongType).as("score_mu"),
+        md5(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("pieces")))),
+            s => s.getField("pieces")), " | ").cast(BinaryType)).as("piece_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -191,6 +191,90 @@ class WebSpec extends SparkSpec {
       rows.map(r => r._1 -> (r._3, r._4)).toMap
   }
 
+  test("x36 unigram training matches an independent single-node reference (seed, Viterbi E-step, prune, rescore)") {
+    import graft.operators.Unigram
+    // --- independent reference implementation, plain Scala ---------
+    val docs = cat.documents.select("text").collect().map(_.getString(0))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      .map(_.take(Unigram.MaxWordChars))
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L))
+    def viterbi(w: String, vocab: Map[String, Long]): (Long, Int, String) = {
+      val dp = Array.fill[(Long, Int, String)](w.length + 1)(null)
+      dp(0) = (0L, 0, "")
+      for (j <- 1 to w.length) {
+        var best: (Long, Int, String) = null
+        for (i <- math.max(1, j - (Unigram.MaxPieceLen - 1)) to j) {
+          val piece = w.substring(i - 1, j)
+          vocab.get(piece).foreach { s =>
+            val prev = dp(i - 1)
+            if (prev != null) {
+              val cand = (prev._1 + s, prev._2 + 1, prev._3 + " " + piece)
+              if (best == null ||
+                  Ordering.Tuple3[Long, Int, String].lt(cand, best)) best = cand
+            }
+          }
+        }
+        dp(j) = best
+      }
+      dp(w.length)
+    }
+    // seed
+    val subCounts = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(Unigram.MaxPieceLen, w.length - i))
+        { val p = w.substring(i, i + l); subCounts(p) = subCounts.getOrElse(p, 0L) + c }
+    }
+    val chars = subCounts.filter(_._1.length == 1).toSeq
+    val multi = subCounts.filter(p => p._1.length > 1 && p._2 >= 2L).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(256)
+    var vocabRef = {
+      val total = (chars ++ multi).map(_._2).sum
+      (chars ++ multi).map { case (p, c) => (p, Unigram.muScore(total, c), c) }
+    }
+    // EM rounds
+    (1 to 2).foreach { _ =>
+      val scores = vocabRef.map(p => p._1 -> p._2).toMap
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        viterbi(w, scores)._3.trim.split(" ")
+          .foreach(p => usage(p) = usage.getOrElse(p, 0L) + c)
+      }
+      val scored = vocabRef.map(p => (p._1, usage.getOrElse(p._1, 0L)))
+      val keepMulti = scored.filter(p => p._1.length > 1 && p._2 > 0)
+        .sortBy { case (p, u) => (-u, p) }
+        .take(64 - scored.count(_._1.length == 1))
+      val kept = scored.filter(_._1.length == 1) ++ keepMulti
+      val total = math.max(1L, kept.map(_._2).sum)
+      vocabRef = kept.sortBy { case (p, u) => (-u, p) }
+        .map { case (p, u) => (p, Unigram.muScore(total, math.max(1L, u)), u) }
+    }
+    // --- the operator must agree exactly ---------------------------
+    val got = Unigram.train(cat.documents, "text", vocabSize = 64, iters = 2)
+      .map(p => (p.piece, p.scoreMu, p.usage))
+    assert(got == vocabRef.toList,
+      s"train mismatch:\n got=${got.take(10)}\n ref=${vocabRef.take(10)}")
+    // and the serve path segments with the frozen artifact exactly as
+    // the reference Viterbi does under the same scores
+    val pinned = graft.queries.TextQueries.uniPieces
+    val pmap = pinned.map(p => p.piece -> p.scoreMu).toMap
+    import spark.implicits._
+    val someWords = wc.keys.toSeq.sorted.take(50)
+    val seg = Unigram.segment(someWords.toDF("w"), pinned)
+      .select("w", "pieces", "score_mu").as[(String, String, Long)]
+      .collect().toMap2u
+    someWords.foreach { w =>
+      val (s, _, p) = viterbi(w, pmap)
+      val (gp, gs) = seg(w)
+      assert(gp == p.trim && gs == s, s"segment('$w') = ($gp,$gs) ref=(${p.trim},$s)")
+    }
+  }
+
+  private implicit class Map2uOps(rows: Array[(String, String, Long)]) {
+    def toMap2u: Map[String, (String, Long)] =
+      rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
   test("size gates: the exact compare-scale dials refuse corpus-sized input and point at the auto form") {
     val c = cat
     // under the limit: runs (the whole correctness board is the proof,
