@@ -174,7 +174,23 @@ object Bench {
     // p05 = x32's two aggregates + the copy explode + one range
     // shuffle + the two-phase pack scan — linear in resampled tokens
     "s18_ann_ivfpq_residual", "m55_column_mapping",
-    "p05_epoch_materializer")
+    "p05_epoch_materializer",
+    // r16 ring: d20 = log2(50) doubling levels, each one (doc,pos)
+    // equi-join + one class-window min — the linearithmic claim the
+    // docstring makes, metered here; x34 = one zero-shuffle HOF
+    // projection; x35 = one broadcast join; x37 = distinct-word
+    // Viterbi + join-back (vocab-bounded DP, corpus-linear join);
+    // s19 = s04's probe shape + one DIM-row variance agg; x36 = EM
+    // rounds over the distinct-word frame (the x22 cost shape).
+    // w01 is NOT probed: its 10x timing would measure the
+    // single-threaded fixture WRITE (driver-side test scaffolding),
+    // not the reader, which is a splittable text scan by construction.
+    // NOTE s05_knn_graph's 10x probe now reports its SizeGatedException
+    // message — the fixed-centroid dial refuses 10x-corpus input by
+    // design (the r15 verdict item); s05_knn_graph_auto remains the
+    // measured scale path.
+    "d20_suffix_span", "x34_html_extract", "x35_url_blocklist",
+    "x37_unigram_encode", "s19_ann_opq", "x36_unigram_train")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -224,11 +224,17 @@ object PipelineQueries extends QDsl {
   // (doc_id < 20) leave at the decontamination stage along with
   // overlap hits: benchmarks are not training data.
   val p04: Q = q("p04_funnel_report",
-    s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
-       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-       |  FROM documents),
-       |h AS (SELECT doc_id, lang, toks, len(toks) AS n_tok,
-       |    doc_id = keeper AS s2,
+    s"""WITH ${DedupQueries.urlInjectSqlCtes},
+       |bd AS (SELECT doc_id, regexp_extract(url_key, '://([^/]+)', 1)
+       |         NOT IN ${SharedSql.inList(TextQueries.blocklistRows.map(_._1))} AS s1b
+       |       FROM n),
+       |t0 AS (SELECT d.doc_id, lang, text, string_split(lower(text), ' ') AS toks, s1b
+       |       FROM documents d JOIN bd USING (doc_id)),
+       |t AS (SELECT doc_id, lang, toks, s1b,
+       |    MIN(CASE WHEN s1b THEN doc_id END) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM t0),
+       |h AS (SELECT doc_id, lang, toks, s1b, len(toks) AS n_tok,
+       |    s1b AND doc_id = keeper AS s2,
        |    len(list_filter(toks, x -> x IN ${SharedSql.inList(Text.enStops)})) AS en_hits,
        |    len(list_filter(toks, x -> x IN ${SharedSql.inList(Text.esStops)})) AS es_hits,
        |    len(list_filter(toks, x -> x IN ${SharedSql.inList(Text.deStops)})) AS de_hits,
@@ -250,6 +256,8 @@ object PipelineQueries extends QDsl {
        |    s3 AND doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont) AS s4
        |  FROM q3),
        |a AS (SELECT COUNT(*) AS d1, CAST(SUM(n_tok) AS BIGINT) AS t1,
+       |    CAST(SUM(CASE WHEN s1b THEN 1 ELSE 0 END) AS BIGINT) AS db,
+       |    CAST(SUM(CASE WHEN s1b THEN n_tok ELSE 0 END) AS BIGINT) AS tb,
        |    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
        |    CAST(SUM(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
        |    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
@@ -258,17 +266,25 @@ object PipelineQueries extends QDsl {
        |    CAST(SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4
        |  FROM f)
        |SELECT 1 AS stage_idx, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM a
-       |UNION ALL SELECT 2, 'exact_dedup', d2, t2 FROM a
-       |UNION ALL SELECT 3, 'quality', d3, t3 FROM a
-       |UNION ALL SELECT 4, 'decontam', d4, t4 FROM a
+       |UNION ALL SELECT 2, 'blocklist', db, tb FROM a
+       |UNION ALL SELECT 3, 'exact_dedup', d2, t2 FROM a
+       |UNION ALL SELECT 4, 'quality', d3, t3 FROM a
+       |UNION ALL SELECT 5, 'decontam', d4, t4 FROM a
        |ORDER BY stage_idx""".stripMargin) { c =>
     val toks = Text.tokens(col("text"))
+    // blocklist stage = x35's EXACT predicate (same canonical URL
+    // chain, same domain list — one source of truth); keep-first
+    // dedup then runs over blocklist SURVIVORS (a real funnel dedups
+    // the post-filter stream), so the md5-window min is conditional
+    val s1b = !regexp_extract(DedupQueries.urlKeyCol, "://([^/]+)", 1)
+      .isin(TextQueries.blocklistRows.map(_._1): _*)
     val base = c.documents.select(col("doc_id"), col("lang"),
-      toks.as("toks"),
-      (col("doc_id") === min("doc_id").over(
+      toks.as("toks"), s1b.as("s1b"),
+      (col("doc_id") === min(when(s1b, col("doc_id"))).over(
         org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")
-          .cast("binary"))))).as("s2"))
-    val h = base.select(col("doc_id"), col("lang"), col("s2"),
+          .cast("binary"))))).as("__kf"))
+      .withColumn("s2", col("s1b") && col("__kf"))
+    val h = base.select(col("doc_id"), col("lang"), col("s1b"), col("s2"),
       size(col("toks")).as("n_tok"),
       Text.hitCount(col("toks"), Text.enStops).as("en_hits"),
       Text.hitCount(col("toks"), Text.esStops).as("es_hits"),
@@ -306,6 +322,8 @@ object PipelineQueries extends QDsl {
         coalesce(col("contaminated"), lit(false)) === false)
     val a = f.agg(
       count(lit(1)).as("d1"), sum("n_tok").cast(LongType).as("t1"),
+      sum(when(col("s1b"), 1).otherwise(0)).cast(LongType).as("db"),
+      sum(when(col("s1b"), col("n_tok")).otherwise(0)).cast(LongType).as("tb"),
       sum(when(col("s2"), 1).otherwise(0)).cast(LongType).as("d2"),
       sum(when(col("s2"), col("n_tok")).otherwise(0)).cast(LongType).as("t2"),
       sum(when(col("s3"), 1).otherwise(0)).cast(LongType).as("d3"),
@@ -315,11 +333,13 @@ object PipelineQueries extends QDsl {
     a.select(explode(array(
         struct(lit(1).as("stage_idx"), lit("raw").as("stage"),
           col("d1").as("n_docs"), col("t1").as("n_tokens")),
-        struct(lit(2).as("stage_idx"), lit("exact_dedup").as("stage"),
+        struct(lit(2).as("stage_idx"), lit("blocklist").as("stage"),
+          col("db").as("n_docs"), col("tb").as("n_tokens")),
+        struct(lit(3).as("stage_idx"), lit("exact_dedup").as("stage"),
           col("d2").as("n_docs"), col("t2").as("n_tokens")),
-        struct(lit(3).as("stage_idx"), lit("quality").as("stage"),
+        struct(lit(4).as("stage_idx"), lit("quality").as("stage"),
           col("d3").as("n_docs"), col("t3").as("n_tokens")),
-        struct(lit(4).as("stage_idx"), lit("decontam").as("stage"),
+        struct(lit(5).as("stage_idx"), lit("decontam").as("stage"),
           col("d4").as("n_docs"), col("t4").as("n_tokens")))).as("r"))
       .select(col("r.*"))
       .orderBy("stage_idx")
@@ -340,8 +360,8 @@ object PipelineQueries extends QDsl {
   // shuffle is one range partition on the key, and the packing scan
   // is the parallel two-phase form — nothing is corpus² anywhere.
   val p05: Q = q("p05_epoch_materializer",
-    s"""WITH $TextQueries.tempRateCtes,
-      |st0 AS (SELECT tok.doc_id, t AS n_tok, $TextQueries.repSql AS rep
+    s"""WITH ${TextQueries.tempRateCtes},
+      |st0 AS (SELECT tok.doc_id, t AS n_tok, ${TextQueries.repSql} AS rep
       |  FROM tok JOIN r USING (source)),
       |stream AS (SELECT doc_id, n_tok,
       |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS key
