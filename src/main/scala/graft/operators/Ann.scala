@@ -794,13 +794,15 @@ object Ann {
     */
   def knnGraph(emb: DataFrame, k: Int, nCentroids: Int = 16,
       nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
-    val cents = ivfCodebook(emb, nCentroids, kmeansIters)
-    val n = normed(emb).localCheckpoint(true)
     // FIXED centroid count ⇒ candidate volume ∝ n²/nCentroids (the
     // board's one by-construction super-linear form, measured 16.8×
-    // on 10× data at sf1) — refuse once probed lists pass ~1k rows
-    Gate.check(n.count(), nCentroids * 1000L,
+    // on 10× data at sf1) — refuse once probed lists pass ~1k rows,
+    // and refuse BEFORE the codebook trains (fail fast, not after
+    // two Lloyd passes over a corpus this operator must reject)
+    Gate.check(emb.count(), nCentroids * 1000L,
       "Ann.knnGraph (fixed nCentroids)", "Ann.knnGraphAuto")
+    val cents = ivfCodebook(emb, nCentroids, kmeansIters)
+    val n = normed(emb).localCheckpoint(true)
     val members = n
       .withColumn("cluster", array_max(centScoresFor(cents, "v"))("i"))
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("cluster"))

@@ -1204,12 +1204,16 @@ object Dedup {
       coded(r.join(shifted, Seq("doc_id", "pos"))
         .withColumnRenamed("r", "ra"), Seq("ra", "rb"))
     }
-    // rank frames at every power of two up to the highest bit of W
+    // rank frames at every power of two up to the highest bit of W.
+    // Each level is FROZEN: it feeds the next level TWICE (both join
+    // sides) and possibly the composed key — unfrozen, the plan would
+    // double per level (2^levels copies of the base scan) and the
+    // linearithmic claim would be a lie at the optimizer level
     val topBit = 63 - java.lang.Long.numberOfLeadingZeros(minSpan.toLong)
     val levels = scala.collection.mutable.Map[Int, DataFrame](
-      0 -> coded(tok, Seq("tok")))
+      0 -> coded(tok, Seq("tok")).localCheckpoint(true))
     (1 to topBit.toInt).foreach { b =>
-      levels(b) = doubleUp(levels(b - 1), 1 << (b - 1))
+      levels(b) = doubleUp(levels(b - 1), 1 << (b - 1)).localCheckpoint(true)
     }
     // compose W's binary decomposition into one equality key
     val parts = (topBit.to(0, -1)).filter(b => (minSpan & (1 << b)) != 0)

@@ -1746,9 +1746,13 @@ object TextQueries extends QDsl {
       .filter(length(col("w0")) > 0)
       .select(col("doc_id"), col("i"),
         col("w0").substr(lit(1), lit(maxW)).as("w"))
+    // plain equi-join back to the word stream: the distinct-word
+    // frame is corpus-VOCAB-sized, which is small at compare scale
+    // (AQE will broadcast it) but UNBOUNDED at 100 TB — forcing a
+    // broadcast here would be the scale bug, not the optimization
     val seg = graft.operators.Unigram.segment(
       words.select("w").distinct(), uniPieces)
-    words.join(broadcast(seg), "w")
+    words.join(seg, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).cast(LongType).as("n_pieces"),
