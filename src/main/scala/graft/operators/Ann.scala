@@ -1724,6 +1724,90 @@ object Ann {
     topK(scored, k)
   }
 
+  /** GRAPH-BASED ANN: IVF-SEEDED NSW BEAM SEARCH (s20 — the
+    * graph-traversal retrieval regime of HNSW/Vamana, re-expressed
+    * relationally; closes the one ANN family the IVF stack lacked).
+    * The navigable graph is the occupancy-held k-NN graph
+    * ([[knnGraphAuto]]'s plan over the SAME adaptive assignment),
+    * SYMMETRIZED — NSW's undirected navigation edges; search seeds
+    * from one entry point per coarse cluster (its min-id member) and
+    * walks: each hop expands the current beam's neighbors, scores
+    * only the NEWLY-visited nodes, and keeps the best `beam` visited
+    * per query. This is single-layer NSW with a coarse-quantizer seed
+    * in place of HNSW's upper layers (the hierarchy is a seeding
+    * device; the layer-0 beam walk below it is THIS algorithm — the
+    * restriction is documented, not hidden).
+    *
+    * Scale shape: seeding scores nq × (n/occupancy) entry points —
+    * exactly the IVF coarse-probe cost s03 already pays — and each
+    * hop is a frontier-keyed equi-join into the edge list plus an
+    * anti-join against the visited set: per-query work is bounded by
+    * beam·degree·hops, corpus work by the edge list (n·graphK rows).
+    * Nothing rescans the corpus after the graph build; the walk's
+    * frontier frames are beam-bounded per query.
+    *
+    * Determinism: ranking quantizes cosines to integer µ-units
+    * (round ×1e6 — the s15 discipline) with node-id tie-breaks, so
+    * beam membership — and therefore the whole traversal — is a pure
+    * function of the input and the DuckDB oracle replays it hop by
+    * hop; reported cosines are the exact doubles (strict fold).
+    */
+  def nswSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+      graphK: Int = 3, beam: Int = 8, hops: Int = 3,
+      occupancy: Long = 256L, kmeansIters: Int = 2): DataFrame = {
+    val n = corpus.count()
+    val kc = math.max(16L, n / occupancy)
+    val a = assignViaJoin(normed(corpus), kmeansDf(corpus, kc, kmeansIters), kc)
+      .localCheckpoint(true) // graph members+queries, entries, node vectors
+    // adjacency: knnGraphAuto's exact plan over this assignment
+    val members = a.select(col("vec_id").as("neighbor_id"), col("v"),
+      col("nrm"), col("cid"))
+    val gq = a.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cid"))
+    val gScored = members.join(gq, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    val gDir = topK(gScored, graphK)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val g = gDir.unionByName(gDir.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    val entries = a.groupBy("cid").agg(min("vec_id").as("node")).select("node")
+    val nodeVecs = a.select(col("vec_id").as("node"), col("v"), col("nrm"))
+    val qn = normed(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn")).localCheckpoint(true)
+    def scoreDf(pairs: DataFrame): DataFrame = {
+      val cos = Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+      pairs.join(nodeVecs, "node").join(qn, "query_id")
+        .select(col("query_id"), col("node"), cos.as("cos"),
+          round(cos * 1000000, 0).cast(LongType).as("cosu"))
+    }
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("cosu").desc, col("node").asc)
+    def topBeam(v: DataFrame): DataFrame =
+      v.withColumn("__r", row_number().over(wb)).filter(col("__r") <= beam)
+        .drop("__r")
+    var visited = scoreDf(qn.select("query_id").crossJoin(entries))
+      .localCheckpoint(true)
+    var frontier = topBeam(visited)
+    (1 to hops).foreach { _ =>
+      val expand = frontier.select("query_id", "node")
+        .join(g, col("node") === col("a"))
+        .select(col("query_id"), col("b").as("node")).distinct()
+      val fresh = expand.join(visited.select("query_id", "node"),
+        Seq("query_id", "node"), "left_anti")
+      visited = visited.unionByName(scoreDf(fresh)).localCheckpoint(true)
+      frontier = topBeam(visited)
+    }
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosu").desc, col("node").asc)
+    visited.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein '98)
     * re-ranking: greedily pick `k` results balancing relevance to the
     * query against redundancy with what's already picked —

@@ -265,6 +265,85 @@ object AnnQueries extends QDsl {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB mirror of [[Ann.nswSearch]]: the same adaptive-k
+    * assignment (kmeansAutoTrainSql → kaf), the same symmetrized
+    * occupancy-held k-NN graph, per-cluster min-id entry points, and
+    * the beam walk REPLAYED hop by hop as generated CTE steps —
+    * expand the beam's neighbors, anti-join the visited set, score
+    * only fresh nodes, re-cut the beam on (µ-cosine DESC, node).
+    * Rankings compare integer µ-cosines (CAST(round(cos*1e6) AS
+    * BIGINT)), so beam membership is bit-identical across engines;
+    * reported cosines are the exact strict-fold doubles.
+    */
+  private def nswOracleSql(k: Int, graphK: Int, beam: Int,
+      hops: Int): String = {
+    val cosQ = s"${SharedSql.ivfDot("q.qv", "n.v")} / (q.qn*n.nrm)"
+    val hopCtes = (1 to hops).map { t =>
+      s"""e$t AS (SELECT DISTINCT f.query_id, g.b AS node
+         |  FROM f${t - 1} f JOIN g ON g.a = f.node),
+         |fr$t AS (SELECT e.query_id, e.node FROM e$t e
+         |  LEFT JOIN v${t - 1} v ON v.query_id = e.query_id AND v.node = e.node
+         |  WHERE v.node IS NULL),
+         |sc$t AS (SELECT query_id, node, cos,
+         |    CAST(round(cos*1000000, 0) AS BIGINT) AS cosu
+         |  FROM (SELECT q.query_id, fr.node, $cosQ AS cos
+         |        FROM fr$t fr JOIN kaf n ON n.vec_id = fr.node
+         |        JOIN q20 q ON q.query_id = fr.query_id)),
+         |v$t AS (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM sc$t),
+         |f$t AS (SELECT query_id, node FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosu DESC, node ASC) AS rn FROM v$t)
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""${SharedSql.kmeansAutoTrainSql()},
+       |g0 AS (SELECT q.vec_id AS qid, a.vec_id AS nb,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${SharedSql.ivfDot("q.v", "a.v")} / (q.nrm*a.nrm) DESC,
+       |        a.vec_id ASC) AS rn
+       |  FROM kaf q JOIN kaf a ON a.cid = q.cid AND a.vec_id <> q.vec_id),
+       |ge AS (SELECT qid AS a, nb AS b FROM g0 WHERE rn <= $graphK),
+       |g AS (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM ge UNION ALL SELECT b AS a, a AS b FROM ge)),
+       |en AS (SELECT MIN(vec_id) AS node FROM kaf GROUP BY cid),
+       |q20 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM kaf WHERE vec_id < 20),
+       |v0 AS (SELECT query_id, node, cos,
+       |    CAST(round(cos*1000000, 0) AS BIGINT) AS cosu
+       |  FROM (SELECT q.query_id, en.node, $cosQ AS cos
+       |        FROM q20 q CROSS JOIN en JOIN kaf n ON n.vec_id = en.node)),
+       |f0 AS (SELECT query_id, node FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosu DESC, node ASC) AS rn FROM v0)
+       |  WHERE rn <= $beam),
+       |$hopCtes
+       |SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id,
+       |  ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosu DESC, node ASC) AS rn
+       |  FROM v$hops WHERE node <> query_id)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // s20 — GRAPH-BASED ANN: IVF-seeded NSW beam search (Ann.nswSearch
+  // — the graph-traversal regime of HNSW/Vamana, the one ANN family
+  // the IVF stack lacked; single-layer NSW with the coarse quantizer
+  // as the seeding device in place of HNSW's upper layers — the
+  // hierarchy IS a seeder, the layer-0 beam walk is this algorithm,
+  // and the restriction is documented in the operator). Navigation
+  // edges = the occupancy-held k-NN graph symmetrized; seeding costs
+  // nq × (n/occupancy) entry scores — exactly s03's coarse-probe
+  // shape; each hop is a frontier equi-join into the edge list + an
+  // anti-join against visited, beam-bounded per query. Beam
+  // membership ranks on integer µ-cosines with node tie-breaks, so
+  // the traversal is a pure function of the input and the oracle
+  // replays it hop by hop (generated CTEs, the ivfTrainSql recipe).
+  val s20: Q = q("s20_ann_nsw",
+    nswOracleSql(k = 5, graphK = 3, beam = 8, hops = 3)) { c =>
+    Ann.nswSearch(c.embeddings.filter(col("vec_id") < 20), c.embeddings,
+        k = 5, graphK = 3, beam = 8, hops = 3)
+      .orderBy("query_id", "rank")
+  }
+
   private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
       iters: Int = 2): String =
     s"""${SharedSql.ivfTrainSql(nCentroids, iters)},

@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.LongType
   * sequential reader per shard (the format is why Common Crawl ships
   * WET next to WARC).
   *
-  * Reference tie-in: the reference ingests its raw tables from
-  * warehouse files (sources.yml schema pin); this source applies the
+  * Reference tie-in: the reference pins its raw inputs behind an
+  * explicit source schema (DbtEducationalDataProject/models/staging/
+  * sources.yml:3) rather than inferring them; this source applies the
   * same explicit-schema discipline to the crawl container instead of
   * inferring anything from record bytes.
   */
