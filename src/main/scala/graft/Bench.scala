@@ -190,7 +190,10 @@ object Bench {
     // design (the r15 verdict item); s05_knn_graph_auto remains the
     // measured scale path.
     "d20_suffix_span", "x34_html_extract", "x35_url_blocklist",
-    "x37_unigram_encode", "s19_ann_opq", "x36_unigram_train")
+    "x37_unigram_encode", "s19_ann_opq", "x36_unigram_train",
+    // s20 = the adaptive-k graph build (s05auto's plan) + beam-bounded
+    // hop joins — seeding is the s03 coarse-probe shape, linear claim
+    "s20_ann_nsw")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -1772,7 +1772,17 @@ object Ann {
       .select(col("query_id").as("a"), col("neighbor_id").as("b"))
     val g = gDir.unionByName(gDir.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
-    val entries = a.groupBy("cid").agg(min("vec_id").as("node")).select("node")
+    // TWO entry points per coarse cluster (min and max member id):
+    // a cell can host more than one semantic blob whose intra-cell
+    // kNN edges never cross (each blob's top-graphK neighbors are its
+    // own members) — a single entry then strands the walk in the
+    // wrong blob. Two id-extremal seeds make beam pruning, which
+    // keeps the best-SCORING entries per query, resolve the blob
+    // choice instead of the entry lottery. Still Θ(n/occupancy)
+    // seeds — the s03 coarse-probe cost shape.
+    val entries = a.groupBy("cid")
+      .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+      .select(explode(array(col("lo"), col("hi"))).as("node")).distinct()
     val nodeVecs = a.select(col("vec_id").as("node"), col("v"), col("nrm"))
     val qn = normed(queries).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn")).localCheckpoint(true)

@@ -304,7 +304,9 @@ object AnnQueries extends QDsl {
        |ge AS (SELECT qid AS a, nb AS b FROM g0 WHERE rn <= $graphK),
        |g AS (SELECT DISTINCT a, b FROM
        |  (SELECT a, b FROM ge UNION ALL SELECT b AS a, a AS b FROM ge)),
-       |en AS (SELECT MIN(vec_id) AS node FROM kaf GROUP BY cid),
+       |en AS (SELECT DISTINCT node FROM (
+       |  SELECT MIN(vec_id) AS node FROM kaf GROUP BY cid
+       |  UNION ALL SELECT MAX(vec_id) AS node FROM kaf GROUP BY cid)),
        |q20 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
        |  FROM kaf WHERE vec_id < 20),
        |v0 AS (SELECT query_id, node, cos,

@@ -275,6 +275,45 @@ class WebSpec extends SparkSpec {
       rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("s20 NSW beam search: planted nearest neighbors found, ranks well-formed, walk stays on graph+entry nodes") {
+    // the s18 planted construction: tight clusters, so each query's
+    // true nearest sits in its own (well-connected) neighborhood and
+    // the coarse-seeded walk must reach it
+    val rnd = new scala.util.Random(77)
+    val centers = Array.fill(32, 64)(rnd.nextGaussian())
+    val planted = (0 until 32).map(i =>
+      (i.toLong, centers(i).map(_.toFloat).toSeq)) ++
+      (32 until 400).map { i =>
+        val c = centers(i % 32)
+        (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    val emb = spark.createDataFrame(planted).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    // occupancy=8 → ~50 coarse cells for 32 planted blobs: every blob
+    // gets its own seeded neighborhood. This is the SEEDING-REGIME
+    // dial every single-probe IVF path on the board shares (s05auto's
+    // caveat): entry coverage must resolve below the semantic blob
+    // size, or a walk can strand in a co-hosted blob — the default
+    // occupancy is a corpus-scale dial, not a recall guarantee.
+    val got = Ann.nswSearch(queries, emb, k = 5, occupancy = 8L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // well-formed: every query reports exactly k ranks 1..5, no self
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"ranks for query $q")
+      assert(!rows.exists(_._3 == q), s"self-neighbor for query $q")
+    }
+    // recall: the exact top-1 (brute) must appear in the walk's top-5
+    // for nearly every query — a tight planted cluster is the regime
+    // graph ANN exists for
+    val brute = Ann.brute(queries, emb, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val hits = byQ.count { case (q, rows) => rows.exists(_._3 == brute(q)) }
+    assert(hits >= 18, s"planted-NN recall@5 too low: $hits/20")
+  }
+
   test("size gates: the exact compare-scale dials refuse corpus-sized input and point at the auto form") {
     val c = cat
     // under the limit: runs (the whole correctness board is the proof,
