@@ -39,10 +39,19 @@ object WebQueries extends QDsl {
       val d = Scratch.dir("w01_wet")
       val rows = c.documents.select("doc_id", "text")
         .orderBy("doc_id").toLocalIterator()
-      val writers = (0 to 1).map { s =>
-        java.nio.file.Files.newBufferedWriter(d.resolve(f"shard-$s%d.warc"),
-          java.nio.charset.StandardCharsets.UTF_8)
-      }
+      // shard 0 plain, shard 1 GZIPPED — Common Crawl ships .warc.gz /
+      // .warc.wet.gz, and the text source decompresses by extension,
+      // so one read covers the mixed-shard reality. (A .gz member is
+      // NOT splittable — one task per compressed shard; CC sizes its
+      // members ~1 GB for exactly that reason, and a 100 TB crawl
+      // parallelizes across its ~100k members, not within them.)
+      val plain = java.nio.file.Files.newBufferedWriter(
+        d.resolve("shard-0.warc"), java.nio.charset.StandardCharsets.UTF_8)
+      val gz = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(
+          d.resolve("shard-1.warc.gz"))),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val writers = Seq(plain, gz)
       try {
         rows.forEachRemaining { r =>
           val id = r.getLong(0)
