@@ -60,8 +60,13 @@ object Probe {
             println(s"  rows = ${Ann.assigned(emb, cb).count()}"))
           time("full d10 semDedup")(
             println(s"  pairs = ${Ann.semDedup(emb, 0.4).count()}"))
+          // the fixed-centroid dial refuses 10x-scale corpora by
+          // design (Gate) — report the refusal instead of aborting
+          // the probe before the auto comparison it exists to measure
           time("full s05 knnGraph k=3")(
-            println(s"  edges = ${Ann.knnGraph(emb, 3).count()}"))
+            try println(s"  edges = ${Ann.knnGraph(emb, 3).count()}")
+            catch { case e: graft.operators.Gate.SizeGatedException =>
+              println(s"  gated by design: ${e.getMessage.takeWhile(_ != ':')}") })
           time("full s05 knnGraphAuto k=3")(
             println(s"  edges = ${Ann.knnGraphAuto(emb, 3).count()}"))
           println(s"  (n frozen: ${n.count()})")

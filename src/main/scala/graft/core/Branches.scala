@@ -175,10 +175,15 @@ object Branches {
         .map(_.getPath.getName).sorted
         .flatMap(loadFile(wh, schema, table, _))
     // a never-adopted table with history still lists its implicit
-    // main (read-only trunk view), matching what resolve would return
-    if (onDisk.exists(_.name == "main") ||
-        TimeTravel.history(wh, schema, table).isEmpty) onDisk
-    else (onDisk :+ trunkMain(wh, schema, table)).sortBy(_.name)
+    // main (read-only trunk view), matching what resolve would
+    // return — one history scan serves both the emptiness check and
+    // the implicit ref
+    if (onDisk.exists(_.name == "main")) onDisk
+    else {
+      val trunk = TimeTravel.history(wh, schema, table).map(_.version)
+      if (trunk.isEmpty) onDisk
+      else (onDisk :+ Ref("main", tag = false, trunk)).sortBy(_.name)
+    }
   }
 
   /** Create a branch (or, with `tag = true`, an immutable tag) from

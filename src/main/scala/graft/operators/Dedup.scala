@@ -1184,10 +1184,23 @@ object Dedup {
     */
   def suffixSpanScrub(docs: DataFrame, minSpan: Int = 50): DataFrame = {
     require(minSpan >= 2 && minSpan < (1 << 20), "span must be >= 2 tokens")
-    val posCap = 1L << 20 // docs are token-addressable below 2^20
+    val posCap = 1L << 20
     val toks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
       .localCheckpoint(true)
+    // the (doc_id, pos) address packing below is injective ONLY while
+    // every doc stays token-addressable under posCap — past it, two
+    // distinct equality classes could alias one class code and tokens
+    // would be silently mis-scrubbed, the exact corruption mode this
+    // operator's no-hash contract exists to exclude. Enforce, don't
+    // assume (one max() agg over the already-frozen frame; a 2^20
+    // -token doc is a ~10 MB pathology to route to a chunking stage,
+    // not a corpus row).
+    val maxLen = toks.agg(max(size(col("t")))).head().getInt(0)
+    require(maxLen < posCap,
+      s"suffixSpanScrub: a document has $maxLen tokens, past the " +
+        s"$posCap-token addressing bound — chunk oversized docs (d07/" +
+        "x33) before span-scrubbing them")
     val tok = toks.select(col("doc_id"),
       posexplode(col("t")).as(Seq("pos", "tok")))
     // class code = min (doc,pos) address over the equality class —

@@ -132,7 +132,7 @@ object WebQueries extends QDsl {
       |    AS content FROM k)
       |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
       |  CAST(n_kept AS BIGINT) AS n_kept,
-      |  CAST(strlen(content) AS BIGINT) AS n_content_chars,
+      |  CAST(length(content) AS BIGINT) AS n_content_chars,
       |  md5(content) AS content_md5
       |FROM o ORDER BY doc_id""") { c =>
     val docs = c.documents.select(col("doc_id"),

@@ -41,9 +41,10 @@ object Warc {
   /** Parse a WARC/WET file (or directory of shards) into one row per
     * record: (url, rec_type, warc_date, content_length, payload).
     * Records with a Content-Length header are cut to exactly that
-    * many characters (the WET payloads are ASCII, so chars == octets
-    * — the generator writes them that way); absent lengths fall back
-    * to the raw tail with the inter-record blank line trimmed.
+    * many OCTETS — the unit the WARC spec defines the block in — by
+    * slicing the UTF-8 encoding, so multi-byte payloads (real WET is
+    * UTF-8) round-trip exactly; absent lengths fall back to the raw
+    * tail with the inter-record blank line trimmed.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("lineSep", RecordBoundary).text(path)
@@ -61,7 +62,8 @@ object Warc {
         regexp_extract(col("h"), "WARC-Date: (\\S+)", 1).as("warc_date"),
         col("content_length"),
         when(col("content_length").isNotNull,
-          expr("substring(tail, 1, content_length)"))
+          // byte-exact cut: substring over BINARY slices octets
+          expr("decode(substring(encode(tail, 'UTF-8'), 1, content_length), 'UTF-8')"))
           .otherwise(regexp_replace(col("tail"), "(\r\n)+$", ""))
           .as("payload"))
   }
@@ -80,18 +82,4 @@ object Warc {
     sb.toString
   }
 
-  /** Write a deterministic WET fixture file from (url, date, payload)
-    * rows. Fixture-only driver IO (the mm-family stubMedia recipe):
-    * the corpus-scale artifact is the READER above; generation exists
-    * so the round-trip can be oracle-gated against the source table
-    * the records were derived from.
-    */
-  def writeFixture(rows: Iterator[(String, String, String)],
-      file: java.nio.file.Path): Unit = {
-    val out = java.nio.file.Files.newBufferedWriter(file,
-      java.nio.charset.StandardCharsets.UTF_8)
-    try rows.foreach { case (url, date, payload) =>
-      out.write(record(url, date, payload))
-    } finally out.close()
-  }
 }

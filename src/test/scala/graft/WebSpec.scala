@@ -41,6 +41,29 @@ class WebSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("Warc reader cuts payloads by OCTETS: non-ASCII records round-trip exactly") {
+    import graft.sources.Warc
+    val d = graft.core.Scratch.dir("warc_utf8")
+    val payloads = Seq(
+      "https://x.example/1" -> "café au lait",
+      "https://x.example/2" -> "naïve résumé ©2024 — ünïcödé",
+      "https://x.example/3" -> "plain ascii")
+    val body = payloads.map { case (u, p) =>
+      Warc.record(u, "2024-01-01T00:00:00Z", p)
+    }.mkString
+    java.nio.file.Files.write(d.resolve("utf8.warc"),
+      body.getBytes("UTF-8"))
+    val out = Warc.read(spark, d.toString)
+      .select("url", "content_length", "payload").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    payloads.foreach { case (u, p) =>
+      val (cl, got) = out(u)
+      assert(cl == p.getBytes("UTF-8").length.toLong,
+        s"Content-Length octets for $u")
+      assert(got == p, s"payload round-trip for $u: got '$got'")
+    }
+  }
+
   test("x34 planted recall: kept paragraphs reconstruct the source text; boilerplate never leaks") {
     import spark.implicits._
     val out = WebQueries.x34.run(spark, sfDir)
