@@ -697,4 +697,93 @@ class PropertySpec extends SparkSpec {
         s"step $i (action $a): saw data=$d audit=$au expected $committed")
     }
   }
+
+  test("Warc round-trip on adversarial payloads: any payload without the record boundary survives bit-for-bit") {
+    import graft.sources.Warc
+    // payloads with embedded CRLFs, blank lines, header-shaped lines,
+    // unicode, and near-boundary strings ("WARC/1.0" without CRLF) —
+    // everything short of the literal record boundary must round-trip
+    val payloadGen: Gen[String] = Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("line1\r\nline2"),
+      Gen.const("\r\n\r\n"),
+      Gen.const("Content-Length: 999"),
+      Gen.const("WARC/1.0 inline no crlf"),
+      Gen.const("caf\u00e9 \u00a9 \u00fcn\u00efc\u00f6d\u00e9"))).map(_.mkString(" | "))
+    for (i <- 1 to 4) {
+      val payloads = (0 until 8).map(j => sample(payloadGen, 1000L * i + j))
+        .zipWithIndex.map { case (p, j) => s"https://fuzz.example/$i/$j" -> p }
+      val d = graft.core.Scratch.dir(s"warc_fuzz$i")
+      val body = payloads.map { case (u, p) =>
+        Warc.record(u, "2024-01-01T00:00:00Z", p) }.mkString
+      java.nio.file.Files.write(d.resolve("f.warc"), body.getBytes("UTF-8"))
+      val got = Warc.read(spark, d.toString)
+        .select("url", "payload").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      payloads.foreach { case (u, p) =>
+        assert(got(u) == p, s"iteration $i payload for $u")
+      }
+      graft.core.Scratch.remove(d)
+    }
+  }
+
+  test("d20 prefix doubling == window-hash scrub on random corpora at odd span widths") {
+    import graft.operators.Dedup
+    // small token alphabet forces real repeated spans; widths off the
+    // registered 50 exercise every binary-decomposition branch
+    // (W=4 one part, W=5 two parts incl. 2^0, W=7 three parts)
+    val docGen: Gen[List[String]] = Gen.listOfN(18,
+      Gen.listOfN(24, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    for ((w, i) <- Seq(4, 5, 7, 8).zipWithIndex) {
+      val texts = sample(docGen, 5000 + i).zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }
+      val docs = spark.createDataFrame(texts).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "n_tokens", "n_removed", "clean_hash")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      val sa = rows(Dedup.suffixSpanScrub(docs, minSpan = w))
+      val wh = rows(Dedup.exactSubstrScrub(docs, w = w))
+      assert(sa == wh, s"width $w diverged")
+    }
+  }
+
+  test("unigram Viterbi expression == reference DP on random words over the frozen vocab") {
+    import graft.operators.Unigram
+    import spark.implicits._
+    val pinned = graft.queries.TextQueries.uniPieces
+    val pmap = pinned.map(p => p.piece -> p.scoreMu).toMap
+    def ref(w: String): (Long, Int, String) = {
+      val dp = Array.fill[(Long, Int, String)](w.length + 1)(null)
+      dp(0) = (0L, 0, "")
+      for (j <- 1 to w.length) {
+        var best: (Long, Int, String) = null
+        for (i <- math.max(1, j - (Unigram.MaxPieceLen - 1)) to j) {
+          val piece = w.substring(i - 1, j)
+          pmap.get(piece).foreach { s =>
+            val prev = dp(i - 1)
+            if (prev != null) {
+              val cand = (prev._1 + s, prev._2 + 1, prev._3 + " " + piece)
+              if (best == null ||
+                  Ordering.Tuple3[Long, Int, String].lt(cand, best)) best = cand
+            }
+          }
+        }
+        dp(j) = best
+      }
+      dp(w.length)
+    }
+    val wordGen: Gen[String] =
+      Gen.choose(1, 28).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf(('a' to 'z').map(_.toString))).map(_.mkString))
+    val words = (0 until 60).map(j => sample(wordGen, 9000L + j)).distinct
+    val seg = Unigram.segment(words.toDF("w"), pinned)
+      .select("w", "pieces", "score_mu").as[(String, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    words.foreach { w =>
+      val (s, _, p) = ref(w)
+      val (gp, gs) = seg(w)
+      assert(gp == p.trim && gs == s, s"word '$w': got ($gp,$gs) ref (${p.trim},$s)")
+    }
+  }
 }
