@@ -590,6 +590,30 @@ object Bench {
             Seq(("s15_bitext_margin_auto", secs, medians("s15_bitext_margin"), err))
           }
         } ++ {
+          // d20 SHUFFLE-METERED at 1× and 10× (the docstring's
+          // "linearithmic shuffle volume" claim, measured): the
+          // prefix-doubling scrub is log₂(W) levels of one (doc,pos)
+          // join + one class-window min each, with NO pair volume
+          // anywhere to go quadratic — write bytes should grow
+          // ~linearly in tokens. Metered in the PRODUCTION form (no
+          // planted fixture, no oracle orderBy — the x20 rule). The
+          // 10× staged corpus is this probe's ceiling by design: six
+          // memory-checkpointed token-frame levels at 100× (27M
+          // tokens) exceed the driver-shaped 8g heap — refusing to
+          // meter past the memory envelope beats crashing the bench
+          // that carries all 241 medians (r16 measured exactly that).
+          if (elapsed > budgetSec || !probing("d20_suffix_span")) Nil
+          else {
+            def prod(s: SparkSession, d: String) =
+              graft.operators.Dedup.suffixSpanScrub(
+                s.read.parquet(s"$d/documents.parquet"), minSpan = 50)
+            val (s1, b1, e1) = timedShuffle(sp, sfDir, prod)
+            sketchProbe += (("d20_suffix_span_1x_metered", s1, b1, e1))
+            val (s10, b10, e10) = timedShuffle(sp, scaleDir, prod)
+            sketchProbe += (("d20_suffix_span_10x_metered", s10, b10, e10))
+            Nil
+          }
+        } ++ {
           // the p03 tercile dial: Ntile.exact keeps tercile
           // parallelism at shuffle partitions where the registered
           // per-language NTILE window funnels each language through

@@ -1265,6 +1265,50 @@ object Streaming {
       .orderBy("kind", "user_id", "window_start", "event_id")
   }
 
+  // e25 — STREAMING WARC INGEST: the crawl front door (w01) in its
+  // production arrival mode — WET shards LAND in a directory over
+  // time and a file stream record-splits them as they arrive (same
+  // record-boundary lineSep as the batch reader; Warc.parse is pure
+  // projection, so the parse stage is trivially streamable), each
+  // micro-batch appending through the warehouse path.
+  // maxFilesPerTrigger=1 forces one shard per micro-batch, so the
+  // two-shard fixture (one plain, one GZIPPED) exercises true
+  // multi-batch arrival + mixed compression through the stream. The
+  // sink table then hash-gates against w01's own oracle — streaming
+  // arrival must change NOTHING about what was ingested.
+  val e25: Q = Q("e25_stream_warc_ingest", (spark, dir) => {
+    val c = Catalog(spark, dir)
+    val landing = WebQueries.wetFixtureDir(c)
+    val wh = Warehouse.scratch(spark, "e25")
+    val ckpt = Scratch.dir("e25_ckpt")
+    try {
+      val recs = graft.sources.Warc.parse(
+        spark.readStream
+          .option("lineSep", graft.sources.Warc.RecordBoundary)
+          .option("maxFilesPerTrigger", 1)
+          .text(landing))
+        .select(col("url"), col("rec_type"), col("warc_date"),
+          col("content_length"),
+          md5(col("payload").cast("binary")).as("payload_md5"))
+      val query = recs.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          wh.write(batch, "crawl", "wet_records", mode = "append"); ()
+        }
+        .start()
+      query.awaitTermination()
+    } finally Scratch.remove(ckpt)
+    wh.read("crawl", "wet_records").orderBy("url")
+  }, Some(
+    """SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  'conversion' AS rec_type,
+      |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |    || 'T00:00:00Z' AS warc_date,
+      |  CAST(strlen(text) AS BIGINT) AS content_length,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY url""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 }

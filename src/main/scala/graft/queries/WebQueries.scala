@@ -34,7 +34,7 @@ object WebQueries extends QDsl {
   private val w01Fixture =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def wetFixture(c: Catalog): String =
+  private[queries] def wetFixtureDir(c: Catalog): String =
     w01Fixture.computeIfAbsent(c.dir, { _ =>
       val d = Scratch.dir("w01_wet")
       val rows = c.documents.select("doc_id", "text")
@@ -73,7 +73,7 @@ object WebQueries extends QDsl {
       |  CAST(strlen(text) AS BIGINT) AS content_length,
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY url""") { c =>
-    Warc.read(c.spark, wetFixture(c))
+    Warc.read(c.spark, wetFixtureDir(c))
       .select(col("url"), col("rec_type"), col("warc_date"),
         col("content_length"), md5(col("payload").cast("binary")).as("payload_md5"))
       .orderBy("url")

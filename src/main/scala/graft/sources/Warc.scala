@@ -46,9 +46,17 @@ object Warc {
     * UTF-8) round-trip exactly; absent lengths fall back to the raw
     * tail with the inter-record blank line trimmed.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", RecordBoundary).text(path)
-      .filter(length(trim(col("value"))) > 0)
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.option("lineSep", RecordBoundary).text(path))
+
+  /** The record-parsing stage alone, over an already record-split
+    * frame (one `value` per record) — shared by the batch reader
+    * above and the STREAMING ingest (e25: `readStream` over a landing
+    * directory with the same record-boundary lineSep; the parse is
+    * pure projection, so it is trivially streamable).
+    */
+  def parse(raw0: DataFrame): DataFrame = {
+    val raw = raw0.filter(length(trim(col("value"))) > 0)
     val hdr = substring_index(col("value"), "\r\n\r\n", 1)
     raw
       .withColumn("h", hdr)
