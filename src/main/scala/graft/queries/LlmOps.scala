@@ -4,7 +4,7 @@ package graft.queries
   * over `documents` (doc_id, text, lang, source, n_chars) and
   * `embeddings` (vec_id, embedding float[64], label), split along the
   * family seams: [[DedupQueries]] (d01–d20), [[AnnQueries]]
-  * (s01–s19), [[TextQueries]] (x01–x37), [[MmQueries]]
+  * (s01–s20), [[TextQueries]] (x01–x37), [[MmQueries]]
   * (mm01–mm06), [[PipelineQueries]] (p01–p05), [[WebQueries]] (the
   * crawl front door — w01 WARC ingestion, x34 HTML extraction). This
   * object owns the registry — same names, same order as before the

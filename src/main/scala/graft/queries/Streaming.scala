@@ -1293,13 +1293,26 @@ object Streaming {
       val query = recs.writeStream
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          wh.write(batch, "crawl", "wet_records", mode = "append"); ()
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // idempotent per-batchId overwrite (the documented
+          // foreachBatch exactly-once recipe): a batch REPLAYED after
+          // a crash-before-checkpoint-commit lands in the same
+          // directory and overwrites itself, so the sink stays
+          // exactly-once on top of the source's at-least-once
+          // delivery — a plain append would duplicate the replay
+          // (restart-replay idempotence spec-pinned)
+          batch.write.mode("overwrite")
+            .parquet(s"${wh.path("crawl", "wet_records")}/batch=$bid")
+          ()
         }
         .start()
       query.awaitTermination()
     } finally Scratch.remove(ckpt)
-    wh.read("crawl", "wet_records").orderBy("url")
+    // project the record columns back out (partition discovery adds
+    // the batch=N provenance column — useful lineage, not output)
+    wh.read("crawl", "wet_records")
+      .select("url", "rec_type", "warc_date", "content_length", "payload_md5")
+      .orderBy("url")
   }, Some(
     """SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
       |  'conversion' AS rec_type,

@@ -64,6 +64,30 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("e25 sink idempotence: a replayed micro-batch (same batchId) overwrites itself — no duplicates; streamed table equals the batch read") {
+    import spark.implicits._
+    val wh = graft.core.Warehouse.scratch(spark, "e25spec")
+    def writeB(bid: Long, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("url", "content_length").write.mode("overwrite")
+        .parquet(s"${wh.path("crawl", "t")}/batch=$bid")
+    writeB(0, Seq(("a", 1L), ("b", 2L)))
+    writeB(0, Seq(("a", 1L), ("b", 2L))) // crash-replay of batch 0
+    assert(spark.read.parquet(wh.path("crawl", "t")).count() == 2,
+      "replayed batch must overwrite itself, not append")
+    writeB(1, Seq(("c", 3L)))
+    assert(spark.read.parquet(wh.path("crawl", "t")).count() == 3)
+    // and end-to-end: the streamed ingest table equals the batch
+    // reader's view of the same fixture (the oracle pins values; this
+    // pins the two ingestion modes against each other in-engine)
+    val streamed = graft.queries.Streaming.all
+      .find(_.name == "e25_stream_warc_ingest").get.run(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val batchSide = graft.queries.WebQueries.w01.run(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batchSide),
+      "streaming arrival changed what was ingested")
+  }
+
   test("x34 planted recall: kept paragraphs reconstruct the source text; boilerplate never leaks") {
     import spark.implicits._
     val out = WebQueries.x34.run(spark, sfDir)
