@@ -192,8 +192,11 @@ object Bench {
     "d20_suffix_span", "x34_html_extract", "x35_url_blocklist",
     "x37_unigram_encode", "s19_ann_opq", "x36_unigram_train",
     // s20 = the adaptive-k graph build (s05auto's plan) + beam-bounded
-    // hop joins — seeding is the s03 coarse-probe shape, linear claim
-    "s20_ann_nsw")
+    // hop joins — seeding is the s03 coarse-probe shape, linear claim;
+    // p06 = one container scan + one HOF projection + the one
+    // md5-window dedup shuffle (its 10x fixture generation is
+    // driver-side but linear and outside the claim)
+    "s20_ann_nsw", "p06_crawl_ingest_pipeline")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.core.Scratch
 import graft.sources.{Catalog, Warc}
@@ -99,8 +100,13 @@ object WebQueries extends QDsl {
   // so the DOM-walk-free block algebra itself is what hash-gates;
   // recall on the planted blocks (paragraphs recovered verbatim,
   // boilerplate never leaks) is spec-pinned.
-  val x34: Q = q("x34_html_extract",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The x34 CTE chain (markup injection from (doc_id, text) +
+    * block extraction to `o`: doc_id, n_blocks, n_kept, content) —
+    * shared by x34's oracle and p06's, so the pipeline composition
+    * cannot drift from the registered stage.
+    */
+  private[queries] val htmlExtractSqlCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |h AS (SELECT doc_id,
       |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
       |  '</title><style>.m{color:#111}</style><script>var t=1;</script></head><body>' ||
@@ -129,47 +135,130 @@ object WebQueries extends QDsl {
       |  FROM sc),
       |o AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
       |  COALESCE(array_to_string(list_transform(kept, e -> e.txt), ' '), '')
-      |    AS content FROM k)
+      |    AS content FROM k)"""
+
+  val x34: Q = q("x34_html_extract",
+    s"""WITH $htmlExtractSqlCtes
       |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
       |  CAST(n_kept AS BIGINT) AS n_kept,
       |  CAST(length(content) AS BIGINT) AS n_content_chars,
       |  md5(content) AS content_md5
       |FROM o ORDER BY doc_id""") { c =>
-    val docs = c.documents.select(col("doc_id"),
-      split(col("text"), " ").as("w"))
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    c.documents
+      .select(col("doc_id"),
+        extractContent(htmlOf(col("doc_id"), split(col("text"), " "))).as("e"))
+      .select(col("doc_id"),
+        col("e.n_blocks").cast(LongType).as("n_blocks"),
+        col("e.n_kept").cast(LongType).as("n_kept"),
+        length(col("e.content")).cast(LongType).as("n_content_chars"),
+        md5(col("e.content").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The deterministic markup injection — one source of truth for
+    * x34 (over documents) and p06 (over WET payloads).
+    */
+  private[queries] def htmlOf(docId: Column, w: Column): Column = {
+    val half = floor(size(w) / 2).cast(IntegerType)
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"),
       lit("</title><style>.m{color:#111}</style><script>var t=1;</script></head><body>"),
       lit("<nav><a href=\"/\">Home</a> <a href=\"/tags\">Tags</a> <a href=\"/feed\">RSS</a></nav>"),
-      when(col("doc_id") % 3 === 0,
+      when(docId % 3 === 0,
         "<div><a href=\"https://ads.example/c\">Buy now</a> <a href=\"https://ads.example/d\">Deals</a></div>")
         .otherwise(""),
-      lit("<h1>"), array_join(slice(col("w"), 1, 3), " "), lit("</h1>"),
-      lit("<p>"), array_join(expr("slice(w, 1, size(w) DIV 2)"), " "), lit("</p>"),
-      lit("<p>"), array_join(expr("slice(w, size(w) DIV 2 + 1, size(w))"), " "), lit("</p>"),
+      lit("<h1>"), array_join(slice(w, 1, 3), " "), lit("</h1>"),
+      lit("<p>"), array_join(slice(w, lit(1), half), " "), lit("</p>"),
+      lit("<p>"), array_join(slice(w, half + 1, size(w)), " "), lit("</p>"),
       lit("<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> (c) 2024</footer></body></html>"))
+  }
+
+  /** The block-level extraction as ONE expression: strip script/style,
+    * split at block tags, keep long non-link-dominated blocks. Returns
+    * struct(n_blocks INT, n_kept INT, content STRING) — zero shuffle,
+    * fully HOF-composed, shared by x34 and p06.
+    */
+  private[queries] def extractContent(html: Column): Column = {
     val stripped = regexp_replace(regexp_replace(html,
       "(?s)<script[^>]*>.*?</script>", " "),
       "(?s)<style[^>]*>.*?</style>", " ")
     val blocks = split(
       regexp_replace(stripped, "<(p|div|nav|footer|h1)", "<$1"),
       "")
-    def alnumLen(x: org.apache.spark.sql.Column) =
+    def alnumLen(x: Column) =
       length(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "[^A-Za-z0-9]", ""))
-    docs
-      .withColumn("blocks", blocks)
-      .select(col("doc_id"), size(col("blocks")).as("n_blocks"),
-        filter(transform(col("blocks"), x => struct(
-          trim(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "\\s+", " ")).as("txt"),
-          alnumLen(x).as("alnum"),
-          alnumLen(regexp_replace(x, "(?s)<a[^>]*>.*?</a>", " ")).as("linkless"))),
-          e => e("alnum") >= 25 && lit(3) * (e("alnum") - e("linkless")) < e("alnum"))
-          .as("kept"))
-      .select(col("doc_id"), col("n_blocks").cast(LongType).as("n_blocks"),
-        size(col("kept")).cast(LongType).as("n_kept"),
-        array_join(transform(col("kept"), e => e("txt")), " ").as("content"))
-      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
-        length(col("content")).cast(LongType).as("n_content_chars"),
+    val kept = filter(transform(blocks, x => struct(
+      trim(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "\\s+", " ")).as("txt"),
+      alnumLen(x).as("alnum"),
+      alnumLen(regexp_replace(x, "(?s)<a[^>]*>.*?</a>", " ")).as("linkless"))),
+      e => e("alnum") >= 25 && lit(3) * (e("alnum") - e("linkless")) < e("alnum"))
+    struct(
+      size(blocks).as("n_blocks"),
+      size(kept).as("n_kept"),
+      array_join(transform(kept, e => e("txt")), " ").as("content"))
+  }
+
+  // ---------------------------------------------------------------
+  // p06 — the CRAWL-INGEST PIPELINE: the whole front door COMPOSED in
+  // one dataflow, starting from container bytes — w01's WET records
+  // (doc identity recovered from the record's own URL — provenance
+  // travels through the container, never side-channeled), x34's
+  // markup extraction, x01's stopword language predictor on the
+  // EXTRACTED content, d01's keep-first exact dedup on the content
+  // hash. This is where a real 100 TB curation run starts; every
+  // stage is the registered operator's exact predicate (shared
+  // helpers, cannot drift). Scale shape: one splittable container
+  // scan → one narrow HOF projection (extraction + langid features)
+  // → ONE md5-window shuffle (the dedup, inherent). Oracle: the
+  // shared x34 CTE chain + the p04 language CASE + the keep-first
+  // window, recomputed from the source table the fixture renders
+  // from.
+  val p06: Q = q("p06_crawl_ingest_pipeline",
+    s"""WITH $htmlExtractSqlCtes,
+      |tk AS (SELECT doc_id, n_blocks, n_kept, content,
+      |         string_split(lower(content), ' ') AS toks FROM o),
+      |hh AS (SELECT doc_id, n_blocks, n_kept, content, len(toks) AS n_tokens,
+      |  len(list_filter(toks, x -> x IN ${SharedSql.inList(graft.functions.Text.enStops)})) AS en_hits,
+      |  len(list_filter(toks, x -> x IN ${SharedSql.inList(graft.functions.Text.esStops)})) AS es_hits,
+      |  len(list_filter(toks, x -> x IN ${SharedSql.inList(graft.functions.Text.deStops)})) AS de_hits,
+      |  len(list_filter(toks, x -> x IN ${SharedSql.inList(graft.functions.Text.frStops)})) AS fr_hits
+      |  FROM tk),
+      |lg AS (SELECT *,
+      |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+      |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+      |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang FROM hh),
+      |kf AS (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(content)) AS kept FROM lg)
+      |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  pred_lang, kept, md5(content) AS content_md5
+      |FROM kf ORDER BY doc_id""") { c =>
+    import graft.functions.Text
+    val recs = Warc.read(c.spark, wetFixtureDir(c))
+      .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+        .cast(LongType).as("doc_id"), col("payload"))
+    val extracted = recs
+      .select(col("doc_id"),
+        extractContent(htmlOf(col("doc_id"), split(col("payload"), " "))).as("e"))
+      .select(col("doc_id"), col("e.n_blocks").as("n_blocks"),
+        col("e.n_kept").as("n_kept"), col("e.content").as("content"))
+    val toks = Text.tokens(col("content"))
+    val lg = extracted
+      .withColumn("n_tokens", size(toks))
+      .withColumn("en_hits", Text.hitCount(toks, Text.enStops))
+      .withColumn("es_hits", Text.hitCount(toks, Text.esStops))
+      .withColumn("de_hits", Text.hitCount(toks, Text.deStops))
+      .withColumn("fr_hits", Text.hitCount(toks, Text.frStops))
+      .withColumn("pred_lang", Text.predLang(col("en_hits"),
+        col("es_hits"), col("de_hits"), col("fr_hits")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("content").cast("binary")))
+    lg.withColumn("kept", col("doc_id") === min("doc_id").over(w))
+      .select(col("doc_id"),
+        col("n_blocks").cast(LongType).as("n_blocks"),
+        col("n_kept").cast(LongType).as("n_kept"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        col("pred_lang"), col("kept"),
         md5(col("content").cast("binary")).as("content_md5"))
       .orderBy("doc_id")
   }
