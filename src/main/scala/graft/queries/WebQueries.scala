@@ -144,14 +144,13 @@ object WebQueries extends QDsl {
       |  CAST(length(content) AS BIGINT) AS n_content_chars,
       |  md5(content) AS content_md5
       |FROM o ORDER BY doc_id""") { c =>
-    c.documents
+    extractContent(c.documents.select(col("doc_id"), col("text")),
+        htmlOf(col("doc_id"), split(col("text"), " ")))
       .select(col("doc_id"),
-        extractContent(htmlOf(col("doc_id"), split(col("text"), " "))).as("e"))
-      .select(col("doc_id"),
-        col("e.n_blocks").cast(LongType).as("n_blocks"),
-        col("e.n_kept").cast(LongType).as("n_kept"),
-        length(col("e.content")).cast(LongType).as("n_content_chars"),
-        md5(col("e.content").cast("binary")).as("content_md5"))
+        col("n_blocks").cast(LongType).as("n_blocks"),
+        col("n_kept").cast(LongType).as("n_kept"),
+        length(col("content")).cast(LongType).as("n_content_chars"),
+        md5(col("content").cast("binary")).as("content_md5"))
       .orderBy("doc_id")
   }
 
@@ -173,12 +172,17 @@ object WebQueries extends QDsl {
       lit("<footer><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a> (c) 2024</footer></body></html>"))
   }
 
-  /** The block-level extraction as ONE expression: strip script/style,
-    * split at block tags, keep long non-link-dominated blocks. Returns
-    * struct(n_blocks INT, n_kept INT, content STRING) — zero shuffle,
-    * fully HOF-composed, shared by x34 and p06.
+  /** The block-level extraction, staged exactly like the original
+    * x34 projection chain (withColumn stages collapse into ONE
+    * whole-stage-codegen projection whose duplicated subtrees are
+    * shared by subexpression elimination — both a struct select and
+    * an inline() generator measured 2.4x slower at sf0.1): strip
+    * script/style, split at block tags, keep long non-link-dominated
+    * blocks. Appends (n_blocks, n_kept, content); shared by x34 and
+    * p06.
     */
-  private[queries] def extractContent(html: Column): Column = {
+  private[queries] def extractContent(df: org.apache.spark.sql.DataFrame,
+      html: Column): org.apache.spark.sql.DataFrame = {
     val stripped = regexp_replace(regexp_replace(html,
       "(?s)<script[^>]*>.*?</script>", " "),
       "(?s)<style[^>]*>.*?</style>", " ")
@@ -187,15 +191,17 @@ object WebQueries extends QDsl {
       "")
     def alnumLen(x: Column) =
       length(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "[^A-Za-z0-9]", ""))
-    val kept = filter(transform(blocks, x => struct(
-      trim(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "\\s+", " ")).as("txt"),
-      alnumLen(x).as("alnum"),
-      alnumLen(regexp_replace(x, "(?s)<a[^>]*>.*?</a>", " ")).as("linkless"))),
-      e => e("alnum") >= 25 && lit(3) * (e("alnum") - e("linkless")) < e("alnum"))
-    struct(
-      size(blocks).as("n_blocks"),
-      size(kept).as("n_kept"),
-      array_join(transform(kept, e => e("txt")), " ").as("content"))
+    df.withColumn("__blocks", blocks)
+      .withColumn("__kept", filter(transform(col("__blocks"), x => struct(
+        trim(regexp_replace(regexp_replace(x, "<[^>]*>", " "), "\\s+", " ")).as("txt"),
+        alnumLen(x).as("alnum"),
+        alnumLen(regexp_replace(x, "(?s)<a[^>]*>.*?</a>", " ")).as("linkless"))),
+        e => e("alnum") >= 25 && lit(3) * (e("alnum") - e("linkless")) < e("alnum")))
+      .withColumn("n_blocks", size(col("__blocks")))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("content",
+        array_join(transform(col("__kept"), e => e("txt")), " "))
+      .drop("__blocks", "__kept")
   }
 
   // ---------------------------------------------------------------
@@ -237,11 +243,8 @@ object WebQueries extends QDsl {
     val recs = Warc.read(c.spark, wetFixtureDir(c))
       .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
         .cast(LongType).as("doc_id"), col("payload"))
-    val extracted = recs
-      .select(col("doc_id"),
-        extractContent(htmlOf(col("doc_id"), split(col("payload"), " "))).as("e"))
-      .select(col("doc_id"), col("e.n_blocks").as("n_blocks"),
-        col("e.n_kept").as("n_kept"), col("e.content").as("content"))
+    val extracted = extractContent(recs,
+      htmlOf(col("doc_id"), split(col("payload"), " "))).drop("payload")
     val toks = Text.tokens(col("content"))
     val lg = extracted
       .withColumn("n_tokens", size(toks))
