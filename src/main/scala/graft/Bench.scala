@@ -176,7 +176,7 @@ object Bench {
     "s18_ann_ivfpq_residual", "m55_column_mapping",
     "p05_epoch_materializer",
     // r16 ring: d20 = log2(50) doubling levels, each one (doc,pos)
-    // equi-join + one class-window min — the linearithmic claim the
+    // equi-join + one class-key groupBy min — the linearithmic claim the
     // docstring makes, metered here; x34 = one zero-shuffle HOF
     // projection; x35 = one broadcast join; x37 = distinct-word
     // Viterbi + join-back (vocab-bounded DP, corpus-linear join);
@@ -596,7 +596,7 @@ object Bench {
           // d20 SHUFFLE-METERED at 1× and 10× (the docstring's
           // "linearithmic shuffle volume" claim, measured): the
           // prefix-doubling scrub is log₂(W) levels of one (doc,pos)
-          // join + one class-window min each, with NO pair volume
+          // join + one class-key groupBy min each, with NO pair volume
           // anywhere to go quadratic — write bytes should grow
           // ~linearly in tokens. Metered in the PRODUCTION form (no
           // planted fixture, no oracle orderBy — the x20 rule). The

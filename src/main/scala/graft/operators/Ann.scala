@@ -331,9 +331,9 @@ object Ann {
     // EXACT all-pairs scoring (|src|×|tgt| candidates, target pool
     // broadcast) — the compare-scale dial; the routed form holds
     // shortlists sub-linear at any scale
-    Gate.check(src.count(), 32768L,
+    Gate.check(src, 32768L,
       "Ann.bitextMargin (exact all-pairs, src pool)", "Ann.bitextMarginAuto")
-    Gate.check(tgt.count(), 32768L,
+    Gate.check(tgt, 32768L,
       "Ann.bitextMargin (exact all-pairs, tgt pool)", "Ann.bitextMarginAuto")
     val xs = normed(src)
       .select(col("vec_id").as("src_id"), col("v").as("xv"), col("nrm").as("xn"))
@@ -799,7 +799,7 @@ object Ann {
     // on 10× data at sf1) — refuse once probed lists pass ~1k rows,
     // and refuse BEFORE the codebook trains (fail fast, not after
     // two Lloyd passes over a corpus this operator must reject)
-    Gate.check(emb.count(), nCentroids * 1000L,
+    Gate.check(emb, nCentroids * 1000L,
       "Ann.knnGraph (fixed nCentroids)", "Ann.knnGraphAuto")
     val cents = ivfCodebook(emb, nCentroids, kmeansIters)
     val n = normed(emb).localCheckpoint(true)
@@ -1216,7 +1216,7 @@ object Ann {
     // FIXED bit-width ⇒ bucket occupancy n/2^bits grows with the
     // corpus and per-bucket verify work grows with its square —
     // refuse past occupancy ~1k (the auto form re-derives bits)
-    Gate.check(n.count(), (1L << bits) * 1024L,
+    Gate.check(n, (1L << bits) * 1024L,
       "Ann.nearDupLsh (fixed bits)", "Ann.nearDupLshAuto")
     val cands = lshCandidatePairs(n, tables, bits, dim, seed)
     val cos = Vectors.cosine(col("va"), col("vb"), col("na"), col("nb"))

@@ -780,7 +780,7 @@ object Dedup {
     val fp = simhashesPortable(shingledPortable(docs, n)).localCheckpoint(true)
     // same fixed single-block dial as simhashPairs — random 15-bit
     // collisions n²/2¹⁵; the banded auto form is the corpus path
-    Gate.check(fp.count(), 65536L,
+    Gate.check(fp, 65536L,
       "Dedup.simhashPairsPortable (single-block pigeonhole)",
       "Dedup.simhashPairsAuto / simhashPairsBlocked")
     val chunks = fp.select(col("doc_id"), col("simhash"),
@@ -894,7 +894,7 @@ object Dedup {
     // FIXED single-block 15-bit table keys ⇒ random collisions
     // n²/2¹⁵ — refuse corpus-sized input (the auto form re-bands to
     // Manku (b−3)-block keys from one corpus count)
-    Gate.check(fp.count(), 65536L,
+    Gate.check(fp, 65536L,
       "Dedup.simhashPairs (single-block pigeonhole)", "Dedup.simhashPairsAuto")
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
@@ -1164,8 +1164,10 @@ object Dedup {
     * pair (rank_h(d,p), rank_h(d,p+h)) — the Manber-Myers doubling
     * step, except no ORDER is ever needed (only equality), so each
     * level's class code is simply the class's minimum (doc,pos)
-    * address: injective, deterministic, and computed with ONE window
-    * min per level instead of a global dense-rank. A length-W window
+    * address: injective, deterministic, and computed per level with
+    * ONE map-side-combining groupBy min joined back on the class key
+    * (never a window — see coded() for the token-skew rationale)
+    * instead of a global dense-rank. A length-W window
     * equality test then composes ranks along W's binary decomposition
     * (50 = 32+16+2 ⇒ the triple (r32(p), r16(p+32), r2(p+48)) is
     * equal iff the 50-token windows are equal — exact, by
@@ -1176,7 +1178,7 @@ object Dedup {
     * reach), never a W-times position explode.
     *
     * Scale shape: log₂(minSpan) doubling levels, each a (doc,pos)
-    * equi-join plus a class-window min — linearithmic total shuffle
+    * equi-join plus a class-key groupBy min joined back — linearithmic total shuffle
     * volume in corpus tokens (metered in the bench ring), nothing
     * super-linear, no corpus-sized collect. Positions never cross
     * documents (the join key is (doc_id, pos)), so no separator
@@ -1196,21 +1198,62 @@ object Dedup {
     // assume (one max() agg over the already-frozen frame; a 2^20
     // -token doc is a ~10 MB pathology to route to a chunking stage,
     // not a corpus row).
-    val maxLen = toks.agg(max(size(col("t")))).head().getInt(0)
+    val stats = toks.agg(max(size(col("t"))).as("max_len"),
+      min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")).head()
+    val maxLen = stats.getInt(0)
     require(maxLen < posCap,
       s"suffixSpanScrub: a document has $maxLen tokens, past the " +
         s"$posCap-token addressing bound — chunk oversized docs (d07/" +
         "x33) before span-scrubbing them")
+    // doc_id magnitude is the OTHER half of the packing's injectivity:
+    // doc_id*2^20 overflows Long past 2^43 (hash-derived 64-bit ids,
+    // negative ids), silently aliasing two distinct classes — the
+    // same corruption mode the length check excludes. Same frozen
+    // frame, same single agg.
+    val (minId, maxId) = (stats.getLong(1), stats.getLong(2))
+    require(minId >= 0L && maxId < (Long.MaxValue >> 20),
+      s"suffixSpanScrub: doc_id range [$minId, $maxId] breaks the " +
+        s"(doc_id << 20 | pos) address packing (need 0 <= doc_id < 2^43) " +
+        "— densify ids (zipWithIndex / row_number over a stable key) " +
+        "before span-scrubbing")
     val tok = toks.select(col("doc_id"),
       posexplode(col("t")).as(Seq("pos", "tok")))
+    val nTok = tok.count()
+    val hotCut = math.max(1L, 2L * nTok /
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    // Per-class aggregate joined back onto the corpus frame, SKEW-SAFE
+    // BY CONSTRUCTION. Neither a window min (every occurrence of a hot
+    // key buffers on one task — at corpus scale "the" at ~3-5% of all
+    // positions is a single multi-TB reduce) nor a naive groupBy+join
+    // (the agg flattens map-side, but the join-back re-shuffles the
+    // probe side on the same hot key — and AQE's skew split cannot
+    // rescue it, because OptimizeSkewedJoin only matches plain
+    // shuffle-read join children, not an aggregate fused under the
+    // join; measured in the d20 skew spec). So the skew is handled
+    // structurally: classes whose occurrence count exceeds twice a
+    // partition's even share are BROADCAST (there can be at most
+    // numShufflePartitions/2 of them — partitions-bounded, a few MB
+    // at any scale) and resolved map-side with zero shuffle of their
+    // rows; the residual shuffle join carries only sub-cut classes,
+    // skew-free by definition of the cut. The two probe branches
+    // share every exchange (ReuseExchange), so shuffle volume does
+    // not grow.
+    def classJoin(df: DataFrame, keys: Seq[String], agg: Column,
+        outName: String): DataFrame = {
+      val codes = df.groupBy(keys.map(col): _*)
+        .agg(agg.as(outName), count(lit(1)).as("__n"))
+      val hot = codes.filter(col("__n") > hotCut).drop("__n")
+      val cold = codes.filter(col("__n") <= hotCut).drop("__n")
+      val tagged = df.join(broadcast(hot), keys, "left")
+      tagged.filter(col(outName).isNotNull)
+        .unionByName(tagged.filter(col(outName).isNull)
+          .drop(outName).join(cold, keys))
+    }
     // class code = min (doc,pos) address over the equality class —
     // injective across classes (each address lives in one class)
-    def coded(df: DataFrame, keys: Seq[String]): DataFrame = {
-      val w = Window.partitionBy(keys.map(col): _*)
-      df.withColumn("r",
-          min(col("doc_id") * posCap + col("pos")).over(w))
+    def coded(df: DataFrame, keys: Seq[String]): DataFrame =
+      classJoin(df, keys, min(col("doc_id") * posCap + col("pos")), "r")
         .select(col("doc_id"), col("pos"), col("r"))
-    }
     def doubleUp(r: DataFrame, h: Int): DataFrame = {
       val shifted = r.select(col("doc_id"), (col("pos") - h).as("pos"),
         col("r").as("rb"))
@@ -1238,9 +1281,12 @@ object Dedup {
           (acc.join(s, Seq("doc_id", "pos")), off + (1 << b))
       }
     val keyCols = parts.indices.map(i => s"k$i")
-    val wk = Window.partitionBy(keyCols.map(col): _*)
-    val dupStarts = composed
-      .withColumn("first_doc", min(col("doc_id")).over(wk))
+    // same skew discipline as coded(): a corpus-wide boilerplate
+    // window (one W-token banner on every page) is a hot composed
+    // key, and first_doc per class needs the broadcast-head treatment
+    // just like the class codes do
+    val dupStarts = classJoin(composed, keyCols,
+        min(col("doc_id")), "first_doc")
       .filter(col("doc_id") > col("first_doc"))
       .select(col("doc_id"), col("pos"),
         (col("pos") + (minSpan - 1)).as("reach"))

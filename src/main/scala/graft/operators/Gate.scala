@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
+
 /** Size gate for the COMPARE-SCALE calibration dials (the exact
   * fixed-parameter forms whose candidate volume is super-linear by
   * construction — s05's fixed-centroid kNN graph, d05/d03/s15's fixed
@@ -25,4 +27,20 @@ object Gate {
         s"$limit rows (got $n): its fixed parameters make candidate volume " +
         s"super-linear at corpus scale. Use $productionOp instead — same " +
         "verified output contract, occupancy-held candidates at any scale.")
+
+  /** Bounded-probe form: counts `limit + 1` rows at most, so the gate
+    * itself costs O(limit) — a full `df.count()` would scan the very
+    * corpus the gate exists to refuse. The probe count saturates at
+    * limit + 1, so the refusal message reports a lower bound.
+    */
+  def check(df: DataFrame, limit: Long, op: String, productionOp: String): Unit = {
+    val probe = math.min(limit, Int.MaxValue.toLong - 1L).toInt + 1
+    val n = df.limit(probe).count()
+    if (n > limit) throw new SizeGatedException(
+      s"$op is a compare-scale calibration dial and refuses inputs over " +
+        s"$limit rows (probe saw > $limit): its fixed parameters make " +
+        s"candidate volume super-linear at corpus scale. Use $productionOp " +
+        "instead — same verified output contract, occupancy-held candidates " +
+        "at any scale.")
+  }
 }

@@ -75,11 +75,23 @@ object Unigram {
 
   /** Segment the distinct words of `words` (column `w`) under
     * `vocab`: (w, pieces, n_pieces, score_mu).
+    *
+    * A word containing a character absent from the vocab has NO
+    * segmentation — the Viterbi struct comes back NULL (array_min
+    * over an empty filtered array). That is a coverage bug in the
+    * vocabulary, and it FAILS LOUDLY here (raise_error naming the
+    * word) instead of letting null pieces/score_mu flow silently
+    * into downstream sums and piece hashes.
     */
   def segment(words: DataFrame, vocab: Seq[Piece]): DataFrame =
     words
       .withColumn("__vm", vmapLit(vocab))
       .withColumn("__vit", expr(viterbiExpr("w", "__vm")))
+      .withColumn("__vit",
+        when(col("__vit").isNotNull, col("__vit"))
+          .otherwise(raise_error(concat(
+            lit("unigram: no segmentation for word '"), col("w"),
+            lit("' — the vocabulary lacks single-char coverage")))))
       .select(col("w"),
         ltrim(col("__vit.p")).as("pieces"),
         col("__vit.n").as("n_pieces"),
@@ -89,6 +101,14 @@ object Unigram {
     * the corpus words, count-weighted; keep single chars always and
     * the `seedSize` most frequent multi-char candidates. Seed scores
     * are µ-nat unigram surprisals of the candidate counts.
+    *
+    * The minCount filter and the top-seedSize selection run IN THE
+    * PLAN (filter + orderBy + limit — Spark plans the limit as a
+    * per-partition TopK + one final merge, never a global sort), so
+    * the driver collects exactly seedSize + |alphabet| rows. The
+    * candidate universe (distinct-words × O(len·MaxPieceLen)
+    * substrings) stays on the executors — at corpus scale it is a
+    * driver OOM if collected, and it never is.
     */
   def seedVocab(wc: DataFrame, seedSize: Int, minCount: Long): Seq[Piece] = {
     val subs = wc.select(col("cnt"), explode(flatten(
@@ -98,10 +118,21 @@ object Unigram {
             l => col("w").substr(i, l)))))
         .as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("c"))
-    val rows = subs.collect().map(r => r.getString(0) -> r.getLong(1))
-    val chars = rows.filter(_._1.length == 1)
-    val multi = rows.filter(p => p._1.length > 1 && p._2 >= minCount)
-      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    // (deliberately NOT checkpointed: pinning the candidate universe
+    // in the block manager would trade the driver OOM for an executor
+    // one — recomputing the explode+groupBy once for each of the two
+    // bounded collects below is one extra pass over the already-
+    // checkpointed word frame)
+    // alphabet-bounded: one row per distinct character in the corpus
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // seedSize-bounded: filter + TopK inside the plan, tie-broken on
+    // the piece exactly as the in-memory sort did
+    val multi = subs
+      .filter(length(col("piece")) > 1 && col("c") >= minCount)
+      .orderBy(col("c").desc, col("piece"))
+      .limit(seedSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
     val total = (chars ++ multi).map(_._2).sum
     (chars ++ multi).sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
       Piece(p, muScore(total, c), c)

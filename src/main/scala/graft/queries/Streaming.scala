@@ -205,6 +205,21 @@ object Streaming {
   private val e08Dirs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
+  /** Streaming fixture memo key: the source dir SCOPED TO the live
+    * SparkContext. Within one session a re-invocation is a checkpoint
+    * RESTART (the exactly-once recovery contract the restart specs
+    * exercise); across sessions the fixture rebuilds from zero. The
+    * bench recycles its session per pass (the r15 hermeticity fix),
+    * so with dir-only keys passes 2+ were restarts whose state-store
+    * reload on a cold session cost 5-12× the warm-session restart —
+    * BENCH_r16's e-family medians measured that artifact, not the
+    * operator. App-scoped keys make every bench pass the same cold
+    * from-scratch run: median/min lands in the batch entries' 1.0-1.3×
+    * band and round-over-round diffs mean something again.
+    */
+  private def fxKey(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    s"${spark.sparkContext.applicationId}|$dir"
+
   /** e14/e15's memoized (landing, sink, checkpoint) triples and
     * e16's (warehouse, landing, checkpoint) — same restart discipline
     * as [[e08Dirs]], see the e14 entry.
@@ -281,7 +296,7 @@ object Streaming {
     // schema probed from the batch relation + normalized through the
     // one events-time chokepoint (see e03)
     val rawSchema = Catalog(spark, dir).eventsRawSchema
-    val (srcDir, outDir, ckpt) = e08Dirs.computeIfAbsent(dir, _ => {
+    val (srcDir, outDir, ckpt) = e08Dirs.computeIfAbsent(fxKey(spark, dir), _ => {
       val src = Scratch.dir("e08_src")
       java.nio.file.Files.createSymbolicLink(
         src.resolve("events.parquet"),
@@ -434,7 +449,7 @@ object Streaming {
     // and pays only startup + the digests-table read (the r12 shape
     // re-seeded and re-ingested from zero every pass, 4.66 s driver
     // median).
-    val (whRoot, srcDir, ckpt) = e11State.computeIfAbsent(dir, _ => {
+    val (whRoot, srcDir, ckpt) = e11State.computeIfAbsent(fxKey(spark, dir), _ => {
       val wh = Warehouse.scratch(spark, "e11")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
@@ -609,7 +624,7 @@ object Streaming {
     // zero rebuild — r11's bench paid the full multi-micro-batch
     // outer-join rebuild (15.7 s, the board's slowest entry) on every
     // pass; a restart times query startup + recovery only.
-    val (srcDir, outDir, ckpt) = e14Dirs.computeIfAbsent(dir, _ => {
+    val (srcDir, outDir, ckpt) = e14Dirs.computeIfAbsent(fxKey(spark, dir), _ => {
       val src = Scratch.dir("e14_src")
       java.nio.file.Files.createSymbolicLink(
         src.resolve("a_events.parquet"),
@@ -688,7 +703,7 @@ object Streaming {
     // (exactly-once recovery, sink unchanged) instead of re-paying
     // the 5-micro-batch from-zero build (5.9 s/pass in r12's bench —
     // the board's slowest entry after e14 adopted the same fix)
-    val (srcDir, outDir, ckpt) = e15Dirs.computeIfAbsent(dir, _ => {
+    val (srcDir, outDir, ckpt) = e15Dirs.computeIfAbsent(fxKey(spark, dir), _ => {
       val src = Scratch.dir("e15_src")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       // land a filtered slice as ONE parquet file with a pinned mtime
@@ -768,7 +783,7 @@ object Streaming {
     // new files, no new merge commits, the logged read unchanged.
     // Re-initializing the MOR table per invocation (the r12-and-
     // earlier shape) paid the full 3-commit ingest every bench pass.
-    val (whRoot, srcDir, ckpt) = e16State.computeIfAbsent(dir, _ => {
+    val (whRoot, srcDir, ckpt) = e16State.computeIfAbsent(fxKey(spark, dir), _ => {
       val wh = Warehouse.scratch(spark, "e16")
       val norm = Catalog(spark, dir).events
       val srcDir = Scratch.dir("e16_src")
@@ -848,7 +863,7 @@ object Streaming {
   // total. Restart discipline per e16: re-invocation restarts the
   // committed stream, sink provably unchanged.
   val e17: Q = Q("e17_stream_erasure", (spark, dir) => {
-    val (whRoot, srcDir, ckpt) = e17State.computeIfAbsent(dir, _ => {
+    val (whRoot, srcDir, ckpt) = e17State.computeIfAbsent(fxKey(spark, dir), _ => {
       val wh = Warehouse.scratch(spark, "e17")
       val norm = Catalog(spark, dir).events
       val srcDir = Scratch.dir("e17_src")
@@ -950,7 +965,7 @@ object Streaming {
     // runs. The r12 shape paid the full from-zero AvailableNow build
     // + merge every pass (7.84 s driver median — the slowest board
     // entry); a restart times startup + the rank over the table.
-    val (whRoot, srcDir, ckpt) = e18State.computeIfAbsent(dir, _ => {
+    val (whRoot, srcDir, ckpt) = e18State.computeIfAbsent(fxKey(spark, dir), _ => {
       val wh = Warehouse.scratch(spark, "e18")
       val src = Scratch.dir("e18_src")
       java.nio.file.Files.createSymbolicLink(
@@ -1064,7 +1079,7 @@ object Streaming {
   val e20: Q = Q("e20_stream_backfill", (spark, dir) => {
     val histEnd = lit("2024-01-25 00:00:00").cast(TimestampNTZType)
     val streamStart = lit("2024-01-22 00:00:00").cast(TimestampNTZType)
-    val (whRoot, srcDir, ckpt) = e20State.computeIfAbsent(dir, _ => {
+    val (whRoot, srcDir, ckpt) = e20State.computeIfAbsent(fxKey(spark, dir), _ => {
       val wh = Warehouse.scratch(spark, "e20")
       val norm = Catalog(spark, dir).events
       wh.write(norm.filter(col("ts") < histEnd), "analytics", "events_unified")

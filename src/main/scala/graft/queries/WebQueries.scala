@@ -81,6 +81,83 @@ object WebQueries extends QDsl {
   }
 
   // ---------------------------------------------------------------
+  // w02 — RAW-WARC INGESTION, LENGTH-WALKING (sources/Warc.readRaw).
+  // w01's delimiter-split reader documents its known limit: a raw
+  // fetch BODY embedding the literal record boundary splits early.
+  // w02 is the hostile-body path — it hops record to record by
+  // Content-Length (the payload is counted, never searched), so the
+  // fixture DELIBERATELY plants a complete fake record (boundary +
+  // headers + blank line) inside every doc_id%5=0 payload. Shards are
+  // the parallel unit (raw WARC without an index is sequential BY
+  // FORMAT — the reason CC ships WET/WAT and megawarc .idx next to
+  // it); one plain + one gzipped shard cover the mixed reality. The
+  // oracle recomputes every expected record — including the embedded-
+  // boundary payload bytes the reader must round-trip — from the
+  // documents table.
+  private val w02Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The adversarial payload: doc_id%5=0 payloads embed a complete
+    * fake record; the oracle mirrors this construction in SQL.
+    */
+  private def rawPayload(id: Long, text: String): String =
+    if (id % 5 == 0)
+      text + "\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: 99\r\n\r\nfake body tail-$id"
+    else text
+
+  private[queries] def rawWarcFixtureDir(c: Catalog): String =
+    w02Fixture.computeIfAbsent(c.dir, { _ =>
+      val d = Scratch.dir("w02_warc")
+      val rows = c.documents.select("doc_id", "text")
+        .orderBy("doc_id").toLocalIterator()
+      val plain = java.nio.file.Files.newBufferedWriter(
+        d.resolve("shard-0.warc"), java.nio.charset.StandardCharsets.UTF_8)
+      val gz = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(
+          d.resolve("shard-1.warc.gz"))),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val writers = Seq(plain, gz)
+      try {
+        rows.forEachRemaining { r =>
+          val id = r.getLong(0)
+          val rec = Warc.rawRecord(
+            s"https://crawl.example/raw/$id",
+            f"2024-01-${id % 28 + 1}%02dT00:00:00Z",
+            rawPayload(id, r.getString(1)), "response")
+          writers((id % 2).toInt).write(rec)
+        }
+      } finally writers.foreach(_.close())
+      d.toString
+    })
+
+  val w02: Q = q("w02_warc_raw",
+    """WITH pay AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN text
+      |      || chr(13) || chr(10) || 'WARC/1.0'
+      |      || chr(13) || chr(10) || 'WARC-Type: response'
+      |      || chr(13) || chr(10) || 'Content-Length: 99'
+      |      || chr(13) || chr(10) || chr(13) || chr(10)
+      |      || 'fake body tail-' || CAST(doc_id AS VARCHAR)
+      |    ELSE text END AS payload
+      |  FROM documents)
+      |SELECT 'https://crawl.example/raw/' || CAST(doc_id AS VARCHAR) AS url,
+      |  'response' AS rec_type,
+      |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |    || 'T00:00:00Z' AS warc_date,
+      |  CAST(strlen(payload) AS BIGINT) AS content_length,
+      |  md5(payload) AS payload_md5,
+      |  contains(payload, 'WARC/1.0') AS has_embedded_boundary
+      |FROM pay ORDER BY url""") { c =>
+    Warc.readRaw(c.spark, rawWarcFixtureDir(c))
+      .select(col("url"), col("rec_type"), col("warc_date"),
+        col("content_length"),
+        md5(col("payload").cast("binary")).as("payload_md5"),
+        col("payload").contains("WARC/1.0").as("has_embedded_boundary"))
+      .orderBy("url")
+  }
+
+  // ---------------------------------------------------------------
   // x34 — HTML BOILERPLATE EXTRACTION (the trafilatura/jusText-class
   // stage every CC-derived pipeline runs FIRST — before x01 langid,
   // x02 quality, d02 dedup — because real corpora arrive as markup,

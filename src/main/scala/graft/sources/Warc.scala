@@ -77,10 +77,18 @@ object Warc {
   }
 
   /** Render one WET-style conversion record. */
-  def record(url: String, date: String, payload: String): String = {
+  def record(url: String, date: String, payload: String): String =
+    rawRecord(url, date, payload, "conversion")
+
+  /** Render one record of an arbitrary WARC-Type (w02's raw-fetch
+    * fixtures use "response" records whose payloads may embed the
+    * record boundary — exactly what [[readRaw]] exists to survive).
+    */
+  def rawRecord(url: String, date: String, payload: String,
+      recType: String): String = {
     val sb = new StringBuilder
     sb.append(RecordBoundary)
-    sb.append("WARC-Type: conversion\r\n")
+    sb.append(s"WARC-Type: $recType\r\n")
     sb.append(s"WARC-Target-URI: $url\r\n")
     sb.append(s"WARC-Date: $date\r\n")
     sb.append(s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n")
@@ -88,6 +96,114 @@ object Warc {
     sb.append(payload)
     sb.append("\r\n\r\n")
     sb.toString
+  }
+
+  /** One parsed record row (w02's reader output — same shape as
+    * [[parse]]'s columns).
+    */
+  final case class Rec(url: String, rec_type: String, warc_date: String,
+    content_length: Long, payload: String)
+
+  /** LENGTH-WALKING raw-WARC reader (w02): hops record to record by
+    * Content-Length instead of splitting on the boundary string, so a
+    * raw fetch BODY that embeds the literal `"WARC/1.0\r\n"` — the
+    * case the delimiter-split [[read]] documents as its known limit —
+    * parses correctly: the payload is never searched, only counted.
+    *
+    * Scale shape: raw WARC without a record index is sequential BY
+    * FORMAT (each record's start is known only after the previous
+    * record's length is read — the reason Common Crawl ships WET/WAT
+    * next to WARC and megawarc tooling ships .idx files). The
+    * parallel unit is therefore the SHARD, exactly how a 100 TB crawl
+    * is laid out (~100k members of ~1 GB): one `binaryFile` row per
+    * shard, walked once per task with zero driver involvement —
+    * `mapPartitions` is the sanctioned tool here for the same reason
+    * it is in the mm codecs (imperative per-byte work no Catalyst
+    * expression performs). Gzipped members (.gz) inflate in-task,
+    * matching the text source's by-extension behavior in [[read]].
+    *
+    * Contract: every record MUST carry Content-Length (the WARC spec
+    * requires it; WET's omission tolerance lives in [[parse]] only) —
+    * a missing header fails loudly with the shard path and offset
+    * rather than silently resyncing on a boundary that may be payload
+    * bytes.
+    */
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
+    val recs = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (p, raw) =>
+          val bytes =
+            if (p.endsWith(".gz")) {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(raw))
+              try in.readAllBytes() finally in.close()
+            } else raw
+          walkRecords(p, bytes)
+        }
+      }(org.apache.spark.sql.Encoders.product[Rec])
+    recs.toDF()
+  }
+
+  /** The sequential record walk over one shard's bytes. Package-
+    * visible for the adversarial-fixture specs.
+    */
+  private[graft] def walkRecords(shard: String,
+      bytes: Array[Byte]): Iterator[Rec] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val boundary = RecordBoundary.getBytes(ascii)
+    val hdrEnd = "\r\n\r\n".getBytes(ascii)
+    def startsWith(at: Int, pat: Array[Byte]): Boolean =
+      at + pat.length <= bytes.length &&
+        pat.indices.forall(i => bytes(at + i) == pat(i))
+    def findSeq(pat: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + pat.length <= bytes.length) {
+        if (startsWith(i, pat)) return i
+        i += 1
+      }
+      -1
+    }
+    val field = "([A-Za-z-]+): (.*)".r
+    new Iterator[Rec] {
+      private var pos = findSeq(boundary, 0)
+      override def hasNext: Boolean = pos >= 0 && pos < bytes.length
+      override def next(): Rec = {
+        require(startsWith(pos, boundary),
+          s"readRaw: expected a record boundary at $shard:$pos — " +
+            "corrupt container or a record without Content-Length")
+        val hStart = pos + boundary.length
+        val hStop = findSeq(hdrEnd, hStart)
+        require(hStop >= 0, s"readRaw: unterminated header at $shard:$pos")
+        val hdrs = new String(bytes, hStart, hStop - hStart, ascii)
+          .split("\r\n").collect { case field(k, v) => k -> v }.toMap
+        val len = hdrs.getOrElse("Content-Length",
+          sys.error(s"readRaw: record at $shard:$pos has no " +
+            "Content-Length — the raw-WARC contract requires it")).toLong
+        val pStart = hStop + hdrEnd.length
+        require(pStart + len <= bytes.length,
+          s"readRaw: truncated record block at $shard:$pos")
+        val payload = new String(bytes, pStart, len.toInt, utf8)
+        // spec: the record block is followed by two CRLFs before the
+        // next record (or EOF, possibly with trailing whitespace)
+        var nxt = pStart + len.toInt
+        while (nxt < bytes.length && !startsWith(nxt, boundary)) {
+          require(bytes(nxt) == '\r' || bytes(nxt) == '\n',
+            s"readRaw: unexpected bytes after the record block at " +
+              s"$shard:$nxt (Content-Length and block disagree)")
+          nxt += 1
+        }
+        pos = if (nxt >= bytes.length) -1 else nxt
+        Rec(hdrs.getOrElse("WARC-Target-URI", ""),
+          hdrs.getOrElse("WARC-Type", ""),
+          hdrs.getOrElse("WARC-Date", ""),
+          len, payload)
+      }
+    }
   }
 
 }
