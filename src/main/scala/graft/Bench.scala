@@ -196,7 +196,15 @@ object Bench {
     // p06 = one container scan + one HOF projection + the one
     // md5-window dedup shuffle (its 10x fixture generation is
     // driver-side but linear and outside the claim)
-    "s20_ann_nsw", "p06_crawl_ingest_pipeline")
+    "s20_ann_nsw", "p06_crawl_ingest_pipeline",
+    // r17: s21 = s20's layer-0 build + a geometric stack of smaller
+    // ones (~4/3 total at decay 4) + beam-bounded walks per layer —
+    // the linear claim is the graph stack; the walks are query-
+    // bounded. w02 is NOT probed for w01's reason (its 10x timing
+    // would measure the single-threaded driver-side fixture WRITE,
+    // not the per-shard walk, which parallelizes across members by
+    // construction).
+    "s21_ann_hnsw")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -1818,6 +1818,126 @@ object Ann {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** HIERARCHICAL graph ANN (s21 — the full HNSW shape, closing
+    * [[nswSearch]]'s documented single-layer restriction): a stack of
+    * NESTED layers where layer ℓ holds a deterministic ~1/decay^ℓ
+    * sample of the corpus with its own navigable graph, searched by
+    * DESCENT — enter at the sparse top layer, beam-walk it, carry the
+    * best beam down as the next layer's entries, finish with the
+    * layer-0 walk over the full graph. The hierarchy replaces
+    * [[nswSearch]]'s IVF seeding: entry quality comes from
+    * progressively denser graphs instead of coarse-cell extremal ids,
+    * so two semantic blobs sharing a coarse cell no longer depend on
+    * the two-seed workaround (spec-pinned on exactly that planted
+    * case).
+    *
+    * Level assignment is HNSW's geometric distribution made
+    * DETERMINISTIC (the oracle-portability discipline): node ∈ layer ℓ
+    * iff ((vec_id % 10⁶) · 2654435761) % 1000003 · decay^ℓ < 1000003 —
+    * a RANGE cut on the golden-ratio hash (Fibonacci hashing's
+    * high-bits rule; a second modulus instead leaks the id
+    * progression's structure — measured: step-32 id families landed
+    * ALL-or-NOTHING in layer 2). Layers nest by construction and both
+    * engines compute the same sample. Layer graphs are the SAME
+    * occupancy-held k-NN build
+    * as layer 0 (per-layer adaptive k-means, k = max(16,
+    * n_ℓ/occupancy)), so every layer's build cost is ~n_ℓ·graphK and
+    * the stack totals ~4/3 of the base graph at decay 4.
+    *
+    * Scale shape: `levels` is the corpus dial — pick levels ≈
+    * log_decay(n/minTop) so the top layer is constant-sized and the
+    * exhaustive top-layer entry scoring (nq × n/decay^levels) stays
+    * bounded; every walk below it is beam-bounded per query exactly
+    * like [[nswSearch]]. Determinism: identical µ-cosine/node-id
+    * ranking at every step, so the full descent replays in the DuckDB
+    * oracle hop by hop, layer by layer.
+    */
+  def hnswSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+      graphK: Int = 3, beam: Int = 8, hops: Int = 3,
+      occupancy: Long = 256L, levels: Int = 2, decay: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    require(levels >= 1 && decay >= 2, "need at least one sparse layer")
+    def layerPred(l: Int): Column =
+      (col("vec_id") % 1000000L) * 2654435761L % 1000003L *
+        math.pow(decay.toDouble, l.toDouble).toLong < 1000003L
+    // occupancy-held symmetrized kNN graph over one layer's assignment
+    // — knnGraphAuto's plan, shared verbatim with nswSearch's layer 0
+    def graphOf(assigned: DataFrame): DataFrame = {
+      val members = assigned.select(col("vec_id").as("neighbor_id"),
+        col("v"), col("nrm"), col("cid"))
+      val gq = assigned.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"), col("cid"))
+      val scored = members.join(gq, "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      val dir = topK(scored, graphK)
+        .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+        .distinct().localCheckpoint(true)
+    }
+    def layerAssigned(sub: DataFrame): DataFrame = {
+      val nl = sub.count()
+      require(nl >= 1, "hnswSearch: a layer is empty — lower `levels`")
+      val kcl = math.max(16L, nl / occupancy)
+      assignViaJoin(normed(sub), kmeansDf(sub, kcl, kmeansIters), kcl)
+        .localCheckpoint(true)
+    }
+    val a0 = layerAssigned(corpus)
+    val g0 = graphOf(a0)
+    val gUp = (1 to levels).map { l =>
+      l -> graphOf(layerAssigned(corpus.filter(layerPred(l))))
+    }.toMap
+    val nodeVecs = a0.select(col("vec_id").as("node"), col("v"), col("nrm"))
+    val qn = normed(queries).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn")).localCheckpoint(true)
+    def scoreDf(pairs: DataFrame): DataFrame = {
+      val cos = Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+      pairs.join(nodeVecs, "node").join(qn, "query_id")
+        .select(col("query_id"), col("node"), cos.as("cos"),
+          round(cos * 1000000, 0).cast(LongType).as("cosu"))
+    }
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("cosu").desc, col("node").asc)
+    def topBeam(v: DataFrame): DataFrame =
+      v.withColumn("__r", row_number().over(wb)).filter(col("__r") <= beam)
+        .drop("__r")
+    // one layer's beam walk from per-query entry pairs; returns the
+    // visited-with-scores frame (nswSearch's loop, entries generalized
+    // from a global set to per-query pairs so the descent can seed it)
+    def walk(g: DataFrame, entries: DataFrame): DataFrame = {
+      var visited = scoreDf(entries).localCheckpoint(true)
+      var frontier = topBeam(visited)
+      (1 to hops).foreach { _ =>
+        val expand = frontier.select("query_id", "node")
+          .join(g, col("node") === col("a"))
+          .select(col("query_id"), col("b").as("node")).distinct()
+        val fresh = expand.join(visited.select("query_id", "node"),
+          Seq("query_id", "node"), "left_anti")
+        visited = visited.unionByName(scoreDf(fresh)).localCheckpoint(true)
+        frontier = topBeam(visited)
+      }
+      visited
+    }
+    // descent: exhaustive entry at the constant-sized top layer, then
+    // carry each layer's best beam down as the next layer's entries
+    // (layers nest, so carried nodes exist in every layer below)
+    var entries: DataFrame = qn.select("query_id")
+      .crossJoin(corpus.filter(layerPred(levels))
+        .select(col("vec_id").as("node")))
+    (levels to 1 by -1).foreach { l =>
+      entries = topBeam(walk(gUp(l), entries)).select("query_id", "node")
+    }
+    val visited0 = walk(g0, entries)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosu").desc, col("node").asc)
+    visited0.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein '98)
     * re-ranking: greedily pick `k` results balancing relevance to the
     * query against redundancy with what's already picked —

@@ -346,6 +346,118 @@ object AnnQueries extends QDsl {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB mirror of [[Ann.hnswSearch]]: the s20 replay machinery
+    * GENERALIZED over the layer stack — the same adaptive-k layer-0
+    * assignment (kaf) and symmetrized graph, plus one
+    * kmeansSubsetTrainSql + graph per upper layer over the
+    * deterministic geometric sample (the golden-ratio-over-prime
+    * predicate both engines compute), the exhaustive top-layer entry
+    * set, and one generated beam-walk block per layer whose final
+    * beam CTE seeds the next layer down. Every ranking is (µ-cosine
+    * DESC, node ASC), so the whole descent is bit-replayable.
+    */
+  private def hnswOracleSql(k: Int, graphK: Int, beam: Int, hops: Int,
+      levels: Int, decay: Int): String = {
+    def pred(l: Int): String =
+      s"((vec_id % 1000000) * 2654435761) % 1000003 * ${math.pow(decay.toDouble, l.toDouble).toLong} < 1000003"
+    // symmetrized occupancy-held kNN graph over one layer's final
+    // assignment — the nswOracleSql g-chain, prefixed
+    def graphCtes(p: String, kaf: String): String =
+      s"""${p}gr AS (SELECT q.vec_id AS qid, a.vec_id AS nb,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${SharedSql.ivfDot("q.v", "a.v")} / (q.nrm*a.nrm) DESC,
+         |        a.vec_id ASC) AS rn
+         |  FROM $kaf q JOIN $kaf a ON a.cid = q.cid AND a.vec_id <> q.vec_id),
+         |${p}ge AS (SELECT qid AS a, nb AS b FROM ${p}gr WHERE rn <= $graphK),
+         |${p}g AS (SELECT DISTINCT a, b FROM
+         |  (SELECT a, b FROM ${p}ge UNION ALL SELECT b AS a, a AS b FROM ${p}ge))""".stripMargin
+    val cosQ = s"${SharedSql.ivfDot("q.qv", "n.v")} / (q.qn*n.nrm)"
+    // one layer's beam walk: entries (query_id, node) scored into v0,
+    // then `hops` expand/anti-join/score/re-cut steps — nswOracleSql's
+    // hop chain, prefixed and seeded from an arbitrary entry CTE
+    def walkCtes(p: String, g: String, entries: String): String = {
+      val hopSteps = (1 to hops).map { t =>
+        s"""${p}e$t AS (SELECT DISTINCT f.query_id, g.b AS node
+           |  FROM ${p}f${t - 1} f JOIN $g g ON g.a = f.node),
+           |${p}fr$t AS (SELECT e.query_id, e.node FROM ${p}e$t e
+           |  LEFT JOIN ${p}v${t - 1} v ON v.query_id = e.query_id AND v.node = e.node
+           |  WHERE v.node IS NULL),
+           |${p}sc$t AS (SELECT query_id, node, cos,
+           |    CAST(round(cos*1000000, 0) AS BIGINT) AS cosu
+           |  FROM (SELECT q.query_id, fr.node, $cosQ AS cos
+           |        FROM ${p}fr$t fr JOIN kaf n ON n.vec_id = fr.node
+           |        JOIN q20 q ON q.query_id = fr.query_id)),
+           |${p}v$t AS (SELECT * FROM ${p}v${t - 1} UNION ALL SELECT * FROM ${p}sc$t),
+           |${p}f$t AS (SELECT query_id, node FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosu DESC, node ASC) AS rn FROM ${p}v$t)
+           |  WHERE rn <= $beam)""".stripMargin
+      }.mkString(",\n")
+      s"""${p}v0 AS (SELECT query_id, node, cos,
+         |    CAST(round(cos*1000000, 0) AS BIGINT) AS cosu
+         |  FROM (SELECT q.query_id, e.node, $cosQ AS cos
+         |        FROM $entries e JOIN kaf n ON n.vec_id = e.node
+         |        JOIN q20 q ON q.query_id = e.query_id)),
+         |${p}f0 AS (SELECT query_id, node FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosu DESC, node ASC) AS rn FROM ${p}v0)
+         |  WHERE rn <= $beam),
+         |$hopSteps""".stripMargin
+    }
+    val layerTrains = (1 to levels).map { l =>
+      SharedSql.kmeansSubsetTrainSql(s"l$l", pred(l)) + ",\n" +
+        graphCtes(s"l$l", s"l${l}kaf")
+    }.mkString(",\n")
+    val descent = (levels to 1 by -1).map { l =>
+      val entries = if (l == levels) "tope" else s"w${l + 1}f$hops"
+      walkCtes(s"w$l", s"l${l}g", entries)
+    }.mkString(",\n")
+    val sql = s"""${SharedSql.kmeansAutoTrainSql()},
+       |${graphCtes("", "kaf")},
+       |$layerTrains,
+       |q20 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM kaf WHERE vec_id < 20),
+       |tope AS (SELECT q.query_id, t.vec_id AS node
+       |  FROM q20 q CROSS JOIN (SELECT vec_id FROM n WHERE ${pred(levels)}) t),
+       |$descent,
+       |${walkCtes("w0", "g", s"w1f$hops")}
+       |SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id,
+       |  ROUND(cos, 6) AS cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosu DESC, node ASC) AS rn
+       |  FROM w0v$hops WHERE node <> query_id)
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+    // MATERIALIZE every CTE: DuckDB inlines plain CTEs at each
+    // reference, and this oracle's visited-set chains reference their
+    // predecessors twice per hop — inlined, the shared train CTEs
+    // re-expand exponentially (measured: the file-handle limit blows
+    // before the plan finishes). Materialization is semantically
+    // identical; it only pins evaluate-once.
+    sql.replaceAll("""(?m)^(\s*)(\w+) AS \(""", "$1$2 AS MATERIALIZED (")
+      .replace("WITH e AS (", "WITH e AS MATERIALIZED (")
+  }
+
+  // s21 — HIERARCHICAL graph ANN (Ann.hnswSearch — the full HNSW
+  // shape, closing s20's documented single-layer restriction): nested
+  // deterministic geometric layers (golden-ratio hash over a prime
+  // modulus — both engines compute the same ~1/4^ℓ sample), each with
+  // its own occupancy-held symmetrized kNN graph, searched by DESCENT
+  // — exhaustive entry at the constant-sized top layer, beam-walk,
+  // carry the best beam down as the next layer's entries, finish with
+  // the layer-0 walk. Entry quality now comes from progressively
+  // denser graphs instead of s20's per-cell extremal-id seeds (the
+  // two-blob-per-cell case is spec-pinned WITHOUT the two-seed
+  // workaround). `levels` is the corpus dial (≈ log₄(n/minTop) keeps
+  // the top layer constant-sized); the oracle replays the whole
+  // descent layer by layer, hop by hop.
+  val s21: Q = q("s21_ann_hnsw",
+    hnswOracleSql(k = 5, graphK = 3, beam = 8, hops = 3,
+      levels = 2, decay = 4)) { c =>
+    Ann.hnswSearch(c.embeddings.filter(col("vec_id") < 20), c.embeddings,
+        k = 5, graphK = 3, beam = 8, hops = 3, levels = 2, decay = 4)
+      .orderBy("query_id", "rank")
+  }
+
   private def ivfOracleSql(nCentroids: Int, nProbe: Int, k: Int,
       iters: Int = 2): String =
     s"""${SharedSql.ivfTrainSql(nCentroids, iters)},

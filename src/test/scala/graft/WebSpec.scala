@@ -399,6 +399,44 @@ class WebSpec extends SparkSpec {
     assert(hits >= 18, s"planted-NN recall@5 too low: $hits/20")
   }
 
+  test("s21 HNSW descent: two blobs per coarse cell resolved by the layer hierarchy — no per-cell entry seeds anywhere") {
+    // s20's documented restriction: with two semantic blobs co-hosted
+    // in one coarse cell, its per-cell extremal-id seeding is an entry
+    // LOTTERY (the r15 recall incident) patched by the two-seed
+    // workaround. Here the fixture FORCES co-hosting — 32 planted
+    // blobs, default occupancy → kc = max(16, 1600/256) = 16 cells →
+    // ~2 blobs per cell — and hnswSearch must resolve it through the
+    // hierarchy alone: the geometric layer sample covers every
+    // ~50-member blob at some layer (decay^levels = 16 ≲ blob size —
+    // the sizing rule in the docstring), the exhaustive top-layer
+    // entry scores it, and the beam carries it down. No cell-keyed
+    // seeds exist anywhere in the operator.
+    val rnd = new scala.util.Random(77)
+    val centers = Array.fill(32, 64)(rnd.nextGaussian())
+    val planted = (0 until 32).map(i =>
+      (i.toLong, centers(i).map(_.toFloat).toSeq)) ++
+      (32 until 1600).map { i =>
+        val c = centers(i % 32)
+        (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    val emb = spark.createDataFrame(planted).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = Ann.hnswSearch(queries, emb, k = 5,
+        levels = 2, decay = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"ranks for query $q")
+      assert(!rows.exists(_._3 == q), s"self-neighbor for query $q")
+    }
+    val brute = Ann.brute(queries, emb, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val hits = byQ.count { case (q, rows) => rows.exists(_._3 == brute(q)) }
+    assert(hits >= 18, s"two-blob-per-cell recall@5 too low: $hits/20")
+  }
+
   test("size gates: the exact compare-scale dials refuse corpus-sized input and point at the auto form") {
     val c = cat
     // under the limit: runs (the whole correctness board is the proof,
