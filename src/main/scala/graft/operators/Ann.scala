@@ -1045,6 +1045,22 @@ object Ann {
     def permuted(u: Column): Column =
       transform(sequence(lit(1), lit(dim)),
         i => element_at(u, element_at(permLit, i).cast("int")))
+    ivfpqReprojected(queries, corpus, k, permuted, nCentroids, nProbe,
+      m, pqK, shortlist, kmeansIters, dim)
+  }
+
+  /** The shared OPQ serve path: coarse-assign on the ORIGINAL
+    * vectors, reproject units through `reproject` (an orthonormal map
+    * — L2/ADC ranking is basis-independent), PQ train/encode/ADC in
+    * the reprojected basis, exact-cosine re-rank on the original
+    * vectors. Both [[ivfpqOpq]] (permutation) and [[ivfpqOpqRotated]]
+    * (full PCA rotation) route here, so the two forms cannot drift.
+    */
+  private def ivfpqReprojected(queries: DataFrame, corpus: DataFrame,
+      k: Int, reproject: Column => Column, nCentroids: Int, nProbe: Int,
+      m: Int, pqK: Int, shortlist: Int, kmeansIters: Int,
+      dim: Int): DataFrame = {
+    def permuted(u: Column): Column = reproject(u)
     val coarse = ivfCodebook(corpus, nCentroids, kmeansIters)
     val subDim = dim / m
     val nc = normed(corpus)
@@ -1083,6 +1099,124 @@ object Ann {
     val rescored = short.select(col("query_id"), col("neighbor_id"),
       Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
     topK(rescored, k)
+  }
+
+  /** Uncentered second-moment matrix E-ish[u uᵀ] of the corpus UNIT
+    * vectors (the energy matrix the OPQ rotation diagonalizes — PQ
+    * encodes u directly, so uncentered is the relevant form), as
+    * exact 2²⁰-scaled integer sums: one corpus pass emitting the
+    * upper-triangle (i, j, qᵢ·qⱼ) stream, decimal(38,0) accumulation
+    * (order-free — the run-to-run determinism the rows-only spec
+    * pins), DIM·(DIM+1)/2 rows to the driver.
+    */
+  private[graft] def opqCovariance(corpus: DataFrame,
+      dim: Int = 64): Array[Array[Double]] = {
+    val scale = 1L << 20
+    val pairIdx = typedLit(for {
+      i <- 0 until dim; j <- i until dim
+    } yield (i + 1) * 1000 + (j + 1))
+    val rows = normed(corpus)
+      .withColumn("q", transform(unit("v", "nrm"),
+        x => (x * scale).cast(LongType)))
+      .select(explode(transform(pairIdx, p => struct(p.as("p"),
+        (element_at(col("q"), (p / 1000).cast("int")) *
+          element_at(col("q"), (p % 1000).cast("int")))
+          .cast("decimal(38,0)").as("x")))).as("e"))
+      .groupBy(col("e.p").as("p")).agg(sum(col("e.x")).as("s"))
+      .collect()
+    val n = corpus.count().toDouble
+    val cov = Array.fill(dim, dim)(0.0)
+    rows.foreach { r =>
+      val p = r.getInt(0); val i = p / 1000 - 1; val j = p % 1000 - 1
+      val v = new java.math.BigDecimal(r.getDecimal(1).toBigInteger)
+        .doubleValue() / scale.toDouble / scale.toDouble / n
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    cov
+  }
+
+  /** FULL OPQ ROTATION (the PCA basis in front of [[opqAllocation]]
+    * — Ge et al. CVPR'13 §3's R, the part the REGISTERED s19 documents
+    * as its restriction): eigenbasis of [[opqCovariance]] by power
+    * iteration with Gram-Schmidt deflation — DIM×DIM driver-bounded
+    * math (64² doubles; the corpus never leaves the executors beyond
+    * the one covariance pass) — eigen-directions ordered by
+    * eigenvalue and snake-dealt across the `m` subspaces exactly as
+    * the allocation deals coordinate dimensions. Returns the rotation
+    * ROWS (output position → basis vector).
+    *
+    * Determinism: the covariance is integer-exact, the iteration
+    * starts from fixed seeds, re-orthogonalizes every step, and signs
+    * are normalized (largest-|component| positive) — same corpus,
+    * same rotation, every run. What this is NOT: SQL-oracle
+    * reproducible — iterative float eigendecomposition has no
+    * bit-stable DuckDB mirror, which is WHY the registered s19 keeps
+    * the coordinate-basis allocation and this form is rows-only,
+    * spec-pinned (orthonormality, run-to-run stability, and
+    * recon-error dominance over allocation-only on an anisotropic
+    * corpus).
+    */
+  def opqRotation(corpus: DataFrame, m: Int = 8, dim: Int = 64,
+      powerIters: Int = 60): Seq[Seq[Double]] = {
+    val cov = opqCovariance(corpus, dim)
+    def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      (0 until dim).map(i => a(i) * b(i)).sum
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val eigVal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until dim).foreach { kdx =>
+      var v = Array.tabulate(dim)(i =>
+        if (i == kdx) 1.0 else 1e-3 / (i + 1).toDouble)
+      (0 until powerIters).foreach { _ =>
+        var w = matVec(cov, v)
+        // Gram-Schmidt against the found basis every step: deflation
+        // by projection keeps the iteration inside the orthogonal
+        // complement even when eigenvalues cluster
+        basis.foreach { b => val c = dot(w, b); w = w.zip(b).map { case (x, y) => x - c * y } }
+        val nm = math.sqrt(dot(w, w))
+        v = if (nm > 1e-12) w.map(_ / nm)
+        else { // degenerate residual space: fall back to an
+          // orthogonalized coordinate seed (still deterministic)
+          var s = Array.tabulate(dim)(i => if (i == kdx) 1.0 else 0.0)
+          basis.foreach { b => val c = dot(s, b); s = s.zip(b).map { case (x, y) => x - c * y } }
+          val sn = math.sqrt(dot(s, s)); s.map(_ / math.max(sn, 1e-12))
+        }
+      }
+      // sign convention: largest-|component| positive
+      val pivot = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(x => -x)
+      basis += v
+      eigVal += dot(v, matVec(cov, v))
+    }
+    // eigen order is variance order — snake-deal directions across
+    // the m subspaces exactly like opqAllocation deals coordinates
+    val ranked = eigVal.indices.sortBy(i => (-eigVal(i), i)).zipWithIndex
+    val groups = ranked.map { case (bi, r) =>
+      val pos = r % m
+      val grp = if ((r / m) % 2 == 0) pos else m - 1 - pos
+      (grp, r, bi)
+    }
+    groups.sortBy { case (grp, r, _) => (grp, r) }
+      .map { case (_, _, bi) => basis(bi).toSeq }.toSeq
+  }
+
+  /** [[ivfpqOpq]] with the FULL rotation in front: units reproject
+    * through [[opqRotation]]'s basis (4096 codegen'd MACs per row —
+    * one HOF expression, no UDF), then the shared serve path. The
+    * rows-only sibling of the registered s19 (see [[opqRotation]] for
+    * the oracle restriction).
+    */
+  def ivfpqOpqRotated(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, pqK: Int = 16,
+      shortlist: Int = 64, kmeansIters: Int = 2, dim: Int = 64): DataFrame = {
+    val rot = typedLit(opqRotation(corpus, m, dim))
+    def rotated(u: Column): Column =
+      transform(sequence(lit(1), lit(dim)), r =>
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
+          acc + element_at(element_at(rot, r), i) * element_at(u, i)))
+    ivfpqReprojected(queries, corpus, k, rotated, nCentroids, nProbe,
+      m, pqK, shortlist, kmeansIters, dim)
   }
 
   /** Mean PQ reconstruction L2² of `u`-frame rows against codebook

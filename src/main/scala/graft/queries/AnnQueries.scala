@@ -265,6 +265,23 @@ object AnnQueries extends QDsl {
       .orderBy("query_id", "rank")
   }
 
+  // s19_rot — the FULL OPQ rotation (Ann.ivfpqOpqRotated): the PCA
+  // basis in front of the allocation, the restriction the registered
+  // s19 documents. ROWS-ONLY by contract: the basis comes from
+  // iterative float eigendecomposition (power iteration + deflation,
+  // driver-bounded 64×64 math over an integer-exact covariance) —
+  // deterministic run to run, but with no bit-stable DuckDB mirror.
+  // Pinned in ScalaTest: exact orthonormality, run-to-run stability,
+  // recon-error dominance over allocation-only on a rotated-
+  // anisotropy corpus (where coordinate variances are uniform and the
+  // allocation has nothing to grab), and serve-path soundness via the
+  // exact re-rank.
+  val s19rot: Q = rowsOnly("s19_ann_opq_rot") { c =>
+    Ann.ivfpqOpqRotated(c.embeddings.filter(col("vec_id") < 20),
+        c.embeddings, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB mirror of [[Ann.nswSearch]]: the same adaptive-k
     * assignment (kmeansAutoTrainSql → kaf), the same symmetrized
     * occupancy-held k-NN graph, per-cluster min-id entry points, and

@@ -31,7 +31,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(d01, d02, d02auto, d03, d03auto, d04, d04auto, d05, d05auto, d06, d07, d08, d09, d10, d10auto,
     d11, d12, d13, d14, d14fast, d15, d16, d17, d17auto, d18, d19, d20,
     s01, s02, s03, s04, s05, s05auto, s06, s07, s08, s09, s10, s11, s12, s13,
-    s14, s15, s15auto, s16, s17, s18, s19, s20, s21,
+    s14, s15, s15auto, s16, s17, s18, s19, s19rot, s20, s21,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, WebQueries.x34, x35, x36, x37,

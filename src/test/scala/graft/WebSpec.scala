@@ -230,6 +230,61 @@ class WebSpec extends SparkSpec {
       s"allocated recon error $eOpq must beat contiguous slicing's $ePlain")
   }
 
+  test("s19 rotation: orthonormal, run-to-run stable, recon error never loses to allocation-only on a rotated-anisotropy corpus") {
+    // anisotropy that is NOT axis-aligned: variance lives in 8 dense
+    // random directions, so per-COORDINATE variances are near-uniform
+    // and the coordinate-basis allocation has nothing to grab — the
+    // exact case the registered s19 documents as its restriction and
+    // the full PCA rotation exists for.
+    val rnd = new scala.util.Random(11)
+    val dirs = Array.fill(8, 64)(rnd.nextGaussian())
+    val planted = (0 until 400).map { i =>
+      val z = Array.fill(8)(rnd.nextGaussian())
+      val x = Array.tabulate(64)(d =>
+        (0 until 8).map(f => dirs(f)(d) * z(f) * (9.0 - f)).sum +
+          0.05 * rnd.nextGaussian())
+      (i.toLong, x.map(_.toFloat).toSeq)
+    }
+    val emb = spark.createDataFrame(planted).toDF("vec_id", "embedding")
+    val rot = Ann.opqRotation(emb, m = 8, dim = 64)
+    // exactly orthonormal (Gram-Schmidt every power step)
+    for (a <- rot.indices; b <- a until rot.size) {
+      val d = (0 until 64).map(i => rot(a)(i) * rot(b)(i)).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-6,
+        s"R·Rᵀ[$a][$b] = $d")
+    }
+    // deterministic: integer-exact covariance + fixed seeds + sign
+    // normalization → the same rotation every run
+    assert(rot == Ann.opqRotation(emb, m = 8, dim = 64))
+    // dominance: same Lloyd machinery, same m×k budget — the rotated
+    // basis must never lose to the coordinate-basis allocation
+    val u = Ann.normed(emb)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val perm = Ann.opqAllocation(emb, m = 8, dim = 64)
+    val permLit = typedLit(perm)
+    val up = u.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => element_at(col("u"), element_at(permLit, i).cast("int"))).as("u"))
+    val rotLit = typedLit(rot)
+    val ur = u.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), r =>
+        aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+          acc + element_at(element_at(rotLit, r), i) *
+            element_at(col("u"), i))).as("u"))
+    val eAlloc = Ann.pqReconError(up, Ann.pqCodebooksOn(up, 8, 16, 2, 64), 8, 64)
+    val eRot = Ann.pqReconError(ur, Ann.pqCodebooksOn(ur, 8, 16, 2, 64), 8, 64)
+    assert(eRot <= eAlloc,
+      s"rotated recon error $eRot must not lose to allocation-only's $eAlloc")
+    // and the serve path stays sound: the exact re-rank makes coding
+    // a recall dial, never correctness — top-1 of the rotated form
+    // agrees with brute on this strongly-clustered corpus
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Ann.ivfpqOpqRotated(queries, emb, k = 5)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(got.size == 10)
+  }
+
   test("d20 prefix doubling == window-hash scrub at W=50; planted long spans scrub keep-first, short docs untouched") {
     import spark.implicits._
     val base = cat.documents.select(col("doc_id"), col("text"))
