@@ -1122,9 +1122,13 @@ object Ann {
         (element_at(col("q"), (p / 1000).cast("int")) *
           element_at(col("q"), (p % 1000).cast("int")))
           .cast("decimal(38,0)").as("x")))).as("e"))
-      .groupBy(col("e.p").as("p")).agg(sum(col("e.x")).as("s"))
+      .groupBy(col("e.p").as("p")).agg(sum(col("e.x")).as("s"),
+        count(lit(1)).as("n"))
       .collect()
-    val n = corpus.count().toDouble
+    // every row emits every pair index, so each pair group's count IS
+    // the corpus size — no second corpus pass for n
+    require(rows.nonEmpty, "opqCovariance: empty corpus")
+    val n = rows.head.getLong(2).toDouble
     val cov = Array.fill(dim, dim)(0.0)
     rows.foreach { r =>
       val p = r.getInt(0); val i = p / 1000 - 1; val j = p % 1000 - 1
@@ -1886,6 +1890,79 @@ object Ann {
     * function of the input and the DuckDB oracle replays it hop by
     * hop; reported cosines are the exact doubles (strict fold).
     */
+  /** knnGraphAuto's symmetrized navigation-edge list over one
+    * assigned frame — THE graph both [[nswSearch]] (layer 0) and
+    * [[hnswSearch]] (every layer) build, factored so the two
+    * registered oracle-gated entries cannot drift.
+    */
+  private def navEdges(assigned: DataFrame, graphK: Int): DataFrame = {
+    val members = assigned.select(col("vec_id").as("neighbor_id"),
+      col("v"), col("nrm"), col("cid"))
+    val gq = assigned.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"), col("cid"))
+    val scored = members.join(gq, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    val dir = topK(scored, graphK)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+  }
+
+  /** Per-query scorer for (query_id, node) pairs: exact cosine plus
+    * the integer µ-cosine every beam/rank decision keys on.
+    */
+  private def nodeScorer(nodeVecs: DataFrame,
+      qn: DataFrame): DataFrame => DataFrame = pairs => {
+    val cos = Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
+    pairs.join(nodeVecs, "node").join(qn, "query_id")
+      .select(col("query_id"), col("node"), cos.as("cos"),
+        round(cos * 1000000, 0).cast(LongType).as("cosu"))
+  }
+
+  /** Best `beam` visited nodes per query — (µ-cosine DESC, node ASC),
+    * the shared deterministic cut.
+    */
+  private def cutBeam(v: DataFrame, beam: Int): DataFrame = {
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("cosu").desc, col("node").asc)
+    v.withColumn("__r", row_number().over(wb)).filter(col("__r") <= beam)
+      .drop("__r")
+  }
+
+  /** One graph's beam walk from per-query (query_id, node) entries:
+    * score the entries, then `hops` expand / anti-join-visited /
+    * score-fresh / re-cut steps. Returns the visited-with-scores
+    * frame; each step is beam-bounded per query.
+    */
+  private def beamWalk(g: DataFrame, entries: DataFrame,
+      score: DataFrame => DataFrame, beam: Int, hops: Int): DataFrame = {
+    var visited = score(entries).localCheckpoint(true)
+    var frontier = cutBeam(visited, beam)
+    (1 to hops).foreach { _ =>
+      val expand = frontier.select("query_id", "node")
+        .join(g, col("node") === col("a"))
+        .select(col("query_id"), col("b").as("node")).distinct()
+      val fresh = expand.join(visited.select("query_id", "node"),
+        Seq("query_id", "node"), "left_anti")
+      visited = visited.unionByName(score(fresh)).localCheckpoint(true)
+      frontier = cutBeam(visited, beam)
+    }
+    visited
+  }
+
+  /** Final per-query ranking over a walk's visited set. */
+  private def rankVisited(visited: DataFrame, k: Int): DataFrame = {
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cosu").desc, col("node").asc)
+    visited.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   def nswSearch(queries: DataFrame, corpus: DataFrame, k: Int,
       graphK: Int = 3, beam: Int = 8, hops: Int = 3,
       occupancy: Long = 256L, kmeansIters: Int = 2): DataFrame = {
@@ -1894,18 +1971,7 @@ object Ann {
     val a = assignViaJoin(normed(corpus), kmeansDf(corpus, kc, kmeansIters), kc)
       .localCheckpoint(true) // graph members+queries, entries, node vectors
     // adjacency: knnGraphAuto's exact plan over this assignment
-    val members = a.select(col("vec_id").as("neighbor_id"), col("v"),
-      col("nrm"), col("cid"))
-    val gq = a.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("cid"))
-    val gScored = members.join(gq, "cid")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-    val gDir = topK(gScored, graphK)
-      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
-    val g = gDir.unionByName(gDir.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+    val g = navEdges(a, graphK)
     // TWO entry points per coarse cluster (min and max member id):
     // a cell can host more than one semantic blob whose intra-cell
     // kNN edges never cross (each blob's top-graphK neighbors are its
@@ -1913,43 +1979,18 @@ object Ann {
     // wrong blob. Two id-extremal seeds make beam pruning, which
     // keeps the best-SCORING entries per query, resolve the blob
     // choice instead of the entry lottery. Still Θ(n/occupancy)
-    // seeds — the s03 coarse-probe cost shape.
+    // seeds — the s03 coarse-probe cost shape. (hnswSearch replaces
+    // this seeding with a real layer hierarchy.)
     val entries = a.groupBy("cid")
       .agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
       .select(explode(array(col("lo"), col("hi"))).as("node")).distinct()
     val nodeVecs = a.select(col("vec_id").as("node"), col("v"), col("nrm"))
     val qn = normed(queries).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn")).localCheckpoint(true)
-    def scoreDf(pairs: DataFrame): DataFrame = {
-      val cos = Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
-      pairs.join(nodeVecs, "node").join(qn, "query_id")
-        .select(col("query_id"), col("node"), cos.as("cos"),
-          round(cos * 1000000, 0).cast(LongType).as("cosu"))
-    }
-    val wb = Window.partitionBy("query_id")
-      .orderBy(col("cosu").desc, col("node").asc)
-    def topBeam(v: DataFrame): DataFrame =
-      v.withColumn("__r", row_number().over(wb)).filter(col("__r") <= beam)
-        .drop("__r")
-    var visited = scoreDf(qn.select("query_id").crossJoin(entries))
-      .localCheckpoint(true)
-    var frontier = topBeam(visited)
-    (1 to hops).foreach { _ =>
-      val expand = frontier.select("query_id", "node")
-        .join(g, col("node") === col("a"))
-        .select(col("query_id"), col("b").as("node")).distinct()
-      val fresh = expand.join(visited.select("query_id", "node"),
-        Seq("query_id", "node"), "left_anti")
-      visited = visited.unionByName(scoreDf(fresh)).localCheckpoint(true)
-      frontier = topBeam(visited)
-    }
-    val wr = Window.partitionBy("query_id")
-      .orderBy(col("cosu").desc, col("node").asc)
-    visited.filter(col("node") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wr).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+    val score = nodeScorer(nodeVecs, qn)
+    val visited = beamWalk(g, qn.select("query_id").crossJoin(entries),
+      score, beam, hops)
+    rankVisited(visited, k)
   }
 
   /** HIERARCHICAL graph ANN (s21 — the full HNSW shape, closing
@@ -1994,22 +2035,6 @@ object Ann {
     def layerPred(l: Int): Column =
       (col("vec_id") % 1000000L) * 2654435761L % 1000003L *
         math.pow(decay.toDouble, l.toDouble).toLong < 1000003L
-    // occupancy-held symmetrized kNN graph over one layer's assignment
-    // — knnGraphAuto's plan, shared verbatim with nswSearch's layer 0
-    def graphOf(assigned: DataFrame): DataFrame = {
-      val members = assigned.select(col("vec_id").as("neighbor_id"),
-        col("v"), col("nrm"), col("cid"))
-      val gq = assigned.select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("nrm").as("qn"), col("cid"))
-      val scored = members.join(gq, "cid")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-      val dir = topK(scored, graphK)
-        .select(col("query_id").as("a"), col("neighbor_id").as("b"))
-      dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
-        .distinct().localCheckpoint(true)
-    }
     def layerAssigned(sub: DataFrame): DataFrame = {
       val nl = sub.count()
       require(nl >= 1, "hnswSearch: a layer is empty — lower `levels`")
@@ -2017,42 +2042,17 @@ object Ann {
       assignViaJoin(normed(sub), kmeansDf(sub, kcl, kmeansIters), kcl)
         .localCheckpoint(true)
     }
+    // per-layer graphs: navEdges — knnGraphAuto's plan, the SAME
+    // helper nswSearch's layer 0 uses (cannot drift)
     val a0 = layerAssigned(corpus)
-    val g0 = graphOf(a0)
+    val g0 = navEdges(a0, graphK)
     val gUp = (1 to levels).map { l =>
-      l -> graphOf(layerAssigned(corpus.filter(layerPred(l))))
+      l -> navEdges(layerAssigned(corpus.filter(layerPred(l))), graphK)
     }.toMap
     val nodeVecs = a0.select(col("vec_id").as("node"), col("v"), col("nrm"))
     val qn = normed(queries).select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn")).localCheckpoint(true)
-    def scoreDf(pairs: DataFrame): DataFrame = {
-      val cos = Vectors.cosine(col("qv"), col("v"), col("qn"), col("nrm"))
-      pairs.join(nodeVecs, "node").join(qn, "query_id")
-        .select(col("query_id"), col("node"), cos.as("cos"),
-          round(cos * 1000000, 0).cast(LongType).as("cosu"))
-    }
-    val wb = Window.partitionBy("query_id")
-      .orderBy(col("cosu").desc, col("node").asc)
-    def topBeam(v: DataFrame): DataFrame =
-      v.withColumn("__r", row_number().over(wb)).filter(col("__r") <= beam)
-        .drop("__r")
-    // one layer's beam walk from per-query entry pairs; returns the
-    // visited-with-scores frame (nswSearch's loop, entries generalized
-    // from a global set to per-query pairs so the descent can seed it)
-    def walk(g: DataFrame, entries: DataFrame): DataFrame = {
-      var visited = scoreDf(entries).localCheckpoint(true)
-      var frontier = topBeam(visited)
-      (1 to hops).foreach { _ =>
-        val expand = frontier.select("query_id", "node")
-          .join(g, col("node") === col("a"))
-          .select(col("query_id"), col("b").as("node")).distinct()
-        val fresh = expand.join(visited.select("query_id", "node"),
-          Seq("query_id", "node"), "left_anti")
-        visited = visited.unionByName(scoreDf(fresh)).localCheckpoint(true)
-        frontier = topBeam(visited)
-      }
-      visited
-    }
+    val score = nodeScorer(nodeVecs, qn)
     // descent: exhaustive entry at the constant-sized top layer, then
     // carry each layer's best beam down as the next layer's entries
     // (layers nest, so carried nodes exist in every layer below)
@@ -2060,16 +2060,10 @@ object Ann {
       .crossJoin(corpus.filter(layerPred(levels))
         .select(col("vec_id").as("node")))
     (levels to 1 by -1).foreach { l =>
-      entries = topBeam(walk(gUp(l), entries)).select("query_id", "node")
+      entries = cutBeam(beamWalk(gUp(l), entries, score, beam, hops), beam)
+        .select("query_id", "node")
     }
-    val visited0 = walk(g0, entries)
-    val wr = Window.partitionBy("query_id")
-      .orderBy(col("cosu").desc, col("node").asc)
-    visited0.filter(col("node") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wr).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+    rankVisited(beamWalk(g0, entries, score, beam, hops), k)
   }
 
   /** MMR (maximal marginal relevance, Carbonell & Goldstein '98)

@@ -1199,7 +1199,8 @@ object Dedup {
     // -token doc is a ~10 MB pathology to route to a chunking stage,
     // not a corpus row).
     val stats = toks.agg(max(size(col("t"))).as("max_len"),
-      min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")).head()
+      min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+      sum(size(col("t")).cast(LongType)).as("n_tok")).head()
     val maxLen = stats.getInt(0)
     require(maxLen < posCap,
       s"suffixSpanScrub: a document has $maxLen tokens, past the " +
@@ -1218,7 +1219,9 @@ object Dedup {
         "before span-scrubbing")
     val tok = toks.select(col("doc_id"),
       posexplode(col("t")).as(Seq("pos", "tok")))
-    val nTok = tok.count()
+    // nTok rides the SAME stats aggregate as the packing guards — no
+    // separate corpus-wide count job just to size the hot-class cut
+    val nTok = stats.getLong(3)
     val hotCut = math.max(1L, 2L * nTok /
       docs.sparkSession.sessionState.conf.numShufflePartitions)
     // Per-class aggregate joined back onto the corpus frame, SKEW-SAFE

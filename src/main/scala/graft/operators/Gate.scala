@@ -33,14 +33,18 @@ object Gate {
     * corpus the gate exists to refuse. The probe count saturates at
     * limit + 1, so the refusal message reports a lower bound.
     */
-  def check(df: DataFrame, limit: Long, op: String, productionOp: String): Unit = {
-    val probe = math.min(limit, Int.MaxValue.toLong - 1L).toInt + 1
-    val n = df.limit(probe).count()
-    if (n > limit) throw new SizeGatedException(
-      s"$op is a compare-scale calibration dial and refuses inputs over " +
-        s"$limit rows (probe saw > $limit): its fixed parameters make " +
-        s"candidate volume super-linear at corpus scale. Use $productionOp " +
-        "instead — same verified output contract, occupancy-held candidates " +
-        "at any scale.")
-  }
+  def check(df: DataFrame, limit: Long, op: String, productionOp: String): Unit =
+    if (limit >= Int.MaxValue.toLong)
+      // limit(Int) can't express the probe — fall back to the exact
+      // count rather than a saturated probe that could never fire
+      check(df.count(), limit, op, productionOp)
+    else {
+      val n = df.limit(limit.toInt + 1).count()
+      if (n > limit) throw new SizeGatedException(
+        s"$op is a compare-scale calibration dial and refuses inputs over " +
+          s"$limit rows (probe saw > $limit): its fixed parameters make " +
+          s"candidate volume super-linear at corpus scale. Use $productionOp " +
+          "instead — same verified output contract, occupancy-held candidates " +
+          "at any scale.")
+    }
 }

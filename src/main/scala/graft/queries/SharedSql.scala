@@ -146,35 +146,8 @@ private[queries] object SharedSql {
     * rank-seeded cids, exact scaled-integer Lloyd means, ties to the
     * LOWEST cid.
     */
-  def kmeansPoolTrainSql(p: String, label: Int, iters: Int = 2): String = {
-    def assign(out: String, cents: String, rnCond: String) =
-      s"""$out AS (SELECT * FROM (
-         |  SELECT n.vec_id, n.v, n.nrm, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
-         |      ORDER BY ${ivfDot("n.v", "c.cv")} / n.nrm DESC, c.cid ASC) AS rn
-         |  FROM ${p}pn n CROSS JOIN $cents c) WHERE $rnCond)""".stripMargin
-    def refine(prev: String, a: String, out: String) =
-      s"""${out}m AS (SELECT cid, i AS pos,
-         |    CAST(SUM(CAST(trunc(v[i]/nrm*1099511627776) AS HUGEINT)) AS DOUBLE)/1099511627776/COUNT(*) AS comp
-         |  FROM $a, range(1, 65) t(i) GROUP BY cid, i),
-         |${out}g AS (SELECT cid, mv, sqrt(list_reduce(list_transform(mv, x -> x*x), (acc, x) -> acc + x)) AS mnrm
-         |  FROM (SELECT cid, list(comp ORDER BY pos) AS mv FROM ${out}m GROUP BY cid)),
-         |$out AS (SELECT w.cid,
-         |    CASE WHEN g.mnrm IS NULL OR g.mnrm = 0 THEN w.cv
-         |         ELSE list_transform(g.mv, x -> x/g.mnrm) END AS cv
-         |  FROM $prev w LEFT JOIN ${out}g g USING (cid))""".stripMargin
-    val lloyd = (1 to iters).map { t =>
-      assign(s"${p}ka$t", s"${p}kc${t - 1}", "rn = 1") + ",\n" +
-        refine(s"${p}kc${t - 1}", s"${p}ka$t", s"${p}kc$t")
-    }.mkString(",\n")
-    s"""${p}pn AS (SELECT vec_id, v, nrm FROM n WHERE label = $label),
-       |${p}kk AS (SELECT GREATEST(16, COUNT(*) // 256) AS k FROM ${p}pn),
-       |${p}kc0 AS (SELECT rnk - 1 AS cid, list_transform(v, x -> x/nrm) AS cv FROM (
-       |    SELECT v, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk FROM ${p}pn)
-       |  WHERE rnk <= (SELECT k FROM ${p}kk)),
-       |$lloyd,
-       |${assign(s"${p}kaf", s"${p}kc$iters", "rn = 1")}""".stripMargin
-  }
+  def kmeansPoolTrainSql(p: String, label: Int, iters: Int = 2): String =
+    kmeansSubsetTrainSql(p, s"label = $label", iters)
 
   /** Subset variant of [[kmeansPoolTrainSql]]: trains the adaptive-k
     * codebook over `n WHERE pred` (s21's per-layer builds — the layer

@@ -179,9 +179,12 @@ object Warc {
         val hStart = pos + boundary.length
         val hStop = findSeq(hdrEnd, hStart)
         require(hStop >= 0, s"readRaw: unterminated header at $shard:$pos")
+        // WARC field names are case-insensitive (ISO 28500 §4) —
+        // normalize, or a spec-valid 'content-length:' shard aborts
         val hdrs = new String(bytes, hStart, hStop - hStart, ascii)
-          .split("\r\n").collect { case field(k, v) => k -> v }.toMap
-        val len = hdrs.getOrElse("Content-Length",
+          .split("\r\n").collect { case field(k, v) => k.toLowerCase -> v }
+          .toMap
+        val len = hdrs.getOrElse("content-length",
           sys.error(s"readRaw: record at $shard:$pos has no " +
             "Content-Length — the raw-WARC contract requires it")).toLong
         val pStart = hStop + hdrEnd.length
@@ -198,9 +201,9 @@ object Warc {
           nxt += 1
         }
         pos = if (nxt >= bytes.length) -1 else nxt
-        Rec(hdrs.getOrElse("WARC-Target-URI", ""),
-          hdrs.getOrElse("WARC-Type", ""),
-          hdrs.getOrElse("WARC-Date", ""),
+        Rec(hdrs.getOrElse("warc-target-uri", ""),
+          hdrs.getOrElse("warc-type", ""),
+          hdrs.getOrElse("warc-date", ""),
           len, payload)
       }
     }

@@ -102,6 +102,19 @@ class WebSpec extends SparkSpec {
     assert(e.getMessage.contains("Content-Length"))
   }
 
+  test("w02 header names are case-insensitive (ISO 28500): lowercase headers parse, not abort") {
+    import graft.sources.Warc
+    val bytes = ("WARC/1.0\r\nwarc-type: response\r\n" +
+      "warc-target-uri: https://x.example/lc\r\n" +
+      "warc-date: 2024-03-03T00:00:00Z\r\n" +
+      "content-length: 4\r\n\r\nbody\r\n\r\n").getBytes("UTF-8")
+    val recs = Warc.walkRecords("lc.warc", bytes).toList
+    assert(recs.size == 1)
+    assert(recs.head.url == "https://x.example/lc" &&
+      recs.head.rec_type == "response" &&
+      recs.head.content_length == 4L && recs.head.payload == "body")
+  }
+
   test("e25 sink idempotence: a replayed micro-batch (same batchId) overwrites itself — no duplicates; streamed table equals the batch read") {
     import spark.implicits._
     val wh = graft.core.Warehouse.scratch(spark, "e25spec")
