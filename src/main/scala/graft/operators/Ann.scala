@@ -1104,37 +1104,32 @@ object Ann {
   /** Uncentered second-moment matrix E-ish[u uᵀ] of the corpus UNIT
     * vectors (the energy matrix the OPQ rotation diagonalizes — PQ
     * encodes u directly, so uncentered is the relevant form), as
-    * exact 2²⁰-scaled integer sums: one corpus pass emitting the
-    * upper-triangle (i, j, qᵢ·qⱼ) stream, decimal(38,0) accumulation
-    * (order-free — the run-to-run determinism the rows-only spec
-    * pins), DIM·(DIM+1)/2 rows to the driver.
+    * exact 2²⁰-scaled integer sums through ONE mergeable native
+    * aggregate ([[graft.plans.PairProductSum]]): each map task folds
+    * its partition into a single 2,080-cell 128-bit-exact partial, so
+    * only partials cross the wire — the explode+groupBy form this
+    * replaces shuffled dim·(dim+1)/2 rows PER VECTOR (the sf1 sweep's
+    * 71 s build constant). Order-free integer sums keep the rotation
+    * bit-identical run to run (the rows-only spec's determinism pin).
     */
   private[graft] def opqCovariance(corpus: DataFrame,
       dim: Int = 64): Array[Array[Double]] = {
     val scale = 1L << 20
-    val pairIdx = typedLit(for {
-      i <- 0 until dim; j <- i until dim
-    } yield (i + 1) * 1000 + (j + 1))
-    val rows = normed(corpus)
+    val row = normed(corpus)
       .withColumn("q", transform(unit("v", "nrm"),
         x => (x * scale).cast(LongType)))
-      .select(explode(transform(pairIdx, p => struct(p.as("p"),
-        (element_at(col("q"), (p / 1000).cast("int")) *
-          element_at(col("q"), (p % 1000).cast("int")))
-          .cast("decimal(38,0)").as("x")))).as("e"))
-      .groupBy(col("e.p").as("p")).agg(sum(col("e.x")).as("s"),
+      .agg(graft.plans.Sketches.pairProductSum(col("q"), dim).as("s"),
         count(lit(1)).as("n"))
-      .collect()
-    // every row emits every pair index, so each pair group's count IS
-    // the corpus size — no second corpus pass for n
-    require(rows.nonEmpty, "opqCovariance: empty corpus")
-    val n = rows.head.getLong(2).toDouble
+      .head()
+    val sums = row.getSeq[java.math.BigDecimal](0)
+    val n = row.getLong(1).toDouble
+    require(n > 0, "opqCovariance: empty corpus")
     val cov = Array.fill(dim, dim)(0.0)
-    rows.foreach { r =>
-      val p = r.getInt(0); val i = p / 1000 - 1; val j = p % 1000 - 1
-      val v = new java.math.BigDecimal(r.getDecimal(1).toBigInteger)
-        .doubleValue() / scale.toDouble / scale.toDouble / n
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = sums(idx).doubleValue() / scale.toDouble / scale.toDouble / n
       cov(i)(j) = v; cov(j)(i) = v
+      idx += 1
     }
     cov
   }
@@ -1214,11 +1209,14 @@ object Ann {
   def ivfpqOpqRotated(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, pqK: Int = 16,
       shortlist: Int = 64, kmeansIters: Int = 2, dim: Int = 64): DataFrame = {
-    val rot = typedLit(opqRotation(corpus, m, dim))
+    val rot = opqRotation(corpus, m, dim)
+    // one codegen'd primitive-loop DotProduct per output dimension —
+    // NOT a nested higher-order expression (interpreted lambdas +
+    // per-MAC element_at on a nested literal measured ~9x the whole
+    // allocation-only entry at the sf1 sweep; this form is the same
+    // dim² MACs through DotProduct's primitive loop)
     def rotated(u: Column): Column =
-      transform(sequence(lit(1), lit(dim)), r =>
-        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
-          acc + element_at(element_at(rot, r), i) * element_at(u, i)))
+      array(rot.map(row => Vectors.dot(typedLit(row), u)): _*)
     ivfpqReprojected(queries, corpus, k, rotated, nCentroids, nProbe,
       m, pqK, shortlist, kmeansIters, dim)
   }

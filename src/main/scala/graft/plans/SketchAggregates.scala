@@ -265,6 +265,125 @@ case class KmvDistinct(
     copy(child = newChild)
 }
 
+/** Exact elementwise sum of the upper-triangle outer product of a
+  * scaled-integer vector column — s19rot's covariance pass as ONE
+  * mergeable aggregate.
+  *
+  * Why an aggregate and not posexplode(pairs) + groupBy: the explode
+  * form shuffles dim·(dim+1)/2 rows PER VECTOR (2,080 rows each at
+  * dim 64 — measured 71 s at the sf1 sweep, the board's biggest
+  * build constant), where the only state that actually needs to
+  * cross the wire is one 2,080-cell partial per map task. Each cell
+  * accumulates in SIGNED 128-BIT integer arithmetic (two longs,
+  * bitwise carry-out): products are ≤ 2⁴⁰, so a 64-bit cell would
+  * overflow at ~2²³ rows per partition — a real corpus partition —
+  * while 128 bits hold to ~10²⁶ rows. Exact integer sums are
+  * order-free, so the result is bit-identical to the explode form
+  * and run-to-run stable (the property s19rot's determinism spec
+  * pins).
+  */
+case class PairProductSum(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  private val cells = dim * (dim + 1) / 2
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pair_product_sum needs array<bigint>, got ${other.simpleString(10)}")
+  }
+
+  // upper-triangle sums in row-major (i, j >= i) order; ≤ 2⁴⁰·rows ≤
+  // 10²⁷ at any real corpus — inside decimal(38,0)
+  override def dataType: DataType = ArrayType(DecimalType(38, 0), false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pair_product_sum"
+
+  // (lo, hi) per cell, interleaved
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * cells)
+
+  /** buf(cell) += v, signed 128-bit (v sign-extends). */
+  private def add128(buf: Array[Long], cell: Int, v: Long): Unit = {
+    val lo = buf(2 * cell)
+    val sum = lo + v
+    // carry-out of the unsigned low-word add
+    val carry = ((lo & v) | ((lo | v) & ~sum)) >>> 63
+    buf(2 * cell) = sum
+    buf(2 * cell + 1) += (v >> 63) + carry
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val q = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      require(q.length == dim,
+        s"pair_product_sum: expected $dim components, got ${q.length}")
+      var idx = 0
+      var i = 0
+      while (i < dim) {
+        val qi = q(i)
+        var j = i
+        while (j < dim) { add128(buf, idx, qi * q(j)); idx += 1; j += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var c = 0
+    while (c < cells) {
+      val lo1 = b1(2 * c); val lo2 = b2(2 * c)
+      val sum = lo1 + lo2
+      val carry = ((lo1 & lo2) | ((lo1 | lo2) & ~sum)) >>> 63
+      b1(2 * c) = sum
+      b1(2 * c + 1) += b2(2 * c + 1) + carry
+      c += 1
+    }
+    b1
+  }
+
+  private val mask64 = java.math.BigInteger.ONE.shiftLeft(64)
+    .subtract(java.math.BigInteger.ONE)
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](cells)
+    var c = 0
+    while (c < cells) {
+      val bi = java.math.BigInteger.valueOf(buf(2 * c + 1)).shiftLeft(64)
+        .add(java.math.BigInteger.valueOf(buf(2 * c)).and(mask64))
+      out(c) = Decimal(new java.math.BigDecimal(bi), 38, 0)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](8 * buf.length)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    buf.foreach(bb.putLong)
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PairProductSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PairProductSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): PairProductSum =
+    copy(child = newChild)
+}
+
 object Sketches {
   /** `approx_top_items(item, capacity)` — the full Misra-Gries summary
     * as `array<struct<item,count>>`, sorted (count DESC, item ASC).
@@ -279,4 +398,12 @@ object Sketches {
   def kmvDistinct(hash64: Column, k: Int): Column =
     ColumnBridge.column(
       KmvDistinct(ColumnBridge.expression(hash64), k).toAggregateExpression())
+
+  /** `pair_product_sum(q, dim)` — exact upper-triangle outer-product
+    * sums of a scaled-long vector column (row-major (i, j ≥ i)
+    * order), one mergeable 128-bit-exact partial per task.
+    */
+  def pairProductSum(q: Column, dim: Int): Column =
+    ColumnBridge.column(
+      PairProductSum(ColumnBridge.expression(q), dim).toAggregateExpression())
 }

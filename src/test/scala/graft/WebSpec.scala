@@ -243,6 +243,35 @@ class WebSpec extends SparkSpec {
       s"allocated recon error $eOpq must beat contiguous slicing's $ePlain")
   }
 
+  test("pair_product_sum: 128-bit-exact vs a BigInt reference, including sums past Long range") {
+    import spark.implicits._
+    // products stay in 64-bit range (|q| <= 2^30 → products <= 2^60)
+    // but 300 rows push cell SUMS to ~2^68 — past a 64-bit cell, so
+    // the carry path is what this exercises; negatives included
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val data = (0 until 300).map { _ =>
+      Seq.fill(dim)((rnd.nextLong() % (1L << 30)))
+    }
+    val ref = Array.fill(dim * (dim + 1) / 2)(BigInt(0))
+    data.foreach { q =>
+      var idx = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        ref(idx) += BigInt(q(i)) * BigInt(q(j)); idx += 1
+      }
+    }
+    assert(ref.exists(_.abs > BigInt(Long.MaxValue)),
+      "fixture must overflow a 64-bit cell or the test is vacuous")
+    val got = data.toDF("q")
+      .agg(graft.plans.Sketches.pairProductSum(col("q"), dim).as("s"))
+      .head().getSeq[java.math.BigDecimal](0)
+    assert(got.size == ref.length)
+    ref.indices.foreach { i =>
+      assert(BigInt(got(i).toBigInteger) == ref(i),
+        s"cell $i: got ${got(i)} want ${ref(i)}")
+    }
+  }
+
   test("s19 rotation: orthonormal, run-to-run stable, recon error never loses to allocation-only on a rotated-anisotropy corpus") {
     // anisotropy that is NOT axis-aligned: variance lives in 8 dense
     // random directions, so per-COORDINATE variances are near-uniform
