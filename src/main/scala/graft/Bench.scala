@@ -204,7 +204,18 @@ object Bench {
     // would measure the single-threaded driver-side fixture WRITE,
     // not the per-shard walk, which parallelizes across members by
     // construction).
-    "s21_ann_hnsw")
+    "s21_ann_hnsw",
+    // r17 session 2: x38 = one shingle→hash→bottom-k map-side pass
+    // (≤ k longs per source cross the wire) + source-count-sized
+    // pairwise array math — corpus-linear by construction, the probe
+    // meters the constant. w03 is NOT probed for w01's reason (a 10x
+    // timing would measure the single-threaded driver-side fixture
+    // write, not the reader, which is a splittable text scan). p07 =
+    // w03's selection + one survivors equi-join + p06's zero-shuffle
+    // extraction — linear in admitted captures (p06's probe reasoning:
+    // the driver-side fixture generation is linear and outside the
+    // claim).
+    "x38_kmv_overlap", "p07_index_selected_ingest")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -265,6 +265,112 @@ case class KmvDistinct(
     copy(child = newChild)
 }
 
+/** KMV bottom-k SKETCH as a native typed aggregate: the k smallest
+  * DISTINCT hash values themselves (unsigned order, ascending), not
+  * just the count [[KmvDistinct]] derives from them.
+  *
+  * Why the values matter: a bottom-k sketch is an exact uniform
+  * SAMPLE of a group's distinct population, so two groups' sketches
+  * support SET-OPERATION estimates (Jaccard, intersection,
+  * containment — Beyer et al., SIGMOD'07 §4) that a scalar distinct
+  * count cannot: combine the sketches, re-trim to the k smallest,
+  * and the fraction of survivors present in both sides estimates the
+  * Jaccard similarity of the FULL populations. That turns
+  * "how much does corpus slice A overlap slice B" — naively a
+  * corpus × corpus distinct join — into one map-side-combined pass
+  * producing ≤ k longs per group, with all pairwise math on
+  * group-count-sized sketch rows. Fully deterministic under any
+  * partitioning (bottom-k of a set is order-free), which is what
+  * lets x38 oracle-gate the ESTIMATOR itself, not just a lucky exact
+  * regime.
+  *
+  * Same buffer/merge discipline as [[KmvDistinct]]; eval returns the
+  * ORIGINAL hash values (offset undone) sorted in unsigned order.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_sketch k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch expects a 64-bit hash column (LONG), got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offset(h: Long): Long = h ^ Long.MinValue
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = offset(v.asInstanceOf[Long])
+      if (buf.size < k) buf.add(key)
+      else if (key < buf.last()) { if (buf.add(key)) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val key = it.next()
+      if (buf.size < k) buf.add(key)
+      else if (key < buf.last()) { if (buf.add(key)) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next() ^ Long.MinValue; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
 /** Exact elementwise sum of the upper-triangle outer product of a
   * scaled-integer vector column — s19rot's covariance pass as ONE
   * mergeable aggregate.
@@ -398,6 +504,14 @@ object Sketches {
   def kmvDistinct(hash64: Column, k: Int): Column =
     ColumnBridge.column(
       KmvDistinct(ColumnBridge.expression(hash64), k).toAggregateExpression())
+
+  /** `kmv_sketch(hash64, k)` — the bottom-k distinct hash values
+    * themselves (unsigned ascending), the mergeable uniform sample
+    * set-operation estimates are computed from.
+    */
+  def kmvSketch(hash64: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(hash64), k).toAggregateExpression())
 
   /** `pair_product_sum(q, dim)` — exact upper-triangle outer-product
     * sums of a scaled-long vector column (row-major (i, j ≥ i)

@@ -34,7 +34,8 @@ object LlmOps {
     s14, s15, s15auto, s16, s17, s18, s19, s19rot, s20, s21,
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31, x32, x33, WebQueries.x34, x35, x36, x37,
-    p01, p02, p03, p03auto, p04, p05, WebQueries.p06, mm01, mm02, mm03, mm04, mm05, mm06,
-    WebQueries.w01, WebQueries.w02)
+    x29, x30, x31, x32, x33, WebQueries.x34, x35, x36, x37, x38,
+    p01, p02, p03, p03auto, p04, p05, WebQueries.p06, WebQueries.p07,
+    mm01, mm02, mm03, mm04, mm05, mm06,
+    WebQueries.w01, WebQueries.w02, WebQueries.w03, WebQueries.w04)
 }

@@ -1238,14 +1238,20 @@ object TextQueries extends QDsl {
   // iterative graph (k joins over a frozen edge list with per-round
   // lineage truncation), which no other board entry exercises.
   private val x27Iters = 10
-  private val x27Hosts = 97
+  // host modulus + the two affine link jumps — shared with w04's WAT
+  // link extraction (WebQueries), whose aggregated anchor-edge
+  // universe must BE this graph; private[queries] so the container
+  // front end and the pagerank entry cannot drift
+  private[queries] val x27Hosts = 97
+  private[queries] val x27Jump1: (Int, Int) = (31, 7)
+  private[queries] val x27Jump2: (Int, Int) = (57, 13)
   private val x27Scale = 1000000000000L
   private def x27Oracle: String = {
     val jump = 15L * x27Scale / 100L
     val base =
       s"""WITH d AS (SELECT doc_id % $x27Hosts AS src,
-         |  (doc_id * 31 + 7) % $x27Hosts AS d1,
-         |  (doc_id * 57 + 13) % $x27Hosts AS d2 FROM documents),
+         |  (doc_id * ${x27Jump1._1} + ${x27Jump1._2}) % $x27Hosts AS d1,
+         |  (doc_id * ${x27Jump2._1} + ${x27Jump2._2}) % $x27Hosts AS d2 FROM documents),
          |edges AS (SELECT DISTINCT src, dst FROM
          |  (SELECT src, d1 AS dst FROM d UNION ALL SELECT src, d2 FROM d)
          |  WHERE src <> dst),
@@ -1271,8 +1277,8 @@ object TextQueries extends QDsl {
   val x27: Q = q("x27_host_pagerank", x27Oracle) { c =>
     val d = c.documents.select(
       (col("doc_id") % x27Hosts).as("src"),
-      ((col("doc_id") * 31 + 7) % x27Hosts).as("d1"),
-      ((col("doc_id") * 57 + 13) % x27Hosts).as("d2"))
+      ((col("doc_id") * x27Jump1._1 + x27Jump1._2) % x27Hosts).as("d1"),
+      ((col("doc_id") * x27Jump2._1 + x27Jump2._2) % x27Hosts).as("d2"))
     val edges = d.select(col("src"), col("d1").as("dst"))
       .unionAll(d.select(col("src"), col("d2").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -1761,5 +1767,105 @@ object TextQueries extends QDsl {
             array_sort(collect_list(struct(col("i"), col("pieces")))),
             s => s.getField("pieces")), " | ").cast(BinaryType)).as("piece_hash"))
       .orderBy("doc_id")
+  }
+
+  // x38 — KMV SET-OPERATION OVERLAP: the pairwise source-composition
+  // matrix ("how much 4-gram content does slice A share with slice
+  // B") estimated from bottom-k sketches instead of a corpus × corpus
+  // distinct join. Exact overlap shuffles one row per distinct
+  // shingle PER SOURCE PAIR — at 100 TB that join IS the job; the
+  // KMV sketch (plans/SketchAggregates.KmvSketch) is a mergeable
+  // uniform sample of each slice's distinct population, built in ONE
+  // map-side-combined pass (≤ k longs per source cross the wire),
+  // and every pairwise estimate is array math over source-count-
+  // sized rows. Estimator (Beyer et al., SIGMOD'07 §4): combine two
+  // sketches, re-trim to the k smallest — provably the bottom-k of
+  // the UNION — and the fraction present in both sides estimates
+  // Jaccard; scaling by the union-size estimate gives the
+  // intersection. The hash is the engine-portable md5-60-bit family
+  // (d02's discipline, NOT xxhash64) so the bottom-k sets — and
+  // therefore the ESTIMATES THEMSELVES, sketch regime included —
+  // replay exactly in DuckDB: the oracle gates the estimator, not a
+  // lucky exact regime. (A production run that never needs
+  // cross-engine replay can swap xxhash64 for the md5 pass.)
+  // Accuracy + the exact-when-k-covers regime are pinned in
+  // PropertySpec against exact set math.
+  private val x38K = 1024
+
+  val x38: Q = q("x38_kmv_overlap",
+    s"""WITH toks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(t)-2),
+      |        i -> array_to_string(t[i:i+3], ' ')))) AS g4
+      |      FROM toks WHERE len(t) >= 4),
+      |h AS (SELECT DISTINCT source, CAST('0x' || substr(md5(g4), 1, 15) AS BIGINT) AS h FROM g),
+      |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM h),
+      |sk AS (SELECT source, h FROM rk WHERE r <= $x38K),
+      |pr AS (SELECT a.source AS src_a, b.source AS src_b
+      |       FROM (SELECT DISTINCT source FROM documents) a
+      |       JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+      |uni AS (SELECT DISTINCT pr.src_a, pr.src_b, s.h
+      |        FROM pr JOIN sk s ON s.source = pr.src_a OR s.source = pr.src_b),
+      |ur AS (SELECT src_a, src_b, h,
+      |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r FROM uni),
+      |s AS (SELECT src_a, src_b, h FROM ur WHERE r <= $x38K),
+      |st AS (SELECT src_a, src_b, COUNT(*) AS k_s, MAX(h) AS thr FROM s GROUP BY 1, 2),
+      |m AS (SELECT s.src_a, s.src_b, COUNT(*) AS n_common FROM s
+      |      JOIN sk a ON a.source = s.src_a AND a.h = s.h
+      |      JOIN sk b ON b.source = s.src_b AND b.h = s.h
+      |      GROUP BY 1, 2)
+      |SELECT st.src_a, st.src_b, CAST(st.k_s AS BIGINT) AS k_s,
+      |  CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+      |  ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE) / st.k_s, 6) AS jaccard_est,
+      |  ROUND(CASE WHEN st.k_s < $x38K THEN CAST(st.k_s AS DOUBLE)
+      |        ELSE ${x38K - 1}.0 * 1152921504606846976.0 / st.thr END, 3) AS union_est,
+      |  ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE) / st.k_s *
+      |        (CASE WHEN st.k_s < $x38K THEN CAST(st.k_s AS DOUBLE)
+      |         ELSE ${x38K - 1}.0 * 1152921504606846976.0 / st.thr END), 3) AS inter_est
+      |FROM st LEFT JOIN m ON st.src_a = m.src_a AND st.src_b = m.src_b
+      |ORDER BY st.src_a, st.src_b""") { c =>
+    val g = c.documents
+      .select(col("source"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("source"), explode(Text.shingles(col("toks"), 4)).as("g4"))
+    val hashed = g.select(col("source"),
+      conv(substring(md5(col("g4").cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType).as("h"))
+    // source-count-sized: one row per source, ≤ k longs each. Frozen
+    // because the self-join below consumes it twice.
+    val sk = c.documents.select("source").distinct()
+      .join(hashed.groupBy("source")
+        .agg(graft.plans.Sketches.kmvSketch(col("h"), x38K).as("sk")),
+        Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("sk"), array().cast(ArrayType(LongType))).as("sk"))
+      .localCheckpoint(true)
+    val pairs = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      .join(sk.select(col("source").as("src_b"), col("sk").as("skb")),
+        col("src_a") < col("src_b"))
+    val kL = lit(x38K.toLong)
+    pairs
+      // bottom-k of the union = bottom-k of the merged sketches
+      .withColumn("s", slice(array_sort(array_distinct(
+        concat(col("ska"), col("skb")))), 1, x38K))
+      .withColumn("k_s", size(col("s")).cast(LongType))
+      .filter(col("k_s") > 0) // both-empty pairs vanish in the oracle too
+      .withColumn("thr", element_at(col("s"), size(col("s"))))
+      // |S ∩ A ∩ B| via array_intersect (hash-set build, O(k)) — the
+      // per-element contains-lambda form is O(k²) interpreted
+      // evaluation and measured 12 s of scale-flat constant at any
+      // corpus size; set semantics identical (all three arrays are
+      // distinct by construction)
+      .withColumn("n_common", size(array_intersect(
+        array_intersect(col("s"), col("ska")), col("skb"))).cast(LongType))
+      .withColumn("union_raw",
+        when(col("k_s") < kL, col("k_s").cast(DoubleType))
+          .otherwise(lit((x38K - 1).toDouble) * lit(1.152921504606846976e18)
+            / col("thr").cast(DoubleType)))
+      .select(col("src_a"), col("src_b"), col("k_s"), col("n_common"),
+        round(col("n_common").cast(DoubleType) / col("k_s"), 6).as("jaccard_est"),
+        round(col("union_raw"), 3).as("union_est"),
+        round(col("n_common").cast(DoubleType) / col("k_s") * col("union_raw"), 3)
+          .as("inter_est"))
+      .orderBy("src_a", "src_b")
   }
 }

@@ -1,11 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.core.Scratch
-import graft.sources.{Catalog, Warc}
+import graft.sources.{Catalog, Cdx, Warc}
 
 /** The crawl pipeline's FRONT DOOR — where a real 100 TB curation run
   * starts, before any of the D-family stages see a clean `text`
@@ -155,6 +155,222 @@ object WebQueries extends QDsl {
         md5(col("payload").cast("binary")).as("payload_md5"),
         col("payload").contains("WARC/1.0").as("has_embedded_boundary"))
       .orderBy("url")
+  }
+
+  // ---------------------------------------------------------------
+  // w03 — CDX CAPTURE-INDEX SELECT (sources/Cdx.scala — the index
+  // format crawl archives ship NEXT TO the WARC containers, and the
+  // stage real pipelines run BEFORE touching container bytes: a
+  // 100 TB crawl is selected from its ~1%-sized index — status-200
+  // text/html captures, deduped to the LATEST capture per content
+  // digest across re-crawls — and only the surviving rows' (filename,
+  // offset, length) triples drive WARC range-reads). The dedup is one
+  // map-side-combinable max-struct aggregate keyed on digest (ts is
+  // the struct's leading field, so "latest capture" is the natural
+  // struct max — no window, no per-digest buffering). Fixture: two
+  // CDX shards (one plain — splittable, one GZIPPED — the cdx-*.gz
+  // form CC ships) rendered deterministically FROM documents, with
+  // doc_id%3=0 docs re-crawled a year later (the dedup's work),
+  // doc_id%7=0 as 404s and doc_id%4=0 as PDFs (the filters' work);
+  // the oracle recomputes every surviving capture from the source
+  // rows while Spark round-trips the actual index bytes.
+  private val w03Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private[queries] def cdxFixtureDir(c: Catalog): String =
+    w03Fixture.computeIfAbsent(c.dir, { _ =>
+      val d = Scratch.dir("w03_cdx")
+      val rows = c.documents.select("doc_id", "text")
+        .orderBy("doc_id").toLocalIterator()
+      val plain = java.nio.file.Files.newBufferedWriter(
+        d.resolve("cdx-00000"), java.nio.charset.StandardCharsets.UTF_8)
+      val gz = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(
+          d.resolve("cdx-00001.gz"))),
+        java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        rows.forEachRemaining { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val digest = md5Hex(text)
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val mime = if (id % 4 == 0) "application/pdf" else "text/html"
+          val status = if (id % 7 == 0) "404" else "200"
+          def line(ts: Long, off: Long, fn: String): String =
+            s"""example,crawl)/doc/$id $ts {"url": "https://crawl.example/doc/$id", """ +
+              s""""mime": "$mime", "status": "$status", "digest": "$digest", """ +
+              s""""length": "$len", "offset": "$off", "filename": "$fn"}""" + "\n"
+          plain.write(line(20240101000000L + id, id * 1000, "crawl/shard-0.warc.gz"))
+          if (id % 3 == 0)
+            gz.write(line(20250101000000L + id, id * 1000 + 500, "crawl/shard-1.warc.gz"))
+        }
+      } finally { plain.close(); gz.close() }
+      d.toString
+    })
+
+  // ---------------------------------------------------------------
+  // w04 — WAT LINK EXTRACTION (the third member of the container
+  // triad CC actually ships: raw fetches in WARC (w02), extracted
+  // text in WET (w01), per-page METADATA in WAT — JSON envelopes
+  // carrying each page's HTML link structure). The host-level link
+  // graph is what WAT exists for (CC's own host/domain-rank datasets
+  // are built from exactly this pass), and that graph is the input
+  // x27's pagerank ranks — so this entry IS that front end: container
+  // bytes → JSON envelope → anchor links → (src_host, dst_host,
+  // n_links), with the fixture's links derived so the aggregated
+  // anchor-edge universe is EXACTLY x27's host graph (same modulus,
+  // same two affine jumps — TextQueries.x27Hosts/x27Jump1/x27Jump2
+  // are shared constants, the two entries cannot drift). Planted
+  // IMG@/src rows on every even doc prove the anchor-path predicate
+  // bites. Scale shape: one splittable container scan (plain shard
+  // splits block-wise, gzipped shard one task per member) →
+  // codegen'd from_json against an EXPLICIT nested schema →
+  // explode(Links) → path predicate → ONE map-side-combinable
+  // host-pair count; nothing after the explode is wider than the
+  // host² grid.
+  private val w04Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def watHost(h: Long): String = s"host$h.example"
+
+  private[queries] def watFixtureDir(c: Catalog): String =
+    w04Fixture.computeIfAbsent(c.dir, { _ =>
+      val hN = TextQueries.x27Hosts
+      val (a1, b1) = TextQueries.x27Jump1
+      val (a2, b2) = TextQueries.x27Jump2
+      val d = Scratch.dir("w04_wat")
+      val rows = c.documents.select("doc_id")
+        .orderBy("doc_id").toLocalIterator()
+      val plain = java.nio.file.Files.newBufferedWriter(
+        d.resolve("shard-0.warc"), java.nio.charset.StandardCharsets.UTF_8)
+      val gz = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(
+          d.resolve("shard-1.warc.gz"))),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val writers = Seq(plain, gz)
+      try {
+        rows.forEachRemaining { r =>
+          val id = r.getLong(0)
+          def link(path: String, host: Long, p: String): String =
+            s"""{"path": "$path", "url": "https://${watHost(host)}/$p"}"""
+          val links = Seq(
+            link("A@/href", (id * a1 + b1) % hN, s"lnk/a$id"),
+            link("A@/href", (id * a2 + b2) % hN, s"lnk/b$id")) ++
+            (if (id % 2 == 0)
+              Seq(link("IMG@/src", (id * 11 + 3) % hN, s"img/$id.png"))
+            else Nil)
+          val payload =
+            s"""{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": """ +
+              s"""{"HTML-Metadata": {"Links": [${links.mkString(", ")}]}}}}}"""
+          val rec = Warc.rawRecord(
+            s"https://${watHost(id % hN)}/doc/$id",
+            f"2024-01-${id % 28 + 1}%02dT00:00:00Z", payload, "metadata")
+          writers((id % 2).toInt).write(rec)
+        }
+      } finally writers.foreach(_.close())
+      d.toString
+    })
+
+  /** The WAT envelope's explicit nested schema (the sources.yml
+    * no-inference discipline) down to the HTML link list.
+    */
+  private val watSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val link = StructType(Seq(
+      StructField("path", StringType), StructField("url", StringType)))
+    val htmlMeta = StructType(Seq(
+      StructField("Links", ArrayType(link))))
+    val httpMeta = StructType(Seq(
+      StructField("HTML-Metadata", htmlMeta)))
+    val payloadMeta = StructType(Seq(
+      StructField("HTTP-Response-Metadata", httpMeta)))
+    val envelope = StructType(Seq(
+      StructField("Payload-Metadata", payloadMeta)))
+    StructType(Seq(StructField("Envelope", envelope)))
+  }
+
+  val w04: Q = {
+    val hN = TextQueries.x27Hosts
+    val (a1, b1) = TextQueries.x27Jump1
+    val (a2, b2) = TextQueries.x27Jump2
+    q("w04_wat_links",
+      s"""WITH l AS (
+        |  SELECT 'host' || CAST(doc_id % $hN AS VARCHAR) || '.example' AS src_host,
+        |    'host' || CAST((doc_id * $a1 + $b1) % $hN AS VARCHAR) || '.example' AS dst_host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'host' || CAST(doc_id % $hN AS VARCHAR) || '.example',
+        |    'host' || CAST((doc_id * $a2 + $b2) % $hN AS VARCHAR) || '.example'
+        |  FROM documents)
+        |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+      val env = from_json(col("payload"), watSchema)
+      Warc.read(c.spark, watFixtureDir(c))
+        .filter(col("rec_type") === "metadata")
+        .select(
+          regexp_extract(col("url"), "https://([^/]+)/", 1).as("src_host"),
+          explode(env.getField("Envelope").getField("Payload-Metadata")
+            .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+            .getField("Links")).as("l"))
+        .filter(col("l.path") === "A@/href") // anchors only — IMG planted
+        .select(col("src_host"),
+          regexp_extract(col("l.url"), "https://([^/]+)/", 1).as("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_host", "dst_host")
+    }
+  }
+
+  /** The CDX selection — ONE source of truth for w03 (the registered
+    * index-select entry) and p07 (the composed index-driven ingest):
+    * status-200/text-html predicates, then latest-capture-per-digest
+    * re-crawl dedup as one map-side-combinable max-struct aggregate.
+    */
+  private[queries] def cdxSelect(captures: DataFrame): DataFrame =
+    captures
+      .filter(col("status") === "200" && col("mime") === "text/html")
+      .groupBy("digest")
+      .agg(max(struct(col("ts"), col("url"), col("urlkey"), col("length"),
+        col("offset"), col("filename"))).as("m"))
+      .select(col("digest"), col("m.url").as("url"), col("m.urlkey").as("urlkey"),
+        col("m.ts").as("ts"), col("m.length").as("length"),
+        col("m.offset").as("offset"), col("m.filename").as("filename"))
+
+  /** w03's selection recomputed from the source table (caps = every
+    * capture the fixture renders, f = the filter pass, rk = the
+    * per-digest re-crawl ranking) — shared by w03's oracle and p07's,
+    * so the pipeline composition cannot drift from the registered
+    * stage.
+    */
+  private[queries] val cdxSelectSqlCtes: String =
+    """caps AS (
+      |  SELECT doc_id, text, 20240101000000 + doc_id AS ts,
+      |    doc_id * 1000 AS "offset", 'crawl/shard-0.warc.gz' AS filename
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text, 20250101000000 + doc_id AS ts,
+      |    doc_id * 1000 + 500 AS "offset", 'crawl/shard-1.warc.gz' AS filename
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |f AS (SELECT md5(text) AS digest,
+      |    'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |    'example,crawl)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+      |    ts, CAST(strlen(text) AS BIGINT) AS length, "offset", filename
+      |  FROM caps WHERE doc_id % 7 <> 0 AND doc_id % 4 <> 0),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY ts DESC) AS r
+      |       FROM f)"""
+
+  val w03: Q = q("w03_cdx_index",
+    s"""WITH $cdxSelectSqlCtes
+      |SELECT digest, url, urlkey, CAST(ts AS BIGINT) AS ts, length,
+      |  CAST("offset" AS BIGINT) AS "offset", filename
+      |FROM rk WHERE r = 1 ORDER BY digest""") { c =>
+    cdxSelect(Cdx.read(c.spark, cdxFixtureDir(c)))
+      .orderBy("digest")
   }
 
   // ---------------------------------------------------------------
@@ -339,6 +555,58 @@ object WebQueries extends QDsl {
         col("n_kept").cast(LongType).as("n_kept"),
         col("n_tokens").cast(LongType).as("n_tokens"),
         col("pred_lang"), col("kept"),
+        md5(col("content").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // p07 — INDEX-DRIVEN SELECTIVE INGEST: how a real CC-scale run
+  // actually uses w03 + w01 TOGETHER — query the capture index first
+  // (w03's exact selection: status/MIME filters + latest-capture-per-
+  // digest dedup over the ~1%-sized index), then FETCH ONLY THE
+  // SURVIVORS from the containers and extract them (x34's exact block
+  // algebra). p06 is "ingest everything"; p07 is the selective form —
+  // the container side's work is proportional to what the index
+  // ADMITS, not to the crawl (here: the 404/PDF/re-crawl-duplicate
+  // captures never reach extraction, and the output proves it row for
+  // row). Every stage is the registered operator's helper (cdxSelect,
+  // extractContent/htmlOf — cannot drift). Scale shape: index scan →
+  // map-side-combined digest dedup (w03's one shuffle) → ONE
+  // equi-join against the parsed container records (in production the
+  // survivors' (filename, offset, length) triples drive range-reads
+  // instead — the join stands in for the fetch, co-partitionable on
+  // the record key at 100 TB) → one zero-shuffle HOF extraction.
+  // Oracle: w03's shared selection CTEs + the shared x34 extraction
+  // chain, joined on the doc identity BOTH sides recover from the
+  // record's own URL.
+  val p07: Q = q("p07_index_selected_ingest",
+    s"""WITH $cdxSelectSqlCtes,
+      |sel AS (SELECT digest, ts,
+      |    CAST(regexp_extract(url, 'doc/(\\d+)$$', 1) AS BIGINT) AS doc_id
+      |  FROM rk WHERE r = 1),
+      |$htmlExtractSqlCtes,
+      |j AS (SELECT o.doc_id, sel.ts, o.n_blocks, o.n_kept, o.content
+      |      FROM o JOIN sel ON o.doc_id = sel.doc_id)
+      |SELECT doc_id, CAST(ts AS BIGINT) AS ts,
+      |  CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(len(string_split(lower(content), ' ')) AS BIGINT) AS n_tokens,
+      |  md5(content) AS content_md5
+      |FROM j ORDER BY doc_id""") { c =>
+    import graft.functions.Text
+    val sel = cdxSelect(Cdx.read(c.spark, cdxFixtureDir(c)))
+      .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+        .cast(LongType).as("doc_id"), col("ts"))
+    val recs = Warc.read(c.spark, wetFixtureDir(c))
+      .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+        .cast(LongType).as("doc_id"), col("payload"))
+    val fetched = recs.join(sel, "doc_id") // only index survivors fetched
+    extractContent(fetched,
+        htmlOf(col("doc_id"), split(col("payload"), " ")))
+      .select(col("doc_id"), col("ts"),
+        col("n_blocks").cast(LongType).as("n_blocks"),
+        col("n_kept").cast(LongType).as("n_kept"),
+        size(Text.tokens(col("content"))).cast(LongType).as("n_tokens"),
         md5(col("content").cast("binary")).as("content_md5"))
       .orderBy("doc_id")
   }

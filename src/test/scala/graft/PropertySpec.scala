@@ -502,6 +502,56 @@ class PropertySpec extends SparkSpec {
     assert(est(200000, 200000, 256, 32) == e)
   }
 
+  test("KmvSketch set-operation estimates: exact regime equals set math, sketch regime within error, partition invariant") {
+    // two populations with known overlap: A=[0,3000), B=[2000,6000) →
+    // |A∩B|=1000, |A∪B|=6000, J=1/6. Hashes are x38's engine-portable
+    // md5-60-bit family, so values are in [0, 2^60) and signed sort
+    // order == unsigned order.
+    def sk(lo: Long, hi: Long, k: Int, parts: Int): Array[Long] =
+      spark.range(lo, hi).repartition(parts)
+        .select(conv(substring(md5(col("id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("h"))
+        .agg(graft.plans.Sketches.kmvSketch(col("h"), k))
+        .collect()(0).getSeq[Long](0).toArray
+    def ests(k: Int, pa: Int, pb: Int): (Double, Double, Double, Int) = {
+      val a = sk(0, 3000, k, pa)
+      val b = sk(2000, 6000, k, pb)
+      // x38's combine: bottom-k of the merged sketches == bottom-k of
+      // the union; match fraction estimates Jaccard
+      val s = (a ++ b).distinct.sorted.take(k)
+      val (ia, ib) = (a.toSet, b.toSet)
+      val m = s.count(x => ia(x) && ib(x))
+      val j = m.toDouble / s.length
+      val u = if (s.length < k) s.length.toDouble
+        else (k - 1).toDouble * 1.152921504606846976e18 / s.last
+      (j, u, j * u, s.length)
+    }
+    // exact regime: k covers the union → the estimates ARE the set math
+    val (je, ue, ie, ks) = ests(8192, 5, 3)
+    assert(ks == 6000 && ue == 6000.0, s"exact regime union ($ks, $ue)")
+    assert(math.abs(je - 1000.0 / 6000) < 1e-12 && math.round(ie) == 1000L,
+      s"exact regime overlap ($je, $ie)")
+    // sketch regime: k=256 ≪ 6000 distincts — RSE ~1/√k on each piece
+    val (j2, u2, i2, _) = ests(256, 7, 4)
+    assert(math.abs(j2 - 1.0 / 6) < 0.1, s"jaccard est $j2 vs 1/6")
+    assert(math.abs(u2 - 6000) / 6000 < 0.25, s"union est $u2 vs 6000")
+    assert(math.abs(i2 - 1000) / 1000 < 0.5, s"intersection est $i2 vs 1000")
+    // partition invariance: sketches are order-free, so the estimates
+    // (and x38's oracle hashes) cannot depend on the layout
+    assert(sk(0, 3000, 256, 1).toSeq == sk(0, 3000, 256, 13).toSeq)
+    // entry-level sanity on the live corpus: one row per source pair,
+    // estimates well-formed and bounded by the sketch contract
+    val out = graft.queries.TextQueries.x38.run(spark, sfDir).collect()
+    val nSrc = graft.sources.Catalog(spark, sfDir).documents
+      .select("source").distinct().count()
+    assert(out.length == nSrc * (nSrc - 1) / 2, "one row per source pair")
+    out.foreach { r =>
+      val (kS, j) = (r.getLong(2), r.getDouble(4))
+      assert(kS > 0 && kS <= 1024 && j >= 0.0 && j <= 1.0,
+        s"malformed estimate row $r")
+    }
+  }
+
   test("lshIngest: ANY batch split of the corpus reconstructs the full recompute, each pair exactly once") {
     import spark.implicits._
     val docs = graft.sources.Catalog(spark, sfDir).documents

@@ -115,6 +115,59 @@ class WebSpec extends SparkSpec {
       recs.head.content_length == 4L && recs.head.payload == "body")
   }
 
+  test("w03 CDX select: 404/PDF captures filtered, digest dedup keeps the LATEST re-crawl, survivors match the source docs") {
+    val out = WebQueries.w03.run(spark, sfDir)
+    val rows = out.collect()
+    // expected: one row per distinct digest among eligible docs
+    // (status 200 = id%7≠0, text/html = id%4≠0), latest capture =
+    // max over that digest's docs of (re-crawled ? 2025-ts : base-ts)
+    val expected = cat.documents
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 4 =!= 0)
+      .select(md5(col("text").cast("binary")).as("digest"),
+        when(col("doc_id") % 3 === 0, lit(20250101000000L) + col("doc_id"))
+          .otherwise(lit(20240101000000L) + col("doc_id")).as("cap_ts"))
+      .groupBy("digest").agg(max("cap_ts").as("ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == expected.size, "one row per eligible digest")
+    rows.foreach { r =>
+      val (digest, ts) = (r.getString(0), r.getLong(3))
+      assert(expected(digest) == ts, s"latest capture for $digest")
+      // shard/offset provenance rides the same struct max
+      val (offset, fn) = (r.getLong(5), r.getString(6))
+      if (ts >= 20250101000000L)
+        assert(fn == "crawl/shard-1.warc.gz" && offset % 1000 == 500,
+          s"re-crawl provenance for $digest")
+      else
+        assert(fn == "crawl/shard-0.warc.gz" && offset % 1000 == 0,
+          s"base-capture provenance for $digest")
+      assert(r.getString(2).startsWith("example,crawl)/doc/"), "SURT urlkey parsed")
+    }
+    // the filters actually bite: the fixture contains 404s and PDFs
+    val nDocs = cat.documents.count()
+    assert(rows.length < nDocs, "ineligible captures were filtered")
+  }
+
+  test("w04 WAT links: anchors only (planted IMG rows filtered), aggregated edge universe IS x27's host graph") {
+    val out = WebQueries.w04.run(spark, sfDir).collect()
+    val nDocs = cat.documents.count()
+    // exactly two A@/href links per doc survive; the IMG@/src plant on
+    // every even doc (half the corpus) must NOT be counted
+    assert(out.map(_.getLong(2)).sum == 2 * nDocs,
+      "two anchor links per doc — IMG rows leaked or anchors dropped")
+    val got = out.map(r => (r.getString(0), r.getString(1))).toSet
+    // the edge UNIVERSE equals x27's synthetic host graph (the shared
+    // 97-host modulus + affine jumps), pinned here with the literals
+    // so a constant drift in either entry fails the suite
+    val d = cat.documents.select(
+      concat(lit("host"), col("doc_id") % 97, lit(".example")).as("s"),
+      concat(lit("host"), (col("doc_id") * 31 + 7) % 97, lit(".example")).as("d1"),
+      concat(lit("host"), (col("doc_id") * 57 + 13) % 97, lit(".example")).as("d2"))
+    val expSet = d.select(col("s"), col("d1").as("t"))
+      .unionByName(d.select(col("s"), col("d2").as("t")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expSet, "w04's anchor-edge universe drifted from x27's graph")
+  }
+
   test("e25 sink idempotence: a replayed micro-batch (same batchId) overwrites itself — no duplicates; streamed table equals the batch read") {
     import spark.implicits._
     val wh = graft.core.Warehouse.scratch(spark, "e25spec")
