@@ -215,7 +215,12 @@ object Bench {
     // extraction — linear in admitted captures (p06's probe reasoning:
     // the driver-side fixture generation is linear and outside the
     // claim).
-    "x38_kmv_overlap", "p07_index_selected_ingest")
+    "x38_kmv_overlap", "p07_index_selected_ingest",
+    // w05's fixture is HOST-bounded (97 robots records at any corpus
+    // size — unlike w01-w04's corpus-sized container renders), so its
+    // probe cleanly measures the candidate pass: one broadcast join +
+    // one map-side max-struct agg, corpus-linear by construction
+    "w05_robots_filter")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.core.Scratch
@@ -323,6 +324,130 @@ object WebQueries extends QDsl {
         .groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_host", "dst_host")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // w05 — ROBOTS.TXT FILTER (RFC 9309, the Robots Exclusion
+  // Protocol — the politeness/consent gate every crawl-derived
+  // corpus is expected to honor, and post-hoc re-filtering against
+  // CURRENT robots rules is standard curation practice). The robots
+  // bodies arrive the way CC actually ships them: as WARC response
+  // records (one robots.txt fetch per host), so the parse starts
+  // from container bytes through the SAME w01 reader. Semantics
+  // implemented: group scoping (only rules governed by a
+  // `User-agent: *` line apply — the fixture plants a hostile
+  // `User-agent: badbot / Disallow: /` group that must be IGNORED;
+  // a wrong scoping pass blocks the entire corpus and fails the
+  // oracle), longest-prefix-match rule selection with Allow winning
+  // length ties (RFC 9309 §2.2.2 — the fixture's /doc/pub/ Allow
+  // under a /doc/ Disallow exercises the override), no-match =
+  // allowed, empty rule lines dropped (an empty Disallow matches
+  // nothing per spec). Scale shape: the rule table is HOST-bounded
+  // (config-sized at any corpus — robots bodies are KB per host) so
+  // the candidate side takes it as ONE BROADCAST join; the
+  // longest-match decision is a map-side-combinable max-struct
+  // aggregate keyed on the url (len, allow-flag, prefix — the same
+  // total order the oracle ranks by), never a corpus window.
+  private val w05Fixture =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def robotsFixtureDir(c: Catalog): String =
+    w05Fixture.computeIfAbsent(c.dir, { _ =>
+      val hN = TextQueries.x27Hosts
+      val d = Scratch.dir("w05_robots")
+      val out = java.nio.file.Files.newBufferedWriter(
+        d.resolve("robots.warc"), java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        (0L until hN.toLong).foreach { h =>
+          val body = "User-agent: badbot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /private/\n" +
+            (if (h % 5 == 0) "Disallow: /doc/\nAllow: /doc/pub/\n" else "")
+          out.write(Warc.rawRecord(s"https://${watHost(h)}/robots.txt",
+            "2024-02-01T00:00:00Z", body, "response"))
+        }
+      } finally out.close()
+      d.toString
+    })
+
+  val w05: Q = {
+    val hN = TextQueries.x27Hosts
+    q("w05_robots_filter",
+      s"""WITH cand AS (SELECT doc_id,
+        |    'host' || CAST(doc_id % $hN AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 6 = 0 THEN '/doc/pub/' || CAST(doc_id AS VARCHAR)
+        |         ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        |rules AS (
+        |  SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+        |    'disallow' AS rtype, '/private/' AS prefix FROM range($hN) t(h)
+        |  UNION ALL
+        |  SELECT 'host' || CAST(h AS VARCHAR) || '.example', 'disallow', '/doc/'
+        |  FROM range($hN) t(h) WHERE h % 5 = 0
+        |  UNION ALL
+        |  SELECT 'host' || CAST(h AS VARCHAR) || '.example', 'allow', '/doc/pub/'
+        |  FROM range($hN) t(h) WHERE h % 5 = 0),
+        |m AS (SELECT c.doc_id, r.rtype, r.prefix,
+        |    row_number() OVER (PARTITION BY c.doc_id
+        |      ORDER BY strlen(r.prefix) DESC, (r.rtype = 'allow') DESC,
+        |        r.prefix DESC) AS rn
+        |  FROM cand c JOIN rules r
+        |    ON c.host = r.host AND starts_with(c.path, r.prefix)),
+        |best AS (SELECT doc_id, rtype, prefix FROM m WHERE rn = 1)
+        |SELECT 'https://' || c.host || c.path AS url, c.host,
+        |  COALESCE(b.rtype <> 'disallow', TRUE) AS allowed,
+        |  b.rtype || ' ' || b.prefix AS matched_rule,
+        |  CAST(strlen(b.prefix) AS BIGINT) AS matched_len
+        |FROM cand c LEFT JOIN best b ON c.doc_id = b.doc_id
+        |ORDER BY url""") { c =>
+      // parse the robots container: line-index the bodies, scope each
+      // line to its governing User-agent group, keep the * group's
+      // Allow/Disallow prefixes
+      val robots = Warc.read(c.spark, robotsFixtureDir(c))
+        .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+          col("payload"))
+      val lines = robots.select(col("host"),
+        posexplode(split(col("payload"), "\n")).as(Seq("i", "line")))
+      val wUa = Window.partitionBy("host").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scoped = lines.withColumn("ua",
+        last(when(col("line").startsWith("User-agent:"),
+          trim(regexp_extract(col("line"), "^User-agent:\\s*(.*)$", 1))),
+          ignoreNulls = true).over(wUa))
+      val rules = scoped.filter(col("ua") === "*")
+        .select(col("host"),
+          when(col("line").startsWith("Disallow:"), lit("disallow"))
+            .when(col("line").startsWith("Allow:"), lit("allow")).as("rtype"),
+          trim(regexp_extract(col("line"), "^(?:Dis)?[Aa]llow:\\s*(.*)$", 1))
+            .as("prefix"))
+        .filter(col("rtype").isNotNull && length(col("prefix")) > 0)
+      // candidate URLs over the shared host universe
+      val cand = c.documents.select(col("doc_id"),
+        concat(lit("host"), col("doc_id") % hN, lit(".example")).as("host"),
+        when(col("doc_id") % 4 === 0,
+            concat(lit("/private/"), col("doc_id")))
+          .when(col("doc_id") % 6 === 0,
+            concat(lit("/doc/pub/"), col("doc_id")))
+          .otherwise(concat(lit("/doc/"), col("doc_id"))).as("path"))
+      // rule table is host-bounded: broadcast; longest-match decision
+      // is one map-side max-struct agg (len, allow, prefix) per url
+      val matches = cand.join(broadcast(rules), Seq("host"))
+        .filter(col("path").startsWith(col("prefix")))
+        .groupBy("doc_id")
+        .agg(max(struct(length(col("prefix")).as("len"),
+          (col("rtype") === "allow").as("is_allow"),
+          col("prefix").as("prefix"),
+          col("rtype").as("rtype"))).as("b"))
+      cand.join(matches, Seq("doc_id"), "left")
+        .select(
+          concat(lit("https://"), col("host"), col("path")).as("url"),
+          col("host"),
+          coalesce(col("b.is_allow"), lit(true)).as("allowed"),
+          when(col("b.rtype").isNotNull,
+            concat(col("b.rtype"), lit(" "), col("b.prefix"))).as("matched_rule"),
+          col("b.len").cast(LongType).as("matched_len"))
+        .orderBy("url")
     }
   }
 

@@ -168,6 +168,28 @@ class WebSpec extends SparkSpec {
     assert(got == expSet, "w04's anchor-edge universe drifted from x27's graph")
   }
 
+  test("w05 robots: badbot group ignored, /private/ blocked, Allow overrides Disallow at longer prefix, no-match allowed") {
+    val out = WebQueries.w05.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    val ids = cat.documents.select("doc_id").collect().map(_.getLong(0))
+    assert(out.size == ids.length, "one verdict per candidate URL")
+    ids.foreach { id =>
+      val host = s"host${id % 97}.example"
+      val (path, expAllowed, expRule) =
+        if (id % 4 == 0) (s"/private/$id", false, Some("disallow /private/"))
+        else if (id % 6 == 0) (s"/doc/pub/$id",
+          true, if (id % 97 % 5 == 0) Some("allow /doc/pub/") else None)
+        else (s"/doc/$id",
+          id % 97 % 5 != 0, if (id % 97 % 5 == 0) Some("disallow /doc/") else None)
+      val (allowed, rule) = out(s"https://$host$path")
+      assert(allowed == expAllowed, s"verdict for $host$path")
+      assert(rule == expRule, s"matched rule for $host$path: got $rule")
+    }
+    // the hostile badbot group ("Disallow: /") must never fire: if it
+    // leaked into the * scope, EVERY url would be blocked
+    assert(out.values.exists(_._1), "badbot group leaked into * scope")
+  }
+
   test("e25 sink idempotence: a replayed micro-batch (same batchId) overwrites itself — no duplicates; streamed table equals the batch read") {
     import spark.implicits._
     val wh = graft.core.Warehouse.scratch(spark, "e25spec")
