@@ -220,7 +220,12 @@ object Bench {
     // size — unlike w01-w04's corpus-sized container renders), so its
     // probe cleanly measures the candidate pass: one broadcast join +
     // one map-side max-struct agg, corpus-linear by construction
-    "w05_robots_filter")
+    "w05_robots_filter",
+    // p08 = w04's parse + pagerank on the FIXED host graph + one
+    // broadcast join back to the corpus — the corpus-linear term is
+    // the join; w04's 10x fixture generation is driver-side but
+    // linear and outside the claim (p06's reasoning)
+    "p08_domain_rank_curation")
 
   /** Stage a `copies`x corpus of the tables the probed operators read.
     * Key columns are shifted per copy so cardinalities scale; content

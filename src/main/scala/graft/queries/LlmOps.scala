@@ -36,7 +36,7 @@ object LlmOps {
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, WebQueries.x34, x35, x36, x37, x38,
     p01, p02, p03, p03auto, p04, p05, WebQueries.p06, WebQueries.p07,
-    mm01, mm02, mm03, mm04, mm05, mm06,
+    WebQueries.p08, mm01, mm02, mm03, mm04, mm05, mm06,
     WebQueries.w01, WebQueries.w02, WebQueries.w03, WebQueries.w04,
     WebQueries.w05)
 }

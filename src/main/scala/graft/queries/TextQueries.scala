@@ -1237,19 +1237,24 @@ object TextQueries extends QDsl {
   // iterations as SQL CTEs from the same constants. Workload class:
   // iterative graph (k joins over a frozen edge list with per-round
   // lineage truncation), which no other board entry exercises.
-  private val x27Iters = 10
-  // host modulus + the two affine link jumps — shared with w04's WAT
-  // link extraction (WebQueries), whose aggregated anchor-edge
-  // universe must BE this graph; private[queries] so the container
-  // front end and the pagerank entry cannot drift
+  // iteration count, host modulus, affine link jumps, fixed-point
+  // scale — shared with w04's WAT link extraction and p08's
+  // domain-rank curation (WebQueries), whose edge universe / rank
+  // chain must BE this entry's; private[queries] so the container
+  // front end, the rank consumer, and the pagerank entry cannot drift
+  private[queries] val x27Iters = 10
   private[queries] val x27Hosts = 97
   private[queries] val x27Jump1: (Int, Int) = (31, 7)
   private[queries] val x27Jump2: (Int, Int) = (57, 13)
-  private val x27Scale = 1000000000000L
-  private def x27Oracle: String = {
+  private[queries] val x27Scale = 1000000000000L
+  /** x27's oracle rank chain as reusable CTEs (final relation:
+    * r{x27Iters} with (host, rank)) — shared by x27's own oracle and
+    * p08's, so the composed curation cannot drift from the entry.
+    */
+  private[queries] def x27RankCtes: String = {
     val jump = 15L * x27Scale / 100L
     val base =
-      s"""WITH d AS (SELECT doc_id % $x27Hosts AS src,
+      s"""d AS (SELECT doc_id % $x27Hosts AS src,
          |  (doc_id * ${x27Jump1._1} + ${x27Jump1._2}) % $x27Hosts AS d1,
          |  (doc_id * ${x27Jump2._1} + ${x27Jump2._2}) % $x27Hosts AS d2 FROM documents),
          |edges AS (SELECT DISTINCT src, dst FROM
@@ -1268,12 +1273,13 @@ object TextQueries extends QDsl {
          |            JOIN deg ON e.src = deg.src
          |     GROUP BY e.dst) c ON v.host = c.dst)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$its
+    s"$base,\n$its"
+  }
+  private def x27Oracle: String =
+    s"""WITH $x27RankCtes
        |SELECT host, rank AS pr_scaled,
        |  ROUND(CAST(rank AS DOUBLE) / $x27Scale, 6) AS pagerank
        |FROM r$x27Iters ORDER BY host""".stripMargin
-  }
   val x27: Q = q("x27_host_pagerank", x27Oracle) { c =>
     val d = c.documents.select(
       (col("doc_id") % x27Hosts).as("src"),

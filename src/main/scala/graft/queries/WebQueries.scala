@@ -451,6 +451,64 @@ object WebQueries extends QDsl {
     }
   }
 
+  // ---------------------------------------------------------------
+  // p08 — DOMAIN-RANK CURATION: the FineWeb-class "domain authority"
+  // pass, composed front to back from REGISTERED stages — w04's WAT
+  // parse produces the host link graph from container bytes, x27's
+  // pagerank (PageRank.ranks, identical iterations/scale via the
+  // shared constants) ranks the hosts, and every document is kept or
+  // dropped by its host's rank (top-24 of the 97-host universe).
+  // Curation by domain authority is a real corpus lever: it is how
+  // production pipelines suppress link-farm/spam hosts without
+  // touching document text. Scale shape: the edge list is the w04
+  // aggregate (host²-bounded), pagerank runs on the HOST graph
+  // (thousands-to-millions of hosts at 100 TB, never documents), the
+  // rank table is host-bounded → ONE BROADCAST join back to the
+  // corpus; the rank window is a 97-row frame (host-bounded by
+  // construction — fine single-partition). Oracle: x27's shared rank
+  // CTE chain + the same row_number/threshold, so the composed
+  // curation cannot drift from the registered pagerank entry
+  // (WebSpec additionally pins p08's (host, pr_scaled) pairs equal to
+  // x27's output).
+  val p08: Q = {
+    val hN = TextQueries.x27Hosts
+    val topHosts = 24
+    q("p08_domain_rank_curation",
+      s"""WITH ${TextQueries.x27RankCtes},
+        |ranked AS (SELECT host, rank AS pr_scaled,
+        |    row_number() OVER (ORDER BY rank DESC, host) AS host_rank
+        |  FROM r${TextQueries.x27Iters}),
+        |docs AS (SELECT doc_id, doc_id % $hN AS host FROM documents)
+        |SELECT d.doc_id, CAST(d.host AS BIGINT) AS host, r.pr_scaled,
+        |  CAST(r.host_rank AS BIGINT) AS host_rank,
+        |  r.host_rank <= $topHosts AS kept
+        |FROM docs d JOIN ranked r ON d.host = r.host
+        |ORDER BY d.doc_id""") { c =>
+      // the link graph from CONTAINER BYTES: w04's registered dataflow
+      // verbatim, hosts to numbers, x27's edge closure (no self-loops,
+      // distinct)
+      val edges = w04.run(c.spark, c.dir)
+        .select(regexp_extract(col("src_host"), "host(\\d+)", 1)
+          .cast(LongType).as("src"),
+          regexp_extract(col("dst_host"), "host(\\d+)", 1)
+            .cast(LongType).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val pr = graft.operators.PageRank
+        .ranks(edges, iters = TextQueries.x27Iters, scale = TextQueries.x27Scale)
+      // 97-row frame: the single-partition window is host-bounded by
+      // construction, never corpus-sized
+      val wR = Window.orderBy(col("pr_scaled").desc, col("host").asc)
+      val ranked = pr.select(col("host"), col("pr_scaled"))
+        .withColumn("host_rank", row_number().over(wR))
+      c.documents.select(col("doc_id"), (col("doc_id") % hN).as("host"))
+        .join(broadcast(ranked), "host")
+        .select(col("doc_id"), col("host").cast(LongType).as("host"),
+          col("pr_scaled"), col("host_rank").cast(LongType).as("host_rank"),
+          (col("host_rank") <= topHosts).as("kept"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** The CDX selection — ONE source of truth for w03 (the registered
     * index-select entry) and p07 (the composed index-driven ingest):
     * status-200/text-html predicates, then latest-capture-per-digest

@@ -190,6 +190,23 @@ class WebSpec extends SparkSpec {
     assert(out.values.exists(_._1), "badbot group leaked into * scope")
   }
 
+  test("p08 domain-rank curation: ranks from container-parsed edges equal x27's pagerank; kept == top-24 hosts") {
+    val p08 = WebQueries.p08.run(spark, sfDir).collect()
+    // drift pin: the (host, pr_scaled) pairs p08 computed from the WAT
+    // container equal x27's registered pagerank output exactly
+    val x27 = graft.queries.TextQueries.x27.run(spark, sfDir)
+      .select("host", "pr_scaled").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p08Hosts = p08.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(p08Hosts.forall { case (h, pr) => x27.get(h).contains(pr) },
+      "p08's container-derived pagerank drifted from x27")
+    // kept == host_rank <= 24, and exactly the 24 best-ranked hosts
+    // (that have documents) are kept
+    assert(p08.forall(r => r.getBoolean(4) == (r.getLong(3) <= 24)))
+    val keptHosts = p08.filter(_.getBoolean(4)).map(_.getLong(1)).distinct
+    assert(keptHosts.length <= 24 && keptHosts.nonEmpty)
+  }
+
   test("e25 sink idempotence: a replayed micro-batch (same batchId) overwrites itself — no duplicates; streamed table equals the batch read") {
     import spark.implicits._
     val wh = graft.core.Warehouse.scratch(spark, "e25spec")
