@@ -179,23 +179,23 @@ case class MisraGries(
   * k-th smallest hash as a fraction of the 2^64 space (relative
   * error ~1/√(k−2); the sketch regime is pinned in PropertySpec).
   */
-case class KmvDistinct(
-    child: Expression,
-    k: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
+/** The bottom-k TreeSet discipline shared by the KMV family — buffer
+  * shape, unsigned-order offset, update/merge, and the wire format
+  * live HERE so [[KmvDistinct]] and [[KmvSketch]] (which differ only
+  * in what `eval` derives from the buffer) cannot drift.
+  */
+abstract class KmvBottomK
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
 
-  require(k >= 2, "kmv_distinct k must be >= 2")
+  def k: Int
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"kmv_distinct expects a 64-bit hash column (LONG), got ${t.simpleString}")
+      s"$prettyName expects a 64-bit hash column (LONG), got ${t.simpleString}")
   }
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
@@ -203,7 +203,7 @@ case class KmvDistinct(
 
   // hashes compare in UNSIGNED order: offsetting by Long.MinValue
   // maps unsigned order onto the TreeSet's signed order
-  private def offset(h: Long): Long = h ^ Long.MinValue
+  protected final def offset(h: Long): Long = h ^ Long.MinValue
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -229,15 +229,6 @@ case class KmvDistinct(
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else {
-      // u_k = k-th smallest hash as a fraction of [0, 2^64)
-      val uK = (buf.last().toDouble - Long.MinValue.toDouble) /
-        18446744073709551616.0 // 2^64
-      math.round((k - 1).toDouble / uK)
-    }
-
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -256,6 +247,28 @@ case class KmvDistinct(
     while (i < n) { buf.add(in.readLong()); i += 1 }
     buf
   }
+}
+
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends KmvBottomK {
+
+  require(k >= 2, "kmv_distinct k must be >= 2")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_distinct"
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else {
+      // u_k = k-th smallest hash as a fraction of [0, 2^64)
+      val uK = (buf.last().toDouble - Long.MinValue.toDouble) /
+        18446744073709551616.0 // 2^64
+      math.round((k - 1).toDouble / uK)
+    }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -292,49 +305,12 @@ case class KmvSketch(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-  with UnaryLike[Expression] {
+  extends KmvBottomK {
 
   require(k >= 2, "kmv_sketch k must be >= 2")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"kmv_sketch expects a 64-bit hash column (LONG), got ${t.simpleString}")
-  }
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-
-  private def offset(h: Long): Long = h ^ Long.MinValue
-
-  override def update(
-      buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val key = offset(v.asInstanceOf[Long])
-      if (buf.size < k) buf.add(key)
-      else if (key < buf.last()) { if (buf.add(key)) buf.pollLast() }
-    }
-    buf
-  }
-
-  override def merge(
-      buf: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) {
-      val key = it.next()
-      if (buf.size < k) buf.add(key)
-      else if (key < buf.last()) { if (buf.add(key)) buf.pollLast() }
-    }
-    buf
-  }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
     val out = new Array[Long](buf.size)
@@ -342,25 +318,6 @@ case class KmvSketch(
     var i = 0
     while (it.hasNext) { out(i) = it.next() ^ Long.MinValue; i += 1 }
     new GenericArrayData(out)
-  }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) out.writeLong(it.next())
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { buf.add(in.readLong()); i += 1 }
-    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =

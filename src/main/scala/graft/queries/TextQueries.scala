@@ -1792,8 +1792,12 @@ object TextQueries extends QDsl {
   // (d02's discipline, NOT xxhash64) so the bottom-k sets — and
   // therefore the ESTIMATES THEMSELVES, sketch regime included —
   // replay exactly in DuckDB: the oracle gates the estimator, not a
-  // lucky exact regime. (A production run that never needs
-  // cross-engine replay can swap xxhash64 for the md5 pass.)
+  // lucky exact regime. THE COMBINE MATH BELOW IS COUPLED TO THIS
+  // FAMILY: values are non-negative 60-bit, so signed array_sort IS
+  // unsigned order, and the union estimator's space constant is 2^60.
+  // Swapping in xxhash64 would need BOTH changed (unsigned-order
+  // sort of full-range signed longs + a 2^64 constant) — and would
+  // forfeit the DuckDB replay, which is the point of this family.
   // Accuracy + the exact-when-k-covers regime are pinned in
   // PropertySpec against exact set math.
   private val x38K = 1024

@@ -178,11 +178,6 @@ object WebQueries extends QDsl {
   private val w03Fixture =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   private[queries] def cdxFixtureDir(c: Catalog): String =
     w03Fixture.computeIfAbsent(c.dir, { _ =>
       val d = Scratch.dir("w03_cdx")
@@ -198,7 +193,7 @@ object WebQueries extends QDsl {
         rows.forEachRemaining { r =>
           val id = r.getLong(0)
           val text = r.getString(1)
-          val digest = md5Hex(text)
+          val digest = graft.core.Checksum.md5(text)
           val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
           val mime = if (id % 4 == 0) "application/pdf" else "text/html"
           val status = if (id % 7 == 0) "404" else "200"
@@ -335,15 +330,20 @@ object WebQueries extends QDsl {
   // bodies arrive the way CC actually ships them: as WARC response
   // records (one robots.txt fetch per host), so the parse starts
   // from container bytes through the SAME w01 reader. Semantics
-  // implemented: group scoping (only rules governed by a
-  // `User-agent: *` line apply — the fixture plants a hostile
-  // `User-agent: badbot / Disallow: /` group that must be IGNORED;
-  // a wrong scoping pass blocks the entire corpus and fails the
-  // oracle), longest-prefix-match rule selection with Allow winning
+  // implemented: RFC group structure — stacked User-agent lines form
+  // ONE group, rules apply to * iff any stacked UA line is * (the
+  // fixture stacks `User-agent: otherbot / User-agent: *` on h%7=0
+  // hosts), field names match case-insensitively per §2.1 (h%3=1
+  // hosts write lowercase directives) while rule VALUES keep case,
+  // and a hostile `User-agent: badbot / Disallow: /` group must be
+  // IGNORED (wrong scoping blocks the entire corpus and fails the
+  // oracle); longest-prefix-match rule selection with Allow winning
   // length ties (RFC 9309 §2.2.2 — the fixture's /doc/pub/ Allow
   // under a /doc/ Disallow exercises the override), no-match =
-  // allowed, empty rule lines dropped (an empty Disallow matches
-  // nothing per spec). Scale shape: the rule table is HOST-bounded
+  // allowed, empty rule lines dropped (every file plants an empty
+  // `Disallow:`, which matches nothing per spec — a parser turning
+  // it into a zero-length match-all prefix flips every verdict and
+  // fails the oracle). Scale shape: the rule table is HOST-bounded
   // (config-sized at any corpus — robots bodies are KB per host) so
   // the candidate side takes it as ONE BROADCAST join; the
   // longest-match decision is a map-side-combinable max-struct
@@ -360,9 +360,30 @@ object WebQueries extends QDsl {
         d.resolve("robots.warc"), java.nio.charset.StandardCharsets.UTF_8)
       try {
         (0L until hN.toLong).foreach { h =>
-          val body = "User-agent: badbot\nDisallow: /\n\n" +
-            "User-agent: *\nDisallow: /private/\n" +
-            (if (h % 5 == 0) "Disallow: /doc/\nAllow: /doc/pub/\n" else "")
+          // the * group's RULE SET is a pure function of the host
+          // number (what the oracle recomputes); its PRESENTATION
+          // varies to exercise the parser's RFC obligations — h%3==1
+          // hosts write lowercase field names (field names are
+          // case-insensitive per RFC 9309 §2.1; values keep case),
+          // h%7==0 hosts STACK a second User-agent line onto the
+          // group (stacked UA lines form ONE group — a parser that
+          // scopes rules to only the most recent UA line drops the
+          // * rules here and fails the oracle). Every file also
+          // plants an EMPTY `Disallow:` line, which matches nothing
+          // per spec — a parser that turns it into a zero-length
+          // match-all prefix flips every verdict.
+          val baseRules = Seq("Disallow: /private/", "Disallow:") ++
+            (if (h % 5 == 0) Seq("Disallow: /doc/", "Allow: /doc/pub/") else Nil)
+          val starGroup =
+            if (h % 3 == 1)
+              ("user-agent: *" +: baseRules.map(r =>
+                r.replaceFirst("^Disallow", "disallow")
+                  .replaceFirst("^Allow", "allow"))).mkString("\n")
+            else if (h % 7 == 0)
+              (Seq("User-agent: otherbot", "User-agent: *") ++ baseRules)
+                .mkString("\n")
+            else ("User-agent: *" +: baseRules).mkString("\n")
+          val body = "User-agent: badbot\nDisallow: /\n\n" + starGroup + "\n"
           out.write(Warc.rawRecord(s"https://${watHost(h)}/robots.txt",
             "2024-02-01T00:00:00Z", body, "response"))
         }
@@ -401,25 +422,37 @@ object WebQueries extends QDsl {
         |  CAST(strlen(b.prefix) AS BIGINT) AS matched_len
         |FROM cand c LEFT JOIN best b ON c.doc_id = b.doc_id
         |ORDER BY url""") { c =>
-      // parse the robots container: line-index the bodies, scope each
-      // line to its governing User-agent group, keep the * group's
-      // Allow/Disallow prefixes
+      // parse the robots container with RFC 9309's group structure:
+      // one-or-more STACKED User-agent lines open a group and every
+      // following rule line belongs to it (blank lines do not close a
+      // group; the next User-agent line after a non-UA line does).
+      // Field names match case-insensitively (§2.1); rule VALUES —
+      // the path prefixes — keep their case. A group's rules apply to
+      // * iff ANY of its stacked UA lines is *.
       val robots = Warc.read(c.spark, robotsFixtureDir(c))
         .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
           col("payload"))
       val lines = robots.select(col("host"),
         posexplode(split(col("payload"), "\n")).as(Seq("i", "line")))
-      val wUa = Window.partitionBy("host").orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val scoped = lines.withColumn("ua",
-        last(when(col("line").startsWith("User-agent:"),
-          trim(regexp_extract(col("line"), "^User-agent:\\s*(.*)$", 1))),
-          ignoreNulls = true).over(wUa))
-      val rules = scoped.filter(col("ua") === "*")
+      val wSeq = Window.partitionBy("host").orderBy("i")
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = lines
+        .withColumn("ua_line",
+          lower(trim(col("line"))).startsWith("user-agent:"))
+        .withColumn("grp", sum((col("ua_line") &&
+            !coalesce(lag(col("ua_line"), 1).over(wSeq), lit(false)))
+          .cast(IntegerType)).over(wRun))
+      val starGrp = marked.filter(col("ua_line") &&
+          trim(regexp_extract(col("line"), "(?i)^\\s*user-agent:\\s*(.*)$", 1))
+            === "*")
+        .select("host", "grp").distinct()
+      val rules = marked.join(starGrp, Seq("host", "grp"))
+        .filter(!col("ua_line"))
         .select(col("host"),
-          when(col("line").startsWith("Disallow:"), lit("disallow"))
-            .when(col("line").startsWith("Allow:"), lit("allow")).as("rtype"),
-          trim(regexp_extract(col("line"), "^(?:Dis)?[Aa]llow:\\s*(.*)$", 1))
+          when(lower(trim(col("line"))).startsWith("disallow:"), lit("disallow"))
+            .when(lower(trim(col("line"))).startsWith("allow:"), lit("allow"))
+            .as("rtype"),
+          trim(regexp_extract(col("line"), "(?i)^\\s*(?:dis)?allow:\\s*(.*)$", 1))
             .as("prefix"))
         .filter(col("rtype").isNotNull && length(col("prefix")) > 0)
       // candidate URLs over the shared host universe
