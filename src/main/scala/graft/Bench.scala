@@ -7,12 +7,24 @@ object Bench {
   /** One timed noop-sink pass over every query; a failure is RECORDED
     * as the query's error (first line of the message) instead of
     * silently contributing its time-to-crash to the totals.
+    *
+    * `phasesOut` (optional): collects [[graft.core.Phase]] sub-phase
+    * seconds drained after each run — the streaming entries meter
+    * their fixture staging there, so the bench can report
+    * (fixture_sec, stream_sec = median − fixture_sec) per e-entry
+    * without changing what the entry's own seconds time.
     */
   def runAll(spark: SparkSession, sfDir: String,
-      queries: Map[String, (SparkSession, String) => DataFrame])
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      phasesOut: scala.collection.mutable.Map[String, Double] = null)
       : Seq[(String, Double, Option[String])] =
     queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      graft.core.Phase.drain() // discard residue from prior work
       val (secs, err) = timed(spark, sfDir, fn)
+      if (phasesOut != null)
+        graft.core.Phase.drain().foreach { case (k, v) =>
+          phasesOut(k) = phasesOut.getOrElse(k, 0.0) + v
+        }
       (name, secs, err)
     }
 
@@ -447,6 +459,8 @@ object Bench {
     // e16) and q34 its layout; only the tail, which re-keys
     // everything, sweeps it. Samples stay interleaved; what they time
     // is the operator, not the previous pass's JVM residue.
+    val fixturePasses =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     val passes = (1 to iters).map { p =>
       if (p > 1) {
         spark.stop()
@@ -457,7 +471,10 @@ object Bench {
         try graft.queries.Relational.stageQ34(spark, sfDir)
         catch { case _: Throwable => () }
       }
-      runAll(spark, sfDir, keep(SparkEntry.queries))
+      val phases = scala.collection.mutable.Map.empty[String, Double]
+      val r = runAll(spark, sfDir, keep(SparkEntry.queries), phases)
+      fixturePasses += phases.toMap
+      r
     }
     val names = passes.head.map(_._1)
     // Median over SUCCESSFUL samples only: a query that crashes in
@@ -538,7 +555,13 @@ object Bench {
         // (same discipline as the corpus staging above)
         try graft.queries.Relational.stageQ34(sp, scaleDir)
         catch { case _: Throwable => () } // probe itself will report
-        val rs = probeOps.map { n =>
+        // NEWEST-FIRST probe order (r17 verdict: the driver's budget
+        // wall fell exactly on the tail of the declaration-ordered
+        // ring, so every round-17 arrival — the entries with NO prior
+        // probe history — was the one skipped; oldest entries have
+        // years of committed ratios and can afford to be the ones a
+        // contended run drops)
+        val rs = probeOps.reverse.map { n =>
           if (elapsed > budgetSec) (n, -1.0, medians(n), Some("skipped_budget"))
           else {
             val (secs, err) = timed(sp, scaleDir, SparkEntry.queries(n))
@@ -1061,7 +1084,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = errs.size
     val total = names.map(medians).sum
-    val json = s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"errors":$errJson,"scale10x":$scaleJson,"sketch_probe":$sketchJson,"n_queries":${names.size},"n_ok":${names.size - nErr},"n_err":$nErr,"bench_wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+    // per-entry FIXTURE medians (the r17 verdict's stream-vs-fixture
+    // decomposition): a new top-level field — never folded into the
+    // entry's own seconds, so the timed methodology and every existing
+    // number keep their meaning; stream_sec = queries[k] −
+    // fixture_sec[k] for consumers that want the engine-owned part
+    val fixtureKeys = fixturePasses.flatMap(_.keys).distinct.sorted
+    val fixtureJson = fixtureKeys.map { k =>
+      s"${jstr(k)}:${fmt(median(fixturePasses.toSeq.map(_.getOrElse(k, 0.0))))}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total_median","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$qmins,"errors":$errJson,"scale10x":$scaleJson,"sketch_probe":$sketchJson,"fixture_sec":$fixtureJson,"n_queries":${names.size},"n_ok":${names.size - nErr},"n_err":$nErr,"bench_wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets head-truncated by capped log captures (it
     // lost 30 of 66 medians in round 5's durable record) — always

@@ -1944,7 +1944,11 @@ object Ann {
         .select(col("query_id"), col("b").as("node")).distinct()
       val fresh = expand.join(visited.select("query_id", "node"),
         Seq("query_id", "node"), "left_anti")
+      val prev = visited
       visited = visited.unionByName(score(fresh)).localCheckpoint(true)
+      // the superseded visited frame is folded into the new eager
+      // checkpoint — dead; drop its blocks (d20's retention lesson)
+      org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(prev)
       frontier = cutBeam(visited, beam)
     }
     visited
@@ -2132,7 +2136,12 @@ object Ann {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(step).cast(IntegerType).as("rank"), col("score"))
+      val prev = selected
       selected = selected.unionByName(pick).localCheckpoint(true)
+      // step > 2: the superseded selected frame was itself a
+      // checkpoint, folded into the new one — drop its blocks
+      if (step > 2) org.apache.spark.sql.graftbridge.RddBridge
+        .unpersistCheckpoint(prev)
     }
     selected
   }

@@ -108,7 +108,12 @@ object Bpe {
       else {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += Merge(merges.size + 1, a, b, top(0).getAs[Long]("pc"))
+        val prev = dict
         dict = applyMerge(dict, a, b).localCheckpoint(eager = true)
+        // the superseded dict (vocab-sized, one copy PER MERGE —
+        // nMerges of them by the end) is dead once the new eager
+        // checkpoint exists; drop its blocks
+        org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(prev)
       }
     }
     merges.toSeq

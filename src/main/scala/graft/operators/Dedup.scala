@@ -1269,13 +1269,34 @@ object Dedup {
     // double per level (2^levels copies of the base scan) and the
     // linearithmic claim would be a lie at the optimizer level
     val topBit = 63 - java.lang.Long.numberOfLeadingZeros(minSpan.toLong)
-    val levels = scala.collection.mutable.Map[Int, DataFrame](
-      0 -> coded(tok, Seq("tok")).localCheckpoint(true))
-    (1 to topBit.toInt).foreach { b =>
-      levels(b) = doubleUp(levels(b - 1), 1 << (b - 1)).localCheckpoint(true)
-    }
-    // compose W's binary decomposition into one equality key
+    // W's binary decomposition — the levels the composed key reads
+    // LATER; every other level is dead the moment its successor is
+    // frozen (computed up front so the build loop can free them)
     val parts = (topBit.to(0, -1)).filter(b => (minSpan & (1 << b)) != 0)
+    // level frames freeze SERIALIZED (MEMORY_AND_DISK_SER): each is
+    // read back at most three times (the next level's two join sides
+    // + possibly the composed key), and at 10×-corpus scale the
+    // deserialized default held one UnsafeRow OBJECT per token in the
+    // BlockManager — the per-object + GC overhead, not the joins, is
+    // what the scale probe was timing
+    val lvlStore = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val levels = scala.collection.mutable.Map[Int, DataFrame](
+      0 -> coded(tok, Seq("tok")).localCheckpoint(true, lvlStore))
+    (1 to topBit.toInt).foreach { b =>
+      levels(b) = doubleUp(levels(b - 1), 1 << (b - 1))
+        .localCheckpoint(true, lvlStore)
+      // level b−1 has now fed its successor (eagerly materialized);
+      // if the composed key never reads it, DROP its blocks — holding
+      // every level alive kept ~2× the corpus tokens pinned in the
+      // BlockManager for the whole job, and at 10× corpus scale that
+      // dead weight (not the joins) was the superlinear term: the
+      // tail levels ran against an exhausted heap (spill + GC)
+      if (!parts.contains(b - 1)) {
+        org.apache.spark.sql.graftbridge.RddBridge
+          .unpersistCheckpoint(levels(b - 1))
+        levels.remove(b - 1); ()
+      }
+    }
     val (composed, _) = parts.zipWithIndex.drop(1)
       .foldLeft((levels(parts.head).withColumnRenamed("r", "k0"), 1 << parts.head)) {
         case ((acc, off), (b, i)) =>

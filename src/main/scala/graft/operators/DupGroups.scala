@@ -67,6 +67,10 @@ object DupGroups {
           (col("__chg") || col("__ccomp") < col("comp")).as("__chg"))
         .localCheckpoint()
       changed = next.filter(col("__chg")).count()
+      // the superseded |V|-sized label frame is dead once `next` is
+      // eagerly frozen — d20's block-retention lesson: without the
+      // drop, O(log d) full label copies stay pinned for the job
+      org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(labels)
       labels = next.drop("__chg")
       it += 1
     }

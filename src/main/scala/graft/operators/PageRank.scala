@@ -59,14 +59,21 @@ object PageRank {
       .localCheckpoint(true)
     val jump = 15L * scale / 100L
     var r = v.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, e("src") === r("host"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").cast(LongType).as("c"))
+      val prev = r
       r = v.join(contrib, v("host") === contrib("dst"), "left")
         .select(col("host"),
           (lit(jump) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
         .localCheckpoint(true)
+      // the superseded rank frame is dead once its successor is
+      // eagerly frozen — at fixture scale 97 rows, but the frame is
+      // |V|-sized (host-scaled), so k iterations would otherwise pin
+      // k copies of the vertex table until session cleanup
+      if (i > 1) org.apache.spark.sql.graftbridge.RddBridge
+        .unpersistCheckpoint(prev)
     }
     r.select(col("host"), col("rank").as("pr_scaled"))
   }

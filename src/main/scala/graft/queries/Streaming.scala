@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
 
-import graft.core.{IncrementalStrategy, Materialization, Materializer, MergeOnRead, Model, Scratch, Warehouse}
+import graft.core.{IncrementalStrategy, Materialization, Materializer, MergeOnRead, Model, Phase, Scratch, Warehouse}
 import graft.sources.Catalog
 import graft.streaming.{EventStream, IngestDedup}
 
@@ -296,7 +296,8 @@ object Streaming {
     // schema probed from the batch relation + normalized through the
     // one events-time chokepoint (see e03)
     val rawSchema = Catalog(spark, dir).eventsRawSchema
-    val (srcDir, outDir, ckpt) = e08Dirs.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (srcDir, outDir, ckpt) = e08Dirs.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e08_stream_stream_join") {
       val src = Scratch.dir("e08_src")
       java.nio.file.Files.createSymbolicLink(
         src.resolve("events.parquet"),
@@ -449,7 +450,8 @@ object Streaming {
     // and pays only startup + the digests-table read (the r12 shape
     // re-seeded and re-ingested from zero every pass, 4.66 s driver
     // median).
-    val (whRoot, srcDir, ckpt) = e11State.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (whRoot, srcDir, ckpt) = e11State.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e11_stream_ingest_dedup") {
       val wh = Warehouse.scratch(spark, "e11")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
@@ -624,7 +626,8 @@ object Streaming {
     // zero rebuild — r11's bench paid the full multi-micro-batch
     // outer-join rebuild (15.7 s, the board's slowest entry) on every
     // pass; a restart times query startup + recovery only.
-    val (srcDir, outDir, ckpt) = e14Dirs.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (srcDir, outDir, ckpt) = e14Dirs.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e14_stream_join_outer") {
       val src = Scratch.dir("e14_src")
       java.nio.file.Files.createSymbolicLink(
         src.resolve("a_events.parquet"),
@@ -703,7 +706,8 @@ object Streaming {
     // (exactly-once recovery, sink unchanged) instead of re-paying
     // the 5-micro-batch from-zero build (5.9 s/pass in r12's bench —
     // the board's slowest entry after e14 adopted the same fix)
-    val (srcDir, outDir, ckpt) = e15Dirs.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (srcDir, outDir, ckpt) = e15Dirs.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e15_late_data_drop") {
       val src = Scratch.dir("e15_src")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       // land a filtered slice as ONE parquet file with a pinned mtime
@@ -783,7 +787,8 @@ object Streaming {
     // new files, no new merge commits, the logged read unchanged.
     // Re-initializing the MOR table per invocation (the r12-and-
     // earlier shape) paid the full 3-commit ingest every bench pass.
-    val (whRoot, srcDir, ckpt) = e16State.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (whRoot, srcDir, ckpt) = e16State.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e16_stream_mor_ingest") {
       val wh = Warehouse.scratch(spark, "e16")
       val norm = Catalog(spark, dir).events
       val srcDir = Scratch.dir("e16_src")
@@ -863,7 +868,8 @@ object Streaming {
   // total. Restart discipline per e16: re-invocation restarts the
   // committed stream, sink provably unchanged.
   val e17: Q = Q("e17_stream_erasure", (spark, dir) => {
-    val (whRoot, srcDir, ckpt) = e17State.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (whRoot, srcDir, ckpt) = e17State.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e17_stream_erasure") {
       val wh = Warehouse.scratch(spark, "e17")
       val norm = Catalog(spark, dir).events
       val srcDir = Scratch.dir("e17_src")
@@ -965,7 +971,8 @@ object Streaming {
     // runs. The r12 shape paid the full from-zero AvailableNow build
     // + merge every pass (7.84 s driver median — the slowest board
     // entry); a restart times startup + the rank over the table.
-    val (whRoot, srcDir, ckpt) = e18State.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (whRoot, srcDir, ckpt) = e18State.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e18_stream_trending") {
       val wh = Warehouse.scratch(spark, "e18")
       val src = Scratch.dir("e18_src")
       java.nio.file.Files.createSymbolicLink(
@@ -1079,7 +1086,8 @@ object Streaming {
   val e20: Q = Q("e20_stream_backfill", (spark, dir) => {
     val histEnd = lit("2024-01-25 00:00:00").cast(TimestampNTZType)
     val streamStart = lit("2024-01-22 00:00:00").cast(TimestampNTZType)
-    val (whRoot, srcDir, ckpt) = e20State.computeIfAbsent(fxKey(spark, dir), _ => {
+    val (whRoot, srcDir, ckpt) = e20State.computeIfAbsent(fxKey(spark, dir),
+        _ => Phase.timed("e20_stream_backfill") {
       val wh = Warehouse.scratch(spark, "e20")
       val norm = Catalog(spark, dir).events
       wh.write(norm.filter(col("ts") < histEnd), "analytics", "events_unified")

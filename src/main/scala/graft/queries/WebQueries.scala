@@ -290,6 +290,30 @@ object WebQueries extends QDsl {
     StructType(Seq(StructField("Envelope", envelope)))
   }
 
+  /** w04's pre-sort host-pair aggregate — ONE source of truth for the
+    * registered w04 entry and p08's edge derivation. w04's trailing
+    * orderBy exists only for oracle determinism; a downstream consumer
+    * (p08) re-shuffles immediately, so it reads THIS aggregate and the
+    * global sort never enters the composed plan (dead work at corpus
+    * scale — an Exchange rangepartitioning + Sort whose order the next
+    * exchange discards).
+    */
+  private[queries] def watLinkCounts(c: Catalog): DataFrame = {
+    val env = from_json(col("payload"), watSchema)
+    Warc.read(c.spark, watFixtureDir(c))
+      .filter(col("rec_type") === "metadata")
+      .select(
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("src_host"),
+        explode(env.getField("Envelope").getField("Payload-Metadata")
+          .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+          .getField("Links")).as("l"))
+      .filter(col("l.path") === "A@/href") // anchors only — IMG planted
+      .select(col("src_host"),
+        regexp_extract(col("l.url"), "https://([^/]+)/", 1).as("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   val w04: Q = {
     val hN = TextQueries.x27Hosts
     val (a1, b1) = TextQueries.x27Jump1
@@ -305,21 +329,24 @@ object WebQueries extends QDsl {
         |  FROM documents)
         |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
         |FROM l GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
-      val env = from_json(col("payload"), watSchema)
-      Warc.read(c.spark, watFixtureDir(c))
-        .filter(col("rec_type") === "metadata")
-        .select(
-          regexp_extract(col("url"), "https://([^/]+)/", 1).as("src_host"),
-          explode(env.getField("Envelope").getField("Payload-Metadata")
-            .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
-            .getField("Links")).as("l"))
-        .filter(col("l.path") === "A@/href") // anchors only — IMG planted
-        .select(col("src_host"),
-          regexp_extract(col("l.url"), "https://([^/]+)/", 1).as("dst_host"))
-        .groupBy("src_host", "dst_host")
-        .agg(count(lit(1)).as("n_links"))
-        .orderBy("src_host", "dst_host")
+      watLinkCounts(c).orderBy("src_host", "dst_host")
     }
+  }
+
+  /** Size-gated broadcast hint for HOST-scaled frames (w05's rule
+    * table, p08's rank table): hosts grow with the corpus — O(10⁷-10⁸)
+    * at CC scale — so an unconditional `broadcast()` eventually walks
+    * into Spark's 8 GB / 512M-row relation cap and a driver OOM. The
+    * hint is applied only below `spark.graft.broadcast.maxRows`
+    * (default 2²⁰ rows — tens of MB for these narrow schemas); above
+    * it the hint is withheld and the planner shuffles both sides.
+    * Callers pass a row count they already have (or can take from an
+    * already-frozen frame — never a extra corpus scan).
+    */
+  private def maybeBroadcast(df: DataFrame, nRows: Long): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("spark.graft.broadcast.maxRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (nRows <= cap) broadcast(df) else df
   }
 
   // ---------------------------------------------------------------
@@ -432,29 +459,41 @@ object WebQueries extends QDsl {
       val robots = Warc.read(c.spark, robotsFixtureDir(c))
         .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
           col("payload"))
+      // normalize each line ONCE before any predicate sees it: strip
+      // the RFC 9309 `#`-comment tail, then trim ALL whitespace (the
+      // previous shape mixed Spark trim — spaces only — for the
+      // ua_line flag with `\s*` in the value regexes, so a
+      // tab-indented `User-agent:` line would be missed as a group
+      // opener and a trailing `# note` would ride into the prefix)
       val lines = robots.select(col("host"),
-        posexplode(split(col("payload"), "\n")).as(Seq("i", "line")))
+          posexplode(split(col("payload"), "\n")).as(Seq("i", "raw")))
+        .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+        .drop("raw")
       val wSeq = Window.partitionBy("host").orderBy("i")
       val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val marked = lines
         .withColumn("ua_line",
-          lower(trim(col("line"))).startsWith("user-agent:"))
+          lower(col("line")).startsWith("user-agent:"))
         .withColumn("grp", sum((col("ua_line") &&
             !coalesce(lag(col("ua_line"), 1).over(wSeq), lit(false)))
           .cast(IntegerType)).over(wRun))
       val starGrp = marked.filter(col("ua_line") &&
-          trim(regexp_extract(col("line"), "(?i)^\\s*user-agent:\\s*(.*)$", 1))
+          trim(regexp_extract(col("line"), "(?i)^user-agent:\\s*(.*)$", 1))
             === "*")
         .select("host", "grp").distinct()
+      // frozen: the rule table is consumed by the candidate join AND
+      // the size gate's count — one parse, two reads; host-scaled, so
+      // the freeze is a distributed materialization, never a collect
       val rules = marked.join(starGrp, Seq("host", "grp"))
         .filter(!col("ua_line"))
         .select(col("host"),
-          when(lower(trim(col("line"))).startsWith("disallow:"), lit("disallow"))
-            .when(lower(trim(col("line"))).startsWith("allow:"), lit("allow"))
+          when(lower(col("line")).startsWith("disallow:"), lit("disallow"))
+            .when(lower(col("line")).startsWith("allow:"), lit("allow"))
             .as("rtype"),
-          trim(regexp_extract(col("line"), "(?i)^\\s*(?:dis)?allow:\\s*(.*)$", 1))
+          trim(regexp_extract(col("line"), "(?i)^(?:dis)?allow:\\s*(.*)$", 1))
             .as("prefix"))
         .filter(col("rtype").isNotNull && length(col("prefix")) > 0)
+        .localCheckpoint(true)
       // candidate URLs over the shared host universe
       val cand = c.documents.select(col("doc_id"),
         concat(lit("host"), col("doc_id") % hN, lit(".example")).as("host"),
@@ -463,9 +502,11 @@ object WebQueries extends QDsl {
           .when(col("doc_id") % 6 === 0,
             concat(lit("/doc/pub/"), col("doc_id")))
           .otherwise(concat(lit("/doc/"), col("doc_id"))).as("path"))
-      // rule table is host-bounded: broadcast; longest-match decision
-      // is one map-side max-struct agg (len, allow, prefix) per url
-      val matches = cand.join(broadcast(rules), Seq("host"))
+      // rule table is host-SCALED, not bounded — broadcast only below
+      // the size gate (the count reads the frozen frame, no re-parse);
+      // longest-match decision stays one map-side max-struct agg
+      // (len, allow, prefix) per url either way
+      val matches = cand.join(maybeBroadcast(rules, rules.count()), Seq("host"))
         .filter(col("path").startsWith(col("prefix")))
         .groupBy("doc_id")
         .agg(max(struct(length(col("prefix")).as("len"),
@@ -517,10 +558,11 @@ object WebQueries extends QDsl {
         |  r.host_rank <= $topHosts AS kept
         |FROM docs d JOIN ranked r ON d.host = r.host
         |ORDER BY d.doc_id""") { c =>
-      // the link graph from CONTAINER BYTES: w04's registered dataflow
-      // verbatim, hosts to numbers, x27's edge closure (no self-loops,
-      // distinct)
-      val edges = w04.run(c.spark, c.dir)
+      // the link graph from CONTAINER BYTES: w04's shared pre-sort
+      // aggregate (the registered w04 = this + an oracle orderBy the
+      // next exchange would discard), hosts to numbers, x27's edge
+      // closure (no self-loops, distinct)
+      val edges = watLinkCounts(c)
         .select(regexp_extract(col("src_host"), "host(\\d+)", 1)
           .cast(LongType).as("src"),
           regexp_extract(col("dst_host"), "host(\\d+)", 1)
@@ -528,13 +570,34 @@ object WebQueries extends QDsl {
         .filter(col("src") =!= col("dst")).distinct()
       val pr = graft.operators.PageRank
         .ranks(edges, iters = TextQueries.x27Iters, scale = TextQueries.x27Scale)
-      // 97-row frame: the single-partition window is host-bounded by
-      // construction, never corpus-sized
-      val wR = Window.orderBy(col("pr_scaled").desc, col("host").asc)
-      val ranked = pr.select(col("host"), col("pr_scaled"))
-        .withColumn("host_rank", row_number().over(wR))
+      // TWO-PHASE GLOBAL RANK (the x16/Ntile.exact prefix-sum
+      // discipline): hosts SCALE with the corpus, so the former
+      // `row_number().over(Window.orderBy(...))` — every host through
+      // ONE task — is replaced by range-partition on the sort key +
+      // per-partition row_number + broadcast partition offsets. The
+      // sort key (pr_scaled DESC, host ASC) is a total order (host is
+      // unique), so the assignment is bit-identical to the global
+      // window at any partitioning. Frozen once: the offsets aggregate,
+      // the rank window, and the size gate's count all read the same
+      // materialized range layout (Ntile.exact's boundary-drift fix).
+      val byKey = pr.select(col("host"), col("pr_scaled"))
+        .repartitionByRange(col("pr_scaled").desc, col("host").asc)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+      val offs = byKey.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+        .select(col("__pid"),
+          coalesce(sum("__cnt").over(Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+      val ranked = byKey.join(broadcast(offs), "__pid")
+        .withColumn("host_rank",
+          (col("__off") + row_number().over(Window.partitionBy("__pid")
+            .orderBy(col("pr_scaled").desc, col("host").asc)))
+            .cast(IntegerType))
+        .drop("__pid", "__off")
+      // rank table is host-scaled: broadcast only below the size gate
+      // (the count reads the frozen range layout, not a recompute)
       c.documents.select(col("doc_id"), (col("doc_id") % hN).as("host"))
-        .join(broadcast(ranked), "host")
+        .join(maybeBroadcast(ranked, byKey.count()), "host")
         .select(col("doc_id"), col("host").cast(LongType).as("host"),
           col("pr_scaled"), col("host_rank").cast(LongType).as("host_rank"),
           (col("host_rank") <= topHosts).as("kept"))
@@ -577,7 +640,9 @@ object WebQueries extends QDsl {
       |    'example,crawl)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
       |    ts, CAST(strlen(text) AS BIGINT) AS length, "offset", filename
       |  FROM caps WHERE doc_id % 7 <> 0 AND doc_id % 4 <> 0),
-      |rk AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY ts DESC) AS r
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY digest
+      |         ORDER BY ts DESC, url DESC, urlkey DESC, length DESC,
+      |           "offset" DESC, filename DESC) AS r
       |       FROM f)"""
 
   val w03: Q = q("w03_cdx_index",

@@ -30,3 +30,24 @@ object FunctionBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, fi, b)
 }
+
+/** Unpersist the block-manager blocks behind an EAGER localCheckpoint.
+  * Iterative operators (d20's prefix-doubling levels, PageRank's rank
+  * frames) freeze per-level frames whose lifetime is ONE level — but
+  * `Dataset.unpersist` only reaches CacheManager entries, and the
+  * localCheckpoint blocks otherwise pin memory until session cleanup
+  * (at 10× corpus scale the dead levels were most of the heap). The
+  * checkpointed RDD hides behind a `private[sql]` LogicalRDD — same
+  * shim rationale as [[ColumnBridge]]. Callers must only free frames
+  * NO downstream plan will read again (the lineage is truncated; a
+  * later read would fail, not recompute).
+  */
+object RddBridge {
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame,
+      blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking); ()
+      case _ => ()
+    }
+}
