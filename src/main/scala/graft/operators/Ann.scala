@@ -1740,13 +1740,17 @@ object Ann {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("cnt")))),
           e => e("s").cast("double") / scale / e("cnt")).as("mv"))
-      cents.join(means, Seq("cid"), "left")
+      val next = cents.join(means, Seq("cid"), "left")
         .withColumn("mnrm",
           sqrt(aggregate(col("mv"), lit(0.0), (a, x) => a + x * x)))
         .select(col("cid"),
           when(col("mv").isNull || col("mnrm") === 0.0, col("cv"))
             .otherwise(transform(col("mv"), x => x / col("mnrm"))).as("cv"))
         .localCheckpoint(true)
+      // the superseded codebook (k rows, k ∝ n/occupancy under the
+      // auto dials — corpus-scaled) is dead once `next` is frozen
+      org.apache.spark.sql.graftbridge.RddBridge.unpersistCheckpoint(cents)
+      next
     }
   }
 

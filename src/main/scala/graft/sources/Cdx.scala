@@ -40,6 +40,19 @@ object Cdx {
   /** Parse a CDX file (or directory of shards) into one row per
     * capture: (urlkey, ts, url, mime, status, digest, length,
     * offset, filename).
+    *
+    * Malformed-input contract (documented, deliberate): a line with
+    * fewer than three space-delimited tokens or broken JSON yields
+    * NULL parsed columns rather than failing the scan — CDX shards in
+    * the wild carry occasional truncated tail lines, and the
+    * SELECTION stage's predicates (status/mime/digest) drop
+    * null-parsed rows naturally. This is the null-tolerant half of
+    * the source discipline; Warc.readRaw keeps the fail-loud half
+    * because a mis-parsed CONTAINER corrupts payload boundaries,
+    * while a dropped index line only shrinks a selection. Callers
+    * needing strictness can assert `j IS NOT NULL` / count corrupt
+    * lines on the parsed frame — it is one predicate over these
+    * columns.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val parts = split(col("value"), " ", 3)
