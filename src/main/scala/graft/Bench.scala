@@ -52,6 +52,12 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // drop any state-store providers a streaming entry left loaded
+    // (HDFS-backed providers pin their version maps in memory; the
+    // lazy maintenance cycle would keep them — and its thread pool —
+    // alive under every later query's timing)
+    try org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    catch { case _: Throwable => () }
     (secs, err)
   }
 

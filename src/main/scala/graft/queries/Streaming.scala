@@ -251,9 +251,17 @@ object Streaming {
         "true")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    try f finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      // drop the terminated query's providers NOW — left to the lazy
+      // maintenance cycle, the RocksDB natives + background threads
+      // ride along into whatever runs next in this session (measured
+      // ~0.5-1s stolen from later queries); the registry re-inits
+      // lazily for the next streaming query
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
     }
   }
 

@@ -51,3 +51,18 @@ object RddBridge {
       case _ => ()
     }
 }
+
+/** Unload every loaded state-store provider and stop the maintenance
+  * task. A terminated streaming query leaves its providers (and for
+  * RocksDB, native handles + background maintenance) registered until
+  * the lazy maintenance cycle notices — measured: queries running
+  * AFTER the RocksDB-backed join entries in the same session paid
+  * ~0.5-1s of stolen cycles (mm06 0.8 → 1.9s). The streaming entries
+  * call this after their query terminates; the registry re-initializes
+  * lazily on the next streaming query, so sequential queries are
+  * unaffected. Same `private[sql]` shim rationale as [[ColumnBridge]].
+  */
+object StateStoreBridge {
+  def unloadAll(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+}
