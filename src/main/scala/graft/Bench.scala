@@ -561,6 +561,31 @@ object Bench {
         // (same discipline as the corpus staging above)
         try graft.queries.Relational.stageQ34(sp, scaleDir)
         catch { case _: Throwable => () } // probe itself will report
+        // SETTLE the freshly staged corpus before the first timed
+        // probe: staging just pushed the 10x corpus through 32
+        // concurrent writers, and the ring's first slots otherwise
+        // time ext4 writeback + cold readahead instead of the
+        // operator — measured: p05's probe read 24.9s in the ring's
+        // early window vs 2.6s isolated (ratio 17 vs 1.14), and the
+        // same inflation hit every early slot. One untimed noop read
+        // per staged table forces the flush and warms the cache —
+        // the head-warmup discipline the 1x passes already get.
+        for (t <- Seq("documents", "embeddings", "orders", "events"))
+          try sp.read.parquet(s"$scaleDir/$t.parquet")
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        // container fixtures for the crawl-family probes, staged
+        // OUTSIDE the timed window (the q34 discipline): they render
+        // driver-side single-threaded from the 10x documents table —
+        // inside p06/p07's probe that renders scaffolding, not the
+        // operator (measured: p07's probe dropped ~7s of fixture
+        // generation once pre-staged; the operator itself is the
+        // linear selection + join the entry claims)
+        if (probing("p06_crawl_ingest_pipeline") ||
+            probing("p07_index_selected_ingest"))
+          try graft.queries.WebQueries.stageCrawlFixtures(sp, scaleDir,
+            cdx = probing("p07_index_selected_ingest"))
+          catch { case _: Throwable => () }
         // NEWEST-FIRST probe order (r17 verdict: the driver's budget
         // wall fell exactly on the tail of the declaration-ordered
         // ring, so every round-17 arrival — the entries with NO prior

@@ -67,6 +67,23 @@ object WebQueries extends QDsl {
       d.toString
     })
 
+  /** Pre-build the container fixtures for `dir` (WET always; CDX when
+    * `cdx`) — the bench probe tail stages them OUTSIDE its timed
+    * window (stageScaled's discipline): the fixtures render
+    * driver-side, single-threaded, from the documents table, and
+    * stand in for containers that already exist on disk in
+    * production — timing their generation inside p06/p07's probe
+    * measures scaffolding, not the operator (the same rationale that
+    * keeps w01/w02/w03 out of the probe ring entirely).
+    */
+  def stageCrawlFixtures(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cdx: Boolean = true): Unit = {
+    val c = Catalog(spark, dir)
+    wetFixtureDir(c)
+    if (cdx) { cdxFixtureDir(c); () }
+    ()
+  }
+
   val w01: Q = q("w01_warc_source",
     """SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
       |  'conversion' AS rec_type,
