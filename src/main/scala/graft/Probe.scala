@@ -70,8 +70,37 @@ object Probe {
           time("full s05 knnGraphAuto k=3")(
             println(s"  edges = ${Ann.knnGraphAuto(emb, 3).count()}"))
           println(s"  (n frozen: ${n.count()})")
+        case "s19" =>
+          // localize s19_ann_opq's 10× wall (r18 board ratio 19.6):
+          // stage-by-stage replica of Ann.ivfpqOpq's plan
+          import org.apache.spark.sql.functions._
+          val queries = emb.filter(col("vec_id") < 20)
+          time("opqAllocation (explode+groupBy+collect)")(
+            println(s"  perm head = ${Ann.opqAllocation(emb).take(4)}"))
+          val cb = time("ivfCodebook k=16")(Ann.ivfCodebook(emb, 16, 2))
+          println(s"  centroids = ${cb.length}")
+          time("full ivfpqOpq (registered s19 plan)")(
+            Ann.ivfpqOpq(queries, emb, k = 5)
+              .write.format("noop").mode("overwrite").save())
+          time("full ivfpq (s04 plan, same dials)")(
+            Ann.ivfpq(queries, emb, k = 5)
+              .write.format("noop").mode("overwrite").save())
+        case "mm05" =>
+          // localize mm05_audio_dedup's 10× wall (r18 ratio 24.0):
+          // fixture synth vs decode+fingerprint vs pigeonhole join
+          import org.apache.spark.sql.functions._
+          val media = graft.operators.Multimodal.wavDupMedia(spark, 1200)
+          time("wavDupMedia synth (noop)")(
+            media.write.format("noop").mode("overwrite").save())
+          val fp = graft.operators.Multimodal.audioFingerprint(media)
+            .select(col("media_id"), col("afp").as("phash"))
+          time("synth + decode + fingerprint (noop)")(
+            fp.write.format("noop").mode("overwrite").save())
+          time("full phashPairs")(
+            println(s"  pairs = ${graft.operators.Multimodal
+              .phashPairs(fp, maxHamming = 2).count()}"))
         case other =>
-          println(s"unknown probe '$other' (have: d05, ivf)")
+          println(s"unknown probe '$other' (have: d05, ivf, s19, mm05)")
       }
     } finally spark.stop()
   }

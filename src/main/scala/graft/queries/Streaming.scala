@@ -74,7 +74,7 @@ object Streaming {
       spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
         .parquet(srcDir.toString))
     val ckpt = Scratch.dir("e03_ckpt")
-    try {
+    try withStreamShufflePartitions(spark, srcDir.toString) {
       val query = stream.writeStream
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
@@ -220,23 +220,91 @@ object Streaming {
   private def fxKey(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     s"${spark.sparkContext.applicationId}|$dir"
 
-  /** Run `f` with the RocksDB state-store provider set on the session
-    * (restored after): the provider Spark documents for LARGE-state
-    * production streaming. Scoped to the stream-stream JOIN entries
-    * (e08/e14), whose symmetric-hash-join state is corpus-window-sized
-    * — measured on e14, the heavy batch's addBatch dropped 18.5s →
-    * 5.6s vs the default HDFS-backed provider, whose commit rewrites
-    * a whole JVM map per store per batch (a cost that grows with
-    * state, which is why the default is the wrong provider for this
-    * operator class at 100 TB). NOT applied to the small-state
-    * entries (windowed counts, dedup, quotas): for them the per-batch
-    * RocksDB instance open/close costs more than the map rewrite it
-    * replaces (measured +0.5-1s each). Results are
-    * provider-independent — state CONTENT is identical — and the
-    * provider is captured per query START, so the memoized-checkpoint
-    * restarts see a consistent provider across invocations.
+  /** Scale-adaptive shuffle-partition count for a STREAMING query,
+    * derived from the landing window's bytes (guide §2: derive
+    * partitioning from input size instead of a constant tuned for
+    * either local mode or the cluster). Rationale: a stateful
+    * operator's state-partition count is pinned to
+    * `spark.sql.shuffle.partitions` AT CHECKPOINT CREATION and
+    * recorded in the checkpoint — AQE cannot coalesce it the way it
+    * coalesces batch shuffles, so every micro-batch pays one state
+    * store open/commit PER PARTITION regardless of how little state
+    * lives there (measured r18: 8-core runs of the e-family beat
+    * 32-core runs 2-2.7× purely on store count). Production sizes
+    * this to the landing window: bytes / bytesPerPartition, floored
+    * at 1, capped at the session's configured shuffle partitions so
+    * a genuinely large window keeps the cluster's parallelism. The
+    * derivation is deterministic from the landing files, so every
+    * restart of a memoized checkpoint re-derives the identical value.
+    */
+  private def streamShufflePartitions(
+      spark: org.apache.spark.sql.SparkSession, landing: String*): Int = {
+    val perPart = spark.conf
+      .getOption("spark.graft.stream.bytesPerShufflePartition")
+      .map(_.toLong).getOrElse(32L << 20)
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = landing.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else fs.getContentSummary(p).getLength
+    }.sum
+    math.max(1, math.min(session.toLong,
+      (bytes + perPart - 1) / perPart).toInt)
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` set to the derived
+    * streaming value (restored after): scopes the state-partition
+    * count — and the per-micro-batch foreachBatch jobs — to the
+    * landing window's size. Checkpoint restarts are consistent
+    * twice over: the derivation is deterministic AND Spark itself
+    * replays the checkpointed value for stateful plans.
+    */
+  private def withStreamShufflePartitions[A](
+      spark: org.apache.spark.sql.SparkSession, landing: String*)(
+      f: => A): A = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, streamShufflePartitions(spark, landing: _*).toString)
+    try f finally spark.conf.set(k, prev)
+  }
+
+  /** Run `f` with the state-store provider chosen for the
+    * stream-stream JOIN entries (e08/e14). History of the dial: r18
+    * flipped both to RocksDB, measured at 32 state partitions where
+    * the HDFS-backed provider's whole-map-rewrite commit dominated
+    * (e14 heavy batch 18.5s → 5.6s). r19 derives the state-partition
+    * count from the landing window ([[streamShufflePartitions]]),
+    * which moves each store's state ABOVE the per-store fixed costs —
+    * re-measured A/B at the derived count (ProbeStream, same harness,
+    * back to back): HDFS wins BOTH entries (e14 10.7s vs 14.4s,
+    * e08 8.9s vs 11.8s — RocksDB's per-batch native instance
+    * open/close is pure overhead once the store count is right). So
+    * the default here is the HDFS provider; `spark.graft.stream.
+    * rocksdb=true` is the production dial for deployments whose
+    * PER-STORE join state is large (the regime RocksDB is documented
+    * for — at 100 TB with partitions capped at cluster parallelism,
+    * per-store state grows with the window and the r18 measurement
+    * applies again). Results are provider-independent — state CONTENT
+    * is identical — and the provider is captured per query START, so
+    * memoized-checkpoint restarts see a consistent provider.
     */
   private def withRocksDbState[A](
+      spark: org.apache.spark.sql.SparkSession, default: Boolean = true)(
+      f: => A): A = {
+    // A/B dial (r18 verdict item #2): `spark.graft.stream.rocksdb`
+    // overrides the per-entry default so ProbeStream's PROBE_CONF can
+    // flip providers without a recompile. The per-entry default is the
+    // MEASURED winner for that entry's state size.
+    val use = spark.conf.getOption("spark.graft.stream.rocksdb")
+      .map(_.toBoolean).getOrElse(default)
+    if (!use) {
+      try f finally
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    } else withRocksDbStateAlways(spark)(f)
+  }
+
+  private def withRocksDbStateAlways[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
     // changelog checkpointing: commit uploads the per-batch CHANGELOG
     // instead of a full snapshot per store per batch (snapshots then
@@ -299,32 +367,43 @@ object Streaming {
     * match either), and negative event_ids let output filters drop
     * the left leg's null-extended sentinel rows.
     */
+  /** The sentinel ROWS of [[writeWatermarkSentinels]]'s i-th batch as
+    * a frame — exposed so a fixture can UNION sentinel 1 into an
+    * earlier landing file instead of paying it a micro-batch of its
+    * own (e15's r19 shape; the batch-lag analysis lives there).
+    */
+  private def sentinelFrame(
+      raw: org.apache.spark.sql.DataFrame,
+      legTypes: Seq[String], i: Int): org.apache.spark.sql.DataFrame = {
+    val maxTs = raw.agg(max(col("ts"))).head.get(0)
+    // built FROM the raw relation so the sentinel carries whatever
+    // ts encoding the landing files use (INT64 nanos or timestamp)
+    val ts = maxTs match {
+      case l: java.lang.Long => // INT64 nanos encoding
+        lit(l + i * 10L * 86400L * 1000000000L)
+      case t: java.time.LocalDateTime =>
+        lit(t.plusDays(i * 10L))
+      case t: java.sql.Timestamp =>
+        lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(i * 10L * 86400L)))
+      case other => sys.error(s"unexpected events.ts value: $other")
+    }
+    val one = raw.limit(1)
+      .withColumn("ts", ts.cast(raw.schema("ts").dataType))
+    legTypes.zipWithIndex.map { case (legType, j) =>
+      one.withColumn("event_id", lit(-(i * legTypes.size + j).toLong))
+        .withColumn("user_id", lit(-(j + 1).toLong))
+        .withColumn("event_type", lit(legType))
+    }.reduce(_ unionByName _)
+  }
+
   private def writeWatermarkSentinels(
       raw: org.apache.spark.sql.DataFrame,
       srcDir: java.nio.file.Path,
       legTypes: Seq[String],
       tag: String,
       nBatches: Int = 2): Unit = {
-    val maxTs = raw.agg(max(col("ts"))).head.get(0)
     for (i <- 1 to nBatches) {
-      // built FROM the raw relation so the sentinel carries whatever
-      // ts encoding the landing files use (INT64 nanos or timestamp)
-      val ts = maxTs match {
-        case l: java.lang.Long => // INT64 nanos encoding
-          lit(l + i * 10L * 86400L * 1000000000L)
-        case t: java.time.LocalDateTime =>
-          lit(t.plusDays(i * 10L))
-        case t: java.sql.Timestamp =>
-          lit(java.sql.Timestamp.from(t.toInstant.plusSeconds(i * 10L * 86400L)))
-        case other => sys.error(s"unexpected events.ts value: $other")
-      }
-      val one = raw.limit(1)
-        .withColumn("ts", ts.cast(raw.schema("ts").dataType))
-      val s = legTypes.zipWithIndex.map { case (legType, j) =>
-        one.withColumn("event_id", lit(-(i * legTypes.size + j).toLong))
-          .withColumn("user_id", lit(-(j + 1).toLong))
-          .withColumn("event_type", lit(legType))
-      }.reduce(_ unionByName _)
+      val s = sentinelFrame(raw, legTypes, i)
       val tmp = Scratch.dir(s"${tag}_s$i")
       s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala
@@ -374,13 +453,15 @@ object Streaming {
       col("user_id") === col("p_user_id") &&
         col("ts") >= col("p_ts") &&
         col("ts") <= col("p_ts") + expr("interval 30 minutes"))
-    withRocksDbState(spark) {
-      val query = joined.writeStream
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .format("parquet").option("path", outDir)
-        .start()
-      query.awaitTermination()
+    withStreamShufflePartitions(spark, srcDir) {
+      withRocksDbState(spark, default = false) {
+        val query = joined.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", outDir)
+          .start()
+        query.awaitTermination()
+      }
     }
     spark.read.parquet(outDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -419,7 +500,7 @@ object Streaming {
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val ckpt = Scratch.dir("e09_ckpt")
-    try {
+    try withStreamShufflePartitions(spark, srcDir.toString) {
       // schema probed + ts normalized through the chokepoint (see e03)
       val stream = Catalog.normalizeEventTs(
         spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
@@ -533,7 +614,7 @@ object Streaming {
       (wh.root, src, Scratch.dir("e11_ckpt"))
     })
     val wh = Warehouse(spark, whRoot)
-    locally {
+    withStreamShufflePartitions(spark, srcDir.toString) {
       val schema = spark.read.parquet(s"$dir/documents.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -582,7 +663,7 @@ object Streaming {
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val ckpt = Scratch.dir("e12_ckpt")
-    try {
+    try withStreamShufflePartitions(spark, srcDir.toString) {
       val stream = Catalog.normalizeEventTs(
         spark.readStream.schema(Catalog(spark, dir).eventsRawSchema)
           .parquet(srcDir.toString))
@@ -692,9 +773,21 @@ object Streaming {
       (src, Scratch.dir("e14_out"), Scratch.dir("e14_ckpt"))
     })
     locally {
+      // NO per-trigger file limit (r19 — the r18 shape paid one
+      // stateful micro-batch per landing file): all three files land
+      // in ONE data batch, which emits every inner match
+      // (watermark-independent); the sentinels' far-future event time
+      // then advances the watermark, and the engine's NO-DATA
+      // micro-batches (noDataMicroBatches, on by default — AvailableNow
+      // keeps running them while the watermark moves) evict the join
+      // state and emit every unmatched left row's null-extended form.
+      // Outer-row emission only needs SOME later batch to run with an
+      // advanced watermark — which batch emits a row changes nothing
+      // about the set (guide §1.2-1: fewer stateful passes before
+      // per-pass cost). Oracle re-verified this round: 8019 rows,
+      // hash-identical, nulls included.
       def stream = Catalog.normalizeEventTs(
-          spark.readStream.schema(rawSchema)
-            .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+          spark.readStream.schema(rawSchema).parquet(srcDir.toString))
         .withColumn("ts", col("ts").cast(TimestampType))
       val others = stream.filter(col("event_type") =!= "purchase")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -708,13 +801,15 @@ object Streaming {
           col("ts") >= col("p_ts") &&
           col("ts") <= col("p_ts") + expr("interval 30 minutes"),
         "left_outer")
-      withRocksDbState(spark) {
-        val query = joined.writeStream
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .format("parquet").option("path", outDir.toString)
-          .start()
-        query.awaitTermination()
+      withStreamShufflePartitions(spark, srcDir.toString) {
+        withRocksDbState(spark, default = false) {
+          val query = joined.writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .format("parquet").option("path", outDir.toString)
+            .start()
+          query.awaitTermination()
+        }
       }
       spark.read.parquet(outDir.toString)
         .filter(col("event_id") >= 0) // drop the watermark sentinels
@@ -773,22 +868,38 @@ object Streaming {
           "cannot order e15 landing files")
         Scratch.remove(stage)
       }
-      // on-time slice first; then TWO far-future sentinel batches
-      // (mtime +60/+120 s) — the watermark a batch FILTERS with is
-      // computed from the batch before it, so one sentinel would
-      // leave the late batch filtering with the pre-sentinel
-      // watermark and the still-open tail windows would absorb late
-      // rows; the delayed partition lands only after both (+150 s),
-      // provably below the advanced watermark
-      land(raw.filter(col("event_id") % 3 =!= 0), "a_events",
-        1700000000000L)
-      writeWatermarkSentinels(raw, src, Seq("sentinel"), "e15",
-        nBatches = 2)
+      // THREE landing files (r19, one fewer micro-batch than the r18
+      // four-file shape): the watermark a batch FILTERS with lags its
+      // own arrival by TWO batches (re-measured this round: a late
+      // file landing one batch after the far-future stats is filtered
+      // with the PRE-sentinel watermark and absorbed — the r18
+      // two-sentinel rationale). So sentinel 1 rides IN the on-time
+      // file (batch 0 — a sentinel is input data; which batch carries
+      // it changes nothing it aggregates into, and its window is
+      // filtered at the sink read), sentinel 2 is its own batch 1,
+      // and the late file (batch 2) filters against batch 0's
+      // far-future stats (+10 days − 1 h) — every late row's window
+      // closed long ago, the same provable drop set as before.
+      land(raw.filter(col("event_id") % 3 =!= 0)
+          .unionByName(sentinelFrame(raw, Seq("sentinel"), 1)),
+        "a_events", 1700000000000L)
+      land(sentinelFrame(raw, Seq("sentinel"), 2), "b_sentinel2",
+        1700000120000L)
       land(raw.filter(col("event_id") % 3 === 0), "d_late",
         1700000150000L)
       (src, Scratch.dir("e15_out"), Scratch.dir("e15_ckpt"))
     })
     locally {
+      // one file per trigger over the THREE landing files (sentinel 1
+      // rides in the on-time file — see the fixture comment for the
+      // two-batch watermark lag that pins this grouping): batch 2's
+      // late rows filter against batch 0's far-future stats, the same
+      // provable drop set as the r18 four-file shape, one fewer
+      // micro-batch (guide §1.2-1). A 2-files-per-trigger grouping was
+      // MEASURED WRONG this round: [s2, late] in one batch filters
+      // late rows with the pre-sentinel watermark and absorbs them
+      // (3385 vs 3068 oracle rows) — do not regroup without re-running
+      // the oracle.
       def stream = Catalog.normalizeEventTs(
           spark.readStream.schema(rawSchema)
             .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
@@ -799,13 +910,15 @@ object Streaming {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
             .as("total_value"))
-      val query = agg.writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("append")
-        .format("parquet").option("path", outDir.toString)
-        .start()
-      query.awaitTermination()
+      withStreamShufflePartitions(spark, srcDir.toString) {
+        val query = agg.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .format("parquet").option("path", outDir.toString)
+          .start()
+        query.awaitTermination()
+      }
       spark.read.parquet(outDir.toString)
         .filter(col("event_type") =!= "sentinel")
         .select(col("window.start").cast(TimestampNTZType).as("window_start"),
@@ -869,7 +982,7 @@ object Streaming {
       (wh.root, srcDir, Scratch.dir("e16_ckpt"))
     })
     val wh = Warehouse(spark, whRoot)
-    locally {
+    withStreamShufflePartitions(spark, srcDir.toString) {
       val norm = Catalog(spark, dir).events
       val stream = spark.readStream.schema(norm.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
@@ -955,7 +1068,7 @@ object Streaming {
       Materialization.Incremental(
         IncrementalStrategy.Merge(Seq("user_id"), None)),
       ctx => ctx.source("events"))
-    locally {
+    withStreamShufflePartitions(spark, srcDir.toString) {
       import spark.implicits._
       val stream = spark.readStream.schema(StructType(Seq(
           StructField("user_id", LongType),
@@ -1035,7 +1148,7 @@ object Streaming {
       Materialization.Incremental(
         IncrementalStrategy.Merge(Seq("window_start", "event_type"), None)),
       ctx => ctx.source("events"))
-    locally {
+    withStreamShufflePartitions(spark, srcDir.toString) {
       // schema probed + ts normalized through the chokepoint (see
       // e03); the watermark needs LTZ, so the canonical NTZ ts rides
       // the stream as LTZ (wall-clock identity under the pinned UTC
@@ -1162,20 +1275,29 @@ object Streaming {
     val wh = Warehouse(spark, whRoot)
     locally {
       val schema = Catalog(spark, dir).events.schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      val query = stream.writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val seen = wh.read("analytics", "events_unified").select("event_id")
-          val fresh = batch.join(seen, Seq("event_id"), "left_anti")
-            .localCheckpoint(true)
-          wh.write(fresh, "analytics", "events_unified", mode = "append")
-          ()
-        }
-        .start()
-      query.awaitTermination()
+      // no per-trigger file limit: the reconciliation is ORDER-FREE
+      // across micro-batches by construction (each batch left-anti
+      // joins the table's own event_ids — the docstring's point), so
+      // forcing one stripe per batch bought determinism the anti-join
+      // already guarantees while paying 3× the per-batch fixed cost
+      // (state-free, but each batch is a full table read + append).
+      // One AvailableNow batch reconciles all landed stripes at once;
+      // the appended row set is identical (guide §1.2-1).
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      withStreamShufflePartitions(spark, srcDir.toString) {
+        val query = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val seen = wh.read("analytics", "events_unified").select("event_id")
+            val fresh = batch.join(seen, Seq("event_id"), "left_anti")
+              .localCheckpoint(true)
+            wh.write(fresh, "analytics", "events_unified", mode = "append")
+            ()
+          }
+          .start()
+        query.awaitTermination()
+      }
     }
     wh.read("analytics", "events_unified")
       .groupBy("event_type")
@@ -1353,7 +1475,7 @@ object Streaming {
     val landing = WebQueries.wetFixtureDir(c)
     val wh = Warehouse.scratch(spark, "e25")
     val ckpt = Scratch.dir("e25_ckpt")
-    try {
+    try withStreamShufflePartitions(spark, landing) {
       val recs = graft.sources.Warc.parse(
         spark.readStream
           .option("lineSep", graft.sources.Warc.RecordBoundary)

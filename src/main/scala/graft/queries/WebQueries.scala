@@ -354,16 +354,23 @@ object WebQueries extends QDsl {
     * table, p08's rank table): hosts grow with the corpus — O(10⁷-10⁸)
     * at CC scale — so an unconditional `broadcast()` eventually walks
     * into Spark's 8 GB / 512M-row relation cap and a driver OOM. The
-    * hint is applied only below `spark.graft.broadcast.maxRows`
-    * (default 2²⁰ rows — tens of MB for these narrow schemas); above
+    * gate reads the frame's ALREADY-MATERIALIZED checkpoint block
+    * bytes from the storage registry — zero extra Spark jobs, where
+    * the r18 row-count gate's `count()` was a whole second action
+    * over the frozen frame (most of w05's measured 1× regression) —
+    * and bytes are the quantity the broadcast caps are actually
+    * about. The hint is applied only below
+    * `spark.graft.broadcast.maxBytes` (default 64 MB of deserialized
+    * block bytes — well under the 8 GB relation cap, and what the old
+    * 2²⁰-row gate came to on these narrow host-keyed schemas); above
     * it the hint is withheld and the planner shuffles both sides.
-    * Callers pass a row count they already have (or can take from an
-    * already-frozen frame — never a extra corpus scan).
+    * Caller must pass an eagerly-checkpointed frame.
     */
-  private def maybeBroadcast(df: DataFrame, nRows: Long): DataFrame = {
-    val cap = df.sparkSession.conf.getOption("spark.graft.broadcast.maxRows")
-      .map(_.toLong).getOrElse(1L << 20)
-    if (nRows <= cap) broadcast(df) else df
+  private def maybeBroadcastCheckpointed(df: DataFrame): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("spark.graft.broadcast.maxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val bytes = org.apache.spark.sql.graftbridge.RddBridge.checkpointBytes(df)
+    if (bytes <= cap) broadcast(df) else df
   }
 
   // ---------------------------------------------------------------
@@ -520,10 +527,11 @@ object WebQueries extends QDsl {
             concat(lit("/doc/pub/"), col("doc_id")))
           .otherwise(concat(lit("/doc/"), col("doc_id"))).as("path"))
       // rule table is host-SCALED, not bounded — broadcast only below
-      // the size gate (the count reads the frozen frame, no re-parse);
+      // the size gate (read from the checkpoint's block sizes: zero
+      // extra jobs, r19 fix for the r18 count()-action regression);
       // longest-match decision stays one map-side max-struct agg
       // (len, allow, prefix) per url either way
-      val matches = cand.join(maybeBroadcast(rules, rules.count()), Seq("host"))
+      val matches = cand.join(maybeBroadcastCheckpointed(rules), Seq("host"))
         .filter(col("path").startsWith(col("prefix")))
         .groupBy("doc_id")
         .agg(max(struct(length(col("prefix")).as("len"),
@@ -612,9 +620,10 @@ object WebQueries extends QDsl {
             .cast(IntegerType))
         .drop("__pid", "__off")
       // rank table is host-scaled: broadcast only below the size gate
-      // (the count reads the frozen range layout, not a recompute)
+      // (read from the frozen range layout's checkpoint block sizes —
+      // zero extra jobs, r19 fix for the r18 count()-action cost)
       c.documents.select(col("doc_id"), (col("doc_id") % hN).as("host"))
-        .join(maybeBroadcast(ranked, byKey.count()), "host")
+        .join(maybeBroadcastCheckpointed(ranked), "host")
         .select(col("doc_id"), col("host").cast(LongType).as("host"),
           col("pr_scaled"), col("host_rank").cast(LongType).as("host_rank"),
           (col("host_rank") <= topHosts).as("kept"))

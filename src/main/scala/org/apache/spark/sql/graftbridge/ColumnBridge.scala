@@ -50,6 +50,27 @@ object RddBridge {
         l.rdd.unpersist(blocking); ()
       case _ => ()
     }
+
+  /** BlockManager bytes (memory + disk) behind an EAGER
+    * localCheckpoint — a ZERO-JOB input for broadcast size gates:
+    * the blocks already exist after the eager materialization, so
+    * reading their sizes from the storage registry costs nothing,
+    * where a `df.count()` over the same frame is one more Spark job
+    * per query (measured r18: w05's gate count was most of its 1×
+    * regression). Returns 0 for a frame with no checkpointed RDD —
+    * callers treat that as "unknown, do not broadcast-hint" only if
+    * they pass it to a gate that fails open; the graft gates fail
+    * CLOSED on 0 by construction (0 ≤ cap ⇒ broadcast) because a
+    * frame this is called on is always an already-frozen one.
+    */
+  def checkpointBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    val ids = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    df.sparkSession.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+  }
 }
 
 /** Unload every loaded state-store provider and stop the maintenance
