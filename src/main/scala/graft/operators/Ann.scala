@@ -1041,10 +1041,14 @@ object Ann {
       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, pqK: Int = 16,
       shortlist: Int = 64, kmeansIters: Int = 2, dim: Int = 64): DataFrame = {
     val perm = opqAllocation(corpus, m, dim)
-    val permLit = typedLit(perm)
+    // flat array of element_at over LITERAL indices — whole-stage
+    // codegen'd straight-line loads, where the former
+    // transform(sequence(...), i => element_at(u, element_at(permLit,
+    // i))) was an interpreted higher-order lambda with a nested
+    // literal lookup per element (ivfpqOpqRotated's §4 lesson applied
+    // to the permutation; same output array bit for bit)
     def permuted(u: Column): Column =
-      transform(sequence(lit(1), lit(dim)),
-        i => element_at(u, element_at(permLit, i).cast("int")))
+      array(perm.map(p => element_at(u, lit(p))): _*)
     ivfpqReprojected(queries, corpus, k, permuted, nCentroids, nProbe,
       m, pqK, shortlist, kmeansIters, dim)
   }

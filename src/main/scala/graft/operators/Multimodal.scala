@@ -411,9 +411,12 @@ object Multimodal {
   def videoPairs(hashes: DataFrame, minSlots: Int = 3,
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole only covers hamming <= 3")
+    // frozen before the slot-aligned self-join — phashPairs' rationale
+    // (one keyframe decode pass, not one per join side)
+    val fp = hashes.localCheckpoint(true)
     val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
       shiftright(col("khash"), b * 16).bitwiseAND(lit(0xffffL)).as("bval")))
-    val keyed = hashes.select(col("media_id"), col("slot"), col("khash"),
+    val keyed = fp.select(col("media_id"), col("slot"), col("khash"),
         explode(array(blocks: _*)).as("k"))
       .select(col("media_id"), col("slot"), col("khash"),
         col("k.blk").as("blk"), col("k.bval").as("bval"))
@@ -439,9 +442,15 @@ object Multimodal {
     */
   def phashPairs(hashed: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole only covers hamming <= 3")
+    // frozen: BOTH sides of the block self-join read the fingerprint
+    // frame (the simhashPairs discipline) — unfrozen, the upstream
+    // decode+hash pass ran once per side (measured at the 10× probe:
+    // the full pipeline cost ~2× its decode stage for a frame of a
+    // few thousand 16-byte rows)
+    val fp = hashed.localCheckpoint(true)
     val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
       shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("bval")))
-    val keyed = hashed.select(col("media_id"), col("phash"),
+    val keyed = fp.select(col("media_id"), col("phash"),
         explode(array(blocks: _*)).as("k"))
       .select(col("media_id"), col("phash"),
         col("k.blk").as("blk"), col("k.bval").as("bval"))
