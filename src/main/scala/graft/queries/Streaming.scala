@@ -237,7 +237,7 @@ object Streaming {
     * derivation is deterministic from the landing files, so every
     * restart of a memoized checkpoint re-derives the identical value.
     */
-  private def streamShufflePartitions(
+  private[graft] def streamShufflePartitions(
       spark: org.apache.spark.sql.SparkSession, landing: String*): Int = {
     val perPart = spark.conf
       .getOption("spark.graft.stream.bytesPerShufflePartition")

@@ -1063,4 +1063,53 @@ class StreamingSpec extends SparkSpec {
       assert(reset(4L), "state did not expire: event 4 should re-admit")
     }
   }
+
+  test("streamShufflePartitions: landing-bytes derivation, floor 1, session cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_test")
+    val confKey = "spark.graft.stream.bytesPerShufflePartition"
+    try {
+      // empty landing dir: floored at 1 (a query must still plan)
+      assert(graft.queries.Streaming
+        .streamShufflePartitions(spark, dir.toString) == 1)
+      // 2 MB of landing files under the 32 MB default: still 1
+      java.nio.file.Files.write(dir.resolve("a.parquet"),
+        new Array[Byte](2 * 1024 * 1024))
+      assert(graft.queries.Streaming
+        .streamShufflePartitions(spark, dir.toString) == 1)
+      // explicit 1 MB target: ceil(2 MB / 1 MB) = 2
+      spark.conf.set(confKey, (1024 * 1024).toString)
+      assert(graft.queries.Streaming
+        .streamShufflePartitions(spark, dir.toString) == 2)
+      // tiny target: derivation saturates at the SESSION's configured
+      // shuffle partitions (8 here) — a large window keeps cluster
+      // parallelism, never exceeds it
+      spark.conf.set(confKey, "1024")
+      assert(graft.queries.Streaming
+        .streamShufflePartitions(spark, dir.toString) ==
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      // multiple landing dirs sum their bytes
+      spark.conf.set(confKey, (1024 * 1024).toString)
+      assert(graft.queries.Streaming.streamShufflePartitions(
+        spark, dir.toString, dir.toString) == 4)
+      // a missing dir contributes zero instead of failing (fixture
+      // dirs are created lazily by the entries)
+      assert(graft.queries.Streaming.streamShufflePartitions(
+        spark, dir.resolve("absent").toString) == 1)
+    } finally {
+      spark.conf.unset(confKey)
+      graft.core.Scratch.remove(dir)
+    }
+  }
+
+  test("RddBridge.checkpointBytes: frozen blocks report bytes, unfrozen report 0") {
+    import org.apache.spark.sql.graftbridge.RddBridge
+    val df = spark.range(10000L).toDF("id")
+    assert(RddBridge.checkpointBytes(df) == 0L,
+      "an unfrozen plan has no checkpoint blocks to measure")
+    val frozen = df.localCheckpoint(true)
+    val bytes = RddBridge.checkpointBytes(frozen)
+    assert(bytes > 0L, "eager localCheckpoint blocks must be visible " +
+      "to the storage registry (the zero-job broadcast gate reads them)")
+    RddBridge.unpersistCheckpoint(frozen, blocking = true)
+  }
 }
